@@ -1,0 +1,61 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run oracle_sql.json in
+DuckDB over the sf tables, compare to the Verify parquet dumps."""
+import duckdb, json, sys, glob, os
+import pandas as pd
+
+sfdir = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.01'
+outdir = sys.argv[2] if len(sys.argv) > 2 else '/tmp/verify_out'
+
+con = duckdb.connect()
+for t in ['region','nation','customer','supplier','part','orders','lineitem','events','documents','embeddings']:
+    p = f'{sfdir}/{t}.parquet'
+    if os.path.exists(p):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+oracle = json.load(open(f'{outdir}/oracle_sql.json'))
+fails = 0
+for name, sql in sorted(oracle.items()):
+    pq_dir = f'{outdir}/{name}'
+    if not os.path.isdir(pq_dir):
+        print(f'{name}: MISSING spark output'); fails += 1; continue
+    try:
+        spark_df = pd.concat([pd.read_parquet(f) for f in glob.glob(f'{pq_dir}/*.parquet')])
+    except Exception as e:
+        print(f'{name}: spark read FAIL {e}'); fails += 1; continue
+    try:
+        duck_df = con.sql(sql).df()
+    except Exception as e:
+        print(f'{name}: duckdb FAIL {str(e)[:200]}'); fails += 1; continue
+    s = spark_df[sorted(spark_df.columns)].sort_values(sorted(spark_df.columns)).reset_index(drop=True)
+    d = duck_df[sorted(duck_df.columns)].sort_values(sorted(duck_df.columns)).reset_index(drop=True)
+    if sorted(spark_df.columns) != sorted(duck_df.columns):
+        print(f'{name}: SCHEMA mismatch spark={sorted(spark_df.columns)} duck={sorted(duck_df.columns)}'); fails += 1; continue
+    if len(s) != len(d):
+        print(f'{name}: ROWS mismatch spark={len(s)} duck={len(d)}'); fails += 1; continue
+    # exact value compare (driver hashes values)
+    try:
+        eq = True
+        for c in s.columns:
+            sc, dc = s[c], d[c]
+            if sc.dtype != dc.dtype:
+                try:
+                    dc = dc.astype(sc.dtype)
+                except Exception:
+                    print(f'{name}: col {c} dtype spark={sc.dtype} duck={dc.dtype}')
+            if not sc.equals(dc):
+                neq = (sc != dc)
+                # NaN==NaN
+                import numpy as np
+                if sc.dtype.kind == 'f':
+                    neq = ~((sc == dc) | (sc.isna() & dc.isna()))
+                n_bad = int(neq.sum())
+                if n_bad:
+                    eq = False
+                    print(f'{name}: col {c} {n_bad} diffs, e.g.\n', pd.DataFrame({'spark': sc[neq], 'duck': dc[neq]}).head(3))
+        print(f'{name}: {"OK" if eq else "VALUE MISMATCH"} ({len(s)} rows)')
+        if not eq: fails += 1
+    except Exception as e:
+        print(f'{name}: compare error {e}'); fails += 1
+print('FAILS:', fails)
+sys.exit(1 if fails else 0)

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Exact brute-force k-NN join — the engine's canonical operator.
+  *
+  * Reference semantics: `LinearSearcher.batch_search` (modular.py:336-387)
+  * and the FAISS `IndexFlat` variant (exact_search.py:26-78): all-pairs
+  * distance between a query set and a base set under a metric, top-k per
+  * query ordered ascending by distance, padded to k with (id=-1, dist=inf).
+  *
+  * Spark-first design (scales to a 1000-executor cluster):
+  *  - queries are broadcast (≤ a few thousand rows in every reference
+  *    config) so the cross product is a BroadcastNestedLoopJoin — the base
+  *    table is scanned once, partition-parallel, with NO shuffle of the
+  *    base side;
+  *  - the distance is a native codegen'd Catalyst expression
+  *    ([[graft.functions.VecL2Dist]] etc.), so the whole probe stage is one
+  *    WholeStageCodegen span over the parquet scan;
+  *  - top-k per query uses the [[TopKByDist]] bounded-heap aggregate:
+  *    map-side partial aggregation reduces each partition to ≤ k rows per
+  *    query before the single small shuffle on qid (vs a Window sort which
+  *    would shuffle every candidate row). At 100 TB the shuffle volume is
+  *    O(n_queries · k · partitions), independent of base row count.
+  */
+object KnnJoin {
+
+  /** Compact result: one row per query, `nn: array<struct<id,dist>>`
+    * ascending (dist, id), padded to k with (-1, Infinity). */
+  def knnJoinAgg(
+      queries: DataFrame,
+      base: DataFrame,
+      k: Int,
+      metric: String = "l2",
+      queryIdCol: String = "qid",
+      queryVecCol: String = "vector",
+      baseIdCol: String = "id",
+      baseVecCol: String = "vector",
+      padToK: Boolean = false): DataFrame = {
+    val q = queries.select(
+      col(queryIdCol).cast("long").as("qid"),
+      col(queryVecCol).as("__qvec"))
+    val b = base.select(
+      col(baseIdCol).cast("long").as("__bid"),
+      col(baseVecCol).as("__bvec"))
+    val dist = VectorFunctions.distance(metric)(col("__qvec"), col("__bvec"))
+    val pairs = b.crossJoin(broadcast(q))
+      .select(col("qid"), col("__bid"), dist.as("__dist"))
+    val agg = pairs
+      .groupBy(col("qid"))
+      .agg(TopKByDist.topK(col("__bid"), col("__dist"), k).as("nn"))
+    if (padToK) {
+      // (inf, -1) padding — modular.py:357-360 / lsh.py:279-281
+      val pad = array_repeat(
+        struct(lit(-1L).as("id"), lit(Double.PositiveInfinity).as("dist")), k)
+      agg.withColumn("nn",
+        when(size(col("nn")) < k, slice(concat(col("nn"), pad), 1, k))
+          .otherwise(col("nn")))
+    } else agg
+  }
+
+  /** Exploded result: (qid, rank, id, dist), rank 1-based by (dist, id). */
+  def knnJoin(
+      queries: DataFrame,
+      base: DataFrame,
+      k: Int,
+      metric: String = "l2",
+      queryIdCol: String = "qid",
+      queryVecCol: String = "vector",
+      baseIdCol: String = "id",
+      baseVecCol: String = "vector"): DataFrame = {
+    knnJoinAgg(queries, base, k, metric, queryIdCol, queryVecCol,
+      baseIdCol, baseVecCol)
+      .select(col("qid"), posexplode(col("nn")).as(Seq("__pos", "__nn")))
+      .select(
+        col("qid"),
+        (col("__pos") + 1).cast("int").as("rank"),
+        col("__nn.id").as("id"),
+        col("__nn.dist").as("dist"))
+  }
+
+  /** Rerank candidate pairs (qid, id) exactly: used as the tail of every
+    * ANN path (LSH/IVF/PQ rerank — lsh.py:242-283, modular.py:455-534). */
+  def rerank(
+      candidates: DataFrame, // qid, id
+      queries: DataFrame, // qid, vector
+      base: DataFrame, // id, vector
+      k: Int,
+      metric: String = "l2"): DataFrame = {
+    val q = queries.select(col("qid").cast("long").as("qid"), col("vector").as("__qvec"))
+    val b = base.select(col("id").cast("long").as("__bid"), col("vector").as("__bvec"))
+    val dist = VectorFunctions.distance(metric)(col("__qvec"), col("__bvec"))
+    candidates
+      .select(col("qid").cast("long").as("qid"), col("id").cast("long").as("__bid"))
+      .join(b, Seq("__bid"))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("__bid"), dist.as("__dist"))
+      .groupBy(col("qid"))
+      .agg(TopKByDist.topK(col("__bid"), col("__dist"), k).as("nn"))
+      .select(col("qid"), posexplode(col("nn")).as(Seq("__pos", "__nn")))
+      .select(
+        col("qid"),
+        (col("__pos") + 1).cast("int").as("rank"),
+        col("__nn.id").as("id"),
+        col("__nn.dist").as("dist"))
+  }
+}
