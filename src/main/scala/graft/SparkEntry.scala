@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.KnnJoin
+import graft.operators.{KnnJoin, Metrics}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Each `queries` entry maps to an operator in SURVEY.md §2; `oracleSql`
@@ -38,6 +38,69 @@ object SparkEntry {
       KnnJoin.knnJoin(Tables.embQueries(s, dir), Tables.embBase(s, dir),
           k = 10, metric = "cosine")
         .select(col("qid"), col("rank"), col("id"))),
+    // --- A1-A6: IR metrics per query (pred = inner-product top-10,
+    //     gt = L2 top-10 → non-trivial metric values) ---
+    "a1_a6_metrics" -> ((s, dir) => {
+      val q = Tables.embQueries(s, dir)
+      val b = Tables.embBase(s, dir)
+      def ids(df: org.apache.spark.sql.DataFrame, as: String) =
+        df.select(col("qid"), transform(col("nn"), x => x("id")).as(as))
+      val gt = ids(KnnJoin.knnJoinAgg(q, b, 10, "l2"), "gt")
+      val pred = ids(KnnJoin.knnJoinAgg(q, b, 10, "ip"), "pred")
+      gt.join(pred, "qid").select(
+        col("qid"),
+        Metrics.recallAtK(col("pred"), col("gt"), 10).as("recall_10"),
+        Metrics.precisionAtK(col("pred"), col("gt"), 10).as("precision_10"),
+        round(Metrics.apAtK(col("pred"), col("gt"), 10), 6).as("ap_10"),
+        round(Metrics.ndcgAtK(col("pred"), col("gt"), 10), 6).as("ndcg_10"),
+        Metrics.hitAtK(col("pred"), col("gt"), 10).as("hit_10"),
+        Metrics.rrAtK(col("pred"), col("gt"), 10).as("rr_10"))
+    }),
+    // --- A7: latency-style stats (exact percentiles) over events.value ---
+    "a7_latency_stats" -> ((s, dir) => {
+      val stats = Metrics.latencyStats(Tables.load(s, dir, "events"), "value")
+      stats.select(stats.columns.map(c => round(col(c), 6).as(c)): _*)
+    }),
+    // --- P5: text normalization filter (trim + drop empty) ---
+    "p5_text_filter" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), trim(col("text")).as("text"))
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), length(col("text")).cast("long").as("text_len"))),
+    // --- A14: dedup-by-text, first-seen wins (dataset.py:729-741) ---
+    "a14_dedup_text" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables.load(s, dir, "documents")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("text")).orderBy(col("doc_id"))))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang"))
+    }),
+    // --- J13: id-alignment equi-join chain (orders→customer→nation) ---
+    "j13_align_join" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer")
+      val n = Tables.load(s, dir, "nation")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total_price"))
+    }),
+    // --- J14: seeded train/test split via anti-join (dataset.py:638-652) ---
+    "j14_train_test_split" -> ((s, dir) => {
+      val base = Tables.load(s, dir, "embeddings").select(col("vec_id"))
+      val test = base.filter(col("vec_id") % 10 === 0)
+      base.join(test, Seq("vec_id"), "left_anti")
+        .agg(count(lit(1)).as("n_train"),
+          sum(col("vec_id")).as("idsum"))
+    }),
+    // --- T1: global top-k without full sort (TakeOrderedAndProject) ---
+    "t1_global_topk" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(20)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -69,5 +132,77 @@ object SparkEntry {
         |        row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank
         |      FROM d)
         |SELECT qid, rank::INT AS rank, id FROM r WHERE rank <= 10""".stripMargin,
+    "a1_a6_metrics" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id % 50 = 0),
+        |b AS (SELECT vec_id AS id, embedding::DOUBLE[] AS bv FROM embeddings),
+        |d AS (SELECT qid, id,
+        |        sqrt(list_sum(list_transform(list_zip(qv, bv),
+        |             p -> (p[1]-p[2])*(p[1]-p[2])))) AS dl2,
+        |        -list_sum(list_transform(list_zip(qv, bv), p -> p[1]*p[2])) AS dip
+        |      FROM q, b),
+        |gtr AS (SELECT qid, id,
+        |         row_number() OVER (PARTITION BY qid ORDER BY dl2, id) AS r FROM d),
+        |gt AS (SELECT qid, list(id ORDER BY r) AS gt FROM gtr WHERE r <= 10 GROUP BY qid),
+        |prr AS (SELECT qid, id,
+        |         row_number() OVER (PARTITION BY qid ORDER BY dip, id) AS r FROM d),
+        |pred AS (SELECT qid, list(id ORDER BY r) AS pred FROM prr WHERE r <= 10 GROUP BY qid),
+        |j AS (SELECT g.qid AS qid, g.gt AS gt, p.pred AS pred
+        |      FROM gt g JOIN pred p ON g.qid = p.qid),
+        |pos AS (SELECT qid, gt, unnest(pred) AS pid,
+        |          generate_subscripts(pred, 1) AS pos FROM j),
+        |hits AS (SELECT qid, pos, list_contains(gt, pid) AS hit, len(gt) AS ng
+        |         FROM pos),
+        |cum AS (SELECT qid, pos, hit, ng,
+        |          sum(CASE WHEN hit THEN 1 ELSE 0 END)
+        |            OVER (PARTITION BY qid ORDER BY pos) AS cnt FROM hits),
+        |agg AS (SELECT qid,
+        |          sum(CASE WHEN hit THEN cnt::DOUBLE / pos ELSE 0 END) AS apsum,
+        |          sum(CASE WHEN hit THEN 1.0 / log2(pos + 1) ELSE 0 END) AS dcg,
+        |          max(ng) AS ng,
+        |          min(CASE WHEN hit THEN pos END) AS firsthit
+        |        FROM cum GROUP BY qid),
+        |idcg AS (SELECT qid, sum(1.0 / log2(jj + 1)) AS idcg
+        |         FROM (SELECT qid, unnest(generate_series(1, least(ng, 10))) AS jj
+        |               FROM agg) GROUP BY qid)
+        |SELECT j.qid AS qid,
+        |  len(list_intersect(j.gt, j.pred))::DOUBLE / len(j.gt) AS recall_10,
+        |  len(list_intersect(j.gt, j.pred))::DOUBLE / 10 AS precision_10,
+        |  round(coalesce(a.apsum, 0) / a.ng, 6) AS ap_10,
+        |  round(CASE WHEN i.idcg > 0 THEN a.dcg / i.idcg ELSE 0 END, 6) AS ndcg_10,
+        |  CASE WHEN len(list_intersect(j.gt, j.pred)) > 0 THEN 1.0 ELSE 0.0 END AS hit_10,
+        |  CASE WHEN a.firsthit IS NULL THEN 0.0 ELSE 1.0 / a.firsthit END AS rr_10
+        |FROM j JOIN agg a ON j.qid = a.qid JOIN idcg i ON j.qid = i.qid""".stripMargin,
+    "a7_latency_stats" ->
+      """SELECT round(avg(value), 6) AS mean,
+        |  round(quantile_cont(value, 0.5), 6) AS median,
+        |  round(quantile_cont(value, 0.95), 6) AS p95,
+        |  round(quantile_cont(value, 0.99), 6) AS p99,
+        |  round(min(value), 6) AS min,
+        |  round(max(value), 6) AS max
+        |FROM events""".stripMargin,
+    "p5_text_filter" ->
+      """SELECT doc_id, length(trim(text)) AS text_len FROM documents
+        |WHERE length(trim(text)) > 0""".stripMargin,
+    "a14_dedup_text" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn = 1""".stripMargin,
+    "j13_align_join" ->
+      """SELECT n_name, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total_price
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "j14_train_test_split" ->
+      """SELECT count(*) AS n_train, sum(vec_id) AS idsum
+        |FROM embeddings WHERE vec_id NOT IN (
+        |  SELECT vec_id FROM embeddings WHERE vec_id % 10 = 0)""".stripMargin,
+    "t1_global_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 20""".stripMargin,
   )
 }
