@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{KnnJoin, Metrics}
+import graft.operators.{Algorithm, KnnJoin, Metrics, Registry}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Each `queries` entry maps to an operator in SURVEY.md §2; `oracleSql`
@@ -95,6 +95,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_train"),
           sum(col("vec_id")).as("idsum"))
     }),
+    // --- J3-J7: LSH bucket-probe pipeline; self-validating recall output
+    //     (random hyperplanes → no SQL oracle; driver rows-check) ---
+    "j3_lsh_pipeline" -> annRecall("lsh", "lsh", "lsh",
+      Map("num_tables" -> "12", "hash_size" -> "4", "candidate_multiplier" -> "32"),
+      "cosine"),
+    // --- J8: IVF partition-pruned probe ---
+    "j8_ivf_probe" -> annRecall("ivf", "ivf", "ivf",
+      Map("nlist" -> "16", "nprobe" -> "4"), "l2"),
+    // --- J9: PQ asymmetric-distance scoring ---
+    "j9_pq_adc" -> annRecall("pq", "pq", "pq",
+      Map("num_subspaces" -> "16", "num_centroids" -> "64"), "l2"),
+    // --- J10: IVF×SQ8 composition ---
+    "j10_ivf_sq8" -> annRecall("ivf_sq8", "ivf_sq8", "ivf_sq8",
+      Map("nlist" -> "16", "nprobe" -> "8"), "l2"),
+    // --- SQ8 standalone scalar quantization ---
+    "j10_sq8" -> annRecall("sq8", "sq8", "sq8", Map(), "l2"),
     // --- T1: global top-k without full sort (TakeOrderedAndProject) ---
     "t1_global_topk" -> ((s, dir) =>
       Tables.load(s, dir, "lineitem")
@@ -102,6 +118,35 @@ object SparkEntry {
         .limit(20)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))),
   )
+
+  /** ANN pipeline smoke+quality query: run algorithm vs exact GT on the
+    * embeddings table, emit one row of summary metrics. Seeded KMeans /
+    * hyperplanes are not SQL-expressible → no DuckDB oracle (driver
+    * records the weaker rows-only check); ScalaTest specs assert the
+    * semantic properties instead. */
+  private def annRecall(
+      name: String, indexerName: String, searcherName: String,
+      params: Map[String, String], metric: String)
+      : (SparkSession, String) => DataFrame = (s, dir) => {
+    Registry.init()
+    val q = Tables.embQueries(s, dir)
+    val b = Tables.embBase(s, dir).cache()
+    val alg = Algorithm(name,
+      Registry.indexer(indexerName, params + ("seed" -> "42"), metric),
+      Registry.searcher(searcherName, params, metric))
+    val gt = KnnJoin.knnJoinAgg(q, b, 10, metric)
+      .select(col("qid"), transform(col("nn"), x => x("id")).as("gt"))
+    val pred = alg.run(b, q, 10)
+      .groupBy("qid")
+      .agg(graft.operators.TopKByDist.topK(col("id"), col("dist"), 10).as("nn"))
+      .select(col("qid"), transform(col("nn"), x => x("id")).as("pred"))
+    gt.join(pred, "qid")
+      .agg(
+        lit(name).as("algorithm"),
+        count(lit(1)).as("n_queries"),
+        round(avg(Metrics.recallAtK(col("pred"), col("gt"), 10)), 4).as("recall_10"),
+        round(avg(Metrics.rrAtK(col("pred"), col("gt"), 10)), 4).as("mrr_10"))
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->

@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The engine's modular index/search split, mirroring the reference's
+  * `BaseIndexer` / `BaseSearcher` / registry design (modular.py:28-106) in
+  * Spark terms: an index is one-or-more DataFrames plus string metadata,
+  * a searcher turns (artifact, queries) into the canonical search-result
+  * relation (qid, rank, id, dist).
+  */
+final case class IndexArtifact(
+    kind: String,
+    data: DataFrame,
+    meta: Map[String, String] = Map.empty,
+    aux: Map[String, DataFrame] = Map.empty)
+
+trait Indexer extends Serializable {
+  def kind: String
+  /** base: (id long, vector array<float>) */
+  def build(base: DataFrame): IndexArtifact
+}
+
+trait Searcher extends Serializable {
+  /** queries: (qid long, vector array<float>) → (qid, rank, id, dist) */
+  def search(artifact: IndexArtifact, queries: DataFrame, k: Int): DataFrame
+}
+
+/** An algorithm = indexer + searcher (reference CompositeAlgorithm,
+  * modular.py:554-622). */
+final case class Algorithm(name: String, indexer: Indexer, searcher: Searcher) {
+  def run(base: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    searcher.search(indexer.build(base), queries, k)
+}
+
+/** String registries with factory functions taking (params, metric),
+  * mirroring `register_indexer` / `register_searcher` (modular.py:85-106)
+  * and the algorithm registry (`src/algorithms/__init__.py:25-47`). */
+object Registry {
+  type Params = Map[String, String]
+  private val indexers =
+    scala.collection.mutable.Map[String, (Params, String) => Indexer]()
+  private val searchers =
+    scala.collection.mutable.Map[String, (Params, String) => Searcher]()
+
+  def registerIndexer(name: String)(f: (Params, String) => Indexer): Unit =
+    indexers(name) = f
+  def registerSearcher(name: String)(f: (Params, String) => Searcher): Unit =
+    searchers(name) = f
+  def indexer(name: String, params: Params, metric: String): Indexer =
+    indexers.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown indexer: $name"))(params, metric)
+  def searcher(name: String, params: Params, metric: String): Searcher =
+    searchers.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown searcher: $name"))(params, metric)
+  def indexerNames: Seq[String] = indexers.keys.toSeq.sorted
+  def searcherNames: Seq[String] = searchers.keys.toSeq.sorted
+
+  /** built-ins (registered on first access) */
+  def init(): Unit = Builtins.ensure()
+
+  private object Builtins {
+    lazy val done: Boolean = {
+      registerIndexer("brute_force")((_, _) => BruteForceIndexer())
+      registerSearcher("linear")((p, m) => LinearSearcher(m))
+      registerIndexer("lsh") { (p, m) =>
+        LshIndexer(
+          numTables = p.getOrElse("num_tables", "8").toInt,
+          hashSize = p.getOrElse("hash_size", "12").toInt,
+          bucketWidth = p.getOrElse("bucket_width", "4.0").toDouble,
+          metric = m,
+          seed = p.getOrElse("seed", "42").toLong)
+      }
+      registerSearcher("lsh") { (p, m) =>
+        LshSearcher(
+          candidateMultiplier = p.getOrElse("candidate_multiplier", "32").toInt,
+          maxCandidates = p.get("max_candidates").map(_.toInt),
+          fallbackToBruteforce = p.getOrElse("fallback_to_bruteforce", "true").toBoolean,
+          metric = m)
+      }
+      registerIndexer("ivf") { (p, m) =>
+        IvfIndexer(
+          nlist = p.getOrElse("nlist", "64").toInt,
+          seed = p.getOrElse("seed", "42").toLong)
+      }
+      registerSearcher("ivf") { (p, m) =>
+        IvfSearcher(nprobe = p.getOrElse("nprobe", "8").toInt, metric = m)
+      }
+      registerIndexer("sq8") { (p, _) => Sq8Indexer() }
+      registerSearcher("sq8") { (p, m) => Sq8Searcher(metric = m) }
+      registerIndexer("pq") { (p, m) =>
+        PqIndexer(
+          numSubspaces = p.getOrElse("num_subspaces", "8").toInt,
+          numCentroids = p.getOrElse("num_centroids", "256").toInt,
+          seed = p.getOrElse("seed", "42").toLong)
+      }
+      registerSearcher("pq") { (p, m) => PqSearcher(metric = m) }
+      registerIndexer("ivf_sq8") { (p, m) =>
+        IvfSq8Indexer(
+          nlist = p.getOrElse("nlist", "64").toInt,
+          seed = p.getOrElse("seed", "42").toLong)
+      }
+      registerSearcher("ivf_sq8") { (p, m) =>
+        IvfSq8Searcher(nprobe = p.getOrElse("nprobe", "8").toInt, metric = m)
+      }
+      true
+    }
+    def ensure(): Unit = { val _ = done }
+  }
+}
+
+/** Brute-force "index" = the raw vectors (reference BruteForceIndexer:
+  * kind="raw_vectors", modular.py:124-133). */
+final case class BruteForceIndexer() extends Indexer {
+  val kind = "raw_vectors"
+  def build(base: DataFrame): IndexArtifact = IndexArtifact(kind, base)
+}
+
+/** Flat scan searcher = the exact kNN join (modular.py:336-387). */
+final case class LinearSearcher(metric: String) extends Searcher {
+  def search(artifact: IndexArtifact, queries: DataFrame, k: Int): DataFrame =
+    KnnJoin.knnJoin(queries, artifact.data, k, metric)
+}

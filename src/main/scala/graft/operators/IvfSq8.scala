@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** IVF + SQ8 composition (reference: FAISS `IVF256,SQ8`,
+  * configs/benchmark_config.yaml:36-60 — J10): coarse-quantizer partition
+  * pruning over 8-bit-quantized codes. The index relation is
+  * `(id, centroid_id, codes)` — both the pruning key and the compressed
+  * payload in one table, partitionable by `centroid_id` at scale.
+  *
+  * Deviation from FAISS (documented): codes quantize the raw vectors, not
+  * the residuals vs the coarse centroid — same recall regime, simpler
+  * relational shape.
+  */
+final case class IvfSq8Indexer(nlist: Int, seed: Long) extends Indexer {
+  val kind = "ivf_sq8"
+
+  def build(base: DataFrame): IndexArtifact = {
+    val ivf = IvfIndexer(nlist, seed).build(base)
+    val sq8 = Sq8Indexer().build(base)
+    val data = ivf.data.select("id", "centroid_id")
+      .join(sq8.data, Seq("id"))
+    IndexArtifact(kind, data,
+      meta = sq8.meta ++ ivf.meta,
+      aux = Map("centroids" -> ivf.aux("centroids")))
+  }
+}
+
+final case class IvfSq8Searcher(nprobe: Int, metric: String) extends Searcher {
+  def search(artifact: IndexArtifact, queries: DataFrame, k: Int): DataFrame = {
+    val lo = artifact.meta("lo").split(",").map(_.toFloat)
+    val hi = artifact.meta("hi").split(",").map(_.toFloat)
+    val dist = Sq8Model(lo, hi).distUdf(metric)
+    val q = queries.select(col("qid").cast("long").as("qid"), col("vector"))
+    val centroids = artifact.aux("centroids")
+      .select(col("centroid_id").cast("long").as("id"), col("vector"))
+    val probes = KnnJoin.knnJoin(q, centroids, nprobe, "l2")
+      .select(col("qid"), col("id").cast("int").as("centroid_id"))
+    artifact.data
+      .join(broadcast(probes), Seq("centroid_id"))
+      .join(broadcast(q.select(col("qid"), col("vector").as("__qvec"))), Seq("qid"))
+      .select(col("qid"), col("id"), dist(col("__qvec"), col("codes")).as("__dist"))
+      .groupBy("qid")
+      .agg(TopKByDist.topK(col("id"), col("__dist"), k).as("nn"))
+      .select(col("qid"), posexplode(col("nn")).as(Seq("__pos", "__nn")))
+      .select(col("qid"), (col("__pos") + 1).cast("int").as("rank"),
+        col("__nn.id").as("id"), col("__nn.dist").as("dist"))
+  }
+}

@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Product quantization with asymmetric-distance search (reference: FAISS
+  * `PQ64`/`PQ50` and `IVF256,PQ64` via `configs/benchmark_config.yaml:61-72`,
+  * glue modular.py:224-289).
+  *
+  * Build (J9): split each dim-d vector into `m` subspaces; per subspace a
+  * KMeans codebook of `numCentroids` entries; each vector → `m` bytes.
+  * Search: per query build the m×256 lookup table of squared subdistances
+  * once (driver-free, inside a column), then ADC score per base row =
+  * Σ_j lut[j][code_j] — a scalar scoring expression + the usual top-k
+  * tail, exactly SURVEY §2.3-J9's plan.
+  *
+  * Codebooks are small (m × 256 × d/m floats = d × 256) and ship in the
+  * scoring closure; at cluster scale they'd be a broadcast variable —
+  * semantically identical.
+  */
+final case class PqIndexer(numSubspaces: Int, numCentroids: Int, seed: Long)
+  extends Indexer {
+  val kind = "pq"
+
+  def build(base: DataFrame): IndexArtifact = {
+    val dim = LshModel.dimOf(base, "vector")
+    require(dim % numSubspaces == 0,
+      s"dim $dim not divisible by num_subspaces $numSubspaces")
+    val dsub = dim / numSubspaces
+    val cached = base.select(col("id").cast("long").as("id"), col("vector")).cache()
+    val nCent = math.min(numCentroids, cached.count().toInt)
+
+    // per-subspace codebooks via seeded KMeans on the subvector slice
+    val codebooks: Array[Array[Array[Float]]] =
+      (0 until numSubspaces).map { j =>
+        val sub = cached.select(
+          array_to_vector(slice(col("vector"), j * dsub + 1, dsub)).as("__features"))
+        val km = new KMeans().setK(nCent).setSeed(seed + j)
+          .setFeaturesCol("__features").setPredictionCol("__c")
+        km.fit(sub).clusterCenters.map(_.toArray.map(_.toFloat))
+      }.toArray
+
+    val enc = PqModel(codebooks, dsub).encodeUdf()
+    val data = cached.select(col("id"), enc(col("vector")).as("codes"))
+    val spark = base.sparkSession
+    import spark.implicits._
+    val cbDf = codebooks.zipWithIndex.flatMap { case (cb, j) =>
+      cb.zipWithIndex.map { case (c, ci) => (j, ci, c) }
+    }.toSeq.toDF("subspace", "centroid", "vector")
+    IndexArtifact(kind, data,
+      meta = Map("num_subspaces" -> numSubspaces.toString,
+        "num_centroids" -> nCent.toString, "dsub" -> dsub.toString,
+        "seed" -> seed.toString),
+      aux = Map("codebooks" -> cbDf))
+  }
+}
+
+final case class PqSearcher(metric: String) extends Searcher {
+  def search(artifact: IndexArtifact, queries: DataFrame, k: Int): DataFrame = {
+    val model = PqModel.fromArtifact(artifact)
+    val lutUdf = model.lutUdf(metric)
+    val score = model.adcUdf()
+    val q = queries.select(col("qid").cast("long").as("qid"), col("vector"))
+      .withColumn("__lut", lutUdf(col("vector")))
+      .select(col("qid"), col("__lut"))
+    val l2 = !(metric == "ip" || metric == "dot")
+    val distCol =
+      if (l2) sqrt(score(col("codes"), col("__lut")))
+      else score(col("codes"), col("__lut"))
+    artifact.data
+      .crossJoin(broadcast(q))
+      .select(col("qid"), col("id"), distCol.as("__dist"))
+      .groupBy("qid")
+      .agg(TopKByDist.topK(col("id"), col("__dist"), k).as("nn"))
+      .select(col("qid"), posexplode(col("nn")).as(Seq("__pos", "__nn")))
+      .select(col("qid"), (col("__pos") + 1).cast("int").as("rank"),
+        col("__nn.id").as("id"), col("__nn.dist").as("dist"))
+  }
+}
+
+final case class PqModel(codebooks: Array[Array[Array[Float]]], dsub: Int)
+  extends Serializable {
+  private def m: Int = codebooks.length
+
+  def encodeUdf(): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val cbs = codebooks; val ds = dsub
+    udf { (v: Seq[Float]) =>
+      val arr = v.toArray
+      val out = new Array[Byte](cbs.length)
+      var j = 0
+      while (j < cbs.length) {
+        val cb = cbs(j)
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cb.length) {
+          var d = 0.0; var i = 0
+          while (i < ds) {
+            val diff = arr(j * ds + i) - cb(c)(i)
+            d += diff * diff; i += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        out(j) = (best - 128).toByte
+        j += 1
+      }
+      out
+    }
+  }
+
+  /** per-query LUT, flattened m×nCent floats: lut[j*nCent + c] =
+    * ‖q_j − codebook_j[c]‖² (L2) or −q_j·codebook_j[c] (IP) */
+  def lutUdf(metric: String): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val cbs = codebooks; val ds = dsub
+    val ip = metric == "ip" || metric == "dot"
+    udf { (v: Seq[Float]) =>
+      val arr = v.toArray
+      val nC = cbs(0).length
+      val lut = new Array[Double](cbs.length * nC)
+      var j = 0
+      while (j < cbs.length) {
+        val cb = cbs(j)
+        var c = 0
+        while (c < cb.length) {
+          var acc = 0.0; var i = 0
+          while (i < ds) {
+            val qv = arr(j * ds + i).toDouble
+            if (ip) acc -= qv * cb(c)(i)
+            else { val d = qv - cb(c)(i); acc += d * d }
+            i += 1
+          }
+          lut(j * nC + c) = acc
+          c += 1
+        }
+        j += 1
+      }
+      lut
+    }
+  }
+
+  /** ADC: Σ_j lut[j][code_j] */
+  def adcUdf(): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val mm = m
+    udf { (codes: Array[Byte], lut: Seq[Double]) =>
+      val nC = lut.length / mm
+      var acc = 0.0; var j = 0
+      while (j < mm) {
+        acc += lut(j * nC + (codes(j) + 128))
+        j += 1
+      }
+      acc
+    }
+  }
+}
+
+object PqModel {
+  def fromArtifact(a: IndexArtifact): PqModel = {
+    val m = a.meta("num_subspaces").toInt
+    val nC = a.meta("num_centroids").toInt
+    val dsub = a.meta("dsub").toInt
+    val rows = a.aux("codebooks")
+      .select("subspace", "centroid", "vector").collect()
+    val cbs = Array.fill(m)(Array.fill(nC)(new Array[Float](dsub)))
+    rows.foreach { r =>
+      cbs(r.getInt(0))(r.getInt(1)) = r.getSeq[Float](2).toArray
+    }
+    PqModel(cbs, dsub)
+  }
+}

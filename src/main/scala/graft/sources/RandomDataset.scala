@@ -1,0 +1,63 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Seeded random vector dataset (reference S4:
+  * `dataset.py:473-504` `_generate_random_dataset`): train/test Gaussian
+  * vectors + brute-force ground truth.
+  *
+  * Determinism design (SURVEY §7.4-3): the reference's `np.random.seed`
+  * doesn't transfer to a cluster, so every value here derives from a
+  * **counter-based RNG** — splitmix64 of (seed, row id, component) fed
+  * into Box-Muller. Results are identical for any partitioning and any
+  * executor count, which is the property that matters at 1000 executors.
+  * Generated distributions differ from NumPy's (different bit stream,
+  * same N(0,1) law) — semantic parity, not bit parity, as documented.
+  */
+object RandomDataset {
+
+  @inline private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** uniform in (0,1] from counter (seed, id, j) — never exactly 0 */
+  @inline private def uniform(seed: Long, id: Long, j: Int): Double = {
+    val h = splitmix64(splitmix64(seed ^ (id * 0x51_7C_C1_B7_27_22_0A_95L)) ^ j.toLong)
+    ((h >>> 11) + 1).toDouble / (1L << 53).toDouble
+  }
+
+  /** deterministic N(0,1) via Box-Muller on counters (2j, 2j+1) */
+  def gaussian(seed: Long, id: Long, j: Int): Float = {
+    val u1 = uniform(seed, id, 2 * j)
+    val u2 = uniform(seed, id, 2 * j + 1)
+    (math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)).toFloat
+  }
+
+  /** (id long, vector array<float>) with n rows of dim-d N(0,1) vectors */
+  def vectors(spark: SparkSession, n: Long, dim: Int, seed: Long): DataFrame = {
+    val gen = udf { (id: Long) =>
+      val out = new Array[Float](dim)
+      var j = 0
+      while (j < dim) { out(j) = gaussian(seed, id, j); j += 1 }
+      out
+    }
+    spark.range(n).select(col("id"), gen(col("id")).as("vector"))
+  }
+
+  /** full reference-S4 dataset: train, test, ground truth (via exact kNN) */
+  def dataset(spark: SparkSession, trainSize: Long, testSize: Long, dim: Int,
+      k: Int, seed: Long, metric: String = "l2")
+      : (DataFrame, DataFrame, DataFrame) = {
+    val train = vectors(spark, trainSize, dim, seed)
+    val test = vectors(spark, testSize, dim, seed + 1)
+      .withColumnRenamed("id", "qid")
+    val gt = graft.operators.KnnJoin
+      .knnJoinAgg(test, train, k, metric)
+      .select(col("qid"), transform(col("nn"), x => x("id")).as("gt_ids"))
+    (train, test, gt)
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+import graft.sources.RandomDataset
+
+/** ANN algorithm correctness, mirroring the reference's patterns:
+  * self-retrieval (test_composite_algorithm.py:108-166), recall-threshold
+  * checks for approximate structures, shape contracts. */
+class AnnSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  Registry.init()
+
+  private lazy val (train, testQ, gt) =
+    RandomDataset.dataset(spark, 512, 16, 16, 10, seed = 123)
+  private lazy val trainC = { train.cache(); train }
+
+  private def recallOf(result: org.apache.spark.sql.DataFrame): Double = {
+    val pred = result.groupBy("qid")
+      .agg(TopKByDist.topK(col("id"), col("dist"), 10).as("nn"))
+      .select(col("qid"), transform(col("nn"), x => x("id")).as("pred"))
+    pred.join(gt, "qid")
+      .select(avg(Metrics.recallAtK(col("pred"), col("gt_ids"), 10)))
+      .as[Double].head()
+  }
+
+  test("LSH cosine self-retrieval: identical vector at distance ≈ 0") {
+    val idx = LshIndexer(numTables = 8, hashSize = 10, bucketWidth = 4.0,
+      metric = "cosine", seed = 7).build(trainC)
+    val q = trainC.limit(5).select(col("id").as("qid"), col("vector"))
+    val res = LshSearcher(candidateMultiplier = 16, None, fallbackToBruteforce = true,
+      metric = "cosine").search(idx, q, 3)
+    val top1 = res.filter(col("rank") === 1).select("qid", "id", "dist")
+      .as[(Long, Long, Double)].collect()
+    assert(top1.length == 5)
+    top1.foreach { case (qid, id, dist) =>
+      assert(qid == id); assert(math.abs(dist) < 1e-6)
+    }
+  }
+
+  test("LSH L2 (E2LSH) self-retrieval") {
+    val idx = LshIndexer(8, 6, 8.0, "l2", seed = 11).build(trainC)
+    val q = trainC.filter(col("id").between(10, 19))
+      .select(col("id").as("qid"), col("vector"))
+    val res = LshSearcher(16, None, fallbackToBruteforce = true, "l2")
+      .search(idx, q, 3)
+    val top1 = res.filter(col("rank") === 1)
+      .select("qid", "id").as[(Long, Long)].collect()
+    assert(top1.length == 10 && top1.forall { case (q1, i1) => q1 == i1 })
+  }
+
+  test("IVF with full probe = exact; partial probe recall reasonable") {
+    val idx = IvfIndexer(nlist = 8, seed = 42).build(trainC)
+    val full = IvfSearcher(nprobe = 8, metric = "l2").search(idx, testQ, 10)
+    assert(recallOf(full) == 1.0) // probing every list ≡ brute force
+    val partial = IvfSearcher(nprobe = 2, metric = "l2").search(idx, testQ, 10)
+    val r = recallOf(partial)
+    assert(r > 0.3 && r <= 1.0, s"ivf nprobe=2 recall $r")
+  }
+
+  test("SQ8 quantized search keeps high recall on separated data") {
+    val idx = Sq8Indexer().build(trainC)
+    val res = Sq8Searcher("l2").search(idx, testQ, 10)
+    val r = recallOf(res)
+    assert(r > 0.8, s"sq8 recall $r") // 8-bit/dim loses little
+  }
+
+  test("PQ ADC search recall above chance, self-consistent shapes") {
+    val idx = PqIndexer(numSubspaces = 8, numCentroids = 32, seed = 5)
+      .build(trainC)
+    val res = PqSearcher("l2").search(idx, testQ, 10)
+    assert(res.groupBy("qid").count().select(min("count")).as[Long].head() == 10)
+    val r = recallOf(res)
+    assert(r > 0.5, s"pq recall $r")
+  }
+
+  test("IVF-SQ8 composition") {
+    val idx = IvfSq8Indexer(nlist = 8, seed = 42).build(trainC)
+    val res = IvfSq8Searcher(nprobe = 8, metric = "l2").search(idx, testQ, 10)
+    val r = recallOf(res)
+    assert(r > 0.8, s"ivf_sq8 full-probe recall $r")
+  }
+
+  test("registry dispatch builds the same algorithms") {
+    val alg = Algorithm("exact",
+      Registry.indexer("brute_force", Map(), "l2"),
+      Registry.searcher("linear", Map(), "l2"))
+    val res = alg.run(trainC, testQ, 10)
+    assert(recallOf(res) == 1.0)
+  }
+}
