@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Algorithm, KnnJoin, Metrics, Registry}
+import graft.operators.{Algorithm, Dedup, KnnJoin, Metrics, Multimodal, Registry, TextAnalysis}
+import graft.streaming.EventsStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Each `queries` entry maps to an operator in SURVEY.md §2; `oracleSql`
@@ -67,15 +68,15 @@ object SparkEntry {
         .select(col("doc_id"), trim(col("text")).as("text"))
         .filter(length(col("text")) > 0)
         .select(col("doc_id"), length(col("text")).cast("long").as("text_len"))),
-    // --- A14: dedup-by-text, first-seen wins (dataset.py:729-741) ---
-    "a14_dedup_text" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
+    // --- A14: dedup-by-text, first-seen wins (dataset.py:729-741).
+    //     groupBy + min/min_by instead of a Window: partial (map-side)
+    //     aggregation, no per-group sort — the scalable first-seen plan ---
+    "a14_dedup_text" -> ((s, dir) =>
       Tables.load(s, dir, "documents")
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("text")).orderBy(col("doc_id"))))
-        .filter(col("rn") === 1)
-        .select(col("doc_id"), col("lang"))
-    }),
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          min_by(col("lang"), col("doc_id")).as("lang"))
+        .select(col("doc_id"), col("lang"))),
     // --- J13: id-alignment equi-join chain (orders→customer→nation) ---
     "j13_align_join" -> ((s, dir) => {
       val o = Tables.load(s, dir, "orders")
@@ -117,6 +118,80 @@ object SparkEntry {
         .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
         .limit(20)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))),
+    // ================= training-data pipeline family =================
+    // --- exact dedup via normalized-text fingerprint ---
+    "dedup_exact_fp" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(TextAnalysis.fingerprint(col("text"))).as("n_unique"))),
+    // --- n-gram (word-set) Jaccard similarity join, lang-blocked ---
+    "dedup_jaccard_pairs" -> ((s, dir) =>
+      Dedup.jaccardSimilarityJoin(Tables.load(s, dir, "documents"),
+          "doc_id", "text", "lang", threshold = 0.9)
+        .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))),
+    // --- MinHash-LSH near-dup pipeline (xxhash64-seeded → no SQL oracle) ---
+    "dedup_minhash" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = Dedup.minhashDupPairs(docs, "doc_id", "text",
+        shingleLen = 3, numHashes = 16, bands = 4, threshold = 0.7).cache()
+      val survivors = Dedup.dropNearDups(docs, "doc_id", pairs)
+      pairs.agg(count(lit(1)).as("n_dup_pairs"),
+          round(avg("jaccard"), 4).as("avg_jaccard"))
+        .crossJoin(survivors.agg(count(lit(1)).as("n_survivors")))
+    }),
+    // --- SimHash near-dup pipeline (hamming ≤ 3 via pigeonhole bands) ---
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashDupPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
+          maxHamming = 3)
+        .agg(count(lit(1)).as("n_pairs"),
+          min("hamming").cast("long").as("min_hamming"),
+          max("hamming").cast("long").as("max_hamming"))),
+    // --- embedding cosine near-dup: top-20 most-similar pairs ---
+    "dedup_embedding_top" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id").cast("long").as("id"), col("embedding").as("v"))
+      val sim = lit(1.0) - graft.functions.VectorFunctions
+        .cosine_dist(col("l.v"), col("r.v"))
+      e.as("l").join(e.as("r"), col("l.id") < col("r.id"))
+        .select(col("l.id").as("a"), col("r.id").as("b"), sim.as("cosine"))
+        .orderBy(col("cosine").desc, col("a"), col("b"))
+        .limit(20)
+        .select(col("a"), col("b"), round(col("cosine"), 6).as("cosine"))
+    }),
+    // --- text quality scoring + token counting ---
+    "text_quality" -> ((s, dir) =>
+      Tables.load(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.punctCount(col("text")).as("n_punct"),
+        round(TextAnalysis.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))),
+    // --- heuristic language id ---
+    "text_langid" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langIdHeuristic(col("text")).as("lang_pred"))),
+    // --- streaming-shaped tumbling window agg (batch plan of the
+    //     Structured Streaming query in graft.streaming.EventsStream) ---
+    "st_window_agg" -> ((s, dir) =>
+      EventsStream.windowedAgg(Tables.load(s, dir, "events"), "1 hour")
+        .select(col("window_start"), col("event_type"), col("n_events"),
+          round(col("sum_value"), 4).as("sum_value"))),
+    // --- streaming session windows per user ---
+    "st_sessionize" -> ((s, dir) =>
+      EventsStream.sessionize(Tables.load(s, dir, "events"), "30 minutes")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))),
+    // --- multimodal binary plumbing: featurize + frame-sample (decode
+    //     stubbed; schema/batch shape real) ---
+    "mm_pipeline" -> ((s, dir) => {
+      val media = Multimodal.fromDocuments(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
+      val feats = Multimodal.extractFeatures(media)
+        .select(col("media_id"), col("n_bytes"))
+      val frames = Multimodal.sampleFrames(media, frameSize = 64, stride = 2)
+        .groupBy("media_id").agg(count(lit(1)).as("n_frames_sampled"))
+      feats.join(frames, "media_id")
+    }),
   )
 
   /** ANN pipeline smoke+quality query: run algorithm vs exact GT on the
@@ -249,5 +324,81 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
         |LIMIT 20""".stripMargin,
+    "dedup_exact_fp" ->
+      """SELECT count(*) AS n_docs,
+        |  count(DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS n_unique
+        |FROM documents""".stripMargin,
+    "dedup_jaccard_pairs" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS toks
+        |  FROM documents)
+        |SELECT l.doc_id AS a, r.doc_id AS b,
+        |  round(len(list_intersect(l.toks, r.toks))::DOUBLE
+        |    / len(list_distinct(list_concat(l.toks, r.toks))), 6) AS jaccard
+        |FROM t l JOIN t r ON l.lang = r.lang AND l.doc_id < r.doc_id
+        |WHERE len(list_intersect(l.toks, r.toks))::DOUBLE
+        |    / len(list_distinct(list_concat(l.toks, r.toks))) >= 0.9""".stripMargin,
+    "dedup_embedding_top" ->
+      """WITH t AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (SELECT l.id AS a, r.id AS b,
+        |    1.0 - (1.0 - list_sum(list_transform(list_zip(l.v, r.v), x -> x[1]*x[2]))
+        |      / (sqrt(list_sum(list_transform(l.v, x -> x*x)))
+        |         * sqrt(list_sum(list_transform(r.v, x -> x*x))))) AS cosine
+        |  FROM t l JOIN t r ON l.id < r.id)
+        |SELECT a, b, round(cosine, 6) AS cosine FROM p
+        |ORDER BY cosine DESC, a, b LIMIT 20""".stripMargin,
+    "text_quality" ->
+      """WITH b AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+        |    length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, text, n_tokens, n_punct,
+        |    CASE WHEN len(toks) = 0 THEN 0.0
+        |         ELSE len(list_filter(toks, t -> list_contains(
+        |           ['the','a','an','and','or','of','to','in','is','it',
+        |            'on','for','with','as','at','by','be','this','that','are'], t)))::DOUBLE
+        |           / len(toks) END AS stop_ratio
+        |  FROM b)
+        |SELECT doc_id, n_tokens, n_punct,
+        |  round(stop_ratio, 6) AS stopword_ratio,
+        |  round((least(n_tokens::DOUBLE / 20.0, 1.0)
+        |    + least(stop_ratio * 4.0, 1.0)
+        |    + greatest(0.0, 1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+        |        ELSE n_punct::DOUBLE / length(text) END) * 5.0)) / 3.0, 6) AS quality
+        |FROM c""".stripMargin,
+    "text_langid" ->
+      """WITH b AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN length(text) = 0 THEN 0.0
+        |         ELSE length(regexp_replace(text, '[\x00-\x7F]', '', 'g'))::DOUBLE
+        |              / length(text) END AS non_ascii,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, non_ascii,
+        |    CASE WHEN len(toks) = 0 THEN 0.0
+        |         ELSE len(list_filter(toks, t -> list_contains(
+        |           ['the','a','an','and','or','of','to','in','is','it',
+        |            'on','for','with','as','at','by','be','this','that','are'], t)))::DOUBLE
+        |           / len(toks) END AS stop_ratio
+        |  FROM b)
+        |SELECT doc_id,
+        |  CASE WHEN non_ascii > 0.3 THEN 'other'
+        |       WHEN stop_ratio >= 0.05 THEN 'en'
+        |       ELSE 'unknown' END AS lang_pred
+        |FROM c""".stripMargin,
+    "st_window_agg" ->
+      """SELECT (epoch_ns(ts) // 1000000000 // 3600) * 3600 AS window_start,
+        |  event_type, count(*) AS n_events,
+        |  round(round(sum(value), 6), 4) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "mm_pipeline" ->
+      """SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
+        |  ((octet_length(encode(text)) + 63) // 64 + 1) // 2 AS n_frames_sampled
+        |FROM documents""".stripMargin,
   )
 }

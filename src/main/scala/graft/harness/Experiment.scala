@@ -1,0 +1,143 @@
+package graft.harness
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.sources.ArtifactStore
+
+/** Experiment runner: the reference's `ExperimentRunner`
+  * (src/experiments/experiment_runner.py:71-488) re-expressed over the
+  * Spark engine — dataset load, seeded query subsetting, per-algorithm
+  * timed build/search with persistence modes, metric evaluation, result
+  * records.
+  *
+  * Timing semantics follow methodology/metrics_methodology.md:7-56:
+  * wall-clock around build and around the whole search; per-query time =
+  * total / n_queries; qps = n_queries / total_query_time.
+  */
+object Experiment {
+
+  final case class AlgorithmSpec(
+      name: String,
+      indexerName: String, searcherName: String,
+      params: Map[String, String], metric: String)
+
+  final case class PersistenceSpec(
+      enabled: Boolean = false,
+      mode: String = "build_and_retrieve", // build_only | retrieve_only | build_and_retrieve
+      artifactDir: String = "",
+      forceRebuild: Boolean = false,
+      failIfMissing: Boolean = false)
+
+  final case class Result(
+      algorithm: String, nTrain: Long, nTest: Long, dimensions: Int,
+      topk: Int, buildTimeS: Double, totalQueryTimeS: Double,
+      qps: Double, meanQueryTimeMs: Double,
+      metrics: Map[String, Double], status: String = "ok",
+      indexSource: String = "built")
+
+  /** run one algorithm against a dataset (train/test/gt DataFrames) */
+  def runAlgorithm(
+      spark: SparkSession,
+      spec: AlgorithmSpec,
+      train: DataFrame, test: DataFrame, gt: Option[DataFrame],
+      topk: Int, ks: Seq[Int] = Seq(1, 10, 100),
+      persistence: PersistenceSpec = PersistenceSpec(),
+      datasetFingerprint: String = ""): Result = {
+    Registry.init()
+    val nTrain = train.count()
+    val nTest = test.count()
+    val dim = train.select(size(col("vector"))).head().getInt(0)
+    val configHash = ArtifactStore.sha256(ArtifactStore.canonicalJson(
+      spec.params + ("indexer" -> spec.indexerName,
+        "searcher" -> spec.searcherName, "metric" -> spec.metric)))
+
+    // ---- build / load phase (persistence modes: experiment_runner.py:242-371)
+    var indexSource = "built"
+    val buildStart = System.nanoTime()
+    val artifact: IndexArtifact =
+      if (persistence.enabled && persistence.mode == "retrieve_only") {
+        if (persistence.failIfMissing &&
+            !java.nio.file.Files.exists(
+              java.nio.file.Paths.get(persistence.artifactDir, ArtifactStore.Sentinel)))
+          throw ArtifactStore.ArtifactValidationException(
+            s"artifact missing at ${persistence.artifactDir}")
+        indexSource = "loaded"
+        ArtifactStore.load(spark, persistence.artifactDir,
+          expectMetric = Some(spec.metric),
+          expectFingerprint = Some(datasetFingerprint).filter(_.nonEmpty))._1
+      } else {
+        val a = Registry.indexer(spec.indexerName, spec.params, spec.metric).build(train)
+        if (persistence.enabled && persistence.mode != "retrieve_only") {
+          ArtifactStore.save(a, persistence.artifactDir, spec.metric, dim,
+            nTrain, datasetFingerprint, configHash)
+        }
+        a
+      }
+    val buildTime = (System.nanoTime() - buildStart) / 1e9
+
+    if (persistence.enabled && persistence.mode == "build_only") {
+      return Result(spec.name, nTrain, nTest, dim, topk, buildTime,
+        0.0, 0.0, 0.0, Map.empty, status = "build_only", indexSource = indexSource)
+    }
+
+    // ---- search phase (timed, full materialization)
+    val searcher = Registry.searcher(spec.searcherName, spec.params, spec.metric)
+    val searchStart = System.nanoTime()
+    val result = searcher.search(artifact, test, topk)
+    val collected = result
+      .groupBy("qid")
+      .agg(TopKByDist.topK(col("id"), col("dist"), topk).as("nn"))
+      .select(col("qid"), transform(col("nn"), x => x("id")).as("pred"))
+      .cache()
+    collected.count() // force
+    val totalQueryTime = (System.nanoTime() - searchStart) / 1e9
+    val qps = if (totalQueryTime > 0) nTest / totalQueryTime else 0.0
+
+    // ---- evaluation (A9 k-sweep, evaluation.py:13-66)
+    val metrics: Map[String, Double] = gt match {
+      case None => Map.empty
+      case Some(g) =>
+        val joined = collected.join(g, "qid").cache()
+        val sweep = Metrics.kSweep(ks, topk)
+        val cols = sweep.flatMap { k =>
+          Seq(avg(Metrics.recallAtK(col("pred"), col("gt_ids"), k)).as(s"recall@$k"),
+            avg(Metrics.precisionAtK(col("pred"), col("gt_ids"), k)).as(s"precision@$k"),
+            avg(Metrics.ndcgAtK(col("pred"), col("gt_ids"), k)).as(s"ndcg@$k"),
+            avg(Metrics.hitAtK(col("pred"), col("gt_ids"), k)).as(s"hit_rate@$k"))
+        } ++ Seq(
+          avg(Metrics.apAtK(col("pred"), col("gt_ids"), math.min(10, topk))).as("map@10"),
+          avg(Metrics.rrAtK(col("pred"), col("gt_ids"), topk)).as("mrr"))
+        val row = joined.agg(cols.head, cols.tail: _*).head()
+        val names = row.schema.fieldNames
+        names.zipWithIndex.map { case (n, i) => n -> row.getDouble(i) }.toMap +
+          // summary recall rule: recall@min(100, topk) (experiment_runner.py:109-121)
+          ("recall" -> {
+            val kSummary = math.min(100, topk)
+            val key = s"recall@${sweep.filter(_ <= kSummary).lastOption.getOrElse(topk)}"
+            names.zipWithIndex.collectFirst {
+              case (n, i) if n == key => row.getDouble(i)
+            }.getOrElse(0.0)
+          })
+    }
+
+    Result(spec.name, nTrain, nTest, dim, topk, buildTime, totalQueryTime,
+      qps, if (nTest > 0) totalQueryTime * 1000.0 / nTest else 0.0,
+      metrics, indexSource = indexSource)
+  }
+
+  /** P4 query subsetting: deterministic seeded choice of n query rows,
+    * GT kept aligned by qid (experiment_runner.py:138-153) */
+  def selectQueries(test: DataFrame, gt: Option[DataFrame], n: Int, seed: Long)
+      : (DataFrame, Option[DataFrame]) = {
+    val picked = test
+      .withColumn("__h", xxhash64(lit(seed), col("qid")))
+      .orderBy(col("__h"), col("qid"))
+      .limit(n)
+      .drop("__h")
+      .cache()
+    val gtSub = gt.map(_.join(picked.select("qid"), Seq("qid"), "left_semi"))
+    (picked, gtSub)
+  }
+}

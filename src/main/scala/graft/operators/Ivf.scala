@@ -1,7 +1,5 @@
 package graft.operators
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -9,12 +7,15 @@ import org.apache.spark.sql.functions._
   * `IVF{nlist},Flat` path (approximate_search.py:39-51,
   * modular.py:292-309) re-expressed as a **partition-pruned equi-join**:
   *
-  *  - build: `ml.clustering.KMeans(k=nlist)` on the base vectors; the
-  *    index relation is the base table + `centroid_id`. At cluster scale
-  *    this relation is written partitioned/bucketed by `centroid_id`, so
-  *    a probe touches only `nprobe/nlist` of the data (storage-level
-  *    partition pruning — SURVEY §4 "partition pruning by index
-  *    structure");
+  *  - build: coarse centroids trained with seeded Lloyd's on a bounded
+  *    driver-side sample (the FAISS discipline — a 100 TB table never
+  *    feeds a full distributed KMeans for a few hundred centroids), then
+  *    every row assigned its nearest centroid by a broadcast-centroid
+  *    scan: O(n·nlist·dim) embarrassingly parallel map, zero shuffles.
+  *    The index relation is the base table + `centroid_id`; at cluster
+  *    scale it is written partitioned/bucketed by `centroid_id`, so a
+  *    probe touches only `nprobe/nlist` of the data (storage-level
+  *    partition pruning — SURVEY §4);
   *  - probe: nearest `nprobe` centroids per query via a tiny broadcast
   *    kNN join (centroid table has `nlist` rows), then an equi-join on
   *    `centroid_id`, then exact rerank of the surviving candidates.
@@ -22,18 +23,37 @@ import org.apache.spark.sql.functions._
 final case class IvfIndexer(nlist: Int, seed: Long) extends Indexer {
   val kind = "ivf"
 
+  /** bounded sample for centroid training */
+  val trainSample = 262144
+
   def build(base: DataFrame): IndexArtifact = {
-    val feat = base.withColumn("__features", array_to_vector(col("vector")))
-    val km = new KMeans().setK(nlist).setSeed(seed)
-      .setFeaturesCol("__features").setPredictionCol("centroid_id")
-    val model = km.fit(feat)
-    val assigned = model.transform(feat)
-      .select(col("id").cast("long").as("id"), col("vector"),
-        col("centroid_id").cast("int").as("centroid_id"))
+    val cached = base.select(col("id").cast("long").as("id"), col("vector"))
+    val n = cached.count()
+    val fraction = math.min(1.0, trainSample.toDouble / math.max(1L, n))
+    val sample = (if (fraction < 1.0)
+        cached.sample(withReplacement = false, fraction, seed)
+      else cached)
+      .select("vector").collect().map(_.getSeq[Float](0).toArray)
+    val centers = LocalKMeans.fit(sample, math.min(nlist, sample.length), seed, iters = 15)
+
+    val assign = udf { (v: Seq[Float]) =>
+      val arr = v.toArray
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < centers.length) {
+        var d = 0.0; var i = 0
+        val ce = centers(c)
+        while (i < ce.length) { val df = arr(i) - ce(i); d += df * df; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    val assigned = cached.withColumn("centroid_id", assign(col("vector")))
     val spark = base.sparkSession
     import spark.implicits._
-    val centroids = model.clusterCenters.zipWithIndex.toSeq
-      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
+    val centroids = centers.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c) }
       .toDF("centroid_id", "vector")
     IndexArtifact(kind, assigned,
       meta = Map("nlist" -> nlist.toString, "seed" -> seed.toString),

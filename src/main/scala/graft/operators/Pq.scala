@@ -1,7 +1,5 @@
 package graft.operators
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -24,22 +22,32 @@ final case class PqIndexer(numSubspaces: Int, numCentroids: Int, seed: Long)
   extends Indexer {
   val kind = "pq"
 
+  /** max training rows collected to the driver; PQ codebooks (like FAISS)
+    * train on a bounded sample — at 100 TB you never fit KMeans on the
+    * full table for a 256-entry codebook. */
+  val trainSample = 65536
+
   def build(base: DataFrame): IndexArtifact = {
     val dim = LshModel.dimOf(base, "vector")
     require(dim % numSubspaces == 0,
       s"dim $dim not divisible by num_subspaces $numSubspaces")
     val dsub = dim / numSubspaces
     val cached = base.select(col("id").cast("long").as("id"), col("vector")).cache()
-    val nCent = math.min(numCentroids, cached.count().toInt)
+    val n = cached.count()
+    val nCent = math.min(numCentroids, n.toInt)
 
-    // per-subspace codebooks via seeded KMeans on the subvector slice
+    // bounded deterministic sample → driver; one local Lloyd's run per
+    // subspace (microseconds each) instead of 2·m Spark jobs per fit
+    val fraction = math.min(1.0, trainSample.toDouble / math.max(1L, n))
+    val sample = (if (fraction < 1.0)
+        cached.sample(withReplacement = false, fraction, seed)
+      else cached)
+      .select(col("vector")).collect()
+      .map(_.getSeq[Float](0).toArray)
     val codebooks: Array[Array[Array[Float]]] =
       (0 until numSubspaces).map { j =>
-        val sub = cached.select(
-          array_to_vector(slice(col("vector"), j * dsub + 1, dsub)).as("__features"))
-        val km = new KMeans().setK(nCent).setSeed(seed + j)
-          .setFeaturesCol("__features").setPredictionCol("__c")
-        km.fit(sub).clusterCenters.map(_.toArray.map(_.toFloat))
+        val sub = sample.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
+        LocalKMeans.fit(sub, nCent, seed + j, iters = 15)
       }.toArray
 
     val enc = PqModel(codebooks, dsub).encodeUdf()

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * quality scoring, language heuristics, document fingerprinting. All are
+  * pure column expressions (codegen'd, shuffle-free, embarrassingly
+  * parallel over documents at 100 TB).
+  */
+object TextAnalysis {
+
+  /** whitespace token count */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0L)
+      .otherwise(size(split(trim(text), "\\s+")).cast("long"))
+
+  /** BPE-ish subword count approximation: word-boundary pieces plus
+    * length/4 continuation pieces per long word (a standard fast proxy
+    * for tokenizer budget accounting). */
+  def approxBpeTokenCount(text: Column): Column =
+    aggregate(
+      split(trim(text), "\\s+"),
+      lit(0L),
+      (acc, w) => acc + lit(1L) + (length(w).cast("long") / 4))
+
+  /** punctuation character count (fixed class, engine-portable) */
+  def punctCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[.,;:!?]", ""))).cast("long")
+
+  /** ratio of stopword tokens (small fixed english list) */
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "on", "for", "with", "as", "at", "by", "be", "this", "that", "are")
+
+  def stopwordRatio(text: Column): Column = {
+    val toks = Dedup.tokens(text)
+    when(size(toks) === 0, 0.0).otherwise(
+      size(filter(toks, t => t.isin(stopwords.map(x => x: Any): _*)))
+        .cast("double") / size(toks))
+  }
+
+  /** mean word length */
+  def meanWordLen(text: Column): Column = {
+    val toks = Dedup.tokens(text)
+    when(size(toks) === 0, 0.0).otherwise(
+      aggregate(toks, lit(0L), (acc, w) => acc + length(w)).cast("double")
+        / size(toks))
+  }
+
+  /** Composite quality score ∈ [0,1]: rewards reasonable length, word
+    * shape and stopword presence; penalizes punctuation soup. The exact
+    * formula is this engine's own (the reference has no quality scorer) —
+    * what matters is determinism + monotone response to each signal. */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text)
+    val lenScore = least(nTok.cast("double") / 20.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 4.0, lit(1.0))
+    val punctRatio = when(length(text) === 0, 0.0)
+      .otherwise(punctCount(text).cast("double") / length(text))
+    val punctScore = greatest(lit(0.0), lit(1.0) - punctRatio * 5.0)
+    round((lenScore + stopScore + punctScore) / 3.0, 6)
+  }
+
+  /** Heuristic language id: non-ASCII ratio routes CJK/other scripts,
+    * stopword density routes english vs unknown. Deterministic and
+    * SQL-portable (the real corpus labels come from upstream — this is
+    * the fast n-gram-free heuristic tier). */
+  def langIdHeuristic(text: Column): Column = {
+    val nonAscii = length(regexp_replace(text, "[\\x00-\\x7F]", ""))
+    val ratio = when(length(text) === 0, 0.0)
+      .otherwise(nonAscii.cast("double") / length(text))
+    when(ratio > 0.3, "other")
+      .when(stopwordRatio(text) >= 0.05, "en")
+      .otherwise("unknown")
+  }
+
+  /** 64-bit content fingerprint of normalized text (collapse whitespace,
+    * lowercase) — the cheap exact-dup / shard-routing key. */
+  def fingerprint(text: Column): Column =
+    xxhash64(regexp_replace(trim(lower(text)), "\\s+", " "))
+}
