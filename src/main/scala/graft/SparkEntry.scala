@@ -112,6 +112,20 @@ object SparkEntry {
       Map("nlist" -> "16", "nprobe" -> "8"), "l2"),
     // --- SQ8 standalone scalar quantization ---
     "j10_sq8" -> annRecall("sq8", "sq8", "sq8", Map(), "l2"),
+    // --- J12: CoverTree exact search (recall must be 1.0) ---
+    "j12_covertree" -> annRecall("covertree", "covertree", "covertree",
+      Map(), "l2"),
+    // --- J11: per-partition NSW graph search ---
+    "j11_hnsw" -> annRecall("hnsw", "hnsw", "hnsw",
+      Map("n_partitions" -> "8", "m" -> "8", "nprobe" -> "3",
+        "ef_search" -> "64"), "l2"),
+    // --- P1: row normalization (zero-norm → zero-vector convention) ---
+    "p1_normalize" -> ((s, dir) =>
+      Tables.load(s, dir, "embeddings").select(
+        col("vec_id"),
+        round(col("embedding").getItem(0).cast("double") /
+          graft.functions.VectorFunctions.vec_norm(col("embedding")), 6).as("e0_unit"),
+        round(graft.functions.VectorFunctions.vec_norm(col("embedding")), 6).as("norm"))),
     // --- T1: global top-k without full sort (TakeOrderedAndProject) ---
     "t1_global_topk" -> ((s, dir) =>
       Tables.load(s, dir, "lineitem")
@@ -324,6 +338,13 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
         |LIMIT 20""".stripMargin,
+    "p1_normalize" ->
+      """WITH t AS (SELECT vec_id,
+        |    sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) AS norm,
+        |    embedding[1]::DOUBLE AS e0
+        |  FROM embeddings)
+        |SELECT vec_id, round(e0 / norm, 6) AS e0_unit, round(norm, 6) AS norm
+        |FROM t""".stripMargin,
     "dedup_exact_fp" ->
       """SELECT count(*) AS n_docs,
         |  count(DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS n_unique

@@ -102,6 +102,22 @@ object Registry {
       registerSearcher("ivf_sq8") { (p, m) =>
         IvfSq8Searcher(nprobe = p.getOrElse("nprobe", "8").toInt, metric = m)
       }
+      registerIndexer("covertree")((_, m) => CoverTreeIndexer(m))
+      registerSearcher("covertree")((_, m) => CoverTreeSearcher(m))
+      registerIndexer("hnsw") { (p, m) =>
+        HnswIndexer(
+          nPartitions = p.getOrElse("n_partitions", "8").toInt,
+          m = p.getOrElse("m", "8").toInt,
+          efConstruction = p.getOrElse("ef_construction", "32").toInt,
+          metric = m,
+          seed = p.getOrElse("seed", "42").toLong)
+      }
+      registerSearcher("hnsw") { (p, m) =>
+        HnswSearcher(
+          nprobe = p.getOrElse("nprobe", "2").toInt,
+          efSearch = p.getOrElse("ef_search", "48").toInt,
+          metric = m)
+      }
       true
     }
     def ensure(): Unit = { val _ = done }

@@ -1,0 +1,202 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.util.LongAccumulator
+
+/** Cover-tree exact k-NN (reference J12: covertree_v2_2.py:316-500) —
+  * exact search with triangle-inequality pruning (`dist ≤ bound +
+  * 2^(level+1)`), recall ≡ 1.0 by construction.
+  *
+  * Spark shape (SURVEY §2.3-J12): the tree is built once on the driver
+  * (every reference config is ≤ a few 100k vectors; at larger scale the
+  * IVF family is the right tool) and **broadcast**; the search fans out
+  * over query partitions — each executor walks the shared tree for its
+  * queries. Distance computations are counted into a `LongAccumulator`
+  * (A10 operation counters, base_algorithm.py:91-96 / `ndis`).
+  */
+final case class CoverTreeIndexer(metric: String = "l2") extends Indexer {
+  val kind = "covertree"
+
+  def build(base: DataFrame): IndexArtifact = {
+    val rows = base.select(col("id").cast("long"), col("vector")).collect()
+    val ids = rows.map(_.getLong(0))
+    val vecs = rows.map(_.getSeq[Float](1).toArray)
+    val tree = CoverTreeModel.build(ids, vecs, metric)
+    // persistable relation: the vectors themselves + tree arrays in meta
+    IndexArtifact(kind, base,
+      meta = Map("metric" -> metric) ++ tree.serializeMeta,
+      aux = Map.empty)
+  }
+}
+
+final case class CoverTreeSearcher(metric: String = "l2",
+    counter: Option[LongAccumulator] = None) extends Searcher {
+
+  def search(artifact: IndexArtifact, queries: DataFrame, k: Int): DataFrame = {
+    val spark = artifact.data.sparkSession
+    val rows = artifact.data.select(col("id").cast("long"), col("vector")).collect()
+    val ids = rows.map(_.getLong(0))
+    val vecs = rows.map(_.getSeq[Float](1).toArray)
+    val tree = CoverTreeModel.build(ids, vecs, metric) // cheap rebuild on driver
+    val bTree = spark.sparkContext.broadcast(tree)
+    val acc = counter
+    val outSchema = StructType(Seq(
+      StructField("qid", LongType, nullable = false),
+      StructField("rank", IntegerType, nullable = false),
+      StructField("id", LongType, nullable = false),
+      StructField("dist", DoubleType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    queries.select(col("qid").cast("long"), col("vector"))
+      .mapPartitions { it =>
+        val t = bTree.value
+        it.flatMap { r =>
+          val qid = r.getLong(0)
+          val q = r.getSeq[Float](1).toArray
+          val (res, ndis) = t.knn(q, k)
+          acc.foreach(_.add(ndis))
+          res.zipWithIndex.map { case ((id, d), i) => Row(qid, i + 1, id, d) }
+        }
+      }(enc)
+  }
+}
+
+/** Driver-side cover tree: simplified (single child list per node, level
+  * radius 2^level) but exact — the pruning bound only ever skips subtrees
+  * that provably cannot contain a closer point. */
+final class CoverTreeModel(
+    val ids: Array[Long], val vecs: Array[Array[Float]],
+    val metric: String) extends Serializable {
+
+  // tree arrays (CSR): children(i) = indices of node i's children
+  var root: Int = 0
+  var level: Array[Int] = _
+  var childOffsets: Array[Int] = _
+  var children: Array[Int] = _
+
+  @inline private def dist(a: Array[Float], b: Array[Float]): Double = {
+    var acc = 0.0; var i = 0
+    if (metric == "cosine") {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      val den = math.sqrt(na) * math.sqrt(nb)
+      if (den == 0.0) 1.0 else 1.0 - dot / den
+    } else {
+      while (i < a.length) {
+        val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1
+      }
+      math.sqrt(acc)
+    }
+  }
+
+  /** exact k-NN with covering-radius pruning; returns ((id,dist) asc, ndis) */
+  def knn(q: Array[Float], k: Int): (Array[(Long, Double)], Long) = {
+    var ndis = 0L
+    val heap = new BoundedTopK(k)
+    // best-first traversal: (lower-bound, node)
+    val pq = new java.util.PriorityQueue[(Double, Int)](
+      (x: (Double, Int), y: (Double, Int)) => java.lang.Double.compare(x._1, y._1))
+    val dRoot = dist(q, vecs(root)); ndis += 1
+    heap.insert(ids(root), dRoot)
+    pq.add((math.max(0.0, dRoot - coverRadius(level(root))), root))
+    while (!pq.isEmpty) {
+      val (lb, node) = pq.poll()
+      val worst = if (heap.size < k) Double.PositiveInfinity else heap.dists(0)
+      if (lb <= worst) {
+        var c = childOffsets(node)
+        while (c < childOffsets(node + 1)) {
+          val ch = children(c)
+          val d = dist(q, vecs(ch)); ndis += 1
+          heap.insert(ids(ch), d)
+          val childLb = math.max(0.0, d - coverRadius(level(ch)))
+          val w2 = if (heap.size < k) Double.PositiveInfinity else heap.dists(0)
+          if (childLb <= w2 && childOffsets(ch) < childOffsets(ch + 1)) pq.add((childLb, ch))
+          c += 1
+        }
+      }
+    }
+    (heap.sorted, ndis)
+  }
+
+  /** max distance from a node at `lvl` to anything in its subtree:
+    * Σ_{l ≤ lvl} 2^l < 2^(lvl+1) */
+  @inline private def coverRadius(lvl: Int): Double = math.pow(2.0, lvl + 1)
+
+  def serializeMeta: Map[String, String] = Map(
+    "ct.root" -> root.toString,
+    "ct.level" -> level.mkString(","),
+    "ct.childOffsets" -> childOffsets.mkString(","),
+    "ct.children" -> children.mkString(","))
+}
+
+object CoverTreeModel {
+
+  /** batch build: simplified cover-tree insertion (covertree_v2_2.py:
+    * 316-369 shape — sequential inserts descending from the root). */
+  def build(ids: Array[Long], vecs: Array[Array[Float]], metric: String)
+      : CoverTreeModel = {
+    val m = new CoverTreeModel(ids, vecs, metric)
+    val n = ids.length
+    require(n > 0, "empty base set")
+    val level = new Array[Int](n)
+    val childLists = Array.fill(n)(new scala.collection.mutable.ArrayBuffer[Int]())
+
+    def dist(a: Int, b: Int): Double = {
+      val va = vecs(a); val vb = vecs(b)
+      var acc = 0.0; var i = 0
+      if (metric == "cosine") {
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        while (i < va.length) {
+          val x = va(i).toDouble; val y = vb(i).toDouble
+          dot += x * y; na += x * x; nb += y * y; i += 1
+        }
+        val den = math.sqrt(na) * math.sqrt(nb)
+        if (den == 0.0) 1.0 else 1.0 - dot / den
+      } else {
+        while (i < va.length) {
+          val d = va(i).toDouble - vb(i).toDouble; acc += d * d; i += 1
+        }
+        math.sqrt(acc)
+      }
+    }
+
+    val root = 0
+    level(root) = 20 // top level; radius 2^20 covers any normalized data
+    var i = 1
+    while (i < n) {
+      // descend: find deepest node whose cover radius contains the point
+      var cur = root
+      var placed = false
+      while (!placed) {
+        val d = dist(i, cur)
+        // try to hand off to a child that covers the point
+        val next = childLists(cur).find { ch =>
+          dist(i, ch) <= math.pow(2.0, level(ch))
+        }
+        next match {
+          case Some(ch) => cur = ch
+          case None =>
+            level(i) = level(cur) - 1
+            childLists(cur) += i
+            placed = true
+        }
+      }
+      i += 1
+    }
+
+    m.root = root
+    m.level = level
+    val offsets = new Array[Int](n + 1)
+    var acc = 0
+    var j = 0
+    while (j < n) { offsets(j) = acc; acc += childLists(j).size; j += 1 }
+    offsets(n) = acc
+    m.childOffsets = offsets
+    m.children = childLists.flatMap(_.toArray)
+    m
+  }
+}

@@ -1,0 +1,113 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.harness._
+import graft.operators._
+import graft.sources.{ArtifactStore, RandomDataset}
+
+/** Harness behaviors mirroring the reference's E2E patterns:
+  * mini-benchmark through the runner (test_benchmark_runner_modular.py:
+  * 9-65), persistence modes round-trip + rejection
+  * (test_experiment_runner_persistence.py:40-114, test_covertree_v2_2.py:
+  * 60-120), config deep-merge + ref resolution (runner.py:217-299). */
+class HarnessSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+
+  test("E2E mini experiment: exact search on random data → recall 1.0") {
+    val (train, testQ, gt) = RandomDataset.dataset(spark, 32, 6, 3, 5, seed = 123)
+    val res = Experiment.runAlgorithm(spark,
+      Experiment.AlgorithmSpec("exact", "brute_force", "linear", Map(), "l2"),
+      train, testQ, Some(gt), topk = 5)
+    assert(res.nTrain == 32 && res.nTest == 6 && res.dimensions == 3)
+    assert(res.metrics("recall@1") == 1.0)
+    assert(res.metrics("recall") == 1.0)
+    assert(res.metrics.contains("map@10") && res.qps > 0)
+  }
+
+  test("persistence: build_only then retrieve_only round-trips") {
+    val dir = java.nio.file.Files.createTempDirectory("artifact").toString + "/idx"
+    val (train, testQ, gt) = RandomDataset.dataset(spark, 64, 4, 4, 5, seed = 2026)
+    val fp = ArtifactStore.datasetFingerprint(Map("name" -> "rand2026", "n" -> "64"))
+    val spec = Experiment.AlgorithmSpec("lsh", "lsh", "lsh",
+      Map("num_tables" -> "6", "hash_size" -> "4"), "l2")
+    val built = Experiment.runAlgorithm(spark, spec, train, testQ, Some(gt), 5,
+      persistence = Experiment.PersistenceSpec(enabled = true, mode = "build_only",
+        artifactDir = dir), datasetFingerprint = fp)
+    assert(built.status == "build_only")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "WRITE_COMPLETE")))
+    val retrieved = Experiment.runAlgorithm(spark, spec, train, testQ, Some(gt), 5,
+      persistence = Experiment.PersistenceSpec(enabled = true, mode = "retrieve_only",
+        artifactDir = dir, failIfMissing = true), datasetFingerprint = fp)
+    assert(retrieved.indexSource == "loaded")
+    assert(retrieved.metrics("recall") > 0.0)
+  }
+
+  test("persistence rejects wrong metric / fingerprint / missing sentinel") {
+    val dir = java.nio.file.Files.createTempDirectory("artifact2").toString + "/idx"
+    val (train, _, _) = RandomDataset.dataset(spark, 48, 0, 6, 1, seed = 2027)
+    Registry.init()
+    val artifact = Registry.indexer("brute_force", Map(), "l2").build(train)
+    ArtifactStore.save(artifact, dir, "l2", 6, 48, "fp-abc", "cfg-1")
+    // wrong metric
+    intercept[ArtifactStore.ArtifactValidationException] {
+      ArtifactStore.load(spark, dir, expectMetric = Some("cosine"))
+    }
+    // wrong fingerprint
+    intercept[ArtifactStore.ArtifactValidationException] {
+      ArtifactStore.load(spark, dir, expectFingerprint = Some("fp-other"))
+    }
+    // incomplete artifact (sentinel removed)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "WRITE_COMPLETE"))
+    intercept[ArtifactStore.ArtifactValidationException] {
+      ArtifactStore.load(spark, dir)
+    }
+  }
+
+  test("config: yaml subset parse + deep-merge override semantics") {
+    import Config._
+    val yaml =
+      """# benchmark config
+        |datasets:
+        |  - name: random
+        |    options:
+        |      dims: 64
+        |      train_size: 20000
+        |topk: 20
+        |algorithms:
+        |  exact:
+        |    type: Composite
+        |    indexer: brute_force
+        |  lsh:
+        |    type: Composite
+        |    params:
+        |      num_tables: 12
+        |""".stripMargin
+    val cfg = parseYaml(yaml).asMap
+    assert(int(cfg, "topk", 0) == 20)
+    val ds = cfg("datasets").asList.head.asMap
+    assert(str(ds, "name", "") == "random")
+    assert(int(ds("options").asMap, "dims", 0) == 64)
+    // deep-merge: dataset-level override merges into base algorithms
+    val merged = deepMerge(cfg("algorithms"),
+      Map("lsh" -> Map("params" -> Map("hash_size" -> 4.0)))).asMap
+    val lsh = merged("lsh").asMap
+    assert(int(lsh("params").asMap, "num_tables", 0) == 12) // kept
+    assert(int(lsh("params").asMap, "hash_size", 0) == 4) // added
+  }
+
+  test("reports: markdown + svg are produced with ranked rows") {
+    val results = Seq(
+      Experiment.Result("exact", 100, 10, 8, 10, 0.1, 0.2, 50.0, 20.0,
+        Map("recall" -> 1.0)),
+      Experiment.Result("lsh", 100, 10, 8, 10, 0.1, 0.05, 200.0, 5.0,
+        Map("recall" -> 0.5)))
+    val md = Reports.markdownSummary("rand", results)
+    assert(md.contains("| exact |") && md.indexOf("exact") < md.indexOf("lsh"))
+    val svg = Reports.qpsRecallSvg(results)
+    assert(svg.contains("<svg") && svg.contains("exact"))
+    val onePage = Reports.onePageSummary("rand", results)
+    assert(onePage.contains("Best recall: **exact**"))
+    assert(onePage.contains("Best QPS: **lsh**"))
+  }
+}
