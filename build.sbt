@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // many sequential queries generate many codegen classes; the default
+  // 240m code cache overflows and the JIT stops compiling (later queries
+  // then run interpreted, 10-30x slower)
+  "-XX:ReservedCodeCacheSize=1g",
 )

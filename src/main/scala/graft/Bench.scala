@@ -23,8 +23,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // noop sink = full optimized execution (AQE, TakeOrderedAndProject)
+    // with the rows actually produced but not written anywhere
     def materialize(df: DataFrame): Unit =
-      df.queryExecution.toRdd.foreachPartition(it => while (it.hasNext) it.next())
+      df.write.mode("overwrite").format("noop").save()
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -33,6 +35,10 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       val sec = (System.nanoTime() - t0) / 1e9
+      // isolate queries from each other: drop caches a query created and
+      // nudge the collector so earlier queries' garbage doesn't bill here
+      spark.catalog.clearCache()
+      System.gc()
       System.err.println(f"[bench] $name%-24s ${sec}%8.2fs")
       name -> sec
     }

@@ -78,7 +78,12 @@ object Dedup {
       if (seen.add(h)) out += h
       i += 1
     }
-    out.toArray
+    // ascending-sorted: the jaccard verify stage uses the zero-boxing
+    // sorted-merge kernel (SortedLongArrayJaccard); minhash mins are
+    // order-independent
+    val arr = out.toArray
+    java.util.Arrays.sort(arr)
+    arr
   }
 
   /** MinHash signature over the hashed-shingle array (Broder '97): slot i
@@ -120,21 +125,27 @@ object Dedup {
         shingleHashes(col(textCol), shingleLen).as("sh"))
       .withColumn("sig", minhashSignatureFromHashes(col("sh"), numHashes, seed))
       .cache()
+    // band join over slim (id, key) rows — the heavy shingle arrays are
+    // attached only after candidate pairs are deduped, so the band
+    // shuffle moves ids, not kilobyte payloads
     val banded = withSig.select(
-      col("id"), col("sh"),
+      col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => concat_ws("_", lit("b"), b.cast("string"),
           concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
         .as(Seq("band", "key")))
-      .select(col("id"), col("sh"), col("key"))
-    val pairs = banded.as("l").join(banded.as("r"),
+      .select(col("id"), col("key"))
+    val candidates = banded.as("l").join(banded.as("r"),
         col("l.key") === col("r.key") && col("l.id") < col("r.id"))
-      .select(col("l.id").as("a"), col("r.id").as("b"),
-        col("l.sh").as("sha"), col("r.sh").as("shb"))
+      .select(col("l.id").as("a"), col("r.id").as("b"))
       .dropDuplicates("a", "b")
-    pairs.select(col("a"), col("b"),
-        (size(array_intersect(col("sha"), col("shb"))).cast("double") /
-          size(array_union(col("sha"), col("shb")))).as("jaccard"))
+    val sh = withSig.select(col("id"), col("sh"))
+    candidates
+      .join(sh.select(col("id").as("a"), col("sh").as("sha")), Seq("a"))
+      .join(sh.select(col("id").as("b"), col("sh").as("shb")), Seq("b"))
+      .select(col("a"), col("b"),
+        graft.functions.ArrayFunctions
+          .sorted_array_jaccard(col("sha"), col("shb")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -198,18 +209,41 @@ object Dedup {
   }
 
   // ------------------------------------------------------ n-gram jaccard
-  /** Word-set Jaccard similarity join within a blocking key
-    * (e.g. source, language, or length bucket) — the oracle-checkable
-    * member of the family.
+  /** Word-set Jaccard similarity join within a blocking key — the
+    * oracle-checkable member of the family. Two physical strategies with
+    * identical semantics; pick by data shape:
     *
-    * Scale design: an **inverted-index join**, not a pairwise array
-    * intersect. Explode to (token, id), self-join on (block, token),
-    * count shared tokens per pair — |A∩B| arrives from the join itself
-    * and |A∪B| = |A|+|B|−|A∩B|. Shuffle is O(Σ posting-list²) on shared
-    * tokens instead of O(pairs × tokens) array work; pairs sharing no
-    * token never materialize. At 100 TB, hot tokens are the skew risk —
-    * handled upstream by stopword/df-cap filters or salting. */
+    *  - [[jaccardSimilarityJoin]] (default): block-equi-join of sorted
+    *    distinct token arrays + merge-intersection kernel. O(pairs ×
+    *    tokens) with zero per-pair allocation; the right shape when
+    *    blocks are bounded (≤ ~10⁴ docs) and vocabulary is dense so most
+    *    pairs overlap anyway.
+    *  - [[jaccardSimilarityJoinPostings]]: inverted-index join — explode
+    *    to (token, id), self-join on (block, token), count shared tokens;
+    *    |A∪B| = |A|+|B|−|A∩B|. Join output is O(Σ posting²), so it wins
+    *    only when vocabulary is large/sparse (web corpora) where posting
+    *    lists are short and most pairs share nothing. Hot tokens are the
+    *    skew risk — df-cap or salt upstream. */
   def jaccardSimilarityJoin(df: DataFrame, idCol: String, textCol: String,
+      blockCol: String, threshold: Double): DataFrame = {
+    // tokens → 64-bit hashes, sorted distinct: the join then carries
+    // compact long arrays (not string payloads) and the jaccard kernel is
+    // a zero-boxing codegen'd merge-intersection. Set equality under
+    // hashing is exact modulo 64-bit collisions (~1e-16 per pair).
+    val t = df.select(col(idCol).cast("long").as("id"),
+      col(blockCol).as("block"),
+      array_sort(array_distinct(transform(tokens(col(textCol)),
+        tk => xxhash64(tk)))).as("toks"))
+    t.as("l").join(t.as("r"),
+        col("l.block") === col("r.block") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"),
+        graft.functions.ArrayFunctions
+          .sorted_array_jaccard(col("l.toks"), col("r.toks")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** inverted-index variant (see above) */
+  def jaccardSimilarityJoinPostings(df: DataFrame, idCol: String, textCol: String,
       blockCol: String, threshold: Double): DataFrame = {
     val t = df.select(col(idCol).cast("long").as("id"),
       col(blockCol).as("block"),
