@@ -35,7 +35,10 @@ object Experiment {
       topk: Int, buildTimeS: Double, totalQueryTimeS: Double,
       qps: Double, meanQueryTimeMs: Double,
       metrics: Map[String, Double], status: String = "ok",
-      indexSource: String = "built")
+      indexSource: String = "built",
+      /** A11: artifact bytes on disk (0 when not persisted), clamped at
+        * the raw-vector footprint (experiment_runner.py:541-553) */
+      indexSizeMb: Double = 0.0)
 
   /** run one algorithm against a dataset (train/test/gt DataFrames) */
   def runAlgorithm(
@@ -77,9 +80,16 @@ object Experiment {
       }
     val buildTime = (System.nanoTime() - buildStart) / 1e9
 
+    // A11: disk footprint, clamped at the raw float32 vector bytes
+    val rawBytes = nTrain * dim * 4L
+    val indexSizeMb = (if (persistence.enabled)
+        math.max(ArtifactStore.dirSizeBytes(persistence.artifactDir), rawBytes)
+      else rawBytes) / 1048576.0
+
     if (persistence.enabled && persistence.mode == "build_only") {
       return Result(spec.name, nTrain, nTest, dim, topk, buildTime,
-        0.0, 0.0, 0.0, Map.empty, status = "build_only", indexSource = indexSource)
+        0.0, 0.0, 0.0, Map.empty, status = "build_only",
+        indexSource = indexSource, indexSizeMb = indexSizeMb)
     }
 
     // ---- search phase (timed, full materialization)
@@ -124,7 +134,7 @@ object Experiment {
 
     Result(spec.name, nTrain, nTest, dim, topk, buildTime, totalQueryTime,
       qps, if (nTest > 0) totalQueryTime * 1000.0 / nTest else 0.0,
-      metrics, indexSource = indexSource)
+      metrics, indexSource = indexSource, indexSizeMb = indexSizeMb)
   }
 
   /** P4 query subsetting: deterministic seeded choice of n query rows,

@@ -26,6 +26,7 @@ object Reports {
         s""""qps": ${fmt(r.qps)}""",
         s""""mean_query_time_ms": ${fmt(r.meanQueryTimeMs)}""",
         s""""status": "${r.status}"""",
+        s""""index_memory_mb": ${fmt(r.indexSizeMb)}""",
         s""""index_source": "${r.indexSource}"""") ++ metricFields
       fields.mkString("  {\n    ", ",\n    ", "\n  }")
     }

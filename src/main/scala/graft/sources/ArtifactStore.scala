@@ -160,6 +160,17 @@ object ArtifactStore {
     out.toMap
   }
 
+  /** A11 memory metric, JVM re-definition (SURVEY §7.4-7): bytes of the
+    * persisted artifact on disk, clamped from below by nothing — the
+    * "≥ raw vector bytes" clamp applies at the caller where the raw size
+    * is known (experiment_runner.py:541-553). */
+  def dirSizeBytes(dir: String): Long = {
+    val p = Paths.get(dir)
+    if (!Files.exists(p)) 0L
+    else Files.walk(p).iterator().asScala
+      .filter(Files.isRegularFile(_)).map(Files.size).sum
+  }
+
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p))
       Files.list(p).iterator().asScala.foreach(deleteRecursively)

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{Retention, TextVectorizer, Validate}
+
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  test("S9 TF-IDF: deterministic vectors, similar docs closer than dissimilar") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox leaps over a lazy dog"),
+      (2L, "spark sql catalyst optimizer whole stage codegen"))
+      .toDF("id", "text")
+    val model = TextVectorizer.fit(docs, "text", numFeatures = 256)
+    val vecs = TextVectorizer.transform(docs, "text", model)
+      .select("id", "vector")
+    assert(vecs.select(size(col("vector"))).head().getInt(0) == 256)
+    val collected = vecs.as[(Long, Seq[Float])].collect().sortBy(_._1)
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      dot / (na * nb)
+    }
+    val sim01 = cos(collected(0)._2, collected(1)._2)
+    val sim02 = cos(collected(0)._2, collected(2)._2)
+    assert(sim01 > sim02, s"near-dup docs should be closer ($sim01 vs $sim02)")
+    // determinism
+    val again = TextVectorizer.transform(docs, "text", model)
+      .select("id", "vector").as[(Long, Seq[Float])].collect().sortBy(_._1)
+    assert(again.toSeq.map(_._2) == collected.toSeq.map(_._2))
+  }
+
+  test("S8 retention: limit ∪ semi-join keeps prefix plus needed ids") {
+    val base = spark.range(100).toDF("doc_id")
+    val needed = Seq(7L, 55L, 99L, 200L).toDF("doc_id") // 200 doesn't exist
+    val retained = Retention.retainWithNeeded(base, "doc_id", "doc_id", 10, needed)
+    val ids = retained.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == ((0L until 10L) ++ Seq(55L, 99L)).sorted)
+  }
+
+  test("J13 alignment: rel ids → retained positions, unresolvables dropped") {
+    val retained = Seq(10L, 20L, 30L, 40L).toDF("doc_id")
+    val queries = Seq(
+      (0L, Seq(30L, 10L)), // → positions 2, 0 (in rel order)
+      (1L, Seq(99L)), // unresolvable → dropped
+      (2L, Seq(40L, 77L, 20L))) // 77 dropped → positions 3, 1
+      .toDF("qid", "rel_ids")
+    val gt = Retention.alignGroundTruth(queries, retained, "doc_id")
+      .orderBy("qid").as[(Long, Seq[Long])].collect().toSeq
+    assert(gt == Seq((0L, Seq(2L, 0L)), (2L, Seq(3L, 1L))))
+    val missing = Retention.missingIds(queries, retained, "doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(missing == Seq(77L, 99L))
+  }
+
+  test("P6 validation helpers") {
+    val good = Seq((1L, Seq(1f, 2f))).toDF("id", "vector")
+    Validate.requireVectorColumn(good, "vector")
+    Validate.requireFixedDim(good, "vector", 2)
+    intercept[IllegalArgumentException] {
+      Validate.requireFixedDim(good, "vector", 3)
+    }
+    val wide = Seq((1L, Seq(1f, 2f, 3f))).toDF("id", "vector")
+    intercept[IllegalArgumentException] {
+      Validate.requireSameDim(good, "vector", wide, "vector")
+    }
+  }
+}
