@@ -44,11 +44,24 @@ object SparkEntry {
     "a1_a6_metrics" -> ((s, dir) => {
       val q = Tables.embQueries(s, dir)
       val b = Tables.embBase(s, dir)
-      def ids(df: org.apache.spark.sql.DataFrame, as: String) =
-        df.select(col("qid"), transform(col("nn"), x => x("id")).as(as))
-      val gt = ids(KnnJoin.knnJoinAgg(q, b, 10, "l2"), "gt")
-      val pred = ids(KnnJoin.knnJoinAgg(q, b, 10, "ip"), "pred")
-      gt.join(pred, "qid").select(
+      // ONE base scan + broadcast cross join computes both metrics'
+      // distances; both top-k heaps fill in the same aggregate — half the
+      // scans/shuffles of running two kNN joins
+      import graft.functions.VectorFunctions.{ip_dist, l2_dist}
+      import graft.operators.TopKByDist.topK
+      val qq = q.select(col("qid"), col("vector").as("__qvec"))
+      val bb = b.select(col("id").as("__bid"), col("vector").as("__bvec"))
+      val both = bb.crossJoin(broadcast(qq))
+        .select(col("qid"), col("__bid"),
+          l2_dist(col("__qvec"), col("__bvec")).as("__dl2"),
+          ip_dist(col("__qvec"), col("__bvec")).as("__dip"))
+        .groupBy("qid")
+        .agg(topK(col("__bid"), col("__dl2"), 10).as("nn_gt"),
+          topK(col("__bid"), col("__dip"), 10).as("nn_pred"))
+        .select(col("qid"),
+          transform(col("nn_gt"), x => x("id")).as("gt"),
+          transform(col("nn_pred"), x => x("id")).as("pred"))
+      both.select(
         col("qid"),
         Metrics.recallAtK(col("pred"), col("gt"), 10).as("recall_10"),
         Metrics.precisionAtK(col("pred"), col("gt"), 10).as("precision_10"),

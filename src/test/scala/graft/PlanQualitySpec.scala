@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.KnnJoin
+
+/** Plan-shape regression tests: the physical plans that make the engine
+  * scale must not silently regress. These assert the load-bearing plan
+  * properties (broadcast side, no base shuffle before the partial agg,
+  * parquet pushdown) rather than exact plan strings. */
+class PlanQualitySpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("kNN join: queries broadcast, partial top-k before the only exchange") {
+    val plan = KnnJoin.knnJoin(Tables.embQueries(spark, dir),
+      Tables.embBase(spark, dir), 10, "l2")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "queries must be broadcast — base side must never shuffle")
+    assert(plan.contains("partial_top_k_by_dist"),
+      "map-side partial top-k must run before the exchange")
+    // exactly one data exchange (the qid hash partitioning for final agg)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 hash exchange, plan had $exchanges")
+    assert(plan.contains("vec_l2_dist"),
+      "distance must be the native codegen expression, not a UDF")
+  }
+
+  test("parquet scan: filter and projection pushed down") {
+    val plan = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_quantity") > 40)
+      .select("l_orderkey", "l_quantity")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40"),
+      s"filter not pushed to parquet:\n$plan")
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      "projection must prune to the two referenced columns")
+  }
+
+  test("global top-k plans as TakeOrderedAndProject, not a full sort") {
+    val plan = Tables.load(spark, dir, "lineitem")
+      .orderBy(col("l_extendedprice").desc).limit(20)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.linesIterator.take(5).mkString("\n"))
+  }
+
+  test("LSH probe is an equi-join (hashable), not a nested loop") {
+    graft.operators.Registry.init()
+    val base = Tables.embBase(spark, dir)
+    val idx = graft.operators.LshIndexer(4, 4, 4.0, "cosine", 42).build(base)
+    val probe = graft.operators.LshSearcher(8, None, fallbackToBruteforce = false,
+      "cosine").search(idx, Tables.embQueries(spark, dir), 5)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin")
+      || plan.contains("ShuffledHashJoin"),
+      "bucket probe must plan as a hash/merge equi-join")
+  }
+
+  test("vector expressions: zero vectors, empty arrays, nulls") {
+    val df = Seq(
+      (Some(Seq(0f, 0f)), Some(Seq(0f, 0f))),
+      (Some(Seq(1f, 0f)), Some(Seq(0f, 1f))),
+      (Some(Seq.empty[Float]), Some(Seq.empty[Float])),
+      (None, Some(Seq(1f, 1f))))
+      .toDF("a", "b")
+    import graft.functions.VectorFunctions._
+    val rows = df.select(
+      cosine_dist(col("a"), col("b")).as("cos"),
+      l2_dist(col("a"), col("b")).as("l2"),
+      vec_dot(col("a"), col("b")).as("dot")).collect()
+    assert(rows(0).getDouble(0) == 1.0) // zero-norm convention → dist 1
+    assert(rows(0).getDouble(1) == 0.0)
+    assert(rows(1).getDouble(0) == 1.0) // orthogonal
+    assert(math.abs(rows(1).getDouble(1) - math.sqrt(2)) < 1e-15)
+    assert(rows(2).getDouble(1) == 0.0) // empty arrays
+    assert(rows(3).isNullAt(0) && rows(3).isNullAt(1) && rows(3).isNullAt(2))
+  }
+}
