@@ -47,7 +47,11 @@ object Experiment {
       train: DataFrame, test: DataFrame, gt: Option[DataFrame],
       topk: Int, ks: Seq[Int] = Seq(1, 10, 100),
       persistence: PersistenceSpec = PersistenceSpec(),
-      datasetFingerprint: String = ""): Result = {
+      datasetFingerprint: String = "",
+      /** T4 query batching knob (experiment_runner.py:420-439): bounds
+        * per-task memory and keeps timing comparable — in Spark terms,
+        * the query-side partition count */
+      queryBatchSize: Int = 0): Result = {
     Registry.init()
     val nTrain = train.count()
     val nTest = test.count()
@@ -94,8 +98,12 @@ object Experiment {
 
     // ---- search phase (timed, full materialization)
     val searcher = Registry.searcher(spec.searcherName, spec.params, spec.metric)
+    val batchedTest =
+      if (queryBatchSize > 0)
+        test.repartition(math.max(1, math.ceil(nTest.toDouble / queryBatchSize).toInt))
+      else test
     val searchStart = System.nanoTime()
-    val result = searcher.search(artifact, test, topk)
+    val result = searcher.search(artifact, batchedTest, topk)
     val collected = result
       .groupBy("qid")
       .agg(TopKByDist.topK(col("id"), col("dist"), topk).as("nn"))

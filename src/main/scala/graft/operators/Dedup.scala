@@ -43,7 +43,7 @@ object Dedup {
   }
 
   // -------------------------------------------------------------- minhash
-  @inline private[operators] def splitmix64(x0: Long): Long = {
+  @inline private[graft] def splitmix64(x0: Long): Long = {
     var x = x0 + 0x9E3779B97F4A7C15L
     x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
     x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL

@@ -46,9 +46,26 @@ object KnnJoin {
     val b = base.select(
       col(baseIdCol).cast("long").as("__bid"),
       col(baseVecCol).as("__bvec"))
-    val dist = VectorFunctions.distance(metric)(col("__qvec"), col("__bvec"))
-    val pairs = b.crossJoin(broadcast(q))
-      .select(col("qid"), col("__bid"), dist.as("__dist"))
+    // J2 gram-trick variant: precompute ‖·‖² once per row, pair distance
+    // is then one dot product — sqrt(xx + yy − 2·x·y) clamped at 0
+    // (vector_utils.py:20-51). Same ordering as "l2" up to fp rounding.
+    val pairs =
+      if (metric == "l2_gram") {
+        val qn = q.withColumn("__qn",
+          VectorFunctions.vec_dot(col("__qvec"), col("__qvec")))
+        val bn = b.withColumn("__bn",
+          VectorFunctions.vec_dot(col("__bvec"), col("__bvec")))
+        bn.crossJoin(broadcast(qn))
+          .select(col("qid"), col("__bid"),
+            sqrt(greatest(lit(0.0),
+              col("__qn") + col("__bn") -
+                lit(2.0) * VectorFunctions.vec_dot(col("__qvec"), col("__bvec"))))
+              .as("__dist"))
+      } else {
+        val dist = VectorFunctions.distance(metric)(col("__qvec"), col("__bvec"))
+        b.crossJoin(broadcast(q))
+          .select(col("qid"), col("__bid"), dist.as("__dist"))
+      }
     val agg = pairs
       .groupBy(col("qid"))
       .agg(TopKByDist.topK(col("__bid"), col("__dist"), k).as("nn"))
@@ -95,6 +112,8 @@ object KnnJoin {
     val dist = VectorFunctions.distance(metric)(col("__qvec"), col("__bvec"))
     candidates
       .select(col("qid").cast("long").as("qid"), col("id").cast("long").as("__bid"))
+      // P7: drop (-1) padding slots before reranking (modular.py:484-486)
+      .filter(col("__bid") >= 0)
       .join(b, Seq("__bid"))
       .join(broadcast(q), Seq("qid"))
       .select(col("qid"), col("__bid"), dist.as("__dist"))
