@@ -344,7 +344,7 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
     "j14_train_test_split" ->
-      """SELECT count(*) AS n_train, sum(vec_id) AS idsum
+      """SELECT count(*) AS n_train, sum(vec_id)::BIGINT AS idsum
         |FROM embeddings WHERE vec_id NOT IN (
         |  SELECT vec_id FROM embeddings WHERE vec_id % 10 = 0)""".stripMargin,
     "t1_global_topk" ->
