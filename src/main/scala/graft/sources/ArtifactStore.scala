@@ -55,6 +55,15 @@ object ArtifactStore {
   def datasetFingerprint(fields: Map[String, String]): String =
     sha256(canonicalJson(fields))
 
+  /** storage-level pruning keys per index kind: writing the index
+    * relation `partitionBy` its probe key means a search touches only the
+    * probed partitions' files (the 100 TB payoff of IVF/LSH as relations) */
+  val partitionKeys: Map[String, Seq[String]] = Map(
+    "ivf" -> Seq("centroid_id"),
+    "ivf_sq8" -> Seq("centroid_id"),
+    "hnsw" -> Seq("centroid_id"),
+    "lsh" -> Seq("table"))
+
   def save(artifact: IndexArtifact, dir: String, metric: String,
       dimension: Int, vectorCount: Long,
       datasetFingerprint: String, configHash: String): Unit = {
@@ -62,8 +71,13 @@ object ArtifactStore {
     val tmp = Paths.get(dir + ".tmp-" + System.nanoTime())
     Files.createDirectories(tmp)
     val frames = Map("data" -> artifact.data) ++ artifact.aux
+    val dataPartitionKeys = partitionKeys.getOrElse(artifact.kind, Seq.empty)
+      .filter(artifact.data.columns.contains)
     frames.foreach { case (name, df) =>
-      df.write.mode("overwrite").parquet(tmp.resolve(name).toString)
+      val w = df.write.mode("overwrite")
+      (if (name == "data" && dataPartitionKeys.nonEmpty)
+        w.partitionBy(dataPartitionKeys: _*) else w)
+        .parquet(tmp.resolve(name).toString)
     }
     val manifest = Map(
       "schema_version" -> SchemaVersion,
