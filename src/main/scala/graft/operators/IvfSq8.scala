@@ -31,16 +31,15 @@ final case class IvfSq8Searcher(nprobe: Int, metric: String) extends Searcher {
   def search(artifact: IndexArtifact, queries: DataFrame, k: Int): DataFrame = {
     val lo = artifact.meta("lo").split(",").map(_.toFloat)
     val hi = artifact.meta("hi").split(",").map(_.toFloat)
-    val dist = Sq8Model(lo, hi).distUdf(metric)
     val q = queries.select(col("qid").cast("long").as("qid"), col("vector"))
+    val dist = Sq8Model(lo, hi).distByQidUdf(q, metric)
     val centroids = artifact.aux("centroids")
       .select(col("centroid_id").cast("long").as("id"), col("vector"))
     val probes = KnnJoin.knnJoin(q, centroids, nprobe, "l2")
       .select(col("qid"), col("id").cast("int").as("centroid_id"))
     artifact.data
       .join(broadcast(probes), Seq("centroid_id"))
-      .join(broadcast(q.select(col("qid"), col("vector").as("__qvec"))), Seq("qid"))
-      .select(col("qid"), col("id"), dist(col("__qvec"), col("codes")).as("__dist"))
+      .select(col("qid"), col("id"), dist(col("qid"), col("codes")).as("__dist"))
       .groupBy("qid")
       .agg(TopKByDist.topK(col("id"), col("__dist"), k).as("nn"))
       .select(col("qid"), posexplode(col("nn")).as(Seq("__pos", "__nn")))

@@ -68,15 +68,31 @@ final case class PqIndexer(numSubspaces: Int, numCentroids: Int, seed: Long)
 final case class PqSearcher(metric: String) extends Searcher {
   def search(artifact: IndexArtifact, queries: DataFrame, k: Int): DataFrame = {
     val model = PqModel.fromArtifact(artifact)
-    val lutUdf = model.lutUdf(metric)
-    val score = model.adcUdf()
-    val q = queries.select(col("qid").cast("long").as("qid"), col("vector"))
-      .withColumn("__lut", lutUdf(col("vector")))
-      .select(col("qid"), col("__lut"))
+    // Per-query LUTs are computed ONCE on the driver and ship in the
+    // scoring closure keyed by qid (the FAISS query-side table). Carrying
+    // the 1024-double LUT as a broadcast-join column meant deserializing
+    // a boxed Seq[Double] per joined row — a GC storm at n_base×n_queries
+    // rows. Only (qid, codes) cross the row boundary now; codes are
+    // BinaryType (primitive byte[], no boxing).
+    val qRows = queries.select(col("qid").cast("long"), col("vector")).collect()
+    val luts: Map[Long, Array[Double]] = qRows.map { r =>
+      r.getLong(0) -> model.lut(r.getSeq[Float](1).toArray, metric)
+    }.toMap
+    val mm = model.codebooks.length
+    val score = udf { (qid: Long, codes: Array[Byte]) =>
+      val lut = luts(qid)
+      val nC = lut.length / mm
+      var acc = 0.0; var j = 0
+      while (j < mm) { acc += lut(j * nC + (codes(j) + 128)); j += 1 }
+      acc
+    }
+    val spark = artifact.data.sparkSession
+    import spark.implicits._
+    val q = luts.keys.toSeq.sorted.toDF("qid")
     val l2 = !(metric == "ip" || metric == "dot")
     val distCol =
-      if (l2) sqrt(score(col("codes"), col("__lut")))
-      else score(col("codes"), col("__lut"))
+      if (l2) sqrt(score(col("qid"), col("codes")))
+      else score(col("qid"), col("codes"))
     artifact.data
       .crossJoin(broadcast(q))
       .select(col("qid"), col("id"), distCol.as("__dist"))
@@ -118,48 +134,31 @@ final case class PqModel(codebooks: Array[Array[Array[Float]]], dsub: Int)
     }
   }
 
-  /** per-query LUT, flattened m×nCent floats: lut[j*nCent + c] =
+  /** per-query LUT, flattened m×nCent doubles: lut[j*nCent + c] =
     * ‖q_j − codebook_j[c]‖² (L2) or −q_j·codebook_j[c] (IP) */
-  def lutUdf(metric: String): org.apache.spark.sql.expressions.UserDefinedFunction = {
+  def lut(arr: Array[Float], metric: String): Array[Double] = {
     val cbs = codebooks; val ds = dsub
     val ip = metric == "ip" || metric == "dot"
-    udf { (v: Seq[Float]) =>
-      val arr = v.toArray
-      val nC = cbs(0).length
-      val lut = new Array[Double](cbs.length * nC)
-      var j = 0
-      while (j < cbs.length) {
-        val cb = cbs(j)
-        var c = 0
-        while (c < cb.length) {
-          var acc = 0.0; var i = 0
-          while (i < ds) {
-            val qv = arr(j * ds + i).toDouble
-            if (ip) acc -= qv * cb(c)(i)
-            else { val d = qv - cb(c)(i); acc += d * d }
-            i += 1
-          }
-          lut(j * nC + c) = acc
-          c += 1
+    val nC = cbs(0).length
+    val out = new Array[Double](cbs.length * nC)
+    var j = 0
+    while (j < cbs.length) {
+      val cb = cbs(j)
+      var c = 0
+      while (c < cb.length) {
+        var acc = 0.0; var i = 0
+        while (i < ds) {
+          val qv = arr(j * ds + i).toDouble
+          if (ip) acc -= qv * cb(c)(i)
+          else { val d = qv - cb(c)(i); acc += d * d }
+          i += 1
         }
-        j += 1
+        out(j * nC + c) = acc
+        c += 1
       }
-      lut
+      j += 1
     }
-  }
-
-  /** ADC: Σ_j lut[j][code_j] */
-  def adcUdf(): org.apache.spark.sql.expressions.UserDefinedFunction = {
-    val mm = m
-    udf { (codes: Array[Byte], lut: Seq[Double]) =>
-      val nC = lut.length / mm
-      var acc = 0.0; var j = 0
-      while (j < mm) {
-        acc += lut(j * nC + (codes(j) + 128))
-        j += 1
-      }
-      acc
-    }
+    out
   }
 }
 

@@ -42,13 +42,17 @@ final case class Sq8Searcher(metric: String) extends Searcher {
   def search(artifact: IndexArtifact, queries: DataFrame, k: Int): DataFrame = {
     val lo = artifact.meta("lo").split(",").map(_.toFloat)
     val hi = artifact.meta("hi").split(",").map(_.toFloat)
-    val dist = Sq8Model(lo, hi).distUdf(metric)
-    val q = queries.select(col("qid").cast("long").as("qid"),
-      col("vector").as("__qvec"))
+    // query vectors ship in the scoring closure keyed by qid — only
+    // (qid, codes) cross the row boundary (see PqSearcher note)
+    val dist = Sq8Model(lo, hi).distByQidUdf(queries, metric)
+    val spark = artifact.data.sparkSession
+    import spark.implicits._
+    val q = queries.select(col("qid").cast("long").as("qid")).as[Long]
+      .collect().sorted.toSeq.toDF("qid")
     artifact.data
       .crossJoin(broadcast(q))
       .select(col("qid"), col("id"),
-        dist(col("__qvec"), col("codes")).as("__dist"))
+        dist(col("qid"), col("codes")).as("__dist"))
       .groupBy("qid")
       .agg(TopKByDist.topK(col("id"), col("__dist"), k).as("nn"))
       .select(col("qid"), posexplode(col("nn")).as(Seq("__pos", "__nn")))
@@ -74,12 +78,18 @@ final case class Sq8Model(lo: Array[Float], hi: Array[Float]) extends Serializab
     }
   }
 
-  /** asymmetric distance: float query vs dequantized codes */
-  def distUdf(metric: String): org.apache.spark.sql.expressions.UserDefinedFunction = {
+  /** asymmetric distance keyed by qid: query vectors collected once on
+    * the driver into the closure; per row only (qid, codes) deserialize */
+  def distByQidUdf(queries: org.apache.spark.sql.DataFrame, metric: String)
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
     val l = lo; val h = hi
     val cosine = metric == "cosine" || metric == "angular"
     val ip = metric == "ip" || metric == "dot"
-    udf { (q: Seq[Float], codes: Array[Byte]) =>
+    val qVecs: Map[Long, Array[Float]] = queries
+      .select(col("qid").cast("long"), col("vector")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    udf { (qid: Long, codes: Array[Byte]) =>
+      val q = qVecs(qid)
       var acc = 0.0; var dot = 0.0; var nq = 0.0; var nb = 0.0
       var i = 0
       while (i < codes.length) {
