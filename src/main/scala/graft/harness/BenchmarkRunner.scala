@@ -29,6 +29,8 @@ object BenchmarkRunner {
     val topk = int(cfg, "topk", 10)
     val nQueries = int(cfg, "n_queries", 0)
     val seed = int(cfg, "seed", 42).toLong
+    val repeat = int(cfg, "repeat", 1)
+    val queryBatchSize = int(cfg, "query_batch_size", 0)
     val baseAlgs = cfg.getOrElse("algorithms", Map.empty[String, Any]).asMap
     val indexerDefs = cfg.getOrElse("indexers", Map.empty[String, Any]).asMap
     val searcherDefs = cfg.getOrElse("searchers", Map.empty[String, Any]).asMap
@@ -67,7 +69,8 @@ object BenchmarkRunner {
           val spec = Experiment.AlgorithmSpec(algName,
             str(indexerCfg, "type", algName), str(searcherCfg, "type", algName),
             mergedParams, bundle.metric)
-          Experiment.runAlgorithm(spark, spec, bundle.train, testSel, gtSel, topk)
+          Experiment.runAlgorithm(spark, spec, bundle.train, testSel, gtSel, topk,
+            queryBatchSize = queryBatchSize, repeat = repeat)
         }
         allResults(dsName) = results
         Reports.writeJson(s"$outputDir/$dsName/results.json", results)

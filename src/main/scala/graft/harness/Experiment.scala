@@ -38,7 +38,9 @@ object Experiment {
       indexSource: String = "built",
       /** A11: artifact bytes on disk (0 when not persisted), clamped at
         * the raw-vector footprint (experiment_runner.py:541-553) */
-      indexSizeMb: Double = 0.0)
+      indexSizeMb: Double = 0.0,
+      /** per-repeat search wall times (repeat ≥ 2 feeds Compare) */
+      runTimesS: Seq[Double] = Seq.empty)
 
   /** run one algorithm against a dataset (train/test/gt DataFrames) */
   def runAlgorithm(
@@ -51,7 +53,9 @@ object Experiment {
       /** T4 query batching knob (experiment_runner.py:420-439): bounds
         * per-task memory and keeps timing comparable — in Spark terms,
         * the query-side partition count */
-      queryBatchSize: Int = 0): Result = {
+      queryBatchSize: Int = 0,
+      /** repeated timed search runs (BASELINE runs used repeat=2) */
+      repeat: Int = 1): Result = {
     Registry.init()
     val nTrain = train.count()
     val nTest = test.count()
@@ -102,16 +106,23 @@ object Experiment {
       if (queryBatchSize > 0)
         test.repartition(math.max(1, math.ceil(nTest.toDouble / queryBatchSize).toInt))
       else test
-    val searchStart = System.nanoTime()
-    val result = searcher.search(artifact, batchedTest, topk)
-    val collected = result
-      .groupBy("qid")
-      .agg(TopKByDist.topK(col("id"), col("dist"), topk).as("nn"))
-      .select(col("qid"), transform(col("nn"), x => x("id")).as("pred"))
-      .cache()
-    collected.count() // force
-    val totalQueryTime = (System.nanoTime() - searchStart) / 1e9
-    val qps = if (totalQueryTime > 0) nTest / totalQueryTime else 0.0
+    def timedRun(): (Double, org.apache.spark.sql.DataFrame) = {
+      val t0 = System.nanoTime()
+      val result = searcher.search(artifact, batchedTest, topk)
+      val collected = result
+        .groupBy("qid")
+        .agg(TopKByDist.topK(col("id"), col("dist"), topk).as("nn"))
+        .select(col("qid"), transform(col("nn"), x => x("id")).as("pred"))
+        .cache()
+      collected.count() // force
+      ((System.nanoTime() - t0) / 1e9, collected)
+    }
+    val runs = (1 to math.max(1, repeat)).map(_ => timedRun())
+    val runTimes = runs.map(_._1)
+    val collected = runs.last._2
+    val totalQueryTime = runTimes.sum
+    val totalQueries = nTest.toDouble * runs.length
+    val qps = if (totalQueryTime > 0) totalQueries / totalQueryTime else 0.0
 
     // ---- evaluation (A9 k-sweep, evaluation.py:13-66)
     val metrics: Map[String, Double] = gt match {
@@ -141,8 +152,9 @@ object Experiment {
     }
 
     Result(spec.name, nTrain, nTest, dim, topk, buildTime, totalQueryTime,
-      qps, if (nTest > 0) totalQueryTime * 1000.0 / nTest else 0.0,
-      metrics, indexSource = indexSource, indexSizeMb = indexSizeMb)
+      qps, if (totalQueries > 0) totalQueryTime * 1000.0 / totalQueries else 0.0,
+      metrics, indexSource = indexSource, indexSizeMb = indexSizeMb,
+      runTimesS = runTimes)
   }
 
   /** P4 query subsetting: deterministic seeded choice of n query rows,
