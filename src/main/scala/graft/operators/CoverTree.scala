@@ -39,7 +39,11 @@ final case class CoverTreeSearcher(metric: String = "l2",
     val rows = artifact.data.select(col("id").cast("long"), col("vector")).collect()
     val ids = rows.map(_.getLong(0))
     val vecs = rows.map(_.getSeq[Float](1).toArray)
-    val tree = CoverTreeModel.build(ids, vecs, metric) // cheap rebuild on driver
+    // reuse the CSR tree arrays persisted by the indexer (S19 manifest);
+    // rebuilding on every search call costs O(n · depth) sequential
+    // inserts — at 20k vectors that alone capped throughput at ~9 QPS
+    val tree = CoverTreeModel.fromMeta(ids, vecs, artifact.meta)
+      .getOrElse(CoverTreeModel.build(ids, vecs, metric))
     val bTree = spark.sparkContext.broadcast(tree)
     val acc = counter
     val outSchema = StructType(Seq(
@@ -134,6 +138,26 @@ final class CoverTreeModel(
 }
 
 object CoverTreeModel {
+
+  /** reconstruct from the serialized CSR arrays (covertree_v2_2.py
+    * save/load shape: tree arrays + manifest) */
+  def fromMeta(ids: Array[Long], vecs: Array[Array[Float]],
+      meta: Map[String, String]): Option[CoverTreeModel] =
+    for {
+      root <- meta.get("ct.root")
+      level <- meta.get("ct.level")
+      offsets <- meta.get("ct.childOffsets")
+      children <- meta.get("ct.children")
+      metric <- meta.get("metric")
+    } yield {
+      val m = new CoverTreeModel(ids, vecs, metric)
+      m.root = root.toInt
+      m.level = level.split(",").map(_.toInt)
+      m.childOffsets = offsets.split(",").map(_.toInt)
+      m.children =
+        if (children.isEmpty) Array.empty else children.split(",").map(_.toInt)
+      m
+    }
 
   /** batch build: simplified cover-tree insertion (covertree_v2_2.py:
     * 316-369 shape — sequential inserts descending from the root). */
