@@ -80,19 +80,23 @@ final case class LshSearcher(
 
     // J3/J4 bucket-probe equi-join; broadcast the (small) query-key side
     val collisions = artifact.data.join(broadcast(qKeys), Seq("table", "key"))
-    // J5 vote + J6 cap, deterministic (votes desc, id asc)
-    val votes = collisions.groupBy(col("qid"), col("id")).count()
-    val capped = votes
-      .withColumn("__rk", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("count").desc, col("id"))))
-      .filter(col("__rk") <= cap)
-      .select(col("qid"), col("id"))
+    // J5 vote + J6 cap in one aggregate chain: top-cap by (votes desc,
+    // id asc) via the bounded heap on dist = −votes — map-side partial
+    // aggregation instead of a full per-qid window sort of all candidates
+    val capped = collisions.groupBy(col("qid"), col("id")).count()
+      .groupBy(col("qid"))
+      .agg(TopKByDist.topK(col("id"), -col("count").cast("double"), cap).as("cand"))
+      .select(col("qid"), explode(col("cand")).as("c"))
+      .select(col("qid"), col("c.id").as("id"))
     // J7 exact rerank of the candidate pairs
     val reranked = KnnJoin.rerank(capped, q, artifact.aux("vectors"), k, metric)
 
     if (!fallbackToBruteforce) reranked
     else {
-      // qids with zero candidates → route through the exact scan (J6 fallback)
+      // qids with zero candidates → route through the exact scan (J6
+      // fallback). Stays lazy in the same job: when no query is missing,
+      // the broadcast side of the fallback cross join is empty and the
+      // extra scan short-circuits at runtime.
       val missing = q.join(reranked.select("qid").distinct(), Seq("qid"), "left_anti")
       val fallback = KnnJoin.knnJoin(missing, artifact.aux("vectors"), k, metric)
       reranked.unionByName(fallback)
