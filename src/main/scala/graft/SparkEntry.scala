@@ -208,6 +208,27 @@ object SparkEntry {
       EventsStream.sessionize(Tables.load(s, dir, "events"), "30 minutes")
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))),
+    // --- capstone composition: full corpus-cleaning pipeline (exact
+    //     dedup → minhash near-dedup → quality floor) with per-stage
+    //     retention counts — the end-to-end training-data job shape ---
+    "pipeline_corpus_clean" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val nIn = docs.count()
+      val exact = Dedup.exactDedup(
+        docs.withColumn("__fp", TextAnalysis.fingerprint(col("text"))),
+        Seq("__fp"), "doc_id").drop("__fp")
+      val nExact = exact.count()
+      val pairs = Dedup.minhashDupPairs(exact, "doc_id", "text",
+        shingleLen = 3, numHashes = 16, bands = 4, threshold = 0.7)
+      val nearDeduped = Dedup.dropNearDups(exact, "doc_id", pairs)
+      val nNear = nearDeduped.count()
+      val cleaned = nearDeduped
+        .filter(TextAnalysis.qualityScore(col("text")) >= 0.5)
+      val nClean = cleaned.count()
+      import s.implicits._
+      Seq((nIn, nExact, nNear, nClean))
+        .toDF("n_in", "n_after_exact", "n_after_neardup", "n_after_quality")
+    }),
     // --- multimodal binary plumbing: featurize + frame-sample (decode
     //     stubbed; schema/batch shape real) ---
     "mm_pipeline" -> ((s, dir) => {
