@@ -109,29 +109,40 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_train"),
           sum(col("vec_id")).as("idsum"))
     }),
-    // --- J3-J7: LSH bucket-probe pipeline; self-validating recall output
-    //     (random hyperplanes → no SQL oracle; driver rows-check) ---
+    // --- J3-J7: LSH bucket-probe pipeline; self-validating — the summary
+    //     row vanishes if recall drops below the floor, so the driver's
+    //     rows-check detects a regression (random hyperplanes → no SQL
+    //     oracle for the exact values) ---
     "j3_lsh_pipeline" -> annRecall("lsh", "lsh", "lsh",
       Map("num_tables" -> "12", "hash_size" -> "4", "candidate_multiplier" -> "32"),
-      "cosine"),
+      "cosine", floor = 0.45),
     // --- J8: IVF partition-pruned probe ---
     "j8_ivf_probe" -> annRecall("ivf", "ivf", "ivf",
-      Map("nlist" -> "16", "nprobe" -> "4"), "l2"),
+      Map("nlist" -> "16", "nprobe" -> "4"), "l2", floor = 0.55),
+    // --- J8 exact limit: full probe (nprobe = nlist) ≡ brute force —
+    //     hash-matched against the same DuckDB kNN oracle as j1_knn_l2 ---
+    "j8_ivf_fullprobe" -> annExploded("ivf", "ivf", "ivf",
+      Map("nlist" -> "16", "nprobe" -> "16"), "l2"),
     // --- J9: PQ asymmetric-distance scoring ---
     "j9_pq_adc" -> annRecall("pq", "pq", "pq",
-      Map("num_subspaces" -> "16", "num_centroids" -> "64"), "l2"),
+      Map("num_subspaces" -> "16", "num_centroids" -> "64"), "l2", floor = 0.50),
     // --- J10: IVF×SQ8 composition ---
     "j10_ivf_sq8" -> annRecall("ivf_sq8", "ivf_sq8", "ivf_sq8",
-      Map("nlist" -> "16", "nprobe" -> "8"), "l2"),
+      Map("nlist" -> "16", "nprobe" -> "8"), "l2", floor = 0.75),
     // --- SQ8 standalone scalar quantization ---
-    "j10_sq8" -> annRecall("sq8", "sq8", "sq8", Map(), "l2"),
-    // --- J12: CoverTree exact search (recall must be 1.0) ---
-    "j12_covertree" -> annRecall("covertree", "covertree", "covertree",
+    "j10_sq8" -> annRecall("sq8", "sq8", "sq8", Map(), "l2", floor = 0.95),
+    // --- J10 composition: IVF×PQ (the reference's ivf_pq benchmark rows) ---
+    "j10_ivf_pq" -> annRecall("ivf_pq", "ivf_pq", "ivf_pq",
+      Map("nlist" -> "16", "nprobe" -> "8", "num_subspaces" -> "16",
+        "num_centroids" -> "64"), "l2", floor = 0.45),
+    // --- J12: CoverTree exact search — recall ≡ 1.0 by construction, so
+    //     the exploded rows hash-match the j1_knn_l2 DuckDB oracle ---
+    "j12_covertree" -> annExploded("covertree", "covertree", "covertree",
       Map(), "l2"),
     // --- J11: per-partition NSW graph search ---
     "j11_hnsw" -> annRecall("hnsw", "hnsw", "hnsw",
       Map("n_partitions" -> "8", "m" -> "8", "nprobe" -> "3",
-        "ef_search" -> "64"), "l2"),
+        "ef_search" -> "64"), "l2", floor = 0.60),
     // --- P1: row normalization (zero-norm → zero-vector convention) ---
     "p1_normalize" -> ((s, dir) =>
       Tables.load(s, dir, "embeddings").select(
@@ -156,23 +167,33 @@ object SparkEntry {
       Dedup.jaccardSimilarityJoin(Tables.load(s, dir, "documents"),
           "doc_id", "text", "lang", threshold = 0.9)
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))),
-    // --- MinHash-LSH near-dup pipeline (xxhash64-seeded → no SQL oracle) ---
+    // --- MinHash-LSH near-dup pipeline (splitmix64-seeded → no SQL
+    //     oracle); self-validating: the row vanishes unless dup pairs were
+    //     found, every verified jaccard clears the threshold, and the
+    //     near-dedup actually removed the dup side of each pair ---
     "dedup_minhash" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       val pairs = Dedup.minhashDupPairs(docs, "doc_id", "text",
         shingleLen = 3, numHashes = 16, bands = 4, threshold = 0.7).cache()
       val survivors = Dedup.dropNearDups(docs, "doc_id", pairs)
       pairs.agg(count(lit(1)).as("n_dup_pairs"),
-          round(avg("jaccard"), 4).as("avg_jaccard"))
+          round(avg("jaccard"), 4).as("avg_jaccard"),
+          round(min("jaccard"), 4).as("min_jaccard"))
         .crossJoin(survivors.agg(count(lit(1)).as("n_survivors")))
+        .crossJoin(docs.agg(count(lit(1)).as("__n_docs")))
+        .filter(col("n_dup_pairs") > 0 && col("min_jaccard") >= 0.7 &&
+          col("n_survivors") > 0 && col("n_survivors") < col("__n_docs"))
+        .drop("__n_docs")
     }),
-    // --- SimHash near-dup pipeline (hamming ≤ 3 via pigeonhole bands) ---
+    // --- SimHash near-dup pipeline (hamming ≤ 3 via pigeonhole bands);
+    //     self-validating: pairs exist and every pair honors the bound ---
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashDupPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
           maxHamming = 3)
         .agg(count(lit(1)).as("n_pairs"),
           min("hamming").cast("long").as("min_hamming"),
-          max("hamming").cast("long").as("max_hamming"))),
+          max("hamming").cast("long").as("max_hamming"))
+        .filter(col("n_pairs") > 0 && col("max_hamming") <= 3)),
     // --- embedding cosine near-dup: top-20 most-similar pairs ---
     "dedup_embedding_top" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
@@ -214,20 +235,32 @@ object SparkEntry {
     "pipeline_corpus_clean" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       val nIn = docs.count()
+      // each stage computed ONCE: the exact-dedup survivors are cached and
+      // feed both the minhash signatures and the anti-join; near-dedup and
+      // quality-floor counts fold into a single conditional aggregate, so
+      // the whole pipeline is 3 actions with no recomputed lineage (the
+      // round-1 shape re-ran minhash for every per-stage count — 65.7 s;
+      // this one benches ~8 s at sf0.1)
       val exact = Dedup.exactDedup(
         docs.withColumn("__fp", TextAnalysis.fingerprint(col("text"))),
-        Seq("__fp"), "doc_id").drop("__fp")
+        Seq("__fp"), "doc_id").drop("__fp").cache()
       val nExact = exact.count()
       val pairs = Dedup.minhashDupPairs(exact, "doc_id", "text",
         shingleLen = 3, numHashes = 16, bands = 4, threshold = 0.7)
-      val nearDeduped = Dedup.dropNearDups(exact, "doc_id", pairs)
-      val nNear = nearDeduped.count()
-      val cleaned = nearDeduped
-        .filter(TextAnalysis.qualityScore(col("text")) >= 0.5)
-      val nClean = cleaned.count()
+      val tail = Dedup.dropNearDups(exact, "doc_id", pairs)
+        .agg(count(lit(1)).as("n_near"),
+          count(when(TextAnalysis.qualityScore(col("text")) >= 0.5, 1))
+            .as("n_clean"))
+        .head()
+      exact.unpersist()
       import s.implicits._
-      Seq((nIn, nExact, nNear, nClean))
+      Seq((nIn, nExact, tail.getLong(0), tail.getLong(1)))
         .toDF("n_in", "n_after_exact", "n_after_neardup", "n_after_quality")
+        // self-validation: retention must be monotone and non-empty
+        .filter(col("n_in") >= col("n_after_exact") &&
+          col("n_after_exact") >= col("n_after_neardup") &&
+          col("n_after_neardup") >= col("n_after_quality") &&
+          col("n_after_quality") > 0)
     }),
     // --- multimodal binary plumbing: featurize + frame-sample (decode
     //     stubbed; schema/batch shape real) ---
@@ -249,7 +282,7 @@ object SparkEntry {
     * semantic properties instead. */
   private def annRecall(
       name: String, indexerName: String, searcherName: String,
-      params: Map[String, String], metric: String)
+      params: Map[String, String], metric: String, floor: Double)
       : (SparkSession, String) => DataFrame = (s, dir) => {
     Registry.init()
     val q = Tables.embQueries(s, dir)
@@ -263,12 +296,34 @@ object SparkEntry {
       .groupBy("qid")
       .agg(graft.operators.TopKByDist.topK(col("id"), col("dist"), 10).as("nn"))
       .select(col("qid"), transform(col("nn"), x => x("id")).as("pred"))
-    gt.join(pred, "qid")
+    // left join from gt: a query the searcher dropped entirely (empty
+    // probe) counts as recall 0 instead of silently leaving the average
+    gt.join(pred, Seq("qid"), "left")
+      .withColumn("pred", coalesce(col("pred"), array().cast("array<bigint>")))
       .agg(
         lit(name).as("algorithm"),
         count(lit(1)).as("n_queries"),
         round(avg(Metrics.recallAtK(col("pred"), col("gt"), 10)), 4).as("recall_10"),
         round(avg(Metrics.rrAtK(col("pred"), col("gt"), 10)), 4).as("mrr_10"))
+      // self-validation: recall regression ⇒ zero rows ⇒ driver rows-check
+      // fails. Floors sit ≥0.03 under the sf0.01/sf0.1 measured values.
+      .filter(col("recall_10") >= floor)
+  }
+
+  /** Exact-algorithm gate query: exploded (qid, rank, id) rows so the
+    * driver hash-matches them against the same DuckDB kNN SQL as
+    * `j1_knn_l2` (CoverTree and full-probe IVF are exact searches). */
+  private def annExploded(
+      name: String, indexerName: String, searcherName: String,
+      params: Map[String, String], metric: String)
+      : (SparkSession, String) => DataFrame = (s, dir) => {
+    Registry.init()
+    val q = Tables.embQueries(s, dir)
+    val b = Tables.embBase(s, dir).cache()
+    val alg = Algorithm(name,
+      Registry.indexer(indexerName, params + ("seed" -> "42"), metric),
+      Registry.searcher(searcherName, params, metric))
+    alg.run(b, q, 10).select(col("qid"), col("rank"), col("id"))
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -295,6 +350,33 @@ object SparkEntry {
         |        1 - list_sum(list_transform(list_zip(qv, bv), p -> p[1]*p[2]))
         |          / (sqrt(list_sum(list_transform(qv, x -> x*x)))
         |             * sqrt(list_sum(list_transform(bv, x -> x*x)))) AS dist
+        |      FROM q, b),
+        |r AS (SELECT qid, id,
+        |        row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank
+        |      FROM d)
+        |SELECT qid, rank::INT AS rank, id FROM r WHERE rank <= 10""".stripMargin,
+    // CoverTree is exact (recall ≡ 1.0, order-equality with brute force
+    // asserted in StretchAlgoSpec) → same kNN oracle as j1_knn_l2
+    "j12_covertree" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id % 50 = 0),
+        |b AS (SELECT vec_id AS id, embedding::DOUBLE[] AS bv FROM embeddings),
+        |d AS (SELECT qid, id,
+        |        sqrt(list_sum(list_transform(list_zip(qv, bv),
+        |             p -> (p[1]-p[2])*(p[1]-p[2])))) AS dist
+        |      FROM q, b),
+        |r AS (SELECT qid, id,
+        |        row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank
+        |      FROM d)
+        |SELECT qid, rank::INT AS rank, id FROM r WHERE rank <= 10""".stripMargin,
+    // full-probe IVF (nprobe = nlist) scans every inverted list → exact
+    "j8_ivf_fullprobe" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id % 50 = 0),
+        |b AS (SELECT vec_id AS id, embedding::DOUBLE[] AS bv FROM embeddings),
+        |d AS (SELECT qid, id,
+        |        sqrt(list_sum(list_transform(list_zip(qv, bv),
+        |             p -> (p[1]-p[2])*(p[1]-p[2])))) AS dist
         |      FROM q, b),
         |r AS (SELECT qid, id,
         |        row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank

@@ -12,7 +12,12 @@ final case class IndexArtifact(
     kind: String,
     data: DataFrame,
     meta: Map[String, String] = Map.empty,
-    aux: Map[String, DataFrame] = Map.empty)
+    aux: Map[String, DataFrame] = Map.empty,
+    /** driver-side build products (e.g. a broadcast-ready tree model) that
+      * never serialize to the store; searchers treat these as a cache and
+      * must be able to reconstruct from `data`+`meta` when absent (the
+      * load-from-ArtifactStore path). */
+    local: Map[String, AnyRef] = Map.empty)
 
 trait Indexer extends Serializable {
   def kind: String
@@ -101,6 +106,16 @@ object Registry {
       }
       registerSearcher("ivf_sq8") { (p, m) =>
         IvfSq8Searcher(nprobe = p.getOrElse("nprobe", "8").toInt, metric = m)
+      }
+      registerIndexer("ivf_pq") { (p, _) =>
+        IvfPqIndexer(
+          nlist = p.getOrElse("nlist", "64").toInt,
+          numSubspaces = p.getOrElse("num_subspaces", "8").toInt,
+          numCentroids = p.getOrElse("num_centroids", "256").toInt,
+          seed = p.getOrElse("seed", "42").toLong)
+      }
+      registerSearcher("ivf_pq") { (p, m) =>
+        IvfPqSearcher(nprobe = p.getOrElse("nprobe", "8").toInt, metric = m)
       }
       registerIndexer("covertree")((_, m) => CoverTreeIndexer(m))
       registerSearcher("covertree")((_, m) => CoverTreeSearcher(m))

@@ -20,14 +20,22 @@ final case class CoverTreeIndexer(metric: String = "l2") extends Indexer {
   val kind = "covertree"
 
   def build(base: DataFrame): IndexArtifact = {
-    val rows = base.select(col("id").cast("long"), col("vector")).collect()
+    // ONE collect, at build time, sorted by id: DataFrame collect order is
+    // not stable across shuffles/part files, and the CSR node indices are
+    // positional — a different order on reload would silently pair nodes
+    // with wrong vectors. Sorting pins the node↔id mapping; the id array
+    // also serializes so a loaded artifact can re-align (see fromData).
+    val rows = base.select(col("id").cast("long"), col("vector"))
+      .orderBy("id").collect()
     val ids = rows.map(_.getLong(0))
     val vecs = rows.map(_.getSeq[Float](1).toArray)
     val tree = CoverTreeModel.build(ids, vecs, metric)
-    // persistable relation: the vectors themselves + tree arrays in meta
+    // persistable relation: the vectors themselves + tree arrays in meta;
+    // `local` carries the already-built model so search never re-collects
     IndexArtifact(kind, base,
       meta = Map("metric" -> metric) ++ tree.serializeMeta,
-      aux = Map.empty)
+      aux = Map.empty,
+      local = Map("model" -> tree))
   }
 }
 
@@ -36,14 +44,14 @@ final case class CoverTreeSearcher(metric: String = "l2",
 
   def search(artifact: IndexArtifact, queries: DataFrame, k: Int): DataFrame = {
     val spark = artifact.data.sparkSession
-    val rows = artifact.data.select(col("id").cast("long"), col("vector")).collect()
-    val ids = rows.map(_.getLong(0))
-    val vecs = rows.map(_.getSeq[Float](1).toArray)
-    // reuse the CSR tree arrays persisted by the indexer (S19 manifest);
-    // rebuilding on every search call costs O(n · depth) sequential
-    // inserts — at 20k vectors that alone capped throughput at ~9 QPS
-    val tree = CoverTreeModel.fromMeta(ids, vecs, artifact.meta)
-      .getOrElse(CoverTreeModel.build(ids, vecs, metric))
+    // the model built by CoverTreeIndexer.build rides along in
+    // artifact.local — search does NOT touch the base relation again.
+    // The collect+realign path below only runs for artifacts reloaded
+    // from the store (where only data+meta survive).
+    val tree = artifact.local.get("model") match {
+      case Some(m: CoverTreeModel) => m
+      case _ => CoverTreeModel.fromData(artifact.data, artifact.meta, metric)
+    }
     val bTree = spark.sparkContext.broadcast(tree)
     val acc = counter
     val outSchema = StructType(Seq(
@@ -132,12 +140,39 @@ final class CoverTreeModel(
 
   def serializeMeta: Map[String, String] = Map(
     "ct.root" -> root.toString,
+    "ct.ids" -> ids.mkString(","),
     "ct.level" -> level.mkString(","),
     "ct.childOffsets" -> childOffsets.mkString(","),
     "ct.children" -> children.mkString(","))
 }
 
 object CoverTreeModel {
+
+  /** Load path for artifacts deserialized from the store: the CSR arrays
+    * index nodes positionally, so the collected base rows are re-aligned
+    * to the serialized `ct.ids` order (collect order itself is NOT stable
+    * across part files / shuffles — pairing positionally would corrupt the
+    * tree silently). */
+  def fromData(data: DataFrame, meta: Map[String, String], metric: String)
+      : CoverTreeModel = {
+    val rows = data.select(col("id").cast("long"), col("vector")).collect()
+    val byId = new java.util.HashMap[Long, Array[Float]](rows.length * 2)
+    rows.foreach(r => byId.put(r.getLong(0), r.getSeq[Float](1).toArray))
+    meta.get("ct.ids") match {
+      case Some(idsStr) =>
+        val ids = idsStr.split(",").map(_.toLong)
+        val vecs = ids.map { id =>
+          val v = byId.get(id)
+          require(v != null, s"covertree artifact missing vector for id $id")
+          v
+        }
+        fromMeta(ids, vecs, meta)
+          .getOrElse(build(ids, vecs, meta.getOrElse("metric", metric)))
+      case None => // pre-ids artifact: deterministic rebuild from sorted ids
+        val ids = rows.map(_.getLong(0)).sorted
+        build(ids, ids.map(byId.get), meta.getOrElse("metric", metric))
+    }
+  }
 
   /** reconstruct from the serialized CSR arrays (covertree_v2_2.py
     * save/load shape: tree arrays + manifest) */

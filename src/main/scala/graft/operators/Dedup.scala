@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale training-data pipelines.
@@ -19,12 +18,16 @@ object Dedup {
 
   // ---------------------------------------------------------------- exact
   /** Exact dedup on arbitrary columns: first-seen (min orderCol) row wins.
-    * Hash-groupBy, one shuffle on the group key. */
-  def exactDedup(df: DataFrame, keyCols: Seq[String], orderCol: String): DataFrame =
-    df.withColumn("__rn", row_number().over(
-        Window.partitionBy(keyCols.map(col): _*).orderBy(col(orderCol))))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    * Hash-groupBy + min_by: partial (map-side) aggregation collapses each
+    * group to one row per partition BEFORE the shuffle — a Window
+    * formulation would shuffle and per-group-sort every duplicate row. */
+  def exactDedup(df: DataFrame, keyCols: Seq[String], orderCol: String): DataFrame = {
+    val others = df.columns.filterNot(keyCols.contains).toSeq
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min_by(struct(others.map(col): _*), col(orderCol)).as("__first"))
+      .select(df.columns.toSeq.map(c =>
+        if (keyCols.contains(c)) col(c) else col(s"__first.$c").as(c)): _*)
+  }
 
   // ------------------------------------------------------------- tokenize
   /** whitespace word split of trimmed lowercased text */

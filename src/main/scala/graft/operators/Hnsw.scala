@@ -9,12 +9,15 @@ import org.apache.spark.sql.types._
   *
   * A single global navigable graph is inherently sequential and
   * pointer-chasing — the wrong shape for a cluster. SURVEY §2.3-J11
-  * option (a): **IVF-of-NSW** — partition the base by coarse centroid,
-  * build an independent small navigable-small-world graph per partition
-  * inside `mapPartitions`, search = probe the `nprobe` nearest partitions
-  * per query and merge. Approximate-by-construction (recall validated by
-  * threshold, SURVEY §7.4-4); each partition's graph build is local and
-  * parallel, so build time scales with the largest partition, not n.
+  * option (a): **IVF-of-NSW** — partition the base by coarse centroid and
+  * build an independent small navigable-small-world graph per centroid
+  * group **at build time** (the reference builds once, hnsw.py:76-81).
+  * The index relation IS the per-node adjacency:
+  * `(centroid_id, idx, id, vector, nbrs)` — persistable, partitionable by
+  * `centroid_id`, and materialized under `build()` so `search()` only
+  * routes queries, loads the arrays, and walks. Each group's graph build
+  * is local and parallel, so build time scales with the largest group,
+  * not n.
   */
 final case class HnswIndexer(
     nPartitions: Int = 8, m: Int = 8, efConstruction: Int = 32,
@@ -46,11 +49,51 @@ final case class HnswIndexer(
     }
     val assigned = cached.withColumn("centroid_id", assign(col("vector")))
       .repartition(centers.length, col("centroid_id"))
+    // per-centroid NSW construction, ONCE, inside the build job: each
+    // Spark partition holds whole centroid groups (repartition hashes the
+    // grouping column), builds one graph per group, and emits the
+    // adjacency rows that become the index relation
+    val met = metric
+    val mm = m; val efC = efConstruction
+    val adjSchema = StructType(Seq(
+      StructField("centroid_id", IntegerType, nullable = false),
+      StructField("idx", IntegerType, nullable = false),
+      StructField("id", LongType, nullable = false),
+      StructField("vector", ArrayType(FloatType, containsNull = false), nullable = false),
+      StructField("nbrs", ArrayType(IntegerType, containsNull = false), nullable = false)))
+    val adjEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(adjSchema)
+    val adjacency = assigned.mapPartitions { it =>
+      val groups = new java.util.HashMap[Int,
+        (scala.collection.mutable.ArrayBuffer[Long],
+         scala.collection.mutable.ArrayBuffer[Array[Float]])]()
+      it.foreach { r =>
+        val cid = r.getInt(2)
+        var g = groups.get(cid)
+        if (g == null) {
+          g = (new scala.collection.mutable.ArrayBuffer[Long](),
+            new scala.collection.mutable.ArrayBuffer[Array[Float]]())
+          groups.put(cid, g)
+        }
+        g._1 += r.getLong(0)
+        g._2 += r.getSeq[Float](1).toArray
+      }
+      import scala.jdk.CollectionConverters._
+      groups.entrySet().iterator().asScala.flatMap { e =>
+        val cid = e.getKey
+        val (ids, vecs) = e.getValue
+        val g = NswGraph.build(vecs.toArray, mm, efC, met)
+        (0 until ids.length).iterator.map { i =>
+          Row(cid, i, ids(i), vecs(i).toSeq, g.neighbors(i).toSeq)
+        }
+      }
+    }(adjEnc)
+      .persist()
+    adjacency.count() // materialize: graph construction is a BUILD cost
     val spark = base.sparkSession
     import spark.implicits._
     val centroids = centers.zipWithIndex.toSeq.map { case (c, i) => (i, c) }
       .toDF("centroid_id", "vector")
-    IndexArtifact(kind, assigned,
+    IndexArtifact(kind, adjacency,
       meta = Map("m" -> m.toString, "ef_construction" -> efConstruction.toString,
         "metric" -> metric, "n_partitions" -> centers.length.toString),
       aux = Map("centroids" -> centroids))
@@ -61,18 +104,15 @@ final case class HnswSearcher(nprobe: Int = 2, efSearch: Int = 48,
     metric: String = "l2") extends Searcher {
 
   def search(artifact: IndexArtifact, queries: DataFrame, k: Int): DataFrame = {
-    val spark = artifact.data.sparkSession
-    val m = artifact.meta("m").toInt
-    val efC = artifact.meta("ef_construction").toInt
-    // route each query to its nprobe nearest partitions
+    // route each query to its nprobe nearest centroid graphs
     val q = queries.select(col("qid").cast("long").as("qid"), col("vector"))
     val centroids = artifact.aux("centroids")
       .select(col("centroid_id").cast("long").as("id"), col("vector"))
     val probes = KnnJoin.knnJoin(q, centroids, nprobe, "l2")
       .select(col("qid"), col("id").cast("int").as("centroid_id"))
       .join(broadcast(q), Seq("qid"))
-    // co-partition queries with their target graph partition, build the
-    // NSW per partition, answer all routed queries against it
+    // co-partition routed queries with the prebuilt adjacency rows; the
+    // walk only LOADS arrays — no graph construction on the search path
     val met = metric
     val efS = efSearch
     val outSchema = StructType(Seq(
@@ -81,53 +121,77 @@ final case class HnswSearcher(nprobe: Int = 2, efSearch: Int = 48,
       StructField("dist", DoubleType, nullable = false)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
     val tagged = artifact.data
-      .select(col("centroid_id"), col("id"), col("vector"), lit(null).cast("long").as("qid"))
+      .select(col("centroid_id"), col("idx"), col("id"), col("vector"),
+        col("nbrs"), lit(null).cast("long").as("qid"))
       .unionByName(probes
-        .select(col("centroid_id"), lit(-1L).as("id"), col("vector"), col("qid")))
+        .select(col("centroid_id"), lit(-1).as("idx"), lit(-1L).as("id"),
+          col("vector"), lit(null).cast("array<int>").as("nbrs"), col("qid")))
       .repartition(artifact.meta("n_partitions").toInt, col("centroid_id"))
     val merged = tagged.mapPartitions { it =>
-      val baseIds = new scala.collection.mutable.ArrayBuffer[Long]()
-      val baseVecs = new scala.collection.mutable.ArrayBuffer[Array[Float]]()
-      // dedup query probe copies: when several centroid groups hash into
-      // one Spark partition, a query routed to each would otherwise search
-      // the same merged graph multiple times and flood the global merge
-      // with duplicate (qid, id) rows
-      val qSeen = new java.util.HashSet[Long]()
-      val qIds = new scala.collection.mutable.ArrayBuffer[Long]()
-      val qVecs = new scala.collection.mutable.ArrayBuffer[Array[Float]]()
+      // bucket rows per centroid group: graphs are disjoint by centroid,
+      // so a query routed to two groups in this partition searches each
+      // and the global top-k merge dedups nothing (no overlapping ids)
+      final class Group {
+        var ids: Array[Long] = _
+        var vecs: Array[Array[Float]] = _
+        var nbrs: Array[Array[Int]] = _
+        val rows = new scala.collection.mutable.ArrayBuffer[(Int, Long, Array[Float], Array[Int])]()
+        val qIds = new scala.collection.mutable.ArrayBuffer[Long]()
+        val qVecs = new scala.collection.mutable.ArrayBuffer[Array[Float]]()
+      }
+      val groups = new java.util.HashMap[Int, Group]()
       it.foreach { r =>
-        if (r.isNullAt(3)) {
-          baseIds += r.getLong(1); baseVecs += r.getSeq[Float](2).toArray
-        } else if (qSeen.add(r.getLong(3))) {
-          qIds += r.getLong(3); qVecs += r.getSeq[Float](2).toArray
+        val cid = r.getInt(0)
+        var g = groups.get(cid)
+        if (g == null) { g = new Group; groups.put(cid, g) }
+        if (r.isNullAt(5)) {
+          g.rows += ((r.getInt(1), r.getLong(2), r.getSeq[Float](3).toArray,
+            r.getSeq[Int](4).toArray))
+        } else {
+          g.qIds += r.getLong(5)
+          g.qVecs += r.getSeq[Float](3).toArray
         }
       }
-      if (baseIds.isEmpty || qIds.isEmpty) Iterator.empty
-      else {
-        val g = NswGraph.build(baseVecs.toArray, m, efC, met)
-        qIds.iterator.zip(qVecs.iterator).flatMap { case (qid, qv) =>
-          g.search(qv, k, efS).map { case (i, d) => Row(qid, baseIds(i), d) }
+      import scala.jdk.CollectionConverters._
+      groups.values().iterator().asScala.flatMap { g =>
+        if (g.rows.isEmpty || g.qIds.isEmpty) Iterator.empty
+        else {
+          val n = g.rows.length
+          val ids = new Array[Long](n)
+          val vecs = new Array[Array[Float]](n)
+          val nbrs = new Array[Array[Int]](n)
+          g.rows.foreach { case (idx, id, v, nb) =>
+            ids(idx) = id; vecs(idx) = v; nbrs(idx) = nb
+          }
+          val graph = NswGraph.fromAdjacency(vecs, nbrs, met)
+          g.qIds.iterator.zip(g.qVecs.iterator).flatMap { case (qid, qv) =>
+            graph.search(qv, k, efS).map { case (i, d) => Row(qid, ids(i), d) }
+          }
         }
       }
     }(enc)
     // merge across probed partitions → global top-k per query
-    merged.groupBy("qid")
-      .agg(TopKByDist.topK(col("id"), col("dist"), k).as("nn"))
-      .select(col("qid"), posexplode(col("nn")).as(Seq("__pos", "__nn")))
-      .select(col("qid"), (col("__pos") + 1).cast("int").as("rank"),
-        col("__nn.id").as("id"), col("__nn.dist").as("dist"))
+    KnnJoin.topKExploded(merged, col("id"), col("dist"), k)
   }
 }
 
 /** Navigable-small-world graph (single layer; Malkov et al. 2014 — the
   * base layer of HNSW) with incremental insertion and beam search. */
-final class NswGraph(vecs: Array[Array[Float]], metric: String) {
-  private val nbrs = Array.fill(vecs.length)(new scala.collection.mutable.ArrayBuffer[Int]())
+final class NswGraph private (
+    vecs: Array[Array[Float]], metric: String,
+    private val nbrs: Array[scala.collection.mutable.ArrayBuffer[Int]]) {
+
+  def this(vecs: Array[Array[Float]], metric: String) =
+    this(vecs, metric,
+      Array.fill(vecs.length)(new scala.collection.mutable.ArrayBuffer[Int]()))
 
   private[operators] def link(a: Int, b: Int): Unit = {
     nbrs(a) += b
     nbrs(b) += a
   }
+
+  /** adjacency list of node i (for serialization into the index relation) */
+  def neighbors(i: Int): Array[Int] = nbrs(i).toArray
 
   @inline private def dist(a: Array[Float], b: Array[Float]): Double = {
     var i = 0
@@ -191,5 +255,17 @@ object NswGraph {
       i += 1
     }
     g
+  }
+
+  /** reconstruct a prebuilt graph from serialized adjacency arrays — the
+    * search-path loader; does NO insertion work */
+  def fromAdjacency(vecs: Array[Array[Float]], adjacency: Array[Array[Int]],
+      metric: String): NswGraph = {
+    val nbrs = adjacency.map { a =>
+      val b = new scala.collection.mutable.ArrayBuffer[Int](a.length)
+      b ++= a
+      b
+    }
+    new NswGraph(vecs, metric, nbrs)
   }
 }

@@ -70,11 +70,13 @@ final case class IvfSearcher(nprobe: Int, metric: String) extends Searcher {
     // IVF coarse assignment is L2 even under other metrics)
     val probes = KnnJoin.knnJoin(q, centroids, nprobe, "l2")
       .select(col("qid"), col("id").cast("int").as("centroid_id"))
-    // inverted-list pruned candidates: equi-join on centroid_id
+    // inverted-list pruned candidates: equi-join on centroid_id. The index
+    // relation already carries the vectors it just pruned, so they ride
+    // through the probe join straight into the rerank — ONE scan of the
+    // index relation, no second full-table join by id.
     val candidates = artifact.data
       .join(broadcast(probes), Seq("centroid_id"))
-      .select(col("qid"), col("id"))
-    KnnJoin.rerank(candidates,
-      q, artifact.data.select(col("id"), col("vector")), k, metric)
+      .select(col("qid"), col("id"), col("vector"))
+    KnnJoin.rerankCarried(candidates, q, k, metric)
   }
 }

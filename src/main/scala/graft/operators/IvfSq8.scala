@@ -37,13 +37,9 @@ final case class IvfSq8Searcher(nprobe: Int, metric: String) extends Searcher {
       .select(col("centroid_id").cast("long").as("id"), col("vector"))
     val probes = KnnJoin.knnJoin(q, centroids, nprobe, "l2")
       .select(col("qid"), col("id").cast("int").as("centroid_id"))
-    artifact.data
+    val scored = artifact.data
       .join(broadcast(probes), Seq("centroid_id"))
       .select(col("qid"), col("id"), dist(col("qid"), col("codes")).as("__dist"))
-      .groupBy("qid")
-      .agg(TopKByDist.topK(col("id"), col("__dist"), k).as("nn"))
-      .select(col("qid"), posexplode(col("nn")).as(Seq("__pos", "__nn")))
-      .select(col("qid"), (col("__pos") + 1).cast("int").as("rank"),
-        col("__nn.id").as("id"), col("__nn.dist").as("dist"))
+    KnnJoin.topKExploded(scored, col("id"), col("__dist"), k)
   }
 }

@@ -99,6 +99,20 @@ object KnnJoin {
         col("__nn.dist").as("dist"))
   }
 
+  /** Shared result tail: scored (qid, id-ish, dist-ish) rows → global
+    * top-k per query via the bounded-heap aggregate, exploded to the
+    * canonical (qid, rank, id, dist) relation. */
+  def topKExploded(scored: DataFrame, idCol: Column, distCol: Column, k: Int)
+      : DataFrame =
+    scored.groupBy(col("qid"))
+      .agg(TopKByDist.topK(idCol, distCol, k).as("nn"))
+      .select(col("qid"), posexplode(col("nn")).as(Seq("__pos", "__nn")))
+      .select(
+        col("qid"),
+        (col("__pos") + 1).cast("int").as("rank"),
+        col("__nn.id").as("id"),
+        col("__nn.dist").as("dist"))
+
   /** Rerank candidate pairs (qid, id) exactly: used as the tail of every
     * ANN path (LSH/IVF/PQ rerank — lsh.py:242-283, modular.py:455-534). */
   def rerank(
@@ -107,23 +121,34 @@ object KnnJoin {
       base: DataFrame, // id, vector
       k: Int,
       metric: String = "l2"): DataFrame = {
-    val q = queries.select(col("qid").cast("long").as("qid"), col("vector").as("__qvec"))
     val b = base.select(col("id").cast("long").as("__bid"), col("vector").as("__bvec"))
-    val dist = VectorFunctions.distance(metric)(col("__qvec"), col("__bvec"))
-    candidates
+    val withVecs = candidates
       .select(col("qid").cast("long").as("qid"), col("id").cast("long").as("__bid"))
       // P7: drop (-1) padding slots before reranking (modular.py:484-486)
       .filter(col("__bid") >= 0)
       .join(b, Seq("__bid"))
+    rerankCarried(withVecs.select(col("qid"), col("__bid").as("id"),
+      col("__bvec").as("vector")), queries, k, metric)
+  }
+
+  /** Rerank candidates that already CARRY their vectors (qid, id, vector)
+    * — the index relation of IVF-family probes holds the vectors it just
+    * pruned, so re-joining the full base by id would be a pure-overhead
+    * full-table shuffle join. One broadcast join against the (small) query
+    * side, codegen distance, bounded-heap top-k. */
+  def rerankCarried(
+      candidates: DataFrame, // qid, id, vector
+      queries: DataFrame, // qid, vector
+      k: Int,
+      metric: String = "l2"): DataFrame = {
+    val q = queries.select(col("qid").cast("long").as("qid"), col("vector").as("__qvec"))
+    val dist = VectorFunctions.distance(metric)(col("__qvec"), col("__bvec"))
+    val scored = candidates
+      .select(col("qid").cast("long").as("qid"),
+        col("id").cast("long").as("__bid"), col("vector").as("__bvec"))
+      .filter(col("__bid") >= 0)
       .join(broadcast(q), Seq("qid"))
       .select(col("qid"), col("__bid"), dist.as("__dist"))
-      .groupBy(col("qid"))
-      .agg(TopKByDist.topK(col("__bid"), col("__dist"), k).as("nn"))
-      .select(col("qid"), posexplode(col("nn")).as(Seq("__pos", "__nn")))
-      .select(
-        col("qid"),
-        (col("__pos") + 1).cast("int").as("rank"),
-        col("__nn.id").as("id"),
-        col("__nn.dist").as("dist"))
+    topKExploded(scored, col("__bid"), col("__dist"), k)
   }
 }

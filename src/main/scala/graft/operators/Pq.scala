@@ -74,18 +74,8 @@ final case class PqSearcher(metric: String) extends Searcher {
     // a boxed Seq[Double] per joined row — a GC storm at n_base×n_queries
     // rows. Only (qid, codes) cross the row boundary now; codes are
     // BinaryType (primitive byte[], no boxing).
-    val qRows = queries.select(col("qid").cast("long"), col("vector")).collect()
-    val luts: Map[Long, Array[Double]] = qRows.map { r =>
-      r.getLong(0) -> model.lut(r.getSeq[Float](1).toArray, metric)
-    }.toMap
-    val mm = model.codebooks.length
-    val score = udf { (qid: Long, codes: Array[Byte]) =>
-      val lut = luts(qid)
-      val nC = lut.length / mm
-      var acc = 0.0; var j = 0
-      while (j < mm) { acc += lut(j * nC + (codes(j) + 128)); j += 1 }
-      acc
-    }
+    val luts = model.luts(queries, metric)
+    val score = model.adcScoreUdf(luts)
     val spark = artifact.data.sparkSession
     import spark.implicits._
     val q = luts.keys.toSeq.sorted.toDF("qid")
@@ -93,14 +83,10 @@ final case class PqSearcher(metric: String) extends Searcher {
     val distCol =
       if (l2) sqrt(score(col("qid"), col("codes")))
       else score(col("qid"), col("codes"))
-    artifact.data
+    val scored = artifact.data
       .crossJoin(broadcast(q))
       .select(col("qid"), col("id"), distCol.as("__dist"))
-      .groupBy("qid")
-      .agg(TopKByDist.topK(col("id"), col("__dist"), k).as("nn"))
-      .select(col("qid"), posexplode(col("nn")).as(Seq("__pos", "__nn")))
-      .select(col("qid"), (col("__pos") + 1).cast("int").as("rank"),
-        col("__nn.id").as("id"), col("__nn.dist").as("dist"))
+    KnnJoin.topKExploded(scored, col("id"), col("__dist"), k)
   }
 }
 
@@ -131,6 +117,25 @@ final case class PqModel(codebooks: Array[Array[Array[Float]]], dsub: Int)
         j += 1
       }
       out
+    }
+  }
+
+  /** per-qid LUTs computed ONCE on the driver (see PqSearcher note on why
+    * they ship in the scoring closure rather than as a join column) */
+  def luts(queries: DataFrame, metric: String): Map[Long, Array[Double]] =
+    queries.select(col("qid").cast("long"), col("vector")).collect()
+      .map(r => r.getLong(0) -> lut(r.getSeq[Float](1).toArray, metric)).toMap
+
+  /** ADC score over (qid, codes): Σ_j lut[j][code_j] */
+  def adcScoreUdf(luts: Map[Long, Array[Double]])
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val mm = codebooks.length
+    udf { (qid: Long, codes: Array[Byte]) =>
+      val lut = luts(qid)
+      val nC = lut.length / mm
+      var acc = 0.0; var j = 0
+      while (j < mm) { acc += lut(j * nC + (codes(j) + 128)); j += 1 }
+      acc
     }
   }
 

@@ -49,15 +49,11 @@ final case class Sq8Searcher(metric: String) extends Searcher {
     import spark.implicits._
     val q = queries.select(col("qid").cast("long").as("qid")).as[Long]
       .collect().sorted.toSeq.toDF("qid")
-    artifact.data
+    val scored = artifact.data
       .crossJoin(broadcast(q))
       .select(col("qid"), col("id"),
         dist(col("qid"), col("codes")).as("__dist"))
-      .groupBy("qid")
-      .agg(TopKByDist.topK(col("id"), col("__dist"), k).as("nn"))
-      .select(col("qid"), posexplode(col("nn")).as(Seq("__pos", "__nn")))
-      .select(col("qid"), (col("__pos") + 1).cast("int").as("rank"),
-        col("__nn.id").as("id"), col("__nn.dist").as("dist"))
+    KnnJoin.topKExploded(scored, col("id"), col("__dist"), k)
   }
 }
 
