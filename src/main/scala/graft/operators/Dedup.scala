@@ -266,16 +266,83 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  // ------------------------------------------- embedding cosine near-dup
-  /** Embedding near-dup pairs: cosine similarity ≥ threshold. Exact
-    * variant (cross join within blocking via broadcast) for moderate n;
-    * at scale, route candidates through LshIndexer buckets first. */
-  def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
-    val t = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-    val sim = lit(1.0) - graft.functions.VectorFunctions.cosine_dist(col("l.v"), col("r.v"))
-    t.as("l").join(t.as("r"), col("l.id") < col("r.id"))
-      .select(col("l.id").as("a"), col("r.id").as("b"), sim.as("cosine"))
-      .filter(col("cosine") >= threshold)
+  /** AllPairs/PPJoin-style prefix-filtered exact Jaccard join: under a
+    * global (df asc, token) order, any pair with J ≥ t must share a token
+    * within each side's first `n − ceil(t·n) + 1` tokens (Bayardo et al.
+    * '07), so only those prefix tokens feed the candidate equi-join —
+    * posting lists shrink ~10× at t=0.9 and candidates quadratically so —
+    * then candidates verify exactly on the full sorted hash arrays.
+    * Identical output to [[jaccardSimilarityJoin]]; this is the
+    * corpus-scale shape (fine-grained join keys, rare-first prefixes, no
+    * block-quadratic groups). */
+  def jaccardSimilarityJoinPrefix(df: DataFrame, idCol: String, textCol: String,
+      blockCol: String, threshold: Double): DataFrame = {
+    val t = df.select(col(idCol).cast("long").as("id"),
+      col(blockCol).as("block"),
+      array_sort(array_distinct(transform(tokens(col(textCol)),
+        tk => xxhash64(tk)))).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .cache() // tokenized once; feeds postings, prefixes and the verify
+    val posting = t.select(col("id"), col("block"), col("n"),
+      explode(col("toks")).as("tok"))
+    val dfc = posting.groupBy("tok").agg(count(lit(1)).as("df"))
+    // rare-first prefix: order each doc's tokens by (global df, token),
+    // keep the first n − ceil(t·n) + 1
+    val prefix = posting.join(dfc, "tok")
+      .groupBy("id", "block", "n")
+      .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("ord"))
+      .select(col("id"), col("block"),
+        explode(slice(transform(col("ord"), x => x("tok")), lit(1),
+          (col("n") - ceil(col("n") * lit(threshold)) + 1).cast("int"))).as("tok"))
+    val cand = prefix.as("l").join(prefix.as("r"),
+        col("l.block") === col("r.block") && col("l.tok") === col("r.tok") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"))
+      .dropDuplicates("a", "b")
+    cand
+      .join(t.select(col("id").as("a"), col("toks").as("ta")), Seq("a"))
+      .join(t.select(col("id").as("b"), col("toks").as("tb")), Seq("b"))
+      .select(col("a"), col("b"),
+        graft.functions.ArrayFunctions
+          .sorted_array_jaccard(col("ta"), col("tb")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
+
+  // ------------------------------------------- embedding cosine near-dup
+  /** Embedding near-dup candidate pairs scored by exact cosine, with
+    * candidates from sign-random-projection LSH buckets — an equi-join on
+    * (table, key), never an all-pairs theta join. The bucket shuffle
+    * carries slim (id, key) rows; vectors attach only after the candidate
+    * pairs are deduped. Recall is tunable: per-pair miss probability is
+    * (1 − (1 − θ/π)^hashSize)^numTables — the 48×3 default keeps it below
+    * ~1e-6 even for merely-similar pairs (cosine ≈ 0.45), so at gate
+    * scales the candidate set contains every near-dup pair. */
+  def embeddingDupPairsCandidates(df: DataFrame, idCol: String, vecCol: String,
+      numTables: Int = 48, hashSize: Int = 3, seed: Long = 42): DataFrame = {
+    val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val dim = LshModel.dimOf(base, "v")
+    val model = LshModel(numTables, hashSize, dim, 4.0, "cosine", seed)
+    val hashUdf = model.hashUdf(df.sparkSession)
+    val keys = base
+      .withColumn("__keys", hashUdf(col("v")))
+      .select(col("id"), posexplode(col("__keys")).as(Seq("table", "key")))
+    val cand = keys.as("l").join(keys.as("r"),
+        col("l.table") === col("r.table") && col("l.key") === col("r.key") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"))
+      .dropDuplicates("a", "b")
+    val sim = lit(1.0) - graft.functions.VectorFunctions
+      .cosine_dist(col("va"), col("vb"))
+    cand
+      .join(base.select(col("id").as("a"), col("v").as("va")), Seq("a"))
+      .join(base.select(col("id").as("b"), col("v").as("vb")), Seq("b"))
+      .select(col("a"), col("b"), sim.as("cosine"))
+  }
+
+  /** Embedding near-dup pairs: cosine similarity ≥ threshold, via
+    * [[embeddingDupPairsCandidates]]. */
+  def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame =
+    embeddingDupPairsCandidates(df, idCol, vecCol)
+      .filter(col("cosine") >= threshold)
 }

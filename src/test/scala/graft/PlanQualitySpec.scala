@@ -60,6 +60,40 @@ class PlanQualitySpec extends AnyFunSuite {
       "bucket probe must plan as a hash/merge equi-join")
   }
 
+  test("dedup gate queries: no cartesian / nested-loop join anywhere") {
+    // every near-dup family member must get its candidates from an
+    // equi-join on a blocking key — an O(n²) theta join would be the
+    // 100 TB death sentence the LSH/prefix variants exist to avoid
+    val d = "/root/testdata/sf0.001"
+    for (q <- Seq("dedup_jaccard_pairs", "dedup_embedding_top",
+        "dedup_simhash")) {
+      val plan = SparkEntry.queries(q)(spark, d)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$q plans a CartesianProduct")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$q plans a BroadcastNestedLoopJoin")
+    }
+    // minhash gate aggregates driver-side sub-results; check the operator
+    val docs = Tables.load(spark, d, "documents")
+    val plan = graft.operators.Dedup.minhashDupPairs(docs, "doc_id", "text",
+      shingleLen = 3, numHashes = 16, bands = 4, threshold = 0.7)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "minhash candidate generation must stay an equi-join")
+  }
+
+  test("prefix-filtered jaccard ≡ block jaccard (exactness of the filter)") {
+    val docs = Tables.load(spark, dir, "documents")
+    import graft.operators.Dedup
+    val a = Dedup.jaccardSimilarityJoin(docs, "doc_id", "text", "lang", 0.9)
+      .select("a", "b", "jaccard").collect().map(_.toSeq).toSet
+    val b = Dedup.jaccardSimilarityJoinPrefix(docs, "doc_id", "text", "lang", 0.9)
+      .select("a", "b", "jaccard").collect().map(_.toSeq).toSet
+    assert(a == b, s"prefix filter changed the result: ${a.size} vs ${b.size} pairs")
+    assert(a.nonEmpty, "gate data should contain high-jaccard pairs")
+  }
+
   test("vector expressions: zero vectors, empty arrays, nulls") {
     val df = Seq(
       (Some(Seq(0f, 0f)), Some(Seq(0f, 0f))),
