@@ -53,7 +53,19 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // reference-baseline comparison table (recall/QPS per algorithm vs
+    // BASELINE.md) — extra artifact data, NOT part of the total
+    val baseline =
+      if (sys.env.getOrElse("SPARK_GRAFT_BASELINE", "1") == "0") "{}"
+      else {
+        val entries = graft.harness.BaselineCompare.run(spark)
+        entries.foreach(e => System.err.println(
+          f"[baseline] ${e.algo}%-10s recall=${e.recall}%.4f qps=${e.qps}%.0f " +
+            f"build=${e.buildS}%.2fs (ref ${e.refRecall}%.4f/${e.refQps}%.0f)"))
+        graft.harness.BaselineCompare.json(entries)
+      }
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"baseline":$baseline,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

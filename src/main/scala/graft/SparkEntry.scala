@@ -139,10 +139,15 @@ object SparkEntry {
     //     the exploded rows hash-match the j1_knn_l2 DuckDB oracle ---
     "j12_covertree" -> annExploded("covertree", "covertree", "covertree",
       Map(), "l2"),
-    // --- J11: per-partition NSW graph search ---
+    // --- J11: per-partition NSW graph search (the distributed path) ---
     "j11_hnsw" -> annRecall("hnsw", "hnsw", "hnsw",
       Map("n_partitions" -> "8", "m" -> "8", "nprobe" -> "3",
         "ef_search" -> "64"), "l2", floor = 0.60),
+    // --- J11 reference shape: multi-layer global HNSW (driver-built,
+    //     broadcast; M=16 efC=200 mirrors hnsw.py:76-81) ---
+    "j11_hnsw_global" -> annRecall("hnsw_global", "hnsw_global", "hnsw_global",
+      Map("m" -> "16", "ef_construction" -> "200", "ef_search" -> "100"),
+      "l2", floor = 0.85),
     // --- P1: row normalization (zero-norm → zero-vector convention) ---
     "p1_normalize" -> ((s, dir) =>
       Tables.load(s, dir, "embeddings").select(

@@ -1,0 +1,112 @@
+package graft.harness
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.sources.RandomDataset
+
+/** Reference-baseline comparison on the BASELINE.md primary workload
+  * (random 20k × 64-d, 256 queries, k=20, L2): every algorithm family at
+  * the reference's own configs, measured recall/QPS/build side-by-side
+  * with the published numbers (benchmark_20260305_070532/
+  * benchmark_summary.md:11-18). Rendered into the bench artifact so each
+  * round's recall parity and per-algorithm speed are judgeable from
+  * BENCH_r*.json alone. */
+object BaselineCompare {
+
+  final case class Entry(
+      algo: String, recall: Double, qps: Double, buildS: Double,
+      refRecall: Double, refQps: Double)
+
+  /** reference rows: algo -> (recall@20, QPS) */
+  val reference: Map[String, (Double, Double)] = Map(
+    "exact" -> (1.0000, 220.03),
+    "hnsw" -> (0.9156, 23886.0),
+    "ivf_flat" -> (0.4105, 111697.0),
+    "ivf_pq" -> (0.5090, 43245.0),
+    "ivf_sq8" -> (0.5090, 248897.0),
+    "pq" -> (0.9672, 25606.0),
+    "covertree" -> (1.0000, 34.40),
+    "lsh" -> (0.3191, 172.98))
+
+  /** (name, indexer, searcher, params) mirroring the reference configs */
+  val algos: Seq[(String, String, String, Map[String, String])] = Seq(
+    ("exact", "brute_force", "linear", Map.empty[String, String]),
+    ("hnsw", "hnsw_global", "hnsw_global",
+      Map("m" -> "16", "ef_construction" -> "200", "ef_search" -> "100")),
+    ("ivf_flat", "ivf", "ivf", Map("nlist" -> "100", "nprobe" -> "10")),
+    ("ivf_pq", "ivf_pq", "ivf_pq", Map("nlist" -> "256", "nprobe" -> "24",
+      "num_subspaces" -> "64", "num_centroids" -> "256")),
+    ("ivf_sq8", "ivf_sq8", "ivf_sq8", Map("nlist" -> "256", "nprobe" -> "24")),
+    ("pq", "pq", "pq", Map("num_subspaces" -> "64", "num_centroids" -> "256")),
+    ("covertree", "covertree", "covertree", Map.empty[String, String]),
+    ("lsh", "lsh", "lsh", Map("num_tables" -> "12", "hash_size" -> "4",
+      "bucket_width" -> "20.0", "candidate_multiplier" -> "64")))
+
+  def run(spark: SparkSession): Seq[Entry] = {
+    import spark.implicits._
+    Registry.init()
+    val train = RandomDataset.vectors(spark, 20000, 64, 42).cache()
+    val test = RandomDataset.vectors(spark, 256, 64, 43)
+      .withColumnRenamed("id", "qid").cache()
+    train.count(); test.count()
+    val gt = KnnJoin.knnJoinAgg(test, train, 20, "l2")
+      .select(col("qid"), transform(col("nn"), x => x("id")).as("gt_ids"))
+      .cache()
+    gt.count()
+
+    val out = algos.flatMap { case (name, in, se, params) =>
+      try {
+        System.err.println(s"[baseline] running $name ...")
+        val t0 = System.nanoTime()
+        val artifact = Registry.indexer(in, params + ("seed" -> "42"), "l2")
+          .build(train)
+        artifact.data.cache().count()
+        val buildS = (System.nanoTime() - t0) / 1e9
+        val searcher = Registry.searcher(se, params, "l2")
+        def timed(): (Double, org.apache.spark.sql.DataFrame) = {
+          val t1 = System.nanoTime()
+          val res = searcher.search(artifact, test, 20)
+            .groupBy("qid")
+            .agg(TopKByDist.topK(col("id"), col("dist"), 20).as("nn"))
+            .select(col("qid"), transform(col("nn"), x => x("id")).as("pred"))
+            .cache()
+          res.count()
+          ((System.nanoTime() - t1) / 1e9, res)
+        }
+        val (_, warm) = timed() // warm: JIT + codegen + broadcast reuse
+        warm.unpersist()
+        val (secs, pred) = timed()
+        val recall = pred.join(gt, Seq("qid"), "left")
+          .withColumn("pred", coalesce(col("pred"), array().cast("array<bigint>")))
+          .select(avg(Metrics.recallAtK(col("pred"), col("gt_ids"), 20)))
+          .as[Double].head()
+        pred.unpersist()
+        artifact.data.unpersist()
+        val (refR, refQ) = reference(name)
+        Some(Entry(name, recall, 256.0 / secs, buildS, refR, refQ))
+      } catch { case e: Throwable =>
+        System.err.println(s"[baseline] $name FAILED: ${e.getMessage}")
+        None
+      }
+    }
+    train.unpersist(); test.unpersist(); gt.unpersist()
+    out
+  }
+
+  /** JSON object fragment for the bench artifact */
+  def json(entries: Seq[Entry]): String =
+    entries.map { e =>
+      f""""${e.algo}":{"recall":${e.recall}%.4f,"qps":${e.qps}%.1f,""" +
+        f""""build_s":${e.buildS}%.2f,"ref_recall":${e.refRecall}%.4f,""" +
+        f""""ref_qps":${e.refQps}%.1f}"""
+    }.mkString("{", ",", "}")
+
+  def table(entries: Seq[Entry]): String = {
+    val header = f"${"algo"}%-10s ${"recall@20"}%10s ${"QPS"}%10s ${"build_s"}%8s   reference(recall/QPS)"
+    (header +: entries.map { e =>
+      f"${e.algo}%-10s ${e.recall}%10.4f ${e.qps}%10.0f ${e.buildS}%8.2f   (${e.refRecall}%.4f / ${e.refQps}%.0f)"
+    }).mkString("\n")
+  }
+}

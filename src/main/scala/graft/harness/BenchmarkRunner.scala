@@ -90,13 +90,20 @@ object BenchmarkRunner {
     Reports.write(s"$outputDir/benchmark_summary.md", summary.toString)
   }
 
-  /** dataset loaders: `random` (S4), `embeddings` (testdata), or a
+  /** dataset loaders: `random` (S4), `embeddings` (testdata), any
+    * [[graft.sources.DatasetCatalog]] name (glove50/sift1m/…), or a
     * parquet path with auto-resolved columns (S6) */
   def loadDataset(spark: SparkSession, name: String, dsCfg: Map[String, Any],
       gtK: Int, seed: Long): DatasetBundle = {
     val opts = dsCfg.getOrElse("options", Map.empty[String, Any]).asMap
     val metric = str(dsCfg, "metric", "l2")
     name match {
+      case n if n != "random" && graft.sources.DatasetCatalog.available.contains(n) =>
+        val root = str(opts, "root", ".")
+        val cache = str(opts, "cache_root", s"$root/cache")
+        val b = graft.sources.DatasetCatalog.resolve(spark, n, root, cache,
+          params(opts - "root" - "cache_root"))
+        DatasetBundle(b.name, str(dsCfg, "metric", b.metric), b.train, b.test, b.gt)
       case "random" =>
         val (train, test, gt) = RandomDataset.dataset(spark,
           int(opts, "train_size", 1000).toLong,

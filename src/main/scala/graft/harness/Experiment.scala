@@ -117,7 +117,14 @@ object Experiment {
       collected.count() // force
       ((System.nanoTime() - t0) / 1e9, collected)
     }
-    val runs = (1 to math.max(1, repeat)).map(_ => timedRun())
+    // keep only the last run's cached result: with repeat>1 / sweeps the
+    // earlier cached DataFrames would otherwise pile up in storage memory
+    val runs = (1 to math.max(1, repeat)).foldLeft(
+        List.empty[(Double, org.apache.spark.sql.DataFrame)]) { (acc, _) =>
+      val r = timedRun()
+      acc.headOption.foreach(_._2.unpersist())
+      r :: acc
+    }.reverse
     val runTimes = runs.map(_._1)
     val collected = runs.last._2
     val totalQueryTime = runTimes.sum
@@ -128,7 +135,13 @@ object Experiment {
     val metrics: Map[String, Double] = gt match {
       case None => Map.empty
       case Some(g) =>
-        val joined = collected.join(g, "qid").cache()
+        // left join FROM gt: a query the searcher returned nothing for
+        // scores 0 instead of silently dropping out of the averages (the
+        // reference averages over all queries)
+        val joined = g.join(collected, Seq("qid"), "left")
+          .withColumn("pred",
+            coalesce(col("pred"), array().cast("array<bigint>")))
+          .cache()
         val sweep = Metrics.kSweep(ks, topk)
         val cols = sweep.flatMap { k =>
           Seq(avg(Metrics.recallAtK(col("pred"), col("gt_ids"), k)).as(s"recall@$k"),
@@ -139,6 +152,7 @@ object Experiment {
           avg(Metrics.apAtK(col("pred"), col("gt_ids"), math.min(10, topk))).as("map@10"),
           avg(Metrics.rrAtK(col("pred"), col("gt_ids"), topk)).as("mrr"))
         val row = joined.agg(cols.head, cols.tail: _*).head()
+        joined.unpersist()
         val names = row.schema.fieldNames
         names.zipWithIndex.map { case (n, i) => n -> row.getDouble(i) }.toMap +
           // summary recall rule: recall@min(100, topk) (experiment_runner.py:109-121)

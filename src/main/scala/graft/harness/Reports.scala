@@ -68,8 +68,9 @@ object Reports {
     def y(r: Double) = (h - 50) - r * (h - 90)
     val circles = pts.zipWithIndex.map { case (r, i) =>
       val rec = r.metrics("recall")
-      s"""<circle cx="${x(r.qps)}%.1f" cy="${y(rec)}%.1f" r="5" fill="hsl(${i * 47 % 360},60%,50%)"/>
-         |<text x="${x(r.qps) + 8}" y="${y(rec) + 4}" font-size="11">${r.algorithm}</text>"""
+      val cx = "%.1f".format(x(r.qps)); val cy = "%.1f".format(y(rec))
+      s"""<circle cx="$cx" cy="$cy" r="5" fill="hsl(${i * 47 % 360},60%,50%)"/>
+         |<text x="${"%.1f".format(x(r.qps) + 8)}" y="${"%.1f".format(y(rec) + 4)}" font-size="11">${r.algorithm}</text>"""
         .stripMargin
     }.mkString("\n")
     s"""<svg xmlns="http://www.w3.org/2000/svg" width="$w" height="$h">

@@ -117,6 +117,17 @@ object Registry {
       registerSearcher("ivf_pq") { (p, m) =>
         IvfPqSearcher(nprobe = p.getOrElse("nprobe", "8").toInt, metric = m)
       }
+      registerIndexer("hnsw_global") { (p, met) =>
+        HnswGlobalIndexer(
+          m = p.getOrElse("m", "16").toInt,
+          efConstruction = p.getOrElse("ef_construction", "200").toInt,
+          metric = met,
+          seed = p.getOrElse("seed", "42").toLong)
+      }
+      registerSearcher("hnsw_global") { (p, met) =>
+        HnswGlobalSearcher(
+          efSearch = p.getOrElse("ef_search", "100").toInt, metric = met)
+      }
       registerIndexer("covertree")((_, m) => CoverTreeIndexer(m))
       registerSearcher("covertree")((_, m) => CoverTreeSearcher(m))
       registerIndexer("hnsw") { (p, m) =>

@@ -191,14 +191,24 @@ object Dedup {
     * chunk → equi-join per chunk, then exact popcount verify. */
   def simhashDupPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    // maxHamming=0 would make the single chunk mask (1L<<64)-1 == 0 and
+    // collapse every fingerprint into one bucket (a full O(n²) self-join);
+    // exact-match dedup belongs to the fingerprint path, not simhash
+    require(maxHamming >= 1, "simhash maxHamming must be >= 1")
     val nChunks = maxHamming + 1
-    val chunkBits = 64 / nChunks
+    // ceil-sized chunks so ALL 64 bits land in some chunk even when
+    // 64 % nChunks != 0 (a shorter final chunk keeps the pigeonhole
+    // guarantee; uncovered top bits would admit false candidates only,
+    // but cover ALL bits anyway for tighter blocking)
+    val chunkBits = (64 + nChunks - 1) / nChunks
     val withFp = df.select(col(idCol).cast("long").as("id"),
       simhash(col(textCol)).as("fp"))
     val chunked = withFp.select(col("id"), col("fp"),
       posexplode(array((0 until nChunks).map { c =>
-        shiftrightunsigned(col("fp"), c * chunkBits)
-          .bitwiseAND(lit((1L << chunkBits) - 1))
+        val lo = c * chunkBits
+        val width = math.min(chunkBits, 64 - lo)
+        shiftrightunsigned(col("fp"), lo)
+          .bitwiseAND(lit(if (width >= 64) -1L else (1L << width) - 1))
       }: _*)).as(Seq("chunk", "key")))
     chunked.as("l").join(chunked.as("r"),
         col("l.chunk") === col("r.chunk") && col("l.key") === col("r.key") &&

@@ -85,6 +85,33 @@ class AnnSpec extends AnyFunSuite {
     assert(r > 0.8, s"ivf_sq8 full-probe recall $r")
   }
 
+  test("IVF-PQ composition: recall above the partial-probe floor") {
+    val idx = IvfPqIndexer(nlist = 8, numSubspaces = 8, numCentroids = 32,
+      seed = 42).build(trainC)
+    val res = IvfPqSearcher(nprobe = 8, metric = "l2").search(idx, testQ, 10)
+    val r = recallOf(res)
+    assert(r > 0.6, s"ivf_pq full-probe recall $r")
+  }
+
+  test("global multi-layer HNSW: high recall, build-once, reload-aligned") {
+    val idx = HnswGlobalIndexer(m = 8, efConstruction = 64, metric = "l2",
+      seed = 42).build(trainC)
+    // build happens at build(): the model rides in the local slot
+    assert(idx.local.contains("model"))
+    val res = HnswGlobalSearcher(efSearch = 64, metric = "l2")
+      .search(idx, testQ, 10)
+    val r = recallOf(res)
+    assert(r > 0.9, s"hnsw_global recall $r")
+    // reload path (no local model): rebuild from data+meta+aux must give
+    // the identical graph → identical results
+    val reloaded = idx.copy(local = Map.empty)
+    val res2 = HnswGlobalSearcher(efSearch = 64, metric = "l2")
+      .search(reloaded, testQ, 10)
+    val a = res.orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+    val b = res2.orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+    assert(a == b, "reloaded artifact must reproduce the search exactly")
+  }
+
   test("registry dispatch builds the same algorithms") {
     val alg = Algorithm("exact",
       Registry.indexer("brute_force", Map(), "l2"),

@@ -59,6 +59,64 @@ class BenchmarkRunnerSpec extends AnyFunSuite {
     assert(md.contains("| exact | 1.0000"))
   }
 
+  test("dataset catalog: glove50 + sift1m named datasets run end-to-end") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("dscat").toString
+    val outDir = Files.createTempDirectory("dscat_out").toString
+    val rnd = new java.util.Random(7)
+    // GloVe text fixture (word + 4-d vectors)
+    val glove = (0 until 80).map { i =>
+      s"w$i " + (0 until 4).map(_ => f"${rnd.nextGaussian()}%.4f").mkString(" ")
+    }.mkString("\n")
+    Files.writeString(Paths.get(root, "glove.6B.50d.txt"), glove)
+    // SIFT fvecs/ivecs fixture: base, queries, and an ivecs GT computed
+    // brute-force from the same arrays
+    val base = Array.fill(60)(Array.fill(4)(rnd.nextGaussian().toFloat))
+    val queries = Array.fill(5)(Array.fill(4)(rnd.nextGaussian().toFloat))
+    graft.sources.VectorSources.writeFvecs(s"$root/sift_base.fvecs", base.toSeq)
+    graft.sources.VectorSources.writeFvecs(s"$root/sift_query.fvecs", queries.toSeq)
+    def l2(a: Array[Float], b: Array[Float]) =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val gtIds = queries.map { q =>
+      base.zipWithIndex.sortBy { case (v, i) => (l2(q, v), i) }.take(3).map(_._2)
+    }
+    val bb = java.nio.ByteBuffer.allocate(gtIds.map(4 + 4 * _.length).sum)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    gtIds.foreach { ids => bb.putInt(ids.length); ids.foreach(bb.putInt) }
+    Files.write(Paths.get(root, "sift_groundtruth.ivecs"), bb.array())
+
+    val yaml =
+      s"""topk: 3
+         |seed: 7
+         |datasets:
+         |  - name: glove50
+         |    options:
+         |      root: $root
+         |      test_size: 5
+         |      gt_k: 3
+         |  - name: sift1m
+         |    options:
+         |      root: $root
+         |algorithms:
+         |  exact:
+         |    indexer:
+         |      type: brute_force
+         |    searcher:
+         |      type: linear
+         |""".stripMargin
+    val cfg = Config.parseYaml(yaml).asInstanceOf[Map[String, Any]]
+    BenchmarkRunner.run(spark, cfg, outDir)
+    for (ds <- Seq("glove50", "sift1m")) {
+      assert(Files.exists(Paths.get(outDir, ds, "one-page-summary.md")), ds)
+      assert(Files.exists(Paths.get(outDir, ds, "qps_recall.svg")), ds)
+      val md = Files.readString(Paths.get(outDir, ds, "one-page-summary.md"))
+      assert(md.contains("| exact | 1.0000"),
+        s"$ds exact search must score recall 1.0 against its GT:\n$md")
+    }
+    // digest cache: processed canonical parquet exists and reloads
+    assert(Files.list(Paths.get(root, "cache")).count() >= 2)
+  }
+
   test("dataset errors are isolated, suite continues") {
     val outDir = java.nio.file.Files.createTempDirectory("bench2").toString
     val cfg: Map[String, Any] = Map(
