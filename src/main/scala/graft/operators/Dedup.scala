@@ -301,12 +301,16 @@ object Dedup {
     val prefix = posting.join(dfc, "tok")
       .groupBy("id", "block", "n")
       .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("ord"))
-      .select(col("id"), col("block"),
+      .select(col("id"), col("block"), col("n"),
         explode(slice(transform(col("ord"), x => x("tok")), lit(1),
           (col("n") - ceil(col("n") * lit(threshold)) + 1).cast("int"))).as("tok"))
+    // size-ratio filter: J ≥ t ⇒ min(|A|,|B|) ≥ t·max(|A|,|B|) — prunes
+    // length-mismatched collisions before they reach the verify join
     val cand = prefix.as("l").join(prefix.as("r"),
         col("l.block") === col("r.block") && col("l.tok") === col("r.tok") &&
-          col("l.id") < col("r.id"))
+          col("l.id") < col("r.id") &&
+          col("l.n") >= col("r.n") * lit(threshold) &&
+          col("r.n") >= col("l.n") * lit(threshold))
       .select(col("l.id").as("a"), col("r.id").as("b"))
       .dropDuplicates("a", "b")
     cand

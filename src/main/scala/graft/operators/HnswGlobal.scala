@@ -276,14 +276,38 @@ object HnswGlobalModel {
       links(i) = Array.fill(lvl + 1)(new ArrayBuffer[Int]())
       lvl
     }
-    /** keep only the `cap` closest links of node e at layer lc */
+    @inline def d(a: Int, b: Int): Double = model.dist(vecs(a), vecs(b))
+    /** SELECT-NEIGHBORS-HEURISTIC (Malkov-Yashunin Alg. 4): walk the
+      * candidates ascending and keep e only if it is closer to the base
+      * point than to every already-kept neighbor — spreads links across
+      * directions instead of clustering them (closest-M alone cost ~7
+      * recall points on the 20k random baseline); pruned candidates
+      * back-fill to the cap (keepPrunedConnections). */
+    def selectNeighbors(cand: Array[(Int, Double)], cap: Int): Array[Int] = {
+      val res = new ArrayBuffer[Int](cap)
+      val skipped = new ArrayBuffer[Int]()
+      var j = 0
+      while (j < cand.length && res.length < cap) {
+        val (e, dE) = cand(j)
+        var keep = true
+        var r = 0
+        while (keep && r < res.length) {
+          if (d(e, res(r)) < dE) keep = false
+          r += 1
+        }
+        if (keep) res += e else skipped += e
+        j += 1
+      }
+      var s = 0
+      while (res.length < cap && s < skipped.length) { res += skipped(s); s += 1 }
+      res.toArray
+    }
+    /** shrink an over-full neighbor list with the same heuristic */
     def prune(e: Int, lc: Int, cap: Int): Unit = {
       val buf = links(e)(lc)
       if (buf.length > cap) {
-        val kept = buf.toArray
-          .map(x => (model.dist(vecs(e), vecs(x)), x))
-          .sortBy(t => (t._1, t._2))
-          .take(cap).map(_._2)
+        val cand = buf.toArray.map(x => (x, d(e, x))).sortBy(t => (t._2, t._1))
+        val kept = selectNeighbors(cand, cap)
         buf.clear(); buf ++= kept
       }
     }
@@ -301,16 +325,11 @@ object HnswGlobalModel {
       lc = math.min(lvl, model.maxLevel)
       while (lc >= 0) {
         val w = model.searchLayer(vecs(i), ep, efC, lc, ws)
-        var j = 0; var linked = 0
-        while (j < w.length && linked < m) {
-          val e = w(j)._1
-          if (e != i) {
-            links(i)(lc) += e
-            links(e)(lc) += i
-            prune(e, lc, if (lc == 0) mmax0 else m)
-            linked += 1
-          }
-          j += 1
+        val neighbors = selectNeighbors(w.filter(_._1 != i), m)
+        neighbors.foreach { e =>
+          links(i)(lc) += e
+          links(e)(lc) += i
+          prune(e, lc, if (lc == 0) mmax0 else m)
         }
         if (w.nonEmpty) ep = w.head._1
         lc -= 1

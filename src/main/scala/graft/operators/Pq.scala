@@ -74,9 +74,9 @@ final case class PqSearcher(metric: String) extends Searcher {
     // a boxed Seq[Double] per joined row — a GC storm at n_base×n_queries
     // rows. Only (qid, codes) cross the row boundary now; codes are
     // BinaryType (primitive byte[], no boxing).
-    val luts = model.luts(queries, metric)
-    val score = model.adcScoreUdf(luts)
     val spark = artifact.data.sparkSession
+    val luts = model.luts(queries, metric)
+    val score = model.adcScoreUdf(spark, luts)
     import spark.implicits._
     val q = luts.keys.toSeq.sorted.toDF("qid")
     val l2 = !(metric == "ip" || metric == "dot")
@@ -126,12 +126,17 @@ final case class PqModel(codebooks: Array[Array[Array[Float]]], dsub: Int)
     queries.select(col("qid").cast("long"), col("vector")).collect()
       .map(r => r.getLong(0) -> lut(r.getSeq[Float](1).toArray, metric)).toMap
 
-  /** ADC score over (qid, codes): Σ_j lut[j][code_j] */
-  def adcScoreUdf(luts: Map[Long, Array[Double]])
+  /** ADC score over (qid, codes): Σ_j lut[j][code_j]. The LUT map rides
+    * as a broadcast variable — in the closure it would serialize into
+    * EVERY task binary (32 MiB at 256 queries × 64×256 doubles); as a
+    * broadcast it ships to each executor once. */
+  def adcScoreUdf(spark: org.apache.spark.sql.SparkSession,
+      luts: Map[Long, Array[Double]])
       : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val bc = spark.sparkContext.broadcast(luts)
     val mm = codebooks.length
     udf { (qid: Long, codes: Array[Byte]) =>
-      val lut = luts(qid)
+      val lut = bc.value(qid)
       val nC = lut.length / mm
       var acc = 0.0; var j = 0
       while (j < mm) { acc += lut(j * nC + (codes(j) + 128)); j += 1 }

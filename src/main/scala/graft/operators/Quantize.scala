@@ -75,7 +75,9 @@ final case class Sq8Model(lo: Array[Float], hi: Array[Float]) extends Serializab
   }
 
   /** asymmetric distance keyed by qid: query vectors collected once on
-    * the driver into the closure; per row only (qid, codes) deserialize */
+    * the driver, shipped as a broadcast (NOT captured in the closure —
+    * that would serialize them into every task binary); per row only
+    * (qid, codes) deserialize */
   def distByQidUdf(queries: org.apache.spark.sql.DataFrame, metric: String)
       : org.apache.spark.sql.expressions.UserDefinedFunction = {
     val l = lo; val h = hi
@@ -84,8 +86,9 @@ final case class Sq8Model(lo: Array[Float], hi: Array[Float]) extends Serializab
     val qVecs: Map[Long, Array[Float]] = queries
       .select(col("qid").cast("long"), col("vector")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val bc = queries.sparkSession.sparkContext.broadcast(qVecs)
     udf { (qid: Long, codes: Array[Byte]) =>
-      val q = qVecs(qid)
+      val q = bc.value(qid)
       var acc = 0.0; var dot = 0.0; var nq = 0.0; var nb = 0.0
       var i = 0
       while (i < codes.length) {
