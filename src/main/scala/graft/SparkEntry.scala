@@ -534,6 +534,21 @@ object SparkEntry {
         |       WHEN stop_ratio >= 0.05 THEN 'en'
         |       ELSE 'unknown' END AS lang_pred
         |FROM c""".stripMargin,
+    // session_window semantics: an event joins the session iff its time
+    // is strictly before prev_end = prev_ts + gap → new session when the
+    // µs-truncated diff >= gap (half-open window)
+    "st_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events),
+        |d AS (SELECT user_id, us,
+        |        CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+        |               THEN 1
+        |             WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+        |                 >= 1800000000 THEN 1
+        |             ELSE 0 END AS new_s
+        |      FROM e)
+        |SELECT user_id, sum(new_s)::BIGINT AS n_sessions,
+        |  count(*) AS n_events
+        |FROM d GROUP BY user_id""".stripMargin,
     "st_window_agg" ->
       """SELECT (epoch_ns(ts) // 1000000000 // 3600) * 3600 AS window_start,
         |  event_type, count(*) AS n_events,

@@ -94,12 +94,17 @@ final case class LshSearcher(
     if (!fallbackToBruteforce) reranked
     else {
       // qids with zero candidates → route through the exact scan (J6
-      // fallback). Stays lazy in the same job: when no query is missing,
-      // the broadcast side of the fallback cross join is empty and the
-      // extra scan short-circuits at runtime.
-      val missing = q.join(reranked.select("qid").distinct(), Seq("qid"), "left_anti")
-      val fallback = KnnJoin.knnJoin(missing, artifact.aux("vectors"), k, metric)
-      reranked.unionByName(fallback)
+      // fallback). The reranked relation is tiny (≤ queries × k rows), so
+      // cache it and CHECK for missing qids first: in the common case
+      // (every query had candidates) the result plan then contains no
+      // fallback scan at all, instead of paying an empty-broadcast pass
+      // over the full base per search.
+      val cached = reranked.cache()
+      val missing = q.join(cached.select("qid").distinct(), Seq("qid"), "left_anti")
+        .cache()
+      if (missing.isEmpty) cached
+      else cached.unionByName(
+        KnnJoin.knnJoin(missing, artifact.aux("vectors"), k, metric))
     }
   }
 }
