@@ -328,11 +328,12 @@ object Dedup {
     * (table, key), never an all-pairs theta join. The bucket shuffle
     * carries slim (id, key) rows; vectors attach only after the candidate
     * pairs are deduped. Recall is tunable: per-pair miss probability is
-    * (1 − (1 − θ/π)^hashSize)^numTables — the 48×3 default keeps it below
-    * ~1e-6 even for merely-similar pairs (cosine ≈ 0.45), so at gate
-    * scales the candidate set contains every near-dup pair. */
+    * (1 − (1 − θ/π)^hashSize)^numTables — the 32×3 default keeps it below
+    * ~4e-5 even for merely-similar pairs (cosine ≈ 0.45), so at gate
+    * scales the candidate set contains every near-dup pair (verified:
+    * reproduces the exact all-pairs top-20 at sf0.01 and sf0.1). */
   def embeddingDupPairsCandidates(df: DataFrame, idCol: String, vecCol: String,
-      numTables: Int = 48, hashSize: Int = 3, seed: Long = 42): DataFrame = {
+      numTables: Int = 32, hashSize: Int = 3, seed: Long = 42): DataFrame = {
     val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
     val dim = LshModel.dimOf(base, "v")
     val model = LshModel(numTables, hashSize, dim, 4.0, "cosine", seed)

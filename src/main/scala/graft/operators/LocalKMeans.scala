@@ -23,21 +23,22 @@ object LocalKMeans {
     val assign = new Array[Int](n)
     var iter = 0
     while (iter < iters) {
-      // assignment
-      var i = 0
-      while (i < n) {
+      // assignment — the O(n·k·dim) step; per-point independent, so fan it
+      // across driver cores (deterministic: writes its own slot only)
+      val cs = centers
+      java.util.stream.IntStream.range(0, n).parallel().forEach { i =>
         var best = 0; var bestD = Double.MaxValue
         var c = 0
-        while (c < centers.length) {
+        while (c < cs.length) {
           var d = 0.0; var j = 0
-          val ce = centers(c); val p = points(i)
+          val ce = cs(c); val p = points(i)
           while (j < dim) { val df = p(j) - ce(j); d += df * df; j += 1 }
           if (d < bestD) { bestD = d; best = c }
           c += 1
         }
         assign(i) = best
-        i += 1
       }
+      var i = 0
       // update
       val sums = Array.fill(centers.length)(new Array[Double](dim))
       val counts = new Array[Int](centers.length)

@@ -44,11 +44,14 @@ final case class PqIndexer(numSubspaces: Int, numCentroids: Int, seed: Long)
       else cached)
       .select(col("vector")).collect()
       .map(_.getSeq[Float](0).toArray)
+    // per-subspace fits are independent (seed + j) → train them across
+    // driver cores; deterministic since each writes only its own slot
     val codebooks: Array[Array[Array[Float]]] =
-      (0 until numSubspaces).map { j =>
-        val sub = sample.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
-        LocalKMeans.fit(sub, nCent, seed + j, iters = 15)
-      }.toArray
+      new Array[Array[Array[Float]]](numSubspaces)
+    java.util.stream.IntStream.range(0, numSubspaces).parallel().forEach { j =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
+      codebooks(j) = LocalKMeans.fit(sub, nCent, seed + j, iters = 15)
+    }
 
     val enc = PqModel(codebooks, dsub).encodeUdf()
     val data = cached.select(col("id"), enc(col("vector")).as("codes"))

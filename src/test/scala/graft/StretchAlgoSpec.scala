@@ -36,6 +36,21 @@ class StretchAlgoSpec extends AnyFunSuite {
     assert(ct.toSeq == bf.toSeq)
   }
 
+  test("CoverTree reload path re-aligns vectors by serialized ids") {
+    val idx = CoverTreeIndexer("l2").build(train)
+    assert(idx.local.contains("model"), "build() must stash the model")
+    val direct = CoverTreeSearcher("l2").search(idx, testQ, 10)
+      .orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+    // store-load shape: only data+meta survive; the searcher must rebuild
+    // from ct.ids order, NOT collect order (which shuffles can permute)
+    val reloaded = idx.copy(
+      local = Map.empty,
+      data = idx.data.repartition(7)) // deliberately scramble row order
+    val viaMeta = CoverTreeSearcher("l2").search(reloaded, testQ, 10)
+      .orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+    assert(direct == viaMeta, "reload must reproduce the exact search")
+  }
+
   test("CoverTree counts distance operations (A10 accumulator)") {
     val acc = spark.sparkContext.longAccumulator("ndis")
     val idx = CoverTreeIndexer("l2").build(train)
