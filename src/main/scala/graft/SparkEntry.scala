@@ -534,6 +534,105 @@ object SparkEntry {
         |       WHEN stop_ratio >= 0.05 THEN 'en'
         |       ELSE 'unknown' END AS lang_pred
         |FROM c""".stripMargin,
+    // SimHash replicated bit-exactly in SQL: splitmix64 via HUGEINT
+    // mod-2^64 limb arithmetic, Java String.hashCode via per-char fold
+    // (documents are pure ASCII → code units ≡ codepoints). The oracle
+    // skips the pigeonhole banding and checks ALL pairs — the Spark
+    // banding is provably complete for hamming <= maxHamming, so the
+    // outputs must agree exactly.
+    "dedup_simhash" ->
+      """CREATE OR REPLACE MACRO g_m64(x) AS x % 18446744073709551616::HUGEINT;
+        |CREATE OR REPLACE MACRO g_mul64(a, b1, b0) AS g_m64((a*b0) + (((a*b1) % 4294967296::HUGEINT) * 4294967296::HUGEINT));
+        |CREATE OR REPLACE MACRO g_smA(x) AS g_m64(x + 11400714819323198485::HUGEINT);
+        |CREATE OR REPLACE MACRO g_smB(z) AS g_mul64(xor(z, z >> 30), 3210233709::HUGEINT, 484763065::HUGEINT);
+        |CREATE OR REPLACE MACRO g_smC(z) AS g_mul64(xor(z, z >> 27), 2496678331::HUGEINT, 321982955::HUGEINT);
+        |CREATE OR REPLACE MACRO g_sm64(x) AS xor(g_smC(g_smB(g_smA(x))), g_smC(g_smB(g_smA(x))) >> 31);
+        |CREATE OR REPLACE MACRO g_jh32(s) AS CASE WHEN s = '' THEN 0::HUGEINT ELSE
+        |  list_reduce(list_prepend(0::HUGEINT,
+        |    list_transform(string_split(s, ''), c -> unicode(c)::HUGEINT)),
+        |    (a, b) -> (a*31 + b) % 4294967296::HUGEINT) END;
+        |CREATE OR REPLACE MACRO g_ju64(h) AS CASE WHEN h >= 2147483648::HUGEINT
+        |  THEN h + 18446744069414584320::HUGEINT ELSE h END;
+        |CREATE OR REPLACE MACRO g_tokhash(s) AS g_sm64(xor(g_ju64(g_jh32(s)), 6364136223846793005::HUGEINT));
+        |WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |th AS (SELECT doc_id, g_tokhash(tok) AS h FROM toks),
+        |votes AS (
+        |  SELECT doc_id, b,
+        |    sum(CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM th, (SELECT unnest(generate_series(0, 63)) AS b) bits
+        |  GROUP BY doc_id, b),
+        |fp AS (
+        |  SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::HUGEINT << b) ELSE 0::HUGEINT END) AS f
+        |  FROM votes GROUP BY doc_id),
+        |pr AS (
+        |  SELECT bit_count(xor(l.f, r.f)::UBIGINT) AS hamming
+        |  FROM fp l JOIN fp r ON l.doc_id < r.doc_id)
+        |SELECT count(*) AS n_pairs,
+        |  min(hamming)::BIGINT AS min_hamming, max(hamming)::BIGINT AS max_hamming
+        |FROM pr WHERE hamming <= 3""".stripMargin,
+    // MinHash pipeline replicated bit-exactly in SQL (same splitmix64
+    // machinery): chained shingle hashes, 16-slot signatures, 4-band
+    // candidate join, exact jaccard verify, near-dedup survivor count.
+    "dedup_minhash" ->
+      """CREATE OR REPLACE MACRO g_m64(x) AS x % 18446744073709551616::HUGEINT;
+        |CREATE OR REPLACE MACRO g_mul64(a, b1, b0) AS g_m64((a*b0) + (((a*b1) % 4294967296::HUGEINT) * 4294967296::HUGEINT));
+        |CREATE OR REPLACE MACRO g_smA(x) AS g_m64(x + 11400714819323198485::HUGEINT);
+        |CREATE OR REPLACE MACRO g_smB(z) AS g_mul64(xor(z, z >> 30), 3210233709::HUGEINT, 484763065::HUGEINT);
+        |CREATE OR REPLACE MACRO g_smC(z) AS g_mul64(xor(z, z >> 27), 2496678331::HUGEINT, 321982955::HUGEINT);
+        |CREATE OR REPLACE MACRO g_sm64(x) AS xor(g_smC(g_smB(g_smA(x))), g_smC(g_smB(g_smA(x))) >> 31);
+        |CREATE OR REPLACE MACRO g_jh32(s) AS CASE WHEN s = '' THEN 0::HUGEINT ELSE
+        |  list_reduce(list_prepend(0::HUGEINT,
+        |    list_transform(string_split(s, ''), c -> unicode(c)::HUGEINT)),
+        |    (a, b) -> (a*31 + b) % 4294967296::HUGEINT) END;
+        |CREATE OR REPLACE MACRO g_ju64(h) AS CASE WHEN h >= 2147483648::HUGEINT
+        |  THEN h + 18446744069414584320::HUGEINT ELSE h END;
+        |CREATE OR REPLACE MACRO g_tokhash(s) AS g_sm64(xor(g_ju64(g_jh32(s)), 6364136223846793005::HUGEINT));
+        |WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok,
+        |    generate_subscripts(string_split_regex(lower(trim(text)), '\s+'), 1) AS pos
+        |  FROM documents),
+        |th AS (SELECT doc_id, pos, g_tokhash(tok) AS h FROM toks),
+        |tripled AS (
+        |  SELECT a.doc_id, a.pos, a.h AS t1, b.h AS t2, c.h AS t3
+        |  FROM th a JOIN th b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |            JOIN th c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+        |chain1 AS (SELECT doc_id, pos, g_sm64(xor(2685821657736338717::HUGEINT, t1)) AS h1, t2, t3 FROM tripled),
+        |chain2 AS (SELECT doc_id, pos, g_sm64(xor(h1, t2)) AS h2, t3 FROM chain1),
+        |shingle AS (SELECT DISTINCT doc_id, g_sm64(xor(h2, t3)) AS s FROM chain2),
+        |slotted AS (
+        |  SELECT doc_id, slot, g_sm64(xor(s, (42 + slot)::HUGEINT)) AS sv
+        |  FROM shingle, (SELECT unnest(generate_series(0, 15)) AS slot) slots),
+        |slotmin AS (SELECT doc_id, slot, min(sv) AS mv FROM slotted GROUP BY doc_id, slot),
+        |sig AS (SELECT doc_id, list(mv ORDER BY slot) AS sig FROM slotmin GROUP BY doc_id),
+        |banded AS (
+        |  SELECT doc_id, band, sig[band*4+1:band*4+4] AS key
+        |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS band) bands),
+        |cand AS (
+        |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        |  FROM banded l JOIN banded r
+        |    ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id),
+        |shs AS (SELECT doc_id, list(s) AS shs FROM shingle GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT c.a, c.b,
+        |    len(list_intersect(sa.shs, sb.shs))::DOUBLE
+        |      / len(list_distinct(list_concat(sa.shs, sb.shs))) AS jaccard
+        |  FROM cand c JOIN shs sa ON c.a = sa.doc_id JOIN shs sb ON c.b = sb.doc_id
+        |  WHERE len(list_intersect(sa.shs, sb.shs))::DOUBLE
+        |      / len(list_distinct(list_concat(sa.shs, sb.shs))) >= 0.7),
+        |agg AS (
+        |  SELECT count(*) AS n_dup_pairs, round(avg(jaccard), 4) AS avg_jaccard,
+        |    round(min(jaccard), 4) AS min_jaccard
+        |  FROM pairs),
+        |surv AS (
+        |  SELECT (SELECT count(*) FROM documents)
+        |    - (SELECT count(DISTINCT b) FROM pairs) AS n_survivors,
+        |    (SELECT count(*) FROM documents) AS n_docs)
+        |SELECT n_dup_pairs, avg_jaccard, min_jaccard, n_survivors
+        |FROM agg, surv
+        |WHERE n_dup_pairs > 0 AND min_jaccard >= 0.7
+        |  AND n_survivors > 0 AND n_survivors < n_docs""".stripMargin,
     // session_window semantics: an event joins the session iff its time
     // is strictly before prev_end = prev_ts + gap → new session when the
     // µs-truncated diff >= gap (half-open window)
