@@ -633,6 +633,85 @@ object SparkEntry {
         |FROM agg, surv
         |WHERE n_dup_pairs > 0 AND min_jaccard >= 0.7
         |  AND n_survivors > 0 AND n_survivors < n_docs""".stripMargin,
+    // full pipeline composed from the already-verified pieces: exact-fp
+    // dedup (arg_min keeps the min-doc_id row like Spark's min_by), the
+    // minhash machinery above over the survivors, then the text_quality
+    // scoring formula as the floor.
+    "pipeline_corpus_clean" ->
+      """CREATE OR REPLACE MACRO g_m64(x) AS x % 18446744073709551616::HUGEINT;
+        |CREATE OR REPLACE MACRO g_mul64(a, b1, b0) AS g_m64((a*b0) + (((a*b1) % 4294967296::HUGEINT) * 4294967296::HUGEINT));
+        |CREATE OR REPLACE MACRO g_smA(x) AS g_m64(x + 11400714819323198485::HUGEINT);
+        |CREATE OR REPLACE MACRO g_smB(z) AS g_mul64(xor(z, z >> 30), 3210233709::HUGEINT, 484763065::HUGEINT);
+        |CREATE OR REPLACE MACRO g_smC(z) AS g_mul64(xor(z, z >> 27), 2496678331::HUGEINT, 321982955::HUGEINT);
+        |CREATE OR REPLACE MACRO g_sm64(x) AS xor(g_smC(g_smB(g_smA(x))), g_smC(g_smB(g_smA(x))) >> 31);
+        |CREATE OR REPLACE MACRO g_jh32(s) AS CASE WHEN s = '' THEN 0::HUGEINT ELSE
+        |  list_reduce(list_prepend(0::HUGEINT,
+        |    list_transform(string_split(s, ''), c -> unicode(c)::HUGEINT)),
+        |    (a, b) -> (a*31 + b) % 4294967296::HUGEINT) END;
+        |CREATE OR REPLACE MACRO g_ju64(h) AS CASE WHEN h >= 2147483648::HUGEINT
+        |  THEN h + 18446744069414584320::HUGEINT ELSE h END;
+        |CREATE OR REPLACE MACRO g_tokhash(s) AS g_sm64(xor(g_ju64(g_jh32(s)), 6364136223846793005::HUGEINT));
+        |WITH exact AS ( -- first-seen survivor per normalized-text fingerprint
+        |  SELECT min(doc_id) AS doc_id, arg_min(text, doc_id) AS text
+        |  FROM (SELECT doc_id, text,
+        |          regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS fp
+        |        FROM documents)
+        |  GROUP BY fp),
+        |toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok,
+        |    generate_subscripts(string_split_regex(lower(trim(text)), '\s+'), 1) AS pos
+        |  FROM exact),
+        |th AS (SELECT doc_id, pos, g_tokhash(tok) AS h FROM toks),
+        |tripled AS (
+        |  SELECT a.doc_id, a.pos, a.h AS t1, b.h AS t2, c.h AS t3
+        |  FROM th a JOIN th b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |            JOIN th c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+        |chain1 AS (SELECT doc_id, pos, g_sm64(xor(2685821657736338717::HUGEINT, t1)) AS h1, t2, t3 FROM tripled),
+        |chain2 AS (SELECT doc_id, pos, g_sm64(xor(h1, t2)) AS h2, t3 FROM chain1),
+        |shingle AS (SELECT DISTINCT doc_id, g_sm64(xor(h2, t3)) AS s FROM chain2),
+        |slotted AS (
+        |  SELECT doc_id, slot, g_sm64(xor(s, (42 + slot)::HUGEINT)) AS sv
+        |  FROM shingle, (SELECT unnest(generate_series(0, 15)) AS slot) slots),
+        |slotmin AS (SELECT doc_id, slot, min(sv) AS mv FROM slotted GROUP BY doc_id, slot),
+        |sig AS (SELECT doc_id, list(mv ORDER BY slot) AS sig FROM slotmin GROUP BY doc_id),
+        |banded AS (
+        |  SELECT doc_id, band, sig[band*4+1:band*4+4] AS key
+        |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS band) bands),
+        |cand AS (
+        |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        |  FROM banded l JOIN banded r
+        |    ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id),
+        |shs AS (SELECT doc_id, list(s) AS shs FROM shingle GROUP BY doc_id),
+        |dropped AS (
+        |  SELECT DISTINCT c.b AS doc_id
+        |  FROM cand c JOIN shs sa ON c.a = sa.doc_id JOIN shs sb ON c.b = sb.doc_id
+        |  WHERE len(list_intersect(sa.shs, sb.shs))::DOUBLE
+        |      / len(list_distinct(list_concat(sa.shs, sb.shs))) >= 0.7),
+        |neardedup AS (
+        |  SELECT e.doc_id, e.text FROM exact e
+        |  WHERE e.doc_id NOT IN (SELECT doc_id FROM dropped)),
+        |quality AS (
+        |  SELECT doc_id,
+        |    (least(n_tokens::DOUBLE / 20.0, 1.0)
+        |      + least(stop_ratio * 4.0, 1.0)
+        |      + greatest(0.0, 1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+        |          ELSE n_punct::DOUBLE / length(text) END) * 5.0)) / 3.0 AS q
+        |  FROM (
+        |    SELECT doc_id, text,
+        |      CASE WHEN length(trim(text)) = 0 THEN 0
+        |           ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+        |      length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+        |      CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) = 0 THEN 0.0
+        |           ELSE len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |             t -> list_contains(
+        |               ['the','a','an','and','or','of','to','in','is','it',
+        |                'on','for','with','as','at','by','be','this','that','are'], t)))::DOUBLE
+        |             / len(string_split_regex(lower(trim(text)), '\s+')) END AS stop_ratio
+        |    FROM neardedup))
+        |SELECT (SELECT count(*) FROM documents) AS n_in,
+        |  (SELECT count(*) FROM exact) AS n_after_exact,
+        |  (SELECT count(*) FROM neardedup) AS n_after_neardup,
+        |  (SELECT count(*) FROM quality WHERE q >= 0.5) AS n_after_quality""".stripMargin,
     // session_window semantics: an event joins the session iff its time
     // is strictly before prev_end = prev_ts + gap → new session when the
     // µs-truncated diff >= gap (half-open window)
