@@ -55,15 +55,26 @@ object Bench {
     val total = results.map(_._2).sum
 
     // reference-baseline comparison table (recall/QPS per algorithm vs
-    // BASELINE.md) — extra artifact data, NOT part of the total
+    // BASELINE.md) — extra artifact data, NOT part of the total. Hard
+    // 360 s watchdog: a wedged baseline stage must never cost the round
+    // its BENCH artifact (the per-query JSON matters more).
     val baseline =
       if (sys.env.getOrElse("SPARK_GRAFT_BASELINE", "1") == "0") "{}"
       else {
-        val entries = graft.harness.BaselineCompare.run(spark)
-        entries.foreach(e => System.err.println(
-          f"[baseline] ${e.algo}%-10s recall=${e.recall}%.4f qps=${e.qps}%.0f " +
-            f"build=${e.buildS}%.2fs (ref ${e.refRecall}%.4f/${e.refQps}%.0f)"))
-        graft.harness.BaselineCompare.json(entries)
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration._
+        try Await.result(Future {
+          val entries = graft.harness.BaselineCompare.run(spark)
+          entries.foreach(e => System.err.println(
+            f"[baseline] ${e.algo}%-10s recall=${e.recall}%.4f qps=${e.qps}%.0f " +
+              f"build=${e.buildS}%.2fs (ref ${e.refRecall}%.4f/${e.refQps}%.0f)"))
+          graft.harness.BaselineCompare.json(entries)
+        }, 360.seconds)
+        catch { case e: Throwable =>
+          System.err.println(s"[baseline] skipped: ${e.getMessage}")
+          "{}"
+        }
       }
     println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"baseline":$baseline,"sf":"$sfDir"}""")
     spark.stop()
