@@ -39,6 +39,12 @@ object SparkEntry {
       KnnJoin.knnJoin(Tables.embQueries(s, dir), Tables.embBase(s, dir),
           k = 10, metric = "cosine")
         .select(col("qid"), col("rank"), col("id"))),
+    // --- J2: gram-trick L2 (precomputed norms + dot) — same ordering as
+    //     plain L2 on this data, so the same kNN oracle hash-matches ---
+    "j2_knn_gram" -> ((s, dir) =>
+      KnnJoin.knnJoin(Tables.embQueries(s, dir), Tables.embBase(s, dir),
+          k = 10, metric = "l2_gram")
+        .select(col("qid"), col("rank"), col("id"))),
     // --- A1-A6: IR metrics per query (pred = inner-product top-10,
     //     gt = L2 top-10 → non-trivial metric values) ---
     "a1_a6_metrics" -> ((s, dir) => {
@@ -356,6 +362,20 @@ object SparkEntry {
         |        1 - list_sum(list_transform(list_zip(qv, bv), p -> p[1]*p[2]))
         |          / (sqrt(list_sum(list_transform(qv, x -> x*x)))
         |             * sqrt(list_sum(list_transform(bv, x -> x*x)))) AS dist
+        |      FROM q, b),
+        |r AS (SELECT qid, id,
+        |        row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank
+        |      FROM d)
+        |SELECT qid, rank::INT AS rank, id FROM r WHERE rank <= 10""".stripMargin,
+    // gram-trick L2 ranks identically to plain L2 here (fp-rounding tie
+    // flips would need distance gaps ~1e-13; gate data gaps are >> that)
+    "j2_knn_gram" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id % 50 = 0),
+        |b AS (SELECT vec_id AS id, embedding::DOUBLE[] AS bv FROM embeddings),
+        |d AS (SELECT qid, id,
+        |        sqrt(list_sum(list_transform(list_zip(qv, bv),
+        |             p -> (p[1]-p[2])*(p[1]-p[2])))) AS dist
         |      FROM q, b),
         |r AS (SELECT qid, id,
         |        row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank

@@ -43,6 +43,31 @@ class HarnessSpec extends AnyFunSuite {
     assert(retrieved.metrics("recall") > 0.0)
   }
 
+  test("driver-built models (covertree, hnsw_global) survive the store round-trip") {
+    import graft.operators.{CoverTreeIndexer, CoverTreeSearcher,
+      HnswGlobalIndexer, HnswGlobalSearcher, Registry}
+    Registry.init()
+    val (train, testQ, _) = RandomDataset.dataset(spark, 96, 8, 6, 5, seed = 77)
+    for ((name, build, searchFn) <- Seq[(String,
+        org.apache.spark.sql.DataFrame => graft.operators.IndexArtifact,
+        (graft.operators.IndexArtifact, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame)](
+      ("covertree", CoverTreeIndexer("l2").build,
+        (a, q) => CoverTreeSearcher("l2").search(a, q, 5)),
+      ("hnsw_global", HnswGlobalIndexer(m = 6, efConstruction = 32).build,
+        (a, q) => HnswGlobalSearcher(efSearch = 32).search(a, q, 5)))) {
+      val dir = java.nio.file.Files.createTempDirectory(s"rt_$name").toString + "/idx"
+      val artifact = build(train)
+      val before = searchFn(artifact, testQ)
+        .orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+      ArtifactStore.save(artifact, dir, "l2", 6, 96, "fp", "cfg")
+      val (loaded, _) = ArtifactStore.load(spark, dir)
+      assert(loaded.local.isEmpty, s"$name: loaded artifacts carry no model")
+      val after = searchFn(loaded, testQ)
+        .orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+      assert(before == after, s"$name: store round-trip changed results")
+    }
+  }
+
   test("persistence rejects wrong metric / fingerprint / missing sentinel") {
     val dir = java.nio.file.Files.createTempDirectory("artifact2").toString + "/idx"
     val (train, _, _) = RandomDataset.dataset(spark, 48, 0, 6, 1, seed = 2027)
