@@ -367,6 +367,2496 @@ object SparkEntry {
         |        row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank
         |      FROM d)
         |SELECT qid, rank::INT AS rank, id FROM r WHERE rank <= 10""".stripMargin,
+    // SQ8 replicated in SQL: float32 per-dim min/max quantization
+    // (subtract rounded through REAL, math.round = floor(x+0.5)),
+    // dequantized L2, same recall floor.
+    "j10_sq8" ->
+      """WITH dims AS (
+        |  SELECT pos, min(x) AS lo, max(x) AS hi
+        |  FROM (SELECT unnest(embedding) AS x,
+        |          generate_subscripts(embedding, 1) AS pos FROM embeddings) e
+        |  GROUP BY pos),
+        |enc AS ( -- float32 min/max quantization, math.round = floor(x+0.5)
+        |  SELECT e.id, e.pos, d.lo, d.hi,
+        |    CASE WHEN (d.hi::DOUBLE - d.lo::DOUBLE)::REAL <= 0 THEN 0
+        |         ELSE greatest(0, least(255, floor(
+        |           (((e.x::DOUBLE - d.lo::DOUBLE)::REAL)::DOUBLE
+        |             / (((d.hi::DOUBLE - d.lo::DOUBLE)::REAL)::DOUBLE)) * 255 + 0.5)))::INT
+        |    END AS c
+        |  FROM (SELECT vec_id AS id, unnest(embedding) AS x,
+        |          generate_subscripts(embedding, 1) AS pos FROM embeddings) e
+        |  JOIN dims d USING (pos)),
+        |qv AS (SELECT vec_id AS qid, unnest(embedding) AS qx,
+        |         generate_subscripts(embedding, 1) AS pos
+        |       FROM embeddings WHERE vec_id % 50 = 0),
+        |cd AS (
+        |  SELECT q.qid, e.id,
+        |    sqrt(sum(power(q.qx::DOUBLE
+        |      - (e.lo::DOUBLE + (e.c / 255.0)
+        |         * (((e.hi::DOUBLE - e.lo::DOUBLE)::REAL)::DOUBLE)), 2))) AS dist
+        |  FROM qv q JOIN enc e USING (pos)
+        |  GROUP BY q.qid, e.id),
+        |pred AS (
+        |  SELECT qid, list(id ORDER BY rn) AS pred FROM (
+        |    SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn
+        |    FROM cd) t WHERE rn <= 10 GROUP BY qid),
+        |bv AS (SELECT vec_id AS id, embedding::DOUBLE[] AS dv FROM embeddings),
+        |gtd AS (
+        |  SELECT q.id AS qid, r.id,
+        |    sqrt(list_sum(list_transform(list_zip(q.dv, r.dv),
+        |      p -> (p[1]-p[2])*(p[1]-p[2])))) AS dist
+        |  FROM bv q JOIN (SELECT vec_id FROM embeddings WHERE vec_id % 50 = 0) qq
+        |    ON q.id = qq.vec_id, bv r),
+        |gt AS (
+        |  SELECT qid, list(id ORDER BY rn) AS gt FROM (
+        |    SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn
+        |    FROM gtd) t WHERE rn <= 10 GROUP BY qid),
+        |per AS (
+        |  SELECT g.qid,
+        |    len(list_intersect(g.gt, p.pred))::DOUBLE / len(g.gt) AS recall,
+        |    coalesce(1.0 / (SELECT min(pos) FROM (
+        |      SELECT unnest(p.pred) AS pid, generate_subscripts(p.pred, 1) AS pos) u
+        |      WHERE list_contains(g.gt, pid)), 0.0) AS rr
+        |  FROM gt g LEFT JOIN pred p ON g.qid = p.qid)
+        |SELECT 'sq8' AS algorithm, count(*) AS n_queries,
+        |  round(avg(recall), 4) AS recall_10, round(avg(rr), 4) AS mrr_10
+        |FROM per
+        |HAVING round(avg(recall), 4) >= 0.95""".stripMargin,
+    // IVF probe replicated in SQL: the seeded KMeans centroids are
+    // deterministic DATA (LocalKMeans, seed 42, gate config) embedded as
+    // literals; nearest-centroid assignment, nprobe=4 routing, exact L2
+    // rerank, recall vs exact GT.
+    "j8_ivf_probe" ->
+      """WITH cents(cid, cv) AS (VALUES
+        |(0, [3.976001E-4,0.028297238,-0.03635965,0.009380843,-0.009109747,-0.025437439,0.024678871,-0.038039044,0.010667889,-0.060485713,0.033288997,-0.03938557,-0.008634382,0.051888857,-0.070540234,-0.023659004,0.10935156,0.037691243,-0.020817585,-0.024977293,0.03683957,-0.015296038,0.070435435,-0.11328855,-0.0017905023,-0.0020132852,-0.004942073,0.033165585,-0.08863541,-0.012735062,-0.08754079,0.056902893,-0.017311713,-0.04438014,-0.01465772,0.025549749,0.0024049846,-0.03159369,0.0069407746,0.04164316,0.020785682,0.04870036,-0.04820819,-0.0765654,0.008866418,-0.045202,0.02520875,0.0053051356,0.009504603,-0.059140284,-0.022915589,0.058860157,-0.004384404,-0.012590272,0.074882075,-0.057023097,-0.06409937,0.0034846074,-0.011082796,0.019883089,-0.0013891011,0.0034190915,0.060604468,-0.0060799844]::REAL[]),
+        |(1, [0.008359272,0.060080968,0.03184555,-0.0056618187,0.07222243,0.051034335,-0.049216557,-0.007968933,-0.06231409,0.048589528,-0.017324317,0.042530492,0.033902634,0.080413625,-0.0062259533,0.031396985,-0.033318963,-0.025283217,-0.027597263,0.01480435,-0.02891756,-0.03750445,-0.022482494,-0.06621947,0.024813285,0.0544805,-0.028094416,0.015448729,-0.05434001,0.00318308,0.020199137,-0.07716253,0.006087762,0.026632814,-0.020634651,-0.016442956,0.025486456,0.029430877,0.033655047,0.02441111,0.010800855,-0.03607063,-0.0043094563,-0.015938273,7.861068E-5,-0.0481812,0.024680857,-0.029986767,0.047657892,0.058578055,0.03789119,-0.032064136,0.021277333,0.012731777,0.013166181,-0.014346622,0.085697226,-0.03464635,-0.037695866,-0.036775947,0.08361625,-0.08642981,0.0046992037,-0.0057371496]::REAL[]),
+        |(2, [-0.01844507,-0.02256356,-0.06953005,-0.023240875,0.08684007,0.0914795,0.055580284,-0.012617236,-0.029835943,-0.04242027,0.035535593,-0.009868543,-0.015970197,-0.020177249,0.041802835,-0.09409,0.010807619,-0.023519482,0.034826115,0.012929687,0.05966658,-0.067652345,-0.07818938,0.014800565,0.026694568,0.050169367,0.041076835,0.058571495,-0.0015404437,0.007950587,0.024057547,-0.005419116,0.03207465,-0.030794984,0.035395976,0.0029795081,-0.03950219,0.027286049,0.026999077,-0.031908855,-0.08328178,-0.02200855,0.012866052,0.046322495,0.05069378,0.047360986,-0.038416654,-0.10167669,0.03826236,-0.01724514,-0.0017332471,-0.054817125,-0.03995014,0.03127895,0.033283163,0.021733949,0.0831054,-0.017397773,0.016854225,0.028358923,0.04710489,-0.044251915,0.057152633,-0.04708653]::REAL[]),
+        |(3, [0.102064565,-0.0069968533,0.012800971,-0.07167313,0.07444391,0.012768217,-0.0748594,0.012918701,0.016182728,-0.054661307,0.070437886,-0.06160538,0.0069055324,0.017327514,-0.026446221,0.11281004,0.024102954,0.042696424,-0.01729222,0.011779977,-0.050743133,0.0042556375,0.0053622844,0.03157169,-0.019312961,-0.029734448,0.030015398,0.033585694,0.046456087,-0.057676364,0.046169367,0.031931307,0.025283262,-0.028854106,0.04856891,-0.053302057,-0.056079846,-0.05893087,0.005899067,-0.018722115,-0.02061769,-0.033902597,0.038833976,0.016220842,-0.012594262,-0.009879089,0.029897697,-0.0038829353,0.05571742,0.016811289,-0.0023034883,-0.025743501,0.08259702,-0.036126196,0.028515564,0.0029221964,-0.028032525,0.032771844,0.030288298,-0.049233384,-0.044415846,0.015200411,0.035748515,0.0640712]::REAL[]),
+        |(4, [-0.045071274,-0.057621308,0.00470594,-0.028427409,0.010577925,0.0020643366,0.0030443773,0.030271063,0.06781996,0.06693981,-0.010411105,-0.03287793,0.022112258,-0.0920138,0.09686792,-0.03091986,0.04703801,-0.032777086,0.03977684,0.020655159,0.022004057,-0.0057500293,0.002778062,-0.013420849,-0.010384327,0.032439973,0.050919276,-0.045315374,0.0040542553,-0.0535026,-0.0023021316,0.040078286,0.072379954,-0.016619515,0.0212618,-0.095986284,-0.013969665,0.011349328,-0.05222839,-0.019108197,0.0033137945,-0.023999205,-0.040043715,0.017808456,0.0078592105,0.025575822,-0.026065467,0.05833019,0.0010988177,-2.3226398E-4,-0.011959542,-0.014244624,0.074541144,-0.045908608,-0.04256846,-0.011612557,0.041253675,-0.021052716,0.040330485,-0.034828596,-0.040610105,0.048562936,-0.06615247,-0.054079827]::REAL[]),
+        |(5, [-0.036802832,-0.07970984,0.010175653,0.033520576,0.0019681412,0.014898777,-0.04537918,0.07532346,-0.013869546,0.026446076,0.036149327,0.03021399,-0.011724245,0.012907165,-0.045805085,-0.04560446,-0.12365304,-0.03253967,-0.053021926,-0.011837741,-0.0138035165,0.01648638,0.04421658,-0.045227762,-0.03932084,0.02706602,-0.019117707,-0.0045875898,-0.003764507,-0.016906084,0.00908303,0.009660759,0.004637516,0.04342523,0.0761766,0.091382645,-0.04745479,0.023597902,0.029717358,-0.04081729,-0.054080967,-0.083059795,-0.0072128777,-7.131163E-4,0.016583841,-0.03297849,0.01647399,0.07859101,-0.016999898,-0.033240594,0.0042445064,-0.017960563,-0.012879525,0.03842349,-0.0136261415,-0.023117376,-0.055217475,-0.055819217,-0.022269065,-0.0043935515,-0.016654627,0.049902894,-0.048492625,-0.042215925]::REAL[]),
+        |(6, [0.013466209,-0.042904153,0.042477332,-0.010227932,0.06610928,-0.08960638,-0.05824776,0.09722493,-0.052684724,0.12983476,0.024039803,-0.008953316,0.077392586,0.015048835,-0.034597486,-0.04612628,0.06131181,-0.01216272,-0.04209484,0.038224302,0.020744625,-0.019144693,0.034510255,0.029608011,0.08201297,0.025442395,-0.033755377,0.01684503,0.012245171,0.1239683,0.0342624,-0.07191438,0.048022225,0.021343596,0.0043778787,-0.0034581441,-0.027076015,0.014719994,-7.6361075E-6,0.049479246,-0.06339765,0.042955857,-0.018386057,0.004471063,-0.04481163,-0.045706294,-0.0303199,-0.036038432,0.020856244,0.012608098,0.060139712,0.097314045,-0.009156231,0.042162545,-0.010446251,-0.037139542,-0.016165743,-0.019707583,0.010787154,0.02973125,-0.022876702,0.03270833,0.0038668977,-0.005150107]::REAL[]),
+        |(7, [0.0730371,0.013020755,0.024054889,0.031864595,0.088987224,-0.015275471,-0.09232465,0.009167585,-0.029220069,-0.046588387,0.04021698,0.011006755,-0.039308555,-0.03348064,0.024561502,0.061083548,-0.0058210245,0.0059133507,-5.9794646E-4,0.0024032826,0.020402363,-0.023590263,0.016465912,-4.0554924E-6,-0.018109495,0.039838616,-0.03640714,-0.007153099,0.06674157,5.5913307E-4,-0.01615549,0.03513253,-0.029352456,-0.017819941,-0.02422248,-0.03521332,-0.045198675,0.087121405,-0.061626047,-0.03736578,-0.010285021,-0.041728083,0.019712977,0.016591592,-0.104177706,0.025423804,-0.04550773,-0.023338027,-0.010873546,-0.038420208,0.025321431,0.03598216,-0.12894745,-0.005235948,-0.06644037,-0.03709317,0.074448235,0.06327438,0.03255707,0.01056316,0.08486752,0.0016224174,-0.053819567,0.046196803]::REAL[]),
+        |(8, [-0.026988689,0.005676072,0.06782535,0.024456996,-0.046086337,-0.043952443,0.002179633,0.033751138,0.0041119666,-0.018524887,-0.074581414,0.0054647564,0.07055409,-0.02212543,0.072443716,0.05354723,-0.06561099,-0.043461844,-0.011281722,0.02830383,0.022794986,-0.040238257,-0.023748746,-0.016152153,0.08208422,0.049374044,-0.07401946,0.0036870013,0.015724914,0.062043484,0.04140938,-0.008525177,0.04211752,0.06742721,0.052381236,-0.029699845,0.0311374,-0.08147927,-0.11785748,-0.051154714,0.044584382,-0.004362243,0.016509607,0.045911286,-0.08142972,0.004555513,-0.03975339,0.029077321,-0.084855475,-0.022218805,4.4706746E-4,0.06384465,-0.03552817,-0.021320144,0.050283812,-0.0027536019,-0.007825387,-0.031355135,-0.015163805,0.060551215,-0.010323944,-0.051286574,0.059319675,-0.008877228]::REAL[]),
+        |(9, [-0.021388657,-0.03833954,0.010488234,0.012838276,-0.018751947,0.05869963,0.015904548,-0.011526354,0.010039316,0.024103524,0.0012205105,0.067073315,0.0015444893,-0.028763095,-0.03773328,-0.013045459,0.10519724,-0.015350813,-8.191451E-4,-0.023473792,-0.06039969,0.020592323,-0.043630414,-0.050690085,0.03831456,0.041279532,0.06327995,0.02003199,0.0496711,-0.038714822,-0.058313925,0.016609458,0.030466363,-0.007273059,-0.05157916,0.088247605,-0.018129945,-0.021840198,0.05168867,0.018610615,0.06520981,-0.029866936,-0.0044151205,0.013927938,-0.04570822,-1.8431572E-4,-0.052126337,0.050922595,-0.023193838,-0.011714378,-0.032172486,-0.060620833,0.014884973,0.007199496,0.030895568,0.0038718958,-0.02172564,0.11099188,0.019912688,-0.07435928,-0.06544074,0.039071813,-0.03411504,-0.009885601]::REAL[]),
+        |(10, [0.0071370993,0.019658236,-0.0045523485,-0.04833168,0.03178797,-0.010474304,0.015751988,4.9144845E-4,0.07806498,4.827411E-4,-0.08674548,0.026481027,0.0073601203,0.042852074,-0.015990803,0.09308003,-0.05372726,0.12433202,-0.06891425,-0.015001628,-0.04693401,-0.012581487,-0.0028753697,-0.08717856,-0.098547034,-0.05310776,-0.037760016,-0.05615235,-0.038145598,-0.022713123,0.03467133,0.0069574043,0.029949578,-0.07370147,-0.06808703,0.034529377,0.0310526,0.094641134,-0.05431165,0.006605148,-0.011224024,-0.01534252,-0.016549664,0.082232065,0.0036522031,0.06930171,0.05856372,0.05339764,-0.03373602,-0.071795896,0.028143141,0.060672484,0.03122295,0.013714599,0.02202862,0.023138084,0.042314265,-0.02036491,0.095807545,0.05904549,-0.014548051,-0.0870616,0.046183117,0.029742638]::REAL[]),
+        |(11, [0.06343771,0.0058765183,-0.028651988,2.654883E-4,-0.031051632,-0.01450028,0.005515711,0.0057222177,-0.1059591,-0.05844221,-0.03852576,0.032663476,-0.046211176,0.022968149,-8.864697E-4,0.07060882,-0.033635117,0.07475268,0.01337138,-0.06901378,0.022063827,0.016496412,0.057607744,-0.0017655147,-0.038029686,-0.038872182,-0.03292653,-0.026231073,0.021813061,0.06182465,0.044717792,0.0051579736,-0.03991205,-0.027445069,0.016253272,0.008888453,-0.02366046,0.05099601,0.07553414,0.003532158,0.05964545,-0.039314654,0.1224856,-0.047990296,0.0123063335,0.037916467,-0.0035663939,0.0069394717,0.052851878,-0.05293435,0.025940722,-0.0054569067,-0.029766375,-0.05775758,0.023666384,0.037026975,0.0035354535,-0.01651138,-0.07080694,0.05577631,-0.011229619,0.04237323,-0.008191156,-0.011374551]::REAL[]),
+        |(12, [-0.0069709215,-0.06376432,0.014562121,0.023505438,-0.00805442,0.052596692,-0.014337886,-0.03038546,-0.011835048,-0.007921711,0.03023597,0.045921333,0.01896049,0.13845196,0.092908606,0.044408403,0.013001887,-0.047546674,-0.010366498,-0.04815113,-0.029383505,0.03496453,-0.014905675,0.065283194,-0.091739245,0.039443012,-0.0478082,0.014884458,6.0607324E-4,-0.10552086,0.02740691,-0.06743597,-0.06964367,-0.069198124,0.011361684,0.02805329,0.018349884,-0.045934007,-0.032408886,0.03968855,0.023497354,0.011167623,-0.042538986,-0.070952915,0.03441467,-0.0018806596,-0.01955499,0.018161446,-0.03138498,0.015965274,-0.0053890795,0.013872247,0.06384498,0.022938548,-0.0059331437,-0.016028654,-0.05620602,-0.020510383,-0.008129869,-0.04284003,-0.002637135,-0.02845274,-0.02055995,-0.07163953]::REAL[]),
+        |(13, [0.029149706,0.07479124,0.02134813,0.028014105,-0.08236194,0.021487799,-0.007706673,0.016405726,0.028469669,0.039957415,0.0034191187,0.05819961,-0.07168515,-0.015801666,-0.013646735,0.021917038,0.02506544,0.02792193,0.08867792,-0.01688975,-0.04303056,0.060124148,-0.021606322,0.07347927,-0.0047295894,-0.018701103,0.06960208,0.03785714,0.018378649,0.022665616,0.040388443,0.09621229,-0.013634023,0.011724319,-0.04389453,0.03410915,0.004060091,-0.004763079,-0.048742745,0.018772071,-0.06366438,-0.023697907,-0.08098032,0.015608952,-0.056213263,-0.009875079,0.063202366,0.007313751,-0.07463801,-0.00895795,0.04644951,-0.016990328,0.0072292355,0.018895894,-0.008089653,0.05243085,-0.033923563,-0.04807464,-0.062618986,-0.048751228,0.013511869,0.025235739,-0.0141408965,-0.038623083]::REAL[]),
+        |(14, [-0.03636119,0.003918286,-0.042555,0.09140156,-0.0015238351,-0.01602596,0.002480287,-0.038410872,0.02110613,0.0116725145,-0.011186879,-1.6869315E-4,-0.05450557,-0.06097048,-0.03135951,-0.06177706,0.00974351,0.03444543,0.017953884,0.011268695,0.022891112,0.040979657,0.016133415,0.02357896,0.0021563438,-0.061908573,-0.013025675,0.0763776,-0.02048277,0.018044444,0.020787153,-0.10363228,0.0075083696,0.016180787,0.019898504,-0.07827056,0.018831404,-0.06491341,0.030638753,0.0023367947,0.0014614091,0.09365999,0.0067769773,-0.06887613,0.035203613,-0.0037949341,-2.8857165E-5,0.071350105,-0.014972268,-0.022833856,0.045089155,-0.04330946,-0.00906133,-0.024228686,-0.065642595,0.006414458,0.0098045375,0.028569555,-0.009579337,0.0054477938,0.017501716,0.06062958,-0.01548141,-0.025027053]::REAL[]),
+        |(15, [-0.05762221,0.037857857,0.0012920756,-0.12331383,-0.054813787,-0.0015160287,-0.04967951,0.008855162,0.029448103,-0.059238102,0.02390513,-0.089110374,-0.018126799,-0.042175613,-0.040762503,-0.054818302,-0.046489846,0.018617157,0.021426188,0.075262345,0.0013388421,0.037846845,0.023848003,0.014974089,0.020168284,0.027794091,2.1293305E-4,-0.009665448,-0.055297505,0.05218786,-0.057825174,-0.06431495,0.0024881281,-5.6121347E-4,-0.006950022,0.026028318,0.06345275,-0.012733749,0.04198192,-0.011623106,0.023713393,-0.0025560872,0.037455697,0.034733556,-0.016821548,0.065115206,0.029002186,-0.092401855,-0.017456945,0.028403604,-0.01777342,-0.011197019,0.05119401,-0.02116531,0.018101621,-0.0017772928,0.031117678,-0.011913698,-0.049216475,-0.04190238,-0.002785807,0.009239766,0.015038274,-0.014865515]::REAL[])),
+        |b AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+        |assign AS ( -- nearest centroid per row (argmin over 16)
+        |  SELECT id, cid FROM (
+        |    SELECT b.id, c.cid, row_number() OVER (PARTITION BY b.id ORDER BY
+        |      list_sum(list_transform(list_zip(b.v, c.cv),
+        |        x -> (x[1]::DOUBLE - x[2]::DOUBLE) * (x[1]::DOUBLE - x[2]::DOUBLE))), c.cid) AS rn
+        |    FROM b, cents c) t WHERE rn = 1),
+        |qids AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id % 50 = 0),
+        |probes AS ( -- nprobe=4 nearest centroids per query, L2 on doubles
+        |  SELECT qid, cid FROM (
+        |    SELECT q.vec_id AS qid, c.cid, row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      sqrt(list_sum(list_transform(list_zip(q.embedding::DOUBLE[], c.cv::DOUBLE[]),
+        |        p -> (p[1]-p[2])*(p[1]-p[2])))), c.cid) AS rn
+        |    FROM embeddings q JOIN qids ON q.vec_id = qids.qid, cents c) t
+        |  WHERE rn <= 4),
+        |cand AS (
+        |  SELECT p.qid, a.id FROM probes p JOIN assign a ON p.cid = a.cid),
+        |bv AS (SELECT vec_id AS id, embedding::DOUBLE[] AS dv FROM embeddings),
+        |cd AS (
+        |  SELECT c.qid, c.id,
+        |    sqrt(list_sum(list_transform(list_zip(qb.dv, rb.dv),
+        |      p -> (p[1]-p[2])*(p[1]-p[2])))) AS dist
+        |  FROM cand c JOIN bv qb ON c.qid = qb.id JOIN bv rb ON c.id = rb.id),
+        |pred AS (
+        |  SELECT qid, list(id ORDER BY rn) AS pred FROM (
+        |    SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn
+        |    FROM cd) t WHERE rn <= 10 GROUP BY qid),
+        |gtd AS (
+        |  SELECT q.id AS qid, r.id,
+        |    sqrt(list_sum(list_transform(list_zip(q.dv, r.dv),
+        |      p -> (p[1]-p[2])*(p[1]-p[2])))) AS dist
+        |  FROM bv q JOIN qids ON q.id = qids.qid, bv r),
+        |gt AS (
+        |  SELECT qid, list(id ORDER BY rn) AS gt FROM (
+        |    SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn
+        |    FROM gtd) t WHERE rn <= 10 GROUP BY qid),
+        |per AS (
+        |  SELECT g.qid,
+        |    len(list_intersect(g.gt, p.pred))::DOUBLE / len(g.gt) AS recall,
+        |    coalesce(1.0 / (SELECT min(pos) FROM (
+        |      SELECT unnest(p.pred) AS pid, generate_subscripts(p.pred, 1) AS pos) u
+        |      WHERE list_contains(g.gt, pid)), 0.0) AS rr
+        |  FROM gt g LEFT JOIN pred p ON g.qid = p.qid)
+        |SELECT 'ivf' AS algorithm, count(*) AS n_queries,
+        |  round(avg(recall), 4) AS recall_10, round(avg(rr), 4) AS mrr_10
+        |FROM per
+        |HAVING round(avg(recall), 4) >= 0.55""".stripMargin,
+    // PQ ADC replicated in SQL: the seeded subspace codebooks embedded
+    // as literals; per-subvector argmin encoding, per-query LUT join,
+    // summed subdistances, sqrt, recall vs exact GT.
+    // (literal VALUES exceed the JVM 64KB string-constant cap → chunked)
+    "j9_pq_adc" -> Seq(
+      """WITH cbs(sub, cent, cb) AS (VALUES
+        |(0, 0, [-0.043593742,0.08088863,-0.11473521,0.14193934]::REAL[]),
+        |(0, 1, [-0.17323919,0.15227182,-0.02456348,0.08914925]::REAL[]),
+        |(0, 2, [-0.28098592,-0.030852742,0.037227683,0.039334387]::REAL[]),
+        |(0, 3, [0.31740013,0.02662396,0.10351039,-0.10243415]::REAL[]),
+        |(0, 4, [-0.12346822,0.010013214,-0.06025412,0.051193465]::REAL[]),
+        |(0, 5, [-0.11680386,-0.23777816,0.038642574,0.18110134]::REAL[]),
+        |(0, 6, [-0.015309364,-0.21241014,0.11702346,0.061689693]::REAL[]),
+        |(0, 7, [0.08722604,0.04881913,0.029513258,0.18343596]::REAL[]),
+        |(0, 8, [-0.015591847,0.013434055,0.1868072,0.08273416]::REAL[]),
+        |(0, 9, [-0.16149251,0.036659025,-0.1699885,-0.07847739]::REAL[]),
+        |(0, 10, [0.12190995,-0.15360722,-0.051703736,-0.09481296]::REAL[]),
+        |(0, 11, [0.016755933,-0.0410688,-0.094438724,0.2403554]::REAL[]),
+        |(0, 12, [0.04677964,-0.100190006,0.12155037,0.17512433]::REAL[]),
+        |(0, 13, [0.1318196,0.11339954,0.17139545,0.021967348]::REAL[]),
+        |(0, 14, [-0.14835079,-0.037937827,-0.12693565,0.1409565]::REAL[]),
+        |(0, 15, [-0.20716532,0.05783614,0.04123796,-0.399964]::REAL[]),
+        |(0, 16, [-0.12931678,0.027933793,0.23777398,-0.101595834]::REAL[]),
+        |(0, 17, [0.11983462,0.10669674,-0.075606704,-0.07903569]::REAL[]),
+        |(0, 18, [-0.13303271,-0.05309974,0.06389533,-0.00819455]::REAL[]),
+        |(0, 19, [0.140326,-0.12776384,-0.1780087,-0.079895295]::REAL[]),
+        |(0, 20, [-0.033636328,-0.018775845,0.024441328,-0.1537754]::REAL[]),
+        |(0, 21, [0.04237551,0.2063829,0.019591242,0.11015019]::REAL[]),
+        |(0, 22, [0.10153141,-0.050300404,-0.08524027,0.015220494]::REAL[]),
+        |(0, 23, [0.10296684,-0.14206584,0.10303248,-0.20805041]::REAL[]),
+        |(0, 24, [0.065708466,-3.3043613E-4,-0.015157521,-0.04321124]::REAL[]),
+        |(0, 25, [-0.18965551,-0.20289557,-0.054842763,-0.0028527132]::REAL[]),
+        |(0, 26, [-0.09482341,-0.19982241,0.1177755,-0.087409854]::REAL[]),
+        |(0, 27, [0.036176838,0.13971539,-0.19128028,0.06921299]::REAL[]),
+        |(0, 28, [0.18397993,-0.0739813,0.097227104,-0.04155042]::REAL[]),
+        |(0, 29, [-0.04782419,-0.13102363,-0.22513473,-0.17006952]::REAL[]),
+        |(0, 30, [-0.28164053,0.014319441,-0.020582339,-0.11859045]::REAL[]),
+        |(0, 31, [-0.033923514,-0.010629465,-0.12193316,-0.11985125]::REAL[]),
+        |(0, 32, [-0.0029276204,-0.014070492,0.18958569,-0.18773532]::REAL[]),
+        |(0, 33, [-0.21864702,-0.17710334,-0.04134187,-0.20422547]::REAL[]),
+        |(0, 34, [0.11672403,0.116096556,-0.2861655,-0.07189017]::REAL[]),
+        |(0, 35, [-0.030711047,0.057855844,-0.05140743,0.016678533]::REAL[]),
+        |(0, 36, [-0.10525788,0.21125378,0.08677356,0.0031509493]::REAL[]),
+        |(0, 37, [0.19250375,-0.04014027,-0.040639266,-0.1485124]::REAL[]),
+        |(0, 38, [-0.065602,-0.12638167,-0.037225083,-0.231957]::REAL[]),
+        |(0, 39, [0.06747908,-0.0067077577,0.021984538,0.07942653]::REAL[]),
+        |(0, 40, [-0.044986352,-0.020681562,0.11314056,-0.024587335]::REAL[]),
+        |(0, 41, [0.10990637,-0.3158094,-0.01412577,-0.024980318]::REAL[]),
+        |(0, 42, [-0.044140644,0.1714609,-0.098125584,-0.09285]::REAL[]),
+        |(0, 43, [-0.09647313,-0.09261194,-0.0073243543,-0.085512675]::REAL[]),
+        |(0, 44, [0.23040852,-0.09928374,0.040047675,0.11462741]::REAL[]),
+        |(0, 45, [-0.08252778,0.071363606,-0.026702357,0.24980712]::REAL[]),
+        |(0, 46, [-0.18610296,-0.060980726,-0.1899076,-0.010012981]::REAL[]),
+        |(0, 47, [0.016692441,-0.037961643,-0.19184598,0.11357426]::REAL[]),
+        |(0, 48, [0.23112431,0.12828836,-0.090363264,0.15529446]::REAL[]),
+        |(0, 49, [0.101361535,-0.13593975,-0.053793926,0.11397825]::REAL[]),
+        |(0, 50, [0.008725128,-0.13765056,-0.14508829,-0.03170758]::REAL[]),
+        |(0, 51, [0.20209317,0.14324842,0.087425865,-0.1962451]::REAL[]),
+        |(0, 52, [0.029012425,0.1666009,-0.06752686,-0.23601124]::REAL[]),
+        |(0, 53, [-0.038153455,-0.11333925,0.025751712,0.104262955]::REAL[]),
+        |(0, 54, [-0.025061714,0.09307076,0.10490525,-0.1543029]::REAL[]),
+        |(0, 55, [-0.17069873,0.093754925,0.11292264,0.078626215]::REAL[]),
+        |(0, 56, [-0.11909024,0.08486302,0.0067683784,-0.12487683]::REAL[]),
+        |(0, 57, [0.22782542,6.053246E-4,-0.12510069,0.07567727]::REAL[]),
+        |(0, 58, [0.10360361,0.028124148,0.05212209,-0.14671285]::REAL[]),
+        |(0, 59, [-0.003910831,-0.056121346,0.28312686,-0.056580085]::REAL[]),
+        |(0, 60, [-0.13305706,-0.042507052,0.043776117,0.18984437]::REAL[]),
+        |(0, 61, [0.0070954016,0.13077244,0.13897538,-0.061308168]::REAL[]),
+        |(0, 62, [0.0052924915,0.2749364,0.08473751,-0.081229515]::REAL[]),
+        |(0, 63, [0.036265388,-0.14546958,0.034191966,-0.03816755]::REAL[]),
+        |(1, 0, [-0.020916566,-0.11228697,-0.13549766,0.10125761]::REAL[]),
+        |(1, 1, [-0.08848922,-0.16062857,0.023633072,-0.0089803515]::REAL[]),
+        |(1, 2, [0.0760619,-0.06584992,-0.13973308,-0.2377998]::REAL[]),
+        |(1, 3, [0.19830266,0.18587823,-0.2836686,-0.06564591]::REAL[]),
+        |(1, 4, [-0.054028135,0.019185575,-0.07952816,0.035153933]::REAL[]),
+        |(1, 5, [0.20901151,0.14550778,0.10226109,0.15394896]::REAL[]),
+        |(1, 6, [-0.036477305,0.32516658,0.114673674,-0.2545679]::REAL[]),
+        |(1, 7, [-0.16185878,-0.008282649,0.15996568,0.09354934]::REAL[]),
+        |(1, 8, [-0.084415555,0.17720962,-0.052651405,0.038405813]::REAL[]),
+        |(1, 9, [-0.2927839,-0.13209192,-0.061137587,0.027874596]::REAL[]),
+        |(1, 10, [-0.06963802,0.08023068,0.044364266,-0.054580744]::REAL[]),
+        |(1, 11, [0.2035928,0.050950464,-0.08638708,0.09738012]::REAL[]),
+        |(1, 12, [0.072462305,-0.06414465,-0.23577371,-0.111096]::REAL[]),
+        |(1, 13, [-0.11515005,-0.034955934,-0.2225672,0.101318486]::REAL[]),
+        |(1, 14, [0.114098325,-0.05233264,-0.0726192,-0.013087267]::REAL[]),
+        |(1, 15, [-0.041803867,-0.06610469,0.013938699,-0.039130688]::REAL[]),
+        |(1, 16, [0.21050249,-0.19717541,-0.123787925,0.1361214]::REAL[]),
+        |(1, 17, [0.08742176,-0.035338916,0.06272807,0.030004852]::REAL[]),
+        |(1, 18, [0.1599717,0.047960293,0.09951403,-0.08265662]::REAL[]),
+        |(1, 19, [-0.048446726,0.14147285,-0.18568471,0.018600289]::REAL[]),
+        |(1, 20, [-0.10663296,-0.036806963,0.0018844364,0.15561396]::REAL[]),
+        |(1, 21, [-0.022819908,0.027512712,-0.0760499,0.12299847]::REAL[]),
+        |(1, 22, [0.02173941,-0.02396257,-0.09217004,0.012138321]::REAL[]),
+        |(1, 23, [0.09162902,0.0647589,-0.123423494,0.16137946]::REAL[]),
+        |(1, 24, [0.25096545,0.26359057,0.11865637,-0.1873604]::REAL[]),
+        |(1, 25, [-0.22817111,0.15530464,0.032544322,0.03326369]::REAL[]),
+        |(1, 26, [0.16875866,-0.009149588,0.025031645,-0.23441288]::REAL[]),
+        |(1, 27, [-0.11001271,-0.22060962,0.16388898,0.17116977]::REAL[]),
+        |(1, 28, [0.055114273,0.06155917,-0.05587048,0.29043686]::REAL[]),
+        |(1, 29, [-0.30589253,0.07413175,-0.055485666,0.18202318]::REAL[]),
+        |(1, 30, [0.035067014,0.106950626,0.124066725,-0.15720545]::REAL[]),
+        |(1, 31, [0.13631082,0.28630626,-0.13272595,0.07750905]::REAL[]),
+        |(1, 32, [0.12975186,0.0887095,-0.16294383,0.0033421682]::REAL[]),
+        |(1, 33, [0.13539657,-0.21028724,0.07411215,0.049504727]::REAL[]),
+        |(1, 34, [-0.039326645,0.17583874,0.19089544,0.06237469]::REAL[]),
+        |(1, 35, [0.06195685,-0.0015289753,-0.096973106,-0.3668924]::REAL[]),
+        |(1, 36, [0.08298477,-0.20377412,-0.13445716,0.025604261]::REAL[]),
+        |(1, 37, [-0.023208328,-0.12713541,-0.08479423,-0.16150428]::REAL[]),
+        |(1, 38, [0.21116644,-0.04087279,0.054934576,0.10249251]::REAL[]),
+        |(1, 39, [0.11972917,0.06329637,0.037671134,0.14451182]::REAL[]),
+        |(1, 40, [-0.025666183,0.11084364,-0.21989639,-0.13484356]::REAL[]),
+        |(1, 41, [0.08745593,0.13425027,-0.03345783,-0.106793165]::REAL[]),
+        |(1, 42, [0.09100074,0.23470476,0.09565029,0.07746596]::REAL[]),
+        |(1, 43, [0.012306971,-0.16429311,0.3150901,-0.020599645]::REAL[]),
+        |(1, 44, [-0.17079891,-0.045730222,0.0074521187,0.029358461]::REAL[]),
+        |(1, 45, [0.0548354,0.11804291,-0.029912133,0.03458901]::REAL[]),
+        |(1, 46, [-0.13649413,-0.29396522,-0.043079875,-0.1290296]::REAL[]),
+        |(1, 47, [-0.10585415,0.09276225,0.018079678,0.26700637]::REAL[]),
+        |(1, 48, [-0.061078295,0.05178283,-0.0027178987,0.10019508]::REAL[]),
+        |(1, 49, [0.23154631,-0.08388678,-0.17726903,0.08353303]::REAL[]),
+        |(1, 50, [-0.06833434,-0.051489964,0.05972215,0.089015454]::REAL[]),
+        |(1, 51, [-0.033990394,0.018626785,-0.047519423,-0.07549607]::REAL[]),
+        |(1, 52, [-0.18940222,0.09212224,-0.1251392,-0.046071198]::REAL[]),
+        |(1, 53, [-0.107305914,-0.041583646,0.013746146,-0.22247498]::REAL[]),
+        |(1, 54, [0.20288946,-0.08468564,-0.11749316,-0.08394266]::REAL[]),
+        |(1, 55, [0.049766757,0.06337189,0.2975619,-0.064813375]::REAL[]),
+        |(1, 56, [0.014812367,-0.0054334635,0.14231804,0.16078445]::REAL[]),
+        |(1, 57, [0.04178249,-0.06849321,0.08221277,-0.15780893]::REAL[]),
+        |(1, 58, [9.09206E-5,0.2060021,-0.036822703,0.17299303]::REAL[]),
+        |(1, 59, [-0.022878986,-0.27675584,-0.03187976,0.18896718]::REAL[]),
+        |(1, 60, [-0.18893324,0.032066114,0.10866943,-0.03556808]::REAL[]),
+        |(1, 61, [-0.05177161,-0.062149104,0.1780155,0.027752511]::REAL[]),
+        |(1, 62, [-0.015912293,0.10721168,0.045279242,0.194697]::REAL[]),
+        |(1, 63, [0.11178372,-0.1415893,-0.031776402,0.21860293]::REAL[]),
+        |(2, 0, [-0.029308053,-0.1491422,0.12968884,-0.037323732]::REAL[]),
+        |(2, 1, [-0.05841477,-0.004526396,-0.25326943,0.011370818]::REAL[]),
+        |(2, 2, [0.12495161,0.017941685,0.10797664,0.080517195]::REAL[]),
+        |(2, 3, [0.039558645,-0.1128621,-0.10006681,-0.122506686]::REAL[]),
+        |(2, 4, [0.001548702,-0.15350299,-0.091784775,0.066978425]::REAL[]),
+        |(2, 5, [-0.01409041,0.14888313,0.1780437,0.0897021]::REAL[]),
+        |(2, 6, [0.16090946,-0.09223176,0.06820364,-0.28132716]::REAL[]),
+        |(2, 7, [0.27315465,-0.17763945,0.10127545,0.32589763]::REAL[]),
+        |(2, 8, [0.2420379,0.22698684,0.10090103,-0.006371664]::REAL[]),
+        |(2, 9, [0.1598138,-0.16780646,0.27297947,-0.00999567]::REAL[]),
+        |(2, 10, [0.07575461,0.2546092,-0.072477266,0.09248737]::REAL[]),
+        |(2, 11, [0.08461466,-0.05040413,-0.13090102,0.16725926]::REAL[]),
+        |(2, 12, [-0.033059027,-0.016153023,0.067178,-0.0051519657]::REAL[]),
+        |(2, 13, [0.14300464,0.15411277,-0.012724151,-0.11860126]::REAL[]),
+        |(2, 14, [-0.06572724,-0.098833166,0.11456302,0.16069604]::REAL[]),
+        |(2, 15, [-0.032269213,0.11884915,-0.04086376,-0.3111091]::REAL[]),
+        |(2, 16, [-0.084152386,0.3626035,0.17430753,-0.05681667]::REAL[]),
+        |(2, 17, [-0.054986697,0.26339665,-0.09849809,-0.056476373]::REAL[]),
+        |(2, 18, [-0.23293711,0.091061436,0.10271237,-0.055823907]::REAL[]),
+        |(2, 19, [-0.0361985,-0.009298239,-0.06569659,0.035088837]::REAL[]),
+        |(2, 20, [0.15030585,-0.045131147,-0.19016053,-0.1424623]::REAL[]),
+        |(2, 21, [0.014551165,0.0902861,0.21662451,-0.121924795]::REAL[]),
+        |(2, 22, [-0.23653515,-0.15808295,0.16928741,-0.0698962]::REAL[]),
+        |(2, 23, [-0.12763947,0.2573695,0.08026605,0.08058808]::REAL[]),
+        |(2, 24, [-0.10225808,0.06827024,0.10741117,-0.09867128]::REAL[]),
+        |(2, 25, [0.21655864,0.037505683,0.048887417,0.02627607]::REAL[]),
+        |(2, 26, [-0.22772166,-0.20998123,-0.09683286,0.10065521]::REAL[]),
+        |(2, 27, [0.011538862,0.19512907,0.076718375,-0.019170063]::REAL[]),
+        |(2, 28, [0.16717409,-0.2413163,-0.09093532,-0.04356013]::REAL[]),
+        |(2, 29, [-0.13239884,0.16487129,-0.150723,0.18098593]::REAL[]),
+        |(2, 30, [0.011311087,-0.21376988,0.034643415,-0.03100942]::REAL[]),
+        |(2, 31, [-0.12583365,-0.1683804,-0.19431351,0.03290839]::REAL[]),
+        |(2, 32, [0.0943239,-0.16949517,0.03438625,0.08533938]::REAL[]),
+        |(2, 33, [0.10560353,0.07193939,-0.12949196,0.082014635]::REAL[]),
+        |(2, 34, [-0.17383467,2.2015843E-4,0.19872247,0.021376103]::REAL[]),
+        |(2, 35, [0.024891395,-0.06300591,-0.07976252,-0.042996015]::REAL[]),
+        |(2, 36, [0.07510606,-0.054829966,-0.14788173,0.025026223]::REAL[]),
+        |(2, 37, [0.041242,-0.20190766,0.07669418,-0.1464619]::REAL[]),
+        |(2, 38, [0.07506059,-0.054236498,0.02550826,0.007342306]::REAL[]),
+        |(2, 39, [0.14057109,-0.07781499,0.17976436,0.0070845024]::REAL[]),
+        |(2, 40, [0.025215778,-0.0496174,0.24107197,0.11664845]::REAL[]),
+        |(2, 41, [-0.11071911,-0.1957526,-0.041621406,-0.030235557]::REAL[]),
+        |(2, 42, [0.11021955,0.12172741,-0.11300874,-0.07215514]::REAL[]),
+        |(2, 43, [-0.030052118,-0.11054047,0.026654601,0.04427686]::REAL[]),
+        |(2, 44, [-0.14054954,-0.04987134,0.037610058,0.030046053]::REAL[]),
+        |(2, 45, [-0.07431093,0.005761734,-0.031897437,-0.13597855]::REAL[]),
+        |(2, 46, [-0.097349934,-0.20375015,-0.014196472,0.18166424]::REAL[]),
+        |(2, 47, [0.119449,0.09880923,0.017578203,0.09104867]::REAL[]),
+        |(2, 48, [-0.16240312,0.09259317,-0.0356936,0.05812937]::REAL[]),
+        |(2, 49, [-0.093937755,-0.2025966,-0.06256176,-0.22039278]::REAL[]),
+        |(2, 50, [-0.0044953013,-0.06138674,-0.34411904,0.26954743]::REAL[]),
+        |(2, 51, [-0.031802572,0.021325072,-0.013008402,0.16016975]::REAL[]),
+        |(2, 52, [-0.012929858,0.088815406,0.062096305,0.28962082]::REAL[]),
+        |(2, 53, [-0.029401843,-0.06947657,0.18618557,-0.10940528]::REAL[]),
+        |(2, 54, [-0.06313181,-0.085233085,0.16903968,-0.25774997]::REAL[]),
+        |(2, 55, [0.3285826,0.09965618,-0.1177867,0.07160408]::REAL[]),
+        |(2, 56, [-0.09474563,0.11755357,-0.01549627,-0.040985223]::REAL[]),
+        |(2, 57, [0.054600142,-0.025625655,0.09477903,-0.09669687]::REAL[]),
+        |(2, 58, [0.12043667,-0.025148325,-0.055333022,-0.043082163]::REAL[]),
+        |(2, 59, [0.12768397,0.07380581,0.14607133,-0.048469182]::REAL[]),
+        |(2, 60, [-0.15315643,-0.022288803,-0.16559286,-0.104476534]::REAL[]),
+        |(2, 61, [0.102196455,0.02796456,0.0048300177,-0.16031411]::REAL[]),
+        |(2, 62, [-0.022567073,0.06520046,0.14019209,-0.024460142]::REAL[]),
+        |(2, 63, [0.25111693,-0.06749378,-0.006975557,-0.07718837]::REAL[]),
+        |(3, 0, [-0.21537238,-0.091514796,-0.1499901,-0.16267169]::REAL[]),
+        |(3, 1, [0.1813979,-0.21135521,0.0029551862,0.056423556]::REAL[]),
+        |(3, 2, [-0.12937844,0.22690508,0.10030003,-0.087292515]::REAL[]),
+        |(3, 3, [-0.081143714,-0.20601057,-0.10545359,-0.14472762]::REAL[]),
+        |(3, 4, [0.0042655864,-0.11036034,-0.1614346,-0.020166703]::REAL[]),
+        |(3, 5, [-0.055788793,-0.024350544,-0.061045457,0.0060913465]::REAL[]),
+        |(3, 6, [-0.1667009,0.03091006,0.10337253,0.06866215]::REAL[]),
+        |(3, 7, [0.039263003,-0.104528114,-0.006575853,-0.2027359]::REAL[]),
+        |(3, 8, [0.09331376,0.05156901,0.048711248,0.08538323]::REAL[]),
+        |(3, 9, [-0.12722015,-0.090239376,0.18878733,-0.058191508]::REAL[]),
+        |(3, 10, [-0.15869734,-0.07181873,0.014820438,-0.12109618]::REAL[]),
+        |(3, 11, [-0.17542206,0.15362771,0.18127738,0.06273572]::REAL[]),
+        |(3, 12, [0.164962,0.21475707,-0.033357896,-0.05582962]::REAL[]),
+        |(3, 13, [0.26069212,0.015173153,0.100246914,0.19818665]::REAL[]),
+        |(3, 14, [-0.022544298,0.1877918,0.03516442,0.1503538]::REAL[]),
+        |(3, 15, [0.2333296,-0.1830772,0.3617298,-0.024819275]::REAL[]),
+        |(3, 16, [0.061769765,-0.15304635,0.09365638,-0.080347806]::REAL[]),
+        |(3, 17, [-0.11570596,0.03583399,-0.23557532,6.757023E-4]::REAL[]),
+        |(3, 18, [0.0013866187,0.09088896,0.20612757,0.07054369]::REAL[]),
+        |(3, 19, [0.07247791,0.13889031,-0.2302668,0.12831847]::REAL[]),
+        |(3, 20, [-0.17078382,-0.15557992,-0.13219312,0.035656724]::REAL[]),
+        |(3, 21, [-0.16308424,0.015531138,-0.22721966,0.19786969]::REAL[]),
+        |(3, 22, [0.016206147,-0.05076888,0.07703677,-0.02620063]::REAL[]),
+        |(3, 23, [-0.27207527,-0.05278198,-0.014737565,-0.004756819]::REAL[]),
+        |(3, 24, [0.113560244,0.15833467,0.10733848,-0.12781705]::REAL[]),
+        |(3, 25, [0.057570927,-0.014907328,0.1859703,0.15748087]::REAL[]),
+        |(3, 26, [-0.25694022,-0.082363054,0.1622361,0.01811767]::REAL[]),
+        |(3, 27, [-0.20920542,0.12876076,-0.056131817,-0.06428219]::REAL[]),
+        |(3, 28, [-0.016207451,0.08298439,0.016074602,-0.06960865]::REAL[]),
+        |(3, 29, [-0.04498702,0.017096536,0.11354377,-0.16348445]::REAL[]),
+        |(3, 30, [-0.08630076,1.9180495E-4,-0.19221216,-0.2176472]::REAL[]),
+        |(3, 31, [0.1713389,0.020595087,0.19732745,-0.09432724]::REAL[]),
+        |(3, 32, [0.19802067,-0.069233306,0.11462085,-0.06259569]::REAL[]),
+        |(3, 33, [0.07310109,-0.02516644,-0.04344589,0.2490863]::REAL[]),
+        |(3, 34, [0.024018303,-0.11973554,0.06740435,0.10469541]::REAL[]),
+        |(3, 35, [0.19682106,0.2538164,0.03591117,0.0663093]::REAL[]),
+        |(3, 36, [-0.17711231,0.005272301,-0.07666219,0.22052428]::REAL[]),
+        |(3, 37, [-0.037104234,0.2966736,8.711033E-4,-0.028856132]::REAL[]),
+        |(3, 38, [0.11875501,0.012384768,0.0070985556,-0.047351632]::REAL[]),
+        |(3, 39, [0.083813176,-0.005631969,-0.05406799,0.06243608]::REAL[]),
+        |(3, 40, [-0.019105725,0.15218396,-0.09374586,-0.08683204]::REAL[]),
+        |(3, 41, [-0.048460886,0.090199575,0.1273791,-0.04464468]::REAL[]),
+        |(3, 42, [-0.051609818,0.01632248,0.052599143,0.10103588]::REAL[]),
+        |(3, 43, [0.16631775,0.14742425,0.16058026,0.10163796]::REAL[]),
+        |(3, 44, [0.20063451,-0.008869131,-0.033316474,-0.19005565]::REAL[]),
+        |(3, 45, [-0.017641112,0.0324669,-0.07833572,0.16833344]::REAL[]),
+        |(3, 46, [0.092530824,-0.07095992,-0.07668315,-0.06079666]::REAL[]),
+        |(3, 47, [-0.0712648,0.12340985,-0.055150624,0.05556937]::REAL[]),
+        |(3, 48, [-0.05307368,-0.18576488,-0.088189006,-0.02628221]::REAL[]),
+        |(3, 49, [-0.06474233,-0.09437719,-0.10263023,0.12592669]::REAL[]),
+        |(3, 50, [-0.094676055,-0.29996285,0.07614103,-0.0444682]::REAL[]),
+        |(3, 51, [-0.13913864,0.047686078,0.19165848,0.2560319]::REAL[]),
+        |(3, 52, [0.23091555,-0.17956078,-0.17464405,0.13896555]::REAL[]),
+        |(3, 53, [0.058710836,0.05944848,-0.17991933,-0.1092284]::REAL[]),
+        |(3, 54, [0.12574148,-0.27137536,-0.20527099,0.07834033]::REAL[]),
+        |(3, 55, [0.08440959,-0.16021639,-0.08498086,-0.31646273]::REAL[]),
+        |(3, 56, [0.036845524,-0.19500752,-0.03570932,0.13234536]::REAL[]),
+        |(3, 57, [0.16653861,0.115025505,-0.09373221,0.12249159]::REAL[]),
+        |(3, 58, [0.054172635,-0.2545949,0.11332749,-0.091366254]::REAL[]),
+        |(3, 59, [0.06753112,-0.19397771,0.0037492183,-0.03223517]::REAL[]),
+        |(3, 60, [0.08998428,-0.116163425,0.17208113,-0.0077600735]::REAL[]),
+        |(3, 61, [-0.06547771,0.029073609,0.012023931,-0.25272518]::REAL[]),
+        |(3, 62, [0.03835268,-0.062264662,0.17407143,-0.20605883]::REAL[]),
+        |(3, 63, [0.05085383,-0.059396252,-0.21056762,0.07116619]::REAL[]),
+        |(4, 0, [-0.03384725,0.13958277,0.048064616,-0.10286194]::REAL[]),
+        |(4, 1, [-0.04034177,0.12610145,-0.13667172,-0.010156239]::REAL[]),
+        |(4, 2, [-0.11108908,-0.14489904,-0.25084096,-0.035970002]::REAL[]),
+        |(4, 3, [0.091261655,-0.047584563,-0.08962943,0.09492144]::REAL[]),
+        |(4, 4, [-0.034187265,0.11252262,0.0689968,0.26097158]::REAL[]),
+        |(4, 5, [0.04828907,-0.09803499,-0.15517278,-0.031311926]::REAL[]),
+        |(4, 6, [0.0870907,0.08925131,0.16148347,0.08470324]::REAL[]),
+        |(4, 7, [0.0021010267,-0.1272779,-0.053936366,0.049864613]::REAL[]),
+        |(4, 8, [0.017731508,0.040579267,0.016724503,0.10728193]::REAL[]),
+        |(4, 9, [-0.15448262,0.22400483,-0.08247545,0.05723834]::REAL[]),
+        |(4, 10, [0.049044173,-0.0054379883,0.050215617,-0.090213686]::REAL[]),
+        |(4, 11, [-0.048569642,0.061300173,0.10634812,-0.030559482]::REAL[]),
+        |(4, 12, [-0.06988222,0.06638272,-0.01663898,-0.03851049]::REAL[]),
+        |(4, 13, [-0.08859572,-0.0088399695,-0.112326674,0.015618452]::REAL[]),
+        |(4, 14, [-0.046133876,0.13641994,-0.13159971,-0.18027878]::REAL[]),
+        |(4, 15, [-0.13385028,-0.10799937,-0.0075430516,-0.08040235]::REAL[]),
+        |(4, 16, [-0.16120827,-0.31095874,-0.1324906,-0.11687731]::REAL[]),
+        |(4, 17, [0.17877862,-9.997189E-5,-0.08325057,-0.20135318]::REAL[]),
+        |(4, 18, [0.055377737,-0.21999075,-0.18188341,0.09920976]::REAL[]),
+        |(4, 19, [-0.0748078,-0.08249194,0.106191255,0.11174561]::REAL[]),
+        |(4, 20, [-0.038819633,0.17082538,0.051160395,-0.15942977]::REAL[]),
+        |(4, 21, [0.049627256,0.056977626,-0.15193878,-0.05132626]::REAL[]),
+        |(4, 22, [-0.044670552,-0.267878,0.048560124,-0.080809094]::REAL[]),
+        |(4, 23, [0.15747225,0.13072707,0.1735888,-0.052630305]::REAL[]),
+        |(4, 24, [-0.19750899,-0.050659943,-0.13531968,-0.11807469]::REAL[]),
+        |(4, 25, [-0.11438732,-0.0084335385,-0.005709767,0.11875075]::REAL[]),
+        |(4, 26, [-0.22499667,-0.14366291,-0.09774193,0.11101836]::REAL[]),
+        |(4, 27, [0.070220456,0.12411013,0.05522114,-0.09291651]::REAL[]),
+        |(4, 28, [-0.019425515,-0.07742123,0.05476649,0.004436672]::REAL[]),
+        |(4, 29, [0.19088285,0.092107564,-0.014730422,-0.080537885]::REAL[]),
+        |(4, 30, [-0.061463963,-0.0068640145,-0.15348914,0.16845767]::REAL[]),
+        |(4, 31, [0.16988291,0.009919453,0.17626612,0.1411018]::REAL[]),
+        |(4, 32, [0.081400745,0.21749924,-0.072977014,0.0058133095]::REAL[]),
+        |(4, 33, [0.09535681,-0.17793475,-0.06211646,-0.15112562]::REAL[]),
+        |(4, 34, [0.08696243,-0.12483177,0.1625299,0.01889586]::REAL[]),
+        |(4, 35, [8.5488707E-4,0.19307433,0.05592446,0.06650861]::REAL[]),
+        |(4, 36, [0.13343379,-0.0086602885,-0.090356484,0.25870776]::REAL[]),
+        |(4, 37, [0.031836316,-0.07381933,-0.09099765,-0.13926226]::REAL[]),
+        |(4, 38, [0.09850749,-0.0911518,0.03849617,-0.13920532]::REAL[]),
+        |(4, 39, [-0.1280074,0.0697791,-0.18099637,-0.03481977]::REAL[]),
+        |(4, 40, [-0.12236874,-0.17170967,0.032907173,0.019365463]::REAL[]),
+        |(4, 41, [-0.046028912,0.10144117,0.30467492,0.092963986]::REAL[]),
+        |(4, 42, [-0.20330258,0.104934074,-0.07464537,-0.001741251]::REAL[]),
+        |(4, 43, [-0.21964402,-0.07230336,0.12728532,-0.06572836]::REAL[]),
+        |(4, 44, [0.02869472,0.11923841,0.04076252,-0.28925928]::REAL[]),
+        |(4, 45, [-0.116740726,0.11632048,0.006973315,0.06133079]::REAL[]),
+        |(4, 46, [-0.04251134,0.315868,0.14194988,-0.122066505]::REAL[]),
+        |(4, 47, [0.23092692,-0.0656,-0.1102931,-0.014848952]::REAL[]),
+        |(4, 48, [-0.080783874,-0.12124781,-0.036486056,0.18779674]::REAL[]),
+        |(4, 49, [0.2470884,-0.16117969,0.08810501,-0.11863641]::REAL[]),
+        |(4, 50, [-0.22108242,0.095911086,0.14460184,-0.12365337]::REAL[]),
+        |(4, 51, [-0.058267895,-0.0064181993,0.115151905,0.03781931]::REAL[]),
+        |(4, 52, [-0.091446705,0.39099407,-0.055891845,-0.13347822]::REAL[]),
+        |(4, 53, [0.12655142,0.012322114,0.015662894,-4.0266095E-4]::REAL[]),
+        |(4, 54, [0.27707544,-0.016389724,0.021806918,0.16912827]::REAL[]),
+        |(4, 55, [0.12145604,-0.14452727,0.054020505,0.050080914]::REAL[]),
+        |(4, 56, [-0.16566119,0.1343993,0.098843634,0.0026333253]::REAL[]),
+        |(4, 57, [0.03442245,-0.007034269,0.19807874,-0.07910093]::REAL[]),
+        |(4, 58, [0.05793339,0.11358875,-0.0664751,0.13992676]::REAL[]),
+        |(4, 59, [-0.07108739,-0.10832915,0.2960014,-0.0021644142]::REAL[]),
+        |(4, 60, [0.0033170453,-0.0058018845,0.25467587,0.10045362]::REAL[]),
+        |(4, 61, [0.036861327,0.092359126,0.1991544,-0.16240059]::REAL[]),
+        |(4, 62, [-0.076080725,0.0027924187,0.06787344,-0.17612189]::REAL[]),
+        |(4, 63, [0.083760485,0.013580366,-0.25913775,0.08280993]::REAL[]),
+        |(5, 0, [0.17176852,0.07342062,-0.04036992,0.25504735]::REAL[]),
+        |(5, 1, [0.054262307,0.099677324,-0.20705777,0.07708614]::REAL[]),
+        |(5, 2, [-0.20551418,0.20718403,0.09458166,-0.16021733]::REAL[]),
+        |(5, 3, [-0.2287671,-0.158584,-0.013647997,0.30783603]::REAL[]),
+        |(5, 4, [0.0014424032,-0.2547312,-0.010890776,-0.1366208]::REAL[]),
+        |(5, 5, [-0.12972578,0.17738296,-0.01820174,0.10097945]::REAL[]),
+        |(5, 6, [-0.0010101368,-0.13133126,0.11975882,-0.2063582]::REAL[]),
+        |(5, 7, [0.2347625,-0.0019030522,0.03397974,0.007965442]::REAL[]),
+        |(5, 8, [0.07853976,0.0055942805,-0.15182829,0.25750172]::REAL[]),
+        |(5, 9, [0.043573134,-0.036747787,-0.14188302,0.09289264]::REAL[]),
+        |(5, 10, [-0.13671589,-0.04226157,-0.06324159,0.13354936]::REAL[]),
+        |(5, 11, [0.049799126,0.18202895,0.15821733,0.1446687]::REAL[]),
+        |(5, 12, [-0.2709335,-0.10141066,-0.10328497,-0.040722795]::REAL[]),
+        |(5, 13, [-0.12749194,0.097412854,-0.1617861,-0.029085577]::REAL[]),
+        |(5, 14, [-0.15803742,0.15334246,0.21690322,0.106496684]::REAL[]),
+        |(5, 15, [-0.14254692,-0.044163935,-0.18630326,-0.11201226]::REAL[]),
+        |(5, 16, [-0.018611496,0.13067359,-0.06454259,0.11867101]::REAL[]),
+        |(5, 17, [-0.23311712,0.08722447,0.091744706,0.13131532]::REAL[]),
+        |(5, 18, [-0.09096499,-0.012051312,0.21358964,-0.3485065]::REAL[]),
+        |(5, 19, [0.16013631,-0.1371924,-0.14764324,-0.007208558]::REAL[]),
+        |(5, 20, [-0.02420047,-0.22009662,0.22272041,-0.08611585]::REAL[]),
+        |(5, 21, [0.15965445,0.10546172,0.16687965,-0.044252582]::REAL[]),
+        |(5, 22, [0.2195162,-0.074088454,-0.041360114,-0.16817786]::REAL[]),
+        |(5, 23, [0.081279114,0.05512445,-0.13786952,-0.07360925]::REAL[]),
+        |(5, 24, [0.03689924,0.015352238,0.08113843,-0.09828466]::REAL[]),
+        |(5, 25, [0.0031200538,0.016289808,0.23482993,-0.120623566]::REAL[]),
+        |(5, 26, [0.1440844,0.11557227,-0.10660309,0.039030235]::REAL[]),
+        |(5, 27, [-0.12755223,0.032661792,0.14605695,-0.015311759]::REAL[]),
+        |(5, 28, [0.0027949174,-0.14214091,0.08099385,0.118086465]::REAL[]),
+        |(5, 29, [0.10794319,-0.11186384,-0.025808243,0.052995842]::REAL[]),
+        |(5, 30, [0.15013826,-0.063188575,0.034247655,-0.33891937]::REAL[]),
+        |(5, 31, [0.1306672,-0.30253363,-0.13229576,0.031076416]::REAL[]),
+        |(5, 32, [-0.03701335,0.06446025,0.014973222,-0.0023435936]::REAL[]),
+        |(5, 33, [0.0398946,-0.1759812,-0.23860164,-0.066838846]::REAL[]),
+        |(5, 34, [0.16080837,0.011136492,-0.23463322,0.038948912]::REAL[]),
+        |(5, 35, [-0.18035342,0.022187993,-0.025496338,-0.07776119]::REAL[]),
+        |(5, 36, [-0.056142807,-0.083573855,-0.051174533,-0.14557026]::REAL[]),
+        |(5, 37, [0.073355,-0.020542407,0.13455607,0.15534802]::REAL[]),
+        |(5, 38, [-0.042561006,0.31976217,-0.08087914,0.116278976]::REAL[]),
+        |(5, 39, [0.009106159,-0.038323544,0.06630907,-0.021140475]::REAL[]),
+        |(5, 40, [-0.06123216,0.023452003,0.09621176,0.1066421]::REAL[]),
+        |(5, 41, [-0.10320934,-0.09922277,-0.06746695,-0.014621714]::REAL[]),
+        |(5, 42, [-0.0130001325,-0.06403984,-0.1398491,-0.027144246]::REAL[]),
+        |(5, 43, [0.049467836,-0.13248612,-0.111450695,0.13363147]::REAL[]),
+        |(5, 44, [0.09929919,-0.07890189,0.12748028,0.04119775]::REAL[]),
+        |(5, 45, [0.028031616,0.14449194,0.08231628,-0.28283164]::REAL[]),
+        |(5, 46, [0.1470883,-0.042207003,-0.06804926,-0.0018596945]::REAL[]),
+        |(5, 47, [0.16121134,0.19231471,-0.06803164,-0.1348699]::REAL[]),
+        |(5, 48, [0.0105226645,0.1297131,0.028086191,0.24249575]::REAL[]),
+        |(5, 49, [-0.04612406,0.14716128,0.12881874,-0.10619707]::REAL[]),
+        |(5, 50, [-0.048662424,-0.15239766,-0.14508276,0.03497107]::REAL[]),
+        |(5, 51, [-0.13482651,-0.08629237,0.09765087,-0.11719342]::REAL[]),
+        |(5, 52, [0.122811854,0.085648626,0.18351096,-0.1890203]::REAL[]),
+        |(5, 53, [0.038819127,0.20424886,0.03998007,-0.025279865]::REAL[]),
+        |(5, 54, [-0.15352345,0.05870138,0.11236419,-0.18752421]::REAL[]),
+        |(5, 55, [-0.10346033,0.044788092,0.098578095,0.34311384]::REAL[]),
+        |(5, 56, [-0.065011725,0.116807945,-0.051165793,-0.17861587]::REAL[]),
+        |(5, 57, [-0.007654738,-0.2086604,-0.08463697,0.047617584]::REAL[]),
+        |(5, 58, [0.071470775,-0.037145805,0.040833432,-0.1393338]::REAL[]),
+        |(5, 59, [0.005580625,-0.0104353465,-0.056086153,0.0063565443]::REAL[]),
+        |(5, 60, [0.08076139,-0.20586292,0.059057437,-0.02992151]::REAL[]),
+        |(5, 61, [-0.11882559,-0.16324513,0.0861828,0.032453783]::REAL[]),
+        |(5, 62, [0.010620969,0.0133792,-0.07942908,-0.18183444]::REAL[]),
+        |(5, 63, [0.0955862,0.07109847,0.035032094,0.044790633]::REAL[]),
+        |(6, 0, [-0.018441612,-0.3183573,0.21064985,-0.111738235]::REAL[]),
+        |(6, 1, [-0.0033589047,0.22018272,0.037240144,-0.105327964]::REAL[]),
+        |(6, 2, [-0.06268415,0.09758037,0.0681252,0.032515556]::REAL[]),
+        |(6, 3, [-0.027389463,-0.16848764,0.13366005,-0.028050698]::REAL[]),
+        |(6, 4, [-0.1702812,0.179706,0.07671012,0.18588102]::REAL[]),
+        |(6, 5, [-0.104823925,0.015061662,0.24999425,0.12101497]::REAL[]),
+        |(6, 6, [0.20744143,0.20319404,0.029471321,-0.0994934]::REAL[]),
+        |(6, 7, [0.10397415,-0.06760609,0.028369868,0.16168812]::REAL[]),
+        |(6, 8, [0.024632711,-0.12511085,0.0645655,0.1669291]::REAL[]),
+        |(6, 9, [0.053473465,0.31708437,0.06936347,0.03952656]::REAL[]),
+        |(6, 10, [0.110289425,-0.20795807,0.21859613,0.052535214]::REAL[]),
+        |(6, 11, [0.19923492,0.10367651,-0.048288684,0.17951795]::REAL[]),
+        |(6, 12, [-0.054511413,-0.10728201,0.02924688,-0.0316041]::REAL[]),
+        |(6, 13, [-0.14916451,-0.18292491,-0.07759613,0.05900283]::REAL[]),
+        |(6, 14, [0.009627062,0.046877563,-0.251195,-0.10528175]::REAL[]),
+        |(6, 15, [0.013416706,0.07873888,0.027278384,-0.15601723]::REAL[]),
+        |(6, 16, [-0.2674578,0.10250325,-0.08752995,0.033875763]::REAL[]),
+        |(6, 17, [0.091453694,-0.035128973,0.12965132,-0.014448037]::REAL[]),
+        |(6, 18, [0.03579308,-0.21413091,-0.115190215,0.035480984]::REAL[]),
+        |(6, 19, [-0.06666446,-0.0020790948,-0.16776711,-0.14739965]::REAL[]),
+        |(6, 20, [-0.17375952,0.15651266,-0.14401546,-0.016931098]::REAL[]),
+        |(6, 21, [0.24334788,-0.17403102,-0.003148296,-0.06741696]::REAL[]),
+        |(6, 22, [0.11509764,0.12937483,0.025078885,0.09882586]::REAL[]),
+        |(6, 23, [0.04899434,0.05435089,-0.1486488,0.1917387]::REAL[]),
+        |(6, 24, [-0.012829594,0.15029655,-0.01970237,0.066755176]::REAL[]),
+        |(6, 25, [-0.09490953,-0.08548257,0.11429536,-0.15299787]::REAL[]),
+        |(6, 26, [-0.07658093,-0.020794854,-0.25236428,0.13058105]::REAL[]),
+        |(6, 27, [-0.12781568,0.03487128,-0.026749363,-0.24564704]::REAL[]),
+        |(6, 28, [0.21596627,-0.07063738,0.09839696,0.09095667]::REAL[]),
+        |(6, 29, [0.16065347,0.06599588,0.13379881,0.032700606]::REAL[]),
+        |(6, 30, [0.15152301,0.11989521,0.07620249,-0.054367993]::REAL[]),
+        |(6, 31, [-0.06655853,-0.0096178595,-0.07390591,0.054051828]::REAL[]),
+        |(6, 32, [0.10494281,-0.16178201,-0.38573748,-0.19650272]::REAL[]),
+        |(6, 33, [0.10119083,-0.06368497,-0.052045126,-0.044095337]::REAL[]),
+        |(6, 34, [0.20712458,0.069018945,0.16686252,-0.16907583]::REAL[]),
+        |(6, 35, [0.14872831,0.1764966,-0.14610136,0.06728707]::REAL[]),
+        |(6, 36, [-0.04701787,0.025747957,0.076140046,0.16129002]::REAL[]),
+        |(6, 37, [-0.11054876,0.008008707,-0.03949704,-0.027230214]::REAL[]),
+        |(6, 38, [0.001518778,-0.029654352,-0.18096839,0.0014699477]::REAL[]),
+        |(6, 39, [-0.032382704,-0.0020884324,0.057998396,0.018821724]::REAL[]),
+        |(6, 40, [0.12240657,0.17096417,0.19809453,0.09815876]::REAL[]),
+        |(6, 41, [-0.07512757,0.24068923,-0.14372505,-0.0029650773]::REAL[]),
+        |(6, 42, [9.906242E-4,0.09397332,-0.08688081,-0.14915058]::REAL[]),
+        |(6, 43, [0.16366349,0.03806634,-0.10144649,0.09744258]::REAL[]),
+        |(6, 44, [0.18280995,-0.10610528,-0.16939595,0.07991307]::REAL[]),
+        |(6, 45, [-0.09959417,-0.015789166,0.020371443,0.2948565]::REAL[]),
+        |(6, 46, [-0.08419266,-0.093417995,0.009539707,0.097938195]::REAL[]),
+        |(6, 47, [0.037828054,-0.10591046,0.037262958,-0.11489012]::REAL[]),
+        |(6, 48, [-0.09530155,0.18914323,0.19434719,-0.0639489]::REAL[]),
+        |(6, 49, [0.0629668,-0.040545452,-0.11863234,-0.10794532]::REAL[]),
+        |(6, 50, [0.23320594,0.072523884,-0.042041093,-0.16448322]::REAL[]),
+        |(6, 51, [-0.003391423,0.10451779,-0.10832159,0.017269013]::REAL[]),
+        |(6, 52, [0.17406306,0.22879101,-0.21288036,-0.30352503]::REAL[]),
+        |(6, 53, [0.08755394,0.008673627,-0.061606634,0.02699418]::REAL[]),
+        |(6, 54, [-0.020291725,-0.027766857,0.27489805,-0.06853261]::REAL[]),
+        |(6, 55, [0.043706767,-0.22681269,0.03127037,0.018668072]::REAL[]),
+        |(6, 56, [-0.060233984,0.040843245,0.14507881,-0.06682961]::REAL[]),
+        |(6, 57, [0.090801105,0.12436626,-0.056979574,-0.048992064]::REAL[]),
+        |(6, 58, [0.04827637,0.10103552,0.07525804,-0.039512172]::REAL[]),
+        |(6, 59, [-0.2355988,-0.025166761,-0.063605554,-0.11225998]::REAL[]),
+        |(6, 60, [-0.07353099,-0.14412856,-0.10970344,-0.2243204]::REAL[]),
+        |(6, 61, [-0.24429633,-0.004350938,0.094076194,0.0070551652]::REAL[]),
+        |(6, 62, [-0.068108246,-0.12098819,-0.111439526,-0.08947487]::REAL[]),
+        |(6, 63, [-0.14149155,0.026423642,-0.12874997,0.10094196]::REAL[]),
+        |(7, 0, [0.031859342,-0.36932057,-0.07253659,-0.03312843]::REAL[]),
+        |(7, 1, [0.037480976,0.23321949,0.23949917,0.015167868]::REAL[]),
+        |(7, 2, [0.051268023,0.20250796,-0.2277209,0.08018791]::REAL[]),
+        |(7, 3, [-0.044882767,0.120339625,0.14937055,-0.17542559]::REAL[]),
+        |(7, 4, [0.13723294,0.07555395,-0.053977367,-0.17293507]::REAL[]),
+        |(7, 5, [-0.25329584,-0.06541712,0.21779932,-0.1190572]::REAL[]),
+        |(7, 6, [-0.37942606,-0.028162403,0.15691632,-0.03308776]::REAL[]),
+        |(7, 7, [0.029937785,-0.13563313,0.19915798,0.14121532]::REAL[]),
+        |(7, 8, [0.01156106,-0.028070489,0.053011235,0.07608554]::REAL[]),
+        |(7, 9, [0.027743712,-0.01670124,0.06012781,-0.14161602]::REAL[]),
+        |(7, 10, [-0.09980746,-0.15272331,0.054142933,0.1998813]::REAL[]),
+        |(7, 11, [0.064651884,0.031015921,-0.00477425,0.3526326]::REAL[]),
+        |(7, 12, [0.11569268,0.13195688,-0.45501158,-0.22862647]::REAL[]),
+        |(7, 13, [0.13532627,-0.1729469,0.03669641,0.238958]::REAL[]),
+        |(7, 14, [0.15732765,-0.0030627456,0.12242087,-0.23346612]::REAL[]),
+        |(7, 15, [-0.14874703,0.06075405,-0.18442059,-0.083816476]::REAL[]),
+        |(7, 16, [-0.24548991,-0.036275864,0.15656911,0.13922064]::REAL[]),
+        |(7, 17, [0.030321315,0.1703097,-0.11515871,-0.069507]::REAL[]),
+        |(7, 18, [0.023940982,0.13430834,0.048670895,-0.0661542]::REAL[]),
+        |(7, 19, [-0.07842175,0.2275921,-0.007888514,0.031017097]::REAL[]),
+        |(7, 20, [-0.015578559,0.060201984,0.25519997,0.0034933372]::REAL[]),
+        |(7, 21, [0.22648118,0.053526394,-0.014864664,-0.0054615317]::REAL[]),
+        |(7, 22, [0.11666278,0.036753118,0.21652354,-0.03148233]::REAL[]),
+        |(7, 23, [0.107667446,0.018437129,-0.1306421,-0.058748182]::REAL[]),
+        |(7, 24, [-0.09677511,-0.003607786,-0.03534408,-0.06806265]::REAL[]),
+        |(7, 25, [-0.14840524,0.089731954,-0.048818942,0.09639025]::REAL[]),
+        |(7, 26, [-0.03855409,-0.04520203,-0.06386645,-0.24615541]::REAL[]),
+        |(7, 27, [0.1730347,0.20114,0.005102678,0.11598014]::REAL[]),
+        |(7, 28, [0.09633941,0.08041057,0.13519108,0.122622326]::REAL[]),
+        |(7, 29, [-0.07469208,-0.15251027,0.15175429,-0.18247433]::REAL[]),
+        |(7, 30, [-0.01273218,-0.0476463,-0.015980808,-3.3940928E-4]::REAL[]),
+        |(7, 31, [-0.057879627,0.09930331,0.06526557,0.08052428]::REAL[]),
+        |(7, 32, [-0.030552793,-0.09195815,0.1695663,-0.057518005]::REAL[]),
+        |(7, 33, [-0.053437345,0.21344528,-0.013694752,-0.13648401]::REAL[]),
+        |(7, 34, [0.067357026,0.31556693,0.09901419,-0.14619404]::REAL[]),
+        |(7, 35, [0.13675347,0.001005299,-0.026083034,0.03245805]::REAL[]),
+        |(7, 36, [-0.24015053,-0.07845889,-0.081054546,-0.029123645]::REAL[]),
+        |(7, 37, [-0.09634652,-0.007684236,0.13008407,0.12850359]::REAL[]),
+        |(7, 38, [0.04980262,0.03511554,-0.20653109,0.09139353]::REAL[]),
+        |(7, 39, [0.07001135,0.04135688,0.029495226,0.10560703]::REAL[]),
+        |(7, 40, [0.23830073,-0.069027156,0.07629848,0.03819855]::REAL[]),
+        |(7, 41, [-0.047202125,0.012043542,0.12549028,-0.018192513]::REAL[]),
+        |(7, 42, [-0.19307296,0.13701357,0.10478532,-0.05192527]::REAL[]),
+        |(7, 43, [0.012218919,0.30145854,-0.13493839,0.09299913]::REAL[]),
+        |(7, 44, [-0.0035960067,0.22160104,0.10039063,0.19981222]::REAL[]),
+        |(7, 45, [-0.024396993,-0.09001563,-0.13883258,0.2074821]::REAL[]),
+        |(7, 46, [-0.14631858,-0.03137086,0.21986902,0.0071871057]::REAL[]),
+        |(7, 47, [0.07428756,-0.2377308,0.13059457,-0.13332376]::REAL[]),
+        |(7, 48, [-0.1510569,-0.07015135,-0.17755257,0.070149794]::REAL[]),
+        |(7, 49, [0.1691579,-0.12459156,-0.15178822,0.002706058]::REAL[]),
+        |(7, 50, [0.021076221,-0.121819876,0.027185677,-0.08310921]::REAL[]),
+        |(7, 51, [0.073307365,-0.14477693,-0.17604455,-0.09662878]::REAL[]),
+        |(7, 52, [-0.13559413,-0.2210406,0.069003254,-0.057764113]::REAL[]),
+        |(7, 53, [0.049608834,-0.1829992,0.09206632,0.065875895]::REAL[]),
+        |(7, 54, [0.0013327263,0.03218074,-0.042923108,0.046841938]::REAL[]),
+        |(7, 55, [-0.15315399,-0.019457452,0.06899385,-0.112450555]::REAL[]),
+        |(7, 56, [0.1525689,-0.03549395,0.047069967,-0.071832135]::REAL[]),
+        |(7, 57, [0.036887135,-0.18045297,-0.055615883,-0.0029500825]::REAL[]),
+        |(7, 58, [0.06822004,-0.029496426,0.11600454,0.03989231]::REAL[]),
+        |(7, 59, [0.060973067,-0.045148328,-0.038653586,0.16009063]::REAL[]),
+        |(7, 60, [0.059155624,0.09588094,-0.076729245,0.03618071]::REAL[]),
+        |(7, 61, [-0.08450173,-0.08995337,-0.028245557,0.083229624]::REAL[]),
+        |(7, 62, [-0.14436615,0.12297848,-0.056366492,0.21844512]::REAL[]),
+        |(7, 63, [0.01760246,0.16426082,-0.07969546,0.1601609]::REAL[]),
+        |(8, 0, [-0.28215024,-0.10965667,0.026803192,0.015457802]::REAL[]),
+        |(8, 1, [-0.10406911,-0.20582919,-0.10633665,0.019902656]::REAL[]),
+        |(8, 2, [-0.023556586,-0.18659192,0.16604947,0.056755185]::REAL[]),
+        |(8, 3, [-0.023141228,0.08207965,0.031986848,-0.17791437]::REAL[]),
+        |(8, 4, [0.16461965,0.025844684,-0.035288993,0.07646061]::REAL[]),
+        |(8, 5, [-4.5464147E-4,-0.07895188,0.13042717,0.12653531]::REAL[]),
+        |(8, 6, [-0.21565995,0.08673902,-0.05285582,0.18299818]::REAL[]),
+        |(8, 7, [0.036162026,-0.1633865,-0.0027056236,0.13777658]::REAL[]),
+        |(8, 8, [-0.12898362,-0.0030508486,0.051758185,0.13577633]::REAL[]),
+        |(8, 9, [-0.09973408,-0.02542124,0.10679993,-0.06732856]::REAL[]),
+        |(8, 10, [-0.14202023,-0.028510874,-0.076526895,0.12309914]::REAL[]),
+        |(8, 11, [0.12175161,-0.024742628,0.07682569,-0.08314151]::REAL[]),
+        |(8, 12, [0.07022812,0.09401219,0.007115565,-0.024922393]::REAL[]),
+        |(8, 13, [0.079256475,-0.045506645,0.029050477,0.31617483]::REAL[]),
+        |(8, 14, [0.040565003,-0.12098799,0.049259126,-0.1637991]::REAL[]),""".stripMargin,
+      """(8, 15, [0.16019668,0.16132198,0.01922901,0.17438515]::REAL[]),
+        |(8, 16, [-0.038722903,-0.12885675,0.27877986,-0.22871791]::REAL[]),
+        |(8, 17, [-0.10017204,-0.12269085,-0.0403579,-0.13753831]::REAL[]),
+        |(8, 18, [-0.059709866,0.04554324,-0.16346139,0.28386986]::REAL[]),
+        |(8, 19, [0.069751486,-0.077697024,0.0019187776,0.027510637]::REAL[]),
+        |(8, 20, [-0.38186485,0.11933218,-0.094621085,-0.20417443]::REAL[]),
+        |(8, 21, [-0.024163373,-0.027394671,-0.20623226,-0.22058731]::REAL[]),
+        |(8, 22, [0.07562243,-0.14263904,-0.19034797,-0.03506652]::REAL[]),
+        |(8, 23, [-0.18145932,0.06332611,-0.032710653,0.020341324]::REAL[]),
+        |(8, 24, [0.1191921,0.038358755,0.19897611,0.1968841]::REAL[]),
+        |(8, 25, [0.12973596,0.07567849,-0.09462325,-0.033712246]::REAL[]),
+        |(8, 26, [-0.08805728,-0.09284335,0.014960169,0.26506084]::REAL[]),
+        |(8, 27, [-0.03275829,0.0021802206,-0.06686273,-0.22150125]::REAL[]),
+        |(8, 28, [0.1782413,0.09663727,0.047290836,-0.07214649]::REAL[]),
+        |(8, 29, [0.07415104,-0.22491841,0.07087123,-0.019601403]::REAL[]),
+        |(8, 30, [0.22314967,-0.13220142,0.06849119,-0.19011295]::REAL[]),
+        |(8, 31, [0.07514299,0.1187446,0.12803884,0.0046422267]::REAL[]),
+        |(8, 32, [0.04435147,0.13661969,-0.10718166,0.11341666]::REAL[]),
+        |(8, 33, [0.11440023,-0.11940489,0.23942259,-0.040096216]::REAL[]),
+        |(8, 34, [-0.015039681,0.13772646,-0.106629886,-0.043116465]::REAL[]),
+        |(8, 35, [0.11203803,0.25505558,0.12906374,-0.03817929]::REAL[]),
+        |(8, 36, [0.15519935,0.2621179,-0.13130493,-0.012761392]::REAL[]),
+        |(8, 37, [-0.1786506,-0.052922662,0.28841016,0.029611634]::REAL[]),
+        |(8, 38, [0.013466793,0.0733905,0.23511548,-0.15690835]::REAL[]),
+        |(8, 39, [0.09006204,-0.07032738,0.18268123,-0.185907]::REAL[]),
+        |(8, 40, [-0.026466068,0.023697544,0.2290687,0.06468298]::REAL[]),
+        |(8, 41, [0.19581473,-0.058291756,-0.19581082,0.12179835]::REAL[]),
+        |(8, 42, [0.22283927,-0.13311659,0.01822609,0.02871279]::REAL[]),
+        |(8, 43, [-0.022428622,0.13979954,0.10375921,0.14218219]::REAL[]),
+        |(8, 44, [-0.07444363,0.11193923,-0.20206207,-0.034248434]::REAL[]),
+        |(8, 45, [-0.124359235,-0.017867165,-0.12075312,-0.07964415]::REAL[]),
+        |(8, 46, [-0.15967047,-0.06903648,0.059929073,-0.20500737]::REAL[]),
+        |(8, 47, [-0.24909332,0.09522887,0.09119382,-0.09789785]::REAL[]),
+        |(8, 48, [0.2853676,0.0036259922,-0.09039344,-0.19953603]::REAL[]),
+        |(8, 49, [0.10134397,-0.085051216,0.12704027,0.08570349]::REAL[]),
+        |(8, 50, [0.21655132,0.047641598,0.101978965,0.10470765]::REAL[]),
+        |(8, 51, [-0.024823723,-0.029742401,0.049767602,0.09287041]::REAL[]),
+        |(8, 52, [0.07161607,0.245361,0.0050646476,-0.068518415]::REAL[]),
+        |(8, 53, [0.11030304,-0.09948927,-0.082406305,-0.078674905]::REAL[]),
+        |(8, 54, [0.14026591,-0.088300064,0.09950275,0.011995329]::REAL[]),
+        |(8, 55, [0.10486698,0.0089599,-0.019668356,-0.27690244]::REAL[]),
+        |(8, 56, [-0.04898131,-0.13473922,0.008156607,0.015122481]::REAL[]),
+        |(8, 57, [-0.056466416,0.079515524,0.03488372,-0.04992885]::REAL[]),
+        |(8, 58, [0.12354521,-0.053519957,-0.07026848,0.19323672]::REAL[]),
+        |(8, 59, [-0.022716012,-0.019939713,-0.1906325,0.1319666]::REAL[]),
+        |(8, 60, [-0.002950866,-0.0026764038,-0.04609096,0.12147525]::REAL[]),
+        |(8, 61, [-0.0055303895,-0.04216962,-0.02765492,-0.046370868]::REAL[]),
+        |(8, 62, [-0.11569012,0.19198628,-0.027632097,-0.02685461]::REAL[]),
+        |(8, 63, [-0.019240731,-0.33084607,-0.036392696,-0.098995045]::REAL[]),
+        |(9, 0, [-0.081088215,0.064491265,-0.117598325,0.23657908]::REAL[]),
+        |(9, 1, [0.0604496,-0.0948883,-0.17196375,0.2493579]::REAL[]),
+        |(9, 2, [-0.00296224,-0.07180443,-0.107724816,0.16696686]::REAL[]),
+        |(9, 3, [0.05181311,0.10058593,0.12207039,-0.15196459]::REAL[]),
+        |(9, 4, [0.009128627,-0.1869677,-0.047677856,-0.13837497]::REAL[]),
+        |(9, 5, [-0.05980236,-0.18578854,-0.24552625,0.062259264]::REAL[]),
+        |(9, 6, [0.028376028,0.105870925,0.11449275,0.27437243]::REAL[]),
+        |(9, 7, [-0.2283924,0.031936493,-2.8239042E-4,0.08044916]::REAL[]),
+        |(9, 8, [-0.008446019,-0.014072298,0.0065122745,0.022063576]::REAL[]),
+        |(9, 9, [0.16654263,0.023517136,-0.09959952,0.20739558]::REAL[]),
+        |(9, 10, [0.26944277,-0.07824284,0.16124481,-0.03250367]::REAL[]),
+        |(9, 11, [-0.114900455,0.08698453,0.016509779,-0.13220076]::REAL[]),
+        |(9, 12, [-0.12820186,-0.24680342,-0.06003205,-0.054287687]::REAL[]),
+        |(9, 13, [-0.19677512,-0.18210208,-0.15646937,-0.10792144]::REAL[]),
+        |(9, 14, [0.1548349,-0.28357974,-0.14350092,0.108098805]::REAL[]),
+        |(9, 15, [0.12617685,-0.021917026,0.13128704,0.05138915]::REAL[]),
+        |(9, 16, [0.053065427,-0.10817728,0.11202875,-0.03173846]::REAL[]),
+        |(9, 17, [-0.24124956,-0.1853591,-0.020269752,0.18146291]::REAL[]),
+        |(9, 18, [-0.06545182,0.009268091,-0.067677535,0.11009067]::REAL[]),
+        |(9, 19, [0.047448024,0.17487466,0.023408486,0.09701629]::REAL[]),
+        |(9, 20, [-0.16620126,-0.113551,0.10381284,0.024525803]::REAL[]),
+        |(9, 21, [0.20272464,0.14026,0.099503614,-0.25078633]::REAL[]),
+        |(9, 22, [-0.0713986,-0.24446625,-0.008915845,0.12823199]::REAL[]),
+        |(9, 23, [-0.11974338,-0.1474718,0.2824562,0.0720676]::REAL[]),
+        |(9, 24, [-0.14665784,0.12954418,-0.050950702,-0.01236111]::REAL[]),
+        |(9, 25, [0.07515925,-0.0015290702,0.046507683,0.16193461]::REAL[]),
+        |(9, 26, [-0.04140587,-0.17279044,0.076887876,0.062143102]::REAL[]),
+        |(9, 27, [0.034045666,0.008815095,0.22827418,0.19022655]::REAL[]),
+        |(9, 28, [-0.10667728,-0.114452966,0.03691867,-0.108475]::REAL[]),
+        |(9, 29, [0.023459226,0.06964235,0.23720059,0.0053694462]::REAL[]),
+        |(9, 30, [-0.30992502,0.16791454,-0.018297074,-0.12423021]::REAL[]),
+        |(9, 31, [-0.024315547,-0.16838014,0.13369483,-0.1990984]::REAL[]),
+        |(9, 32, [0.12139014,-0.16451108,0.010109318,0.060978875]::REAL[]),
+        |(9, 33, [0.16431591,-0.08530591,-0.25139284,-0.03272693]::REAL[]),
+        |(9, 34, [-0.06439656,0.2097531,0.06763391,0.0335475]::REAL[]),
+        |(9, 35, [0.1927592,0.11275995,0.045029517,0.065948874]::REAL[]),
+        |(9, 36, [-0.07148226,0.004093915,0.106679,0.03089714]::REAL[]),
+        |(9, 37, [0.032915577,-0.0886,0.081268,0.057595093]::REAL[]),
+        |(9, 38, [0.20655826,0.025723306,0.008861172,-0.047687013]::REAL[]),
+        |(9, 39, [0.038095213,0.2618109,-0.097388804,-0.09667344]::REAL[]),
+        |(9, 40, [0.119752444,-0.24897742,0.02834807,0.002339432]::REAL[]),
+        |(9, 41, [-0.17480467,-0.06842455,-0.22565542,0.120375134]::REAL[]),
+        |(9, 42, [0.099634334,0.025843501,-0.1047419,-0.08789088]::REAL[]),
+        |(9, 43, [0.02937546,0.022081133,-0.0651722,0.104389384]::REAL[]),
+        |(9, 44, [0.15302715,-0.19383326,-0.10671452,-0.0607109]::REAL[]),
+        |(9, 45, [0.03394664,-0.16455868,-0.30570167,0.09170359]::REAL[]),
+        |(9, 46, [0.047100257,-0.071368374,-0.18836424,0.03989496]::REAL[]),
+        |(9, 47, [-0.13955103,0.018731829,-0.17096795,-0.04729949]::REAL[]),
+        |(9, 48, [-0.15861183,0.16185811,-0.025148582,0.1705276]::REAL[]),
+        |(9, 49, [0.04239101,0.067063905,0.089023225,0.017375715]::REAL[]),
+        |(9, 50, [0.122278765,-0.08933687,0.29887256,-0.09812463]::REAL[]),
+        |(9, 51, [0.12608242,-0.052547716,-0.03754036,0.077617854]::REAL[]),
+        |(9, 52, [-0.16275023,-0.037672706,0.23998661,-0.13267967]::REAL[]),
+        |(9, 53, [0.078100994,0.14781593,-0.20450589,0.024422549]::REAL[]),
+        |(9, 54, [-0.31125927,0.0417732,0.16603974,0.058681857]::REAL[]),
+        |(9, 55, [-0.057638478,-0.014780893,-0.084673814,-0.029056894]::REAL[]),
+        |(9, 56, [-0.062005255,-0.17890918,0.014204253,0.20964138]::REAL[]),
+        |(9, 57, [-0.14116442,-0.014177087,-0.025937578,-0.30204856]::REAL[]),
+        |(9, 58, [-0.07486616,0.047698658,-0.26827276,-0.15339479]::REAL[]),
+        |(9, 59, [-0.062200233,0.09955358,-0.090186045,0.02352068]::REAL[]),
+        |(9, 60, [0.094028175,-0.050021384,0.011829182,-0.12710539]::REAL[]),
+        |(9, 61, [0.013717935,-0.051175345,-0.121297464,-0.16831239]::REAL[]),
+        |(9, 62, [-0.020794487,-0.12697564,-0.034470435,-0.02839984]::REAL[]),
+        |(9, 63, [-0.0222145,-0.0429019,0.054266416,-0.09071496]::REAL[]),
+        |(10, 0, [0.11744736,0.010072717,0.13588046,0.21838862]::REAL[]),
+        |(10, 1, [0.07054207,-0.025996797,-0.00946126,-0.14785591]::REAL[]),
+        |(10, 2, [-0.145892,-0.16510183,0.11345978,0.06374485]::REAL[]),
+        |(10, 3, [0.028367002,-0.215014,-0.2008979,-0.11972495]::REAL[]),
+        |(10, 4, [-0.12850499,0.13371508,-7.3408085E-4,0.006592979]::REAL[]),
+        |(10, 5, [0.067115866,0.13319537,-0.11567684,0.27115205]::REAL[]),
+        |(10, 6, [0.060774494,-0.18816906,-0.01737032,-0.17807649]::REAL[]),
+        |(10, 7, [0.072993696,-0.09202127,0.25372863,0.0086551495]::REAL[]),
+        |(10, 8, [-0.06956194,-0.19701384,-0.07448334,0.036230896]::REAL[]),
+        |(10, 9, [-0.10166579,-0.10043573,-0.11655513,-0.02853628]::REAL[]),
+        |(10, 10, [-0.22044978,-0.056550574,-0.13396521,0.12796177]::REAL[]),
+        |(10, 11, [0.03542222,0.065073565,0.1768226,0.08876266]::REAL[]),
+        |(10, 12, [0.04465192,0.10709808,-0.16294914,0.08070066]::REAL[]),
+        |(10, 13, [0.16006884,-0.14075655,0.103558406,0.12444698]::REAL[]),
+        |(10, 14, [-0.13156904,0.0076537146,-0.08684517,-0.0018807735]::REAL[]),
+        |(10, 15, [-0.10295001,-0.04599488,0.022037184,0.09751142]::REAL[]),
+        |(10, 16, [0.09799863,0.103668824,-0.10320338,-0.07947079]::REAL[]),
+        |(10, 17, [-0.2181657,0.08406811,0.049011223,0.10635966]::REAL[]),
+        |(10, 18, [-0.058269385,-0.035270326,-0.019995024,-0.24962176]::REAL[]),
+        |(10, 19, [-0.027124088,-0.084972635,0.17048115,0.14750527]::REAL[]),
+        |(10, 20, [-0.05187056,0.32018486,-0.011991579,0.052012745]::REAL[]),
+        |(10, 21, [0.13287595,0.03421232,0.022988573,0.005909232]::REAL[]),
+        |(10, 22, [-0.009536473,-0.10823262,-0.21424778,0.16465397]::REAL[]),
+        |(10, 23, [0.09265115,0.15292756,-0.065010265,0.031743746]::REAL[]),
+        |(10, 24, [0.054956608,-0.13190362,0.15834863,-0.17603256]::REAL[]),
+        |(10, 25, [0.2867105,-0.08359852,-0.017732184,-0.067036025]::REAL[]),
+        |(10, 26, [-0.27493635,0.02292087,-0.12689276,-0.10354361]::REAL[]),
+        |(10, 27, [0.034408506,0.16483161,0.078600876,0.06438572]::REAL[]),
+        |(10, 28, [0.10373567,0.08224029,-0.055137668,0.17628652]::REAL[]),
+        |(10, 29, [0.1281261,-0.2336139,-0.06649362,0.06635382]::REAL[]),
+        |(10, 30, [-0.10206323,-0.12544172,-0.042960368,0.24054247]::REAL[]),
+        |(10, 31, [0.26553574,-0.22034658,0.06870545,-0.071625955]::REAL[]),
+        |(10, 32, [0.00321799,0.19213033,-0.09434785,-0.16210425]::REAL[]),
+        |(10, 33, [0.28862008,0.281002,0.092155136,0.035444316]::REAL[]),
+        |(10, 34, [0.073544875,-0.012566603,-0.120913416,0.19131753]::REAL[]),
+        |(10, 35, [-0.111301474,0.14180909,-0.13327275,0.121026166]::REAL[]),
+        |(10, 36, [-0.18277018,0.16844326,0.088078804,-0.12263182]::REAL[]),
+        |(10, 37, [-0.024201002,0.1442235,-0.2000535,-0.028174223]::REAL[]),
+        |(10, 38, [-0.30204684,-0.032535255,0.12808856,0.10154501]::REAL[]),
+        |(10, 39, [-0.06267199,0.13390326,-0.031481884,-0.07956766]::REAL[]),
+        |(10, 40, [-0.02187991,3.4075865E-4,-0.17457785,-0.12740162]::REAL[]),
+        |(10, 41, [0.1686165,0.17687304,0.23300621,-0.05749352]::REAL[]),
+        |(10, 42, [0.302368,0.04685799,-0.065528765,-0.008443311]::REAL[]),
+        |(10, 43, [-0.0048776474,0.14969227,0.15818305,-0.08470508]::REAL[]),
+        |(10, 44, [0.12175209,-0.083661616,0.064483814,0.013138723]::REAL[]),
+        |(10, 45, [0.23857985,0.12712434,0.0068048616,-0.102613986]::REAL[]),
+        |(10, 46, [0.005725163,-0.0619765,-0.14900146,0.049231537]::REAL[]),
+        |(10, 47, [-0.19851822,-0.006442176,0.017765855,0.016448984]::REAL[]),
+        |(10, 48, [-0.0718473,0.011389122,-0.20396686,0.045491446]::REAL[]),
+        |(10, 49, [0.09038371,-0.09635285,-0.10504673,-0.06567002]::REAL[]),
+        |(10, 50, [0.03951688,0.042993624,0.08108496,-0.101680025]::REAL[]),
+        |(10, 51, [-0.1445257,0.15852502,0.27452847,0.2985256]::REAL[]),
+        |(10, 52, [-0.038464885,0.003842308,-0.011210902,-0.008983574]::REAL[]),
+        |(10, 53, [-0.198751,-0.061287005,-0.033067513,-0.14148167]::REAL[]),
+        |(10, 54, [0.07815332,-0.06591122,-0.010486164,0.094183095]::REAL[]),
+        |(10, 55, [-0.15043162,0.12971275,-0.18335016,-0.16280928]::REAL[]),
+        |(10, 56, [0.10067516,-0.08853923,0.044638228,0.30945534]::REAL[]),
+        |(10, 57, [-0.1007751,-0.0056458963,0.15242586,-0.019473018]::REAL[]),
+        |(10, 58, [-0.026550122,0.025115892,0.33321106,-0.057925876]::REAL[]),
+        |(10, 59, [0.1633291,-0.17063485,0.029790005,0.019042147]::REAL[]),
+        |(10, 60, [0.0031015258,0.04058773,-0.008691601,0.13522212]::REAL[]),
+        |(10, 61, [0.011943497,-0.19569457,0.051260278,-0.045622256]::REAL[]),
+        |(10, 62, [0.1584716,-0.0035707238,-0.109014906,-0.2819485]::REAL[]),
+        |(10, 63, [0.22662877,-0.034517277,-0.074060895,0.20576783]::REAL[]),
+        |(11, 0, [-0.18208905,-0.06595416,-0.1863638,0.005097085]::REAL[]),
+        |(11, 1, [-0.03917927,-0.32347435,0.08545907,0.04345219]::REAL[]),
+        |(11, 2, [-0.07471462,0.022947542,-0.07308947,-0.054357756]::REAL[]),
+        |(11, 3, [0.15595222,-0.022637045,-0.11598908,0.21272075]::REAL[]),
+        |(11, 4, [-0.0526144,0.12700088,-0.11403952,0.05879771]::REAL[]),
+        |(11, 5, [0.11404312,0.012455276,0.20295596,-0.06938286]::REAL[]),
+        |(11, 6, [0.03963289,0.21083745,0.11311365,-0.056623343]::REAL[]),
+        |(11, 7, [-0.0324727,-0.16427052,-0.12254076,0.15046859]::REAL[]),
+        |(11, 8, [-0.026179822,-0.117235795,0.08391087,-0.08868092]::REAL[]),
+        |(11, 9, [-0.12545852,0.18160118,-0.025467154,-0.08469173]::REAL[]),
+        |(11, 10, [0.13678801,-0.0050438093,0.046635102,-0.16615272]::REAL[]),
+        |(11, 11, [-0.050589126,0.0851465,-0.09078451,-0.2207608]::REAL[]),
+        |(11, 12, [0.046339698,-0.19560741,-0.13026088,-0.0209832]::REAL[]),
+        |(11, 13, [-0.046111125,-0.28500685,-0.11437169,0.038002726]::REAL[]),
+        |(11, 14, [-0.23585816,0.10815018,0.20300321,-0.0842068]::REAL[]),
+        |(11, 15, [0.05650056,0.23600024,-0.05321275,0.10760394]::REAL[]),
+        |(11, 16, [0.27106908,0.08978732,-0.042820506,-0.034919992]::REAL[]),
+        |(11, 17, [-0.18112113,-0.054241862,0.15923136,0.14958927]::REAL[]),
+        |(11, 18, [0.0051915105,-0.1801221,-0.041654132,-0.17114371]::REAL[]),
+        |(11, 19, [0.018901521,-0.020288302,-0.0047529982,-0.0026259278]::REAL[]),
+        |(11, 20, [0.18366459,-0.07359846,-0.072307274,-0.09387361]::REAL[]),
+        |(11, 21, [-0.010626407,-0.16551995,0.016515557,0.07422448]::REAL[]),
+        |(11, 22, [0.09387473,-8.3245675E-4,-0.1801639,-0.06384828]::REAL[]),
+        |(11, 23, [-0.15257245,0.061624553,-0.04435319,0.02781664]::REAL[]),
+        |(11, 24, [-0.21230122,0.054297682,-0.2782715,-0.18442215]::REAL[]),
+        |(11, 25, [0.1865299,-0.18002564,-0.070624456,-0.19174379]::REAL[]),
+        |(11, 26, [-0.0094810985,-0.076284185,-0.024191458,-0.1268134]::REAL[]),
+        |(11, 27, [0.1872604,-0.06519601,0.11348267,0.135251]::REAL[]),
+        |(11, 28, [-0.016180638,-0.057175957,0.06315668,0.12837054]::REAL[]),
+        |(11, 29, [0.2513863,-0.06639037,-0.0074231373,-0.15041389]::REAL[]),
+        |(11, 30, [-0.3355331,0.18678798,-0.024311662,-0.0069506466]::REAL[]),
+        |(11, 31, [-0.1670176,-0.10247069,0.056530055,-0.2189499]::REAL[]),
+        |(11, 32, [-0.043701164,0.18739885,-0.12584044,0.29249424]::REAL[]),
+        |(11, 33, [0.12049558,-0.093858615,-0.08268533,0.06653245]::REAL[]),
+        |(11, 34, [0.078014314,0.012769847,0.043791916,0.06468431]::REAL[]),
+        |(11, 35, [0.10213674,0.12949984,0.0074291253,-0.22143771]::REAL[]),
+        |(11, 36, [-0.11360782,0.042604066,-0.124438435,0.21048148]::REAL[]),
+        |(11, 37, [-0.0026668191,0.09388859,-0.0067745554,0.124077216]::REAL[]),
+        |(11, 38, [0.19148651,0.070996486,0.034734886,0.046041436]::REAL[]),
+        |(11, 39, [0.1299902,0.09063581,-0.07054944,0.103286125]::REAL[]),
+        |(11, 40, [-0.12037016,-0.21026528,0.075692244,-0.042076573]::REAL[]),
+        |(11, 41, [-0.101631865,0.09206384,0.053003516,0.12952973]::REAL[]),
+        |(11, 42, [-0.2401397,-0.21238238,-0.04233767,-0.12516314]::REAL[]),
+        |(11, 43, [8.141927E-4,-0.018858984,-0.10682921,0.09326651]::REAL[]),
+        |(11, 44, [-0.302799,0.06140503,-0.12175435,0.026961938]::REAL[]),
+        |(11, 45, [-0.20122914,-0.030925533,0.033243705,0.065362886]::REAL[]),
+        |(11, 46, [-0.05936202,-0.10447888,-0.1803509,-0.06203514]::REAL[]),
+        |(11, 47, [-0.053599045,0.012815905,0.027500678,0.34902912]::REAL[]),
+        |(11, 48, [-0.007340364,0.17803618,0.12326376,0.11673047]::REAL[]),
+        |(11, 49, [-0.1084481,0.04943979,-0.27674353,0.18333986]::REAL[]),
+        |(11, 50, [0.07922611,0.009635603,-0.24034296,0.07907701]::REAL[]),
+        |(11, 51, [-0.08029114,-0.19580767,0.020382637,0.25283855]::REAL[]),
+        |(11, 52, [0.14324637,0.100309946,0.12929182,0.15146828]::REAL[]),
+        |(11, 53, [-0.048895467,0.0905457,0.109743044,-0.20239988]::REAL[]),
+        |(11, 54, [0.049585305,0.20803165,0.0066255108,-0.0021399166]::REAL[]),
+        |(11, 55, [-0.068216264,0.027065087,0.17375843,0.015410306]::REAL[]),
+        |(11, 56, [0.1714012,0.113952376,-0.22012211,-0.0064864187]::REAL[]),
+        |(11, 57, [0.0720584,-0.16897525,-0.29273224,0.02144903]::REAL[]),
+        |(11, 58, [-0.14490642,-0.029121844,0.02914822,-0.06057663]::REAL[]),
+        |(11, 59, [0.08901004,0.09070258,-0.09529171,-0.060583625]::REAL[]),
+        |(11, 60, [-0.0676285,0.0644343,-0.19180013,0.0062295683]::REAL[]),
+        |(11, 61, [0.11899831,-0.176267,0.071660966,0.00395374]::REAL[]),
+        |(11, 62, [-0.12755279,-0.05856279,-0.040268034,0.057834085]::REAL[]),
+        |(11, 63, [0.071808726,-0.17359349,0.11207516,-0.15385652]::REAL[]),
+        |(12, 0, [0.0144824525,0.05050382,-0.17444971,-0.040417366]::REAL[]),
+        |(12, 1, [0.006892065,-0.19468145,-0.04499688,-0.1358187]::REAL[]),
+        |(12, 2, [0.051926482,-0.26408923,-0.04900135,0.09724883]::REAL[]),
+        |(12, 3, [0.07485292,0.073984146,0.054261874,0.06837818]::REAL[]),
+        |(12, 4, [0.2927952,-0.22740768,-0.04617454,0.0074535054]::REAL[]),
+        |(12, 5, [-0.21675794,-0.040086456,0.15557547,0.069441706]::REAL[]),
+        |(12, 6, [0.07603646,-0.118895076,0.041221432,0.018664476]::REAL[]),
+        |(12, 7, [-0.07130047,0.10447298,-0.059182536,0.17080817]::REAL[]),
+        |(12, 8, [0.004393171,0.10858857,0.1766663,0.15232427]::REAL[]),
+        |(12, 9, [-0.17475489,-0.12713018,-0.10941841,0.17699003]::REAL[]),
+        |(12, 10, [-0.1588539,-0.0775989,0.013312764,-0.14334129]::REAL[]),
+        |(12, 11, [-0.0686375,-0.13209352,0.07246542,-0.0054526436]::REAL[]),
+        |(12, 12, [0.18089102,0.15238273,-0.13960584,-0.06285701]::REAL[]),
+        |(12, 13, [0.15044138,0.043843348,0.028940422,-0.021013148]::REAL[]),
+        |(12, 14, [-0.07743965,-0.0046028304,-0.01647151,0.20127974]::REAL[]),
+        |(12, 15, [-0.22348133,-0.13098305,-0.12665507,0.0039733667]::REAL[]),
+        |(12, 16, [0.04288478,0.046541028,-0.056507464,0.043313462]::REAL[]),
+        |(12, 17, [-0.027644701,0.035436917,0.13165267,-0.23373514]::REAL[]),
+        |(12, 18, [0.09988883,-0.059247565,0.18528464,-0.09537724]::REAL[]),
+        |(12, 19, [0.20359069,-0.035980087,0.12113178,-0.2382648]::REAL[]),
+        |(12, 20, [-0.11285787,0.047213364,0.029833898,0.02782084]::REAL[]),
+        |(12, 21, [3.4682988E-4,-0.028931033,0.10136802,-0.029461896]::REAL[]),
+        |(12, 22, [0.16372721,-0.15849677,0.11127522,0.23684628]::REAL[]),
+        |(12, 23, [0.018671745,-0.04429462,-0.18421525,0.17317355]::REAL[]),
+        |(12, 24, [0.058237087,0.023563733,0.03709459,-0.1691329]::REAL[]),
+        |(12, 25, [0.16606753,0.12987748,-0.1429721,0.13101782]::REAL[]),
+        |(12, 26, [0.09329305,-0.013648115,-0.088332355,-0.22635087]::REAL[]),
+        |(12, 27, [-0.06388171,-0.20559855,-0.1605476,-0.05564601]::REAL[]),
+        |(12, 28, [-0.024890494,0.005272908,-0.028155154,-0.11468436]::REAL[]),
+        |(12, 29, [-0.20481753,0.108207636,-0.0020794189,0.012137907]::REAL[]),
+        |(12, 30, [-0.21946709,0.10354689,0.037857402,-0.17320418]::REAL[]),
+        |(12, 31, [-0.035812587,0.27137893,0.12904947,0.004002224]::REAL[]),
+        |(12, 32, [0.15781446,-0.060410913,-0.2073789,-0.0067894706]::REAL[]),
+        |(12, 33, [0.017876683,-0.19998464,0.30075908,0.13478479]::REAL[]),
+        |(12, 34, [0.14439772,-0.058103103,0.0047792657,-0.04557373]::REAL[]),
+        |(12, 35, [0.087747365,-0.17966536,0.08813,-0.12152888]::REAL[]),
+        |(12, 36, [0.052738488,0.14574054,-0.06315559,-0.27284235]::REAL[]),
+        |(12, 37, [-1.9385909E-4,0.07738949,-0.0030796279,0.15482163]::REAL[]),
+        |(12, 38, [-0.06544483,-0.050076064,-0.13916482,-0.0035580609]::REAL[]),
+        |(12, 39, [-0.0043236297,-0.06710585,-0.06287522,-0.098542675]::REAL[]),
+        |(12, 40, [0.1534307,-0.028990673,-0.094030686,0.19112195]::REAL[]),
+        |(12, 41, [-0.011194015,0.17391178,0.038201064,0.036374368]::REAL[]),
+        |(12, 42, [0.1970235,0.034251153,0.13948618,0.041899465]::REAL[]),
+        |(12, 43, [-0.014210553,-0.08739502,-0.013826503,0.08840787]::REAL[]),
+        |(12, 44, [-0.04436573,-0.11285686,0.13003139,0.22321834]::REAL[]),
+        |(12, 45, [0.063775346,-0.01737662,0.07988955,0.14711837]::REAL[]),
+        |(12, 46, [-0.20764324,0.08640336,-0.12531918,-0.047620814]::REAL[]),
+        |(12, 47, [0.1925408,0.1404174,0.09493041,-0.1200552]::REAL[]),
+        |(12, 48, [-0.0196082,-0.06764216,0.21228829,0.025489893]::REAL[]),
+        |(12, 49, [-0.24133852,0.05063933,0.031407785,0.20763402]::REAL[]),
+        |(12, 50, [-0.09281406,0.070520304,-0.063356884,-0.020744191]::REAL[]),
+        |(12, 51, [0.034416877,-0.08581277,-0.20512801,-0.1479848]::REAL[]),
+        |(12, 52, [-0.017158207,0.17456791,-0.24910502,-0.020863935]::REAL[]),
+        |(12, 53, [0.085186325,0.22321387,0.03756679,-0.021276373]::REAL[]),
+        |(12, 54, [0.054326173,0.10145534,0.090184115,-0.044710726]::REAL[]),
+        |(12, 55, [0.3214108,-0.17683372,0.15186949,-0.08563414]::REAL[]),
+        |(12, 56, [-0.16886917,-0.08112508,0.0019149124,0.048130732]::REAL[]),
+        |(12, 57, [-0.019014655,0.135988,0.289271,-0.25483245]::REAL[]),
+        |(12, 58, [-0.095170185,0.11786829,0.153506,0.057636745]::REAL[]),
+        |(12, 59, [0.19250831,0.054308224,-0.0838459,-0.09136224]::REAL[]),
+        |(12, 60, [-0.1699746,-0.2569167,0.08251356,-0.03470724]::REAL[]),
+        |(12, 61, [-0.032197032,0.13718365,0.15763693,-0.08819603]::REAL[]),
+        |(12, 62, [-0.12386282,0.11133808,-0.16539696,0.08717655]::REAL[]),
+        |(12, 63, [-0.121285416,0.024884803,-0.1710594,-0.16946556]::REAL[]),
+        |(13, 0, [0.21672463,0.008104637,0.2022971,-0.09925767]::REAL[]),
+        |(13, 1, [0.027627446,0.20482771,-0.0840693,0.05549041]::REAL[]),
+        |(13, 2, [0.05530688,0.018056408,0.07173551,0.20472564]::REAL[]),
+        |(13, 3, [0.023161395,0.10934954,-0.025752638,-0.14536642]::REAL[]),
+        |(13, 4, [-0.07215273,0.19730899,-0.14873213,-0.21419752]::REAL[]),
+        |(13, 5, [0.02808882,0.25186655,0.12434646,0.046141297]::REAL[]),
+        |(13, 6, [0.2203804,-0.13563547,-0.12975018,0.14954934]::REAL[]),
+        |(13, 7, [-0.089777894,0.050828427,0.19707192,0.104444146]::REAL[]),
+        |(13, 8, [-0.051046424,-0.2672615,-0.121279255,-0.040416323]::REAL[]),
+        |(13, 9, [-0.02054348,0.016625095,-0.075823,-0.04857235]::REAL[]),
+        |(13, 10, [-0.19223723,-0.09588399,0.1625569,-0.003920991]::REAL[]),
+        |(13, 11, [0.2580953,-0.021079399,0.17984292,0.049943693]::REAL[]),
+        |(13, 12, [0.07795841,-0.08834717,-0.12537311,-0.12447088]::REAL[]),
+        |(13, 13, [0.14026198,-0.032039795,0.07054031,0.114973284]::REAL[]),
+        |(13, 14, [0.044234343,0.1303983,0.17001319,-0.017695442]::REAL[]),
+        |(13, 15, [-0.078575574,0.1166587,0.06287565,0.12234961]::REAL[]),
+        |(13, 16, [-0.030727435,-0.13906206,0.10114227,0.20026144]::REAL[]),
+        |(13, 17, [0.08755869,0.19665967,0.057864156,-0.056399122]::REAL[]),
+        |(13, 18, [-0.09309848,0.09414847,0.17669946,-0.011809425]::REAL[]),
+        |(13, 19, [0.055232555,-0.036902357,0.016977193,-0.036307298]::REAL[]),
+        |(13, 20, [-0.092909925,0.05567983,0.03564576,-0.11588437]::REAL[]),
+        |(13, 21, [0.12790869,0.07046001,-0.040772606,0.031617027]::REAL[]),
+        |(13, 22, [0.10075182,0.03471339,-0.18486503,0.042179167]::REAL[]),
+        |(13, 23, [-0.03875756,-0.147815,0.020271273,-0.037509467]::REAL[]),
+        |(13, 24, [0.07565914,-0.104396366,0.1467264,-0.21170862]::REAL[]),
+        |(13, 25, [0.214015,-0.111287504,0.094138786,-0.22626962]::REAL[]),
+        |(13, 26, [-0.0014781695,-0.09752727,-0.17300797,0.020037508]::REAL[]),
+        |(13, 27, [-0.28086615,0.0056844377,-0.10470699,-0.094735704]::REAL[]),
+        |(13, 28, [0.2015101,0.091817334,0.1087426,-0.04334659]::REAL[]),
+        |(13, 29, [0.055179935,0.0702085,-0.063897796,0.20949487]::REAL[]),
+        |(13, 30, [-0.21767426,0.1096949,0.28737143,0.009916044]::REAL[]),
+        |(13, 31, [-0.009127821,-0.12537688,0.01963828,-0.18060431]::REAL[]),
+        |(13, 32, [-0.049627014,-0.13048528,-0.18087609,0.16780682]::REAL[]),
+        |(13, 33, [-0.01976075,0.013965513,-0.22957087,-0.32844406]::REAL[]),
+        |(13, 34, [0.015544478,0.039201185,-0.06519903,0.087090895]::REAL[]),
+        |(13, 35, [-0.08533462,-0.00507075,-0.12730761,-0.25526053]::REAL[]),
+        |(13, 36, [0.11374679,-0.21339421,0.20512378,-0.06349368]::REAL[]),
+        |(13, 37, [-0.09705032,-0.030528242,0.012491106,0.11559738]::REAL[]),
+        |(13, 38, [-0.043945,0.095146,-0.2044935,-0.07577828]::REAL[]),
+        |(13, 39, [-0.065746896,0.02979792,-0.13152853,0.14021313]::REAL[]),
+        |(13, 40, [0.23211579,0.1126918,-0.11546028,-0.01880366]::REAL[]),
+        |(13, 41, [-0.17333314,-0.09530653,0.035215005,-0.20426448]::REAL[]),
+        |(13, 42, [-0.17152785,-0.122348696,-0.075596005,0.039893966]::REAL[]),
+        |(13, 43, [-0.22070469,0.112883456,-0.12647441,0.057144158]::REAL[]),
+        |(13, 44, [0.12772436,-0.105909884,0.3670001,0.080993645]::REAL[]),
+        |(13, 45, [0.044780552,-0.08704734,0.01334202,0.098039165]::REAL[]),
+        |(13, 46, [0.0024947538,-0.09931878,0.20029798,0.019453803]::REAL[]),
+        |(13, 47, [-0.19029453,0.11194493,0.3057669,-0.080147415]::REAL[]),
+        |(13, 48, [0.10906606,-0.14181408,0.032906916,-0.03982058]::REAL[]),
+        |(13, 49, [0.0077805077,-0.013245518,0.0901792,0.04736608]::REAL[]),
+        |(13, 50, [0.2552464,-0.039047483,-0.04035354,-0.042092826]::REAL[]),
+        |(13, 51, [0.17703691,-0.070620686,0.09784441,0.011734936]::REAL[]),
+        |(13, 52, [-0.16478053,0.028903529,0.03210532,0.034831032]::REAL[]),
+        |(13, 53, [0.0911974,0.053352006,0.0891664,-0.06892835]::REAL[]),
+        |(13, 54, [-0.28366184,0.102511935,0.06695647,-0.014481962]::REAL[]),
+        |(13, 55, [0.09026983,-0.13583966,0.16012342,0.120767854]::REAL[]),
+        |(13, 56, [0.09356622,-0.17625771,-0.042887002,0.032811992]::REAL[]),
+        |(13, 57, [0.20669304,-0.120527595,0.18229277,0.21963401]::REAL[]),
+        |(13, 58, [0.15022951,0.030067738,-0.016527746,-0.10598144]::REAL[]),
+        |(13, 59, [-0.013497702,0.09640694,0.023998594,-0.0016611995]::REAL[]),
+        |(13, 60, [-0.073164105,0.1743888,0.07617125,-0.14522576]::REAL[]),
+        |(13, 61, [-0.029866321,0.015556913,0.19495314,-0.14028576]::REAL[]),
+        |(13, 62, [-0.18696557,0.2196879,0.032344494,0.17650576]::REAL[]),
+        |(13, 63, [0.04358692,0.15447722,0.13849682,0.15461695]::REAL[]),
+        |(14, 0, [0.15334308,-0.10622833,0.047019754,0.17170851]::REAL[]),
+        |(14, 1, [-0.09360562,-0.06487863,0.22412063,-0.043208662]::REAL[]),
+        |(14, 2, [-0.07987342,-0.032063354,-0.04608042,0.12055781]::REAL[]),
+        |(14, 3, [0.1388025,-0.14434585,-0.110357285,0.10822202]::REAL[]),
+        |(14, 4, [0.17286532,-0.011721005,0.21059272,-0.11478043]::REAL[]),
+        |(14, 5, [0.10311422,0.0847427,0.18447462,0.05027177]::REAL[]),
+        |(14, 6, [0.10405039,0.03915464,-0.009054851,-0.10278258]::REAL[]),
+        |(14, 7, [0.0038279316,-0.067774855,0.12310647,0.18098108]::REAL[]),
+        |(14, 8, [-0.17559084,0.07927671,-0.13515824,0.14756492]::REAL[]),
+        |(14, 9, [-0.04774912,-0.148317,7.249618E-4,0.069801986]::REAL[]),
+        |(14, 10, [-0.1581926,0.195185,0.09514152,0.12388445]::REAL[]),
+        |(14, 11, [-0.09131634,-0.01728522,-0.27213115,-0.026449988]::REAL[]),
+        |(14, 12, [0.100341804,0.023033803,-0.10318832,-0.25874168]::REAL[]),
+        |(14, 13, [0.05826813,0.03312157,-0.105531916,0.053311486]::REAL[]),
+        |(14, 14, [0.13243699,0.1687428,0.087506376,0.183587]::REAL[]),
+        |(14, 15, [-0.05507896,0.0029877315,0.3970073,0.15936254]::REAL[]),
+        |(14, 16, [0.093171224,0.16464375,-0.26411602,-0.09859273]::REAL[]),
+        |(14, 17, [-0.060545776,-0.049804997,-0.2482509,0.10224959]::REAL[]),
+        |(14, 18, [0.04478224,-0.23895535,-0.19566955,-0.047214612]::REAL[]),
+        |(14, 19, [-0.039425917,-0.09458829,-0.12500176,-0.036293402]::REAL[]),
+        |(14, 20, [0.014078953,-0.008347737,0.27028984,0.028001143]::REAL[]),
+        |(14, 21, [0.07409665,0.19193648,-0.062094845,0.03268813]::REAL[]),
+        |(14, 22, [0.022282489,-0.1940442,-0.13041598,0.084531635]::REAL[]),
+        |(14, 23, [0.08662187,0.05648439,0.009706053,0.11894914]::REAL[]),
+        |(14, 24, [-0.08398873,-0.023632765,-0.115155,-0.23674478]::REAL[]),
+        |(14, 25, [0.18446265,0.041278165,-0.12785406,0.045906216]::REAL[]),
+        |(14, 26, [-0.2786287,0.05453548,0.12783116,-0.03158678]::REAL[]),
+        |(14, 27, [0.09983096,-0.045334,7.865769E-4,0.02092746]::REAL[]),
+        |(14, 28, [-0.08997303,0.21490282,-0.20579706,-0.1345652]::REAL[]),
+        |(14, 29, [-0.043485407,0.044500124,0.2563136,0.26667905]::REAL[]),
+        |(14, 30, [-0.119132474,0.037744567,0.108274624,-0.03923844]::REAL[]),
+        |(14, 31, [-0.10846737,-0.16136399,-0.17994533,0.08958338]::REAL[]),
+        |(14, 32, [-0.011251627,0.08152295,-0.22601165,0.17724703]::REAL[]),
+        |(14, 33, [0.045940913,0.12719701,0.3910592,-0.10861357]::REAL[]),
+        |(14, 34, [-0.20198828,-0.0038811865,-0.023287663,0.04776256]::REAL[]),
+        |(14, 35, [-0.06602175,-0.17600468,-0.07577326,-0.1467519]::REAL[]),
+        |(14, 36, [0.050946884,-0.20868112,0.0934356,0.0139153]::REAL[]),
+        |(14, 37, [-0.05699874,0.07858533,0.00762485,-0.14589079]::REAL[]),
+        |(14, 38, [0.16680324,-0.060556218,0.12019814,0.023432992]::REAL[]),
+        |(14, 39, [0.18361838,-0.09235264,0.053862557,-0.12336444]::REAL[]),
+        |(14, 40, [0.091988556,-0.24207145,-0.02471719,-0.07477027]::REAL[]),
+        |(14, 41, [-0.07555961,-0.13728535,0.11240482,0.1282481]::REAL[]),
+        |(14, 42, [-0.1554281,0.17646548,0.248456,-0.1403273]::REAL[]),
+        |(14, 43, [0.10036362,0.121759996,0.09849135,-0.23235652]::REAL[]),
+        |(14, 44, [-0.124688566,-0.095871426,-0.010721065,-0.032355618]::REAL[]),
+        |(14, 45, [-0.06822372,0.060125403,0.10182962,0.18475632]::REAL[]),
+        |(14, 46, [0.25716415,-0.05681181,-0.015684908,0.023605695]::REAL[]),
+        |(14, 47, [-0.0083612455,-0.1929733,0.109933116,-0.19113994]::REAL[]),
+        |(14, 48, [0.042747624,-0.09225573,-0.24593146,-0.015098814]::REAL[]),
+        |(14, 49, [-0.19077633,-0.15069619,-0.1445924,-0.06673995]::REAL[]),
+        |(14, 50, [-0.2548859,-0.10474236,0.03361787,-0.20226966]::REAL[]),
+        |(14, 51, [0.023468742,-0.022582235,-0.07879484,-0.12723301]::REAL[]),
+        |(14, 52, [-0.18246464,-0.019839033,0.12957622,-0.15065205]::REAL[]),
+        |(14, 53, [0.13874823,0.3692582,0.012115795,-0.1796198]::REAL[]),
+        |(14, 54, [-0.010438431,0.065461926,-0.02173219,0.22137234]::REAL[]),
+        |(14, 55, [0.044672757,-0.104141995,-0.079681195,0.26852235]::REAL[]),
+        |(14, 56, [-0.07291596,0.08819019,0.064929344,0.10208925]::REAL[]),
+        |(14, 57, [0.16335803,-0.07268518,-0.24517274,-0.07329037]::REAL[]),
+        |(14, 58, [-0.020753978,-0.07036832,0.08644892,-0.07213277]::REAL[]),
+        |(14, 59, [-0.19831766,0.058005486,-0.08500259,-0.09484664]::REAL[]),
+        |(14, 60, [-0.06802402,0.036282215,-0.1520559,-0.0060511897]::REAL[]),
+        |(14, 61, [-0.032262813,0.18079337,0.01654831,-0.03244577]::REAL[]),
+        |(14, 62, [-0.01840608,0.061249048,0.0030243928,0.017719002]::REAL[]),
+        |(14, 63, [0.18576999,0.18202047,0.10174782,-0.03635736]::REAL[]),
+        |(15, 0, [0.20400304,-0.07981866,-0.064217485,0.028778298]::REAL[]),
+        |(15, 1, [-0.043800138,0.031969097,0.06747122,0.15666473]::REAL[]),
+        |(15, 2, [0.112973236,0.021335812,-0.1782901,-0.11083993]::REAL[]),
+        |(15, 3, [-0.10135547,0.022676302,0.08689794,0.05020842]::REAL[]),
+        |(15, 4, [-0.002837043,-0.0037133675,-0.10554362,-0.03887035]::REAL[]),
+        |(15, 5, [-0.19160725,0.15160988,-0.09112802,-0.04922519]::REAL[]),
+        |(15, 6, [0.007968958,0.13609363,-0.051126786,0.038652223]::REAL[]),
+        |(15, 7, [-0.0059299786,-0.077617325,-0.0887952,0.15566197]::REAL[]),
+        |(15, 8, [-0.06226316,-0.27600712,0.07219498,-0.11696547]::REAL[]),
+        |(15, 9, [-0.12833714,0.15431915,0.20595215,-0.022407755]::REAL[]),
+        |(15, 10, [-0.013007921,0.18865347,-0.17128848,-0.077378914]::REAL[]),
+        |(15, 11, [0.18735251,0.03532086,-0.02411509,0.32059845]::REAL[]),
+        |(15, 12, [0.0804442,-0.015058642,0.11893446,0.08717363]::REAL[]),
+        |(15, 13, [0.14072987,0.23514494,0.19080018,0.13398007]::REAL[]),
+        |(15, 14, [-0.10309758,0.10229679,-0.21117869,0.058893614]::REAL[]),
+        |(15, 15, [-0.1898409,-0.02488252,-0.13146909,-0.04835788]::REAL[]),
+        |(15, 16, [0.07043891,0.12387402,0.089081585,0.118040316]::REAL[]),
+        |(15, 17, [-2.4820413E-4,-0.15972582,0.013046095,-0.17572507]::REAL[]),
+        |(15, 18, [0.14013922,0.03682154,-0.20306046,0.0747964]::REAL[]),
+        |(15, 19, [0.027672876,0.07734642,0.18212897,-0.018074648]::REAL[]),
+        |(15, 20, [0.0049750535,-0.0032967469,0.25915584,0.09641153]::REAL[]),
+        |(15, 21, [-0.069001906,-0.10559581,0.16946848,0.034167103]::REAL[]),
+        |(15, 22, [0.18212798,-0.09895588,-0.0524063,-0.090321764]::REAL[]),
+        |(15, 23, [0.10005282,0.13796152,0.103968754,-0.26881638]::REAL[]),
+        |(15, 24, [-0.10673468,-0.07818159,0.08737748,-0.1393808]::REAL[]),
+        |(15, 25, [0.17066786,-0.11964902,0.19884746,0.085628934]::REAL[]),
+        |(15, 26, [-0.2088412,-0.2493124,-0.008765101,0.17393202]::REAL[]),
+        |(15, 27, [-0.064244695,0.04319378,-0.01494128,-0.097119085]::REAL[]),
+        |(15, 28, [0.026955567,0.24345766,0.021050582,-0.18532434]::REAL[]),
+        |(15, 29, [-0.042439025,-0.0029328344,0.08951151,-0.3183884]::REAL[]),
+        |(15, 30, [-0.085533425,-0.0136106,-0.024758928,0.08960255]::REAL[]),
+        |(15, 31, [0.053163927,0.01983045,0.043137025,-0.01369872]::REAL[]),
+        |(15, 32, [-0.0098168235,-0.13645756,0.08938097,0.1691143]::REAL[]),
+        |(15, 33, [0.02947297,-0.17330658,-0.015966184,0.01611509]::REAL[]),
+        |(15, 34, [-0.14305547,0.10186469,0.08026194,0.22830245]::REAL[]),
+        |(15, 35, [0.12215434,-0.21933755,-0.03922808,-0.090045296]::REAL[]),
+        |(15, 36, [-0.1691031,0.12808797,-0.008016394,-0.19770426]::REAL[]),
+        |(15, 37, [-0.053812124,-0.06937383,0.24884114,-0.10149802]::REAL[]),
+        |(15, 38, [0.074335754,0.008361369,0.010744013,-0.17095068]::REAL[]),
+        |(15, 39, [-0.05646702,-0.08245778,-0.013786762,0.011510341]::REAL[]),
+        |(15, 40, [0.061914463,-0.17145048,-0.16456611,-0.07170587]::REAL[]),
+        |(15, 41, [0.11927516,-0.09240354,-0.023504611,0.11666989]::REAL[]),
+        |(15, 42, [0.14687903,0.22492684,0.050115176,0.029632477]::REAL[]),
+        |(15, 43, [0.05146509,-0.16682597,0.11280208,-0.0132397665]::REAL[]),
+        |(15, 44, [-0.010430947,0.033064906,-0.15634815,-0.21873741]::REAL[]),
+        |(15, 45, [0.08866623,0.033394817,-0.029453024,0.17362636]::REAL[]),
+        |(15, 46, [0.018644316,-0.22776811,-0.12860453,0.09892772]::REAL[]),
+        |(15, 47, [0.23158307,-0.07273661,0.11506749,-0.09244647]::REAL[]),
+        |(15, 48, [-0.13964462,0.053008147,-0.1013895,0.14178051]::REAL[]),
+        |(15, 49, [-0.086181946,0.26557514,0.035977297,0.0642685]::REAL[]),
+        |(15, 50, [-0.020736197,0.22643909,0.11298104,-0.013959461]::REAL[]),
+        |(15, 51, [-0.2336144,0.013953751,0.009502731,0.0151607515]::REAL[]),
+        |(15, 52, [-0.055963725,-0.23674543,0.11223698,0.002911524]::REAL[]),
+        |(15, 53, [-0.23068044,-0.08032554,0.16451527,-0.09100689]::REAL[]),
+        |(15, 54, [-0.0783988,-0.2025619,-0.07986276,-0.0938776]::REAL[]),
+        |(15, 55, [0.073894195,0.15537536,0.0042792815,-0.061977144]::REAL[]),
+        |(15, 56, [0.08160225,-0.00905889,0.19755815,-0.088003024]::REAL[]),
+        |(15, 57, [0.21616778,0.08893188,0.009107959,-0.016016956]::REAL[]),
+        |(15, 58, [0.070739925,-0.17164263,0.028002245,-0.29036236]::REAL[]),
+        |(15, 59, [0.057155542,0.14749742,-0.10227165,-0.099358216]::REAL[]),
+        |(15, 60, [-0.15472877,-0.16504726,-0.10993759,-0.04151718]::REAL[]),
+        |(15, 61, [-0.06232523,-0.009701152,0.19184051,0.2933486]::REAL[]),
+        |(15, 62, [-0.16875386,0.0046620155,0.022457397,-0.07102474]::REAL[]),
+        |(15, 63, [-0.10909046,-0.17850286,-0.25513527,0.030705906]::REAL[])),
+        |b AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+        |qids AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id % 50 = 0),
+        |codes AS (
+        |  SELECT id, sub, cent AS code FROM (
+        |    SELECT b.id, c.sub, c.cent, row_number() OVER (PARTITION BY b.id, c.sub ORDER BY
+        |      list_sum(list_transform(list_zip(b.v[c.sub*4+1:c.sub*4+4], c.cb),
+        |        x -> (x[1]::DOUBLE - x[2]::DOUBLE) * (x[1]::DOUBLE - x[2]::DOUBLE))), c.cent) AS rn
+        |    FROM b, cbs c) t WHERE rn = 1),
+        |lut AS ( -- per (qid, sub, cent): double ||q_j - cb||^2
+        |  SELECT q.vec_id AS qid, c.sub, c.cent,
+        |    list_sum(list_transform(list_zip(q.embedding[c.sub*4+1:c.sub*4+4], c.cb),
+        |      x -> (x[1]::DOUBLE - x[2]::DOUBLE) * (x[1]::DOUBLE - x[2]::DOUBLE))) AS sd
+        |  FROM embeddings q JOIN qids ON q.vec_id = qids.qid, cbs c),
+        |cd AS (
+        |  SELECT l.qid, co.id, sqrt(sum(l.sd)) AS dist
+        |  FROM codes co JOIN lut l ON co.sub = l.sub AND co.code = l.cent
+        |  GROUP BY l.qid, co.id),
+        |pred AS (
+        |  SELECT qid, list(id ORDER BY rn) AS pred FROM (
+        |    SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn
+        |    FROM cd) t WHERE rn <= 10 GROUP BY qid),
+        |bv AS (SELECT vec_id AS id, embedding::DOUBLE[] AS dv FROM embeddings),
+        |gtd AS (
+        |  SELECT q.id AS qid, r.id,
+        |    sqrt(list_sum(list_transform(list_zip(q.dv, r.dv),
+        |      p -> (p[1]-p[2])*(p[1]-p[2])))) AS dist
+        |  FROM bv q JOIN qids ON q.id = qids.qid, bv r),
+        |gt AS (
+        |  SELECT qid, list(id ORDER BY rn) AS gt FROM (
+        |    SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn
+        |    FROM gtd) t WHERE rn <= 10 GROUP BY qid),
+        |per AS (
+        |  SELECT g.qid,""".stripMargin,
+      """    len(list_intersect(g.gt, p.pred))::DOUBLE / len(g.gt) AS recall,
+        |    coalesce(1.0 / (SELECT min(pos) FROM (
+        |      SELECT unnest(p.pred) AS pid, generate_subscripts(p.pred, 1) AS pos) u
+        |      WHERE list_contains(g.gt, pid)), 0.0) AS rr
+        |  FROM gt g LEFT JOIN pred p ON g.qid = p.qid)
+        |SELECT 'pq' AS algorithm, count(*) AS n_queries,
+        |  round(avg(recall), 4) AS recall_10, round(avg(rr), 4) AS mrr_10
+        |FROM per
+        |HAVING round(avg(recall), 4) >= 0.50""".stripMargin).mkString("\n"),
+    // IVF x PQ composition: centroid literals + codebook literals,
+    // nprobe=8 pruning over ADC scores.
+    // (literal VALUES exceed the JVM 64KB string-constant cap → chunked)
+    "j10_ivf_pq" -> Seq(
+      """WITH cbs(sub, cent, cb) AS (VALUES
+        |(0, 0, [-0.043593742,0.08088863,-0.11473521,0.14193934]::REAL[]),
+        |(0, 1, [-0.17323919,0.15227182,-0.02456348,0.08914925]::REAL[]),
+        |(0, 2, [-0.28098592,-0.030852742,0.037227683,0.039334387]::REAL[]),
+        |(0, 3, [0.31740013,0.02662396,0.10351039,-0.10243415]::REAL[]),
+        |(0, 4, [-0.12346822,0.010013214,-0.06025412,0.051193465]::REAL[]),
+        |(0, 5, [-0.11680386,-0.23777816,0.038642574,0.18110134]::REAL[]),
+        |(0, 6, [-0.015309364,-0.21241014,0.11702346,0.061689693]::REAL[]),
+        |(0, 7, [0.08722604,0.04881913,0.029513258,0.18343596]::REAL[]),
+        |(0, 8, [-0.015591847,0.013434055,0.1868072,0.08273416]::REAL[]),
+        |(0, 9, [-0.16149251,0.036659025,-0.1699885,-0.07847739]::REAL[]),
+        |(0, 10, [0.12190995,-0.15360722,-0.051703736,-0.09481296]::REAL[]),
+        |(0, 11, [0.016755933,-0.0410688,-0.094438724,0.2403554]::REAL[]),
+        |(0, 12, [0.04677964,-0.100190006,0.12155037,0.17512433]::REAL[]),
+        |(0, 13, [0.1318196,0.11339954,0.17139545,0.021967348]::REAL[]),
+        |(0, 14, [-0.14835079,-0.037937827,-0.12693565,0.1409565]::REAL[]),
+        |(0, 15, [-0.20716532,0.05783614,0.04123796,-0.399964]::REAL[]),
+        |(0, 16, [-0.12931678,0.027933793,0.23777398,-0.101595834]::REAL[]),
+        |(0, 17, [0.11983462,0.10669674,-0.075606704,-0.07903569]::REAL[]),
+        |(0, 18, [-0.13303271,-0.05309974,0.06389533,-0.00819455]::REAL[]),
+        |(0, 19, [0.140326,-0.12776384,-0.1780087,-0.079895295]::REAL[]),
+        |(0, 20, [-0.033636328,-0.018775845,0.024441328,-0.1537754]::REAL[]),
+        |(0, 21, [0.04237551,0.2063829,0.019591242,0.11015019]::REAL[]),
+        |(0, 22, [0.10153141,-0.050300404,-0.08524027,0.015220494]::REAL[]),
+        |(0, 23, [0.10296684,-0.14206584,0.10303248,-0.20805041]::REAL[]),
+        |(0, 24, [0.065708466,-3.3043613E-4,-0.015157521,-0.04321124]::REAL[]),
+        |(0, 25, [-0.18965551,-0.20289557,-0.054842763,-0.0028527132]::REAL[]),
+        |(0, 26, [-0.09482341,-0.19982241,0.1177755,-0.087409854]::REAL[]),
+        |(0, 27, [0.036176838,0.13971539,-0.19128028,0.06921299]::REAL[]),
+        |(0, 28, [0.18397993,-0.0739813,0.097227104,-0.04155042]::REAL[]),
+        |(0, 29, [-0.04782419,-0.13102363,-0.22513473,-0.17006952]::REAL[]),
+        |(0, 30, [-0.28164053,0.014319441,-0.020582339,-0.11859045]::REAL[]),
+        |(0, 31, [-0.033923514,-0.010629465,-0.12193316,-0.11985125]::REAL[]),
+        |(0, 32, [-0.0029276204,-0.014070492,0.18958569,-0.18773532]::REAL[]),
+        |(0, 33, [-0.21864702,-0.17710334,-0.04134187,-0.20422547]::REAL[]),
+        |(0, 34, [0.11672403,0.116096556,-0.2861655,-0.07189017]::REAL[]),
+        |(0, 35, [-0.030711047,0.057855844,-0.05140743,0.016678533]::REAL[]),
+        |(0, 36, [-0.10525788,0.21125378,0.08677356,0.0031509493]::REAL[]),
+        |(0, 37, [0.19250375,-0.04014027,-0.040639266,-0.1485124]::REAL[]),
+        |(0, 38, [-0.065602,-0.12638167,-0.037225083,-0.231957]::REAL[]),
+        |(0, 39, [0.06747908,-0.0067077577,0.021984538,0.07942653]::REAL[]),
+        |(0, 40, [-0.044986352,-0.020681562,0.11314056,-0.024587335]::REAL[]),
+        |(0, 41, [0.10990637,-0.3158094,-0.01412577,-0.024980318]::REAL[]),
+        |(0, 42, [-0.044140644,0.1714609,-0.098125584,-0.09285]::REAL[]),
+        |(0, 43, [-0.09647313,-0.09261194,-0.0073243543,-0.085512675]::REAL[]),
+        |(0, 44, [0.23040852,-0.09928374,0.040047675,0.11462741]::REAL[]),
+        |(0, 45, [-0.08252778,0.071363606,-0.026702357,0.24980712]::REAL[]),
+        |(0, 46, [-0.18610296,-0.060980726,-0.1899076,-0.010012981]::REAL[]),
+        |(0, 47, [0.016692441,-0.037961643,-0.19184598,0.11357426]::REAL[]),
+        |(0, 48, [0.23112431,0.12828836,-0.090363264,0.15529446]::REAL[]),
+        |(0, 49, [0.101361535,-0.13593975,-0.053793926,0.11397825]::REAL[]),
+        |(0, 50, [0.008725128,-0.13765056,-0.14508829,-0.03170758]::REAL[]),
+        |(0, 51, [0.20209317,0.14324842,0.087425865,-0.1962451]::REAL[]),
+        |(0, 52, [0.029012425,0.1666009,-0.06752686,-0.23601124]::REAL[]),
+        |(0, 53, [-0.038153455,-0.11333925,0.025751712,0.104262955]::REAL[]),
+        |(0, 54, [-0.025061714,0.09307076,0.10490525,-0.1543029]::REAL[]),
+        |(0, 55, [-0.17069873,0.093754925,0.11292264,0.078626215]::REAL[]),
+        |(0, 56, [-0.11909024,0.08486302,0.0067683784,-0.12487683]::REAL[]),
+        |(0, 57, [0.22782542,6.053246E-4,-0.12510069,0.07567727]::REAL[]),
+        |(0, 58, [0.10360361,0.028124148,0.05212209,-0.14671285]::REAL[]),
+        |(0, 59, [-0.003910831,-0.056121346,0.28312686,-0.056580085]::REAL[]),
+        |(0, 60, [-0.13305706,-0.042507052,0.043776117,0.18984437]::REAL[]),
+        |(0, 61, [0.0070954016,0.13077244,0.13897538,-0.061308168]::REAL[]),
+        |(0, 62, [0.0052924915,0.2749364,0.08473751,-0.081229515]::REAL[]),
+        |(0, 63, [0.036265388,-0.14546958,0.034191966,-0.03816755]::REAL[]),
+        |(1, 0, [-0.020916566,-0.11228697,-0.13549766,0.10125761]::REAL[]),
+        |(1, 1, [-0.08848922,-0.16062857,0.023633072,-0.0089803515]::REAL[]),
+        |(1, 2, [0.0760619,-0.06584992,-0.13973308,-0.2377998]::REAL[]),
+        |(1, 3, [0.19830266,0.18587823,-0.2836686,-0.06564591]::REAL[]),
+        |(1, 4, [-0.054028135,0.019185575,-0.07952816,0.035153933]::REAL[]),
+        |(1, 5, [0.20901151,0.14550778,0.10226109,0.15394896]::REAL[]),
+        |(1, 6, [-0.036477305,0.32516658,0.114673674,-0.2545679]::REAL[]),
+        |(1, 7, [-0.16185878,-0.008282649,0.15996568,0.09354934]::REAL[]),
+        |(1, 8, [-0.084415555,0.17720962,-0.052651405,0.038405813]::REAL[]),
+        |(1, 9, [-0.2927839,-0.13209192,-0.061137587,0.027874596]::REAL[]),
+        |(1, 10, [-0.06963802,0.08023068,0.044364266,-0.054580744]::REAL[]),
+        |(1, 11, [0.2035928,0.050950464,-0.08638708,0.09738012]::REAL[]),
+        |(1, 12, [0.072462305,-0.06414465,-0.23577371,-0.111096]::REAL[]),
+        |(1, 13, [-0.11515005,-0.034955934,-0.2225672,0.101318486]::REAL[]),
+        |(1, 14, [0.114098325,-0.05233264,-0.0726192,-0.013087267]::REAL[]),
+        |(1, 15, [-0.041803867,-0.06610469,0.013938699,-0.039130688]::REAL[]),
+        |(1, 16, [0.21050249,-0.19717541,-0.123787925,0.1361214]::REAL[]),
+        |(1, 17, [0.08742176,-0.035338916,0.06272807,0.030004852]::REAL[]),
+        |(1, 18, [0.1599717,0.047960293,0.09951403,-0.08265662]::REAL[]),
+        |(1, 19, [-0.048446726,0.14147285,-0.18568471,0.018600289]::REAL[]),
+        |(1, 20, [-0.10663296,-0.036806963,0.0018844364,0.15561396]::REAL[]),
+        |(1, 21, [-0.022819908,0.027512712,-0.0760499,0.12299847]::REAL[]),
+        |(1, 22, [0.02173941,-0.02396257,-0.09217004,0.012138321]::REAL[]),
+        |(1, 23, [0.09162902,0.0647589,-0.123423494,0.16137946]::REAL[]),
+        |(1, 24, [0.25096545,0.26359057,0.11865637,-0.1873604]::REAL[]),
+        |(1, 25, [-0.22817111,0.15530464,0.032544322,0.03326369]::REAL[]),
+        |(1, 26, [0.16875866,-0.009149588,0.025031645,-0.23441288]::REAL[]),
+        |(1, 27, [-0.11001271,-0.22060962,0.16388898,0.17116977]::REAL[]),
+        |(1, 28, [0.055114273,0.06155917,-0.05587048,0.29043686]::REAL[]),
+        |(1, 29, [-0.30589253,0.07413175,-0.055485666,0.18202318]::REAL[]),
+        |(1, 30, [0.035067014,0.106950626,0.124066725,-0.15720545]::REAL[]),
+        |(1, 31, [0.13631082,0.28630626,-0.13272595,0.07750905]::REAL[]),
+        |(1, 32, [0.12975186,0.0887095,-0.16294383,0.0033421682]::REAL[]),
+        |(1, 33, [0.13539657,-0.21028724,0.07411215,0.049504727]::REAL[]),
+        |(1, 34, [-0.039326645,0.17583874,0.19089544,0.06237469]::REAL[]),
+        |(1, 35, [0.06195685,-0.0015289753,-0.096973106,-0.3668924]::REAL[]),
+        |(1, 36, [0.08298477,-0.20377412,-0.13445716,0.025604261]::REAL[]),
+        |(1, 37, [-0.023208328,-0.12713541,-0.08479423,-0.16150428]::REAL[]),
+        |(1, 38, [0.21116644,-0.04087279,0.054934576,0.10249251]::REAL[]),
+        |(1, 39, [0.11972917,0.06329637,0.037671134,0.14451182]::REAL[]),
+        |(1, 40, [-0.025666183,0.11084364,-0.21989639,-0.13484356]::REAL[]),
+        |(1, 41, [0.08745593,0.13425027,-0.03345783,-0.106793165]::REAL[]),
+        |(1, 42, [0.09100074,0.23470476,0.09565029,0.07746596]::REAL[]),
+        |(1, 43, [0.012306971,-0.16429311,0.3150901,-0.020599645]::REAL[]),
+        |(1, 44, [-0.17079891,-0.045730222,0.0074521187,0.029358461]::REAL[]),
+        |(1, 45, [0.0548354,0.11804291,-0.029912133,0.03458901]::REAL[]),
+        |(1, 46, [-0.13649413,-0.29396522,-0.043079875,-0.1290296]::REAL[]),
+        |(1, 47, [-0.10585415,0.09276225,0.018079678,0.26700637]::REAL[]),
+        |(1, 48, [-0.061078295,0.05178283,-0.0027178987,0.10019508]::REAL[]),
+        |(1, 49, [0.23154631,-0.08388678,-0.17726903,0.08353303]::REAL[]),
+        |(1, 50, [-0.06833434,-0.051489964,0.05972215,0.089015454]::REAL[]),
+        |(1, 51, [-0.033990394,0.018626785,-0.047519423,-0.07549607]::REAL[]),
+        |(1, 52, [-0.18940222,0.09212224,-0.1251392,-0.046071198]::REAL[]),
+        |(1, 53, [-0.107305914,-0.041583646,0.013746146,-0.22247498]::REAL[]),
+        |(1, 54, [0.20288946,-0.08468564,-0.11749316,-0.08394266]::REAL[]),
+        |(1, 55, [0.049766757,0.06337189,0.2975619,-0.064813375]::REAL[]),
+        |(1, 56, [0.014812367,-0.0054334635,0.14231804,0.16078445]::REAL[]),
+        |(1, 57, [0.04178249,-0.06849321,0.08221277,-0.15780893]::REAL[]),
+        |(1, 58, [9.09206E-5,0.2060021,-0.036822703,0.17299303]::REAL[]),
+        |(1, 59, [-0.022878986,-0.27675584,-0.03187976,0.18896718]::REAL[]),
+        |(1, 60, [-0.18893324,0.032066114,0.10866943,-0.03556808]::REAL[]),
+        |(1, 61, [-0.05177161,-0.062149104,0.1780155,0.027752511]::REAL[]),
+        |(1, 62, [-0.015912293,0.10721168,0.045279242,0.194697]::REAL[]),
+        |(1, 63, [0.11178372,-0.1415893,-0.031776402,0.21860293]::REAL[]),
+        |(2, 0, [-0.029308053,-0.1491422,0.12968884,-0.037323732]::REAL[]),
+        |(2, 1, [-0.05841477,-0.004526396,-0.25326943,0.011370818]::REAL[]),
+        |(2, 2, [0.12495161,0.017941685,0.10797664,0.080517195]::REAL[]),
+        |(2, 3, [0.039558645,-0.1128621,-0.10006681,-0.122506686]::REAL[]),
+        |(2, 4, [0.001548702,-0.15350299,-0.091784775,0.066978425]::REAL[]),
+        |(2, 5, [-0.01409041,0.14888313,0.1780437,0.0897021]::REAL[]),
+        |(2, 6, [0.16090946,-0.09223176,0.06820364,-0.28132716]::REAL[]),
+        |(2, 7, [0.27315465,-0.17763945,0.10127545,0.32589763]::REAL[]),
+        |(2, 8, [0.2420379,0.22698684,0.10090103,-0.006371664]::REAL[]),
+        |(2, 9, [0.1598138,-0.16780646,0.27297947,-0.00999567]::REAL[]),
+        |(2, 10, [0.07575461,0.2546092,-0.072477266,0.09248737]::REAL[]),
+        |(2, 11, [0.08461466,-0.05040413,-0.13090102,0.16725926]::REAL[]),
+        |(2, 12, [-0.033059027,-0.016153023,0.067178,-0.0051519657]::REAL[]),
+        |(2, 13, [0.14300464,0.15411277,-0.012724151,-0.11860126]::REAL[]),
+        |(2, 14, [-0.06572724,-0.098833166,0.11456302,0.16069604]::REAL[]),
+        |(2, 15, [-0.032269213,0.11884915,-0.04086376,-0.3111091]::REAL[]),
+        |(2, 16, [-0.084152386,0.3626035,0.17430753,-0.05681667]::REAL[]),
+        |(2, 17, [-0.054986697,0.26339665,-0.09849809,-0.056476373]::REAL[]),
+        |(2, 18, [-0.23293711,0.091061436,0.10271237,-0.055823907]::REAL[]),
+        |(2, 19, [-0.0361985,-0.009298239,-0.06569659,0.035088837]::REAL[]),
+        |(2, 20, [0.15030585,-0.045131147,-0.19016053,-0.1424623]::REAL[]),
+        |(2, 21, [0.014551165,0.0902861,0.21662451,-0.121924795]::REAL[]),
+        |(2, 22, [-0.23653515,-0.15808295,0.16928741,-0.0698962]::REAL[]),
+        |(2, 23, [-0.12763947,0.2573695,0.08026605,0.08058808]::REAL[]),
+        |(2, 24, [-0.10225808,0.06827024,0.10741117,-0.09867128]::REAL[]),
+        |(2, 25, [0.21655864,0.037505683,0.048887417,0.02627607]::REAL[]),
+        |(2, 26, [-0.22772166,-0.20998123,-0.09683286,0.10065521]::REAL[]),
+        |(2, 27, [0.011538862,0.19512907,0.076718375,-0.019170063]::REAL[]),
+        |(2, 28, [0.16717409,-0.2413163,-0.09093532,-0.04356013]::REAL[]),
+        |(2, 29, [-0.13239884,0.16487129,-0.150723,0.18098593]::REAL[]),
+        |(2, 30, [0.011311087,-0.21376988,0.034643415,-0.03100942]::REAL[]),
+        |(2, 31, [-0.12583365,-0.1683804,-0.19431351,0.03290839]::REAL[]),
+        |(2, 32, [0.0943239,-0.16949517,0.03438625,0.08533938]::REAL[]),
+        |(2, 33, [0.10560353,0.07193939,-0.12949196,0.082014635]::REAL[]),
+        |(2, 34, [-0.17383467,2.2015843E-4,0.19872247,0.021376103]::REAL[]),
+        |(2, 35, [0.024891395,-0.06300591,-0.07976252,-0.042996015]::REAL[]),
+        |(2, 36, [0.07510606,-0.054829966,-0.14788173,0.025026223]::REAL[]),
+        |(2, 37, [0.041242,-0.20190766,0.07669418,-0.1464619]::REAL[]),
+        |(2, 38, [0.07506059,-0.054236498,0.02550826,0.007342306]::REAL[]),
+        |(2, 39, [0.14057109,-0.07781499,0.17976436,0.0070845024]::REAL[]),
+        |(2, 40, [0.025215778,-0.0496174,0.24107197,0.11664845]::REAL[]),
+        |(2, 41, [-0.11071911,-0.1957526,-0.041621406,-0.030235557]::REAL[]),
+        |(2, 42, [0.11021955,0.12172741,-0.11300874,-0.07215514]::REAL[]),
+        |(2, 43, [-0.030052118,-0.11054047,0.026654601,0.04427686]::REAL[]),
+        |(2, 44, [-0.14054954,-0.04987134,0.037610058,0.030046053]::REAL[]),
+        |(2, 45, [-0.07431093,0.005761734,-0.031897437,-0.13597855]::REAL[]),
+        |(2, 46, [-0.097349934,-0.20375015,-0.014196472,0.18166424]::REAL[]),
+        |(2, 47, [0.119449,0.09880923,0.017578203,0.09104867]::REAL[]),
+        |(2, 48, [-0.16240312,0.09259317,-0.0356936,0.05812937]::REAL[]),
+        |(2, 49, [-0.093937755,-0.2025966,-0.06256176,-0.22039278]::REAL[]),
+        |(2, 50, [-0.0044953013,-0.06138674,-0.34411904,0.26954743]::REAL[]),
+        |(2, 51, [-0.031802572,0.021325072,-0.013008402,0.16016975]::REAL[]),
+        |(2, 52, [-0.012929858,0.088815406,0.062096305,0.28962082]::REAL[]),
+        |(2, 53, [-0.029401843,-0.06947657,0.18618557,-0.10940528]::REAL[]),
+        |(2, 54, [-0.06313181,-0.085233085,0.16903968,-0.25774997]::REAL[]),
+        |(2, 55, [0.3285826,0.09965618,-0.1177867,0.07160408]::REAL[]),
+        |(2, 56, [-0.09474563,0.11755357,-0.01549627,-0.040985223]::REAL[]),
+        |(2, 57, [0.054600142,-0.025625655,0.09477903,-0.09669687]::REAL[]),
+        |(2, 58, [0.12043667,-0.025148325,-0.055333022,-0.043082163]::REAL[]),
+        |(2, 59, [0.12768397,0.07380581,0.14607133,-0.048469182]::REAL[]),
+        |(2, 60, [-0.15315643,-0.022288803,-0.16559286,-0.104476534]::REAL[]),
+        |(2, 61, [0.102196455,0.02796456,0.0048300177,-0.16031411]::REAL[]),
+        |(2, 62, [-0.022567073,0.06520046,0.14019209,-0.024460142]::REAL[]),
+        |(2, 63, [0.25111693,-0.06749378,-0.006975557,-0.07718837]::REAL[]),
+        |(3, 0, [-0.21537238,-0.091514796,-0.1499901,-0.16267169]::REAL[]),
+        |(3, 1, [0.1813979,-0.21135521,0.0029551862,0.056423556]::REAL[]),
+        |(3, 2, [-0.12937844,0.22690508,0.10030003,-0.087292515]::REAL[]),
+        |(3, 3, [-0.081143714,-0.20601057,-0.10545359,-0.14472762]::REAL[]),
+        |(3, 4, [0.0042655864,-0.11036034,-0.1614346,-0.020166703]::REAL[]),
+        |(3, 5, [-0.055788793,-0.024350544,-0.061045457,0.0060913465]::REAL[]),
+        |(3, 6, [-0.1667009,0.03091006,0.10337253,0.06866215]::REAL[]),
+        |(3, 7, [0.039263003,-0.104528114,-0.006575853,-0.2027359]::REAL[]),
+        |(3, 8, [0.09331376,0.05156901,0.048711248,0.08538323]::REAL[]),
+        |(3, 9, [-0.12722015,-0.090239376,0.18878733,-0.058191508]::REAL[]),
+        |(3, 10, [-0.15869734,-0.07181873,0.014820438,-0.12109618]::REAL[]),
+        |(3, 11, [-0.17542206,0.15362771,0.18127738,0.06273572]::REAL[]),
+        |(3, 12, [0.164962,0.21475707,-0.033357896,-0.05582962]::REAL[]),
+        |(3, 13, [0.26069212,0.015173153,0.100246914,0.19818665]::REAL[]),
+        |(3, 14, [-0.022544298,0.1877918,0.03516442,0.1503538]::REAL[]),
+        |(3, 15, [0.2333296,-0.1830772,0.3617298,-0.024819275]::REAL[]),
+        |(3, 16, [0.061769765,-0.15304635,0.09365638,-0.080347806]::REAL[]),
+        |(3, 17, [-0.11570596,0.03583399,-0.23557532,6.757023E-4]::REAL[]),
+        |(3, 18, [0.0013866187,0.09088896,0.20612757,0.07054369]::REAL[]),
+        |(3, 19, [0.07247791,0.13889031,-0.2302668,0.12831847]::REAL[]),
+        |(3, 20, [-0.17078382,-0.15557992,-0.13219312,0.035656724]::REAL[]),
+        |(3, 21, [-0.16308424,0.015531138,-0.22721966,0.19786969]::REAL[]),
+        |(3, 22, [0.016206147,-0.05076888,0.07703677,-0.02620063]::REAL[]),
+        |(3, 23, [-0.27207527,-0.05278198,-0.014737565,-0.004756819]::REAL[]),
+        |(3, 24, [0.113560244,0.15833467,0.10733848,-0.12781705]::REAL[]),
+        |(3, 25, [0.057570927,-0.014907328,0.1859703,0.15748087]::REAL[]),
+        |(3, 26, [-0.25694022,-0.082363054,0.1622361,0.01811767]::REAL[]),
+        |(3, 27, [-0.20920542,0.12876076,-0.056131817,-0.06428219]::REAL[]),
+        |(3, 28, [-0.016207451,0.08298439,0.016074602,-0.06960865]::REAL[]),
+        |(3, 29, [-0.04498702,0.017096536,0.11354377,-0.16348445]::REAL[]),
+        |(3, 30, [-0.08630076,1.9180495E-4,-0.19221216,-0.2176472]::REAL[]),
+        |(3, 31, [0.1713389,0.020595087,0.19732745,-0.09432724]::REAL[]),
+        |(3, 32, [0.19802067,-0.069233306,0.11462085,-0.06259569]::REAL[]),
+        |(3, 33, [0.07310109,-0.02516644,-0.04344589,0.2490863]::REAL[]),
+        |(3, 34, [0.024018303,-0.11973554,0.06740435,0.10469541]::REAL[]),
+        |(3, 35, [0.19682106,0.2538164,0.03591117,0.0663093]::REAL[]),
+        |(3, 36, [-0.17711231,0.005272301,-0.07666219,0.22052428]::REAL[]),
+        |(3, 37, [-0.037104234,0.2966736,8.711033E-4,-0.028856132]::REAL[]),
+        |(3, 38, [0.11875501,0.012384768,0.0070985556,-0.047351632]::REAL[]),
+        |(3, 39, [0.083813176,-0.005631969,-0.05406799,0.06243608]::REAL[]),
+        |(3, 40, [-0.019105725,0.15218396,-0.09374586,-0.08683204]::REAL[]),
+        |(3, 41, [-0.048460886,0.090199575,0.1273791,-0.04464468]::REAL[]),
+        |(3, 42, [-0.051609818,0.01632248,0.052599143,0.10103588]::REAL[]),
+        |(3, 43, [0.16631775,0.14742425,0.16058026,0.10163796]::REAL[]),
+        |(3, 44, [0.20063451,-0.008869131,-0.033316474,-0.19005565]::REAL[]),
+        |(3, 45, [-0.017641112,0.0324669,-0.07833572,0.16833344]::REAL[]),
+        |(3, 46, [0.092530824,-0.07095992,-0.07668315,-0.06079666]::REAL[]),
+        |(3, 47, [-0.0712648,0.12340985,-0.055150624,0.05556937]::REAL[]),
+        |(3, 48, [-0.05307368,-0.18576488,-0.088189006,-0.02628221]::REAL[]),
+        |(3, 49, [-0.06474233,-0.09437719,-0.10263023,0.12592669]::REAL[]),
+        |(3, 50, [-0.094676055,-0.29996285,0.07614103,-0.0444682]::REAL[]),
+        |(3, 51, [-0.13913864,0.047686078,0.19165848,0.2560319]::REAL[]),
+        |(3, 52, [0.23091555,-0.17956078,-0.17464405,0.13896555]::REAL[]),
+        |(3, 53, [0.058710836,0.05944848,-0.17991933,-0.1092284]::REAL[]),
+        |(3, 54, [0.12574148,-0.27137536,-0.20527099,0.07834033]::REAL[]),
+        |(3, 55, [0.08440959,-0.16021639,-0.08498086,-0.31646273]::REAL[]),
+        |(3, 56, [0.036845524,-0.19500752,-0.03570932,0.13234536]::REAL[]),
+        |(3, 57, [0.16653861,0.115025505,-0.09373221,0.12249159]::REAL[]),
+        |(3, 58, [0.054172635,-0.2545949,0.11332749,-0.091366254]::REAL[]),
+        |(3, 59, [0.06753112,-0.19397771,0.0037492183,-0.03223517]::REAL[]),
+        |(3, 60, [0.08998428,-0.116163425,0.17208113,-0.0077600735]::REAL[]),
+        |(3, 61, [-0.06547771,0.029073609,0.012023931,-0.25272518]::REAL[]),
+        |(3, 62, [0.03835268,-0.062264662,0.17407143,-0.20605883]::REAL[]),
+        |(3, 63, [0.05085383,-0.059396252,-0.21056762,0.07116619]::REAL[]),
+        |(4, 0, [-0.03384725,0.13958277,0.048064616,-0.10286194]::REAL[]),
+        |(4, 1, [-0.04034177,0.12610145,-0.13667172,-0.010156239]::REAL[]),
+        |(4, 2, [-0.11108908,-0.14489904,-0.25084096,-0.035970002]::REAL[]),
+        |(4, 3, [0.091261655,-0.047584563,-0.08962943,0.09492144]::REAL[]),
+        |(4, 4, [-0.034187265,0.11252262,0.0689968,0.26097158]::REAL[]),
+        |(4, 5, [0.04828907,-0.09803499,-0.15517278,-0.031311926]::REAL[]),
+        |(4, 6, [0.0870907,0.08925131,0.16148347,0.08470324]::REAL[]),
+        |(4, 7, [0.0021010267,-0.1272779,-0.053936366,0.049864613]::REAL[]),
+        |(4, 8, [0.017731508,0.040579267,0.016724503,0.10728193]::REAL[]),
+        |(4, 9, [-0.15448262,0.22400483,-0.08247545,0.05723834]::REAL[]),
+        |(4, 10, [0.049044173,-0.0054379883,0.050215617,-0.090213686]::REAL[]),
+        |(4, 11, [-0.048569642,0.061300173,0.10634812,-0.030559482]::REAL[]),
+        |(4, 12, [-0.06988222,0.06638272,-0.01663898,-0.03851049]::REAL[]),
+        |(4, 13, [-0.08859572,-0.0088399695,-0.112326674,0.015618452]::REAL[]),
+        |(4, 14, [-0.046133876,0.13641994,-0.13159971,-0.18027878]::REAL[]),
+        |(4, 15, [-0.13385028,-0.10799937,-0.0075430516,-0.08040235]::REAL[]),
+        |(4, 16, [-0.16120827,-0.31095874,-0.1324906,-0.11687731]::REAL[]),
+        |(4, 17, [0.17877862,-9.997189E-5,-0.08325057,-0.20135318]::REAL[]),
+        |(4, 18, [0.055377737,-0.21999075,-0.18188341,0.09920976]::REAL[]),
+        |(4, 19, [-0.0748078,-0.08249194,0.106191255,0.11174561]::REAL[]),
+        |(4, 20, [-0.038819633,0.17082538,0.051160395,-0.15942977]::REAL[]),
+        |(4, 21, [0.049627256,0.056977626,-0.15193878,-0.05132626]::REAL[]),
+        |(4, 22, [-0.044670552,-0.267878,0.048560124,-0.080809094]::REAL[]),
+        |(4, 23, [0.15747225,0.13072707,0.1735888,-0.052630305]::REAL[]),
+        |(4, 24, [-0.19750899,-0.050659943,-0.13531968,-0.11807469]::REAL[]),
+        |(4, 25, [-0.11438732,-0.0084335385,-0.005709767,0.11875075]::REAL[]),
+        |(4, 26, [-0.22499667,-0.14366291,-0.09774193,0.11101836]::REAL[]),
+        |(4, 27, [0.070220456,0.12411013,0.05522114,-0.09291651]::REAL[]),
+        |(4, 28, [-0.019425515,-0.07742123,0.05476649,0.004436672]::REAL[]),
+        |(4, 29, [0.19088285,0.092107564,-0.014730422,-0.080537885]::REAL[]),
+        |(4, 30, [-0.061463963,-0.0068640145,-0.15348914,0.16845767]::REAL[]),
+        |(4, 31, [0.16988291,0.009919453,0.17626612,0.1411018]::REAL[]),
+        |(4, 32, [0.081400745,0.21749924,-0.072977014,0.0058133095]::REAL[]),
+        |(4, 33, [0.09535681,-0.17793475,-0.06211646,-0.15112562]::REAL[]),
+        |(4, 34, [0.08696243,-0.12483177,0.1625299,0.01889586]::REAL[]),
+        |(4, 35, [8.5488707E-4,0.19307433,0.05592446,0.06650861]::REAL[]),
+        |(4, 36, [0.13343379,-0.0086602885,-0.090356484,0.25870776]::REAL[]),
+        |(4, 37, [0.031836316,-0.07381933,-0.09099765,-0.13926226]::REAL[]),
+        |(4, 38, [0.09850749,-0.0911518,0.03849617,-0.13920532]::REAL[]),
+        |(4, 39, [-0.1280074,0.0697791,-0.18099637,-0.03481977]::REAL[]),
+        |(4, 40, [-0.12236874,-0.17170967,0.032907173,0.019365463]::REAL[]),
+        |(4, 41, [-0.046028912,0.10144117,0.30467492,0.092963986]::REAL[]),
+        |(4, 42, [-0.20330258,0.104934074,-0.07464537,-0.001741251]::REAL[]),
+        |(4, 43, [-0.21964402,-0.07230336,0.12728532,-0.06572836]::REAL[]),
+        |(4, 44, [0.02869472,0.11923841,0.04076252,-0.28925928]::REAL[]),
+        |(4, 45, [-0.116740726,0.11632048,0.006973315,0.06133079]::REAL[]),
+        |(4, 46, [-0.04251134,0.315868,0.14194988,-0.122066505]::REAL[]),
+        |(4, 47, [0.23092692,-0.0656,-0.1102931,-0.014848952]::REAL[]),
+        |(4, 48, [-0.080783874,-0.12124781,-0.036486056,0.18779674]::REAL[]),
+        |(4, 49, [0.2470884,-0.16117969,0.08810501,-0.11863641]::REAL[]),
+        |(4, 50, [-0.22108242,0.095911086,0.14460184,-0.12365337]::REAL[]),
+        |(4, 51, [-0.058267895,-0.0064181993,0.115151905,0.03781931]::REAL[]),
+        |(4, 52, [-0.091446705,0.39099407,-0.055891845,-0.13347822]::REAL[]),
+        |(4, 53, [0.12655142,0.012322114,0.015662894,-4.0266095E-4]::REAL[]),
+        |(4, 54, [0.27707544,-0.016389724,0.021806918,0.16912827]::REAL[]),
+        |(4, 55, [0.12145604,-0.14452727,0.054020505,0.050080914]::REAL[]),
+        |(4, 56, [-0.16566119,0.1343993,0.098843634,0.0026333253]::REAL[]),
+        |(4, 57, [0.03442245,-0.007034269,0.19807874,-0.07910093]::REAL[]),
+        |(4, 58, [0.05793339,0.11358875,-0.0664751,0.13992676]::REAL[]),
+        |(4, 59, [-0.07108739,-0.10832915,0.2960014,-0.0021644142]::REAL[]),
+        |(4, 60, [0.0033170453,-0.0058018845,0.25467587,0.10045362]::REAL[]),
+        |(4, 61, [0.036861327,0.092359126,0.1991544,-0.16240059]::REAL[]),
+        |(4, 62, [-0.076080725,0.0027924187,0.06787344,-0.17612189]::REAL[]),
+        |(4, 63, [0.083760485,0.013580366,-0.25913775,0.08280993]::REAL[]),
+        |(5, 0, [0.17176852,0.07342062,-0.04036992,0.25504735]::REAL[]),
+        |(5, 1, [0.054262307,0.099677324,-0.20705777,0.07708614]::REAL[]),
+        |(5, 2, [-0.20551418,0.20718403,0.09458166,-0.16021733]::REAL[]),
+        |(5, 3, [-0.2287671,-0.158584,-0.013647997,0.30783603]::REAL[]),
+        |(5, 4, [0.0014424032,-0.2547312,-0.010890776,-0.1366208]::REAL[]),
+        |(5, 5, [-0.12972578,0.17738296,-0.01820174,0.10097945]::REAL[]),
+        |(5, 6, [-0.0010101368,-0.13133126,0.11975882,-0.2063582]::REAL[]),
+        |(5, 7, [0.2347625,-0.0019030522,0.03397974,0.007965442]::REAL[]),
+        |(5, 8, [0.07853976,0.0055942805,-0.15182829,0.25750172]::REAL[]),
+        |(5, 9, [0.043573134,-0.036747787,-0.14188302,0.09289264]::REAL[]),
+        |(5, 10, [-0.13671589,-0.04226157,-0.06324159,0.13354936]::REAL[]),
+        |(5, 11, [0.049799126,0.18202895,0.15821733,0.1446687]::REAL[]),
+        |(5, 12, [-0.2709335,-0.10141066,-0.10328497,-0.040722795]::REAL[]),
+        |(5, 13, [-0.12749194,0.097412854,-0.1617861,-0.029085577]::REAL[]),
+        |(5, 14, [-0.15803742,0.15334246,0.21690322,0.106496684]::REAL[]),
+        |(5, 15, [-0.14254692,-0.044163935,-0.18630326,-0.11201226]::REAL[]),
+        |(5, 16, [-0.018611496,0.13067359,-0.06454259,0.11867101]::REAL[]),
+        |(5, 17, [-0.23311712,0.08722447,0.091744706,0.13131532]::REAL[]),
+        |(5, 18, [-0.09096499,-0.012051312,0.21358964,-0.3485065]::REAL[]),
+        |(5, 19, [0.16013631,-0.1371924,-0.14764324,-0.007208558]::REAL[]),
+        |(5, 20, [-0.02420047,-0.22009662,0.22272041,-0.08611585]::REAL[]),
+        |(5, 21, [0.15965445,0.10546172,0.16687965,-0.044252582]::REAL[]),
+        |(5, 22, [0.2195162,-0.074088454,-0.041360114,-0.16817786]::REAL[]),
+        |(5, 23, [0.081279114,0.05512445,-0.13786952,-0.07360925]::REAL[]),
+        |(5, 24, [0.03689924,0.015352238,0.08113843,-0.09828466]::REAL[]),
+        |(5, 25, [0.0031200538,0.016289808,0.23482993,-0.120623566]::REAL[]),
+        |(5, 26, [0.1440844,0.11557227,-0.10660309,0.039030235]::REAL[]),
+        |(5, 27, [-0.12755223,0.032661792,0.14605695,-0.015311759]::REAL[]),
+        |(5, 28, [0.0027949174,-0.14214091,0.08099385,0.118086465]::REAL[]),
+        |(5, 29, [0.10794319,-0.11186384,-0.025808243,0.052995842]::REAL[]),
+        |(5, 30, [0.15013826,-0.063188575,0.034247655,-0.33891937]::REAL[]),
+        |(5, 31, [0.1306672,-0.30253363,-0.13229576,0.031076416]::REAL[]),
+        |(5, 32, [-0.03701335,0.06446025,0.014973222,-0.0023435936]::REAL[]),
+        |(5, 33, [0.0398946,-0.1759812,-0.23860164,-0.066838846]::REAL[]),
+        |(5, 34, [0.16080837,0.011136492,-0.23463322,0.038948912]::REAL[]),
+        |(5, 35, [-0.18035342,0.022187993,-0.025496338,-0.07776119]::REAL[]),
+        |(5, 36, [-0.056142807,-0.083573855,-0.051174533,-0.14557026]::REAL[]),
+        |(5, 37, [0.073355,-0.020542407,0.13455607,0.15534802]::REAL[]),
+        |(5, 38, [-0.042561006,0.31976217,-0.08087914,0.116278976]::REAL[]),
+        |(5, 39, [0.009106159,-0.038323544,0.06630907,-0.021140475]::REAL[]),
+        |(5, 40, [-0.06123216,0.023452003,0.09621176,0.1066421]::REAL[]),
+        |(5, 41, [-0.10320934,-0.09922277,-0.06746695,-0.014621714]::REAL[]),
+        |(5, 42, [-0.0130001325,-0.06403984,-0.1398491,-0.027144246]::REAL[]),
+        |(5, 43, [0.049467836,-0.13248612,-0.111450695,0.13363147]::REAL[]),
+        |(5, 44, [0.09929919,-0.07890189,0.12748028,0.04119775]::REAL[]),
+        |(5, 45, [0.028031616,0.14449194,0.08231628,-0.28283164]::REAL[]),
+        |(5, 46, [0.1470883,-0.042207003,-0.06804926,-0.0018596945]::REAL[]),
+        |(5, 47, [0.16121134,0.19231471,-0.06803164,-0.1348699]::REAL[]),
+        |(5, 48, [0.0105226645,0.1297131,0.028086191,0.24249575]::REAL[]),
+        |(5, 49, [-0.04612406,0.14716128,0.12881874,-0.10619707]::REAL[]),
+        |(5, 50, [-0.048662424,-0.15239766,-0.14508276,0.03497107]::REAL[]),
+        |(5, 51, [-0.13482651,-0.08629237,0.09765087,-0.11719342]::REAL[]),
+        |(5, 52, [0.122811854,0.085648626,0.18351096,-0.1890203]::REAL[]),
+        |(5, 53, [0.038819127,0.20424886,0.03998007,-0.025279865]::REAL[]),
+        |(5, 54, [-0.15352345,0.05870138,0.11236419,-0.18752421]::REAL[]),
+        |(5, 55, [-0.10346033,0.044788092,0.098578095,0.34311384]::REAL[]),
+        |(5, 56, [-0.065011725,0.116807945,-0.051165793,-0.17861587]::REAL[]),
+        |(5, 57, [-0.007654738,-0.2086604,-0.08463697,0.047617584]::REAL[]),
+        |(5, 58, [0.071470775,-0.037145805,0.040833432,-0.1393338]::REAL[]),
+        |(5, 59, [0.005580625,-0.0104353465,-0.056086153,0.0063565443]::REAL[]),
+        |(5, 60, [0.08076139,-0.20586292,0.059057437,-0.02992151]::REAL[]),
+        |(5, 61, [-0.11882559,-0.16324513,0.0861828,0.032453783]::REAL[]),
+        |(5, 62, [0.010620969,0.0133792,-0.07942908,-0.18183444]::REAL[]),
+        |(5, 63, [0.0955862,0.07109847,0.035032094,0.044790633]::REAL[]),
+        |(6, 0, [-0.018441612,-0.3183573,0.21064985,-0.111738235]::REAL[]),
+        |(6, 1, [-0.0033589047,0.22018272,0.037240144,-0.105327964]::REAL[]),
+        |(6, 2, [-0.06268415,0.09758037,0.0681252,0.032515556]::REAL[]),
+        |(6, 3, [-0.027389463,-0.16848764,0.13366005,-0.028050698]::REAL[]),
+        |(6, 4, [-0.1702812,0.179706,0.07671012,0.18588102]::REAL[]),
+        |(6, 5, [-0.104823925,0.015061662,0.24999425,0.12101497]::REAL[]),
+        |(6, 6, [0.20744143,0.20319404,0.029471321,-0.0994934]::REAL[]),
+        |(6, 7, [0.10397415,-0.06760609,0.028369868,0.16168812]::REAL[]),
+        |(6, 8, [0.024632711,-0.12511085,0.0645655,0.1669291]::REAL[]),
+        |(6, 9, [0.053473465,0.31708437,0.06936347,0.03952656]::REAL[]),
+        |(6, 10, [0.110289425,-0.20795807,0.21859613,0.052535214]::REAL[]),
+        |(6, 11, [0.19923492,0.10367651,-0.048288684,0.17951795]::REAL[]),
+        |(6, 12, [-0.054511413,-0.10728201,0.02924688,-0.0316041]::REAL[]),
+        |(6, 13, [-0.14916451,-0.18292491,-0.07759613,0.05900283]::REAL[]),
+        |(6, 14, [0.009627062,0.046877563,-0.251195,-0.10528175]::REAL[]),
+        |(6, 15, [0.013416706,0.07873888,0.027278384,-0.15601723]::REAL[]),
+        |(6, 16, [-0.2674578,0.10250325,-0.08752995,0.033875763]::REAL[]),
+        |(6, 17, [0.091453694,-0.035128973,0.12965132,-0.014448037]::REAL[]),
+        |(6, 18, [0.03579308,-0.21413091,-0.115190215,0.035480984]::REAL[]),
+        |(6, 19, [-0.06666446,-0.0020790948,-0.16776711,-0.14739965]::REAL[]),
+        |(6, 20, [-0.17375952,0.15651266,-0.14401546,-0.016931098]::REAL[]),
+        |(6, 21, [0.24334788,-0.17403102,-0.003148296,-0.06741696]::REAL[]),
+        |(6, 22, [0.11509764,0.12937483,0.025078885,0.09882586]::REAL[]),
+        |(6, 23, [0.04899434,0.05435089,-0.1486488,0.1917387]::REAL[]),
+        |(6, 24, [-0.012829594,0.15029655,-0.01970237,0.066755176]::REAL[]),
+        |(6, 25, [-0.09490953,-0.08548257,0.11429536,-0.15299787]::REAL[]),
+        |(6, 26, [-0.07658093,-0.020794854,-0.25236428,0.13058105]::REAL[]),
+        |(6, 27, [-0.12781568,0.03487128,-0.026749363,-0.24564704]::REAL[]),
+        |(6, 28, [0.21596627,-0.07063738,0.09839696,0.09095667]::REAL[]),
+        |(6, 29, [0.16065347,0.06599588,0.13379881,0.032700606]::REAL[]),
+        |(6, 30, [0.15152301,0.11989521,0.07620249,-0.054367993]::REAL[]),
+        |(6, 31, [-0.06655853,-0.0096178595,-0.07390591,0.054051828]::REAL[]),
+        |(6, 32, [0.10494281,-0.16178201,-0.38573748,-0.19650272]::REAL[]),
+        |(6, 33, [0.10119083,-0.06368497,-0.052045126,-0.044095337]::REAL[]),
+        |(6, 34, [0.20712458,0.069018945,0.16686252,-0.16907583]::REAL[]),
+        |(6, 35, [0.14872831,0.1764966,-0.14610136,0.06728707]::REAL[]),
+        |(6, 36, [-0.04701787,0.025747957,0.076140046,0.16129002]::REAL[]),
+        |(6, 37, [-0.11054876,0.008008707,-0.03949704,-0.027230214]::REAL[]),
+        |(6, 38, [0.001518778,-0.029654352,-0.18096839,0.0014699477]::REAL[]),
+        |(6, 39, [-0.032382704,-0.0020884324,0.057998396,0.018821724]::REAL[]),
+        |(6, 40, [0.12240657,0.17096417,0.19809453,0.09815876]::REAL[]),
+        |(6, 41, [-0.07512757,0.24068923,-0.14372505,-0.0029650773]::REAL[]),
+        |(6, 42, [9.906242E-4,0.09397332,-0.08688081,-0.14915058]::REAL[]),
+        |(6, 43, [0.16366349,0.03806634,-0.10144649,0.09744258]::REAL[]),
+        |(6, 44, [0.18280995,-0.10610528,-0.16939595,0.07991307]::REAL[]),
+        |(6, 45, [-0.09959417,-0.015789166,0.020371443,0.2948565]::REAL[]),
+        |(6, 46, [-0.08419266,-0.093417995,0.009539707,0.097938195]::REAL[]),
+        |(6, 47, [0.037828054,-0.10591046,0.037262958,-0.11489012]::REAL[]),
+        |(6, 48, [-0.09530155,0.18914323,0.19434719,-0.0639489]::REAL[]),
+        |(6, 49, [0.0629668,-0.040545452,-0.11863234,-0.10794532]::REAL[]),
+        |(6, 50, [0.23320594,0.072523884,-0.042041093,-0.16448322]::REAL[]),
+        |(6, 51, [-0.003391423,0.10451779,-0.10832159,0.017269013]::REAL[]),
+        |(6, 52, [0.17406306,0.22879101,-0.21288036,-0.30352503]::REAL[]),
+        |(6, 53, [0.08755394,0.008673627,-0.061606634,0.02699418]::REAL[]),
+        |(6, 54, [-0.020291725,-0.027766857,0.27489805,-0.06853261]::REAL[]),
+        |(6, 55, [0.043706767,-0.22681269,0.03127037,0.018668072]::REAL[]),
+        |(6, 56, [-0.060233984,0.040843245,0.14507881,-0.06682961]::REAL[]),
+        |(6, 57, [0.090801105,0.12436626,-0.056979574,-0.048992064]::REAL[]),
+        |(6, 58, [0.04827637,0.10103552,0.07525804,-0.039512172]::REAL[]),
+        |(6, 59, [-0.2355988,-0.025166761,-0.063605554,-0.11225998]::REAL[]),
+        |(6, 60, [-0.07353099,-0.14412856,-0.10970344,-0.2243204]::REAL[]),
+        |(6, 61, [-0.24429633,-0.004350938,0.094076194,0.0070551652]::REAL[]),
+        |(6, 62, [-0.068108246,-0.12098819,-0.111439526,-0.08947487]::REAL[]),
+        |(6, 63, [-0.14149155,0.026423642,-0.12874997,0.10094196]::REAL[]),
+        |(7, 0, [0.031859342,-0.36932057,-0.07253659,-0.03312843]::REAL[]),
+        |(7, 1, [0.037480976,0.23321949,0.23949917,0.015167868]::REAL[]),
+        |(7, 2, [0.051268023,0.20250796,-0.2277209,0.08018791]::REAL[]),
+        |(7, 3, [-0.044882767,0.120339625,0.14937055,-0.17542559]::REAL[]),
+        |(7, 4, [0.13723294,0.07555395,-0.053977367,-0.17293507]::REAL[]),
+        |(7, 5, [-0.25329584,-0.06541712,0.21779932,-0.1190572]::REAL[]),
+        |(7, 6, [-0.37942606,-0.028162403,0.15691632,-0.03308776]::REAL[]),
+        |(7, 7, [0.029937785,-0.13563313,0.19915798,0.14121532]::REAL[]),
+        |(7, 8, [0.01156106,-0.028070489,0.053011235,0.07608554]::REAL[]),
+        |(7, 9, [0.027743712,-0.01670124,0.06012781,-0.14161602]::REAL[]),
+        |(7, 10, [-0.09980746,-0.15272331,0.054142933,0.1998813]::REAL[]),
+        |(7, 11, [0.064651884,0.031015921,-0.00477425,0.3526326]::REAL[]),
+        |(7, 12, [0.11569268,0.13195688,-0.45501158,-0.22862647]::REAL[]),
+        |(7, 13, [0.13532627,-0.1729469,0.03669641,0.238958]::REAL[]),
+        |(7, 14, [0.15732765,-0.0030627456,0.12242087,-0.23346612]::REAL[]),
+        |(7, 15, [-0.14874703,0.06075405,-0.18442059,-0.083816476]::REAL[]),
+        |(7, 16, [-0.24548991,-0.036275864,0.15656911,0.13922064]::REAL[]),
+        |(7, 17, [0.030321315,0.1703097,-0.11515871,-0.069507]::REAL[]),
+        |(7, 18, [0.023940982,0.13430834,0.048670895,-0.0661542]::REAL[]),
+        |(7, 19, [-0.07842175,0.2275921,-0.007888514,0.031017097]::REAL[]),
+        |(7, 20, [-0.015578559,0.060201984,0.25519997,0.0034933372]::REAL[]),
+        |(7, 21, [0.22648118,0.053526394,-0.014864664,-0.0054615317]::REAL[]),
+        |(7, 22, [0.11666278,0.036753118,0.21652354,-0.03148233]::REAL[]),
+        |(7, 23, [0.107667446,0.018437129,-0.1306421,-0.058748182]::REAL[]),
+        |(7, 24, [-0.09677511,-0.003607786,-0.03534408,-0.06806265]::REAL[]),
+        |(7, 25, [-0.14840524,0.089731954,-0.048818942,0.09639025]::REAL[]),
+        |(7, 26, [-0.03855409,-0.04520203,-0.06386645,-0.24615541]::REAL[]),
+        |(7, 27, [0.1730347,0.20114,0.005102678,0.11598014]::REAL[]),
+        |(7, 28, [0.09633941,0.08041057,0.13519108,0.122622326]::REAL[]),
+        |(7, 29, [-0.07469208,-0.15251027,0.15175429,-0.18247433]::REAL[]),
+        |(7, 30, [-0.01273218,-0.0476463,-0.015980808,-3.3940928E-4]::REAL[]),
+        |(7, 31, [-0.057879627,0.09930331,0.06526557,0.08052428]::REAL[]),
+        |(7, 32, [-0.030552793,-0.09195815,0.1695663,-0.057518005]::REAL[]),
+        |(7, 33, [-0.053437345,0.21344528,-0.013694752,-0.13648401]::REAL[]),
+        |(7, 34, [0.067357026,0.31556693,0.09901419,-0.14619404]::REAL[]),
+        |(7, 35, [0.13675347,0.001005299,-0.026083034,0.03245805]::REAL[]),
+        |(7, 36, [-0.24015053,-0.07845889,-0.081054546,-0.029123645]::REAL[]),
+        |(7, 37, [-0.09634652,-0.007684236,0.13008407,0.12850359]::REAL[]),
+        |(7, 38, [0.04980262,0.03511554,-0.20653109,0.09139353]::REAL[]),
+        |(7, 39, [0.07001135,0.04135688,0.029495226,0.10560703]::REAL[]),
+        |(7, 40, [0.23830073,-0.069027156,0.07629848,0.03819855]::REAL[]),
+        |(7, 41, [-0.047202125,0.012043542,0.12549028,-0.018192513]::REAL[]),
+        |(7, 42, [-0.19307296,0.13701357,0.10478532,-0.05192527]::REAL[]),
+        |(7, 43, [0.012218919,0.30145854,-0.13493839,0.09299913]::REAL[]),
+        |(7, 44, [-0.0035960067,0.22160104,0.10039063,0.19981222]::REAL[]),
+        |(7, 45, [-0.024396993,-0.09001563,-0.13883258,0.2074821]::REAL[]),
+        |(7, 46, [-0.14631858,-0.03137086,0.21986902,0.0071871057]::REAL[]),
+        |(7, 47, [0.07428756,-0.2377308,0.13059457,-0.13332376]::REAL[]),
+        |(7, 48, [-0.1510569,-0.07015135,-0.17755257,0.070149794]::REAL[]),
+        |(7, 49, [0.1691579,-0.12459156,-0.15178822,0.002706058]::REAL[]),
+        |(7, 50, [0.021076221,-0.121819876,0.027185677,-0.08310921]::REAL[]),
+        |(7, 51, [0.073307365,-0.14477693,-0.17604455,-0.09662878]::REAL[]),
+        |(7, 52, [-0.13559413,-0.2210406,0.069003254,-0.057764113]::REAL[]),
+        |(7, 53, [0.049608834,-0.1829992,0.09206632,0.065875895]::REAL[]),
+        |(7, 54, [0.0013327263,0.03218074,-0.042923108,0.046841938]::REAL[]),
+        |(7, 55, [-0.15315399,-0.019457452,0.06899385,-0.112450555]::REAL[]),
+        |(7, 56, [0.1525689,-0.03549395,0.047069967,-0.071832135]::REAL[]),
+        |(7, 57, [0.036887135,-0.18045297,-0.055615883,-0.0029500825]::REAL[]),
+        |(7, 58, [0.06822004,-0.029496426,0.11600454,0.03989231]::REAL[]),
+        |(7, 59, [0.060973067,-0.045148328,-0.038653586,0.16009063]::REAL[]),
+        |(7, 60, [0.059155624,0.09588094,-0.076729245,0.03618071]::REAL[]),
+        |(7, 61, [-0.08450173,-0.08995337,-0.028245557,0.083229624]::REAL[]),
+        |(7, 62, [-0.14436615,0.12297848,-0.056366492,0.21844512]::REAL[]),
+        |(7, 63, [0.01760246,0.16426082,-0.07969546,0.1601609]::REAL[]),
+        |(8, 0, [-0.28215024,-0.10965667,0.026803192,0.015457802]::REAL[]),
+        |(8, 1, [-0.10406911,-0.20582919,-0.10633665,0.019902656]::REAL[]),
+        |(8, 2, [-0.023556586,-0.18659192,0.16604947,0.056755185]::REAL[]),
+        |(8, 3, [-0.023141228,0.08207965,0.031986848,-0.17791437]::REAL[]),
+        |(8, 4, [0.16461965,0.025844684,-0.035288993,0.07646061]::REAL[]),
+        |(8, 5, [-4.5464147E-4,-0.07895188,0.13042717,0.12653531]::REAL[]),
+        |(8, 6, [-0.21565995,0.08673902,-0.05285582,0.18299818]::REAL[]),
+        |(8, 7, [0.036162026,-0.1633865,-0.0027056236,0.13777658]::REAL[]),
+        |(8, 8, [-0.12898362,-0.0030508486,0.051758185,0.13577633]::REAL[]),
+        |(8, 9, [-0.09973408,-0.02542124,0.10679993,-0.06732856]::REAL[]),
+        |(8, 10, [-0.14202023,-0.028510874,-0.076526895,0.12309914]::REAL[]),
+        |(8, 11, [0.12175161,-0.024742628,0.07682569,-0.08314151]::REAL[]),
+        |(8, 12, [0.07022812,0.09401219,0.007115565,-0.024922393]::REAL[]),
+        |(8, 13, [0.079256475,-0.045506645,0.029050477,0.31617483]::REAL[]),
+        |(8, 14, [0.040565003,-0.12098799,0.049259126,-0.1637991]::REAL[]),""".stripMargin,
+      """(8, 15, [0.16019668,0.16132198,0.01922901,0.17438515]::REAL[]),
+        |(8, 16, [-0.038722903,-0.12885675,0.27877986,-0.22871791]::REAL[]),
+        |(8, 17, [-0.10017204,-0.12269085,-0.0403579,-0.13753831]::REAL[]),
+        |(8, 18, [-0.059709866,0.04554324,-0.16346139,0.28386986]::REAL[]),
+        |(8, 19, [0.069751486,-0.077697024,0.0019187776,0.027510637]::REAL[]),
+        |(8, 20, [-0.38186485,0.11933218,-0.094621085,-0.20417443]::REAL[]),
+        |(8, 21, [-0.024163373,-0.027394671,-0.20623226,-0.22058731]::REAL[]),
+        |(8, 22, [0.07562243,-0.14263904,-0.19034797,-0.03506652]::REAL[]),
+        |(8, 23, [-0.18145932,0.06332611,-0.032710653,0.020341324]::REAL[]),
+        |(8, 24, [0.1191921,0.038358755,0.19897611,0.1968841]::REAL[]),
+        |(8, 25, [0.12973596,0.07567849,-0.09462325,-0.033712246]::REAL[]),
+        |(8, 26, [-0.08805728,-0.09284335,0.014960169,0.26506084]::REAL[]),
+        |(8, 27, [-0.03275829,0.0021802206,-0.06686273,-0.22150125]::REAL[]),
+        |(8, 28, [0.1782413,0.09663727,0.047290836,-0.07214649]::REAL[]),
+        |(8, 29, [0.07415104,-0.22491841,0.07087123,-0.019601403]::REAL[]),
+        |(8, 30, [0.22314967,-0.13220142,0.06849119,-0.19011295]::REAL[]),
+        |(8, 31, [0.07514299,0.1187446,0.12803884,0.0046422267]::REAL[]),
+        |(8, 32, [0.04435147,0.13661969,-0.10718166,0.11341666]::REAL[]),
+        |(8, 33, [0.11440023,-0.11940489,0.23942259,-0.040096216]::REAL[]),
+        |(8, 34, [-0.015039681,0.13772646,-0.106629886,-0.043116465]::REAL[]),
+        |(8, 35, [0.11203803,0.25505558,0.12906374,-0.03817929]::REAL[]),
+        |(8, 36, [0.15519935,0.2621179,-0.13130493,-0.012761392]::REAL[]),
+        |(8, 37, [-0.1786506,-0.052922662,0.28841016,0.029611634]::REAL[]),
+        |(8, 38, [0.013466793,0.0733905,0.23511548,-0.15690835]::REAL[]),
+        |(8, 39, [0.09006204,-0.07032738,0.18268123,-0.185907]::REAL[]),
+        |(8, 40, [-0.026466068,0.023697544,0.2290687,0.06468298]::REAL[]),
+        |(8, 41, [0.19581473,-0.058291756,-0.19581082,0.12179835]::REAL[]),
+        |(8, 42, [0.22283927,-0.13311659,0.01822609,0.02871279]::REAL[]),
+        |(8, 43, [-0.022428622,0.13979954,0.10375921,0.14218219]::REAL[]),
+        |(8, 44, [-0.07444363,0.11193923,-0.20206207,-0.034248434]::REAL[]),
+        |(8, 45, [-0.124359235,-0.017867165,-0.12075312,-0.07964415]::REAL[]),
+        |(8, 46, [-0.15967047,-0.06903648,0.059929073,-0.20500737]::REAL[]),
+        |(8, 47, [-0.24909332,0.09522887,0.09119382,-0.09789785]::REAL[]),
+        |(8, 48, [0.2853676,0.0036259922,-0.09039344,-0.19953603]::REAL[]),
+        |(8, 49, [0.10134397,-0.085051216,0.12704027,0.08570349]::REAL[]),
+        |(8, 50, [0.21655132,0.047641598,0.101978965,0.10470765]::REAL[]),
+        |(8, 51, [-0.024823723,-0.029742401,0.049767602,0.09287041]::REAL[]),
+        |(8, 52, [0.07161607,0.245361,0.0050646476,-0.068518415]::REAL[]),
+        |(8, 53, [0.11030304,-0.09948927,-0.082406305,-0.078674905]::REAL[]),
+        |(8, 54, [0.14026591,-0.088300064,0.09950275,0.011995329]::REAL[]),
+        |(8, 55, [0.10486698,0.0089599,-0.019668356,-0.27690244]::REAL[]),
+        |(8, 56, [-0.04898131,-0.13473922,0.008156607,0.015122481]::REAL[]),
+        |(8, 57, [-0.056466416,0.079515524,0.03488372,-0.04992885]::REAL[]),
+        |(8, 58, [0.12354521,-0.053519957,-0.07026848,0.19323672]::REAL[]),
+        |(8, 59, [-0.022716012,-0.019939713,-0.1906325,0.1319666]::REAL[]),
+        |(8, 60, [-0.002950866,-0.0026764038,-0.04609096,0.12147525]::REAL[]),
+        |(8, 61, [-0.0055303895,-0.04216962,-0.02765492,-0.046370868]::REAL[]),
+        |(8, 62, [-0.11569012,0.19198628,-0.027632097,-0.02685461]::REAL[]),
+        |(8, 63, [-0.019240731,-0.33084607,-0.036392696,-0.098995045]::REAL[]),
+        |(9, 0, [-0.081088215,0.064491265,-0.117598325,0.23657908]::REAL[]),
+        |(9, 1, [0.0604496,-0.0948883,-0.17196375,0.2493579]::REAL[]),
+        |(9, 2, [-0.00296224,-0.07180443,-0.107724816,0.16696686]::REAL[]),
+        |(9, 3, [0.05181311,0.10058593,0.12207039,-0.15196459]::REAL[]),
+        |(9, 4, [0.009128627,-0.1869677,-0.047677856,-0.13837497]::REAL[]),
+        |(9, 5, [-0.05980236,-0.18578854,-0.24552625,0.062259264]::REAL[]),
+        |(9, 6, [0.028376028,0.105870925,0.11449275,0.27437243]::REAL[]),
+        |(9, 7, [-0.2283924,0.031936493,-2.8239042E-4,0.08044916]::REAL[]),
+        |(9, 8, [-0.008446019,-0.014072298,0.0065122745,0.022063576]::REAL[]),
+        |(9, 9, [0.16654263,0.023517136,-0.09959952,0.20739558]::REAL[]),
+        |(9, 10, [0.26944277,-0.07824284,0.16124481,-0.03250367]::REAL[]),
+        |(9, 11, [-0.114900455,0.08698453,0.016509779,-0.13220076]::REAL[]),
+        |(9, 12, [-0.12820186,-0.24680342,-0.06003205,-0.054287687]::REAL[]),
+        |(9, 13, [-0.19677512,-0.18210208,-0.15646937,-0.10792144]::REAL[]),
+        |(9, 14, [0.1548349,-0.28357974,-0.14350092,0.108098805]::REAL[]),
+        |(9, 15, [0.12617685,-0.021917026,0.13128704,0.05138915]::REAL[]),
+        |(9, 16, [0.053065427,-0.10817728,0.11202875,-0.03173846]::REAL[]),
+        |(9, 17, [-0.24124956,-0.1853591,-0.020269752,0.18146291]::REAL[]),
+        |(9, 18, [-0.06545182,0.009268091,-0.067677535,0.11009067]::REAL[]),
+        |(9, 19, [0.047448024,0.17487466,0.023408486,0.09701629]::REAL[]),
+        |(9, 20, [-0.16620126,-0.113551,0.10381284,0.024525803]::REAL[]),
+        |(9, 21, [0.20272464,0.14026,0.099503614,-0.25078633]::REAL[]),
+        |(9, 22, [-0.0713986,-0.24446625,-0.008915845,0.12823199]::REAL[]),
+        |(9, 23, [-0.11974338,-0.1474718,0.2824562,0.0720676]::REAL[]),
+        |(9, 24, [-0.14665784,0.12954418,-0.050950702,-0.01236111]::REAL[]),
+        |(9, 25, [0.07515925,-0.0015290702,0.046507683,0.16193461]::REAL[]),
+        |(9, 26, [-0.04140587,-0.17279044,0.076887876,0.062143102]::REAL[]),
+        |(9, 27, [0.034045666,0.008815095,0.22827418,0.19022655]::REAL[]),
+        |(9, 28, [-0.10667728,-0.114452966,0.03691867,-0.108475]::REAL[]),
+        |(9, 29, [0.023459226,0.06964235,0.23720059,0.0053694462]::REAL[]),
+        |(9, 30, [-0.30992502,0.16791454,-0.018297074,-0.12423021]::REAL[]),
+        |(9, 31, [-0.024315547,-0.16838014,0.13369483,-0.1990984]::REAL[]),
+        |(9, 32, [0.12139014,-0.16451108,0.010109318,0.060978875]::REAL[]),
+        |(9, 33, [0.16431591,-0.08530591,-0.25139284,-0.03272693]::REAL[]),
+        |(9, 34, [-0.06439656,0.2097531,0.06763391,0.0335475]::REAL[]),
+        |(9, 35, [0.1927592,0.11275995,0.045029517,0.065948874]::REAL[]),
+        |(9, 36, [-0.07148226,0.004093915,0.106679,0.03089714]::REAL[]),
+        |(9, 37, [0.032915577,-0.0886,0.081268,0.057595093]::REAL[]),
+        |(9, 38, [0.20655826,0.025723306,0.008861172,-0.047687013]::REAL[]),
+        |(9, 39, [0.038095213,0.2618109,-0.097388804,-0.09667344]::REAL[]),
+        |(9, 40, [0.119752444,-0.24897742,0.02834807,0.002339432]::REAL[]),
+        |(9, 41, [-0.17480467,-0.06842455,-0.22565542,0.120375134]::REAL[]),
+        |(9, 42, [0.099634334,0.025843501,-0.1047419,-0.08789088]::REAL[]),
+        |(9, 43, [0.02937546,0.022081133,-0.0651722,0.104389384]::REAL[]),
+        |(9, 44, [0.15302715,-0.19383326,-0.10671452,-0.0607109]::REAL[]),
+        |(9, 45, [0.03394664,-0.16455868,-0.30570167,0.09170359]::REAL[]),
+        |(9, 46, [0.047100257,-0.071368374,-0.18836424,0.03989496]::REAL[]),
+        |(9, 47, [-0.13955103,0.018731829,-0.17096795,-0.04729949]::REAL[]),
+        |(9, 48, [-0.15861183,0.16185811,-0.025148582,0.1705276]::REAL[]),
+        |(9, 49, [0.04239101,0.067063905,0.089023225,0.017375715]::REAL[]),
+        |(9, 50, [0.122278765,-0.08933687,0.29887256,-0.09812463]::REAL[]),
+        |(9, 51, [0.12608242,-0.052547716,-0.03754036,0.077617854]::REAL[]),
+        |(9, 52, [-0.16275023,-0.037672706,0.23998661,-0.13267967]::REAL[]),
+        |(9, 53, [0.078100994,0.14781593,-0.20450589,0.024422549]::REAL[]),
+        |(9, 54, [-0.31125927,0.0417732,0.16603974,0.058681857]::REAL[]),
+        |(9, 55, [-0.057638478,-0.014780893,-0.084673814,-0.029056894]::REAL[]),
+        |(9, 56, [-0.062005255,-0.17890918,0.014204253,0.20964138]::REAL[]),
+        |(9, 57, [-0.14116442,-0.014177087,-0.025937578,-0.30204856]::REAL[]),
+        |(9, 58, [-0.07486616,0.047698658,-0.26827276,-0.15339479]::REAL[]),
+        |(9, 59, [-0.062200233,0.09955358,-0.090186045,0.02352068]::REAL[]),
+        |(9, 60, [0.094028175,-0.050021384,0.011829182,-0.12710539]::REAL[]),
+        |(9, 61, [0.013717935,-0.051175345,-0.121297464,-0.16831239]::REAL[]),
+        |(9, 62, [-0.020794487,-0.12697564,-0.034470435,-0.02839984]::REAL[]),
+        |(9, 63, [-0.0222145,-0.0429019,0.054266416,-0.09071496]::REAL[]),
+        |(10, 0, [0.11744736,0.010072717,0.13588046,0.21838862]::REAL[]),
+        |(10, 1, [0.07054207,-0.025996797,-0.00946126,-0.14785591]::REAL[]),
+        |(10, 2, [-0.145892,-0.16510183,0.11345978,0.06374485]::REAL[]),
+        |(10, 3, [0.028367002,-0.215014,-0.2008979,-0.11972495]::REAL[]),
+        |(10, 4, [-0.12850499,0.13371508,-7.3408085E-4,0.006592979]::REAL[]),
+        |(10, 5, [0.067115866,0.13319537,-0.11567684,0.27115205]::REAL[]),
+        |(10, 6, [0.060774494,-0.18816906,-0.01737032,-0.17807649]::REAL[]),
+        |(10, 7, [0.072993696,-0.09202127,0.25372863,0.0086551495]::REAL[]),
+        |(10, 8, [-0.06956194,-0.19701384,-0.07448334,0.036230896]::REAL[]),
+        |(10, 9, [-0.10166579,-0.10043573,-0.11655513,-0.02853628]::REAL[]),
+        |(10, 10, [-0.22044978,-0.056550574,-0.13396521,0.12796177]::REAL[]),
+        |(10, 11, [0.03542222,0.065073565,0.1768226,0.08876266]::REAL[]),
+        |(10, 12, [0.04465192,0.10709808,-0.16294914,0.08070066]::REAL[]),
+        |(10, 13, [0.16006884,-0.14075655,0.103558406,0.12444698]::REAL[]),
+        |(10, 14, [-0.13156904,0.0076537146,-0.08684517,-0.0018807735]::REAL[]),
+        |(10, 15, [-0.10295001,-0.04599488,0.022037184,0.09751142]::REAL[]),
+        |(10, 16, [0.09799863,0.103668824,-0.10320338,-0.07947079]::REAL[]),
+        |(10, 17, [-0.2181657,0.08406811,0.049011223,0.10635966]::REAL[]),
+        |(10, 18, [-0.058269385,-0.035270326,-0.019995024,-0.24962176]::REAL[]),
+        |(10, 19, [-0.027124088,-0.084972635,0.17048115,0.14750527]::REAL[]),
+        |(10, 20, [-0.05187056,0.32018486,-0.011991579,0.052012745]::REAL[]),
+        |(10, 21, [0.13287595,0.03421232,0.022988573,0.005909232]::REAL[]),
+        |(10, 22, [-0.009536473,-0.10823262,-0.21424778,0.16465397]::REAL[]),
+        |(10, 23, [0.09265115,0.15292756,-0.065010265,0.031743746]::REAL[]),
+        |(10, 24, [0.054956608,-0.13190362,0.15834863,-0.17603256]::REAL[]),
+        |(10, 25, [0.2867105,-0.08359852,-0.017732184,-0.067036025]::REAL[]),
+        |(10, 26, [-0.27493635,0.02292087,-0.12689276,-0.10354361]::REAL[]),
+        |(10, 27, [0.034408506,0.16483161,0.078600876,0.06438572]::REAL[]),
+        |(10, 28, [0.10373567,0.08224029,-0.055137668,0.17628652]::REAL[]),
+        |(10, 29, [0.1281261,-0.2336139,-0.06649362,0.06635382]::REAL[]),
+        |(10, 30, [-0.10206323,-0.12544172,-0.042960368,0.24054247]::REAL[]),
+        |(10, 31, [0.26553574,-0.22034658,0.06870545,-0.071625955]::REAL[]),
+        |(10, 32, [0.00321799,0.19213033,-0.09434785,-0.16210425]::REAL[]),
+        |(10, 33, [0.28862008,0.281002,0.092155136,0.035444316]::REAL[]),
+        |(10, 34, [0.073544875,-0.012566603,-0.120913416,0.19131753]::REAL[]),
+        |(10, 35, [-0.111301474,0.14180909,-0.13327275,0.121026166]::REAL[]),
+        |(10, 36, [-0.18277018,0.16844326,0.088078804,-0.12263182]::REAL[]),
+        |(10, 37, [-0.024201002,0.1442235,-0.2000535,-0.028174223]::REAL[]),
+        |(10, 38, [-0.30204684,-0.032535255,0.12808856,0.10154501]::REAL[]),
+        |(10, 39, [-0.06267199,0.13390326,-0.031481884,-0.07956766]::REAL[]),
+        |(10, 40, [-0.02187991,3.4075865E-4,-0.17457785,-0.12740162]::REAL[]),
+        |(10, 41, [0.1686165,0.17687304,0.23300621,-0.05749352]::REAL[]),
+        |(10, 42, [0.302368,0.04685799,-0.065528765,-0.008443311]::REAL[]),
+        |(10, 43, [-0.0048776474,0.14969227,0.15818305,-0.08470508]::REAL[]),
+        |(10, 44, [0.12175209,-0.083661616,0.064483814,0.013138723]::REAL[]),
+        |(10, 45, [0.23857985,0.12712434,0.0068048616,-0.102613986]::REAL[]),
+        |(10, 46, [0.005725163,-0.0619765,-0.14900146,0.049231537]::REAL[]),
+        |(10, 47, [-0.19851822,-0.006442176,0.017765855,0.016448984]::REAL[]),
+        |(10, 48, [-0.0718473,0.011389122,-0.20396686,0.045491446]::REAL[]),
+        |(10, 49, [0.09038371,-0.09635285,-0.10504673,-0.06567002]::REAL[]),
+        |(10, 50, [0.03951688,0.042993624,0.08108496,-0.101680025]::REAL[]),
+        |(10, 51, [-0.1445257,0.15852502,0.27452847,0.2985256]::REAL[]),
+        |(10, 52, [-0.038464885,0.003842308,-0.011210902,-0.008983574]::REAL[]),
+        |(10, 53, [-0.198751,-0.061287005,-0.033067513,-0.14148167]::REAL[]),
+        |(10, 54, [0.07815332,-0.06591122,-0.010486164,0.094183095]::REAL[]),
+        |(10, 55, [-0.15043162,0.12971275,-0.18335016,-0.16280928]::REAL[]),
+        |(10, 56, [0.10067516,-0.08853923,0.044638228,0.30945534]::REAL[]),
+        |(10, 57, [-0.1007751,-0.0056458963,0.15242586,-0.019473018]::REAL[]),
+        |(10, 58, [-0.026550122,0.025115892,0.33321106,-0.057925876]::REAL[]),
+        |(10, 59, [0.1633291,-0.17063485,0.029790005,0.019042147]::REAL[]),
+        |(10, 60, [0.0031015258,0.04058773,-0.008691601,0.13522212]::REAL[]),
+        |(10, 61, [0.011943497,-0.19569457,0.051260278,-0.045622256]::REAL[]),
+        |(10, 62, [0.1584716,-0.0035707238,-0.109014906,-0.2819485]::REAL[]),
+        |(10, 63, [0.22662877,-0.034517277,-0.074060895,0.20576783]::REAL[]),
+        |(11, 0, [-0.18208905,-0.06595416,-0.1863638,0.005097085]::REAL[]),
+        |(11, 1, [-0.03917927,-0.32347435,0.08545907,0.04345219]::REAL[]),
+        |(11, 2, [-0.07471462,0.022947542,-0.07308947,-0.054357756]::REAL[]),
+        |(11, 3, [0.15595222,-0.022637045,-0.11598908,0.21272075]::REAL[]),
+        |(11, 4, [-0.0526144,0.12700088,-0.11403952,0.05879771]::REAL[]),
+        |(11, 5, [0.11404312,0.012455276,0.20295596,-0.06938286]::REAL[]),
+        |(11, 6, [0.03963289,0.21083745,0.11311365,-0.056623343]::REAL[]),
+        |(11, 7, [-0.0324727,-0.16427052,-0.12254076,0.15046859]::REAL[]),
+        |(11, 8, [-0.026179822,-0.117235795,0.08391087,-0.08868092]::REAL[]),
+        |(11, 9, [-0.12545852,0.18160118,-0.025467154,-0.08469173]::REAL[]),
+        |(11, 10, [0.13678801,-0.0050438093,0.046635102,-0.16615272]::REAL[]),
+        |(11, 11, [-0.050589126,0.0851465,-0.09078451,-0.2207608]::REAL[]),
+        |(11, 12, [0.046339698,-0.19560741,-0.13026088,-0.0209832]::REAL[]),
+        |(11, 13, [-0.046111125,-0.28500685,-0.11437169,0.038002726]::REAL[]),
+        |(11, 14, [-0.23585816,0.10815018,0.20300321,-0.0842068]::REAL[]),
+        |(11, 15, [0.05650056,0.23600024,-0.05321275,0.10760394]::REAL[]),
+        |(11, 16, [0.27106908,0.08978732,-0.042820506,-0.034919992]::REAL[]),
+        |(11, 17, [-0.18112113,-0.054241862,0.15923136,0.14958927]::REAL[]),
+        |(11, 18, [0.0051915105,-0.1801221,-0.041654132,-0.17114371]::REAL[]),
+        |(11, 19, [0.018901521,-0.020288302,-0.0047529982,-0.0026259278]::REAL[]),
+        |(11, 20, [0.18366459,-0.07359846,-0.072307274,-0.09387361]::REAL[]),
+        |(11, 21, [-0.010626407,-0.16551995,0.016515557,0.07422448]::REAL[]),
+        |(11, 22, [0.09387473,-8.3245675E-4,-0.1801639,-0.06384828]::REAL[]),
+        |(11, 23, [-0.15257245,0.061624553,-0.04435319,0.02781664]::REAL[]),
+        |(11, 24, [-0.21230122,0.054297682,-0.2782715,-0.18442215]::REAL[]),
+        |(11, 25, [0.1865299,-0.18002564,-0.070624456,-0.19174379]::REAL[]),
+        |(11, 26, [-0.0094810985,-0.076284185,-0.024191458,-0.1268134]::REAL[]),
+        |(11, 27, [0.1872604,-0.06519601,0.11348267,0.135251]::REAL[]),
+        |(11, 28, [-0.016180638,-0.057175957,0.06315668,0.12837054]::REAL[]),
+        |(11, 29, [0.2513863,-0.06639037,-0.0074231373,-0.15041389]::REAL[]),
+        |(11, 30, [-0.3355331,0.18678798,-0.024311662,-0.0069506466]::REAL[]),
+        |(11, 31, [-0.1670176,-0.10247069,0.056530055,-0.2189499]::REAL[]),
+        |(11, 32, [-0.043701164,0.18739885,-0.12584044,0.29249424]::REAL[]),
+        |(11, 33, [0.12049558,-0.093858615,-0.08268533,0.06653245]::REAL[]),
+        |(11, 34, [0.078014314,0.012769847,0.043791916,0.06468431]::REAL[]),
+        |(11, 35, [0.10213674,0.12949984,0.0074291253,-0.22143771]::REAL[]),
+        |(11, 36, [-0.11360782,0.042604066,-0.124438435,0.21048148]::REAL[]),
+        |(11, 37, [-0.0026668191,0.09388859,-0.0067745554,0.124077216]::REAL[]),
+        |(11, 38, [0.19148651,0.070996486,0.034734886,0.046041436]::REAL[]),
+        |(11, 39, [0.1299902,0.09063581,-0.07054944,0.103286125]::REAL[]),
+        |(11, 40, [-0.12037016,-0.21026528,0.075692244,-0.042076573]::REAL[]),
+        |(11, 41, [-0.101631865,0.09206384,0.053003516,0.12952973]::REAL[]),
+        |(11, 42, [-0.2401397,-0.21238238,-0.04233767,-0.12516314]::REAL[]),
+        |(11, 43, [8.141927E-4,-0.018858984,-0.10682921,0.09326651]::REAL[]),
+        |(11, 44, [-0.302799,0.06140503,-0.12175435,0.026961938]::REAL[]),
+        |(11, 45, [-0.20122914,-0.030925533,0.033243705,0.065362886]::REAL[]),
+        |(11, 46, [-0.05936202,-0.10447888,-0.1803509,-0.06203514]::REAL[]),
+        |(11, 47, [-0.053599045,0.012815905,0.027500678,0.34902912]::REAL[]),
+        |(11, 48, [-0.007340364,0.17803618,0.12326376,0.11673047]::REAL[]),
+        |(11, 49, [-0.1084481,0.04943979,-0.27674353,0.18333986]::REAL[]),
+        |(11, 50, [0.07922611,0.009635603,-0.24034296,0.07907701]::REAL[]),
+        |(11, 51, [-0.08029114,-0.19580767,0.020382637,0.25283855]::REAL[]),
+        |(11, 52, [0.14324637,0.100309946,0.12929182,0.15146828]::REAL[]),
+        |(11, 53, [-0.048895467,0.0905457,0.109743044,-0.20239988]::REAL[]),
+        |(11, 54, [0.049585305,0.20803165,0.0066255108,-0.0021399166]::REAL[]),
+        |(11, 55, [-0.068216264,0.027065087,0.17375843,0.015410306]::REAL[]),
+        |(11, 56, [0.1714012,0.113952376,-0.22012211,-0.0064864187]::REAL[]),
+        |(11, 57, [0.0720584,-0.16897525,-0.29273224,0.02144903]::REAL[]),
+        |(11, 58, [-0.14490642,-0.029121844,0.02914822,-0.06057663]::REAL[]),
+        |(11, 59, [0.08901004,0.09070258,-0.09529171,-0.060583625]::REAL[]),
+        |(11, 60, [-0.0676285,0.0644343,-0.19180013,0.0062295683]::REAL[]),
+        |(11, 61, [0.11899831,-0.176267,0.071660966,0.00395374]::REAL[]),
+        |(11, 62, [-0.12755279,-0.05856279,-0.040268034,0.057834085]::REAL[]),
+        |(11, 63, [0.071808726,-0.17359349,0.11207516,-0.15385652]::REAL[]),
+        |(12, 0, [0.0144824525,0.05050382,-0.17444971,-0.040417366]::REAL[]),
+        |(12, 1, [0.006892065,-0.19468145,-0.04499688,-0.1358187]::REAL[]),
+        |(12, 2, [0.051926482,-0.26408923,-0.04900135,0.09724883]::REAL[]),
+        |(12, 3, [0.07485292,0.073984146,0.054261874,0.06837818]::REAL[]),
+        |(12, 4, [0.2927952,-0.22740768,-0.04617454,0.0074535054]::REAL[]),
+        |(12, 5, [-0.21675794,-0.040086456,0.15557547,0.069441706]::REAL[]),
+        |(12, 6, [0.07603646,-0.118895076,0.041221432,0.018664476]::REAL[]),
+        |(12, 7, [-0.07130047,0.10447298,-0.059182536,0.17080817]::REAL[]),
+        |(12, 8, [0.004393171,0.10858857,0.1766663,0.15232427]::REAL[]),
+        |(12, 9, [-0.17475489,-0.12713018,-0.10941841,0.17699003]::REAL[]),
+        |(12, 10, [-0.1588539,-0.0775989,0.013312764,-0.14334129]::REAL[]),
+        |(12, 11, [-0.0686375,-0.13209352,0.07246542,-0.0054526436]::REAL[]),
+        |(12, 12, [0.18089102,0.15238273,-0.13960584,-0.06285701]::REAL[]),
+        |(12, 13, [0.15044138,0.043843348,0.028940422,-0.021013148]::REAL[]),
+        |(12, 14, [-0.07743965,-0.0046028304,-0.01647151,0.20127974]::REAL[]),
+        |(12, 15, [-0.22348133,-0.13098305,-0.12665507,0.0039733667]::REAL[]),
+        |(12, 16, [0.04288478,0.046541028,-0.056507464,0.043313462]::REAL[]),
+        |(12, 17, [-0.027644701,0.035436917,0.13165267,-0.23373514]::REAL[]),
+        |(12, 18, [0.09988883,-0.059247565,0.18528464,-0.09537724]::REAL[]),
+        |(12, 19, [0.20359069,-0.035980087,0.12113178,-0.2382648]::REAL[]),
+        |(12, 20, [-0.11285787,0.047213364,0.029833898,0.02782084]::REAL[]),
+        |(12, 21, [3.4682988E-4,-0.028931033,0.10136802,-0.029461896]::REAL[]),
+        |(12, 22, [0.16372721,-0.15849677,0.11127522,0.23684628]::REAL[]),
+        |(12, 23, [0.018671745,-0.04429462,-0.18421525,0.17317355]::REAL[]),
+        |(12, 24, [0.058237087,0.023563733,0.03709459,-0.1691329]::REAL[]),
+        |(12, 25, [0.16606753,0.12987748,-0.1429721,0.13101782]::REAL[]),
+        |(12, 26, [0.09329305,-0.013648115,-0.088332355,-0.22635087]::REAL[]),
+        |(12, 27, [-0.06388171,-0.20559855,-0.1605476,-0.05564601]::REAL[]),
+        |(12, 28, [-0.024890494,0.005272908,-0.028155154,-0.11468436]::REAL[]),
+        |(12, 29, [-0.20481753,0.108207636,-0.0020794189,0.012137907]::REAL[]),
+        |(12, 30, [-0.21946709,0.10354689,0.037857402,-0.17320418]::REAL[]),
+        |(12, 31, [-0.035812587,0.27137893,0.12904947,0.004002224]::REAL[]),
+        |(12, 32, [0.15781446,-0.060410913,-0.2073789,-0.0067894706]::REAL[]),
+        |(12, 33, [0.017876683,-0.19998464,0.30075908,0.13478479]::REAL[]),
+        |(12, 34, [0.14439772,-0.058103103,0.0047792657,-0.04557373]::REAL[]),
+        |(12, 35, [0.087747365,-0.17966536,0.08813,-0.12152888]::REAL[]),
+        |(12, 36, [0.052738488,0.14574054,-0.06315559,-0.27284235]::REAL[]),
+        |(12, 37, [-1.9385909E-4,0.07738949,-0.0030796279,0.15482163]::REAL[]),
+        |(12, 38, [-0.06544483,-0.050076064,-0.13916482,-0.0035580609]::REAL[]),
+        |(12, 39, [-0.0043236297,-0.06710585,-0.06287522,-0.098542675]::REAL[]),
+        |(12, 40, [0.1534307,-0.028990673,-0.094030686,0.19112195]::REAL[]),
+        |(12, 41, [-0.011194015,0.17391178,0.038201064,0.036374368]::REAL[]),
+        |(12, 42, [0.1970235,0.034251153,0.13948618,0.041899465]::REAL[]),
+        |(12, 43, [-0.014210553,-0.08739502,-0.013826503,0.08840787]::REAL[]),
+        |(12, 44, [-0.04436573,-0.11285686,0.13003139,0.22321834]::REAL[]),
+        |(12, 45, [0.063775346,-0.01737662,0.07988955,0.14711837]::REAL[]),
+        |(12, 46, [-0.20764324,0.08640336,-0.12531918,-0.047620814]::REAL[]),
+        |(12, 47, [0.1925408,0.1404174,0.09493041,-0.1200552]::REAL[]),
+        |(12, 48, [-0.0196082,-0.06764216,0.21228829,0.025489893]::REAL[]),
+        |(12, 49, [-0.24133852,0.05063933,0.031407785,0.20763402]::REAL[]),
+        |(12, 50, [-0.09281406,0.070520304,-0.063356884,-0.020744191]::REAL[]),
+        |(12, 51, [0.034416877,-0.08581277,-0.20512801,-0.1479848]::REAL[]),
+        |(12, 52, [-0.017158207,0.17456791,-0.24910502,-0.020863935]::REAL[]),
+        |(12, 53, [0.085186325,0.22321387,0.03756679,-0.021276373]::REAL[]),
+        |(12, 54, [0.054326173,0.10145534,0.090184115,-0.044710726]::REAL[]),
+        |(12, 55, [0.3214108,-0.17683372,0.15186949,-0.08563414]::REAL[]),
+        |(12, 56, [-0.16886917,-0.08112508,0.0019149124,0.048130732]::REAL[]),
+        |(12, 57, [-0.019014655,0.135988,0.289271,-0.25483245]::REAL[]),
+        |(12, 58, [-0.095170185,0.11786829,0.153506,0.057636745]::REAL[]),
+        |(12, 59, [0.19250831,0.054308224,-0.0838459,-0.09136224]::REAL[]),
+        |(12, 60, [-0.1699746,-0.2569167,0.08251356,-0.03470724]::REAL[]),
+        |(12, 61, [-0.032197032,0.13718365,0.15763693,-0.08819603]::REAL[]),
+        |(12, 62, [-0.12386282,0.11133808,-0.16539696,0.08717655]::REAL[]),
+        |(12, 63, [-0.121285416,0.024884803,-0.1710594,-0.16946556]::REAL[]),
+        |(13, 0, [0.21672463,0.008104637,0.2022971,-0.09925767]::REAL[]),
+        |(13, 1, [0.027627446,0.20482771,-0.0840693,0.05549041]::REAL[]),
+        |(13, 2, [0.05530688,0.018056408,0.07173551,0.20472564]::REAL[]),
+        |(13, 3, [0.023161395,0.10934954,-0.025752638,-0.14536642]::REAL[]),
+        |(13, 4, [-0.07215273,0.19730899,-0.14873213,-0.21419752]::REAL[]),
+        |(13, 5, [0.02808882,0.25186655,0.12434646,0.046141297]::REAL[]),
+        |(13, 6, [0.2203804,-0.13563547,-0.12975018,0.14954934]::REAL[]),
+        |(13, 7, [-0.089777894,0.050828427,0.19707192,0.104444146]::REAL[]),
+        |(13, 8, [-0.051046424,-0.2672615,-0.121279255,-0.040416323]::REAL[]),
+        |(13, 9, [-0.02054348,0.016625095,-0.075823,-0.04857235]::REAL[]),
+        |(13, 10, [-0.19223723,-0.09588399,0.1625569,-0.003920991]::REAL[]),
+        |(13, 11, [0.2580953,-0.021079399,0.17984292,0.049943693]::REAL[]),
+        |(13, 12, [0.07795841,-0.08834717,-0.12537311,-0.12447088]::REAL[]),
+        |(13, 13, [0.14026198,-0.032039795,0.07054031,0.114973284]::REAL[]),
+        |(13, 14, [0.044234343,0.1303983,0.17001319,-0.017695442]::REAL[]),
+        |(13, 15, [-0.078575574,0.1166587,0.06287565,0.12234961]::REAL[]),
+        |(13, 16, [-0.030727435,-0.13906206,0.10114227,0.20026144]::REAL[]),
+        |(13, 17, [0.08755869,0.19665967,0.057864156,-0.056399122]::REAL[]),
+        |(13, 18, [-0.09309848,0.09414847,0.17669946,-0.011809425]::REAL[]),
+        |(13, 19, [0.055232555,-0.036902357,0.016977193,-0.036307298]::REAL[]),
+        |(13, 20, [-0.092909925,0.05567983,0.03564576,-0.11588437]::REAL[]),
+        |(13, 21, [0.12790869,0.07046001,-0.040772606,0.031617027]::REAL[]),
+        |(13, 22, [0.10075182,0.03471339,-0.18486503,0.042179167]::REAL[]),
+        |(13, 23, [-0.03875756,-0.147815,0.020271273,-0.037509467]::REAL[]),
+        |(13, 24, [0.07565914,-0.104396366,0.1467264,-0.21170862]::REAL[]),
+        |(13, 25, [0.214015,-0.111287504,0.094138786,-0.22626962]::REAL[]),
+        |(13, 26, [-0.0014781695,-0.09752727,-0.17300797,0.020037508]::REAL[]),
+        |(13, 27, [-0.28086615,0.0056844377,-0.10470699,-0.094735704]::REAL[]),
+        |(13, 28, [0.2015101,0.091817334,0.1087426,-0.04334659]::REAL[]),
+        |(13, 29, [0.055179935,0.0702085,-0.063897796,0.20949487]::REAL[]),
+        |(13, 30, [-0.21767426,0.1096949,0.28737143,0.009916044]::REAL[]),
+        |(13, 31, [-0.009127821,-0.12537688,0.01963828,-0.18060431]::REAL[]),
+        |(13, 32, [-0.049627014,-0.13048528,-0.18087609,0.16780682]::REAL[]),
+        |(13, 33, [-0.01976075,0.013965513,-0.22957087,-0.32844406]::REAL[]),
+        |(13, 34, [0.015544478,0.039201185,-0.06519903,0.087090895]::REAL[]),
+        |(13, 35, [-0.08533462,-0.00507075,-0.12730761,-0.25526053]::REAL[]),
+        |(13, 36, [0.11374679,-0.21339421,0.20512378,-0.06349368]::REAL[]),
+        |(13, 37, [-0.09705032,-0.030528242,0.012491106,0.11559738]::REAL[]),
+        |(13, 38, [-0.043945,0.095146,-0.2044935,-0.07577828]::REAL[]),
+        |(13, 39, [-0.065746896,0.02979792,-0.13152853,0.14021313]::REAL[]),
+        |(13, 40, [0.23211579,0.1126918,-0.11546028,-0.01880366]::REAL[]),
+        |(13, 41, [-0.17333314,-0.09530653,0.035215005,-0.20426448]::REAL[]),
+        |(13, 42, [-0.17152785,-0.122348696,-0.075596005,0.039893966]::REAL[]),
+        |(13, 43, [-0.22070469,0.112883456,-0.12647441,0.057144158]::REAL[]),
+        |(13, 44, [0.12772436,-0.105909884,0.3670001,0.080993645]::REAL[]),
+        |(13, 45, [0.044780552,-0.08704734,0.01334202,0.098039165]::REAL[]),
+        |(13, 46, [0.0024947538,-0.09931878,0.20029798,0.019453803]::REAL[]),
+        |(13, 47, [-0.19029453,0.11194493,0.3057669,-0.080147415]::REAL[]),
+        |(13, 48, [0.10906606,-0.14181408,0.032906916,-0.03982058]::REAL[]),
+        |(13, 49, [0.0077805077,-0.013245518,0.0901792,0.04736608]::REAL[]),
+        |(13, 50, [0.2552464,-0.039047483,-0.04035354,-0.042092826]::REAL[]),
+        |(13, 51, [0.17703691,-0.070620686,0.09784441,0.011734936]::REAL[]),
+        |(13, 52, [-0.16478053,0.028903529,0.03210532,0.034831032]::REAL[]),
+        |(13, 53, [0.0911974,0.053352006,0.0891664,-0.06892835]::REAL[]),
+        |(13, 54, [-0.28366184,0.102511935,0.06695647,-0.014481962]::REAL[]),
+        |(13, 55, [0.09026983,-0.13583966,0.16012342,0.120767854]::REAL[]),
+        |(13, 56, [0.09356622,-0.17625771,-0.042887002,0.032811992]::REAL[]),
+        |(13, 57, [0.20669304,-0.120527595,0.18229277,0.21963401]::REAL[]),
+        |(13, 58, [0.15022951,0.030067738,-0.016527746,-0.10598144]::REAL[]),
+        |(13, 59, [-0.013497702,0.09640694,0.023998594,-0.0016611995]::REAL[]),
+        |(13, 60, [-0.073164105,0.1743888,0.07617125,-0.14522576]::REAL[]),
+        |(13, 61, [-0.029866321,0.015556913,0.19495314,-0.14028576]::REAL[]),
+        |(13, 62, [-0.18696557,0.2196879,0.032344494,0.17650576]::REAL[]),
+        |(13, 63, [0.04358692,0.15447722,0.13849682,0.15461695]::REAL[]),
+        |(14, 0, [0.15334308,-0.10622833,0.047019754,0.17170851]::REAL[]),
+        |(14, 1, [-0.09360562,-0.06487863,0.22412063,-0.043208662]::REAL[]),
+        |(14, 2, [-0.07987342,-0.032063354,-0.04608042,0.12055781]::REAL[]),
+        |(14, 3, [0.1388025,-0.14434585,-0.110357285,0.10822202]::REAL[]),
+        |(14, 4, [0.17286532,-0.011721005,0.21059272,-0.11478043]::REAL[]),
+        |(14, 5, [0.10311422,0.0847427,0.18447462,0.05027177]::REAL[]),
+        |(14, 6, [0.10405039,0.03915464,-0.009054851,-0.10278258]::REAL[]),
+        |(14, 7, [0.0038279316,-0.067774855,0.12310647,0.18098108]::REAL[]),
+        |(14, 8, [-0.17559084,0.07927671,-0.13515824,0.14756492]::REAL[]),
+        |(14, 9, [-0.04774912,-0.148317,7.249618E-4,0.069801986]::REAL[]),
+        |(14, 10, [-0.1581926,0.195185,0.09514152,0.12388445]::REAL[]),
+        |(14, 11, [-0.09131634,-0.01728522,-0.27213115,-0.026449988]::REAL[]),
+        |(14, 12, [0.100341804,0.023033803,-0.10318832,-0.25874168]::REAL[]),
+        |(14, 13, [0.05826813,0.03312157,-0.105531916,0.053311486]::REAL[]),
+        |(14, 14, [0.13243699,0.1687428,0.087506376,0.183587]::REAL[]),
+        |(14, 15, [-0.05507896,0.0029877315,0.3970073,0.15936254]::REAL[]),
+        |(14, 16, [0.093171224,0.16464375,-0.26411602,-0.09859273]::REAL[]),
+        |(14, 17, [-0.060545776,-0.049804997,-0.2482509,0.10224959]::REAL[]),
+        |(14, 18, [0.04478224,-0.23895535,-0.19566955,-0.047214612]::REAL[]),
+        |(14, 19, [-0.039425917,-0.09458829,-0.12500176,-0.036293402]::REAL[]),
+        |(14, 20, [0.014078953,-0.008347737,0.27028984,0.028001143]::REAL[]),
+        |(14, 21, [0.07409665,0.19193648,-0.062094845,0.03268813]::REAL[]),
+        |(14, 22, [0.022282489,-0.1940442,-0.13041598,0.084531635]::REAL[]),
+        |(14, 23, [0.08662187,0.05648439,0.009706053,0.11894914]::REAL[]),
+        |(14, 24, [-0.08398873,-0.023632765,-0.115155,-0.23674478]::REAL[]),
+        |(14, 25, [0.18446265,0.041278165,-0.12785406,0.045906216]::REAL[]),
+        |(14, 26, [-0.2786287,0.05453548,0.12783116,-0.03158678]::REAL[]),
+        |(14, 27, [0.09983096,-0.045334,7.865769E-4,0.02092746]::REAL[]),
+        |(14, 28, [-0.08997303,0.21490282,-0.20579706,-0.1345652]::REAL[]),
+        |(14, 29, [-0.043485407,0.044500124,0.2563136,0.26667905]::REAL[]),
+        |(14, 30, [-0.119132474,0.037744567,0.108274624,-0.03923844]::REAL[]),
+        |(14, 31, [-0.10846737,-0.16136399,-0.17994533,0.08958338]::REAL[]),
+        |(14, 32, [-0.011251627,0.08152295,-0.22601165,0.17724703]::REAL[]),
+        |(14, 33, [0.045940913,0.12719701,0.3910592,-0.10861357]::REAL[]),
+        |(14, 34, [-0.20198828,-0.0038811865,-0.023287663,0.04776256]::REAL[]),
+        |(14, 35, [-0.06602175,-0.17600468,-0.07577326,-0.1467519]::REAL[]),
+        |(14, 36, [0.050946884,-0.20868112,0.0934356,0.0139153]::REAL[]),
+        |(14, 37, [-0.05699874,0.07858533,0.00762485,-0.14589079]::REAL[]),
+        |(14, 38, [0.16680324,-0.060556218,0.12019814,0.023432992]::REAL[]),
+        |(14, 39, [0.18361838,-0.09235264,0.053862557,-0.12336444]::REAL[]),
+        |(14, 40, [0.091988556,-0.24207145,-0.02471719,-0.07477027]::REAL[]),
+        |(14, 41, [-0.07555961,-0.13728535,0.11240482,0.1282481]::REAL[]),
+        |(14, 42, [-0.1554281,0.17646548,0.248456,-0.1403273]::REAL[]),
+        |(14, 43, [0.10036362,0.121759996,0.09849135,-0.23235652]::REAL[]),
+        |(14, 44, [-0.124688566,-0.095871426,-0.010721065,-0.032355618]::REAL[]),
+        |(14, 45, [-0.06822372,0.060125403,0.10182962,0.18475632]::REAL[]),
+        |(14, 46, [0.25716415,-0.05681181,-0.015684908,0.023605695]::REAL[]),
+        |(14, 47, [-0.0083612455,-0.1929733,0.109933116,-0.19113994]::REAL[]),
+        |(14, 48, [0.042747624,-0.09225573,-0.24593146,-0.015098814]::REAL[]),
+        |(14, 49, [-0.19077633,-0.15069619,-0.1445924,-0.06673995]::REAL[]),
+        |(14, 50, [-0.2548859,-0.10474236,0.03361787,-0.20226966]::REAL[]),
+        |(14, 51, [0.023468742,-0.022582235,-0.07879484,-0.12723301]::REAL[]),
+        |(14, 52, [-0.18246464,-0.019839033,0.12957622,-0.15065205]::REAL[]),
+        |(14, 53, [0.13874823,0.3692582,0.012115795,-0.1796198]::REAL[]),
+        |(14, 54, [-0.010438431,0.065461926,-0.02173219,0.22137234]::REAL[]),
+        |(14, 55, [0.044672757,-0.104141995,-0.079681195,0.26852235]::REAL[]),
+        |(14, 56, [-0.07291596,0.08819019,0.064929344,0.10208925]::REAL[]),
+        |(14, 57, [0.16335803,-0.07268518,-0.24517274,-0.07329037]::REAL[]),
+        |(14, 58, [-0.020753978,-0.07036832,0.08644892,-0.07213277]::REAL[]),
+        |(14, 59, [-0.19831766,0.058005486,-0.08500259,-0.09484664]::REAL[]),
+        |(14, 60, [-0.06802402,0.036282215,-0.1520559,-0.0060511897]::REAL[]),
+        |(14, 61, [-0.032262813,0.18079337,0.01654831,-0.03244577]::REAL[]),
+        |(14, 62, [-0.01840608,0.061249048,0.0030243928,0.017719002]::REAL[]),
+        |(14, 63, [0.18576999,0.18202047,0.10174782,-0.03635736]::REAL[]),
+        |(15, 0, [0.20400304,-0.07981866,-0.064217485,0.028778298]::REAL[]),
+        |(15, 1, [-0.043800138,0.031969097,0.06747122,0.15666473]::REAL[]),
+        |(15, 2, [0.112973236,0.021335812,-0.1782901,-0.11083993]::REAL[]),
+        |(15, 3, [-0.10135547,0.022676302,0.08689794,0.05020842]::REAL[]),
+        |(15, 4, [-0.002837043,-0.0037133675,-0.10554362,-0.03887035]::REAL[]),
+        |(15, 5, [-0.19160725,0.15160988,-0.09112802,-0.04922519]::REAL[]),
+        |(15, 6, [0.007968958,0.13609363,-0.051126786,0.038652223]::REAL[]),
+        |(15, 7, [-0.0059299786,-0.077617325,-0.0887952,0.15566197]::REAL[]),
+        |(15, 8, [-0.06226316,-0.27600712,0.07219498,-0.11696547]::REAL[]),
+        |(15, 9, [-0.12833714,0.15431915,0.20595215,-0.022407755]::REAL[]),
+        |(15, 10, [-0.013007921,0.18865347,-0.17128848,-0.077378914]::REAL[]),
+        |(15, 11, [0.18735251,0.03532086,-0.02411509,0.32059845]::REAL[]),
+        |(15, 12, [0.0804442,-0.015058642,0.11893446,0.08717363]::REAL[]),
+        |(15, 13, [0.14072987,0.23514494,0.19080018,0.13398007]::REAL[]),
+        |(15, 14, [-0.10309758,0.10229679,-0.21117869,0.058893614]::REAL[]),
+        |(15, 15, [-0.1898409,-0.02488252,-0.13146909,-0.04835788]::REAL[]),
+        |(15, 16, [0.07043891,0.12387402,0.089081585,0.118040316]::REAL[]),
+        |(15, 17, [-2.4820413E-4,-0.15972582,0.013046095,-0.17572507]::REAL[]),
+        |(15, 18, [0.14013922,0.03682154,-0.20306046,0.0747964]::REAL[]),
+        |(15, 19, [0.027672876,0.07734642,0.18212897,-0.018074648]::REAL[]),
+        |(15, 20, [0.0049750535,-0.0032967469,0.25915584,0.09641153]::REAL[]),
+        |(15, 21, [-0.069001906,-0.10559581,0.16946848,0.034167103]::REAL[]),
+        |(15, 22, [0.18212798,-0.09895588,-0.0524063,-0.090321764]::REAL[]),
+        |(15, 23, [0.10005282,0.13796152,0.103968754,-0.26881638]::REAL[]),
+        |(15, 24, [-0.10673468,-0.07818159,0.08737748,-0.1393808]::REAL[]),
+        |(15, 25, [0.17066786,-0.11964902,0.19884746,0.085628934]::REAL[]),
+        |(15, 26, [-0.2088412,-0.2493124,-0.008765101,0.17393202]::REAL[]),
+        |(15, 27, [-0.064244695,0.04319378,-0.01494128,-0.097119085]::REAL[]),
+        |(15, 28, [0.026955567,0.24345766,0.021050582,-0.18532434]::REAL[]),
+        |(15, 29, [-0.042439025,-0.0029328344,0.08951151,-0.3183884]::REAL[]),
+        |(15, 30, [-0.085533425,-0.0136106,-0.024758928,0.08960255]::REAL[]),
+        |(15, 31, [0.053163927,0.01983045,0.043137025,-0.01369872]::REAL[]),
+        |(15, 32, [-0.0098168235,-0.13645756,0.08938097,0.1691143]::REAL[]),
+        |(15, 33, [0.02947297,-0.17330658,-0.015966184,0.01611509]::REAL[]),
+        |(15, 34, [-0.14305547,0.10186469,0.08026194,0.22830245]::REAL[]),
+        |(15, 35, [0.12215434,-0.21933755,-0.03922808,-0.090045296]::REAL[]),
+        |(15, 36, [-0.1691031,0.12808797,-0.008016394,-0.19770426]::REAL[]),
+        |(15, 37, [-0.053812124,-0.06937383,0.24884114,-0.10149802]::REAL[]),
+        |(15, 38, [0.074335754,0.008361369,0.010744013,-0.17095068]::REAL[]),
+        |(15, 39, [-0.05646702,-0.08245778,-0.013786762,0.011510341]::REAL[]),
+        |(15, 40, [0.061914463,-0.17145048,-0.16456611,-0.07170587]::REAL[]),
+        |(15, 41, [0.11927516,-0.09240354,-0.023504611,0.11666989]::REAL[]),
+        |(15, 42, [0.14687903,0.22492684,0.050115176,0.029632477]::REAL[]),
+        |(15, 43, [0.05146509,-0.16682597,0.11280208,-0.0132397665]::REAL[]),
+        |(15, 44, [-0.010430947,0.033064906,-0.15634815,-0.21873741]::REAL[]),
+        |(15, 45, [0.08866623,0.033394817,-0.029453024,0.17362636]::REAL[]),
+        |(15, 46, [0.018644316,-0.22776811,-0.12860453,0.09892772]::REAL[]),
+        |(15, 47, [0.23158307,-0.07273661,0.11506749,-0.09244647]::REAL[]),
+        |(15, 48, [-0.13964462,0.053008147,-0.1013895,0.14178051]::REAL[]),
+        |(15, 49, [-0.086181946,0.26557514,0.035977297,0.0642685]::REAL[]),
+        |(15, 50, [-0.020736197,0.22643909,0.11298104,-0.013959461]::REAL[]),
+        |(15, 51, [-0.2336144,0.013953751,0.009502731,0.0151607515]::REAL[]),
+        |(15, 52, [-0.055963725,-0.23674543,0.11223698,0.002911524]::REAL[]),
+        |(15, 53, [-0.23068044,-0.08032554,0.16451527,-0.09100689]::REAL[]),
+        |(15, 54, [-0.0783988,-0.2025619,-0.07986276,-0.0938776]::REAL[]),
+        |(15, 55, [0.073894195,0.15537536,0.0042792815,-0.061977144]::REAL[]),
+        |(15, 56, [0.08160225,-0.00905889,0.19755815,-0.088003024]::REAL[]),
+        |(15, 57, [0.21616778,0.08893188,0.009107959,-0.016016956]::REAL[]),
+        |(15, 58, [0.070739925,-0.17164263,0.028002245,-0.29036236]::REAL[]),
+        |(15, 59, [0.057155542,0.14749742,-0.10227165,-0.099358216]::REAL[]),
+        |(15, 60, [-0.15472877,-0.16504726,-0.10993759,-0.04151718]::REAL[]),
+        |(15, 61, [-0.06232523,-0.009701152,0.19184051,0.2933486]::REAL[]),
+        |(15, 62, [-0.16875386,0.0046620155,0.022457397,-0.07102474]::REAL[]),
+        |(15, 63, [-0.10909046,-0.17850286,-0.25513527,0.030705906]::REAL[])),
+        |b AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+        |qids AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id % 50 = 0),
+        |codes AS (
+        |  SELECT id, sub, cent AS code FROM (
+        |    SELECT b.id, c.sub, c.cent, row_number() OVER (PARTITION BY b.id, c.sub ORDER BY
+        |      list_sum(list_transform(list_zip(b.v[c.sub*4+1:c.sub*4+4], c.cb),
+        |        x -> (x[1]::DOUBLE - x[2]::DOUBLE) * (x[1]::DOUBLE - x[2]::DOUBLE))), c.cent) AS rn
+        |    FROM b, cbs c) t WHERE rn = 1),
+        |lut AS ( -- per (qid, sub, cent): double ||q_j - cb||^2
+        |  SELECT q.vec_id AS qid, c.sub, c.cent,
+        |    list_sum(list_transform(list_zip(q.embedding[c.sub*4+1:c.sub*4+4], c.cb),
+        |      x -> (x[1]::DOUBLE - x[2]::DOUBLE) * (x[1]::DOUBLE - x[2]::DOUBLE))) AS sd
+        |  FROM embeddings q JOIN qids ON q.vec_id = qids.qid, cbs c),cents(cid, cv) AS (VALUES
+        |(0, [3.976001E-4,0.028297238,-0.03635965,0.009380843,-0.009109747,-0.025437439,0.024678871,-0.038039044,0.010667889,-0.060485713,0.033288997,-0.03938557,-0.008634382,0.051888857,-0.070540234,-0.023659004,0.10935156,0.037691243,-0.020817585,-0.024977293,0.03683957,-0.015296038,0.070435435,-0.11328855,-0.0017905023,-0.0020132852,-0.004942073,0.033165585,-0.08863541,-0.012735062,-0.08754079,0.056902893,-0.017311713,-0.04438014,-0.01465772,0.025549749,0.0024049846,-0.03159369,0.0069407746,0.04164316,0.020785682,0.04870036,-0.04820819,-0.0765654,0.008866418,-0.045202,0.02520875,0.0053051356,0.009504603,-0.059140284,-0.022915589,0.058860157,-0.004384404,-0.012590272,0.074882075,-0.057023097,-0.06409937,0.0034846074,-0.011082796,0.019883089,-0.0013891011,0.0034190915,0.060604468,-0.0060799844]::REAL[]),
+        |(1, [0.008359272,0.060080968,0.03184555,-0.0056618187,0.07222243,0.051034335,-0.049216557,-0.007968933,-0.06231409,0.048589528,-0.017324317,0.042530492,0.033902634,0.080413625,-0.0062259533,0.031396985,-0.033318963,-0.025283217,-0.027597263,0.01480435,-0.02891756,-0.03750445,-0.022482494,-0.06621947,0.024813285,0.0544805,-0.028094416,0.015448729,-0.05434001,0.00318308,0.020199137,-0.07716253,0.006087762,0.026632814,-0.020634651,-0.016442956,0.025486456,0.029430877,0.033655047,0.02441111,0.010800855,-0.03607063,-0.0043094563,-0.015938273,7.861068E-5,-0.0481812,0.024680857,-0.029986767,0.047657892,0.058578055,0.03789119,-0.032064136,0.021277333,0.012731777,0.013166181,-0.014346622,0.085697226,-0.03464635,-0.037695866,-0.036775947,0.08361625,-0.08642981,0.0046992037,-0.0057371496]::REAL[]),""".stripMargin,
+      """(2, [-0.01844507,-0.02256356,-0.06953005,-0.023240875,0.08684007,0.0914795,0.055580284,-0.012617236,-0.029835943,-0.04242027,0.035535593,-0.009868543,-0.015970197,-0.020177249,0.041802835,-0.09409,0.010807619,-0.023519482,0.034826115,0.012929687,0.05966658,-0.067652345,-0.07818938,0.014800565,0.026694568,0.050169367,0.041076835,0.058571495,-0.0015404437,0.007950587,0.024057547,-0.005419116,0.03207465,-0.030794984,0.035395976,0.0029795081,-0.03950219,0.027286049,0.026999077,-0.031908855,-0.08328178,-0.02200855,0.012866052,0.046322495,0.05069378,0.047360986,-0.038416654,-0.10167669,0.03826236,-0.01724514,-0.0017332471,-0.054817125,-0.03995014,0.03127895,0.033283163,0.021733949,0.0831054,-0.017397773,0.016854225,0.028358923,0.04710489,-0.044251915,0.057152633,-0.04708653]::REAL[]),
+        |(3, [0.102064565,-0.0069968533,0.012800971,-0.07167313,0.07444391,0.012768217,-0.0748594,0.012918701,0.016182728,-0.054661307,0.070437886,-0.06160538,0.0069055324,0.017327514,-0.026446221,0.11281004,0.024102954,0.042696424,-0.01729222,0.011779977,-0.050743133,0.0042556375,0.0053622844,0.03157169,-0.019312961,-0.029734448,0.030015398,0.033585694,0.046456087,-0.057676364,0.046169367,0.031931307,0.025283262,-0.028854106,0.04856891,-0.053302057,-0.056079846,-0.05893087,0.005899067,-0.018722115,-0.02061769,-0.033902597,0.038833976,0.016220842,-0.012594262,-0.009879089,0.029897697,-0.0038829353,0.05571742,0.016811289,-0.0023034883,-0.025743501,0.08259702,-0.036126196,0.028515564,0.0029221964,-0.028032525,0.032771844,0.030288298,-0.049233384,-0.044415846,0.015200411,0.035748515,0.0640712]::REAL[]),
+        |(4, [-0.045071274,-0.057621308,0.00470594,-0.028427409,0.010577925,0.0020643366,0.0030443773,0.030271063,0.06781996,0.06693981,-0.010411105,-0.03287793,0.022112258,-0.0920138,0.09686792,-0.03091986,0.04703801,-0.032777086,0.03977684,0.020655159,0.022004057,-0.0057500293,0.002778062,-0.013420849,-0.010384327,0.032439973,0.050919276,-0.045315374,0.0040542553,-0.0535026,-0.0023021316,0.040078286,0.072379954,-0.016619515,0.0212618,-0.095986284,-0.013969665,0.011349328,-0.05222839,-0.019108197,0.0033137945,-0.023999205,-0.040043715,0.017808456,0.0078592105,0.025575822,-0.026065467,0.05833019,0.0010988177,-2.3226398E-4,-0.011959542,-0.014244624,0.074541144,-0.045908608,-0.04256846,-0.011612557,0.041253675,-0.021052716,0.040330485,-0.034828596,-0.040610105,0.048562936,-0.06615247,-0.054079827]::REAL[]),
+        |(5, [-0.036802832,-0.07970984,0.010175653,0.033520576,0.0019681412,0.014898777,-0.04537918,0.07532346,-0.013869546,0.026446076,0.036149327,0.03021399,-0.011724245,0.012907165,-0.045805085,-0.04560446,-0.12365304,-0.03253967,-0.053021926,-0.011837741,-0.0138035165,0.01648638,0.04421658,-0.045227762,-0.03932084,0.02706602,-0.019117707,-0.0045875898,-0.003764507,-0.016906084,0.00908303,0.009660759,0.004637516,0.04342523,0.0761766,0.091382645,-0.04745479,0.023597902,0.029717358,-0.04081729,-0.054080967,-0.083059795,-0.0072128777,-7.131163E-4,0.016583841,-0.03297849,0.01647399,0.07859101,-0.016999898,-0.033240594,0.0042445064,-0.017960563,-0.012879525,0.03842349,-0.0136261415,-0.023117376,-0.055217475,-0.055819217,-0.022269065,-0.0043935515,-0.016654627,0.049902894,-0.048492625,-0.042215925]::REAL[]),
+        |(6, [0.013466209,-0.042904153,0.042477332,-0.010227932,0.06610928,-0.08960638,-0.05824776,0.09722493,-0.052684724,0.12983476,0.024039803,-0.008953316,0.077392586,0.015048835,-0.034597486,-0.04612628,0.06131181,-0.01216272,-0.04209484,0.038224302,0.020744625,-0.019144693,0.034510255,0.029608011,0.08201297,0.025442395,-0.033755377,0.01684503,0.012245171,0.1239683,0.0342624,-0.07191438,0.048022225,0.021343596,0.0043778787,-0.0034581441,-0.027076015,0.014719994,-7.6361075E-6,0.049479246,-0.06339765,0.042955857,-0.018386057,0.004471063,-0.04481163,-0.045706294,-0.0303199,-0.036038432,0.020856244,0.012608098,0.060139712,0.097314045,-0.009156231,0.042162545,-0.010446251,-0.037139542,-0.016165743,-0.019707583,0.010787154,0.02973125,-0.022876702,0.03270833,0.0038668977,-0.005150107]::REAL[]),
+        |(7, [0.0730371,0.013020755,0.024054889,0.031864595,0.088987224,-0.015275471,-0.09232465,0.009167585,-0.029220069,-0.046588387,0.04021698,0.011006755,-0.039308555,-0.03348064,0.024561502,0.061083548,-0.0058210245,0.0059133507,-5.9794646E-4,0.0024032826,0.020402363,-0.023590263,0.016465912,-4.0554924E-6,-0.018109495,0.039838616,-0.03640714,-0.007153099,0.06674157,5.5913307E-4,-0.01615549,0.03513253,-0.029352456,-0.017819941,-0.02422248,-0.03521332,-0.045198675,0.087121405,-0.061626047,-0.03736578,-0.010285021,-0.041728083,0.019712977,0.016591592,-0.104177706,0.025423804,-0.04550773,-0.023338027,-0.010873546,-0.038420208,0.025321431,0.03598216,-0.12894745,-0.005235948,-0.06644037,-0.03709317,0.074448235,0.06327438,0.03255707,0.01056316,0.08486752,0.0016224174,-0.053819567,0.046196803]::REAL[]),
+        |(8, [-0.026988689,0.005676072,0.06782535,0.024456996,-0.046086337,-0.043952443,0.002179633,0.033751138,0.0041119666,-0.018524887,-0.074581414,0.0054647564,0.07055409,-0.02212543,0.072443716,0.05354723,-0.06561099,-0.043461844,-0.011281722,0.02830383,0.022794986,-0.040238257,-0.023748746,-0.016152153,0.08208422,0.049374044,-0.07401946,0.0036870013,0.015724914,0.062043484,0.04140938,-0.008525177,0.04211752,0.06742721,0.052381236,-0.029699845,0.0311374,-0.08147927,-0.11785748,-0.051154714,0.044584382,-0.004362243,0.016509607,0.045911286,-0.08142972,0.004555513,-0.03975339,0.029077321,-0.084855475,-0.022218805,4.4706746E-4,0.06384465,-0.03552817,-0.021320144,0.050283812,-0.0027536019,-0.007825387,-0.031355135,-0.015163805,0.060551215,-0.010323944,-0.051286574,0.059319675,-0.008877228]::REAL[]),
+        |(9, [-0.021388657,-0.03833954,0.010488234,0.012838276,-0.018751947,0.05869963,0.015904548,-0.011526354,0.010039316,0.024103524,0.0012205105,0.067073315,0.0015444893,-0.028763095,-0.03773328,-0.013045459,0.10519724,-0.015350813,-8.191451E-4,-0.023473792,-0.06039969,0.020592323,-0.043630414,-0.050690085,0.03831456,0.041279532,0.06327995,0.02003199,0.0496711,-0.038714822,-0.058313925,0.016609458,0.030466363,-0.007273059,-0.05157916,0.088247605,-0.018129945,-0.021840198,0.05168867,0.018610615,0.06520981,-0.029866936,-0.0044151205,0.013927938,-0.04570822,-1.8431572E-4,-0.052126337,0.050922595,-0.023193838,-0.011714378,-0.032172486,-0.060620833,0.014884973,0.007199496,0.030895568,0.0038718958,-0.02172564,0.11099188,0.019912688,-0.07435928,-0.06544074,0.039071813,-0.03411504,-0.009885601]::REAL[]),
+        |(10, [0.0071370993,0.019658236,-0.0045523485,-0.04833168,0.03178797,-0.010474304,0.015751988,4.9144845E-4,0.07806498,4.827411E-4,-0.08674548,0.026481027,0.0073601203,0.042852074,-0.015990803,0.09308003,-0.05372726,0.12433202,-0.06891425,-0.015001628,-0.04693401,-0.012581487,-0.0028753697,-0.08717856,-0.098547034,-0.05310776,-0.037760016,-0.05615235,-0.038145598,-0.022713123,0.03467133,0.0069574043,0.029949578,-0.07370147,-0.06808703,0.034529377,0.0310526,0.094641134,-0.05431165,0.006605148,-0.011224024,-0.01534252,-0.016549664,0.082232065,0.0036522031,0.06930171,0.05856372,0.05339764,-0.03373602,-0.071795896,0.028143141,0.060672484,0.03122295,0.013714599,0.02202862,0.023138084,0.042314265,-0.02036491,0.095807545,0.05904549,-0.014548051,-0.0870616,0.046183117,0.029742638]::REAL[]),
+        |(11, [0.06343771,0.0058765183,-0.028651988,2.654883E-4,-0.031051632,-0.01450028,0.005515711,0.0057222177,-0.1059591,-0.05844221,-0.03852576,0.032663476,-0.046211176,0.022968149,-8.864697E-4,0.07060882,-0.033635117,0.07475268,0.01337138,-0.06901378,0.022063827,0.016496412,0.057607744,-0.0017655147,-0.038029686,-0.038872182,-0.03292653,-0.026231073,0.021813061,0.06182465,0.044717792,0.0051579736,-0.03991205,-0.027445069,0.016253272,0.008888453,-0.02366046,0.05099601,0.07553414,0.003532158,0.05964545,-0.039314654,0.1224856,-0.047990296,0.0123063335,0.037916467,-0.0035663939,0.0069394717,0.052851878,-0.05293435,0.025940722,-0.0054569067,-0.029766375,-0.05775758,0.023666384,0.037026975,0.0035354535,-0.01651138,-0.07080694,0.05577631,-0.011229619,0.04237323,-0.008191156,-0.011374551]::REAL[]),
+        |(12, [-0.0069709215,-0.06376432,0.014562121,0.023505438,-0.00805442,0.052596692,-0.014337886,-0.03038546,-0.011835048,-0.007921711,0.03023597,0.045921333,0.01896049,0.13845196,0.092908606,0.044408403,0.013001887,-0.047546674,-0.010366498,-0.04815113,-0.029383505,0.03496453,-0.014905675,0.065283194,-0.091739245,0.039443012,-0.0478082,0.014884458,6.0607324E-4,-0.10552086,0.02740691,-0.06743597,-0.06964367,-0.069198124,0.011361684,0.02805329,0.018349884,-0.045934007,-0.032408886,0.03968855,0.023497354,0.011167623,-0.042538986,-0.070952915,0.03441467,-0.0018806596,-0.01955499,0.018161446,-0.03138498,0.015965274,-0.0053890795,0.013872247,0.06384498,0.022938548,-0.0059331437,-0.016028654,-0.05620602,-0.020510383,-0.008129869,-0.04284003,-0.002637135,-0.02845274,-0.02055995,-0.07163953]::REAL[]),
+        |(13, [0.029149706,0.07479124,0.02134813,0.028014105,-0.08236194,0.021487799,-0.007706673,0.016405726,0.028469669,0.039957415,0.0034191187,0.05819961,-0.07168515,-0.015801666,-0.013646735,0.021917038,0.02506544,0.02792193,0.08867792,-0.01688975,-0.04303056,0.060124148,-0.021606322,0.07347927,-0.0047295894,-0.018701103,0.06960208,0.03785714,0.018378649,0.022665616,0.040388443,0.09621229,-0.013634023,0.011724319,-0.04389453,0.03410915,0.004060091,-0.004763079,-0.048742745,0.018772071,-0.06366438,-0.023697907,-0.08098032,0.015608952,-0.056213263,-0.009875079,0.063202366,0.007313751,-0.07463801,-0.00895795,0.04644951,-0.016990328,0.0072292355,0.018895894,-0.008089653,0.05243085,-0.033923563,-0.04807464,-0.062618986,-0.048751228,0.013511869,0.025235739,-0.0141408965,-0.038623083]::REAL[]),
+        |(14, [-0.03636119,0.003918286,-0.042555,0.09140156,-0.0015238351,-0.01602596,0.002480287,-0.038410872,0.02110613,0.0116725145,-0.011186879,-1.6869315E-4,-0.05450557,-0.06097048,-0.03135951,-0.06177706,0.00974351,0.03444543,0.017953884,0.011268695,0.022891112,0.040979657,0.016133415,0.02357896,0.0021563438,-0.061908573,-0.013025675,0.0763776,-0.02048277,0.018044444,0.020787153,-0.10363228,0.0075083696,0.016180787,0.019898504,-0.07827056,0.018831404,-0.06491341,0.030638753,0.0023367947,0.0014614091,0.09365999,0.0067769773,-0.06887613,0.035203613,-0.0037949341,-2.8857165E-5,0.071350105,-0.014972268,-0.022833856,0.045089155,-0.04330946,-0.00906133,-0.024228686,-0.065642595,0.006414458,0.0098045375,0.028569555,-0.009579337,0.0054477938,0.017501716,0.06062958,-0.01548141,-0.025027053]::REAL[]),
+        |(15, [-0.05762221,0.037857857,0.0012920756,-0.12331383,-0.054813787,-0.0015160287,-0.04967951,0.008855162,0.029448103,-0.059238102,0.02390513,-0.089110374,-0.018126799,-0.042175613,-0.040762503,-0.054818302,-0.046489846,0.018617157,0.021426188,0.075262345,0.0013388421,0.037846845,0.023848003,0.014974089,0.020168284,0.027794091,2.1293305E-4,-0.009665448,-0.055297505,0.05218786,-0.057825174,-0.06431495,0.0024881281,-5.6121347E-4,-0.006950022,0.026028318,0.06345275,-0.012733749,0.04198192,-0.011623106,0.023713393,-0.0025560872,0.037455697,0.034733556,-0.016821548,0.065115206,0.029002186,-0.092401855,-0.017456945,0.028403604,-0.01777342,-0.011197019,0.05119401,-0.02116531,0.018101621,-0.0017772928,0.031117678,-0.011913698,-0.049216475,-0.04190238,-0.002785807,0.009239766,0.015038274,-0.014865515]::REAL[])),
+        |assign AS (
+        |  SELECT id, cid FROM (
+        |    SELECT b.id, c.cid, row_number() OVER (PARTITION BY b.id ORDER BY
+        |      list_sum(list_transform(list_zip(b.v, c.cv),
+        |        x -> (x[1]::DOUBLE - x[2]::DOUBLE) * (x[1]::DOUBLE - x[2]::DOUBLE))), c.cid) AS rn
+        |    FROM b, cents c) t WHERE rn = 1),
+        |probes AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT q.vec_id AS qid, c.cid, row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      sqrt(list_sum(list_transform(list_zip(q.embedding::DOUBLE[], c.cv::DOUBLE[]),
+        |        p -> (p[1]-p[2])*(p[1]-p[2])))), c.cid) AS rn
+        |    FROM embeddings q JOIN qids ON q.vec_id = qids.qid, cents c) t
+        |  WHERE rn <= 8),
+        |cand AS (SELECT p.qid, a.id FROM probes p JOIN assign a ON p.cid = a.cid),
+        |cd AS (
+        |  SELECT l.qid, co.id, sqrt(sum(l.sd)) AS dist
+        |  FROM cand ca JOIN codes co ON ca.id = co.id
+        |  JOIN lut l ON ca.qid = l.qid AND co.sub = l.sub AND co.code = l.cent
+        |  GROUP BY l.qid, co.id),
+        |pred AS (
+        |  SELECT qid, list(id ORDER BY rn) AS pred FROM (
+        |    SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn
+        |    FROM cd) t WHERE rn <= 10 GROUP BY qid),
+        |bv AS (SELECT vec_id AS id, embedding::DOUBLE[] AS dv FROM embeddings),
+        |gtd AS (
+        |  SELECT q.id AS qid, r.id,
+        |    sqrt(list_sum(list_transform(list_zip(q.dv, r.dv),
+        |      p -> (p[1]-p[2])*(p[1]-p[2])))) AS dist
+        |  FROM bv q JOIN qids ON q.id = qids.qid, bv r),
+        |gt AS (
+        |  SELECT qid, list(id ORDER BY rn) AS gt FROM (
+        |    SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn
+        |    FROM gtd) t WHERE rn <= 10 GROUP BY qid),
+        |per AS (
+        |  SELECT g.qid,
+        |    len(list_intersect(g.gt, p.pred))::DOUBLE / len(g.gt) AS recall,
+        |    coalesce(1.0 / (SELECT min(pos) FROM (
+        |      SELECT unnest(p.pred) AS pid, generate_subscripts(p.pred, 1) AS pos) u
+        |      WHERE list_contains(g.gt, pid)), 0.0) AS rr
+        |  FROM gt g LEFT JOIN pred p ON g.qid = p.qid)
+        |SELECT 'ivf_pq' AS algorithm, count(*) AS n_queries,
+        |  round(avg(recall), 4) AS recall_10, round(avg(rr), 4) AS mrr_10
+        |FROM per
+        |HAVING round(avg(recall), 4) >= 0.45""".stripMargin).mkString("\n"),
+    // IVF x SQ8 composition: centroid literals + in-SQL SQ8 codes,
+    // nprobe=8 pruning over dequantized L2.
+    "j10_ivf_sq8" ->
+      """WITH b AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+        |qids AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id % 50 = 0),cents(cid, cv) AS (VALUES
+        |(0, [3.976001E-4,0.028297238,-0.03635965,0.009380843,-0.009109747,-0.025437439,0.024678871,-0.038039044,0.010667889,-0.060485713,0.033288997,-0.03938557,-0.008634382,0.051888857,-0.070540234,-0.023659004,0.10935156,0.037691243,-0.020817585,-0.024977293,0.03683957,-0.015296038,0.070435435,-0.11328855,-0.0017905023,-0.0020132852,-0.004942073,0.033165585,-0.08863541,-0.012735062,-0.08754079,0.056902893,-0.017311713,-0.04438014,-0.01465772,0.025549749,0.0024049846,-0.03159369,0.0069407746,0.04164316,0.020785682,0.04870036,-0.04820819,-0.0765654,0.008866418,-0.045202,0.02520875,0.0053051356,0.009504603,-0.059140284,-0.022915589,0.058860157,-0.004384404,-0.012590272,0.074882075,-0.057023097,-0.06409937,0.0034846074,-0.011082796,0.019883089,-0.0013891011,0.0034190915,0.060604468,-0.0060799844]::REAL[]),
+        |(1, [0.008359272,0.060080968,0.03184555,-0.0056618187,0.07222243,0.051034335,-0.049216557,-0.007968933,-0.06231409,0.048589528,-0.017324317,0.042530492,0.033902634,0.080413625,-0.0062259533,0.031396985,-0.033318963,-0.025283217,-0.027597263,0.01480435,-0.02891756,-0.03750445,-0.022482494,-0.06621947,0.024813285,0.0544805,-0.028094416,0.015448729,-0.05434001,0.00318308,0.020199137,-0.07716253,0.006087762,0.026632814,-0.020634651,-0.016442956,0.025486456,0.029430877,0.033655047,0.02441111,0.010800855,-0.03607063,-0.0043094563,-0.015938273,7.861068E-5,-0.0481812,0.024680857,-0.029986767,0.047657892,0.058578055,0.03789119,-0.032064136,0.021277333,0.012731777,0.013166181,-0.014346622,0.085697226,-0.03464635,-0.037695866,-0.036775947,0.08361625,-0.08642981,0.0046992037,-0.0057371496]::REAL[]),
+        |(2, [-0.01844507,-0.02256356,-0.06953005,-0.023240875,0.08684007,0.0914795,0.055580284,-0.012617236,-0.029835943,-0.04242027,0.035535593,-0.009868543,-0.015970197,-0.020177249,0.041802835,-0.09409,0.010807619,-0.023519482,0.034826115,0.012929687,0.05966658,-0.067652345,-0.07818938,0.014800565,0.026694568,0.050169367,0.041076835,0.058571495,-0.0015404437,0.007950587,0.024057547,-0.005419116,0.03207465,-0.030794984,0.035395976,0.0029795081,-0.03950219,0.027286049,0.026999077,-0.031908855,-0.08328178,-0.02200855,0.012866052,0.046322495,0.05069378,0.047360986,-0.038416654,-0.10167669,0.03826236,-0.01724514,-0.0017332471,-0.054817125,-0.03995014,0.03127895,0.033283163,0.021733949,0.0831054,-0.017397773,0.016854225,0.028358923,0.04710489,-0.044251915,0.057152633,-0.04708653]::REAL[]),
+        |(3, [0.102064565,-0.0069968533,0.012800971,-0.07167313,0.07444391,0.012768217,-0.0748594,0.012918701,0.016182728,-0.054661307,0.070437886,-0.06160538,0.0069055324,0.017327514,-0.026446221,0.11281004,0.024102954,0.042696424,-0.01729222,0.011779977,-0.050743133,0.0042556375,0.0053622844,0.03157169,-0.019312961,-0.029734448,0.030015398,0.033585694,0.046456087,-0.057676364,0.046169367,0.031931307,0.025283262,-0.028854106,0.04856891,-0.053302057,-0.056079846,-0.05893087,0.005899067,-0.018722115,-0.02061769,-0.033902597,0.038833976,0.016220842,-0.012594262,-0.009879089,0.029897697,-0.0038829353,0.05571742,0.016811289,-0.0023034883,-0.025743501,0.08259702,-0.036126196,0.028515564,0.0029221964,-0.028032525,0.032771844,0.030288298,-0.049233384,-0.044415846,0.015200411,0.035748515,0.0640712]::REAL[]),
+        |(4, [-0.045071274,-0.057621308,0.00470594,-0.028427409,0.010577925,0.0020643366,0.0030443773,0.030271063,0.06781996,0.06693981,-0.010411105,-0.03287793,0.022112258,-0.0920138,0.09686792,-0.03091986,0.04703801,-0.032777086,0.03977684,0.020655159,0.022004057,-0.0057500293,0.002778062,-0.013420849,-0.010384327,0.032439973,0.050919276,-0.045315374,0.0040542553,-0.0535026,-0.0023021316,0.040078286,0.072379954,-0.016619515,0.0212618,-0.095986284,-0.013969665,0.011349328,-0.05222839,-0.019108197,0.0033137945,-0.023999205,-0.040043715,0.017808456,0.0078592105,0.025575822,-0.026065467,0.05833019,0.0010988177,-2.3226398E-4,-0.011959542,-0.014244624,0.074541144,-0.045908608,-0.04256846,-0.011612557,0.041253675,-0.021052716,0.040330485,-0.034828596,-0.040610105,0.048562936,-0.06615247,-0.054079827]::REAL[]),
+        |(5, [-0.036802832,-0.07970984,0.010175653,0.033520576,0.0019681412,0.014898777,-0.04537918,0.07532346,-0.013869546,0.026446076,0.036149327,0.03021399,-0.011724245,0.012907165,-0.045805085,-0.04560446,-0.12365304,-0.03253967,-0.053021926,-0.011837741,-0.0138035165,0.01648638,0.04421658,-0.045227762,-0.03932084,0.02706602,-0.019117707,-0.0045875898,-0.003764507,-0.016906084,0.00908303,0.009660759,0.004637516,0.04342523,0.0761766,0.091382645,-0.04745479,0.023597902,0.029717358,-0.04081729,-0.054080967,-0.083059795,-0.0072128777,-7.131163E-4,0.016583841,-0.03297849,0.01647399,0.07859101,-0.016999898,-0.033240594,0.0042445064,-0.017960563,-0.012879525,0.03842349,-0.0136261415,-0.023117376,-0.055217475,-0.055819217,-0.022269065,-0.0043935515,-0.016654627,0.049902894,-0.048492625,-0.042215925]::REAL[]),
+        |(6, [0.013466209,-0.042904153,0.042477332,-0.010227932,0.06610928,-0.08960638,-0.05824776,0.09722493,-0.052684724,0.12983476,0.024039803,-0.008953316,0.077392586,0.015048835,-0.034597486,-0.04612628,0.06131181,-0.01216272,-0.04209484,0.038224302,0.020744625,-0.019144693,0.034510255,0.029608011,0.08201297,0.025442395,-0.033755377,0.01684503,0.012245171,0.1239683,0.0342624,-0.07191438,0.048022225,0.021343596,0.0043778787,-0.0034581441,-0.027076015,0.014719994,-7.6361075E-6,0.049479246,-0.06339765,0.042955857,-0.018386057,0.004471063,-0.04481163,-0.045706294,-0.0303199,-0.036038432,0.020856244,0.012608098,0.060139712,0.097314045,-0.009156231,0.042162545,-0.010446251,-0.037139542,-0.016165743,-0.019707583,0.010787154,0.02973125,-0.022876702,0.03270833,0.0038668977,-0.005150107]::REAL[]),
+        |(7, [0.0730371,0.013020755,0.024054889,0.031864595,0.088987224,-0.015275471,-0.09232465,0.009167585,-0.029220069,-0.046588387,0.04021698,0.011006755,-0.039308555,-0.03348064,0.024561502,0.061083548,-0.0058210245,0.0059133507,-5.9794646E-4,0.0024032826,0.020402363,-0.023590263,0.016465912,-4.0554924E-6,-0.018109495,0.039838616,-0.03640714,-0.007153099,0.06674157,5.5913307E-4,-0.01615549,0.03513253,-0.029352456,-0.017819941,-0.02422248,-0.03521332,-0.045198675,0.087121405,-0.061626047,-0.03736578,-0.010285021,-0.041728083,0.019712977,0.016591592,-0.104177706,0.025423804,-0.04550773,-0.023338027,-0.010873546,-0.038420208,0.025321431,0.03598216,-0.12894745,-0.005235948,-0.06644037,-0.03709317,0.074448235,0.06327438,0.03255707,0.01056316,0.08486752,0.0016224174,-0.053819567,0.046196803]::REAL[]),
+        |(8, [-0.026988689,0.005676072,0.06782535,0.024456996,-0.046086337,-0.043952443,0.002179633,0.033751138,0.0041119666,-0.018524887,-0.074581414,0.0054647564,0.07055409,-0.02212543,0.072443716,0.05354723,-0.06561099,-0.043461844,-0.011281722,0.02830383,0.022794986,-0.040238257,-0.023748746,-0.016152153,0.08208422,0.049374044,-0.07401946,0.0036870013,0.015724914,0.062043484,0.04140938,-0.008525177,0.04211752,0.06742721,0.052381236,-0.029699845,0.0311374,-0.08147927,-0.11785748,-0.051154714,0.044584382,-0.004362243,0.016509607,0.045911286,-0.08142972,0.004555513,-0.03975339,0.029077321,-0.084855475,-0.022218805,4.4706746E-4,0.06384465,-0.03552817,-0.021320144,0.050283812,-0.0027536019,-0.007825387,-0.031355135,-0.015163805,0.060551215,-0.010323944,-0.051286574,0.059319675,-0.008877228]::REAL[]),
+        |(9, [-0.021388657,-0.03833954,0.010488234,0.012838276,-0.018751947,0.05869963,0.015904548,-0.011526354,0.010039316,0.024103524,0.0012205105,0.067073315,0.0015444893,-0.028763095,-0.03773328,-0.013045459,0.10519724,-0.015350813,-8.191451E-4,-0.023473792,-0.06039969,0.020592323,-0.043630414,-0.050690085,0.03831456,0.041279532,0.06327995,0.02003199,0.0496711,-0.038714822,-0.058313925,0.016609458,0.030466363,-0.007273059,-0.05157916,0.088247605,-0.018129945,-0.021840198,0.05168867,0.018610615,0.06520981,-0.029866936,-0.0044151205,0.013927938,-0.04570822,-1.8431572E-4,-0.052126337,0.050922595,-0.023193838,-0.011714378,-0.032172486,-0.060620833,0.014884973,0.007199496,0.030895568,0.0038718958,-0.02172564,0.11099188,0.019912688,-0.07435928,-0.06544074,0.039071813,-0.03411504,-0.009885601]::REAL[]),
+        |(10, [0.0071370993,0.019658236,-0.0045523485,-0.04833168,0.03178797,-0.010474304,0.015751988,4.9144845E-4,0.07806498,4.827411E-4,-0.08674548,0.026481027,0.0073601203,0.042852074,-0.015990803,0.09308003,-0.05372726,0.12433202,-0.06891425,-0.015001628,-0.04693401,-0.012581487,-0.0028753697,-0.08717856,-0.098547034,-0.05310776,-0.037760016,-0.05615235,-0.038145598,-0.022713123,0.03467133,0.0069574043,0.029949578,-0.07370147,-0.06808703,0.034529377,0.0310526,0.094641134,-0.05431165,0.006605148,-0.011224024,-0.01534252,-0.016549664,0.082232065,0.0036522031,0.06930171,0.05856372,0.05339764,-0.03373602,-0.071795896,0.028143141,0.060672484,0.03122295,0.013714599,0.02202862,0.023138084,0.042314265,-0.02036491,0.095807545,0.05904549,-0.014548051,-0.0870616,0.046183117,0.029742638]::REAL[]),
+        |(11, [0.06343771,0.0058765183,-0.028651988,2.654883E-4,-0.031051632,-0.01450028,0.005515711,0.0057222177,-0.1059591,-0.05844221,-0.03852576,0.032663476,-0.046211176,0.022968149,-8.864697E-4,0.07060882,-0.033635117,0.07475268,0.01337138,-0.06901378,0.022063827,0.016496412,0.057607744,-0.0017655147,-0.038029686,-0.038872182,-0.03292653,-0.026231073,0.021813061,0.06182465,0.044717792,0.0051579736,-0.03991205,-0.027445069,0.016253272,0.008888453,-0.02366046,0.05099601,0.07553414,0.003532158,0.05964545,-0.039314654,0.1224856,-0.047990296,0.0123063335,0.037916467,-0.0035663939,0.0069394717,0.052851878,-0.05293435,0.025940722,-0.0054569067,-0.029766375,-0.05775758,0.023666384,0.037026975,0.0035354535,-0.01651138,-0.07080694,0.05577631,-0.011229619,0.04237323,-0.008191156,-0.011374551]::REAL[]),
+        |(12, [-0.0069709215,-0.06376432,0.014562121,0.023505438,-0.00805442,0.052596692,-0.014337886,-0.03038546,-0.011835048,-0.007921711,0.03023597,0.045921333,0.01896049,0.13845196,0.092908606,0.044408403,0.013001887,-0.047546674,-0.010366498,-0.04815113,-0.029383505,0.03496453,-0.014905675,0.065283194,-0.091739245,0.039443012,-0.0478082,0.014884458,6.0607324E-4,-0.10552086,0.02740691,-0.06743597,-0.06964367,-0.069198124,0.011361684,0.02805329,0.018349884,-0.045934007,-0.032408886,0.03968855,0.023497354,0.011167623,-0.042538986,-0.070952915,0.03441467,-0.0018806596,-0.01955499,0.018161446,-0.03138498,0.015965274,-0.0053890795,0.013872247,0.06384498,0.022938548,-0.0059331437,-0.016028654,-0.05620602,-0.020510383,-0.008129869,-0.04284003,-0.002637135,-0.02845274,-0.02055995,-0.07163953]::REAL[]),
+        |(13, [0.029149706,0.07479124,0.02134813,0.028014105,-0.08236194,0.021487799,-0.007706673,0.016405726,0.028469669,0.039957415,0.0034191187,0.05819961,-0.07168515,-0.015801666,-0.013646735,0.021917038,0.02506544,0.02792193,0.08867792,-0.01688975,-0.04303056,0.060124148,-0.021606322,0.07347927,-0.0047295894,-0.018701103,0.06960208,0.03785714,0.018378649,0.022665616,0.040388443,0.09621229,-0.013634023,0.011724319,-0.04389453,0.03410915,0.004060091,-0.004763079,-0.048742745,0.018772071,-0.06366438,-0.023697907,-0.08098032,0.015608952,-0.056213263,-0.009875079,0.063202366,0.007313751,-0.07463801,-0.00895795,0.04644951,-0.016990328,0.0072292355,0.018895894,-0.008089653,0.05243085,-0.033923563,-0.04807464,-0.062618986,-0.048751228,0.013511869,0.025235739,-0.0141408965,-0.038623083]::REAL[]),
+        |(14, [-0.03636119,0.003918286,-0.042555,0.09140156,-0.0015238351,-0.01602596,0.002480287,-0.038410872,0.02110613,0.0116725145,-0.011186879,-1.6869315E-4,-0.05450557,-0.06097048,-0.03135951,-0.06177706,0.00974351,0.03444543,0.017953884,0.011268695,0.022891112,0.040979657,0.016133415,0.02357896,0.0021563438,-0.061908573,-0.013025675,0.0763776,-0.02048277,0.018044444,0.020787153,-0.10363228,0.0075083696,0.016180787,0.019898504,-0.07827056,0.018831404,-0.06491341,0.030638753,0.0023367947,0.0014614091,0.09365999,0.0067769773,-0.06887613,0.035203613,-0.0037949341,-2.8857165E-5,0.071350105,-0.014972268,-0.022833856,0.045089155,-0.04330946,-0.00906133,-0.024228686,-0.065642595,0.006414458,0.0098045375,0.028569555,-0.009579337,0.0054477938,0.017501716,0.06062958,-0.01548141,-0.025027053]::REAL[]),
+        |(15, [-0.05762221,0.037857857,0.0012920756,-0.12331383,-0.054813787,-0.0015160287,-0.04967951,0.008855162,0.029448103,-0.059238102,0.02390513,-0.089110374,-0.018126799,-0.042175613,-0.040762503,-0.054818302,-0.046489846,0.018617157,0.021426188,0.075262345,0.0013388421,0.037846845,0.023848003,0.014974089,0.020168284,0.027794091,2.1293305E-4,-0.009665448,-0.055297505,0.05218786,-0.057825174,-0.06431495,0.0024881281,-5.6121347E-4,-0.006950022,0.026028318,0.06345275,-0.012733749,0.04198192,-0.011623106,0.023713393,-0.0025560872,0.037455697,0.034733556,-0.016821548,0.065115206,0.029002186,-0.092401855,-0.017456945,0.028403604,-0.01777342,-0.011197019,0.05119401,-0.02116531,0.018101621,-0.0017772928,0.031117678,-0.011913698,-0.049216475,-0.04190238,-0.002785807,0.009239766,0.015038274,-0.014865515]::REAL[])),
+        |assign AS (
+        |  SELECT id, cid FROM (
+        |    SELECT b.id, c.cid, row_number() OVER (PARTITION BY b.id ORDER BY
+        |      list_sum(list_transform(list_zip(b.v, c.cv),
+        |        x -> (x[1]::DOUBLE - x[2]::DOUBLE) * (x[1]::DOUBLE - x[2]::DOUBLE))), c.cid) AS rn
+        |    FROM b, cents c) t WHERE rn = 1),
+        |probes AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT q.vec_id AS qid, c.cid, row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      sqrt(list_sum(list_transform(list_zip(q.embedding::DOUBLE[], c.cv::DOUBLE[]),
+        |        p -> (p[1]-p[2])*(p[1]-p[2])))), c.cid) AS rn
+        |    FROM embeddings q JOIN qids ON q.vec_id = qids.qid, cents c) t
+        |  WHERE rn <= 8),
+        |cand AS (SELECT p.qid, a.id FROM probes p JOIN assign a ON p.cid = a.cid),dims AS (
+        |  SELECT pos, min(x) AS lo, max(x) AS hi
+        |  FROM (SELECT unnest(embedding) AS x,
+        |          generate_subscripts(embedding, 1) AS pos FROM embeddings) e
+        |  GROUP BY pos),
+        |enc AS (
+        |  SELECT e.id, e.pos, d.lo, d.hi,
+        |    CASE WHEN (d.hi::DOUBLE - d.lo::DOUBLE)::REAL <= 0 THEN 0
+        |         ELSE greatest(0, least(255, floor(
+        |           (((e.x::DOUBLE - d.lo::DOUBLE)::REAL)::DOUBLE
+        |             / (((d.hi::DOUBLE - d.lo::DOUBLE)::REAL)::DOUBLE)) * 255 + 0.5)))::INT
+        |    END AS c
+        |  FROM (SELECT vec_id AS id, unnest(embedding) AS x,
+        |          generate_subscripts(embedding, 1) AS pos FROM embeddings) e
+        |  JOIN dims d USING (pos)),
+        |qv AS (SELECT vec_id AS qid, unnest(embedding) AS qx,
+        |         generate_subscripts(embedding, 1) AS pos
+        |       FROM embeddings WHERE vec_id % 50 = 0),
+        |cd AS (
+        |  SELECT q.qid, e.id,
+        |    sqrt(sum(power(q.qx::DOUBLE
+        |      - (e.lo::DOUBLE + (e.c / 255.0)
+        |         * (((e.hi::DOUBLE - e.lo::DOUBLE)::REAL)::DOUBLE)), 2))) AS dist
+        |  FROM qv q JOIN enc e USING (pos)
+        |  JOIN cand ca ON ca.qid = q.qid AND ca.id = e.id
+        |  GROUP BY q.qid, e.id),
+        |pred AS (
+        |  SELECT qid, list(id ORDER BY rn) AS pred FROM (
+        |    SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn
+        |    FROM cd) t WHERE rn <= 10 GROUP BY qid),
+        |bv AS (SELECT vec_id AS id, embedding::DOUBLE[] AS dv FROM embeddings),
+        |gtd AS (
+        |  SELECT q.id AS qid, r.id,
+        |    sqrt(list_sum(list_transform(list_zip(q.dv, r.dv),
+        |      p -> (p[1]-p[2])*(p[1]-p[2])))) AS dist
+        |  FROM bv q JOIN qids ON q.id = qids.qid, bv r),
+        |gt AS (
+        |  SELECT qid, list(id ORDER BY rn) AS gt FROM (
+        |    SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn
+        |    FROM gtd) t WHERE rn <= 10 GROUP BY qid),
+        |per AS (
+        |  SELECT g.qid,
+        |    len(list_intersect(g.gt, p.pred))::DOUBLE / len(g.gt) AS recall,
+        |    coalesce(1.0 / (SELECT min(pos) FROM (
+        |      SELECT unnest(p.pred) AS pid, generate_subscripts(p.pred, 1) AS pos) u
+        |      WHERE list_contains(g.gt, pid)), 0.0) AS rr
+        |  FROM gt g LEFT JOIN pred p ON g.qid = p.qid)
+        |SELECT 'ivf_sq8' AS algorithm, count(*) AS n_queries,
+        |  round(avg(recall), 4) AS recall_10, round(avg(rr), 4) AS mrr_10
+        |FROM per
+        |HAVING round(avg(recall), 4) >= 0.75""".stripMargin,
+    // the full LSH pipeline replicated in SQL: the seeded hyperplanes
+    // are deterministic DATA (java.util.Random(42), gate config 12x4x64)
+    // embedded as literals; sign-bit keys, bucket join, vote ranking,
+    // (votes desc, id) cap at 320, exact cosine rerank, recall vs exact
+    // GT - same floor filter as the Spark query.
+    "j3_lsh_pipeline" ->
+      """WITH planes(tbl, h, pl) AS (VALUES
+        |(0, 0, [1.1419053,0.91940796,-0.94986665,-1.1069903,0.28097764,0.6846228,-0.8172214,-1.3966434,-0.19094451,1.4862134,0.8023071,-0.12151293,1.4105062,-0.6402328,-1.2096444,0.3537577,-0.49034965,0.5507215,-1.203551,0.32101607,1.5511476,0.4385303,0.48159805,1.519631,-0.27683172,-0.08393898,1.255833,-0.3252728,-0.17329033,-1.8585851,1.4238069,-1.363726,-1.9646661,-0.91859484,-2.5488875,-1.6309607,-0.12200478,1.289159,-0.26913884,0.2574914,-0.31991437,-1.7684999,-0.48345032,-0.50999045,1.1166734,-0.040947203,-1.1076715,1.8623214,1.1457411,-1.0586772,1.0725992,-1.9317441,0.3010252,0.24752316,1.4061569,-1.5202208,0.27092943,0.56124926,-0.52982956,0.5390222,2.21234,-0.63293356,-1.883176,0.38656598]::REAL[]),
+        |(0, 1, [0.32582927,-0.9013043,-0.002680309,-0.47395927,-0.54797816,-0.019100148,1.6468164,-1.1070626,0.5938104,-0.15566462,0.6632873,1.2267934,0.88396984,0.22172454,0.9197021,-0.7393758,0.80351776,-0.25394174,-0.7638389,-1.8645568,-1.8613062,-0.5765999,-0.4089938,0.24846093,-0.48091295,0.44621205,-0.4465889,0.045638688,0.7045663,-0.27182403,0.08074878,1.2590965,0.7635098,1.7220811,0.14595005,-0.994663,0.20074962,0.8962364,1.5117192,-1.4034737,-1.9069697,1.3685654,-0.559673,0.74460816,1.5736656,1.1280434,-0.19208159,-2.2544937,0.43985185,0.6568003,-0.7449502,1.1994753,1.7797468,0.06740415,1.295064,-0.58267653,0.76886827,0.41766456,-0.46909225,0.41414818,0.66302276,0.86719465,0.29670087,0.32152307]::REAL[]),
+        |(0, 2, [2.2242954,0.8358482,-1.1933023,0.11880515,0.55804104,-1.9527105,1.4960554,-0.7625822,0.89517766,-0.1826709,0.92976344,-0.43748036,-0.10491094,-0.6114382,0.35276467,-1.1445166,-0.6538318,2.677097,0.15132171,1.8470372,0.44074333,0.8773091,0.9469807,-0.69977367,-2.3152072,0.094800204,0.1920371,-1.0081308,-2.1507173,1.6170416,0.54735094,1.6230097,0.3696693,1.2240527,0.87512094,-0.29000443,0.43333453,1.0069743,1.7830081,1.3568703,0.44593024,1.3915128,0.032955416,-0.80182487,-0.017182633,-1.3164854,-0.027818555,1.9719833,1.3758681,-1.2706898,0.2920338,1.5333192,0.10462043,-1.3131604,1.7799965,0.39525476,-0.50046283,-2.0407393,1.086929,-1.0408491,1.9616582,0.9258632,1.3616569,2.8896525]::REAL[]),
+        |(0, 3, [-0.49101368,-0.7101986,1.5704668,-0.8424085,-0.33193076,-1.6988477,-0.5311415,-2.587563,0.3015645,-1.1528053,-1.7133285,0.08131976,-1.3278612,0.6965862,-1.2876713,1.2509059,0.0125522,0.6566975,-1.321353,0.8149172,0.61104095,0.12348089,0.38840258,-0.5821272,0.43343568,-0.7960431,0.0639953,-0.7421111,1.1806636,0.9198186,1.2380052,-0.0708855,-0.56589603,1.0508212,0.94411653,-0.6911609,0.8859638,-2.5333714,0.41632038,0.4062904,0.84186167,-0.3480736,1.0703545,-0.23477691,0.1557264,0.66830957,0.36851215,0.097099334,-1.2388537,-0.2653297,-0.60313874,-0.14638329,1.8821104,1.8435869,-0.77437156,-0.15335007,0.1372088,-0.9119326,0.1906821,0.7232172,-0.43633628,-0.18091542,0.80377895,1.3862531]::REAL[]),
+        |(1, 0, [-0.34849292,1.0537138,0.04988928,1.3674486,0.26673916,0.027260168,-0.8305161,0.39806983,0.23473635,0.5199782,-0.22443649,0.95187896,-0.1536108,-1.1594658,0.9177144,-0.8937789,0.077611126,0.9697328,-0.41934183,-0.037735414,-0.47323003,-0.85537076,2.205183,-0.66502315,1.8022978,0.7233623,0.83436567,1.5078868,1.8732773,0.17565735,0.82304984,-1.064201,-1.3185016,0.39534023,0.29381594,0.90824544,0.039042428,0.41234463,-0.85727626,-0.40453556,0.9311183,0.44258368,-0.76406085,-1.0046799,1.1489059,0.58237356,-0.5201546,-0.94274586,-1.1920553,1.578016,1.6356236,0.9829002,-0.80200714,0.7028919,0.56728625,-1.0987394,-0.27559388,-1.4118258,0.1979111,-1.1248175,-0.43698686,0.38553774,-1.8919102,1.7424648]::REAL[]),
+        |(1, 1, [-0.31202272,0.58211184,-0.6334365,-0.1492018,-0.05736999,0.98360384,-0.1869009,-2.08269,-0.20208369,-1.1284105,-0.50273246,0.10121097,-0.7281547,-0.90409815,1.7114681,0.07125395,-0.53386426,0.16661367,0.006043533,0.37528643,0.5705074,1.5388314,2.7053251,0.72537476,-0.7094079,1.2062201,0.7686773,-1.1438981,0.3171178,0.96065944,-1.6097267,0.50507927,0.5597531,0.80192196,0.021637611,0.014730824,-0.5038,0.2470066,0.090334706,1.1542443,0.73116267,-1.7981107,0.5763067,1.0139308,-0.03306593,1.6079849,1.4417757,-0.022262115,-1.0228027,0.9625032,-0.96539193,-0.5667563,-0.35354325,-0.8305718,1.7736344,-0.04961288,-0.79600984,1.4538388,0.4728192,-0.72334695,-0.33057666,1.7535285,-1.3114457,-0.57376635]::REAL[]),
+        |(1, 2, [-0.82414275,-0.61035335,2.38223,-0.43710193,-0.8144601,-2.0368812,0.15789293,-1.9772673,0.6284728,-0.8293935,-1.4368079,0.32387498,-1.6328206,-1.1268798,0.4614917,-0.9490178,0.98100257,0.076214895,-2.1668916,0.62198925,-0.40088737,0.06683877,-1.3856146,-1.3346008,-1.1369321,0.08227182,0.6753996,-1.2204801,0.3643601,0.36679652,0.4202495,-0.80098283,0.38146576,0.015684871,0.15477474,0.91974723,1.3063258,1.0133315,0.122387774,-1.0648166,0.79428685,-0.24126299,-0.13010608,-0.6282955,0.35313526,-1.013086,-0.7972854,0.86701167,-0.83819324,-1.2974653,1.0274886,0.7489571,1.9913282,1.3823301,1.0785115,0.9778204,1.2596722,0.0065888786,1.2453074,-0.57544893,0.55758744,0.7728855,0.06482652,0.13659231]::REAL[]),
+        |(1, 3, [-0.462095,-2.3827059E-4,1.414465,-0.6953025,1.1935239,1.587308,0.5756964,0.9319408,-0.19255224,0.73576194,-0.7618477,-1.4761138,0.3855245,0.9551002,0.43418193,-0.71303433,0.7291061,0.7140485,0.1646725,0.6545959,0.9496842,1.5374349,0.11582717,1.2134252,0.36638013,-1.0237579,1.4068768,0.112674214,-0.8768156,1.8153486,-0.84493625,-0.6664403,0.7297172,-0.32806098,0.3753248,-1.1018261,0.7453755,0.096080564,-0.5979477,0.61031187,-2.0395582,-1.3213967,0.31625706,0.28532383,1.0480481,-0.33974603,-0.26203868,1.0626092,0.45096517,0.86400396,1.2982172,-0.06409809,0.60466206,1.3214992,1.2161407,-0.41379336,-2.065915,-0.5511291,-0.023591142,-1.1753969,0.026157098,0.8924236,-1.0139178,-0.50989693]::REAL[]),
+        |(2, 0, [-0.42563918,-0.9115563,0.32330683,-0.24102408,0.7201737,-0.48257357,1.7274693,-0.9636025,0.22320968,0.476848,0.5300888,0.8810354,-1.6436863,0.5878631,-0.9060511,0.7766036,-1.086184,0.59267575,-1.0061908,-2.1803586,1.2377214,-0.26750335,0.40384427,-1.060191,-1.7655029,-1.3991987,1.3296188,-0.61934936,0.086991884,-1.3741286,-0.7203411,-1.073385,-0.2541711,-0.61495596,0.38234076,0.053005617,-1.1090883,-1.3163748,1.0800232,-0.32063186,0.012690425,-0.49006343,0.47657287,-1.9092209,-0.9842191,1.5312023,0.36941165,-0.9647389,1.5200453,-1.1171633,1.0438013,-1.488996,0.3717334,-1.5907797,1.908014,1.3969177,-0.05546741,-0.03792636,-0.17385697,-0.09965271,0.26481992,0.31107658,-0.051595554,0.597137]::REAL[]),
+        |(2, 1, [0.8983801,-0.4155027,1.1114036,1.8066708,0.7131825,-0.4835196,0.34000313,0.15902527,-1.647532,-0.21045841,-0.64089507,-0.6492632,-0.53536415,0.27849177,-0.080395214,-0.30820873,0.7505158,1.2753073,1.9871554,-0.4157005,0.27419496,-0.57161766,1.6139575,0.4792802,-0.31345108,0.68881816,0.56126153,-0.7192497,-0.23883629,-0.8245601,-0.14678636,0.6171102,1.4875629,1.1695781,2.746488,-0.4097788,0.41167852,-1.3022133,0.39003485,0.8058092,0.906392,-1.6748418,0.28566805,0.41813222,0.39578557,-0.32112247,0.2694449,-0.22607793,0.66627747,-0.7736185,-0.62538016,-0.3018475,-0.33408052,1.3438357,-0.6179037,-1.1147497,0.44564307,0.7541264,-0.41587362,-0.66895217,-0.8638925,1.1517668,1.1312973,-0.9118383]::REAL[]),
+        |(2, 2, [-0.55142516,-2.3332508,-0.43140978,0.12134326,1.6341206,-0.21622881,0.00786879,0.8982653,0.1818816,0.2876715,0.19511464,-0.005225745,-0.80159277,1.4856964,0.73918986,1.4003674,1.060053,-1.5340832,1.0467391,0.19082855,-0.008106467,-1.3542943,0.31055138,0.19046435,-1.3602659,-0.31839752,0.97683036,-0.59998673,-0.9064709,0.9754792,0.008169875,-0.108325355,0.49660164,0.81747574,-0.50702405,0.82883984,0.66262704,0.22532192,-2.620033,0.051770724,-0.013297376,1.0915066,-0.7391172,0.5275154,-0.68426895,-1.7181525,0.28111538,1.2865392,-0.43460262,2.0047565,-0.07755306,0.2533868,-1.1007756,-0.93872607,-1.180138,-0.19564275,-1.3236336,0.613049,2.3134723,-1.1512216,-0.21176548,0.14130421,-0.096944936,1.5430846]::REAL[]),
+        |(2, 3, [-0.25316978,0.68324184,-0.8967571,-0.10470907,0.7968147,0.83374476,0.5801886,1.4385645,0.3466526,1.0136826,-0.4576116,0.5509097,-1.0972198,-0.21979496,-1.0740559,0.10204031,-0.9691674,-0.9043898,1.7838287,-0.32979882,0.11777096,0.5077338,-0.2809318,-0.5578324,1.0062048,0.30785447,-0.9700537,1.9974008,0.27126852,0.5642877,-0.06818794,0.96112204,-0.3044629,1.8474942,0.721655,0.033229284,0.79194766,1.674071,0.07074364,-2.2652466,-0.8621333,-1.9521874,-1.5112274,0.80415666,1.0489287,0.4526766,1.1567395,-0.7212525,0.26935157,1.1419201,-1.3110634,1.7871358,-0.5988638,0.22407228,1.0224267,-0.39441156,0.2810579,-1.0614908,-1.3631215,0.824204,-0.06329136,-0.04003545,-1.2864664,0.4575636]::REAL[]),
+        |(3, 0, [-1.6521605,0.47820246,0.92200786,-0.58907485,0.36146942,0.25161412,0.103210464,0.5618738,-0.77722293,-1.1055294,-0.18122107,0.18991472,-2.101159,1.0868812,1.061755,-0.16861014,0.102220505,-1.1532737,2.2631726,-1.131854,-0.5784802,-0.4016354,-0.09825855,0.581572,-1.3362157,-0.26468727,1.0008812,0.752079,1.1883428,1.4647707,0.987312,1.5280682,-0.6377051,-0.02355528,-0.44860727,0.24508342,0.034759104,-0.7668008,1.9368657,0.38672918,1.0279815,0.30251384,-0.87661994,-1.1188155,0.02932412,1.0538036,0.6949324,0.28516448,-1.0912304,0.45425266,-0.0685578,0.4845258,1.2791038,-0.8634731,-0.6557466,-0.486521,0.199132,0.2857669,0.6396476,-0.6264514,-1.9325874,0.9432993,-0.6812753,-1.2356576]::REAL[]),
+        |(3, 1, [0.46530083,0.40739307,0.8686724,-1.8601041,-0.82685804,0.35920995,0.87805605,0.049789626,-1.3509521,1.1382595,-0.78417444,0.5639877,-0.12574427,1.7376537,0.10896824,-0.6093433,-0.09727955,-0.6800524,-2.0755668,1.5875008,-0.5647691,0.97153807,-2.2065911,1.3082117,1.9003513,0.88946176,-0.73875713,1.3034518,0.27526417,-1.8368104,-0.9642602,-0.06623541,0.8180937,-0.64392936,-0.044620592,1.3774664,-0.7284816,-0.4138312,0.3242464,0.5079875,1.209334,0.26119784,0.7161847,-1.4988033,1.2386521,0.25932118,0.34347153,1.0449095,-0.1204401,0.8282711,-0.19898553,-0.3335438,-0.5895374,-0.76744646,-0.660835,-1.2708147,-0.07585337,-1.4504522,0.9192448,-0.5030785,1.401126,0.13469097,-1.6596352,-1.535141]::REAL[]),
+        |(3, 2, [-0.9755806,1.2881418,0.23677804,0.5841021,-0.031750914,-2.86503,-0.118807495,0.15944831,0.121203676,-0.09000155,-0.9117334,-1.753989,-0.540427,-1.7165782,0.59952813,-0.7947844,-2.1164794,0.50746685,-0.21220472,-0.097332604,0.6081862,0.3133186,0.52961624,0.071274005,-0.5778827,-0.49755716,-0.6434263,-0.5521543,0.6171821,-0.017695712,0.07041683,-1.2677649,0.871146,-0.20830616,-0.7610336,-0.38159904,0.48447323,-3.0960257,0.007509277,0.48805252,-0.8517418,1.9186175,1.7162682,0.28527692,-0.9004815,-0.8922192,0.6153806,-0.7850337,-0.43047935,-0.4004313,0.6226444,0.4009569,1.5804793,0.88181835,0.5660654,0.94244486,-1.5018033,-0.6118606,-0.78321207,-0.5407018,-0.6146224,-0.21707715,1.9697908,1.0478747]::REAL[]),
+        |(3, 3, [-0.40079144,-0.16732362,0.040423024,0.3571653,-0.9464834,-2.886061,-1.519172,0.4226132,0.6669779,-0.67469186,0.5903829,0.89456934,0.5910545,-2.6611392,-0.76157933,-1.5406681,0.7385589,-0.91030395,0.42765614,1.1566164,0.19138119,-0.67565304,0.3234987,0.3596937,2.4642496,0.28764915,-1.6543683,0.47625023,0.735359,1.813463,2.1232867,0.87736875,-0.049685456,-0.46573135,-0.6548038,-0.7600445,-0.48030743,0.3087329,-0.43904504,1.001838,-1.7047175,-0.6030398,1.807692,0.04866805,-0.8727912,-0.5352277,0.040051803,0.7243549,-0.48277652,-0.29926637,-1.0489018,0.1836232,-0.6832016,1.442804,1.475614,0.31687465,1.1326668,-2.1984024,0.6326266,-0.86450315,0.53273034,0.8862673,-0.15660465,-0.03826508]::REAL[]),
+        |(4, 0, [-0.03678217,0.76563925,-0.3833612,-0.63326275,0.61481005,0.91205084,0.85314155,0.98562586,-0.12574545,-0.9810826,-0.24556957,0.26295334,1.5668913,-0.29253736,0.47118005,-0.85789895,-0.70534116,0.7385325,1.058058,0.12855877,-0.695561,-0.82289803,-1.5876956,0.6684453,-0.2570684,-0.7577673,-0.87171614,1.8251622,-1.868335,0.38815033,-1.9269673,0.13404351,0.14820613,-0.011316324,0.3639212,1.2214248,0.623082,1.1140727,-0.119680405,-0.30423284,0.33916485,2.3118193,0.20676324,-0.4275573,1.3692468,0.27319178,-0.3904163,1.0886462,0.5293278,-0.12430166,-0.026092837,-1.6284006,-0.29190904,0.24834758,-0.60121393,-0.5483223,-0.3377935,-0.26972675,0.58397114,-0.66440433,0.3094509,0.52569646,-1.2606881,-1.1364609]::REAL[]),
+        |(4, 1, [-0.14160444,-0.20163405,0.6030491,-0.1588339,1.2968025,-0.29607114,1.8125132,-0.7648855,0.14150931,-1.5416578,1.1216403,-1.2966685,1.0779653,0.06685032,-1.3461938,-2.9467096,-1.4997902,-0.65809554,-0.1901475,-0.1868791,0.3237951,0.042969327,-0.6299883,-0.7081965,-1.2507809,0.15282188,2.0890088,0.2154894,0.19944747,-0.21069464,-0.16347541,-0.021297574,-0.07039539,1.1973907,0.5335724,-0.22400747,0.5574826,0.71510214,-0.045564048,-0.7992216,0.595249,1.1754309,-0.18878683,-0.713506,-0.41660413,0.7741486,-0.22200227,0.8236769,0.92788917,-2.0188959,-0.08022052,-0.9549477,0.37023544,-0.4184654,-1.0410959,1.5064873,0.20675789,-0.74934506,-0.34469345,-1.343803,-0.6354189,-0.12895645,0.45617628,-0.031864066]::REAL[]),
+        |(4, 2, [2.1360455,-0.24794394,0.6528697,-0.039207954,-0.28436208,0.85701656,-1.1627718,-0.5125842,0.26649806,-0.5976455,-0.0919686,-0.34506354,1.7383295,1.3768997,0.33931288,-2.0430312,-0.1676506,-1.1273874,-0.16346087,1.2822871,1.6266615,-0.9957345,1.4879346,-0.51247,0.35111833,0.24532889,-0.14244659,-0.3305641,-0.19414887,-0.2526901,1.3031899,0.22253516,0.82473165,-1.3081034,-0.7178295,-2.6099992,-0.15937658,1.0583805,1.2501647,0.74365443,1.9476674,0.4771471,-2.5861886,1.3209109,0.63625807,0.29873267,-2.3110585,-1.0117009,-0.19197492,0.6440874,-0.11205406,0.208244,-1.3984869,-2.675096,-0.0650913,-0.2767536,1.2386174,-1.01758,0.032399885,-1.7718678,0.77632546,-0.406733,0.70547205,0.7090013]::REAL[]),
+        |(4, 3, [1.0882368,-1.1389186,1.4540465,1.5815042,-1.3658966,-0.01990105,0.5126579,1.4819824,0.8790639,0.6783315,1.5198222,0.5139379,0.47654995,-1.4586544,0.031519655,-0.62322366,0.2154396,-1.8333793,0.229745,-0.26903388,-0.7766692,0.8978097,0.0017178523,0.5407992,-0.6246456,0.058384586,0.74789196,0.4358568,1.634621,1.6733943,0.4038024,1.0945624,-0.8124862,-0.09697466,-0.39493558,-0.5752413,-0.32270357,-0.08402372,-0.0033788297,0.032540638,-1.3160095,0.12751956,-0.24491923,1.0556587,-0.036037177,0.6612997,-0.8498139,2.0790129,0.67655057,-1.3164201,0.18009438,-0.8395128,1.6754833,-0.71384454,-1.4733123,1.2155578,0.48091695,-0.46689853,-0.4905288,-1.5366908,1.5757871,0.30824918,0.30642134,-0.06940412]::REAL[]),
+        |(5, 0, [2.0207863,-0.76218265,-0.92121524,0.63022816,-0.40192246,0.59289765,-0.67878574,0.71510124,0.5938164,-0.2518882,-1.5298381,-1.3494785,0.25981048,0.90779805,-0.6405588,-0.35551113,-0.65622294,-0.31633133,0.2932111,-1.4587903,0.84016293,1.2594714,-1.322323,-0.22717616,0.5724557,0.3274647,0.6717333,-0.962541,1.655065,-0.029440317,-0.875687,0.7563279,-0.22250134,-0.48888636,-0.35660213,0.8971863,-0.54040205,0.7811021,0.40626264,-0.37652194,-0.15922277,-0.64035296,-1.962302,-0.55850464,1.0743421,-0.009580064,2.2137012,0.033707634,1.0693337,0.8277506,0.011305681,-0.01480071,-0.12634002,0.042185348,1.2998371,-0.19280173,-1.1096427,1.5599638,1.3458121,0.9104294,-1.2652414,-0.7228522,-2.7578971,-0.4908208]::REAL[]),
+        |(5, 1, [0.36947682,-0.4193165,-1.0948279,2.8228998,-0.45150942,-1.2507597,-0.31409046,-0.20893073,0.21935534,-0.27084854,0.38769442,-0.11075365,2.4273503,-0.34197038,-0.6761027,-1.64968,-2.5436852,0.9560992,-0.72209424,-0.26605433,-0.98597515,1.6630937,-0.2838109,-0.49222326,0.3259572,-0.086272106,-1.2929617,0.307134,-1.7017668,0.28603584,-1.8122076,0.7211614,0.83046806,-0.83978564,-0.8038732,0.20821989,0.5187521,-0.8171345,-0.26715684,0.79536295,-0.17833306,-1.4014319,-0.76665986,0.53453743,0.3889015,-1.851105,-0.15481417,0.34180632,-1.8238999,-2.5759425,1.0750484,1.0339973,0.44492212,1.0253497,1.2283974,1.4043239,0.6107433,-0.45952192,-0.20628446,-1.6077722,-0.7866762,-1.9993546,-0.6847625,-0.45269948]::REAL[]),
+        |(5, 2, [-0.03926918,-1.2801263,0.9389616,0.9532576,0.21531937,-2.4069715,-0.53371984,-1.6193751,-1.0289994,0.3038354,0.49466842,-1.7409849,-0.09785956,0.5851981,-0.39423898,0.111242175,0.41321406,0.94176733,0.63469064,-1.0830138,1.1711501,1.9928232,-0.83627397,-0.5036252,-1.5285945,0.56810015,0.68039584,0.22462945,1.5669222,-0.24323788,0.5037234,-0.6536785,0.5723473,-0.356776,0.8047586,0.21760508,0.8717139,3.0779164,0.513355,0.3823857,1.6113216,-2.1093237,-0.13972552,1.1786196,1.4535441,0.051037982,0.8409685,-0.88196933,-0.67692393,1.2599431,-0.3975511,0.19904843,0.6491846,0.6162653,1.2742015,1.6261692,-2.149294,0.0408826,-0.56300104,-0.09657099,-1.1138593,0.09820784,-0.36586893,-1.9708605]::REAL[]),
+        |(5, 3, [-1.0172013,-0.10739625,-0.7717764,-0.09031486,1.0473819,-1.7848616,0.44410598,-1.249227,0.4520344,0.2639987,-1.8513007,0.62930924,-0.260542,0.3445649,0.5178679,-0.0066946372,-1.9336324,-2.6920288,-1.5848374,-0.039582282,-1.0038286,-0.8268288,2.5121703,-0.50733405,0.15877694,-0.33990127,-0.007350388,0.987027,-0.5930278,-0.20843236,0.43316168,0.6198604,0.64172435,0.627056,0.679976,0.7005882,0.84644365,-1.9250687,-0.95263714,0.5587027,-0.8783665,0.124943756,-0.7149976,-1.0762132,-0.36267072,1.5571635,0.9053461,-0.6903016,-0.76242894,-0.29907256,-1.6005151,-0.5386813,-0.30574685,0.8704279,0.9559865,0.5475303,-0.097224735,1.2539866,-0.9068516,-2.053627,-0.21673375,0.33708698,0.802123,0.042252332]::REAL[]),
+        |(6, 0, [-0.44609976,0.14027393,0.37788844,-0.016033312,0.4022007,-0.6698558,0.41598642,0.07538816,-1.2194812,0.57687455,-0.6488552,1.9042579,-0.6656092,-1.2111553,-0.07993756,0.96013075,0.30487925,0.044019487,0.2954766,0.0647965,-1.8347875,-0.12322256,-0.8368238,-0.03767446,-0.53936124,0.9312859,2.2494333,-0.5782759,-0.40598732,-0.8772893,-0.99099404,-0.9368763,0.22291619,1.387903,2.2172098,-1.0219223,0.18596628,0.21546014,-1.3071029,1.1738377,1.2872633,-0.045190953,0.9013378,0.30119765,0.1885608,1.7213106,-0.038241215,-0.8734868,-0.8743224,0.88706154,-0.113938384,-0.35698318,-1.0307337,0.0564999,0.3527484,-0.47978732,-0.85668314,-0.5921498,0.964196,1.7910713,-0.2259576,0.5255914,-0.6760451,1.3182644]::REAL[]),
+        |(6, 1, [-0.4796258,-0.11558204,0.37772208,-1.4643848,-1.3757209,-0.8737486,0.5518202,2.387738,-2.4035819,-0.899006,-0.010560739,-1.0034178,-0.31095353,0.4208907,0.5473446,-0.5578108,-0.7589877,0.18010706,-0.1960884,-1.4610246,-0.3638428,0.55631864,-0.10161762,0.079880215,-1.0386002,0.6649842,0.6378836,-0.6940691,-0.10986796,-0.8908545,-1.1800393,0.5693004,0.8013397,0.7544293,1.4602301,-0.19274594,-0.16738917,0.50063497,-0.25392073,1.682086,0.8960169,1.1576294,1.4249786,-0.37314433,3.2215884,0.1780884,0.56166047,0.8886529,0.6168854,1.7308326,-0.87121445,1.1150328,-0.4643228,-0.13018368,1.340675,-0.3372874,1.4239833,-1.1764975,-0.65344584,-0.6283273,-0.22990233,0.20521651,1.0323449,0.809308]::REAL[]),
+        |(6, 2, [1.6776825,0.22307722,-0.89997697,-0.61170226,-0.2617458,0.46046504,0.23044765,0.5911724,-1.6663405,0.9423332,0.4218831,-0.28277448,-1.1299067,-0.089194655,-0.88575906,0.108355835,-0.48048946,-0.42893863,1.2928613,-0.97875404,1.1269498,-0.106758006,-0.06392041,-0.5793846,-1.0139283,0.92678607,-1.2750009,0.16359821,1.3967563,-0.28335023,-0.49129358,0.26449913,1.2070631,0.51107615,-0.24853839,-1.3866533,0.27598125,-0.7161355,1.0468066,-0.6631181,-0.2196202,-1.1126841,0.06926225,-0.25495332,-0.3478766,-0.6466121,-1.2663275,-0.9003519,-1.1477455,-1.4410291,-1.8175625,-0.40172625,0.8018589,0.020649597,1.1703414,1.5096258,-2.0841768,-0.9966258,0.049005616,-0.25869375,-0.45426074,-0.5212379,1.7997789,-0.15262826]::REAL[]),
+        |(6, 3, [-0.92488897,1.3429806,-1.606025,-0.6899168,1.502739,-0.5049008,-1.7743243,1.2549864,0.5244354,0.5581584,-0.23867364,-0.26866645,0.25257012,-1.2259101,1.0287093,-1.1982101,-2.074786,-0.43033248,1.0536113,1.4369844,0.08735091,0.63552076,-0.91206545,-1.770182,0.65263236,1.6482116,0.5418579,-0.051042803,-0.94081587,-1.9099915,0.434618,-1.789054,-0.6952295,-1.0418179,0.8645906,1.2126513,-0.14931247,0.15160799,-0.28391752,-0.76571083,0.58927184,1.0304685,0.85414946,-0.5003128,-0.09515917,-0.29037443,-0.66089493,0.31345814,-1.2753495,1.3289922,-0.26760578,-1.2746266,-2.3385448,0.2944524,0.8212577,0.67934924,0.5967736,0.7128649,0.5745613,-0.51084495,-0.5215391,-1.1743221,1.1317667,-0.23917729]::REAL[]),
+        |(7, 0, [0.06305683,-2.1476984,1.3867191,0.13056198,-0.08684403,-0.70265424,0.30070367,-0.5627678,-0.22914322,-0.41974252,0.588714,0.04133307,-0.22668703,-1.516374,-0.92502743,-0.71376914,0.54893094,-0.14489916,2.4595137,0.15325603,0.58836156,0.38022244,-1.700186,0.8740797,-0.854797,1.5193825,-0.9609029,-0.26425242,-1.6544137,1.8745518,1.1515281,1.7577312,1.4296066,1.3300147,-0.08849664,1.6873788,0.29921356,1.3920287,0.8852703,0.85801685,-1.0615736,-0.69159806,-1.3130782,0.4610389,0.61283296,0.5772,1.7106155,-0.19495808,0.40587956,-0.34008518,0.91226923,-0.47059527,0.42773777,0.29134753,0.7339294,-0.47847643,0.7550542,0.4400196,-0.67544115,-0.57802576,2.6539266,0.2857918,-1.0365521,0.2407044]::REAL[]),
+        |(7, 1, [-0.556617,-1.0702306,-1.6733772,0.4798448,-0.09146408,-1.0096248,0.02805272,1.1414814,0.056253705,-0.11901822,0.40710637,-1.6597424,0.5583012,1.3154204,0.8050769,0.77868694,1.6495185,0.1581775,0.1671376,-1.4572237,-0.01643066,0.63570213,-1.1682646,0.193274,-0.42331114,1.1514955,-0.14274448,2.4057288,1.1012312,0.6771309,0.26375216,2.115423,1.4858509,0.7694225,-1.2280612,-1.9061155,-0.10350611,-0.31834143,1.013761,0.031322837,-0.07394022,-1.1894615,-0.7147238,-0.10364894,-0.68510526,1.1619759,1.609646,-0.04050761,1.3978249,-0.33020788,1.3130696,-0.122336045,0.059999432,1.8237989,1.6521257,0.8602108,-0.23168725,1.2682294,-1.6222003,0.73273486,0.7973442,1.3026732,0.6376914,0.43362543]::REAL[]),
+        |(7, 2, [-1.0339466,1.3006696,0.16007711,-2.0350895,-1.3088402,1.2246952,0.52632886,0.20416065,-0.3639984,-1.4656845,-1.8340564,0.41682035,-1.57247,-1.5633562,0.45428827,1.0911407,-1.9346927,-0.9030172,-0.009847258,1.029306,1.1766441,1.1765927,-1.9288701,-1.4887885,0.41514504,-0.21301793,0.35314104,-0.61532426,0.26587626,-1.202779,-0.17291205,1.371236,0.84378976,0.7890683,-0.2281121,-0.8867146,1.6937038,0.34827092,0.8024406,-0.026659632,1.4175771,-0.114869244,-0.034890514,1.400617,0.19675568,0.29503074,0.9415648,-0.64135474,-0.59059566,-0.21317054,1.2098185,-0.11089959,1.1851586,-0.8650561,-2.1445348,-0.14041926,-0.5315434,-0.9211766,-0.7771415,0.61875665,0.53951055,0.5090443,-0.13550426,0.2222063]::REAL[]),
+        |(7, 3, [-1.6573023,-1.8584775,-0.21526454,0.06632187,-0.32366976,-1.3056808,0.3241371,0.19980331,0.6413385,0.26166528,-0.17855604,-0.26761952,0.4463276,1.1344373,-0.46769515,0.32531247,-0.55206406,2.5291805,1.3044819,0.7159536,-0.50621533,-0.4703148,-1.1949838,-0.37426072,-1.5922945,-0.032291442,0.6001909,-0.1558946,1.1910053,0.8601205,0.42316464,-0.2827673,0.36852917,0.74597085,-1.2002157,-0.21139628,-1.8327159,-0.017875085,0.9340136,1.0863868,-0.14117368,-0.605964,-0.43329233,-0.31863254,0.06010809,-0.005990455,-0.46372506,0.3784556,-0.21690735,-0.20738699,-1.458674,-0.23507641,0.92521983,-1.5932279,-1.2049524,-0.177138,-1.5026863,-0.6762005,-0.51229817,0.8484876,1.5612814,1.6996258,-0.84498036,0.7791882]::REAL[]),
+        |(8, 0, [-2.1587608,-0.4713011,-0.9610902,1.5700834,-1.4116799,-0.5594921,-0.88660115,0.26189697,-0.43381402,-0.55498475,-0.9344664,1.9653045,0.20666952,-2.1358464,0.34720007,0.995247,-0.5932981,-0.39852816,0.19458042,1.5632379,-1.3000045,-0.32171407,-0.5685473,-1.1563843,0.8065428,1.5099825,-0.709168,0.09303407,0.83109343,-1.4281116,0.022725895,0.3181088,-0.34068546,-0.4486773,-0.9102864,-0.30029127,-0.64526623,1.0443162,0.7054003,0.1770779,0.6118683,0.38177648,2.2602758,0.9224538,0.54452205,-1.3361564,-1.2045131,-1.0275537,-0.7476164,0.84570605,-0.22702503,0.2691512,-0.21464898,0.92550266,0.38407603,0.019170128,0.2572778,-0.7045164,-1.0233908,1.3449764,-0.13495088,0.67054665,0.025602221,0.25218007]::REAL[]),
+        |(8, 1, [1.5454645,0.5196428,-0.18793428,0.39501256,0.0067859706,0.61547226,-1.1911479,-0.68077266,-0.07877842,0.61409754,1.1532115,-0.741487,-0.9845786,1.9100932,0.18073632,-1.024921,1.669709,-1.4455434,0.59361863,1.9483352,-1.930496,-1.2567422,-0.14354943,1.2464434,1.2695814,-0.09769751,-0.80018073,-0.038525287,-0.58284354,0.23414306,-0.23861165,0.4327906,-0.1751343,-1.0937018,-0.46975532,-0.40226954,0.96726793,0.85497785,0.99888766,0.7067689,-0.29015973,0.81958187,-1.1962183,1.1589757,-1.3870524,-0.7315095,0.17519438,-1.0823326,-1.0045886,0.28014696,1.22745,1.0684364,1.440663,-1.0205523,-2.9306505,0.6069294,-0.8779596,0.5543142,-0.9568777,1.2931836,-0.4484093,1.0319631,-0.79565054,1.1632123]::REAL[]),
+        |(8, 2, [-0.7531201,1.1776229,0.13685945,0.10678688,-0.16191174,1.7318988,0.47490624,1.3244812,0.498056,0.49019668,-0.045269933,0.29382125,-0.07916926,-0.20393969,0.17304593,1.4157764,1.2769115,0.7812549,0.89393103,0.82040375,0.23302536,-0.75101626,0.45267543,0.23276703,-0.21710427,0.9618062,0.094581194,-0.35288393,0.29881516,-0.07687411,0.7059995,0.58222187,-0.4268914,1.9298813,-0.57597905,1.0612688,0.4013347,0.07757625,-1.5648359,0.5394818,-0.47492808,-0.6132746,0.83603287,-1.0264468,-0.8716169,-1.2524433,-0.8593646,-1.8169781,1.6384131,0.58729345,0.34325275,0.15842004,-0.3836181,-0.33456713,-1.2641695,-0.67379296,-1.7502936,-0.15986103,-0.9024601,0.7962367,0.5877879,-0.014396746,0.20727843,1.4653229]::REAL[]),
+        |(8, 3, [-1.6338,-0.19233145,0.22070843,-0.08763105,0.8382838,1.2836211,0.739464,-0.3648811,-0.037011556,0.7680253,0.8654459,-0.9391023,-0.032062504,-0.11105292,-1.0875493,-1.1268061,-2.063777,0.512339,0.9515416,-0.498423,0.72477067,-0.6397771,-0.8192807,1.0371848,0.5266006,0.3537046,-1.2696414,0.3437212,-0.5372416,1.3294945,1.1105082,-0.48839062,1.2446635,-0.34104216,-0.6586557,-0.5752838,-0.670717,-1.1936206,1.6278875,0.39666277,0.8475296,0.3887695,-0.31827554,1.5809989,-0.6730321,0.08101526,-0.76130617,0.011838279,1.2092177,-0.24259095,0.08226052,-1.6266071,-0.3167748,0.29663408,1.3246157,1.5627558,0.72092867,-0.84409773,-1.2816199,-1.5099568,0.67256296,0.035369065,-1.822536,1.132472]::REAL[]),
+        |(9, 0, [0.98859245,1.5372566,-0.03225032,0.45468155,0.3029798,-0.7361429,-0.6884344,1.1652815,1.0058163,-1.0456288,1.7241794,-0.37778744,-0.5718835,0.038795322,0.8914701,-1.589354,-0.7421748,-0.88621986,1.7976387,-0.86016095,-1.0325526,0.2576587,-1.6642416,0.27997655,1.338568,0.8159437,-0.66422,1.0063591,0.080798715,-0.6456334,-1.4202064,1.1134626,1.3068172,-0.055340722,-1.6774688,0.6189787,-0.13855512,-0.7219295,0.4909523,-0.5718719,-1.6130395,-0.76068527,0.34542727,0.85534936,-0.27374145,-0.19396134,0.5094778,2.8795629,-0.41134673,0.26556197,0.39909294,-1.3417056,0.7418924,0.6294177,0.74455935,-0.40693143,-1.1763327,0.827809,0.6079874,1.0641657,-0.998605,-0.022078019,-1.9229761,-2.029157]::REAL[]),
+        |(9, 1, [0.36287862,-0.42476082,-2.0143862,0.11947337,-0.6279737,-0.52202344,-0.12603684,-0.19689551,0.438203,0.48338604,-0.60292155,-1.5347159,-0.8898332,0.4453566,-0.52703714,-0.04302998,-0.77245015,0.11078426,-1.2036589,0.7095424,-1.8482934,-0.14215283,-0.2491871,1.8747883,-0.17108877,0.5951702,-0.2579474,0.95378345,-0.43965927,-0.39823526,-0.35683787,0.76731086,-1.1852593,1.2089214,-0.8201179,0.7205533,0.21208571,0.29627374,-1.251292,1.0013218,-0.49346852,-0.5463293,-0.674224,-0.8206728,0.22458972,0.43926746,-1.1999097,0.61601573,0.097624935,1.2867515,-0.4001576,-1.1074437,-1.1886032,-0.3518605,-0.15289448,-0.16359642,-0.49728182,-1.0473763,-0.39188018,0.8117062,-0.21179374,-0.4982924,0.48430824,0.11587504]::REAL[]),
+        |(9, 2, [-2.4894667,-0.74173623,-0.12624522,-0.31576183,0.5781822,-1.885981,1.644801,0.045135513,0.79209036,1.181377,-1.2580671,-0.16412169,-0.17178865,0.29184818,0.28457358,-1.6226879,0.74528635,-0.64584786,0.6059907,-0.45225912,1.0334563,-1.6056117,1.31573,0.028234737,-1.3789566,-0.024770085,-1.4181619,-0.08745549,-0.6356566,-0.30970824,-0.07463888,-1.4211413,1.0970094,1.7085189,0.4289294,-0.045724247,0.054637417,0.32581562,0.49025398,0.65736306,-1.3809764,-0.064134225,1.7348124,-0.010232754,1.5604393,1.4948705,0.6580041,-0.72313267,0.11913448,-1.6181669,0.5490411,0.81838095,0.30285704,0.48695138,0.1831248,0.7809749,-2.8275106,1.3055507,-0.15080984,-0.07228511,-0.5847018,0.72015476,0.001048211,-0.5211168]::REAL[]),
+        |(9, 3, [0.7303425,0.52125406,0.21646403,-0.13273332,0.18187891,1.3299575,-1.2238086,0.08666686,0.7777895,-1.2473413,1.4917057,0.09855678,-0.17940994,-1.4507498,-0.51936877,-0.23115008,1.281692,0.88880277,0.36665887,-0.686989,-1.9582374,0.7350822,-2.0292284,-0.36019003,1.3879637,-1.5899448,-0.78378695,-0.0619727,-0.3018611,-1.46298,-0.22770678,0.55850136,-0.6060161,0.6059008,0.27159524,0.43963563,0.09836406,-0.018795608,0.5353215,0.09849368,0.15027083,-2.2953978,-0.71389353,-1.9932837,0.30126968,-0.21506938,-0.49560925,0.31790227,0.23555121,0.7921035,0.37800455,-2.1334085,-0.24055095,0.29203272,-0.26092964,1.4577436,-0.68716526,2.2777913,-1.3729595,1.2165912,-1.3208946,-0.74054736,-0.8787005,-0.042203814]::REAL[]),
+        |(10, 0, [-0.15548763,0.4240301,-0.8126416,-0.5044782,-0.09056677,0.3540661,-0.08283027,-0.5811156,1.9462218,-0.34975222,0.38775864,-0.012388437,0.25849724,-1.3199053,0.86908346,0.704365,-1.9964092,0.14085987,0.42133814,0.3073798,-0.93923575,-0.57879764,-0.40709803,0.37204713,-0.09632247,-0.10466279,0.5452404,1.0708178,-1.897975,0.6853059,0.16944705,-1.7289699,-1.3241777,-1.0273349,0.88632286,-0.19269754,-1.981869,-1.4283553,-5.128171E-4,-0.9292436,0.10475961,0.77088743,-1.1612806,-0.9144379,0.85728997,-0.27995768,0.21706927,1.034788,1.7432017,0.3957939,0.19786137,0.5564446,-0.37018642,1.4550574,0.9226733,0.98597974,1.1867286,1.2219282,-0.14444913,0.723787,0.16157104,-0.9202071,-0.52697426,0.20567684]::REAL[]),
+        |(10, 1, [-1.5466232,-0.18085806,0.0060075056,-0.21467747,-0.7794116,1.615468,-0.82922864,0.11373371,1.3184975,-0.60265756,0.4617796,0.9295572,-0.22144806,0.067223005,1.1223853,0.54607666,0.15646522,1.5101832,0.6891434,-0.86825335,-0.11288761,0.49582437,1.979473,-0.0980987,0.38717064,1.8969924,-2.0521681,-1.0031862,-1.109159,-1.1303567,-1.0933734,-0.28514028,0.21803276,2.4184983,0.6977403,1.002712,1.376709,-0.04199899,-1.1081121,0.32746822,-1.4120578,0.4289979,-0.018019257,1.3188491,-0.13429214,-0.06083309,-0.022301959,-1.6674206,-2.5563936,0.544627,2.047755,-0.6029379,1.7173431,0.72430056,0.9755493,-1.7077754,0.1671356,-1.8193058,0.41056746,0.74976534,-0.3098363,0.21197991,0.32263443,1.2695811]::REAL[]),
+        |(10, 2, [-0.009267527,-0.44413647,1.4336171,-1.731801,-0.8890365,-0.7533382,-1.8154644,0.70513433,-0.5514016,1.3192153,-1.5223922,-1.0509927,0.90169805,-0.10117048,-0.34885222,2.0420349,0.38102692,-1.2462815,-0.4811476,0.41410977,-0.7522234,0.53579754,0.76294035,-1.13022,0.16476478,-0.41092452,1.0653363,1.2145269,-0.3263471,1.2005666,0.52616453,-0.09824199,0.73761374,0.22752862,1.1537334,-1.7244714,-0.026256362,0.19569093,1.6128483,-0.69877976,1.9737208,0.8186667,-1.2742362,1.1098716,1.9536642,0.5749055,0.8552666,0.32111037,0.7445199,1.4712882,-1.119197,0.8624552,0.54363865,0.81533396,0.36361378,2.051025,-0.4510624,-0.9924216,-2.1820948,0.30112723,-0.9248154,0.53126675,-0.6775488,-1.2209975]::REAL[]),
+        |(10, 3, [1.0421046,-1.3772831,-1.549873,-0.28067166,0.25909248,-1.3944236,0.12502304,0.40702116,0.14443415,0.36295044,0.69399244,0.9479381,-0.21051234,0.04960486,-0.65919846,-0.3985005,0.47162244,0.18511856,0.58596903,-0.694291,-0.253598,1.2285475,1.4128819,-0.30956945,0.6192643,-0.40799564,-0.21928026,-1.2029799,0.29503876,0.09161883,-0.3399427,0.8626156,-0.31238467,0.14815941,-0.12155773,-0.7528419,-0.21427618,1.161948,2.0828764,0.7362497,-1.2089616,0.533287,-1.2179492,-0.07972648,1.5740494,0.52685034,-1.3899995,-0.77520066,0.7627009,1.2255381,-2.0162952,-0.37451982,-0.33811384,-0.09526919,-0.14727807,-1.7505114,0.7250344,0.8166919,-1.5022421,1.733044,0.5120949,0.94280636,0.37807497,1.2350181]::REAL[]),
+        |(11, 0, [-0.12838687,-0.721762,-1.2977998,-0.83346415,-1.2981919,1.8607154,1.1275709,-1.2950853,-0.15381119,0.87132514,0.0723091,-0.56253636,1.2101407,-0.31902874,0.56197155,0.27041495,0.9712386,-0.97371924,-0.17930442,0.63184035,-1.5566359,0.7571794,-1.5366639,-1.040269,0.26434964,1.0381851,-0.36042586,-0.72864085,0.4201128,0.50410676,-1.0909107,0.10913307,-1.4794905,0.3208156,-1.0289525,-1.4940351,-0.28756464,1.546006,-0.060328566,-1.794996,0.618302,-1.3857708,0.69917107,1.7862338,0.26175302,0.091870956,0.1265646,-0.013267392,-0.17114279,1.4418772,0.04547985,-1.1999301,-0.85476005,-0.13331269,0.6985511,-0.20456287,0.5566538,1.117448,-0.6000827,-1.5010797,-1.0843844,0.11380013,-1.3060257,0.49722147]::REAL[]),
+        |(11, 1, [-0.58213407,-0.35409883,2.6570468,-0.17771251,-0.9499379,-0.7603674,2.9844232,-0.7188045,-0.10355584,-1.2535269,0.44880208,-0.1070862,-0.68387294,-0.2668233,1.3366307,-0.31845945,0.5281435,0.643176,-0.46786535,-0.6586914,0.2748486,-0.6669663,0.21518485,0.07565171,0.2083219,-0.17223741,0.96664554,-0.33486748,-0.836727,-0.13962826,0.50903004,0.5180464,-0.30274013,0.35561922,-0.08735658,-0.18723351,0.33113095,0.27915773,0.7829838,1.9880718,-0.72728413,0.29980806,0.5121348,-2.5679984,0.5155087,-1.1539141,2.131108,0.8473185,0.34253743,0.29608256,1.4081892,0.2760155,1.1197548,-0.94063765,-0.8009224,0.54796386,1.4718162,1.4680208,0.41138247,-0.6161986,-1.1796511,-1.3404976,1.7837263,1.6881515]::REAL[]),
+        |(11, 2, [-1.3084732,-6.7346E-4,0.13746057,1.2049954,-1.2513008,-0.55116963,0.3443694,-1.0257119,1.2443775,-0.85165113,-0.2728632,1.4714408,1.5621583,0.7047012,0.67692935,-1.0007308,-1.4187036,0.28775454,-1.316479,0.8038397,0.008076379,-0.89383334,-0.59011346,0.14653967,0.15383445,-0.94092757,0.79369116,0.48534253,-0.6819969,0.9199555,0.93126315,0.36236668,1.6306006,-0.8669442,1.507865,0.2068433,-1.1411582,-2.0426812,0.43452394,-1.2511351,-0.4924607,-0.7683133,0.1893212,-0.16954155,0.45564732,-0.34654576,-0.39200723,-0.9080539,0.612018,-1.5022954,0.21709453,1.1008313,-0.16138442,0.5684559,-0.7239479,0.55942744,-0.9257151,1.2934831,-0.029122071,-1.4517708,-1.0571102,-0.98456615,0.079415455,1.1056203]::REAL[]),
+        |(11, 3, [-0.06040014,0.28518355,0.578883,0.5609284,0.822396,1.2142614,-0.28695372,-0.07475739,1.8685606,0.6968142,0.997672,0.6813323,-0.49835047,0.049081955,-1.077229,0.33071342,0.12677151,0.63605744,0.24207065,0.96728504,0.054929405,0.6077149,1.0538335,0.9213949,0.8934373,0.2381794,-0.08247209,-0.17937341,-1.8312726,-1.5131966,1.5673008,0.67190087,0.26892087,0.44022936,1.7176533,-0.98663545,-0.82976663,1.3778903,0.72177804,-0.29454637,-0.6638835,0.15899499,-1.5767062,0.71388876,-2.1154022,-0.28313637,1.2170465,-1.8161421,0.6271151,-1.0970229,-0.77053064,1.7922012,-0.028937502,0.5610147,-2.5053608,-0.02882715,-1.5150151,-0.50437456,0.7163451,0.3060183,-0.45260412,0.85403156,-0.35740587,-1.3148099]::REAL[])),
+        |b AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+        |qids AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id % 50 = 0),
+        |keys AS (
+        |  SELECT id, tbl,
+        |    sum(CASE WHEN dot >= 0 THEN 1 << h ELSE 0 END) AS key
+        |  FROM (
+        |    SELECT b.id, p.tbl, p.h,
+        |      list_sum(list_transform(list_zip(p.pl, b.v),
+        |        x -> (x[1]::DOUBLE * x[2]::DOUBLE))) AS dot
+        |    FROM b, planes p) d
+        |  GROUP BY id, tbl),
+        |qkeys AS (SELECT k.id AS qid, k.tbl, k.key FROM keys k JOIN qids ON k.id = qids.qid),
+        |votes AS (
+        |  SELECT qk.qid, k.id, count(*) AS votes
+        |  FROM qkeys qk JOIN keys k ON qk.tbl = k.tbl AND qk.key = k.key
+        |  GROUP BY qk.qid, k.id),
+        |capped AS (
+        |  SELECT qid, id FROM (
+        |    SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY votes DESC, id) AS rn
+        |    FROM votes) t WHERE rn <= 320),
+        |bv AS (SELECT vec_id AS id, embedding::DOUBLE[] AS dv FROM embeddings),
+        |cd AS (
+        |  SELECT c.qid, c.id,
+        |    1 - list_sum(list_transform(list_zip(qb.dv, rb.dv), p -> p[1]*p[2]))
+        |      / (sqrt(list_sum(list_transform(qb.dv, x -> x*x)))
+        |         * sqrt(list_sum(list_transform(rb.dv, x -> x*x)))) AS dist
+        |  FROM capped c JOIN bv qb ON c.qid = qb.id JOIN bv rb ON c.id = rb.id),
+        |pred AS (
+        |  SELECT qid, list(id ORDER BY rn) AS pred FROM (
+        |    SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn
+        |    FROM cd) t WHERE rn <= 10 GROUP BY qid),
+        |gtd AS (
+        |  SELECT q.id AS qid, r.id,
+        |    1 - list_sum(list_transform(list_zip(q.dv, r.dv), p -> p[1]*p[2]))
+        |      / (sqrt(list_sum(list_transform(q.dv, x -> x*x)))
+        |         * sqrt(list_sum(list_transform(r.dv, x -> x*x)))) AS dist
+        |  FROM bv q JOIN qids ON q.id = qids.qid, bv r),
+        |gt AS (
+        |  SELECT qid, list(id ORDER BY rn) AS gt FROM (
+        |    SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn
+        |    FROM gtd) t WHERE rn <= 10 GROUP BY qid),
+        |per AS (
+        |  SELECT g.qid,
+        |    len(list_intersect(g.gt, p.pred))::DOUBLE / len(g.gt) AS recall,
+        |    coalesce(1.0 / (SELECT min(pos) FROM (
+        |      SELECT unnest(p.pred) AS pid, generate_subscripts(p.pred, 1) AS pos) u
+        |      WHERE list_contains(g.gt, pid)), 0.0) AS rr
+        |  FROM gt g LEFT JOIN pred p ON g.qid = p.qid)
+        |SELECT 'lsh' AS algorithm, count(*) AS n_queries,
+        |  round(avg(recall), 4) AS recall_10, round(avg(rr), 4) AS mrr_10
+        |FROM per
+        |HAVING round(avg(recall), 4) >= 0.45""".stripMargin,
     // gram-trick L2 ranks identically to plain L2 here (fp-rounding tie
     // flips would need distance gaps ~1e-13; gate data gaps are >> that)
     "j2_knn_gram" ->
