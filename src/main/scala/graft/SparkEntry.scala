@@ -423,8 +423,8 @@ object SparkEntry {
         |FROM per
         |HAVING round(avg(recall), 4) >= 0.95""".stripMargin,
     // IVF probe replicated in SQL: the seeded KMeans centroids are
-    // deterministic DATA (LocalKMeans, seed 42, gate config) embedded as
-    // literals; nearest-centroid assignment, nprobe=4 routing, exact L2
+    // deterministic DATA (LocalKMeans, seed 42, built on the sf0.01 gate
+    // data - the driver's pinned correctness SF) embedded as literals; nearest-centroid assignment, nprobe=4 routing, exact L2
     // rerank, recall vs exact GT.
     "j8_ivf_probe" ->
       """WITH cents(cid, cv) AS (VALUES
@@ -491,8 +491,8 @@ object SparkEntry {
         |  round(avg(recall), 4) AS recall_10, round(avg(rr), 4) AS mrr_10
         |FROM per
         |HAVING round(avg(recall), 4) >= 0.55""".stripMargin,
-    // PQ ADC replicated in SQL: the seeded subspace codebooks embedded
-    // as literals; per-subvector argmin encoding, per-query LUT join,
+    // PQ ADC replicated in SQL: the seeded subspace codebooks (built on
+    // the sf0.01 gate data) embedded as literals; per-subvector argmin encoding, per-query LUT join,
     // summed subdistances, sqrt, recall vs exact GT.
     // (literal VALUES exceed the JVM 64KB string-constant cap → chunked)
     "j9_pq_adc" -> Seq(
