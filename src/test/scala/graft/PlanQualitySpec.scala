@@ -94,6 +94,28 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(a.nonEmpty, "gate data should contain high-jaccard pairs")
   }
 
+  test("prefix jaccard handles degenerate docs like the block variant") {
+    import graft.operators.Dedup
+    // empty, whitespace-only, single-token, identical, near-identical,
+    // subset, and length-mismatched docs — the shapes where prefix-length
+    // and size-ratio arithmetic can off-by-one
+    val docs = Seq(
+      (1L, "", "en"), (2L, "   ", "en"), (3L, "one", "en"),
+      (4L, "one", "en"), (5L, "a b c d e f g h i j", "en"),
+      (6L, "a b c d e f g h i j", "en"),
+      (7L, "a b c d e f g h i k", "en"),
+      (8L, "a b", "en"), (9L, "a b c d e f g h i j " * 10, "en"),
+      (10L, "x y z", "de"), (11L, "x y z", "de"))
+      .toDF("doc_id", "text", "lang")
+    for (t <- Seq(0.5, 0.7, 0.9)) {
+      val a = Dedup.jaccardSimilarityJoin(docs, "doc_id", "text", "lang", t)
+        .select("a", "b").collect().map(_.toSeq).toSet
+      val b = Dedup.jaccardSimilarityJoinPrefix(docs, "doc_id", "text", "lang", t)
+        .select("a", "b").collect().map(_.toSeq).toSet
+      assert(a == b, s"threshold $t: block=$a prefix=$b")
+    }
+  }
+
   test("vector expressions: zero vectors, empty arrays, nulls") {
     val df = Seq(
       (Some(Seq(0f, 0f)), Some(Seq(0f, 0f))),
