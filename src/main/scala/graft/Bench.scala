@@ -55,28 +55,32 @@ object Bench {
     val total = results.map(_._2).sum
 
     // reference-baseline comparison table (recall/QPS per algorithm vs
-    // BASELINE.md) — extra artifact data, NOT part of the total. Hard
-    // 360 s watchdog: a wedged baseline stage must never cost the round
-    // its BENCH artifact (the per-query JSON matters more).
+    // BASELINE.md) — extra artifact data, NOT part of the total. Each
+    // algorithm carries its own watchdog inside BaselineCompare (canceled
+    // job group on overrun), so a wedged algorithm costs its own entry,
+    // not the round's BENCH artifact; partial results still land.
     val baseline =
       if (sys.env.getOrElse("SPARK_GRAFT_BASELINE", "1") == "0") "{}"
-      else {
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.ExecutionContext.Implicits.global
-        import scala.concurrent.duration._
-        try Await.result(Future {
+      else
+        try {
           val entries = graft.harness.BaselineCompare.run(spark)
           entries.foreach(e => System.err.println(
             f"[baseline] ${e.algo}%-10s recall=${e.recall}%.4f qps=${e.qps}%.0f " +
               f"build=${e.buildS}%.2fs (ref ${e.refRecall}%.4f/${e.refQps}%.0f)"))
           graft.harness.BaselineCompare.json(entries)
-        }, 360.seconds)
-        catch { case e: Throwable =>
+        } catch { case e: Throwable =>
           System.err.println(s"[baseline] skipped: ${e.getMessage}")
           "{}"
         }
-      }
+    // Stop BEFORE printing the artifact line: a noisy shutdown (e.g. a
+    // blockmgr temp-dir delete failing under /tmp) must never land its
+    // stack trace after the JSON line — the driver reads the output TAIL,
+    // and round 2 lost its artifact exactly that way.
+    try spark.stop()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] spark.stop failed (ignored): ${e.getMessage}")
+    }
+    System.err.flush()
     println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"baseline":$baseline,"sf":"$sfDir"}""")
-    spark.stop()
   }
 }

@@ -30,6 +30,25 @@ trait Searcher extends Serializable {
   def search(artifact: IndexArtifact, queries: DataFrame, k: Int): DataFrame
 }
 
+/** Mixin for searchers that ship per-search driver-side tables (query
+  * LUTs, collected query vectors) as broadcasts: each new broadcast
+  * retires the previous call's, so repeated-search loops (Experiment
+  * repeats, BaselineCompare warm+3) hold at most one live broadcast per
+  * searcher instance instead of accumulating blocks for the session. */
+trait QueryBroadcastLifecycle {
+  @transient private var prev: org.apache.spark.broadcast.Broadcast[_] = _
+  protected def trackBroadcast[T: scala.reflect.ClassTag](
+      spark: SparkSession, value: T): org.apache.spark.broadcast.Broadcast[T] =
+    synchronized {
+      // unpersist (not destroy): frees executor copies; a straggling plan
+      // holding the old handle can still lazily re-fetch from the driver
+      if (prev != null) prev.unpersist()
+      val bc = spark.sparkContext.broadcast(value)
+      prev = bc
+      bc
+    }
+}
+
 /** An algorithm = indexer + searcher (reference CompositeAlgorithm,
   * modular.py:554-622). */
 final case class Algorithm(name: String, indexer: Indexer, searcher: Searcher) {

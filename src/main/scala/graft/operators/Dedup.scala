@@ -194,19 +194,21 @@ object Dedup {
     // maxHamming=0 would make the single chunk mask (1L<<64)-1 == 0 and
     // collapse every fingerprint into one bucket (a full O(n²) self-join);
     // exact-match dedup belongs to the fingerprint path, not simhash
-    require(maxHamming >= 1, "simhash maxHamming must be >= 1")
+    require(maxHamming >= 1 && maxHamming <= 63,
+      "simhash maxHamming must be in [1, 63]")
     val nChunks = maxHamming + 1
-    // ceil-sized chunks so ALL 64 bits land in some chunk even when
-    // 64 % nChunks != 0 (a shorter final chunk keeps the pigeonhole
-    // guarantee; uncovered top bits would admit false candidates only,
-    // but cover ALL bits anyway for tighter blocking)
-    val chunkBits = (64 + nChunks - 1) / nChunks
+    // Balanced partition of the 64 bits into EXACTLY nChunks non-empty
+    // chunks (floor/ceil widths): lo = c*64/nChunks. Ceil-sized chunks
+    // would exhaust the bits early once (nChunks-1)*ceil(64/nChunks) >= 64
+    // (maxHamming >= 8), leaving fewer than nChunks real chunks and
+    // silently voiding the pigeonhole guarantee.
     val withFp = df.select(col(idCol).cast("long").as("id"),
       simhash(col(textCol)).as("fp"))
     val chunked = withFp.select(col("id"), col("fp"),
       posexplode(array((0 until nChunks).map { c =>
-        val lo = c * chunkBits
-        val width = math.min(chunkBits, 64 - lo)
+        val lo = c * 64 / nChunks
+        val width = (c + 1) * 64 / nChunks - lo
+        assert(lo < 64 && width >= 1, s"bad simhash chunk: lo=$lo width=$width")
         shiftrightunsigned(col("fp"), lo)
           .bitwiseAND(lit(if (width >= 64) -1L else (1L << width) - 1))
       }: _*)).as(Seq("chunk", "key")))
@@ -285,14 +287,25 @@ object Dedup {
     * Identical output to [[jaccardSimilarityJoin]]; this is the
     * corpus-scale shape (fine-grained join keys, rare-first prefixes, no
     * block-quadratic groups). */
+  // the prefix join caches its tokenized relation (read by postings,
+  // prefixes AND the verify join); repeated calls would accumulate dead
+  // cache entries for the session's lifetime, so each call retires the
+  // previous call's cache — at most one lives at a time
+  @transient private var prevPrefixCache: DataFrame = _
+  private def trackPrefixCache(df: DataFrame): DataFrame = synchronized {
+    if (prevPrefixCache != null) prevPrefixCache.unpersist()
+    prevPrefixCache = df
+    df
+  }
+
   def jaccardSimilarityJoinPrefix(df: DataFrame, idCol: String, textCol: String,
       blockCol: String, threshold: Double): DataFrame = {
-    val t = df.select(col(idCol).cast("long").as("id"),
+    val t = trackPrefixCache(df.select(col(idCol).cast("long").as("id"),
       col(blockCol).as("block"),
       array_sort(array_distinct(transform(tokens(col(textCol)),
         tk => xxhash64(tk)))).as("toks"))
       .withColumn("n", size(col("toks")))
-      .cache() // tokenized once; feeds postings, prefixes and the verify
+      .cache()) // tokenized once; feeds postings, prefixes and the verify
     val posting = t.select(col("id"), col("block"), col("n"),
       explode(col("toks")).as("tok"))
     val dfc = posting.groupBy("tok").agg(count(lit(1)).as("df"))
@@ -354,10 +367,52 @@ object Dedup {
       .select(col("a"), col("b"), sim.as("cosine"))
   }
 
-  /** Embedding near-dup pairs: cosine similarity ≥ threshold, via
-    * [[embeddingDupPairsCandidates]]. */
+  /** Exact all-pairs embedding near-dup: O(n²) theta join scoring every
+    * pair. The ground-truth/small-N path (≲10⁵ rows) and the oracle the
+    * approximate variant is validated against; at corpus scale use
+    * [[embeddingDupPairs]]. */
+  def embeddingDupPairsExact(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    base.as("l").join(base.as("r"), col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"),
+        (lit(1.0) - graft.functions.VectorFunctions
+          .cosine_dist(col("l.v"), col("r.v"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Smallest hashSize whose per-pair miss probability at similarity
+    * `threshold` stays under `missProb` across `numTables` tables —
+    * maximal pruning subject to the recall target. Per-table collision
+    * for a pair at angle θ is (1 − θ/π)^h (sign-random-projection), so
+    * miss = (1 − p)^T; solve for h and clamp to [2, 24]. */
+  private[graft] def lshHashSizeFor(threshold: Double, numTables: Int,
+      missProb: Double = 1e-3): Int = {
+    val theta = math.acos(math.max(-1.0, math.min(1.0, threshold)))
+    val collinear = 1.0 - theta / math.Pi // per-plane agreement prob
+    if (collinear >= 1.0) 24
+    else {
+      val pMin = 1.0 - math.pow(missProb, 1.0 / numTables)
+      val h = math.floor(math.log(pMin) / math.log(collinear)).toInt
+      math.max(2, math.min(24, h))
+    }
+  }
+
+  /** Embedding near-dup pairs: cosine similarity ≥ threshold.
+    *
+    * APPROXIMATE (documented contract): candidates come from seeded
+    * (`seed`, default 42) sign-random-projection LSH buckets, so a true
+    * pair at exactly `threshold` is missed with probability ≤ `missProb`
+    * (default 1e-3); more-similar pairs are missed exponentially more
+    * rarely. hashSize is derived from the caller's threshold via
+    * [[lshHashSizeFor]] so blocking actually prunes at the requested
+    * similarity (e.g. t=0.9, 32 tables → h=10: a random pair survives
+    * with prob ~32/2¹⁰ ≈ 3%, vs ~99% at the recall-generous candidate
+    * default). Exact semantics: [[embeddingDupPairsExact]]. */
   def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame =
-    embeddingDupPairsCandidates(df, idCol, vecCol)
+      threshold: Double, numTables: Int = 32, missProb: Double = 1e-3,
+      seed: Long = 42): DataFrame =
+    embeddingDupPairsCandidates(df, idCol, vecCol, numTables,
+        lshHashSizeFor(threshold, numTables, missProb), seed)
       .filter(col("cosine") >= threshold)
 }

@@ -54,13 +54,34 @@ final case class HnswGlobalIndexer(
 final case class HnswGlobalSearcher(efSearch: Int = 100, metric: String = "l2",
     counter: Option[LongAccumulator] = None) extends Searcher {
 
+  // Reuse ONE broadcast of the model across repeated search() calls on
+  // this searcher (Experiment repeat loops, BaselineCompare warm+3):
+  // re-broadcasting a multi-MB graph per call accumulates broadcast
+  // blocks on the executors for the life of the session.
+  @transient private var cachedModel: HnswGlobalModel = _
+  @transient private var cachedBc: org.apache.spark.broadcast.Broadcast[HnswGlobalModel] = _
+
+  private def broadcastModel(spark: org.apache.spark.sql.SparkSession,
+      model: HnswGlobalModel): org.apache.spark.broadcast.Broadcast[HnswGlobalModel] =
+    synchronized {
+      if (cachedBc == null || !(cachedModel eq model)) {
+        // unpersist (not destroy): frees executor copies now; any
+        // not-yet-materialized plan holding the old handle can still
+        // lazily re-fetch from the driver
+        if (cachedBc != null) cachedBc.unpersist()
+        cachedModel = model
+        cachedBc = spark.sparkContext.broadcast(model)
+      }
+      cachedBc
+    }
+
   def search(artifact: IndexArtifact, queries: DataFrame, k: Int): DataFrame = {
     val spark = artifact.data.sparkSession
     val model = artifact.local.get("model") match {
       case Some(mo: HnswGlobalModel) => mo
       case _ => HnswGlobalModel.fromArtifact(artifact)
     }
-    val bModel = spark.sparkContext.broadcast(model)
+    val bModel = broadcastModel(spark, model)
     val acc = counter
     val efS = efSearch
     val outSchema = StructType(Seq(
@@ -72,9 +93,13 @@ final case class HnswGlobalSearcher(efSearch: Int = 100, metric: String = "l2",
     queries.select(col("qid").cast("long"), col("vector"))
       .mapPartitions { it =>
         val mo = bModel.value
+        // one workspace per partition: the O(n) stamp-visited array is
+        // exactly what HnswWorkspace exists to amortize — per-query
+        // allocation+zeroing would be a multi-MB hit on the hot path
+        val ws = new HnswWorkspace(mo.vecs.length)
         it.flatMap { r =>
           val qid = r.getLong(0)
-          val (res, ndis) = mo.knn(r.getSeq[Float](1).toArray, k, efS)
+          val (res, ndis) = mo.knn(r.getSeq[Float](1).toArray, k, efS, ws)
           acc.foreach(_.add(ndis))
           res.zipWithIndex.map { case ((id, d), i) => Row(qid, i + 1, id, d) }
         }
@@ -171,16 +196,21 @@ final class HnswGlobalModel(
   }
 
   /** approximate k-NN: greedy descent through upper layers, ef-beam at
-    * layer 0; returns ((id, dist) asc, ndis). Thread-safe: each call uses
-    * its own workspace (executor tasks share the broadcast model). */
-  def knn(q: Array[Float], k: Int, ef: Int): (Array[(Long, Double)], Long) = {
-    val ws = new HnswWorkspace(vecs.length)
+    * layer 0; returns ((id, dist) asc, ndis-for-this-call). Callers on a
+    * hot path pass a reused per-thread/per-partition workspace (the stamp
+    * trick makes reuse across calls free); the no-ws overload allocates a
+    * fresh one for one-off callers. NOT thread-safe per workspace. */
+  def knn(q: Array[Float], k: Int, ef: Int, ws: HnswWorkspace): (Array[(Long, Double)], Long) = {
+    val ndis0 = ws.ndis
     var ep = entry
     var lc = maxLevel
     while (lc > 0) { ep = greedy(q, ep, lc, ws); lc -= 1 }
     val res = searchLayer(q, ep, math.max(ef, k), 0, ws)
-    (res.take(k).map { case (i, d) => (ids(i), d) }, ws.ndis)
+    (res.take(k).map { case (i, d) => (ids(i), d) }, ws.ndis - ndis0)
   }
+
+  def knn(q: Array[Float], k: Int, ef: Int): (Array[(Long, Double)], Long) =
+    knn(q, k, ef, new HnswWorkspace(vecs.length))
 
   /** flatten to (idx, layer, nbrs) rows for the aux relation */
   def adjacencyRows: Iterator[(Int, Int, Seq[Int])] =

@@ -34,12 +34,14 @@ final case class IvfPqIndexer(
   }
 }
 
-final case class IvfPqSearcher(nprobe: Int, metric: String) extends Searcher {
+final case class IvfPqSearcher(nprobe: Int, metric: String) extends Searcher
+    with QueryBroadcastLifecycle {
   def search(artifact: IndexArtifact, queries: DataFrame, k: Int): DataFrame = {
     val model = PqModel.fromArtifact(artifact)
     val q = queries.select(col("qid").cast("long").as("qid"), col("vector"))
     val luts = model.luts(q, metric)
-    val score = model.adcScoreUdf(artifact.data.sparkSession, luts)
+    val score = model.adcScoreUdf(
+      trackBroadcast(artifact.data.sparkSession, luts))
     val centroids = artifact.aux("centroids")
       .select(col("centroid_id").cast("long").as("id"), col("vector"))
     val probes = KnnJoin.knnJoin(q, centroids, nprobe, "l2")

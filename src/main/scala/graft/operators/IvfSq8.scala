@@ -27,12 +27,15 @@ final case class IvfSq8Indexer(nlist: Int, seed: Long) extends Indexer {
   }
 }
 
-final case class IvfSq8Searcher(nprobe: Int, metric: String) extends Searcher {
+final case class IvfSq8Searcher(nprobe: Int, metric: String) extends Searcher
+    with QueryBroadcastLifecycle {
   def search(artifact: IndexArtifact, queries: DataFrame, k: Int): DataFrame = {
     val lo = artifact.meta("lo").split(",").map(_.toFloat)
     val hi = artifact.meta("hi").split(",").map(_.toFloat)
     val q = queries.select(col("qid").cast("long").as("qid"), col("vector"))
-    val dist = Sq8Model(lo, hi).distByQidUdf(q, metric)
+    val model = Sq8Model(lo, hi)
+    val dist = model.distByQidUdf(
+      trackBroadcast(artifact.data.sparkSession, model.collectQueries(q)), metric)
     val centroids = artifact.aux("centroids")
       .select(col("centroid_id").cast("long").as("id"), col("vector"))
     val probes = KnnJoin.knnJoin(q, centroids, nprobe, "l2")

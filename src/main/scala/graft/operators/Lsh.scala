@@ -64,6 +64,19 @@ final case class LshSearcher(
     fallbackToBruteforce: Boolean,
     metric: String) extends Searcher {
 
+  // The fallback path caches the reranked relation (it is read twice:
+  // missing-qid probe + result). A repeated-search loop (Experiment
+  // repeats, BaselineCompare warm+3) would otherwise accumulate one dead
+  // cache entry per call for the life of the session — so each search
+  // unpersists the previous call's cache, bounding live entries to one.
+  @transient private var prevCache: DataFrame = _
+
+  private def trackCache(df: DataFrame): DataFrame = synchronized {
+    if (prevCache != null) prevCache.unpersist()
+    prevCache = df
+    df
+  }
+
   def search(artifact: IndexArtifact, queries: DataFrame, k: Int): DataFrame = {
     val spark = artifact.data.sparkSession
     val meta = artifact.meta
@@ -98,10 +111,10 @@ final case class LshSearcher(
       // cache it and CHECK for missing qids first: in the common case
       // (every query had candidates) the result plan then contains no
       // fallback scan at all, instead of paying an empty-broadcast pass
-      // over the full base per search.
-      val cached = reranked.cache()
+      // over the full base per search. `missing` itself needs no cache:
+      // both its uses read the already-cached reranked relation.
+      val cached = trackCache(reranked.cache())
       val missing = q.join(cached.select("qid").distinct(), Seq("qid"), "left_anti")
-        .cache()
       if (missing.isEmpty) cached
       else cached.unionByName(
         KnnJoin.knnJoin(missing, artifact.aux("vectors"), k, metric))

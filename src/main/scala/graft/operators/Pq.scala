@@ -68,7 +68,8 @@ final case class PqIndexer(numSubspaces: Int, numCentroids: Int, seed: Long)
   }
 }
 
-final case class PqSearcher(metric: String) extends Searcher {
+final case class PqSearcher(metric: String) extends Searcher
+    with QueryBroadcastLifecycle {
   def search(artifact: IndexArtifact, queries: DataFrame, k: Int): DataFrame = {
     val model = PqModel.fromArtifact(artifact)
     // Per-query LUTs are computed ONCE on the driver and ship in the
@@ -79,7 +80,7 @@ final case class PqSearcher(metric: String) extends Searcher {
     // BinaryType (primitive byte[], no boxing).
     val spark = artifact.data.sparkSession
     val luts = model.luts(queries, metric)
-    val score = model.adcScoreUdf(spark, luts)
+    val score = model.adcScoreUdf(trackBroadcast(spark, luts))
     import spark.implicits._
     val q = luts.keys.toSeq.sorted.toDF("qid")
     val l2 = !(metric == "ip" || metric == "dot")
@@ -132,11 +133,11 @@ final case class PqModel(codebooks: Array[Array[Array[Float]]], dsub: Int)
   /** ADC score over (qid, codes): Σ_j lut[j][code_j]. The LUT map rides
     * as a broadcast variable — in the closure it would serialize into
     * EVERY task binary (32 MiB at 256 queries × 64×256 doubles); as a
-    * broadcast it ships to each executor once. */
-  def adcScoreUdf(spark: org.apache.spark.sql.SparkSession,
-      luts: Map[Long, Array[Double]])
+    * broadcast it ships to each executor once. Callers pass the broadcast
+    * so THEY own its lifecycle (searchers retire the previous search's
+    * broadcast on the next call instead of accumulating blocks). */
+  def adcScoreUdf(bc: org.apache.spark.broadcast.Broadcast[Map[Long, Array[Double]]])
       : org.apache.spark.sql.expressions.UserDefinedFunction = {
-    val bc = spark.sparkContext.broadcast(luts)
     val mm = codebooks.length
     udf { (qid: Long, codes: Array[Byte]) =>
       val lut = bc.value(qid)

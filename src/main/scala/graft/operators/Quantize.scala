@@ -38,14 +38,17 @@ final case class Sq8Indexer() extends Indexer {
   }
 }
 
-final case class Sq8Searcher(metric: String) extends Searcher {
+final case class Sq8Searcher(metric: String) extends Searcher
+    with QueryBroadcastLifecycle {
   def search(artifact: IndexArtifact, queries: DataFrame, k: Int): DataFrame = {
     val lo = artifact.meta("lo").split(",").map(_.toFloat)
     val hi = artifact.meta("hi").split(",").map(_.toFloat)
     // query vectors ship in the scoring closure keyed by qid — only
     // (qid, codes) cross the row boundary (see PqSearcher note)
-    val dist = Sq8Model(lo, hi).distByQidUdf(queries, metric)
     val spark = artifact.data.sparkSession
+    val model = Sq8Model(lo, hi)
+    val dist = model.distByQidUdf(
+      trackBroadcast(spark, model.collectQueries(queries)), metric)
     import spark.implicits._
     val q = queries.select(col("qid").cast("long").as("qid")).as[Long]
       .collect().sorted.toSeq.toDF("qid")
@@ -74,19 +77,22 @@ final case class Sq8Model(lo: Array[Float], hi: Array[Float]) extends Serializab
     }
   }
 
+  /** collected (qid → vector) map for [[distByQidUdf]]'s broadcast */
+  def collectQueries(queries: org.apache.spark.sql.DataFrame): Map[Long, Array[Float]] =
+    queries.select(col("qid").cast("long"), col("vector")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+
   /** asymmetric distance keyed by qid: query vectors collected once on
     * the driver, shipped as a broadcast (NOT captured in the closure —
     * that would serialize them into every task binary); per row only
-    * (qid, codes) deserialize */
-  def distByQidUdf(queries: org.apache.spark.sql.DataFrame, metric: String)
+    * (qid, codes) deserialize. The caller passes the broadcast and owns
+    * its lifecycle (see QueryBroadcastLifecycle). */
+  def distByQidUdf(bc: org.apache.spark.broadcast.Broadcast[Map[Long, Array[Float]]],
+      metric: String)
       : org.apache.spark.sql.expressions.UserDefinedFunction = {
     val l = lo; val h = hi
     val cosine = metric == "cosine" || metric == "angular"
     val ip = metric == "ip" || metric == "dot"
-    val qVecs: Map[Long, Array[Float]] = queries
-      .select(col("qid").cast("long"), col("vector")).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
-    val bc = queries.sparkSession.sparkContext.broadcast(qVecs)
     udf { (qid: Long, codes: Array[Byte]) =>
       val q = bc.value(qid)
       var acc = 0.0; var dot = 0.0; var nq = 0.0; var nb = 0.0

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+/** Dedup-family semantics beyond plan shape (PlanQualitySpec covers the
+  * no-cartesian guarantees): the simhash pigeonhole contract at larger
+  * hamming radii, and the embedding near-dup approximate/exact contract. */
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  /** base texts plus 1-token mutations → a corpus dense in low-hamming
+    * fingerprint pairs (the regime the pigeonhole blocking must not miss) */
+  private lazy val mutatedDocs = {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron")
+    val bases = (0 until 25).map { i =>
+      (0 until 12).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val docs = bases.zipWithIndex.flatMap { case (t, i) =>
+      val toks = t.split(" ")
+      val mutated = toks.updated(rnd.nextInt(toks.length),
+        vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      Seq((2L * i, t), (2L * i + 1, mutated))
+    }
+    docs.toDF("doc_id", "text")
+  }
+
+  test("simhash pigeonhole holds for maxHamming 3, 8, 11 (exact pair parity)") {
+    // brute-force oracle over the same fingerprints
+    val fps = mutatedDocs.select(col("doc_id"),
+        Dedup.simhash(col("text")).as("fp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    for (mh <- Seq(3, 8, 11)) {
+      val expected = (for {
+        (a, fa) <- fps; (b, fb) <- fps
+        if a < b && java.lang.Long.bitCount(fa ^ fb) <= mh
+      } yield (a, b)).toSet
+      val got = Dedup.simhashDupPairs(mutatedDocs, "doc_id", "text", maxHamming = mh)
+        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected,
+        s"maxHamming=$mh: missing=${expected -- got} extra=${got -- expected}")
+      // regression guard for the ceil-chunk bug: mh>=8 used to silently
+      // drop chunks (mh=11) or key everything to one bucket (mh=8)
+      if (mh >= 8) assert(expected.nonEmpty, "test corpus must exercise the radius")
+    }
+  }
+
+  test("simhash chunking rejects out-of-range radii") {
+    intercept[IllegalArgumentException] {
+      Dedup.simhashDupPairs(mutatedDocs, "doc_id", "text", maxHamming = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.simhashDupPairs(mutatedDocs, "doc_id", "text", maxHamming = 64)
+    }
+  }
+
+  test("lshHashSizeFor scales with threshold and prunes at the requested sim") {
+    // monotone: higher similarity thresholds allow longer hashes
+    val h5 = Dedup.lshHashSizeFor(0.5, 32)
+    val h7 = Dedup.lshHashSizeFor(0.7, 32)
+    val h9 = Dedup.lshHashSizeFor(0.9, 32)
+    assert(h5 <= h7 && h7 <= h9, s"not monotone: $h5 $h7 $h9")
+    // t=0.9 must actually prune (the 3-bit candidate default does not)
+    assert(h9 >= 8, s"h(0.9)=$h9 barely prunes")
+    // recall arithmetic: miss prob at the threshold stays under target
+    for ((t, h) <- Seq((0.5, h5), (0.7, h7), (0.9, h9))) {
+      val p = math.pow(1.0 - math.acos(t) / math.Pi, h)
+      val miss = math.pow(1.0 - p, 32)
+      assert(miss <= 1e-3 + 1e-12, s"t=$t h=$h miss=$miss")
+    }
+  }
+
+  test("embeddingDupPairs (approx, auto hashSize) ≡ exact on gate embeddings") {
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    // the synthetic gate embeddings top out near cosine ~0.48 — the
+    // threshold must sit inside the populated regime to exercise recall
+    val t = 0.45
+    val exact = Dedup.embeddingDupPairsExact(e, "vec_id", "embedding", t)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Dedup.embeddingDupPairs(e, "vec_id", "embedding", t)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "gate data should contain near-dup embeddings")
+    // seeded and deterministic; at the 1e-3 per-pair miss budget the
+    // small gate pair set should reproduce exactly
+    assert(approx == exact,
+      s"missing=${exact -- approx} extra=${approx -- exact}")
+  }
+}
