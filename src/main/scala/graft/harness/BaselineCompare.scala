@@ -30,22 +30,26 @@ object BaselineCompare {
     "covertree" -> (1.0000, 34.40),
     "lsh" -> (0.3191, 172.98))
 
-  /** (name, indexer, searcher, params) mirroring the reference configs */
+  /** (name, indexer, searcher, params) mirroring the reference configs.
+    * Cheap-build algorithms run FIRST: the shared box's load swings
+    * several-fold, so if the overall budget squeezes anyone out it should
+    * be the two expensive driver-side builds (covertree, hnsw), after the
+    * fast rows have already landed in the artifact. */
   val algos: Seq[(String, String, String, Map[String, String])] = Seq(
     ("exact", "brute_force", "linear", Map.empty[String, String]),
+    ("lsh", "lsh", "lsh", Map("num_tables" -> "12", "hash_size" -> "4",
+      "bucket_width" -> "20.0", "candidate_multiplier" -> "64")),
+    ("ivf_flat", "ivf", "ivf", Map("nlist" -> "100", "nprobe" -> "10")),
+    ("ivf_sq8", "ivf_sq8", "ivf_sq8", Map("nlist" -> "256", "nprobe" -> "24")),
+    ("pq", "pq", "pq", Map("num_subspaces" -> "64", "num_centroids" -> "256")),
+    ("ivf_pq", "ivf_pq", "ivf_pq", Map("nlist" -> "256", "nprobe" -> "24",
+      "num_subspaces" -> "64", "num_centroids" -> "256")),
+    ("covertree", "covertree", "covertree", Map.empty[String, String]),
     // ef_search above the reference's 100: a JVM walk pays per-batch job
     // overhead, not per-hop SIMD, so the deeper beam buys recall parity
     // at ~zero wall cost here
     ("hnsw", "hnsw_global", "hnsw_global",
-      Map("m" -> "16", "ef_construction" -> "200", "ef_search" -> "256")),
-    ("ivf_flat", "ivf", "ivf", Map("nlist" -> "100", "nprobe" -> "10")),
-    ("ivf_pq", "ivf_pq", "ivf_pq", Map("nlist" -> "256", "nprobe" -> "24",
-      "num_subspaces" -> "64", "num_centroids" -> "256")),
-    ("ivf_sq8", "ivf_sq8", "ivf_sq8", Map("nlist" -> "256", "nprobe" -> "24")),
-    ("pq", "pq", "pq", Map("num_subspaces" -> "64", "num_centroids" -> "256")),
-    ("covertree", "covertree", "covertree", Map.empty[String, String]),
-    ("lsh", "lsh", "lsh", Map("num_tables" -> "12", "hash_size" -> "4",
-      "bucket_width" -> "20.0", "candidate_multiplier" -> "64")))
+      Map("m" -> "16", "ef_construction" -> "200", "ef_search" -> "256")))
 
   /** Per-algorithm wall budget. On overrun the algorithm's Spark job
     * group is canceled and its entry dropped — one wedged algorithm must
@@ -53,8 +57,13 @@ object BaselineCompare {
     * spark.stop(), which is how round 2 lost its BENCH artifact. */
   val perAlgoBudget: scala.concurrent.duration.FiniteDuration =
     scala.concurrent.duration.Duration(
-      sys.env.getOrElse("SPARK_GRAFT_BASELINE_ALGO_SEC", "75").toInt,
+      sys.env.getOrElse("SPARK_GRAFT_BASELINE_ALGO_SEC", "120").toInt,
       scala.concurrent.duration.SECONDS)
+
+  /** Overall stage budget: once elapsed time crosses this, remaining
+    * algorithms are skipped (with a log line) rather than started. */
+  val totalBudgetSec: Int =
+    sys.env.getOrElse("SPARK_GRAFT_BASELINE_TOTAL_SEC", "480").toInt
 
   def run(spark: SparkSession): Seq[Entry] = {
     import spark.implicits._
@@ -70,8 +79,19 @@ object BaselineCompare {
 
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
-    val out = algos.flatMap { case (name, in, se, params) =>
+    // dev filter: SPARK_GRAFT_BASELINE_ONLY=lsh,pq runs a subset
+    val only = sys.env.get("SPARK_GRAFT_BASELINE_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val stageStart = System.nanoTime()
+    val out = algos.filter(a => only.forall(_.contains(a._1)))
+      .flatMap { case (name, in, se, params) =>
       val group = s"baseline-$name"
+      val elapsed = (System.nanoTime() - stageStart) / 1e9
+      if (elapsed > totalBudgetSec) {
+        System.err.println(
+          f"[baseline] $name skipped: stage budget spent ($elapsed%.0fs > ${totalBudgetSec}s)")
+        None
+      } else
       try {
         System.err.println(s"[baseline] running $name ...")
         Await.result(Future {

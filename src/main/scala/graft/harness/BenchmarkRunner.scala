@@ -78,6 +78,9 @@ object BenchmarkRunner {
           Reports.onePageSummary(dsName, results))
         Reports.write(s"$outputDir/$dsName/qps_recall.svg",
           Reports.qpsRecallSvg(results))
+        if (Reports.emitOperationsPlot(dsName))
+          Reports.write(s"$outputDir/$dsName/operations_recall.svg",
+            Reports.operationsRecallSvg(results))
         summary.append(Reports.markdownSummary(dsName, results)).append("\n")
       } catch {
         case e: Exception =>

@@ -101,7 +101,17 @@ object Experiment {
     }
 
     // ---- search phase (timed, full materialization)
-    val searcher = Registry.searcher(spec.searcherName, spec.params, spec.metric)
+    // A10 wiring: searchers that count distance evaluations get a named
+    // accumulator; totals land in metrics as operations_per_query for the
+    // operations-vs-recall analysis (evaluation.py:78-120)
+    val ops = new graft.operators.OpCounters(spark)
+    val searcher = Registry.searcher(spec.searcherName, spec.params, spec.metric) match {
+      case s: graft.operators.CoverTreeSearcher =>
+        s.copy(counter = Some(ops.counter("ndis")))
+      case s: graft.operators.HnswGlobalSearcher =>
+        s.copy(counter = Some(ops.counter("ndis")))
+      case s => s
+    }
     val batchedTest =
       if (queryBatchSize > 0)
         test.repartition(math.max(1, math.ceil(nTest.toDouble / queryBatchSize).toInt))
@@ -165,9 +175,17 @@ object Experiment {
           })
     }
 
+    val opMetrics = {
+      val ndis = ops.snapshot.getOrElse("ndis", 0L)
+      if (ndis > 0 && totalQueries > 0)
+        Map("operations_per_query" -> ndis / totalQueries,
+          "distance_computations" -> ndis.toDouble)
+      else Map.empty[String, Double]
+    }
+
     Result(spec.name, nTrain, nTest, dim, topk, buildTime, totalQueryTime,
       qps, if (totalQueries > 0) totalQueryTime * 1000.0 / totalQueries else 0.0,
-      metrics, indexSource = indexSource, indexSizeMb = indexSizeMb,
+      metrics ++ opMetrics, indexSource = indexSource, indexSizeMb = indexSizeMb,
       runTimesS = runTimes)
   }
 

@@ -84,6 +84,58 @@ object Reports {
        |</svg>""".stripMargin
   }
 
+  /** S18 ops-metric resolution (reference evaluation.py:78-120): explicit
+    * operations_per_query, else distance counters normalized per query,
+    * else a time-derived proxy (ms/query) — returns (value, derived?). */
+  def operationsPerQuery(r: Experiment.Result): (Double, Boolean) =
+    r.metrics.get("operations_per_query") match {
+      case Some(v) if v > 0 => (v, false)
+      case _ => r.metrics.get("distance_computations") match {
+        case Some(v) if v > 0 && r.nTest > 0 => (v / r.nTest, false)
+        case _ => (math.max(1e-3, r.meanQueryTimeMs), true)
+      }
+    }
+
+  /** S18: operations-vs-recall scatter as raw SVG (log-y operations),
+    * matplotlib-parity of evaluation.py:200-276. Points whose ops count
+    * is a time-derived proxy are hollow, mirroring the reference's
+    * fallback annotation. */
+  def operationsRecallSvg(results: Seq[Experiment.Result],
+      w: Int = 640, h: Int = 420): String = {
+    val pts = results.filter(_.metrics.contains("recall"))
+      .map(r => (r, operationsPerQuery(r)))
+    if (pts.isEmpty) return s"""<svg xmlns="http://www.w3.org/2000/svg" width="$w" height="$h"/>"""
+    val vals = pts.map(_._2._1)
+    val maxO = math.max(1.0, vals.max)
+    val minO = math.max(1e-3, vals.min)
+    def x(rec: Double) = 60 + rec * (w - 100)
+    def y(o: Double) =
+      (h - 50) - (math.log10(o / minO) / math.max(1e-9, math.log10(maxO / minO))) * (h - 90)
+    val circles = pts.zipWithIndex.map { case ((r, (o, derived)), i) =>
+      val rec = r.metrics("recall")
+      val cx = "%.1f".format(x(rec)); val cy = "%.1f".format(y(o))
+      val fill = if (derived) "none" else s"hsl(${i * 47 % 360},60%,50%)"
+      val stroke = s"hsl(${i * 47 % 360},60%,40%)"
+      s"""<circle cx="$cx" cy="$cy" r="5" fill="$fill" stroke="$stroke"/>
+         |<text x="${"%.1f".format(x(rec) + 8)}" y="${"%.1f".format(y(o) + 4)}" font-size="11">${r.algorithm}</text>"""
+        .stripMargin
+    }.mkString("\n")
+    s"""<svg xmlns="http://www.w3.org/2000/svg" width="$w" height="$h">
+       |<rect width="$w" height="$h" fill="white"/>
+       |<text x="${w / 2}" y="20" text-anchor="middle" font-size="14">Operations per query vs Recall</text>
+       |<line x1="60" y1="${h - 50}" x2="${w - 40}" y2="${h - 50}" stroke="black"/>
+       |<line x1="60" y1="40" x2="60" y2="${h - 50}" stroke="black"/>
+       |<text x="${w / 2}" y="${h - 15}" text-anchor="middle" font-size="12">Recall</text>
+       |<text x="20" y="${h / 2}" font-size="12" transform="rotate(-90 20 ${h / 2})">ops/query (log)</text>
+       |$circles
+       |</svg>""".stripMargin
+  }
+
+  /** S18 trigger rule: the operations plot is emitted only for datasets
+    * whose name contains "glove" (experiment_runner.py:774-780). */
+  def emitOperationsPlot(datasetName: String): Boolean =
+    datasetName.toLowerCase.contains("glove")
+
   /** one-page summary (runner.py:523-662): ranked table + takeaways */
   def onePageSummary(dataset: String, results: Seq[Experiment.Result]): String = {
     val evaluated = results.filter(_.status != "build_only")

@@ -135,4 +135,35 @@ class HarnessSpec extends AnyFunSuite {
     assert(onePage.contains("Best recall: **exact**"))
     assert(onePage.contains("Best QPS: **lsh**"))
   }
+
+  test("S18: operations-vs-recall svg, resolution order, glove-only trigger") {
+    val counted = Experiment.Result("covertree", 100, 10, 8, 10, 0.1, 0.2, 50.0, 20.0,
+      Map("recall" -> 1.0, "operations_per_query" -> 420.0,
+        "distance_computations" -> 4200.0))
+    val derived = Experiment.Result("lsh", 100, 10, 8, 10, 0.1, 0.05, 200.0, 5.0,
+      Map("recall" -> 0.5))
+    // resolution: explicit per-query count wins; else time-derived proxy
+    assert(Reports.operationsPerQuery(counted) == ((420.0, false)))
+    assert(Reports.operationsPerQuery(derived) == ((5.0, true)))
+    val svg = Reports.operationsRecallSvg(Seq(counted, derived))
+    assert(svg.contains("<svg") && svg.contains("covertree") && svg.contains("lsh"))
+    assert(svg.contains("fill=\"none\""), "derived points must render hollow")
+    // glove-only trigger (experiment_runner.py:774-780)
+    assert(Reports.emitOperationsPlot("glove50"))
+    assert(!Reports.emitOperationsPlot("random"))
+  }
+
+  test("A10 wiring: covertree ndis lands in Result.metrics as ops/query") {
+    import spark.implicits._
+    val (train, test, gt) = graft.sources.RandomDataset.dataset(
+      spark, 200, 10, 8, 5, 42, "l2")
+    val res = Experiment.runAlgorithm(spark,
+      Experiment.AlgorithmSpec("covertree", "covertree", "covertree",
+        Map("seed" -> "42"), "l2"),
+      train, test, Some(gt), 5)
+    val ops = res.metrics.get("operations_per_query")
+    assert(ops.exists(_ > 0), s"expected positive ops/query, got $ops")
+    // exact search must beat brute force's 200 distance evals per query
+    assert(ops.exists(_ <= 200.0), s"covertree pruning should cap ops: $ops")
+  }
 }
