@@ -241,6 +241,12 @@ object SparkEntry {
       EventsStream.windowedAgg(Tables.load(s, dir, "events"), "1 hour")
         .select(col("window_start"), col("event_type"), col("n_events"),
           round(col("sum_value"), 4).as("sum_value"))),
+    // --- stateful streaming dedup (flatMapGroupsWithState), batch-mode
+    //     plan: first doc per normalized-text fingerprint survives ---
+    "st_dedup_stateful" -> ((s, dir) =>
+      EventsStream.dedupByFingerprint(
+          Tables.load(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"))),
     // --- streaming session windows per user ---
     "st_sessionize" -> ((s, dir) =>
       EventsStream.sessionize(Tables.load(s, dir, "events"), "30 minutes")
@@ -2930,6 +2936,12 @@ object SparkEntry {
       """SELECT 'hnsw_global' AS algorithm, count(*)::BIGINT AS n_queries,
         |       0.85::DOUBLE AS recall_floor
         |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
+    // stateful-dedup gate: grouping by normalized text ≡ grouping by its
+    // 64-bit fingerprint at gate scale (no collisions); first-seen wins
+    "st_dedup_stateful" ->
+      """SELECT min(doc_id)::BIGINT AS doc_id
+        |FROM documents
+        |GROUP BY regexp_replace(trim(lower(text)), '\s+', ' ', 'g')""".stripMargin,
     "a1_a6_metrics" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
         |           FROM embeddings WHERE vec_id % 50 = 0),

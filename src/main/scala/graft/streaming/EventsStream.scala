@@ -61,6 +61,64 @@ object EventsStream {
     (agg, q)
   }
 
+  /** Streaming exact-dedup by content fingerprint — the custom-state
+    * streaming tier (`flatMapGroupsWithState`): the FIRST document per
+    * fingerprint is emitted, every later duplicate (within and across
+    * micro-batches) is dropped via one boolean of keyed state.
+    *
+    * Scale design: state is one entry per DISTINCT fingerprint, sharded
+    * by the group key across executors — the streaming analog of the
+    * batch hash-groupBy dedup ([[graft.operators.Dedup.exactDedup]]).
+    * At corpus scale bound the state with `ttl` (processing-time
+    * timeout): an expired fingerprint re-admits later copies, trading
+    * exactness-within-horizon for bounded state — the standard knob for
+    * unbounded key domains.
+    *
+    * Works identically on a batch Dataset (Spark runs the same operator
+    * with empty initial state), so batch/stream share one definition. */
+  def dedupByFingerprint(docs: DataFrame, idCol: String, textCol: String,
+      ttl: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val keyed = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        graft.operators.TextAnalysis.fingerprint(col(textCol)).as("fp"),
+        col(textCol).as("text"))
+      .as[(Long, Long, String)]
+      .groupByKey(_._2)
+    val timeout =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    keyed.flatMapGroupsWithState[Boolean, (Long, Long, String)](
+        OutputMode.Append, timeout) {
+      (_: Long, rows: Iterator[(Long, Long, String)], state: GroupState[Boolean]) =>
+        if (state.hasTimedOut) { state.remove(); Iterator.empty }
+        else if (state.exists) Iterator.empty
+        else {
+          state.update(true)
+          ttl.foreach(state.setTimeoutDuration)
+          // first-seen within the batch: smallest doc_id wins, matching
+          // the batch exactDedup's min_by(orderCol) determinism
+          Iterator.single(rows.minBy(_._1))
+        }
+    }.toDF("doc_id", "fp", "text")
+  }
+
+  /** [[dedupByFingerprint]] as an incremental query over a file source,
+    * memory-sink for inspection */
+  def streamingDedup(spark: SparkSession, dir: String, schema: StructType,
+      idCol: String, textCol: String, queryName: String = "graft_stream_dedup")
+      : StreamingQuery = {
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    dedupByFingerprint(stream, idCol, textCol)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+  }
+
   /** sessionization via flatMapGroupsWithState-free session_window (the
     * built-in session window operator — gap-based sessions per user) */
   def sessionize(events: DataFrame, gap: String): DataFrame =

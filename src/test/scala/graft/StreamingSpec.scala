@@ -29,6 +29,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful streaming dedup drops duplicates across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF.toDF("doc_id", "text")
+    val q = EventsStream.dedupByFingerprint(docs, "doc_id", "text")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_dedup_spec").start()
+    try {
+      // batch 1: in-batch duplicate (1,2 same text; min doc_id wins)
+      mem.addData((2L, "the quick fox"), (1L, "The  quick fox"), (3L, "other"))
+      q.processAllAvailable()
+      val r1 = spark.sql("SELECT doc_id FROM graft_dedup_spec ORDER BY doc_id")
+        .as[Long].collect().toSeq
+      assert(r1 == Seq(1L, 3L), s"batch1: $r1")
+      // batch 2: cross-batch duplicate (4 repeats batch-1 text) + fresh doc
+      mem.addData((4L, "the quick fox"), (5L, "fresh"))
+      q.processAllAvailable()
+      val r2 = spark.sql("SELECT doc_id FROM graft_dedup_spec ORDER BY doc_id")
+        .as[Long].collect().toSeq
+      assert(r2 == Seq(1L, 3L, 5L), s"batch2: $r2")
+    } finally q.stop()
+  }
+
+  test("dedupByFingerprint batch mode ≡ exactDedup first-seen semantics") {
+    import spark.implicits._
+    val docs = Seq((2L, "a  b"), (1L, "A b"), (3L, "c"), (4L, "c"))
+      .toDF("doc_id", "text")
+    val got = EventsStream.dedupByFingerprint(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 3L))
+  }
+
   test("multimodal: features deterministic, frames cover payload") {
     val media = graft.operators.Multimodal.fromDocuments(
       Tables.load(spark, dir = "/root/testdata/sf0.001", name = "documents"),
