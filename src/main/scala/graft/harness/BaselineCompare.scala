@@ -46,8 +46,11 @@ object BaselineCompare {
     // matches-or-beats at equal nlist
     ("ivf_sq8", "ivf_sq8", "ivf_sq8", Map("nlist" -> "256", "nprobe" -> "32")),
     ("pq", "pq", "pq", Map("num_subspaces" -> "64", "num_centroids" -> "256")),
+    // residual=true is FAISS's own IVFPQ encoding (codes quantize
+    // v - centroid), the faithful comparison config
     ("ivf_pq", "ivf_pq", "ivf_pq", Map("nlist" -> "256", "nprobe" -> "32",
-      "num_subspaces" -> "64", "num_centroids" -> "256")),
+      "num_subspaces" -> "64", "num_centroids" -> "256",
+      "residual" -> "true")),
     ("covertree", "covertree", "covertree", Map.empty[String, String]),
     // ef_search above the reference's 100: a JVM walk pays per-batch job
     // overhead, not per-hop SIMD, so the deeper beam buys recall parity

@@ -131,7 +131,8 @@ object Registry {
           nlist = p.getOrElse("nlist", "64").toInt,
           numSubspaces = p.getOrElse("num_subspaces", "8").toInt,
           numCentroids = p.getOrElse("num_centroids", "256").toInt,
-          seed = p.getOrElse("seed", "42").toLong)
+          seed = p.getOrElse("seed", "42").toLong,
+          residual = p.getOrElse("residual", "false").toBoolean)
       }
       registerSearcher("ivf_pq") { (p, m) =>
         IvfPqSearcher(nprobe = p.getOrElse("nprobe", "8").toInt, metric = m)

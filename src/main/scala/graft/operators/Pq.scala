@@ -130,6 +130,12 @@ final case class PqModel(codebooks: Array[Array[Array[Float]]], dsub: Int)
     queries.select(col("qid").cast("long"), col("vector")).collect()
       .map(r => r.getLong(0) -> lut(r.getSeq[Float](1).toArray, metric)).toMap
 
+  /** collected (qid → vector) map for scorers that build LUTs lazily on
+    * the executor (residual IVF-PQ) */
+  def collectByQid(queries: DataFrame): Map[Long, Array[Float]] =
+    queries.select(col("qid").cast("long"), col("vector")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+
   /** ADC score over (qid, codes): Σ_j lut[j][code_j]. The LUT map rides
     * as a broadcast variable — in the closure it would serialize into
     * EVERY task binary (32 MiB at 256 queries × 64×256 doubles); as a

@@ -93,6 +93,27 @@ class AnnSpec extends AnyFunSuite {
     assert(r > 0.6, s"ivf_pq full-probe recall $r")
   }
 
+  test("residual IVF-PQ: full-probe ranking matches raw-encoded or better") {
+    // same config, both encodings; residual codes spend each subspace's
+    // codewords on the local residual geometry, so at equal bit budget
+    // the ADC ranking must not be worse (FAISS's default encoding)
+    val raw = IvfPqIndexer(nlist = 8, numSubspaces = 8, numCentroids = 32,
+      seed = 42).build(trainC)
+    val res = IvfPqIndexer(nlist = 8, numSubspaces = 8, numCentroids = 32,
+      seed = 42, residual = true).build(trainC)
+    assert(res.meta("residual") == "true" && raw.meta("residual") == "false")
+    val searcher = IvfPqSearcher(nprobe = 8, metric = "l2")
+    val rRaw = recallOf(searcher.search(raw, testQ, 10))
+    val rRes = recallOf(searcher.search(res, testQ, 10))
+    assert(rRes >= rRaw - 0.02, s"residual $rRes vs raw $rRaw")
+    assert(rRes > 0.6, s"residual ivf_pq full-probe recall $rRes")
+    // registry dispatch reaches the residual path
+    val viaReg = Registry.indexer("ivf_pq",
+      Map("nlist" -> "8", "num_subspaces" -> "8", "num_centroids" -> "32",
+        "seed" -> "42", "residual" -> "true"), "l2").build(trainC)
+    assert(viaReg.meta("residual") == "true")
+  }
+
   test("global multi-layer HNSW: high recall, build-once, reload-aligned") {
     val idx = HnswGlobalIndexer(m = 8, efConstruction = 64, metric = "l2",
       seed = 42).build(trainC)
