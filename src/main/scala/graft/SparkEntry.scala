@@ -122,6 +122,12 @@ object SparkEntry {
     "j3_lsh_pipeline" -> annRecall("lsh", "lsh", "lsh",
       Map("num_tables" -> "12", "hash_size" -> "4", "candidate_multiplier" -> "32"),
       "cosine", floor = 0.45),
+    // --- J4: E2LSH bucket-probe pipeline (L2): floor((p.v+b)/w) tuple
+    //     keys folded polynomially, same vote/cap/rerank relational plan;
+    //     planes+offsets are seeded deterministic data -> SQL-replicated ---
+    "j4_e2lsh_pipeline" -> annRecall("e2lsh", "lsh", "lsh",
+      Map("num_tables" -> "8", "hash_size" -> "4", "bucket_width" -> "4.0",
+        "candidate_multiplier" -> "32"), "l2", floor = 0.40),
     // --- J8: IVF partition-pruned probe ---
     "j8_ivf_probe" -> annRecall("ivf", "ivf", "ivf",
       Map("nlist" -> "16", "nprobe" -> "4"), "l2", floor = 0.55),
@@ -2942,6 +2948,133 @@ object SparkEntry {
       """SELECT min(doc_id)::BIGINT AS doc_id
         |FROM documents
         |GROUP BY regexp_replace(trim(lower(text)), '\s+', ' ', 'g')""".stripMargin,
+    // J4 E2LSH replicated in SQL like j3: seeded gaussian planes AND
+    // uniform offsets (java.util.Random(42), 8x4x64, w=4.0) embedded as
+    // literals; float-faithful dot products ((x*y)::REAL), floored
+    // buckets, the polynomial key fold key = ((b0*P+b1)*P+b2)*P+b3
+    // (P=1000003, |key| << 2^63 so BIGINT matches Long exactly),
+    // vote/cap/L2-rerank, recall vs exact GT.
+    "j4_e2lsh_pipeline" ->
+      """WITH planes(tbl, h, pl) AS (VALUES
+        |(0, 0, [1.1419053,0.91940796,-0.94986665,-1.1069903,0.28097764,0.6846228,-0.8172214,-1.3966434,-0.19094451,1.4862134,0.8023071,-0.12151293,1.4105062,-0.6402328,-1.2096444,0.3537577,-0.49034965,0.5507215,-1.203551,0.32101607,1.5511476,0.4385303,0.48159805,1.519631,-0.27683172,-0.08393898,1.255833,-0.3252728,-0.17329033,-1.8585851,1.4238069,-1.363726,-1.9646661,-0.91859484,-2.5488875,-1.6309607,-0.12200478,1.289159,-0.26913884,0.2574914,-0.31991437,-1.7684999,-0.48345032,-0.50999045,1.1166734,-0.040947203,-1.1076715,1.8623214,1.1457411,-1.0586772,1.0725992,-1.9317441,0.3010252,0.24752316,1.4061569,-1.5202208,0.27092943,0.56124926,-0.52982956,0.5390222,2.21234,-0.63293356,-1.883176,0.38656598]::REAL[]),
+        |(0, 1, [0.32582927,-0.9013043,-0.002680309,-0.47395927,-0.54797816,-0.019100148,1.6468164,-1.1070626,0.5938104,-0.15566462,0.6632873,1.2267934,0.88396984,0.22172454,0.9197021,-0.7393758,0.80351776,-0.25394174,-0.7638389,-1.8645568,-1.8613062,-0.5765999,-0.4089938,0.24846093,-0.48091295,0.44621205,-0.4465889,0.045638688,0.7045663,-0.27182403,0.08074878,1.2590965,0.7635098,1.7220811,0.14595005,-0.994663,0.20074962,0.8962364,1.5117192,-1.4034737,-1.9069697,1.3685654,-0.559673,0.74460816,1.5736656,1.1280434,-0.19208159,-2.2544937,0.43985185,0.6568003,-0.7449502,1.1994753,1.7797468,0.06740415,1.295064,-0.58267653,0.76886827,0.41766456,-0.46909225,0.41414818,0.66302276,0.86719465,0.29670087,0.32152307]::REAL[]),
+        |(0, 2, [2.2242954,0.8358482,-1.1933023,0.11880515,0.55804104,-1.9527105,1.4960554,-0.7625822,0.89517766,-0.1826709,0.92976344,-0.43748036,-0.10491094,-0.6114382,0.35276467,-1.1445166,-0.6538318,2.677097,0.15132171,1.8470372,0.44074333,0.8773091,0.9469807,-0.69977367,-2.3152072,0.094800204,0.1920371,-1.0081308,-2.1507173,1.6170416,0.54735094,1.6230097,0.3696693,1.2240527,0.87512094,-0.29000443,0.43333453,1.0069743,1.7830081,1.3568703,0.44593024,1.3915128,0.032955416,-0.80182487,-0.017182633,-1.3164854,-0.027818555,1.9719833,1.3758681,-1.2706898,0.2920338,1.5333192,0.10462043,-1.3131604,1.7799965,0.39525476,-0.50046283,-2.0407393,1.086929,-1.0408491,1.9616582,0.9258632,1.3616569,2.8896525]::REAL[]),
+        |(0, 3, [-0.49101368,-0.7101986,1.5704668,-0.8424085,-0.33193076,-1.6988477,-0.5311415,-2.587563,0.3015645,-1.1528053,-1.7133285,0.08131976,-1.3278612,0.6965862,-1.2876713,1.2509059,0.0125522,0.6566975,-1.321353,0.8149172,0.61104095,0.12348089,0.38840258,-0.5821272,0.43343568,-0.7960431,0.0639953,-0.7421111,1.1806636,0.9198186,1.2380052,-0.0708855,-0.56589603,1.0508212,0.94411653,-0.6911609,0.8859638,-2.5333714,0.41632038,0.4062904,0.84186167,-0.3480736,1.0703545,-0.23477691,0.1557264,0.66830957,0.36851215,0.097099334,-1.2388537,-0.2653297,-0.60313874,-0.14638329,1.8821104,1.8435869,-0.77437156,-0.15335007,0.1372088,-0.9119326,0.1906821,0.7232172,-0.43633628,-0.18091542,0.80377895,1.3862531]::REAL[]),
+        |(1, 0, [-0.34849292,1.0537138,0.04988928,1.3674486,0.26673916,0.027260168,-0.8305161,0.39806983,0.23473635,0.5199782,-0.22443649,0.95187896,-0.1536108,-1.1594658,0.9177144,-0.8937789,0.077611126,0.9697328,-0.41934183,-0.037735414,-0.47323003,-0.85537076,2.205183,-0.66502315,1.8022978,0.7233623,0.83436567,1.5078868,1.8732773,0.17565735,0.82304984,-1.064201,-1.3185016,0.39534023,0.29381594,0.90824544,0.039042428,0.41234463,-0.85727626,-0.40453556,0.9311183,0.44258368,-0.76406085,-1.0046799,1.1489059,0.58237356,-0.5201546,-0.94274586,-1.1920553,1.578016,1.6356236,0.9829002,-0.80200714,0.7028919,0.56728625,-1.0987394,-0.27559388,-1.4118258,0.1979111,-1.1248175,-0.43698686,0.38553774,-1.8919102,1.7424648]::REAL[]),
+        |(1, 1, [-0.31202272,0.58211184,-0.6334365,-0.1492018,-0.05736999,0.98360384,-0.1869009,-2.08269,-0.20208369,-1.1284105,-0.50273246,0.10121097,-0.7281547,-0.90409815,1.7114681,0.07125395,-0.53386426,0.16661367,0.006043533,0.37528643,0.5705074,1.5388314,2.7053251,0.72537476,-0.7094079,1.2062201,0.7686773,-1.1438981,0.3171178,0.96065944,-1.6097267,0.50507927,0.5597531,0.80192196,0.021637611,0.014730824,-0.5038,0.2470066,0.090334706,1.1542443,0.73116267,-1.7981107,0.5763067,1.0139308,-0.03306593,1.6079849,1.4417757,-0.022262115,-1.0228027,0.9625032,-0.96539193,-0.5667563,-0.35354325,-0.8305718,1.7736344,-0.04961288,-0.79600984,1.4538388,0.4728192,-0.72334695,-0.33057666,1.7535285,-1.3114457,-0.57376635]::REAL[]),
+        |(1, 2, [-0.82414275,-0.61035335,2.38223,-0.43710193,-0.8144601,-2.0368812,0.15789293,-1.9772673,0.6284728,-0.8293935,-1.4368079,0.32387498,-1.6328206,-1.1268798,0.4614917,-0.9490178,0.98100257,0.076214895,-2.1668916,0.62198925,-0.40088737,0.06683877,-1.3856146,-1.3346008,-1.1369321,0.08227182,0.6753996,-1.2204801,0.3643601,0.36679652,0.4202495,-0.80098283,0.38146576,0.015684871,0.15477474,0.91974723,1.3063258,1.0133315,0.122387774,-1.0648166,0.79428685,-0.24126299,-0.13010608,-0.6282955,0.35313526,-1.013086,-0.7972854,0.86701167,-0.83819324,-1.2974653,1.0274886,0.7489571,1.9913282,1.3823301,1.0785115,0.9778204,1.2596722,0.0065888786,1.2453074,-0.57544893,0.55758744,0.7728855,0.06482652,0.13659231]::REAL[]),
+        |(1, 3, [-0.462095,-2.3827059E-4,1.414465,-0.6953025,1.1935239,1.587308,0.5756964,0.9319408,-0.19255224,0.73576194,-0.7618477,-1.4761138,0.3855245,0.9551002,0.43418193,-0.71303433,0.7291061,0.7140485,0.1646725,0.6545959,0.9496842,1.5374349,0.11582717,1.2134252,0.36638013,-1.0237579,1.4068768,0.112674214,-0.8768156,1.8153486,-0.84493625,-0.6664403,0.7297172,-0.32806098,0.3753248,-1.1018261,0.7453755,0.096080564,-0.5979477,0.61031187,-2.0395582,-1.3213967,0.31625706,0.28532383,1.0480481,-0.33974603,-0.26203868,1.0626092,0.45096517,0.86400396,1.2982172,-0.06409809,0.60466206,1.3214992,1.2161407,-0.41379336,-2.065915,-0.5511291,-0.023591142,-1.1753969,0.026157098,0.8924236,-1.0139178,-0.50989693]::REAL[]),
+        |(2, 0, [-0.42563918,-0.9115563,0.32330683,-0.24102408,0.7201737,-0.48257357,1.7274693,-0.9636025,0.22320968,0.476848,0.5300888,0.8810354,-1.6436863,0.5878631,-0.9060511,0.7766036,-1.086184,0.59267575,-1.0061908,-2.1803586,1.2377214,-0.26750335,0.40384427,-1.060191,-1.7655029,-1.3991987,1.3296188,-0.61934936,0.086991884,-1.3741286,-0.7203411,-1.073385,-0.2541711,-0.61495596,0.38234076,0.053005617,-1.1090883,-1.3163748,1.0800232,-0.32063186,0.012690425,-0.49006343,0.47657287,-1.9092209,-0.9842191,1.5312023,0.36941165,-0.9647389,1.5200453,-1.1171633,1.0438013,-1.488996,0.3717334,-1.5907797,1.908014,1.3969177,-0.05546741,-0.03792636,-0.17385697,-0.09965271,0.26481992,0.31107658,-0.051595554,0.597137]::REAL[]),
+        |(2, 1, [0.8983801,-0.4155027,1.1114036,1.8066708,0.7131825,-0.4835196,0.34000313,0.15902527,-1.647532,-0.21045841,-0.64089507,-0.6492632,-0.53536415,0.27849177,-0.080395214,-0.30820873,0.7505158,1.2753073,1.9871554,-0.4157005,0.27419496,-0.57161766,1.6139575,0.4792802,-0.31345108,0.68881816,0.56126153,-0.7192497,-0.23883629,-0.8245601,-0.14678636,0.6171102,1.4875629,1.1695781,2.746488,-0.4097788,0.41167852,-1.3022133,0.39003485,0.8058092,0.906392,-1.6748418,0.28566805,0.41813222,0.39578557,-0.32112247,0.2694449,-0.22607793,0.66627747,-0.7736185,-0.62538016,-0.3018475,-0.33408052,1.3438357,-0.6179037,-1.1147497,0.44564307,0.7541264,-0.41587362,-0.66895217,-0.8638925,1.1517668,1.1312973,-0.9118383]::REAL[]),
+        |(2, 2, [-0.55142516,-2.3332508,-0.43140978,0.12134326,1.6341206,-0.21622881,0.00786879,0.8982653,0.1818816,0.2876715,0.19511464,-0.005225745,-0.80159277,1.4856964,0.73918986,1.4003674,1.060053,-1.5340832,1.0467391,0.19082855,-0.008106467,-1.3542943,0.31055138,0.19046435,-1.3602659,-0.31839752,0.97683036,-0.59998673,-0.9064709,0.9754792,0.008169875,-0.108325355,0.49660164,0.81747574,-0.50702405,0.82883984,0.66262704,0.22532192,-2.620033,0.051770724,-0.013297376,1.0915066,-0.7391172,0.5275154,-0.68426895,-1.7181525,0.28111538,1.2865392,-0.43460262,2.0047565,-0.07755306,0.2533868,-1.1007756,-0.93872607,-1.180138,-0.19564275,-1.3236336,0.613049,2.3134723,-1.1512216,-0.21176548,0.14130421,-0.096944936,1.5430846]::REAL[]),
+        |(2, 3, [-0.25316978,0.68324184,-0.8967571,-0.10470907,0.7968147,0.83374476,0.5801886,1.4385645,0.3466526,1.0136826,-0.4576116,0.5509097,-1.0972198,-0.21979496,-1.0740559,0.10204031,-0.9691674,-0.9043898,1.7838287,-0.32979882,0.11777096,0.5077338,-0.2809318,-0.5578324,1.0062048,0.30785447,-0.9700537,1.9974008,0.27126852,0.5642877,-0.06818794,0.96112204,-0.3044629,1.8474942,0.721655,0.033229284,0.79194766,1.674071,0.07074364,-2.2652466,-0.8621333,-1.9521874,-1.5112274,0.80415666,1.0489287,0.4526766,1.1567395,-0.7212525,0.26935157,1.1419201,-1.3110634,1.7871358,-0.5988638,0.22407228,1.0224267,-0.39441156,0.2810579,-1.0614908,-1.3631215,0.824204,-0.06329136,-0.04003545,-1.2864664,0.4575636]::REAL[]),
+        |(3, 0, [-1.6521605,0.47820246,0.92200786,-0.58907485,0.36146942,0.25161412,0.103210464,0.5618738,-0.77722293,-1.1055294,-0.18122107,0.18991472,-2.101159,1.0868812,1.061755,-0.16861014,0.102220505,-1.1532737,2.2631726,-1.131854,-0.5784802,-0.4016354,-0.09825855,0.581572,-1.3362157,-0.26468727,1.0008812,0.752079,1.1883428,1.4647707,0.987312,1.5280682,-0.6377051,-0.02355528,-0.44860727,0.24508342,0.034759104,-0.7668008,1.9368657,0.38672918,1.0279815,0.30251384,-0.87661994,-1.1188155,0.02932412,1.0538036,0.6949324,0.28516448,-1.0912304,0.45425266,-0.0685578,0.4845258,1.2791038,-0.8634731,-0.6557466,-0.486521,0.199132,0.2857669,0.6396476,-0.6264514,-1.9325874,0.9432993,-0.6812753,-1.2356576]::REAL[]),
+        |(3, 1, [0.46530083,0.40739307,0.8686724,-1.8601041,-0.82685804,0.35920995,0.87805605,0.049789626,-1.3509521,1.1382595,-0.78417444,0.5639877,-0.12574427,1.7376537,0.10896824,-0.6093433,-0.09727955,-0.6800524,-2.0755668,1.5875008,-0.5647691,0.97153807,-2.2065911,1.3082117,1.9003513,0.88946176,-0.73875713,1.3034518,0.27526417,-1.8368104,-0.9642602,-0.06623541,0.8180937,-0.64392936,-0.044620592,1.3774664,-0.7284816,-0.4138312,0.3242464,0.5079875,1.209334,0.26119784,0.7161847,-1.4988033,1.2386521,0.25932118,0.34347153,1.0449095,-0.1204401,0.8282711,-0.19898553,-0.3335438,-0.5895374,-0.76744646,-0.660835,-1.2708147,-0.07585337,-1.4504522,0.9192448,-0.5030785,1.401126,0.13469097,-1.6596352,-1.535141]::REAL[]),
+        |(3, 2, [-0.9755806,1.2881418,0.23677804,0.5841021,-0.031750914,-2.86503,-0.118807495,0.15944831,0.121203676,-0.09000155,-0.9117334,-1.753989,-0.540427,-1.7165782,0.59952813,-0.7947844,-2.1164794,0.50746685,-0.21220472,-0.097332604,0.6081862,0.3133186,0.52961624,0.071274005,-0.5778827,-0.49755716,-0.6434263,-0.5521543,0.6171821,-0.017695712,0.07041683,-1.2677649,0.871146,-0.20830616,-0.7610336,-0.38159904,0.48447323,-3.0960257,0.007509277,0.48805252,-0.8517418,1.9186175,1.7162682,0.28527692,-0.9004815,-0.8922192,0.6153806,-0.7850337,-0.43047935,-0.4004313,0.6226444,0.4009569,1.5804793,0.88181835,0.5660654,0.94244486,-1.5018033,-0.6118606,-0.78321207,-0.5407018,-0.6146224,-0.21707715,1.9697908,1.0478747]::REAL[]),
+        |(3, 3, [-0.40079144,-0.16732362,0.040423024,0.3571653,-0.9464834,-2.886061,-1.519172,0.4226132,0.6669779,-0.67469186,0.5903829,0.89456934,0.5910545,-2.6611392,-0.76157933,-1.5406681,0.7385589,-0.91030395,0.42765614,1.1566164,0.19138119,-0.67565304,0.3234987,0.3596937,2.4642496,0.28764915,-1.6543683,0.47625023,0.735359,1.813463,2.1232867,0.87736875,-0.049685456,-0.46573135,-0.6548038,-0.7600445,-0.48030743,0.3087329,-0.43904504,1.001838,-1.7047175,-0.6030398,1.807692,0.04866805,-0.8727912,-0.5352277,0.040051803,0.7243549,-0.48277652,-0.29926637,-1.0489018,0.1836232,-0.6832016,1.442804,1.475614,0.31687465,1.1326668,-2.1984024,0.6326266,-0.86450315,0.53273034,0.8862673,-0.15660465,-0.03826508]::REAL[]),
+        |(4, 0, [-0.03678217,0.76563925,-0.3833612,-0.63326275,0.61481005,0.91205084,0.85314155,0.98562586,-0.12574545,-0.9810826,-0.24556957,0.26295334,1.5668913,-0.29253736,0.47118005,-0.85789895,-0.70534116,0.7385325,1.058058,0.12855877,-0.695561,-0.82289803,-1.5876956,0.6684453,-0.2570684,-0.7577673,-0.87171614,1.8251622,-1.868335,0.38815033,-1.9269673,0.13404351,0.14820613,-0.011316324,0.3639212,1.2214248,0.623082,1.1140727,-0.119680405,-0.30423284,0.33916485,2.3118193,0.20676324,-0.4275573,1.3692468,0.27319178,-0.3904163,1.0886462,0.5293278,-0.12430166,-0.026092837,-1.6284006,-0.29190904,0.24834758,-0.60121393,-0.5483223,-0.3377935,-0.26972675,0.58397114,-0.66440433,0.3094509,0.52569646,-1.2606881,-1.1364609]::REAL[]),
+        |(4, 1, [-0.14160444,-0.20163405,0.6030491,-0.1588339,1.2968025,-0.29607114,1.8125132,-0.7648855,0.14150931,-1.5416578,1.1216403,-1.2966685,1.0779653,0.06685032,-1.3461938,-2.9467096,-1.4997902,-0.65809554,-0.1901475,-0.1868791,0.3237951,0.042969327,-0.6299883,-0.7081965,-1.2507809,0.15282188,2.0890088,0.2154894,0.19944747,-0.21069464,-0.16347541,-0.021297574,-0.07039539,1.1973907,0.5335724,-0.22400747,0.5574826,0.71510214,-0.045564048,-0.7992216,0.595249,1.1754309,-0.18878683,-0.713506,-0.41660413,0.7741486,-0.22200227,0.8236769,0.92788917,-2.0188959,-0.08022052,-0.9549477,0.37023544,-0.4184654,-1.0410959,1.5064873,0.20675789,-0.74934506,-0.34469345,-1.343803,-0.6354189,-0.12895645,0.45617628,-0.031864066]::REAL[]),
+        |(4, 2, [2.1360455,-0.24794394,0.6528697,-0.039207954,-0.28436208,0.85701656,-1.1627718,-0.5125842,0.26649806,-0.5976455,-0.0919686,-0.34506354,1.7383295,1.3768997,0.33931288,-2.0430312,-0.1676506,-1.1273874,-0.16346087,1.2822871,1.6266615,-0.9957345,1.4879346,-0.51247,0.35111833,0.24532889,-0.14244659,-0.3305641,-0.19414887,-0.2526901,1.3031899,0.22253516,0.82473165,-1.3081034,-0.7178295,-2.6099992,-0.15937658,1.0583805,1.2501647,0.74365443,1.9476674,0.4771471,-2.5861886,1.3209109,0.63625807,0.29873267,-2.3110585,-1.0117009,-0.19197492,0.6440874,-0.11205406,0.208244,-1.3984869,-2.675096,-0.0650913,-0.2767536,1.2386174,-1.01758,0.032399885,-1.7718678,0.77632546,-0.406733,0.70547205,0.7090013]::REAL[]),
+        |(4, 3, [1.0882368,-1.1389186,1.4540465,1.5815042,-1.3658966,-0.01990105,0.5126579,1.4819824,0.8790639,0.6783315,1.5198222,0.5139379,0.47654995,-1.4586544,0.031519655,-0.62322366,0.2154396,-1.8333793,0.229745,-0.26903388,-0.7766692,0.8978097,0.0017178523,0.5407992,-0.6246456,0.058384586,0.74789196,0.4358568,1.634621,1.6733943,0.4038024,1.0945624,-0.8124862,-0.09697466,-0.39493558,-0.5752413,-0.32270357,-0.08402372,-0.0033788297,0.032540638,-1.3160095,0.12751956,-0.24491923,1.0556587,-0.036037177,0.6612997,-0.8498139,2.0790129,0.67655057,-1.3164201,0.18009438,-0.8395128,1.6754833,-0.71384454,-1.4733123,1.2155578,0.48091695,-0.46689853,-0.4905288,-1.5366908,1.5757871,0.30824918,0.30642134,-0.06940412]::REAL[]),
+        |(5, 0, [2.0207863,-0.76218265,-0.92121524,0.63022816,-0.40192246,0.59289765,-0.67878574,0.71510124,0.5938164,-0.2518882,-1.5298381,-1.3494785,0.25981048,0.90779805,-0.6405588,-0.35551113,-0.65622294,-0.31633133,0.2932111,-1.4587903,0.84016293,1.2594714,-1.322323,-0.22717616,0.5724557,0.3274647,0.6717333,-0.962541,1.655065,-0.029440317,-0.875687,0.7563279,-0.22250134,-0.48888636,-0.35660213,0.8971863,-0.54040205,0.7811021,0.40626264,-0.37652194,-0.15922277,-0.64035296,-1.962302,-0.55850464,1.0743421,-0.009580064,2.2137012,0.033707634,1.0693337,0.8277506,0.011305681,-0.01480071,-0.12634002,0.042185348,1.2998371,-0.19280173,-1.1096427,1.5599638,1.3458121,0.9104294,-1.2652414,-0.7228522,-2.7578971,-0.4908208]::REAL[]),
+        |(5, 1, [0.36947682,-0.4193165,-1.0948279,2.8228998,-0.45150942,-1.2507597,-0.31409046,-0.20893073,0.21935534,-0.27084854,0.38769442,-0.11075365,2.4273503,-0.34197038,-0.6761027,-1.64968,-2.5436852,0.9560992,-0.72209424,-0.26605433,-0.98597515,1.6630937,-0.2838109,-0.49222326,0.3259572,-0.086272106,-1.2929617,0.307134,-1.7017668,0.28603584,-1.8122076,0.7211614,0.83046806,-0.83978564,-0.8038732,0.20821989,0.5187521,-0.8171345,-0.26715684,0.79536295,-0.17833306,-1.4014319,-0.76665986,0.53453743,0.3889015,-1.851105,-0.15481417,0.34180632,-1.8238999,-2.5759425,1.0750484,1.0339973,0.44492212,1.0253497,1.2283974,1.4043239,0.6107433,-0.45952192,-0.20628446,-1.6077722,-0.7866762,-1.9993546,-0.6847625,-0.45269948]::REAL[]),
+        |(5, 2, [-0.03926918,-1.2801263,0.9389616,0.9532576,0.21531937,-2.4069715,-0.53371984,-1.6193751,-1.0289994,0.3038354,0.49466842,-1.7409849,-0.09785956,0.5851981,-0.39423898,0.111242175,0.41321406,0.94176733,0.63469064,-1.0830138,1.1711501,1.9928232,-0.83627397,-0.5036252,-1.5285945,0.56810015,0.68039584,0.22462945,1.5669222,-0.24323788,0.5037234,-0.6536785,0.5723473,-0.356776,0.8047586,0.21760508,0.8717139,3.0779164,0.513355,0.3823857,1.6113216,-2.1093237,-0.13972552,1.1786196,1.4535441,0.051037982,0.8409685,-0.88196933,-0.67692393,1.2599431,-0.3975511,0.19904843,0.6491846,0.6162653,1.2742015,1.6261692,-2.149294,0.0408826,-0.56300104,-0.09657099,-1.1138593,0.09820784,-0.36586893,-1.9708605]::REAL[]),
+        |(5, 3, [-1.0172013,-0.10739625,-0.7717764,-0.09031486,1.0473819,-1.7848616,0.44410598,-1.249227,0.4520344,0.2639987,-1.8513007,0.62930924,-0.260542,0.3445649,0.5178679,-0.0066946372,-1.9336324,-2.6920288,-1.5848374,-0.039582282,-1.0038286,-0.8268288,2.5121703,-0.50733405,0.15877694,-0.33990127,-0.007350388,0.987027,-0.5930278,-0.20843236,0.43316168,0.6198604,0.64172435,0.627056,0.679976,0.7005882,0.84644365,-1.9250687,-0.95263714,0.5587027,-0.8783665,0.124943756,-0.7149976,-1.0762132,-0.36267072,1.5571635,0.9053461,-0.6903016,-0.76242894,-0.29907256,-1.6005151,-0.5386813,-0.30574685,0.8704279,0.9559865,0.5475303,-0.097224735,1.2539866,-0.9068516,-2.053627,-0.21673375,0.33708698,0.802123,0.042252332]::REAL[]),
+        |(6, 0, [-0.44609976,0.14027393,0.37788844,-0.016033312,0.4022007,-0.6698558,0.41598642,0.07538816,-1.2194812,0.57687455,-0.6488552,1.9042579,-0.6656092,-1.2111553,-0.07993756,0.96013075,0.30487925,0.044019487,0.2954766,0.0647965,-1.8347875,-0.12322256,-0.8368238,-0.03767446,-0.53936124,0.9312859,2.2494333,-0.5782759,-0.40598732,-0.8772893,-0.99099404,-0.9368763,0.22291619,1.387903,2.2172098,-1.0219223,0.18596628,0.21546014,-1.3071029,1.1738377,1.2872633,-0.045190953,0.9013378,0.30119765,0.1885608,1.7213106,-0.038241215,-0.8734868,-0.8743224,0.88706154,-0.113938384,-0.35698318,-1.0307337,0.0564999,0.3527484,-0.47978732,-0.85668314,-0.5921498,0.964196,1.7910713,-0.2259576,0.5255914,-0.6760451,1.3182644]::REAL[]),
+        |(6, 1, [-0.4796258,-0.11558204,0.37772208,-1.4643848,-1.3757209,-0.8737486,0.5518202,2.387738,-2.4035819,-0.899006,-0.010560739,-1.0034178,-0.31095353,0.4208907,0.5473446,-0.5578108,-0.7589877,0.18010706,-0.1960884,-1.4610246,-0.3638428,0.55631864,-0.10161762,0.079880215,-1.0386002,0.6649842,0.6378836,-0.6940691,-0.10986796,-0.8908545,-1.1800393,0.5693004,0.8013397,0.7544293,1.4602301,-0.19274594,-0.16738917,0.50063497,-0.25392073,1.682086,0.8960169,1.1576294,1.4249786,-0.37314433,3.2215884,0.1780884,0.56166047,0.8886529,0.6168854,1.7308326,-0.87121445,1.1150328,-0.4643228,-0.13018368,1.340675,-0.3372874,1.4239833,-1.1764975,-0.65344584,-0.6283273,-0.22990233,0.20521651,1.0323449,0.809308]::REAL[]),
+        |(6, 2, [1.6776825,0.22307722,-0.89997697,-0.61170226,-0.2617458,0.46046504,0.23044765,0.5911724,-1.6663405,0.9423332,0.4218831,-0.28277448,-1.1299067,-0.089194655,-0.88575906,0.108355835,-0.48048946,-0.42893863,1.2928613,-0.97875404,1.1269498,-0.106758006,-0.06392041,-0.5793846,-1.0139283,0.92678607,-1.2750009,0.16359821,1.3967563,-0.28335023,-0.49129358,0.26449913,1.2070631,0.51107615,-0.24853839,-1.3866533,0.27598125,-0.7161355,1.0468066,-0.6631181,-0.2196202,-1.1126841,0.06926225,-0.25495332,-0.3478766,-0.6466121,-1.2663275,-0.9003519,-1.1477455,-1.4410291,-1.8175625,-0.40172625,0.8018589,0.020649597,1.1703414,1.5096258,-2.0841768,-0.9966258,0.049005616,-0.25869375,-0.45426074,-0.5212379,1.7997789,-0.15262826]::REAL[]),
+        |(6, 3, [-0.92488897,1.3429806,-1.606025,-0.6899168,1.502739,-0.5049008,-1.7743243,1.2549864,0.5244354,0.5581584,-0.23867364,-0.26866645,0.25257012,-1.2259101,1.0287093,-1.1982101,-2.074786,-0.43033248,1.0536113,1.4369844,0.08735091,0.63552076,-0.91206545,-1.770182,0.65263236,1.6482116,0.5418579,-0.051042803,-0.94081587,-1.9099915,0.434618,-1.789054,-0.6952295,-1.0418179,0.8645906,1.2126513,-0.14931247,0.15160799,-0.28391752,-0.76571083,0.58927184,1.0304685,0.85414946,-0.5003128,-0.09515917,-0.29037443,-0.66089493,0.31345814,-1.2753495,1.3289922,-0.26760578,-1.2746266,-2.3385448,0.2944524,0.8212577,0.67934924,0.5967736,0.7128649,0.5745613,-0.51084495,-0.5215391,-1.1743221,1.1317667,-0.23917729]::REAL[]),
+        |(7, 0, [0.06305683,-2.1476984,1.3867191,0.13056198,-0.08684403,-0.70265424,0.30070367,-0.5627678,-0.22914322,-0.41974252,0.588714,0.04133307,-0.22668703,-1.516374,-0.92502743,-0.71376914,0.54893094,-0.14489916,2.4595137,0.15325603,0.58836156,0.38022244,-1.700186,0.8740797,-0.854797,1.5193825,-0.9609029,-0.26425242,-1.6544137,1.8745518,1.1515281,1.7577312,1.4296066,1.3300147,-0.08849664,1.6873788,0.29921356,1.3920287,0.8852703,0.85801685,-1.0615736,-0.69159806,-1.3130782,0.4610389,0.61283296,0.5772,1.7106155,-0.19495808,0.40587956,-0.34008518,0.91226923,-0.47059527,0.42773777,0.29134753,0.7339294,-0.47847643,0.7550542,0.4400196,-0.67544115,-0.57802576,2.6539266,0.2857918,-1.0365521,0.2407044]::REAL[]),
+        |(7, 1, [-0.556617,-1.0702306,-1.6733772,0.4798448,-0.09146408,-1.0096248,0.02805272,1.1414814,0.056253705,-0.11901822,0.40710637,-1.6597424,0.5583012,1.3154204,0.8050769,0.77868694,1.6495185,0.1581775,0.1671376,-1.4572237,-0.01643066,0.63570213,-1.1682646,0.193274,-0.42331114,1.1514955,-0.14274448,2.4057288,1.1012312,0.6771309,0.26375216,2.115423,1.4858509,0.7694225,-1.2280612,-1.9061155,-0.10350611,-0.31834143,1.013761,0.031322837,-0.07394022,-1.1894615,-0.7147238,-0.10364894,-0.68510526,1.1619759,1.609646,-0.04050761,1.3978249,-0.33020788,1.3130696,-0.122336045,0.059999432,1.8237989,1.6521257,0.8602108,-0.23168725,1.2682294,-1.6222003,0.73273486,0.7973442,1.3026732,0.6376914,0.43362543]::REAL[]),
+        |(7, 2, [-1.0339466,1.3006696,0.16007711,-2.0350895,-1.3088402,1.2246952,0.52632886,0.20416065,-0.3639984,-1.4656845,-1.8340564,0.41682035,-1.57247,-1.5633562,0.45428827,1.0911407,-1.9346927,-0.9030172,-0.009847258,1.029306,1.1766441,1.1765927,-1.9288701,-1.4887885,0.41514504,-0.21301793,0.35314104,-0.61532426,0.26587626,-1.202779,-0.17291205,1.371236,0.84378976,0.7890683,-0.2281121,-0.8867146,1.6937038,0.34827092,0.8024406,-0.026659632,1.4175771,-0.114869244,-0.034890514,1.400617,0.19675568,0.29503074,0.9415648,-0.64135474,-0.59059566,-0.21317054,1.2098185,-0.11089959,1.1851586,-0.8650561,-2.1445348,-0.14041926,-0.5315434,-0.9211766,-0.7771415,0.61875665,0.53951055,0.5090443,-0.13550426,0.2222063]::REAL[]),
+        |(7, 3, [-1.6573023,-1.8584775,-0.21526454,0.06632187,-0.32366976,-1.3056808,0.3241371,0.19980331,0.6413385,0.26166528,-0.17855604,-0.26761952,0.4463276,1.1344373,-0.46769515,0.32531247,-0.55206406,2.5291805,1.3044819,0.7159536,-0.50621533,-0.4703148,-1.1949838,-0.37426072,-1.5922945,-0.032291442,0.6001909,-0.1558946,1.1910053,0.8601205,0.42316464,-0.2827673,0.36852917,0.74597085,-1.2002157,-0.21139628,-1.8327159,-0.017875085,0.9340136,1.0863868,-0.14117368,-0.605964,-0.43329233,-0.31863254,0.06010809,-0.005990455,-0.46372506,0.3784556,-0.21690735,-0.20738699,-1.458674,-0.23507641,0.92521983,-1.5932279,-1.2049524,-0.177138,-1.5026863,-0.6762005,-0.51229817,0.8484876,1.5612814,1.6996258,-0.84498036,0.7791882]::REAL[])),
+        |offsets(tbl, h, off) AS (VALUES
+        |(0, 0, 1.4234696421363138::DOUBLE),
+        |(0, 1, 1.8741317678971625::DOUBLE),
+        |(0, 2, 1.5524648002775963::DOUBLE),
+        |(0, 3, 2.7311151109359777::DOUBLE),
+        |(1, 0, 0.9552994088556077::DOUBLE),
+        |(1, 1, 1.5859530426155075::DOUBLE),
+        |(1, 2, 0.4509297872000473::DOUBLE),
+        |(1, 3, 2.4575865646619994::DOUBLE),
+        |(2, 0, 0.911998505219473::DOUBLE),
+        |(2, 1, 0.6081033856341587::DOUBLE),
+        |(2, 2, 1.737132236478534::DOUBLE),
+        |(2, 3, 2.552845110938633::DOUBLE),
+        |(3, 0, 2.0609227953061966::DOUBLE),
+        |(3, 1, 1.3703874026561498::DOUBLE),
+        |(3, 2, 2.499008411801439::DOUBLE),
+        |(3, 3, 3.430404765360292::DOUBLE),
+        |(4, 0, 3.9313771479301773::DOUBLE),
+        |(4, 1, 1.357887475247233::DOUBLE),
+        |(4, 2, 0.5388206670994773::DOUBLE),
+        |(4, 3, 1.0185016421224833::DOUBLE),
+        |(5, 0, 3.5605340506694705::DOUBLE),
+        |(5, 1, 3.7334819916711983::DOUBLE),
+        |(5, 2, 2.1328409561219264::DOUBLE),
+        |(5, 3, 3.0672297553613586::DOUBLE),
+        |(6, 0, 0.7600770280233209::DOUBLE),
+        |(6, 1, 1.6931543855300553::DOUBLE),
+        |(6, 2, 3.6814500805617936::DOUBLE),
+        |(6, 3, 3.4121623622214887::DOUBLE),
+        |(7, 0, 1.417363571818139::DOUBLE),
+        |(7, 1, 0.8149593279976735::DOUBLE),
+        |(7, 2, 2.452898500432594::DOUBLE),
+        |(7, 3, 2.8479014377800493::DOUBLE)),
+        |b AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+        |qids AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id % 50 = 0),
+        |dots AS (
+        |  SELECT b.id, p.tbl, p.h,
+        |    list_sum(list_transform(list_zip(p.pl, b.v),
+        |      x -> ((x[1]::DOUBLE * x[2]::DOUBLE)::REAL)::DOUBLE)) AS dot
+        |  FROM b, planes p),
+        |buck AS (
+        |  SELECT d.id, d.tbl, d.h, floor((d.dot + o.off) / 4.0)::BIGINT AS bk
+        |  FROM dots d JOIN offsets o ON d.tbl = o.tbl AND d.h = o.h),
+        |keys AS (
+        |  SELECT id, tbl,
+        |    ((sum(CASE WHEN h=0 THEN bk END)*1000003
+        |      + sum(CASE WHEN h=1 THEN bk END))*1000003
+        |      + sum(CASE WHEN h=2 THEN bk END))*1000003
+        |      + sum(CASE WHEN h=3 THEN bk END) AS key
+        |  FROM buck GROUP BY id, tbl),
+        |qkeys AS (SELECT k.id AS qid, k.tbl, k.key FROM keys k JOIN qids ON k.id = qids.qid),
+        |votes AS (
+        |  SELECT qk.qid, k.id, count(*) AS votes
+        |  FROM qkeys qk JOIN keys k ON qk.tbl = k.tbl AND qk.key = k.key
+        |  GROUP BY qk.qid, k.id),
+        |capped AS (
+        |  SELECT qid, id FROM (
+        |    SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY votes DESC, id) AS rn
+        |    FROM votes) t WHERE rn <= 320),
+        |bv AS (SELECT vec_id AS id, embedding::DOUBLE[] AS dv FROM embeddings),
+        |cd AS (
+        |  SELECT c.qid, c.id,
+        |    sqrt(list_sum(list_transform(list_zip(qb.dv, rb.dv), p -> (p[1]-p[2])*(p[1]-p[2])))) AS dist
+        |  FROM capped c JOIN bv qb ON c.qid = qb.id JOIN bv rb ON c.id = rb.id),
+        |pred AS (
+        |  SELECT qid, list(id ORDER BY rn) AS pred FROM (
+        |    SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn
+        |    FROM cd) t WHERE rn <= 10 GROUP BY qid),
+        |gtd AS (
+        |  SELECT q.id AS qid, r.id,
+        |    sqrt(list_sum(list_transform(list_zip(q.dv, r.dv), p -> (p[1]-p[2])*(p[1]-p[2])))) AS dist
+        |  FROM bv q JOIN qids ON q.id = qids.qid, bv r),
+        |gt AS (
+        |  SELECT qid, list(id ORDER BY rn) AS gt FROM (
+        |    SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn
+        |    FROM gtd) t WHERE rn <= 10 GROUP BY qid),
+        |per AS (
+        |  SELECT g.qid,
+        |    len(list_intersect(g.gt, p.pred))::DOUBLE / len(g.gt) AS recall,
+        |    coalesce(1.0 / (SELECT min(pos) FROM (
+        |      SELECT unnest(p.pred) AS pid, generate_subscripts(p.pred, 1) AS pos) u
+        |      WHERE list_contains(g.gt, pid)), 0.0) AS rr
+        |  FROM gt g LEFT JOIN pred p ON g.qid = p.qid)
+        |SELECT 'e2lsh' AS algorithm, count(*) AS n_queries,
+        |  round(avg(recall), 4) AS recall_10, round(avg(rr), 4) AS mrr_10
+        |FROM per
+        |HAVING round(avg(recall), 4) >= 0.40""".stripMargin,
     "a1_a6_metrics" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
         |           FROM embeddings WHERE vec_id % 50 = 0),

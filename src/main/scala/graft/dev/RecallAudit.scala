@@ -23,6 +23,9 @@ object RecallAudit {
     val cases = Seq(
       ("lsh", Map("num_tables" -> "12", "hash_size" -> "4",
         "candidate_multiplier" -> "32"), "cosine"),
+      // j4 E2LSH gate config
+      ("lsh", Map("num_tables" -> "8", "hash_size" -> "4",
+        "bucket_width" -> "4.0", "candidate_multiplier" -> "32"), "l2"),
       ("ivf", Map("nlist" -> "16", "nprobe" -> "4"), "l2"),
       ("pq", Map("num_subspaces" -> "16", "num_centroids" -> "64"), "l2"),
       ("ivf_sq8", Map("nlist" -> "16", "nprobe" -> "8"), "l2"),
