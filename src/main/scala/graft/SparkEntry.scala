@@ -190,6 +190,16 @@ object SparkEntry {
       Dedup.jaccardSimilarityJoinPrefix(Tables.load(s, dir, "documents"),
           "doc_id", "text", "lang", threshold = 0.9)
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))),
+    // --- connected components over the jaccard dup-pair graph: the
+    //     cluster-aware retention unit (min-reachable-id label per doc;
+    //     singletons label themselves). Neighbor-min + pointer-jumping
+    //     equi-join rounds — no driver-side graph ---
+    "dedup_components" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = Dedup.jaccardSimilarityJoinPrefix(docs, "doc_id", "text",
+        "lang", threshold = 0.9)
+      Dedup.componentLabels(docs, "doc_id", pairs)
+    }),
     // --- MinHash-LSH near-dup pipeline (splitmix64-seeded → no SQL
     //     oracle); self-validating: the row vanishes unless dup pairs were
     //     found, every verified jaccard clears the threshold, and the
@@ -2942,6 +2952,27 @@ object SparkEntry {
       """SELECT 'hnsw_global' AS algorithm, count(*)::BIGINT AS n_queries,
         |       0.85::DOUBLE AS recall_floor
         |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
+    // components = min reachable id over the same jaccard pair graph the
+    // dedup_jaccard_pairs oracle defines, via a recursive transitive
+    // closure (fine at gate scale; the Spark side is the scalable
+    // pointer-jumping formulation)
+    "dedup_components" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, lang,
+        |    list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS toks
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT l.doc_id AS a, r.doc_id AS b
+        |  FROM t l JOIN t r ON l.lang = r.lang AND l.doc_id < r.doc_id
+        |  WHERE len(list_intersect(l.toks, r.toks))::DOUBLE
+        |      / len(list_distinct(list_concat(l.toks, r.toks))) >= 0.9),
+        |edges AS (SELECT a AS src, b AS dst FROM pairs
+        |          UNION SELECT b AS src, a AS dst FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        |SELECT src::BIGINT AS doc_id, min(dst)::BIGINT AS component
+        |FROM reach GROUP BY src""".stripMargin,
     // stateful-dedup gate: grouping by normalized text ≡ grouping by its
     // 64-bit fingerprint at gate scale (no collisions); first-seen wins
     "st_dedup_stateful" ->

@@ -157,6 +157,82 @@ object Dedup {
   def dropNearDups(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
     df.join(pairs.select(col("b").as(idCol)).distinct(), Seq(idCol), "left_anti")
 
+  /** Connected components over an undirected dup-pair relation (a, b):
+    * every node labeled with the minimum id reachable from it. This is
+    * the principled near-dedup retention unit — pairwise b-side dropping
+    * mishandles transitive chains (a~b, b~c, a≁c drops BOTH b and c even
+    * though keeping c's cluster-mate a already covers it; worse, chains
+    * can drop every member of a cluster except one arbitrary endpoint).
+    *
+    * Scale shape: per iteration (1) neighbor-min — each node takes the
+    * min label in its closed neighborhood (one equi-join + groupBy/min,
+    * map-side combinable), then (2) pointer-jumping — label := label of
+    * label (self-join), which collapses chains geometrically, so rounds
+    * ≈ log(diameter), not diameter. All joins are plain equi-joins on
+    * ids; no driver-side graph. Dup clusters are near-cliques, so this
+    * converges in 2-3 rounds in practice; `maxIter` is a safety bound
+    * checked with a driver-side changed-count per round (one count
+    * action over a slim (id, label) relation). */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 15): DataFrame = {
+    val undirected = pairs
+      .select(col("a").cast("long").as("src"), col("b").cast("long").as("dst"))
+      .union(pairs.select(col("b").cast("long").as("src"), col("a").cast("long").as("dst")))
+    // self-loops make the per-round join a CLOSED-neighborhood min in one
+    // equi-join + groupBy — no in-loop union of `comp` with a plan that
+    // already contains `comp` (which trips Catalyst's Union constraint
+    // rewrite on the shared checkpoint attributes)
+    val ids = undirected.select(col("src").as("id")).distinct()
+    val edges = undirected
+      .union(ids.select(col("id").as("src"), col("id").as("dst")))
+      .distinct().cache()
+    // localCheckpoint (not cache) each round: comp feeds the next round's
+    // plan TWICE (neighbor-min + jump), so with cache the analyzed plan
+    // grows ~4× per iteration and Catalyst analysis wedges after a handful
+    // of rounds — checkpointing truncates the lineage to a constant-size
+    // LogicalRDD. (Reliable-checkpoint dir is the cluster-grade variant.)
+    var comp = ids.withColumn("comp", col("id")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // (1) closed-neighborhood min (self-loops supply each node's own label)
+      val nbrMin = edges
+        .join(comp.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min("comp").as("comp"))
+        .localCheckpoint()
+      // (2) pointer jump: comp := comp(comp) — a LogicalRDD self-join
+      val next = nbrMin
+        .join(nbrMin.select(col("id").as("comp"), col("comp").as("cc")), Seq("comp"))
+        .select(col("id"), col("cc").as("comp"))
+        .localCheckpoint()
+      nbrMin.unpersist() // next is materialized; free the intermediate blocks
+      val changed = next.as("n").join(comp.as("o"), Seq("id"))
+        .filter(col("n.comp") =!= col("o.comp")).limit(1).count()
+      comp.unpersist()
+      comp = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    comp
+  }
+
+  /** All-docs component labeling: docs untouched by any pair keep their
+    * own id as the component (singleton clusters). */
+  def componentLabels(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val comp = connectedComponents(pairs)
+    df.select(col(idCol).cast("long").as("id"))
+      .join(comp, Seq("id"), "left")
+      .select(col("id").as(idCol), coalesce(col("comp"), col("id")).as("component"))
+  }
+
+  /** Cluster-aware near-dedup: keep exactly ONE doc (the min-id member)
+    * per connected component of the dup-pair graph. */
+  def keepCanonicalPerComponent(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val labels = componentLabels(df.select(col(idCol)), idCol, pairs)
+      .filter(col(idCol) =!= col("component"))
+    df.join(labels.select(col(idCol)), Seq(idCol), "left_anti")
+  }
+
   // --------------------------------------------------------------- simhash
   /** 64-bit SimHash over word tokens (Charikar '02): per-bit vote =
     * Σ_token (bit ? 1 : −1), fingerprint bit = vote > 0. One tight UDF

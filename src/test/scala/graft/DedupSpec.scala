@@ -75,6 +75,48 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents ≡ union-find oracle on random graphs") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 0 until 3) {
+      val n = 60
+      val edges = (0 until 80).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+        .distinct
+      // driver union-find oracle
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => v -> {
+          // component = min id within the component among graph nodes
+          val r = find(v.toInt)
+          edges.flatMap(e => Seq(e._1, e._2)).distinct
+            .filter(u => find(u.toInt) == r).min
+        }).toMap
+      val pairsDf = edges.toDF("a", "b")
+      val got = Dedup.connectedComponents(pairsDf)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial: ${got.toSeq.diff(expected.toSeq)}")
+    }
+  }
+
+  test("keepCanonicalPerComponent retains one doc per transitive chain") {
+    // chain 1~2, 2~3 (1 and 3 not paired): pairwise b-dropping removes
+    // both 2 and 3; cluster-aware retention keeps exactly the min id
+    val docs = Seq((1L, "x"), (2L, "x"), (3L, "x"), (9L, "solo"))
+      .toDF("doc_id", "text")
+    val chain = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val kept = Dedup.keepCanonicalPerComponent(docs, "doc_id", chain)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 9L), s"kept $kept")
+    val labels = Dedup.componentLabels(docs, "doc_id", chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 9L))
+  }
+
   test("embeddingDupPairs (approx, auto hashSize) ≡ exact on gate embeddings") {
     val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     // the synthetic gate embeddings top out near cosine ~0.48 — the
