@@ -13,11 +13,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Own the scratch dir: round 2's artifact was lost to a shutdown-time
+    // stack trace from a failed /tmp blockmgr delete landing in the output
+    // tail. A per-run dir under target/ is deletable by this process and
+    // leaves nothing behind for the next run to trip on.
+    val localDir = s"target/spark-local-${ProcessHandle.current().pid()}"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", localDir)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
@@ -72,15 +78,33 @@ object Bench {
           System.err.println(s"[baseline] skipped: ${e.getMessage}")
           "{}"
         }
+    val artifact =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"baseline":$baseline,"sf":"$sfDir"}"""
+    // Forensic copy on disk, independent of stdout capture windows.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/bench_last.json"), artifact + "\n")
+    catch { case _: Throwable => () }
     // Stop BEFORE printing the artifact line: a noisy shutdown (e.g. a
     // blockmgr temp-dir delete failing under /tmp) must never land its
     // stack trace after the JSON line — the driver reads the output TAIL,
-    // and round 2 lost its artifact exactly that way.
+    // and round 2 lost its artifact exactly that way. Belt and braces:
+    // silence ALL logging first so a shutdown hiccup can't print at all.
+    spark.sparkContext.setLogLevel("OFF")
     try spark.stop()
     catch { case e: Throwable =>
       System.err.println(s"[bench] spark.stop failed (ignored): ${e.getMessage}")
     }
+    // best-effort scratch cleanup (quietly; logging is already off)
+    try {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      val root = Path.of(localDir)
+      if (Files.exists(root))
+        Files.walk(root).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => { try Files.deleteIfExists(p) catch { case _: Throwable => () }; () })
+    } catch { case _: Throwable => () }
     System.err.flush()
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"baseline":$baseline,"sf":"$sfDir"}""")
+    println(artifact)
+    System.out.flush()
   }
 }
