@@ -174,9 +174,24 @@ object Dedup {
     * checked with a driver-side changed-count per round (one count
     * action over a slim (id, label) relation). */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 15): DataFrame = {
-    val undirected = pairs
-      .select(col("a").cast("long").as("src"), col("b").cast("long").as("dst"))
-      .union(pairs.select(col("b").cast("long").as("src"), col("a").cast("long").as("dst")))
+    // `pairs` is typically an expensive similarity join; scan it ONCE.
+    // explode-to-both-directions (instead of union of two selects) keeps it
+    // a single pass, and the immediate localCheckpoint pins the slim edge
+    // relation so ids / self-loop edges / every iteration below reuse the
+    // materialized rows instead of re-running the upstream join (the naive
+    // plan re-evaluated it ~5×: 2 union branches × 2 consumers + comp init).
+    val verbose = sys.env.contains("GRAFT_CC_VERBOSE")
+    def tick[T](tag: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      if (verbose) System.err.println(f"[cc] $tag%-12s ${(System.nanoTime() - t0) / 1e9}%6.2fs")
+      r
+    }
+    val undirected = tick("edges")(pairs
+      .select(explode(array(
+        struct(col("a").cast("long").as("src"), col("b").cast("long").as("dst")),
+        struct(col("b").cast("long").as("src"), col("a").cast("long").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .localCheckpoint())
     // self-loops make the per-round join a CLOSED-neighborhood min in one
     // equi-join + groupBy — no in-loop union of `comp` with a plan that
     // already contains `comp` (which trips Catalyst's Union constraint
@@ -190,23 +205,23 @@ object Dedup {
     // grows ~4× per iteration and Catalyst analysis wedges after a handful
     // of rounds — checkpointing truncates the lineage to a constant-size
     // LogicalRDD. (Reliable-checkpoint dir is the cluster-grade variant.)
-    var comp = ids.withColumn("comp", col("id")).localCheckpoint()
+    var comp = tick("init")(ids.withColumn("comp", col("id")).localCheckpoint())
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
       // (1) closed-neighborhood min (self-loops supply each node's own label)
-      val nbrMin = edges
+      val nbrMin = tick(s"nbrMin $iter")(edges
         .join(comp.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min("comp").as("comp"))
-        .localCheckpoint()
+        .localCheckpoint())
       // (2) pointer jump: comp := comp(comp) — a LogicalRDD self-join
-      val next = nbrMin
+      val next = tick(s"jump $iter")(nbrMin
         .join(nbrMin.select(col("id").as("comp"), col("comp").as("cc")), Seq("comp"))
         .select(col("id"), col("cc").as("comp"))
-        .localCheckpoint()
+        .localCheckpoint())
       nbrMin.unpersist() // next is materialized; free the intermediate blocks
-      val changed = next.as("n").join(comp.as("o"), Seq("id"))
-        .filter(col("n.comp") =!= col("o.comp")).limit(1).count()
+      val changed = tick(s"changed $iter")(next.as("n").join(comp.as("o"), Seq("id"))
+        .filter(col("n.comp") =!= col("o.comp")).limit(1).count())
       comp.unpersist()
       comp = next
       converged = changed == 0
