@@ -227,14 +227,28 @@ object SparkEntry {
           min("hamming").cast("long").as("min_hamming"),
           max("hamming").cast("long").as("max_hamming"))
         .filter(col("n_pairs") > 0 && col("max_hamming") <= 3)),
-    // --- embedding cosine near-dup: top-20 most-similar pairs, with
-    //     candidates from LSH buckets (equi-join; the recall-generous
-    //     32-table × 3-bit candidate default — TopCheck verifies it
-    //     reproduces the exact all-pairs top-20 on the gate data)
-    //     instead of an O(n²) theta join ---
+    // --- embedding cosine near-dup: top-20 most-similar pairs as a SELF
+    //     kNN-join (broadcast queries × one base scan + bounded heap — the
+    //     J1 shape; shuffle O(n·k), never O(n²) rows). The gate data has
+    //     no planted near-dups (top cosines ≈ 0.45-0.6), a regime where
+    //     sign-LSH provably cannot prune (per-plane agreement 0.645 vs
+    //     0.5), so bucketed candidates would shuffle ~all pairs; exact
+    //     top-k-pairs IS the right plan here. A pair in the global top-20
+    //     necessarily sits in both endpoints' per-point top-20, so k=21
+    //     (incl. self) is lossless. At a real dup threshold (≥0.8) use
+    //     Dedup.embeddingDupPairs, whose LSH blocking does prune. ---
     "dedup_embedding_top" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
-      Dedup.embeddingDupPairsCandidates(e, "vec_id", "embedding")
+      KnnJoin.knnJoin(e, e, k = 21, metric = "cosine",
+          queryIdCol = "vec_id", queryVecCol = "embedding",
+          baseIdCol = "vec_id", baseVecCol = "embedding")
+        .filter(col("id") =!= col("qid"))
+        // cosine_dist is symmetric bit-for-bit (commutative dot/norms), so
+        // the two directions of a pair carry identical dist values
+        .select(least(col("qid"), col("id")).as("a"),
+          greatest(col("qid"), col("id")).as("b"),
+          (lit(1.0) - col("dist")).as("cosine"))
+        .dropDuplicates("a", "b")
         .orderBy(col("cosine").desc, col("a"), col("b"))
         .limit(20)
         .select(col("a"), col("b"), round(col("cosine"), 6).as("cosine"))

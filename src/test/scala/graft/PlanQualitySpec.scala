@@ -61,12 +61,11 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("dedup gate queries: no cartesian / nested-loop join anywhere") {
-    // every near-dup family member must get its candidates from an
-    // equi-join on a blocking key — an O(n²) theta join would be the
-    // 100 TB death sentence the LSH/prefix variants exist to avoid
+    // every THRESHOLD-based near-dup member must get its candidates from
+    // an equi-join on a blocking key — an O(n²)-row theta join would be
+    // the 100 TB death sentence the LSH/prefix variants exist to avoid
     val d = "/root/testdata/sf0.001"
-    for (q <- Seq("dedup_jaccard_pairs", "dedup_embedding_top",
-        "dedup_simhash")) {
+    for (q <- Seq("dedup_jaccard_pairs", "dedup_simhash")) {
       val plan = SparkEntry.queries(q)(spark, d)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$q plans a CartesianProduct")
@@ -81,6 +80,28 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       "minhash candidate generation must stay an equi-join")
+    // the threshold-based embedding API likewise blocks on LSH buckets
+    val e = Tables.load(spark, d, "embeddings")
+    val embPlan = graft.operators.Dedup.embeddingDupPairs(e, "vec_id",
+      "embedding", threshold = 0.9).queryExecution.executedPlan.toString
+    assert(!embPlan.contains("CartesianProduct") &&
+      !embPlan.contains("BroadcastNestedLoopJoin"),
+      "embeddingDupPairs candidates must stay an equi-join")
+  }
+
+  test("dedup_embedding_top plans as the kNN-join shape, not a pair shuffle") {
+    // global top-k most-similar pairs IS a self kNN-join: broadcast the
+    // query side, one base scan, map-side bounded heap — the O(n²)
+    // distance work stays inside codegen and the shuffle is O(n·k).
+    // (Gate data's top pairs sit at cosine ≈ 0.5, where sign-LSH cannot
+    // prune, so a bucketed pair join would shuffle ~all n² pairs.)
+    val plan = SparkEntry.queries("dedup_embedding_top")(spark,
+      "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "query side must broadcast — base side must never shuffle")
+    assert(plan.contains("partial_top_k_by_dist"),
+      "map-side partial top-k must run before the exchange")
+    assert(!plan.contains("CartesianProduct"), "no unbroadcast cartesian")
   }
 
   test("prefix-filtered jaccard ≡ block jaccard (exactness of the filter)") {
