@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Algorithm, Dedup, KnnJoin, Metrics, Multimodal, Registry, TextAnalysis}
+import graft.operators.{Algorithm, Dedup, KnnJoin, Metrics, Multimodal, Registry, Sampling, TextAnalysis}
 import graft.streaming.EventsStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -265,6 +265,21 @@ object SparkEntry {
     "text_langid" -> ((s, dir) =>
       Tables.load(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.langIdHeuristic(col("text")).as("lang_pred"))),
+    // --- Gopher-style repetition signals (boilerplate/spam filter
+    //     inputs): one shuffle-free UDF pass per document ---
+    "text_repetition" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.repetitionStats(col("text")).as("r"))
+        .select(col("doc_id"),
+          round(col("r.top_word_frac"), 6).as("top_word_frac"),
+          round(col("r.top_2gram_frac"), 6).as("top_2gram_frac"),
+          round(col("r.dup_3gram_frac"), 6).as("dup_3gram_frac"))),
+    // --- deterministic content-hash sampling, stratified audit: the
+    //     keep decision is a pure function of (doc_id, salt), so the
+    //     sample is identical across partitionings/retries/engines ---
+    "corpus_sample" -> ((s, dir) =>
+      Sampling.stratifiedSampleCounts(Tables.load(s, dir, "documents"),
+        "doc_id", "lang", rate = 0.1)),
     // --- streaming-shaped tumbling window agg (batch plan of the
     //     Structured Streaming query in graft.streaming.EventsStream) ---
     "st_window_agg" -> ((s, dir) =>
@@ -3266,6 +3281,58 @@ object SparkEntry {
         |       WHEN stop_ratio >= 0.05 THEN 'en'
         |       ELSE 'unknown' END AS lang_pred
         |FROM c""".stripMargin,
+    // Repetition signals: gram counting via unnest + GROUP BY, the top
+    // gram picked by the same (count desc, gram asc) tie-break, fractions
+    // as the same integer-ratio double division
+    "text_repetition" ->
+      """WITH b AS (
+        |  SELECT doc_id, length(trim(text)) AS tl,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, tl, toks, len(toks) AS n,
+        |    length(array_to_string(toks, ' ')) AS norm_len
+        |  FROM b),
+        |g1 AS (SELECT doc_id, unnest(toks) AS gram FROM base WHERE tl > 0),
+        |c1 AS (SELECT doc_id, gram, count(*) AS c FROM g1 GROUP BY 1, 2),
+        |t1 AS (SELECT doc_id, c * length(gram) AS chars,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram) AS rn
+        |       FROM c1),
+        |g2 AS (SELECT doc_id, unnest(list_transform(range(1, n),
+        |         i -> toks[i] || ' ' || toks[i+1])) AS gram
+        |       FROM base WHERE tl > 0 AND n >= 2),
+        |c2 AS (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY 1, 2),
+        |t2 AS (SELECT doc_id, c * length(gram) AS chars,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram) AS rn
+        |       FROM c2),
+        |g3 AS (SELECT doc_id, unnest(list_transform(range(1, n - 1),
+        |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+        |       FROM base WHERE tl > 0 AND n >= 3),
+        |c3 AS (SELECT doc_id, gram, count(*) AS c FROM g3 GROUP BY 1, 2),
+        |d3 AS (SELECT doc_id, sum(c * length(gram)) AS dup_chars
+        |       FROM c3 WHERE c >= 2 GROUP BY doc_id)
+        |SELECT base.doc_id,
+        |  round(CASE WHEN tl = 0 THEN 0.0
+        |    ELSE coalesce((SELECT chars FROM t1
+        |      WHERE t1.doc_id = base.doc_id AND rn = 1), 0)::DOUBLE / norm_len
+        |    END, 6) AS top_word_frac,
+        |  round(CASE WHEN tl = 0 THEN 0.0
+        |    ELSE coalesce((SELECT chars FROM t2
+        |      WHERE t2.doc_id = base.doc_id AND rn = 1), 0)::DOUBLE / norm_len
+        |    END, 6) AS top_2gram_frac,
+        |  round(CASE WHEN tl = 0 THEN 0.0
+        |    ELSE least(1.0, coalesce((SELECT dup_chars FROM d3
+        |      WHERE d3.doc_id = base.doc_id), 0)::DOUBLE / norm_len)
+        |    END, 6) AS dup_3gram_frac
+        |FROM base""".stripMargin,
+    // Deterministic hash sampling: same md5 hex prefix, same threshold —
+    // bucket < 6553 (= 0x1999, floor(0.1·65536)) expressed as a
+    // fixed-width lowercase-hex string compare
+    "corpus_sample" ->
+      """SELECT lang, count(*) AS n_rows,
+        |  count(*) FILTER (substr(md5(doc_id::VARCHAR || ':graft'), 1, 4) < '1999')
+        |    AS n_sampled
+        |FROM documents GROUP BY lang""".stripMargin,
     // SimHash replicated bit-exactly in SQL: splitmix64 via HUGEINT
     // mod-2^64 limb arithmetic, Java String.hashCode via per-char fold
     // (documents are pure ASCII → code units ≡ codepoints). The oracle

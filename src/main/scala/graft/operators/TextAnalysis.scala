@@ -92,4 +92,61 @@ object TextAnalysis {
     * lowercase) — the cheap exact-dup / shard-routing key. */
   def fingerprint(text: Column): Column =
     xxhash64(regexp_replace(trim(lower(text)), "\\s+", " "))
+
+  /** Repetition signals (the Gopher/MassiveText repetition-filter family,
+    * Rae et al. 2021 §A1.1): documents dominated by a few repeated
+    * n-grams are boilerplate/spam and get filtered before training.
+    * Returns struct(top_word_frac, top_2gram_frac, dup_3gram_frac) over
+    * normalized (lowercased, whitespace-split) tokens, denominated in
+    * characters of the normalized text (tokens joined by single spaces):
+    *  - top_word_frac:   chars of the most frequent token × its count
+    *  - top_2gram_frac:  chars of the most frequent word 2-gram × count
+    *  - dup_3gram_frac:  chars of ALL word 3-grams occurring ≥ 2×,
+    *                     capped at 1.0 (overlapping grams can overcount)
+    * Ties broken to the lexicographically smallest gram. One tight UDF
+    * pass per document — shuffle-free, embarrassingly parallel (the
+    * expression formulation needs 3 explode→groupBy rounds, i.e. 3 full
+    * shuffles of the gram stream, for a per-row computation). */
+  def repetitionStats(text: Column): Column = {
+    val u = udf { (t: String) =>
+      if (t == null || t.trim.isEmpty) (0.0, 0.0, 0.0)
+      else {
+        val toks = t.trim.toLowerCase.split("\\s+")
+        val normLen = toks.map(_.length).sum + (toks.length - 1)
+        def topFrac(n: Int): Double = {
+          if (toks.length < n) return 0.0
+          val counts = new java.util.HashMap[String, Int]()
+          var i = 0
+          while (i + n <= toks.length) {
+            val g = toks.slice(i, i + n).mkString(" ")
+            counts.merge(g, 1, Integer.sum)
+            i += 1
+          }
+          var bestG: String = null
+          var bestC = 0
+          counts.forEach { (g, c) =>
+            if (c > bestC || (c == bestC && (bestG == null || g < bestG))) {
+              bestG = g; bestC = c
+            }
+          }
+          bestC.toLong * bestG.length.toDouble / normLen
+        }
+        def dupFrac(n: Int): Double = {
+          if (toks.length < n) return 0.0
+          val counts = new java.util.HashMap[String, Int]()
+          var i = 0
+          while (i + n <= toks.length) {
+            val g = toks.slice(i, i + n).mkString(" ")
+            counts.merge(g, 1, Integer.sum)
+            i += 1
+          }
+          var dupChars = 0L
+          counts.forEach { (g, c) => if (c >= 2) dupChars += c.toLong * g.length }
+          math.min(1.0, dupChars.toDouble / normLen)
+        }
+        (topFrac(1), topFrac(2), dupFrac(3))
+      }
+    }
+    u(text).cast("struct<top_word_frac:double,top_2gram_frac:double,dup_3gram_frac:double>")
+  }
 }
