@@ -209,12 +209,15 @@ object Dedup {
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      // (1) closed-neighborhood min (self-loops supply each node's own label)
-      val nbrMin = tick(s"nbrMin $iter")(edges
+      // (1) closed-neighborhood min (self-loops supply each node's own
+      // label); NOT checkpointed — both its inputs (edges, comp) are
+      // already materialized, so letting the jump's self-join evaluate it
+      // twice inside ONE job is cheaper than a separate checkpoint job
+      // per round (measured: 3 jobs/round → 2 saves ~0.3 s/round here)
+      val nbrMin = edges
         .join(comp.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min("comp").as("comp"))
-        .localCheckpoint())
-      // (2) pointer jump: comp := comp(comp) — a LogicalRDD self-join.
+      // (2) pointer jump: comp := comp(comp) — one checkpoint per round.
       // (Measured: a second jump per round does NOT reduce round count on
       // dup-chain graphs — rounds are limited by neighbor-min relabeling,
       // not pointer depth — so one jump is the cost-optimal setting.)
@@ -222,7 +225,6 @@ object Dedup {
         .join(nbrMin.select(col("id").as("comp"), col("comp").as("cc")), Seq("comp"))
         .select(col("id"), col("cc").as("comp"))
         .localCheckpoint())
-      nbrMin.unpersist() // next is materialized; free the intermediate blocks
       // convergence probe: skipped on round 0 — with any edges at all the
       // first round always relabels something, so the count would be a
       // guaranteed-true action (maxIter still bounds the edgeless case)
