@@ -1,5 +1,7 @@
 package graft.operators
 
+import java.util.concurrent.atomic.{AtomicInteger, AtomicReference}
+
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -20,13 +22,22 @@ import scala.collection.mutable.ArrayBuffer
   * memory; beyond that the partitioned IVF-of-NSW variant
   * ([[HnswIndexer]]) is the distributed path.
   *
+  * The build is MULTI-THREADED (hnswlib's concurrency model): neighbor
+  * lists are immutable int arrays published through an AtomicReference
+  * (copy-on-write), so beam searches read lock-free snapshots while
+  * per-node locks serialize list mutation. Level draws stay a pure
+  * function of (seed, node index) — only link sets vary run-to-run,
+  * which moves recall by well under a point; reloading a SAVED artifact
+  * is exactly reproducible (the graph itself is serialized).
+  *
   * The artifact serializes the layered adjacency as an aux relation
   * `(idx, layer, nbrs)` plus the node-order id array in meta, so a
   * reloaded artifact re-aligns vectors exactly like CoverTree does.
   */
 final case class HnswGlobalIndexer(
     m: Int = 16, efConstruction: Int = 200,
-    metric: String = "l2", seed: Long = 42) extends Indexer {
+    metric: String = "l2", seed: Long = 42,
+    buildThreads: Int = Runtime.getRuntime.availableProcessors()) extends Indexer {
   val kind = "hnsw_global"
 
   def build(base: DataFrame): IndexArtifact = {
@@ -34,7 +45,8 @@ final case class HnswGlobalIndexer(
       .orderBy("id").collect()
     val ids = rows.map(_.getLong(0))
     val vecs = rows.map(_.getSeq[Float](1).toArray)
-    val model = HnswGlobalModel.build(ids, vecs, metric, m, efConstruction, seed)
+    val model = HnswGlobalModel.build(ids, vecs, metric, m, efConstruction,
+      seed, buildThreads)
     val spark = base.sparkSession
     import spark.implicits._
     val graph = model.adjacencyRows.toSeq
@@ -110,22 +122,26 @@ final case class HnswGlobalSearcher(efSearch: Int = 100, metric: String = "l2",
 /** Driver-side multi-layer HNSW graph. Levels are sampled geometrically
   * (mult = 1/ln m); inserts descend greedily through upper layers then
   * beam-link with efConstruction at each layer ≤ node level; neighbor
-  * lists prune to M (2M at layer 0) keeping the closest. Adjacency stays
-  * growable (ArrayBuffer) because search-during-construction must see
-  * fresh links; buffers index in O(1) so the walk loses nothing. */
+  * lists prune to M (2M at layer 0) keeping the diverse-closest.
+  * Adjacency is immutable-array copy-on-write so concurrent builders and
+  * searchers never see a torn list. */
 final class HnswGlobalModel(
     val ids: Array[Long], val vecs: Array[Array[Float]],
     val metric: String, val m: Int) extends Serializable {
 
-  var entry: Int = 0
-  var maxLevel: Int = 0
+  @volatile var entry: Int = 0
+  @volatile var maxLevel: Int = 0
   var levels: Array[Int] = _
-  /** links(node)(layer) = neighbor node indices (layer ≤ levels(node)) */
-  var links: Array[Array[ArrayBuffer[Int]]] = _
+  /** links(node)(layer).get() = neighbor node indices (layer ≤ levels(node)) */
+  var links: Array[Array[AtomicReference[Array[Int]]]] = _
+
+  // metric dispatch hoisted out of the innermost loop: a per-call string
+  // compare on the distance path costs measurably at 10⁸ calls per build
+  private val isCosine = metric == "cosine"
 
   @inline private[operators] def dist(a: Array[Float], b: Array[Float]): Double = {
     var i = 0
-    if (metric == "cosine") {
+    if (isCosine) {
       var dot = 0.0; var na = 0.0; var nb = 0.0
       while (i < a.length) {
         val x = a(i).toDouble; val y = b(i).toDouble
@@ -148,7 +164,7 @@ final class HnswGlobalModel(
     var improved = true
     while (improved) {
       improved = false
-      val ns = links(cur)(layer)
+      val ns = links(cur)(layer).get()
       var i = 0
       while (i < ns.length) {
         val d = dist(q, vecs(ns(i))); ws.ndis += 1
@@ -178,7 +194,7 @@ final class HnswGlobalModel(
       val worst = if (best.size < best.k) Double.PositiveInfinity else best.dists(0)
       if (d > worst) ws.clearHeap()
       else {
-        val ns = links(node)(layer)
+        val ns = links(node)(layer).get()
         var i = 0
         while (i < ns.length) {
           val nb = ns(i)
@@ -216,7 +232,7 @@ final class HnswGlobalModel(
   def adjacencyRows: Iterator[(Int, Int, Seq[Int])] =
     links.iterator.zipWithIndex.flatMap { case (perLayer, idx) =>
       perLayer.iterator.zipWithIndex.map { case (ns, layer) =>
-        (idx, layer, ns.toSeq)
+        (idx, layer, ns.get().toSeq)
       }
     }
 }
@@ -281,13 +297,17 @@ final class HnswWorkspace(n: Int) {
 
 object HnswGlobalModel {
 
-  /** Algorithm 1 of Malkov-Yashunin with simple closest-M neighbor
-    * selection: level = ⌊−ln U · 1/ln m⌋; descend greedily from the top
-    * to level+1, then beam-search with efConstruction and link the m
-    * closest at every layer ≤ level; over-full neighbor lists prune to
-    * the closest m (2m at layer 0). */
+  private val EMPTY = Array.emptyIntArray
+
+  /** Algorithm 1 of Malkov-Yashunin, parallel inserts: level =
+    * ⌊−ln U · 1/ln m⌋ (drawn sequentially from the seed, so levels are
+    * deterministic); worker threads claim node indices from a cursor,
+    * descend greedily from the top to level+1, then beam-search with
+    * efConstruction and link the m diverse-closest at every layer ≤
+    * level; over-full neighbor lists prune to the closest m (2m at
+    * layer 0) under that node's lock. */
   def build(ids: Array[Long], vecs: Array[Array[Float]], metric: String,
-      m: Int, efC: Int, seed: Long): HnswGlobalModel = {
+      m: Int, efC: Int, seed: Long, buildThreads: Int = 1): HnswGlobalModel = {
     val n = ids.length
     require(n > 0, "empty base set")
     val model = new HnswGlobalModel(ids, vecs, metric, m)
@@ -295,17 +315,20 @@ object HnswGlobalModel {
     val mmax0 = 2 * m
     val rnd = new java.util.Random(seed)
     val levels = new Array[Int](n)
-    val links = new Array[Array[ArrayBuffer[Int]]](n)
+    val links = new Array[Array[AtomicReference[Array[Int]]]](n)
     model.levels = levels
     model.links = links
-    val ws = new HnswWorkspace(n) // single-threaded build: one workspace
-
-    def mkNode(i: Int): Int = {
+    // level draws + list allocation are sequential and seed-deterministic
+    var li = 0
+    while (li < n) {
       val lvl = (-math.log(rnd.nextDouble()) * mL).toInt
-      levels(i) = lvl
-      links(i) = Array.fill(lvl + 1)(new ArrayBuffer[Int]())
-      lvl
+      levels(li) = lvl
+      links(li) = Array.fill(lvl + 1)(new AtomicReference[Array[Int]](EMPTY))
+      li += 1
     }
+    val locks = Array.fill(n)(new Object)
+    val entryLock = new Object
+
     @inline def d(a: Int, b: Int): Double = model.dist(vecs(a), vecs(b))
     /** SELECT-NEIGHBORS-HEURISTIC (Malkov-Yashunin Alg. 4): walk the
       * candidates ascending and keep e only if it is closer to the base
@@ -332,40 +355,72 @@ object HnswGlobalModel {
       while (res.length < cap && s < skipped.length) { res += skipped(s); s += 1 }
       res.toArray
     }
-    /** shrink an over-full neighbor list with the same heuristic */
-    def prune(e: Int, lc: Int, cap: Int): Unit = {
-      val buf = links(e)(lc)
-      if (buf.length > cap) {
-        val cand = buf.toArray.map(x => (x, d(e, x))).sortBy(t => (t._2, t._1))
-        val kept = selectNeighbors(cand, cap)
-        buf.clear(); buf ++= kept
+    /** append `nb` to links(e)(lc) and re-prune with the same heuristic
+      * if over cap — copy-on-write under e's lock, so readers never see
+      * a torn list and concurrent appends serialize */
+    def addLink(e: Int, lc: Int, nb: Int, cap: Int): Unit =
+      locks(e).synchronized {
+        val cur = links(e)(lc).get()
+        val appended = java.util.Arrays.copyOf(cur, cur.length + 1)
+        appended(cur.length) = nb
+        val next =
+          if (appended.length <= cap) appended
+          else {
+            val cand = appended.map(x => (x, d(e, x))).sortBy(t => (t._2, t._1))
+            selectNeighbors(cand, cap)
+          }
+        links(e)(lc).set(next)
       }
-    }
 
-    mkNode(0)
-    model.entry = 0
-    model.maxLevel = levels(0)
-
-    var i = 1
-    while (i < n) {
-      val lvl = mkNode(i)
-      var ep = model.entry
-      var lc = model.maxLevel
+    def insert(i: Int, ws: HnswWorkspace): Unit = {
+      val lvl = levels(i)
+      // consistent (entry, maxLevel) snapshot; a stale one only means a
+      // slightly longer descent, never a wrong result
+      var (ep, top) = entryLock.synchronized((model.entry, model.maxLevel))
+      var lc = top
       while (lc > lvl) { ep = model.greedy(vecs(i), ep, lc, ws); lc -= 1 }
-      lc = math.min(lvl, model.maxLevel)
+      lc = math.min(lvl, top)
       while (lc >= 0) {
         val w = model.searchLayer(vecs(i), ep, efC, lc, ws)
         val neighbors = selectNeighbors(w.filter(_._1 != i), m)
+        val cap = if (lc == 0) mmax0 else m
         neighbors.foreach { e =>
-          links(i)(lc) += e
-          links(e)(lc) += i
-          prune(e, lc, if (lc == 0) mmax0 else m)
+          addLink(i, lc, e, cap)
+          addLink(e, lc, i, cap)
         }
         if (w.nonEmpty) ep = w.head._1
         lc -= 1
       }
-      if (lvl > model.maxLevel) { model.maxLevel = lvl; model.entry = i }
-      i += 1
+      if (lvl > model.maxLevel) entryLock.synchronized {
+        if (lvl > model.maxLevel) { model.maxLevel = lvl; model.entry = i }
+      }
+    }
+
+    model.entry = 0
+    model.maxLevel = levels(0)
+    val threads = math.max(1, math.min(buildThreads, n))
+    if (threads == 1) {
+      val ws = new HnswWorkspace(n)
+      var i = 1
+      while (i < n) { insert(i, ws); i += 1 }
+    } else {
+      val cursor = new AtomicInteger(1)
+      val failure = new AtomicReference[Throwable](null)
+      val pool = (0 until threads).map { _ =>
+        val t = new Thread(() => {
+          val ws = new HnswWorkspace(n)
+          try {
+            var i = cursor.getAndIncrement()
+            while (i < n && failure.get() == null) {
+              insert(i, ws)
+              i = cursor.getAndIncrement()
+            }
+          } catch { case e: Throwable => failure.compareAndSet(null, e) }
+        })
+        t.setDaemon(true); t.start(); t
+      }
+      pool.foreach(_.join())
+      if (failure.get() != null) throw failure.get()
     }
     model
   }
@@ -390,14 +445,16 @@ object HnswGlobalModel {
     model.entry = meta("hg.entry").toInt
     model.maxLevel = meta("hg.max_level").toInt
     model.levels = meta("hg.levels").split(",").map(_.toInt)
-    val links = new Array[Array[ArrayBuffer[Int]]](ids.length)
+    val links = new Array[Array[AtomicReference[Array[Int]]]](ids.length)
     var idx = 0
     while (idx < ids.length) {
-      links(idx) = Array.fill(model.levels(idx) + 1)(new ArrayBuffer[Int]())
+      links(idx) = Array.fill(model.levels(idx) + 1)(
+        new AtomicReference[Array[Int]](EMPTY))
       idx += 1
     }
     artifact.aux("graph").select("idx", "layer", "nbrs").collect().foreach { r =>
-      links(r.getInt(0))(r.getInt(1)) ++= r.getSeq[Int](2)
+      val cur = links(r.getInt(0))(r.getInt(1))
+      cur.set(cur.get() ++ r.getSeq[Int](2))
     }
     model.links = links
     model
