@@ -87,9 +87,13 @@ final class CoverTreeModel(
   var childOffsets: Array[Int] = _
   var children: Array[Int] = _
 
+  // metric dispatch hoisted out of the hot loop (string compare per
+  // distance call is measurable at millions of calls)
+  private val isCosine = metric == "cosine"
+
   @inline private def dist(a: Array[Float], b: Array[Float]): Double = {
     var acc = 0.0; var i = 0
-    if (metric == "cosine") {
+    if (isCosine) {
       var dot = 0.0; var na = 0.0; var nb = 0.0
       while (i < a.length) {
         val x = a(i).toDouble; val y = b(i).toDouble
@@ -135,8 +139,8 @@ final class CoverTreeModel(
   }
 
   /** max distance from a node at `lvl` to anything in its subtree:
-    * Σ_{l ≤ lvl} 2^l < 2^(lvl+1) */
-  @inline private def coverRadius(lvl: Int): Double = math.pow(2.0, lvl + 1)
+    * Σ_{l ≤ lvl} 2^l < 2^(lvl+1) (scalb = exponent bits, no pow) */
+  @inline private def coverRadius(lvl: Int): Double = Math.scalb(1.0, lvl + 1)
 
   def serializeMeta: Map[String, String] = Map(
     "ct.root" -> root.toString,
@@ -204,10 +208,11 @@ object CoverTreeModel {
     val level = new Array[Int](n)
     val childLists = Array.fill(n)(new scala.collection.mutable.ArrayBuffer[Int]())
 
+    val isCosine = metric == "cosine" // hoisted: no string compare per call
     def dist(a: Int, b: Int): Double = {
       val va = vecs(a); val vb = vecs(b)
       var acc = 0.0; var i = 0
-      if (metric == "cosine") {
+      if (isCosine) {
         var dot = 0.0; var na = 0.0; var nb = 0.0
         while (i < va.length) {
           val x = va(i).toDouble; val y = vb(i).toDouble
@@ -227,21 +232,27 @@ object CoverTreeModel {
     level(root) = 20 // top level; radius 2^20 covers any normalized data
     var i = 1
     while (i < n) {
-      // descend: find deepest node whose cover radius contains the point
+      // descend: find deepest node whose cover radius contains the point.
+      // Hot loop: no closures, and Math.scalb (exponent bit-twiddle) for
+      // the 2^level radius instead of math.pow — the pow-per-child-visited
+      // version spent more time in pow than in distances
       var cur = root
       var placed = false
       while (!placed) {
-        val d = dist(i, cur)
-        // try to hand off to a child that covers the point
-        val next = childLists(cur).find { ch =>
-          dist(i, ch) <= math.pow(2.0, level(ch))
+        // hand off to the first child that covers the point
+        val cs = childLists(cur)
+        var next = -1
+        var c = 0
+        while (next < 0 && c < cs.length) {
+          val ch = cs(c)
+          if (dist(i, ch) <= Math.scalb(1.0, level(ch))) next = ch
+          c += 1
         }
-        next match {
-          case Some(ch) => cur = ch
-          case None =>
-            level(i) = level(cur) - 1
-            childLists(cur) += i
-            placed = true
+        if (next >= 0) cur = next
+        else {
+          level(i) = level(cur) - 1
+          childLists(cur) += i
+          placed = true
         }
       }
       i += 1
