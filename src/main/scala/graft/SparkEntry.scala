@@ -280,6 +280,18 @@ object SparkEntry {
     "corpus_sample" -> ((s, dir) =>
       Sampling.stratifiedSampleCounts(Tables.load(s, dir, "documents"),
         "doc_id", "lang", rate = 0.1)),
+    // --- skew-mitigated join: lang is a heavy-hitter key (mostly 'en'),
+    //     the straggler shape at corpus scale; the salted join splits
+    //     each hot key across 8 reducers and must equal the plain join
+    //     bit-for-bit (the oracle IS the unsalted join) ---
+    "skew_salted_join" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val byLang = docs.groupBy("lang").agg(count(lit(1)).as("n_in_lang"))
+      graft.operators.Skew
+        .saltedJoin(docs.select(col("doc_id"), col("lang")), byLang,
+          "lang", "doc_id", replication = 8)
+        .select(col("doc_id"), col("lang"), col("n_in_lang"))
+    }),
     // --- streaming-shaped tumbling window agg (batch plan of the
     //     Structured Streaming query in graft.streaming.EventsStream) ---
     "st_window_agg" -> ((s, dir) =>
@@ -3333,6 +3345,13 @@ object SparkEntry {
         |  count(*) FILTER (substr(md5(doc_id::VARCHAR || ':graft'), 1, 4) < '1999')
         |    AS n_sampled
         |FROM documents GROUP BY lang""".stripMargin,
+    // Salting is a pure execution-plan rewrite — the oracle is the
+    // UNSALTED join, so any salt-induced row loss/dup breaks the hash
+    "skew_salted_join" ->
+      """SELECT d.doc_id, d.lang, c.n_in_lang
+        |FROM documents d
+        |JOIN (SELECT lang, count(*) AS n_in_lang FROM documents GROUP BY lang) c
+        |  USING (lang)""".stripMargin,
     // SimHash replicated bit-exactly in SQL: splitmix64 via HUGEINT
     // mod-2^64 limb arithmetic, Java String.hashCode via per-char fold
     // (documents are pure ASCII → code units ≡ codepoints). The oracle
