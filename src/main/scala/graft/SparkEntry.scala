@@ -310,37 +310,48 @@ object SparkEntry {
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))),
     // --- capstone composition: full corpus-cleaning pipeline (exact
-    //     dedup → minhash near-dedup → quality floor) with per-stage
-    //     retention counts — the end-to-end training-data job shape ---
+    //     dedup → minhash near-dedup → quality floor → repetition floor
+    //     → deterministic sample) with per-stage retention counts — the
+    //     end-to-end training-data job shape ---
     "pipeline_corpus_clean" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       val nIn = docs.count()
       // each stage computed ONCE: the exact-dedup survivors are cached and
-      // feed both the minhash signatures and the anti-join; near-dedup and
-      // quality-floor counts fold into a single conditional aggregate, so
-      // the whole pipeline is 3 actions with no recomputed lineage (the
-      // round-1 shape re-ran minhash for every per-stage count — 65.7 s;
-      // this one benches ~8 s at sf0.1)
+      // feed both the minhash signatures and the anti-join; near-dedup,
+      // quality, repetition and sample counts fold into a single
+      // conditional aggregate, so the whole pipeline is 3 actions with no
+      // recomputed lineage (the round-1 shape re-ran minhash for every
+      // per-stage count — 65.7 s; this one benches ~2.5 s at sf0.1)
       val exact = Dedup.exactDedup(
         docs.withColumn("__fp", TextAnalysis.fingerprint(col("text"))),
         Seq("__fp"), "doc_id").drop("__fp").cache()
       val nExact = exact.count()
       val pairs = Dedup.minhashDupPairs(exact, "doc_id", "text",
         shingleLen = 3, numHashes = 16, bands = 4, threshold = 0.7)
+      val qOk = TextAnalysis.qualityScore(col("text")) >= 0.5
+      val repOk = qOk && TextAnalysis.repetitionStats(col("text"))
+        .getField("top_word_frac") < 0.12
+      val sampOk = repOk &&
+        Sampling.deterministicKeep(col("doc_id"), 0.1, "graft")
       val tail = Dedup.dropNearDups(exact, "doc_id", pairs)
         .agg(count(lit(1)).as("n_near"),
-          count(when(TextAnalysis.qualityScore(col("text")) >= 0.5, 1))
-            .as("n_clean"))
+          count(when(qOk, 1)).as("n_clean"),
+          count(when(repOk, 1)).as("n_rep"),
+          count(when(sampOk, 1)).as("n_samp"))
         .head()
       exact.unpersist()
       import s.implicits._
-      Seq((nIn, nExact, tail.getLong(0), tail.getLong(1)))
-        .toDF("n_in", "n_after_exact", "n_after_neardup", "n_after_quality")
+      Seq((nIn, nExact, tail.getLong(0), tail.getLong(1), tail.getLong(2),
+          tail.getLong(3)))
+        .toDF("n_in", "n_after_exact", "n_after_neardup", "n_after_quality",
+          "n_after_repetition", "n_final_sample")
         // self-validation: retention must be monotone and non-empty
         .filter(col("n_in") >= col("n_after_exact") &&
           col("n_after_exact") >= col("n_after_neardup") &&
           col("n_after_neardup") >= col("n_after_quality") &&
-          col("n_after_quality") > 0)
+          col("n_after_quality") >= col("n_after_repetition") &&
+          col("n_after_repetition") >= col("n_final_sample") &&
+          col("n_after_repetition") > 0)
     }),
     // --- multimodal binary plumbing: featurize + frame-sample (decode
     //     stubbed; schema/batch shape real) ---
@@ -3525,11 +3536,35 @@ object SparkEntry {
         |               ['the','a','an','and','or','of','to','in','is','it',
         |                'on','for','with','as','at','by','be','this','that','are'], t)))::DOUBLE
         |             / len(string_split_regex(lower(trim(text)), '\s+')) END AS stop_ratio
-        |    FROM neardedup))
+        |    FROM neardedup)),
+        |qpass AS (
+        |  SELECT n.doc_id, n.text FROM neardedup n
+        |  JOIN quality q ON n.doc_id = q.doc_id WHERE q.q >= 0.5),
+        |rtoks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM qpass),
+        |rcounts AS (SELECT doc_id, tok, count(*) AS c FROM rtoks GROUP BY 1, 2),
+        |rtop AS (SELECT doc_id, c * length(tok) AS chars,
+        |           row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, tok) AS rn
+        |         FROM rcounts),
+        |rnorm AS (SELECT doc_id,
+        |            length(array_to_string(
+        |              string_split_regex(lower(trim(text)), '\s+'), ' ')) AS norm_len
+        |          FROM qpass),
+        |reppass AS (
+        |  SELECT p.doc_id FROM qpass p
+        |  JOIN rtop t ON p.doc_id = t.doc_id AND t.rn = 1
+        |  JOIN rnorm n ON p.doc_id = n.doc_id
+        |  WHERE t.chars::DOUBLE / n.norm_len < 0.12)
         |SELECT (SELECT count(*) FROM documents) AS n_in,
         |  (SELECT count(*) FROM exact) AS n_after_exact,
         |  (SELECT count(*) FROM neardedup) AS n_after_neardup,
-        |  (SELECT count(*) FROM quality WHERE q >= 0.5) AS n_after_quality""".stripMargin,
+        |  (SELECT count(*) FROM qpass) AS n_after_quality,
+        |  (SELECT count(*) FROM reppass) AS n_after_repetition,
+        |  (SELECT count(*) FROM reppass
+        |   WHERE substr(md5(doc_id::VARCHAR || ':graft'), 1, 4) < '1999')
+        |    AS n_final_sample""".stripMargin,
     // session_window semantics: an event joins the session iff its time
     // is strictly before prev_end = prev_ts + gap → new session when the
     // µs-truncated diff >= gap (half-open window)
