@@ -172,8 +172,19 @@ object Dedup {
     * ids; no driver-side graph. Dup clusters are near-cliques, so this
     * converges in 2-3 rounds in practice; `maxIter` is a safety bound
     * checked with a driver-side changed-count per round (one count
-    * action over a slim (id, label) relation). */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 15): DataFrame = {
+    * action over a slim (id, label) relation).
+    *
+    * Adaptive strategy switch: once the slim edge relation is
+    * materialized its exact size is known, and below `driverEdgeCap`
+    * directed edges the component labels are computed with a driver-side
+    * union-find instead of ~5 rounds × 2 distributed jobs — the same
+    * statistics-driven decision Spark itself makes when it swaps a
+    * shuffle join for a broadcast join under the size threshold. The cap
+    * (default 4M directed edges ≈ 64 MB collected) is env-tunable via
+    * GRAFT_CC_DRIVER_EDGE_CAP; both paths produce identical labels
+    * (min-reachable-id, spec-asserted equal on random graphs). */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 15,
+      driverEdgeCap: Long = defaultDriverEdgeCap): DataFrame = {
     // `pairs` is typically an expensive similarity join; scan it ONCE.
     // explode-to-both-directions (instead of union of two selects) keeps it
     // a single pass, and the immediate localCheckpoint pins the slim edge
@@ -192,6 +203,10 @@ object Dedup {
         struct(col("b").cast("long").as("src"), col("a").cast("long").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint())
+    // the checkpoint makes this count a metadata-cheap scan of pinned rows
+    val nEdges = tick("count")(undirected.count())
+    if (nEdges <= driverEdgeCap)
+      return tick("unionfind")(driverUnionFind(undirected))
     // self-loops make the per-round join a CLOSED-neighborhood min in one
     // equi-join + groupBy — no in-loop union of `comp` with a plan that
     // already contains `comp` (which trips Catalyst's Union constraint
@@ -239,6 +254,60 @@ object Dedup {
     }
     edges.unpersist()
     comp
+  }
+
+  /** Driver-edge-count threshold for the union-find fast path: 4M
+    * directed edges collect to ~64 MB of longs — broadcast-join-sized,
+    * far under driver heap. 0 disables the fast path entirely. */
+  def defaultDriverEdgeCap: Long =
+    sys.env.get("GRAFT_CC_DRIVER_EDGE_CAP").map(_.toLong).getOrElse(4_000_000L)
+
+  /** Small-graph path: collect the (already materialized, slim) directed
+    * edge relation and label components with union-find (path halving +
+    * union by rank), then canonicalize each component to its minimum
+    * member id — exactly the distributed fixed point. Output schema and
+    * node set ((id, comp), one row per node appearing in any edge) match
+    * the pointer-jumping path row-for-row. */
+  private[operators] def driverUnionFind(undirected: DataFrame): DataFrame = {
+    val spark = undirected.sparkSession
+    val rows = undirected.select(col("src"), col("dst")).collect()
+    // dense-index arbitrary long ids (LongMap: no boxing, no null-vs-0
+    // ambiguity a java.util.HashMap[Long, Int] would introduce)
+    val idx = scala.collection.mutable.LongMap.empty[Int]
+    val ids = new scala.collection.mutable.ArrayBuffer[Long]()
+    val parent = new scala.collection.mutable.ArrayBuffer[Int]()
+    val rank = new scala.collection.mutable.ArrayBuffer[Byte]()
+    def ix(v: Long): Int = idx.getOrElseUpdate(v, {
+      val i = ids.length; ids += v; parent += i; rank += 0; i
+    })
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+      x
+    }
+    rows.foreach { r =>
+      val a = ix(r.getLong(0)); val b = ix(r.getLong(1))
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (rank(ra) < rank(rb)) parent(ra) = rb
+        else if (rank(ra) > rank(rb)) parent(rb) = ra
+        else { parent(rb) = ra; rank(ra) = (rank(ra) + 1).toByte }
+      }
+    }
+    val n = ids.length
+    val minOfRoot = new Array[Long](n)
+    java.util.Arrays.fill(minOfRoot, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val r = find(i)
+      if (ids(i) < minOfRoot(r)) minOfRoot(r) = ids(i)
+      i += 1
+    }
+    val out = new Array[(Long, Long)](n)
+    i = 0
+    while (i < n) { out(i) = (ids(i), minOfRoot(find(i))); i += 1 }
+    import spark.implicits._
+    spark.createDataset(out.toIndexedSeq).toDF("id", "comp")
   }
 
   /** All-docs component labeling: docs untouched by any pair keep their

@@ -97,9 +97,15 @@ class DedupSpec extends AnyFunSuite {
             .filter(u => find(u.toInt) == r).min
         }).toMap
       val pairsDf = edges.toDF("a", "b")
-      val got = Dedup.connectedComponents(pairsDf)
+      // both physical strategies must agree with the oracle: the driver
+      // union-find fast path (default under the edge cap) and the
+      // distributed pointer-jumping path (cap 0 forces it)
+      val fast = Dedup.connectedComponents(pairsDf)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got == expected, s"trial $trial: ${got.toSeq.diff(expected.toSeq)}")
+      assert(fast == expected, s"trial $trial fast: ${fast.toSeq.diff(expected.toSeq)}")
+      val dist = Dedup.connectedComponents(pairsDf, driverEdgeCap = 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(dist == expected, s"trial $trial dist: ${dist.toSeq.diff(expected.toSeq)}")
     }
   }
 
