@@ -280,6 +280,33 @@ object SparkEntry {
     "corpus_sample" -> ((s, dir) =>
       Sampling.stratifiedSampleCounts(Tables.load(s, dir, "documents"),
         "doc_id", "lang", rate = 0.1)),
+    // --- benchmark decontamination: train docs sharing any word 5-gram
+    //     with the (deterministic doc_id%17) eval split; inverted-index
+    //     equi-join on the gram key, eval side broadcast ---
+    "decontam_overlap" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Corpus.contaminationReport(
+        docs.filter(col("doc_id") % 17 =!= 0),
+        docs.filter(col("doc_id") % 17 === 0),
+        "doc_id", "text", n = 5)
+    }),
+    // --- C4/Gopher-style heuristic filter audit per source: independent
+    //     boolean signals (short / long-word / low-stopword / repetitive)
+    //     counted in one shuffle-free scan + tiny groupBy ---
+    "text_c4_filter" -> ((s, dir) =>
+      Corpus.c4FilterAudit(Tables.load(s, dir, "documents"),
+        "text", "source")),
+    // --- domain-mixture sampling audit: uniform target share per source,
+    //     per-group hash threshold derived INSIDE the plan (so the oracle
+    //     reproduces it bit-for-bit); keep decision is partition-invariant ---
+    "corpus_mixture" -> ((s, dir) =>
+      Corpus.mixtureAudit(Tables.load(s, dir, "documents"),
+        "doc_id", "source", budgetFrac = 0.5)),
+    // --- corpus-wide top-20 word bigrams by document frequency:
+    //     explode → partial agg → TakeOrderedAndProject (no full sort) ---
+    "text_topk_ngrams" -> ((s, dir) =>
+      Corpus.topNgramsByDf(Tables.load(s, dir, "documents"),
+        "text", n = 2, k = 20)),
     // --- skew-mitigated join: lang is a heavy-hitter key (mostly 'en'),
     //     the straggler shape at corpus scale; the salted join splits
     //     each hot key across 8 reducers and must equal the plain join

@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-construction operators for LLM training-data pipelines:
+  * benchmark decontamination, C4-style heuristic filtering, per-source
+  * mixture sampling, and corpus n-gram statistics.
+  *
+  * Everything here is declarative DataFrame logic — equi-joins and
+  * map-side-combinable aggregates only, no windows, no driver loops —
+  * so each operator partitions cleanly on a 1000-executor cluster:
+  *   - decontamination shuffles on the n-gram key (an inverted-index
+  *     join, the same shape minhash-LSH dedup uses);
+  *   - the C4 filter is a pure codegen'd projection (shuffle-free);
+  *   - mixture sampling is one tiny per-group aggregate broadcast back
+  *     over the corpus (the keep decision is a pure function of the
+  *     row id, partition-layout-invariant — see [[Sampling]]);
+  *   - n-gram stats are explode → partial-agg → TakeOrderedAndProject.
+  */
+object Corpus {
+
+  // ------------------------------------------------------- decontamination
+  /** Benchmark decontamination report: which training documents share at
+    * least one word-level `n`-gram with an evaluation/benchmark document
+    * (the GPT-3/PaLM-style n-gram collision rule; reference has no
+    * decontamination pass — this is a scale-pipeline addition).
+    *
+    * Output: one row per contaminated training doc —
+    * `(train_id, n_shared_grams, n_eval_docs)`.
+    *
+    * Shape at scale: distinct per-doc shingles explode to slim
+    * `(id, gram)` relations; the equi-join on `gram` is an inverted-index
+    * join that shuffles only the gram keys. A benchmark suite is tiny
+    * next to a 100 TB corpus, so the eval side is broadcast by default
+    * (AQE would pick this up anyway; the hint makes it deterministic).
+    * For very wide corpora hash the grams first (`xxhash64`) to cut
+    * shuffle width — kept as strings here so the DuckDB oracle can
+    * reproduce the join key verbatim.
+    */
+  def contaminationReport(train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, n: Int,
+      broadcastEval: Boolean = true): DataFrame = {
+    def grams(df: DataFrame, as: String) = df.select(
+      col(idCol).as(as), explode(Dedup.shingles(col(textCol), n)).as("gram"))
+    val tg = grams(train, "train_id")
+    val eg0 = grams(eval, "eval_id")
+    val eg = if (broadcastEval) broadcast(eg0) else eg0
+    tg.join(eg, "gram")
+      .groupBy("train_id")
+      .agg(countDistinct("gram").as("n_shared_grams"),
+        countDistinct("eval_id").as("n_eval_docs"))
+  }
+
+  // ---------------------------------------------------- C4-style filtering
+  /** Document-level quality heuristics in the C4/Gopher tradition, as
+    * independent boolean signals (a doc can trip several):
+    *   - `short`: fewer than `minWords` whitespace tokens
+    *   - `longWord`: any token longer than `maxWordLen` chars (markup /
+    *     base64 / URL soup)
+    *   - `lowStopword`: stopword ratio under `minStopRatio` (non-prose)
+    *   - `repetitive`: distinct-token fraction under `minDistinctFrac`
+    *     (boilerplate / keyword stuffing)
+    * All are pure column expressions over one tokenization — codegen'd,
+    * shuffle-free, and embarrassingly parallel at 100 TB. */
+  final case class C4Signals(short: Column, longWord: Column,
+      lowStopword: Column, repetitive: Column) {
+    def keep: Column = !short && !longWord && !lowStopword && !repetitive
+  }
+
+  def c4Signals(text: Column, minWords: Int = 15, maxWordLen: Int = 25,
+      minStopRatio: Double = 0.05, minDistinctFrac: Double = 0.4): C4Signals = {
+    val toks = Dedup.tokens(text)
+    C4Signals(
+      short = size(toks) < minWords,
+      longWord = array_max(transform(toks, w => length(w))) > maxWordLen,
+      lowStopword = TextAnalysis.stopwordRatio(text) < minStopRatio,
+      repetitive =
+        size(array_distinct(toks)).cast("double") / size(toks) < minDistinctFrac)
+  }
+
+  /** Per-group audit of the C4 filter: how many docs each signal trips
+    * and how many survive all of them. One scan, one partial-aggregated
+    * groupBy — the canonical "why did my corpus shrink" report. */
+  def c4FilterAudit(df: DataFrame, textCol: String, groupCol: String,
+      minWords: Int = 15, maxWordLen: Int = 25, minStopRatio: Double = 0.05,
+      minDistinctFrac: Double = 0.4): DataFrame = {
+    val s = c4Signals(col(textCol), minWords, maxWordLen, minStopRatio,
+      minDistinctFrac)
+    def cnt(c: Column) = count(when(c, 1))
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"), cnt(s.keep).as("n_kept"),
+        cnt(s.short).as("n_short"), cnt(s.longWord).as("n_long_word"),
+        cnt(s.lowStopword).as("n_low_stopword"),
+        cnt(s.repetitive).as("n_repetitive"))
+  }
+
+  // ----------------------------------------------------- mixture sampling
+  /** Mixture sampling: build a corpus of ~`budgetFrac` × N rows with a
+    * UNIFORM target share per `groupCol` value (the "domain mixing"
+    * step of corpus construction — upsample rare sources, downsample
+    * dominant ones, bounded by what each source has).
+    *
+    * Per-group keep rate: `min(1, budgetFrac·N / (G·n_g))` for G groups;
+    * the keep decision is [[Sampling.hashBucket]] against the group's
+    * 16-bit threshold, so the realized sample is deterministic under any
+    * partitioning / retry / incremental re-run. The per-group rate table
+    * is a few-row aggregate joined back (broadcast) over the corpus —
+    * no window, no shuffle of the big side.
+    *
+    * The whole rate computation stays INSIDE the plan as double
+    * arithmetic (`floor(least(1, 0.5·N/(G·n_g))·65536)`) so an external
+    * oracle can reproduce the thresholds bit-for-bit. */
+  def mixtureThresholds(df: DataFrame, groupCol: String,
+      budgetFrac: Double): DataFrame = {
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_rows"))
+    val totals = counts.agg(sum("n_rows").as("n_total"),
+      count(lit(1)).as("n_groups"))
+    counts.crossJoin(totals).select(col(groupCol), col("n_rows"),
+      floor(least(lit(1.0),
+        (lit(budgetFrac) * col("n_total")) / (col("n_groups") * col("n_rows")))
+        * 65536).cast("long").as("threshold"))
+  }
+
+  /** rows kept by the mixture sample (broadcast the per-group thresholds) */
+  def mixtureSample(df: DataFrame, idCol: String, groupCol: String,
+      budgetFrac: Double, salt: String = "mix"): DataFrame = {
+    val thr = mixtureThresholds(df, groupCol, budgetFrac)
+    df.join(broadcast(thr.select(col(groupCol), col("threshold"))), groupCol)
+      .filter(Sampling.hashBucket(col(idCol), salt) < col("threshold"))
+      .drop("threshold")
+  }
+
+  /** per-group audit: rows, threshold, rows kept — integer-only output */
+  def mixtureAudit(df: DataFrame, idCol: String, groupCol: String,
+      budgetFrac: Double, salt: String = "mix"): DataFrame = {
+    val thr = mixtureThresholds(df, groupCol, budgetFrac)
+    df.join(broadcast(thr), groupCol)
+      .groupBy(col(groupCol), col("n_rows"), col("threshold"))
+      .agg(count(when(
+        Sampling.hashBucket(col(idCol), salt) < col("threshold"), 1))
+        .as("n_kept"))
+  }
+
+  // ------------------------------------------------------- n-gram stats
+  /** Corpus-wide top-k word n-grams by DOCUMENT frequency (per-doc
+    * distinct shingles, so one spammy doc can't dominate). Explode →
+    * map-side partial count → global top-k via TakeOrderedAndProject
+    * (orderBy+limit never materializes a full sort at scale).
+    * Deterministic tiebreak: (df desc, gram asc). */
+  def topNgramsByDf(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame =
+    df.select(explode(Dedup.shingles(col(textCol), n)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("gram"))
+      .limit(k)
+}
