@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Algorithm, Dedup, KnnJoin, Metrics, Multimodal, Registry, Sampling, TextAnalysis}
+import graft.operators.{Algorithm, Corpus, Dedup, KnnJoin, Metrics, Multimodal, Registry, Sampling, TextAnalysis}
 import graft.streaming.EventsStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
