@@ -3616,5 +3616,73 @@ object SparkEntry {
       """SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
         |  ((octet_length(encode(text)) + 63) // 64 + 1) // 2 AS n_frames_sampled
         |FROM documents""".stripMargin,
+    // Decontamination: the same tokenizer + 1-based 5-gram window as
+    // Dedup.shingles (distinct per doc), then the inverted-index join
+    // replayed as a plain gram equi-join with distinct counts
+    "decontam_overlap" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+        |    j -> array_to_string(toks[j:j+4], ' ')))) AS gram
+        |  FROM tok),
+        |tg AS (SELECT doc_id AS train_id, gram FROM g WHERE doc_id % 17 <> 0),
+        |eg AS (SELECT doc_id AS eval_id, gram FROM g WHERE doc_id % 17 = 0)
+        |SELECT train_id, count(DISTINCT gram) AS n_shared_grams,
+        |  count(DISTINCT eval_id) AS n_eval_docs
+        |FROM tg JOIN eg USING (gram) GROUP BY train_id""".stripMargin,
+    // C4/Gopher filter audit: the four boolean signals recomputed over
+    // the same tokenization; counts via FILTER (Spark count(when(c,1)))
+    "text_c4_filter" ->
+      """WITH b AS (
+        |  SELECT source, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT source,
+        |    len(toks) < 15 AS sig_short,
+        |    list_max(list_transform(toks, w -> length(w))) > 25 AS sig_long,
+        |    (CASE WHEN len(toks) = 0 THEN 0.0
+        |          ELSE len(list_filter(toks, t -> list_contains(
+        |            ['the','a','an','and','or','of','to','in','is','it',
+        |             'on','for','with','as','at','by','be','this','that','are'], t)))::DOUBLE
+        |               / len(toks) END) < 0.05 AS sig_stop,
+        |    len(list_distinct(toks))::DOUBLE / len(toks) < 0.4 AS sig_rep
+        |  FROM b)
+        |SELECT source, count(*) AS n_docs,
+        |  count(*) FILTER (NOT sig_short AND NOT sig_long AND NOT sig_stop
+        |    AND NOT sig_rep) AS n_kept,
+        |  count(*) FILTER (sig_short) AS n_short,
+        |  count(*) FILTER (sig_long) AS n_long_word,
+        |  count(*) FILTER (sig_stop) AS n_low_stopword,
+        |  count(*) FILTER (sig_rep) AS n_repetitive
+        |FROM s GROUP BY source""".stripMargin,
+    // Mixture sampling audit: in-plan double threshold arithmetic
+    // replayed verbatim; the md5 hash bucket decoded numerically via
+    // DuckDB's '0x…' VARCHAR→BIGINT cast
+    "corpus_mixture" ->
+      """WITH c AS (SELECT source, count(*) AS n_rows FROM documents GROUP BY source),
+        |t AS (SELECT sum(n_rows) AS n_total, count(*) AS n_groups FROM c),
+        |thr AS (SELECT source, n_rows,
+        |  CAST(floor(least(1.0, (0.5 * n_total) / (n_groups * n_rows)) * 65536)
+        |    AS BIGINT) AS threshold
+        |  FROM c, t)
+        |SELECT thr.source, thr.n_rows, thr.threshold,
+        |  count(*) FILTER (('0x' || substr(md5(d.doc_id::VARCHAR || ':mix'), 1, 4))::BIGINT
+        |    < thr.threshold) AS n_kept
+        |FROM documents d JOIN thr USING (source)
+        |GROUP BY thr.source, thr.n_rows, thr.threshold""".stripMargin,
+    // Top-k bigrams by document frequency: per-doc distinct bigrams,
+    // global count, same (df desc, gram asc) deterministic tiebreak
+    "text_topk_ngrams" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks)),
+        |    j -> toks[j] || ' ' || toks[j+1]))) AS gram
+        |  FROM tok)
+        |SELECT gram, count(*) AS doc_freq FROM g GROUP BY gram
+        |ORDER BY doc_freq DESC, gram LIMIT 20""".stripMargin,
   )
 }
