@@ -123,11 +123,11 @@ object Dedup {
       threshold: Double = 0.7, seed: Long = 42): DataFrame = {
     require(numHashes % bands == 0)
     val rowsPerBand = numHashes / bands
-    val withSig = df
+    val withSig = sigCacheSlot.track(df
       .select(col(idCol).cast("long").as("id"),
         shingleHashes(col(textCol), shingleLen).as("sh"))
       .withColumn("sig", minhashSignatureFromHashes(col("sh"), numHashes, seed))
-      .cache()
+      .cache())
     // band join over slim (id, key) rows — the heavy shingle arrays are
     // attached only after candidate pairs are deduped, so the band
     // shuffle moves ids, not kilobyte payloads
@@ -270,7 +270,16 @@ object Dedup {
     * the pointer-jumping path row-for-row. */
   private[operators] def driverUnionFind(undirected: DataFrame): DataFrame = {
     val spark = undirected.sparkSession
-    val rows = undirected.select(col("src"), col("dst")).collect()
+    import spark.implicits._
+    // stream edges partition-at-a-time as primitive tuples: peak driver
+    // heap is one partition of (Long, Long) + the LongMap — not the
+    // whole edge set as boxed Row objects (~100 B/edge ⇒ hundreds of MB
+    // at the 4M-edge cap)
+    val rows = {
+      import scala.jdk.CollectionConverters._
+      undirected.select(col("src"), col("dst")).as[(Long, Long)]
+        .toLocalIterator().asScala
+    }
     // dense-index arbitrary long ids (LongMap: no boxing, no null-vs-0
     // ambiguity a java.util.HashMap[Long, Int] would introduce)
     val idx = scala.collection.mutable.LongMap.empty[Int]
@@ -286,7 +295,7 @@ object Dedup {
       x
     }
     rows.foreach { r =>
-      val a = ix(r.getLong(0)); val b = ix(r.getLong(1))
+      val a = ix(r._1); val b = ix(r._2)
       val ra = find(a); val rb = find(b)
       if (ra != rb) {
         if (rank(ra) < rank(rb)) parent(ra) = rb
@@ -457,16 +466,24 @@ object Dedup {
     * Identical output to [[jaccardSimilarityJoin]]; this is the
     * corpus-scale shape (fine-grained join keys, rare-first prefixes, no
     * block-quadratic groups). */
-  // the prefix join caches its tokenized relation (read by postings,
-  // prefixes AND the verify join); repeated calls would accumulate dead
-  // cache entries for the session's lifetime, so each call retires the
-  // previous call's cache — at most one lives at a time
-  @transient private var prevPrefixCache: DataFrame = _
-  private def trackPrefixCache(df: DataFrame): DataFrame = synchronized {
-    if (prevPrefixCache != null) prevPrefixCache.unpersist()
-    prevPrefixCache = df
-    df
+  // multi-consumer relations (tokenized docs, minhash signatures) are
+  // cached because three joins read them; repeated calls would accumulate
+  // dead cache entries for the session's lifetime, so each call retires
+  // the previous call's entry — at most one lives per slot
+  private[graft] final class CacheSlot {
+    @transient private var prev: DataFrame = _
+    def track(df: DataFrame): DataFrame = synchronized {
+      if (prev != null) prev.unpersist()
+      prev = df
+      df
+    }
+    /** test hook: the one live entry (null before the first track) */
+    def current: DataFrame = synchronized(prev)
   }
+  private[graft] val prefixCacheSlot = new CacheSlot
+  private[graft] val sigCacheSlot = new CacheSlot
+  private def trackPrefixCache(df: DataFrame): DataFrame =
+    prefixCacheSlot.track(df)
 
   def jaccardSimilarityJoinPrefix(df: DataFrame, idCol: String, textCol: String,
       blockCol: String, threshold: Double): DataFrame = {
@@ -564,7 +581,14 @@ object Dedup {
     else {
       val pMin = 1.0 - math.pow(missProb, 1.0 / numTables)
       val h = math.floor(math.log(pMin) / math.log(collinear)).toInt
-      math.max(2, math.min(24, h))
+      // h < 1 means even single-plane tables can't hit the missProb
+      // target (low threshold / few tables): fall back to h=1 — the
+      // least-pruning, minimal-miss bucketing — instead of silently
+      // clamping up to 2 and doubling the miss rate. In that regime the
+      // guarantee degrades to miss = (1 − (1 − θ/π))^T, the best any
+      // bucketing can do; callers needing the strict missProb bound at
+      // low thresholds must raise numTables (or use the exact path)
+      math.max(1, math.min(24, h))
     }
   }
 
@@ -578,7 +602,12 @@ object Dedup {
     * [[lshHashSizeFor]] so blocking actually prunes at the requested
     * similarity (e.g. t=0.9, 32 tables → h=10: a random pair survives
     * with prob ~32/2¹⁰ ≈ 3%, vs ~99% at the recall-generous candidate
-    * default). Exact semantics: [[embeddingDupPairsExact]]. */
+    * default). The bound holds whenever the solved hash size is ≥ 1;
+    * for low thresholds with few tables (where even h=1 cannot reach
+    * `missProb`) the realized miss is the h=1 minimum
+    * (1 − (1 − θ/π))^numTables — raise `numTables` or use the exact
+    * path when a strict bound matters there.
+    * Exact semantics: [[embeddingDupPairsExact]]. */
   def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, numTables: Int = 32, missProb: Double = 1e-3,
       seed: Long = 42): DataFrame =

@@ -173,6 +173,9 @@ final class ResidualAdcScorer(
       acc += t(idx) + ql(idx)
       j += 1
     }
-    acc
+    // the three-term cancellation can round to ~-1e-16 when the true
+    // distance is ~0; sqrt would then yield NaN (ordered LAST by Spark,
+    // dropping the best candidate from top-k)
+    math.max(0.0, acc)
   }
 }

@@ -94,8 +94,12 @@ object EventsStream {
         OutputMode.Append, timeout) {
       (_: Long, rows: Iterator[(Long, Long, String)], state: GroupState[Boolean]) =>
         if (state.hasTimedOut) { state.remove(); Iterator.empty }
-        else if (state.exists) Iterator.empty
-        else {
+        else if (state.exists) {
+          // GroupState clears the timeout on every invocation: re-arm it
+          // here or a key that ever sees a duplicate keeps state forever
+          ttl.foreach(state.setTimeoutDuration)
+          Iterator.empty
+        } else {
           state.update(true)
           ttl.foreach(state.setTimeoutDuration)
           // first-seen within the batch: smallest doc_id wins, matching

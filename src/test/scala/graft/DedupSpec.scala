@@ -75,6 +75,28 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("lshHashSizeFor falls back to h=1 when even one plane misses the target") {
+    // t=0.3, 4 tables: solving for missProb=1e-3 yields h < 1 — the old
+    // clamp-to-2 inflated the realized miss; h=1 is the minimal-miss bucketing
+    assert(Dedup.lshHashSizeFor(0.3, 4) == 1)
+    // and the normal regime is untouched
+    assert(Dedup.lshHashSizeFor(0.9, 32) >= 8)
+  }
+
+  test("repeated minhashDupPairs calls retire the previous signature cache") {
+    def run(): Unit =
+      Dedup.minhashDupPairs(mutatedDocs, "doc_id", "text").count()
+    run()
+    val first = Dedup.sigCacheSlot.current
+    assert(first != null && first.storageLevel.useMemory,
+      "first call's signature relation should be cached")
+    run()
+    val second = Dedup.sigCacheSlot.current
+    assert(first.storageLevel.useMemory == false,
+      "previous call's cache entry must be unpersisted")
+    assert(second.storageLevel.useMemory, "live call's cache entry stays")
+  }
+
   test("connectedComponents ≡ union-find oracle on random graphs") {
     val rnd = new scala.util.Random(11)
     for (trial <- 0 until 3) {
