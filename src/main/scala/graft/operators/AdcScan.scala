@@ -1,0 +1,284 @@
+package graft.operators
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Partition-buffered asymmetric-distance scan — the FAISS inverted-list
+  * scan loop (`scan_codes`, via modular.py:277-286's delegation) re-shaped
+  * for Spark's execution model.
+  *
+  * Why not score pair-rows in the join pipeline? Two measured costs at
+  * n_base × n_queries volume (dev/AdcProfile.scala):
+  *   1. **LUT locality**: a BroadcastNestedLoopJoin streams base rows and
+  *      loops queries per row, so consecutive scores touch a DIFFERENT
+  *      query's LUT (128 KB each at m=64,nC=256 — a 32 MB working set at
+  *      256 queries): every lookup is a DRAM miss. Scanning query-major
+  *      keeps ONE LUT L2-resident for a full pass over the partition's
+  *      codes (~2× on the scoring stage alone).
+  *   2. **Row-pipeline volume**: the join materializes every scored pair
+  *      (5.1M rows at the baseline workload) through the non-codegen
+  *      ObjectHashAggregate boundary; per-partition bounded heaps emit
+  *      only partitions × queries × k survivor rows (~160× fewer).
+  *
+  * Scale shape: the code relation STREAMS (never collected, never
+  * broadcast — at 100 TB it arrives partition by partition, pruned by
+  * `centroid_id` for the IVF variants); per-query LUTs ride in one
+  * broadcast (queries × m × nC doubles — MBs). Each task buffers only its
+  * own partition's codes (bounded by `maxPartitionBytes`), exactly the
+  * memory FAISS's per-list scan touches. Tie-breaks use the same
+  * [[BoundedTopK]] (dist, id) order as the declarative plan, and scorers
+  * reproduce the former in-plan arithmetic operation-for-operation, so
+  * results are bit-identical to the crossJoin + aggregate formulation the
+  * gate oracles were validated against.
+  */
+object AdcScan {
+
+  /** scoring kernel over one (query, code-row) pair; the row's `len`
+    * code bytes sit at `codes[off ..< off+len]` of the partition's flat
+    * buffer (flat layout: no per-row array object in the 256-pass hot
+    * loop). Returns the FINAL emitted distance (sqrt etc. applied),
+    * matching the former in-plan expression exactly. `cid` is -1 for
+    * non-IVF scans. */
+  trait Scorer extends Serializable {
+    def score(qidx: Int, cid: Int, codes: Array[Byte], off: Int, len: Int): Double
+  }
+
+  /** PQ ADC: sqrt(Σ_j lut[j·nC + code_j]) (l2) or Σ_j lut[…] (ip). */
+  final class PqLutScorer(luts: Broadcast[Array[Array[Double]]],
+      sqrtOut: Boolean) extends Scorer {
+    def score(qidx: Int, cid: Int, codes: Array[Byte], off: Int, len: Int): Double = {
+      val lut = luts.value(qidx)
+      val nC = lut.length / len
+      var acc = 0.0; var j = 0
+      while (j < len) { acc += lut(j * nC + (codes(off + j) + 128)); j += 1 }
+      if (sqrtOut) math.sqrt(acc) else acc
+    }
+  }
+
+  /** SQ8 asymmetric: query float vs dequantized byte codes.
+    * mode: 0 = L2 (sqrt), 1 = IP (−dot), 2 = cosine. */
+  final class Sq8Scorer(queries: Broadcast[Array[Array[Float]]],
+      lo: Array[Float], hi: Array[Float], mode: Int) extends Scorer {
+    def score(qidx: Int, cid: Int, codes: Array[Byte], off: Int, len: Int): Double = {
+      val q = queries.value(qidx)
+      var acc = 0.0; var dot = 0.0; var nq = 0.0; var nb = 0.0
+      var i = 0
+      while (i < len) {
+        val c = (codes(off + i) + 128) / 255.0
+        val x = lo(i) + c * (hi(i) - lo(i))
+        val qq = q(i).toDouble
+        if (mode == 2) { dot += qq * x; nq += qq * qq; nb += x * x }
+        else if (mode == 1) { dot += qq * x }
+        else { val d = qq - x; acc += d * d }
+        i += 1
+      }
+      if (mode == 2) {
+        val den = math.sqrt(nq) * math.sqrt(nb)
+        if (den == 0.0) 1.0 else 1.0 - dot / den
+      } else if (mode == 1) -dot
+      else math.sqrt(acc)
+    }
+  }
+
+  /** Residual IVF-PQ ADC (FAISS precomputed-table decomposition — see
+    * IvfPq.scala): ‖q−c‖² + Σ_j (t2[cid][idx] + qLut[qidx][idx]), clamped
+    * at 0 before sqrt (the cancellation can round to ~−1e-16 when the
+    * true distance is ~0; sqrt would yield NaN, ordered LAST by Spark,
+    * dropping the best candidate). */
+  final class ResidualScorer(tables: Broadcast[(Array[Array[Double]],
+      Array[Array[Float]], Array[Array[Double]])]) extends Scorer {
+    def score(qidx: Int, cid: Int, codes: Array[Byte], off: Int, len: Int): Double = {
+      val (qLut, t2, qcNorm) = tables.value
+      val ql = qLut(qidx)
+      val t = t2(cid)
+      val nC = ql.length / len
+      var acc = qcNorm(qidx)(cid)
+      var j = 0
+      while (j < len) {
+        val idx = j * nC + (codes(off + j) + 128)
+        acc += t(idx) + ql(idx)
+        j += 1
+      }
+      math.sqrt(math.max(0.0, acc))
+    }
+  }
+
+  /** flat (ids, codes) buffer of one partition (or one inverted list's
+    * slice of it): row r's code bytes live at [r·m, (r+1)·m) */
+  private final class FlatCodes(val ids: Array[Long], val codes: Array[Byte],
+      val m: Int) {
+    def n: Int = ids.length
+  }
+
+  private def flatten(rows: scala.collection.Seq[(Long, Array[Byte])]): FlatCodes = {
+    val n = rows.length
+    val m = if (n == 0) 0 else rows.head._2.length
+    val ids = new Array[Long](n)
+    val flat = new Array[Byte](n * m)
+    var i = 0
+    rows.foreach { row =>
+      ids(i) = row._1
+      System.arraycopy(row._2, 0, flat, i * m, m)
+      i += 1
+    }
+    new FlatCodes(ids, flat, m)
+  }
+
+  /** Survivor-row cap for the driver-merge finish: below it the
+    * per-partition top-k survivors (≤ queries × k × partitions slim
+    * tuples) collect and merge on the driver — search results are
+    * driver-sized BY DEFINITION (FAISS returns them in client memory) and
+    * skipping the exchange + final-aggregate stages saves two job
+    * boundaries per search. Above it (huge query batches on wide data)
+    * the distributed [[KnnJoin.topKExploded]] tail runs instead — the
+    * same statistics-driven adaptive switch as Dedup's union-find path. */
+  def defaultDriverMergeCap: Long =
+    sys.props.get("graft.adc.driverMergeCap").map(_.toLong)
+      .orElse(sys.env.get("GRAFT_ADC_DRIVER_MERGE_CAP").map(_.toLong))
+      .getOrElse(2_000_000L)
+
+  /** Full scan + top-k finish: every query scores every code row. `data`
+    * must project (id: long, codes: binary). Output: the canonical
+    * (qid, rank, id, dist) relation, identical to
+    * `topKExploded(pair-scored rows)`. */
+  def searchTopK(data: DataFrame, qids: Array[Long], k: Int, scorer: Scorer)
+      : DataFrame = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val nQ = qids.length
+    val src = data.select(col("id").cast("long"), col("codes"))
+      .as[(Long, Array[Byte])]
+    val scanned = src.mapPartitions { it =>
+      val fc = flatten(it.toArray[(Long, Array[Byte])])
+      if (fc.n == 0) Iterator.empty
+      else {
+        val out = Iterator.tabulate(nQ) { qi =>
+          val h = new BoundedTopK(k)
+          var r = 0
+          while (r < fc.n) {
+            h.insert(fc.ids(r), scorer.score(qi, -1, fc.codes, r * fc.m, fc.m))
+            r += 1
+          }
+          emit(h, qids(qi))
+        }
+        out.flatten
+      }
+    }
+    finish(scanned, qids, k, src.rdd.getNumPartitions)
+  }
+
+  /** IVF scan + top-k finish: only (query, probed-list) pairs score,
+    * query-major within each list. `data` must project (id: long,
+    * centroid_id: int, codes: binary); `probes(cid)` lists the query
+    * indexes probing that list (empty array = unprobed). */
+  def searchTopKIvf(data: DataFrame, qids: Array[Long], k: Int,
+      scorer: Scorer, probes: Broadcast[Array[Array[Int]]]): DataFrame = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val nQ = qids.length
+    val src = data.select(col("id").cast("long"), col("centroid_id").cast("int"),
+        col("codes"))
+      .as[(Long, Int, Array[Byte])]
+    val scanned = src.mapPartitions { it =>
+      val pr = probes.value
+      // bucket the partition's rows by list id so each (query, list)
+      // pass scans contiguous flat codes with one hot LUT
+      val byCid = new scala.collection.mutable.LongMap[
+        scala.collection.mutable.ArrayBuffer[(Long, Array[Byte])]]()
+      it.foreach { row =>
+        if (row._2 >= 0 && row._2 < pr.length && pr(row._2).length > 0)
+          byCid.getOrElseUpdate(row._2.toLong,
+            new scala.collection.mutable.ArrayBuffer[(Long, Array[Byte])]())
+            .+=((row._1, row._3))
+      }
+      val heaps = new Array[BoundedTopK](nQ)
+      byCid.foreach { case (cidL, rows) =>
+        val cid = cidL.toInt
+        val fc = flatten(rows)
+        val qs = pr(cid)
+        var qi = 0
+        while (qi < qs.length) {
+          val q = qs(qi)
+          var h = heaps(q)
+          if (h == null) { h = new BoundedTopK(k); heaps(q) = h }
+          var r = 0
+          while (r < fc.n) {
+            h.insert(fc.ids(r), scorer.score(q, cid, fc.codes, r * fc.m, fc.m))
+            r += 1
+          }
+          qi += 1
+        }
+      }
+      Iterator.range(0, nQ).filter(heaps(_) != null)
+        .flatMap(qi => emit(heaps(qi), qids(qi)))
+    }
+    finish(scanned, qids, k, src.rdd.getNumPartitions)
+  }
+
+  private def emit(h: BoundedTopK, qid: Long): Iterator[(Long, Long, Double)] =
+    Iterator.range(0, h.size).map(i => (qid, h.ids(i), h.dists(i)))
+
+  /** Merge the per-partition survivors into the canonical
+    * (qid, rank, id, dist) result — on the driver below
+    * [[defaultDriverMergeCap]] potential survivor rows (identical
+    * (dist, id) order and k-bound as the distributed tail), distributed
+    * otherwise. */
+  private def finish(scanned: org.apache.spark.sql.Dataset[(Long, Long, Double)],
+      qids: Array[Long], k: Int, nPartitions: Int): DataFrame = {
+    val spark = scanned.sparkSession
+    import spark.implicits._
+    val potential = qids.length.toLong * k * math.max(1, nPartitions)
+    if (potential > defaultDriverMergeCap)
+      KnnJoin.topKExploded(scanned.toDF("qid", "id", "__dist"),
+        col("id"), col("__dist"), k)
+    else {
+      // one job, one collect: survivor volume is bounded by the cap check
+      val heaps = new scala.collection.mutable.LongMap[BoundedTopK]()
+      scanned.collect().foreach { row =>
+        heaps.getOrElseUpdate(row._1, new BoundedTopK(k))
+          .insert(row._2, row._3)
+      }
+      val out = heaps.toArray.sortBy(_._1).iterator.flatMap { case (qid, h) =>
+        h.sorted.iterator.zipWithIndex.map { case ((id, d), pos) =>
+          (qid, pos + 1, id, d)
+        }
+      }.toSeq
+      out.toDF("qid", "rank", "id", "dist")
+    }
+  }
+
+  /** Driver-side coarse probe: top-`nprobe` lists per query by
+    * (l2 dist, cid) — the same (dist, id) order and float→double
+    * accumulation as the former KnnJoin probe plan, so the probed SET is
+    * identical. nlist × dim flops per query is driver-trivial for any
+    * FAISS-shaped nlist (≤~10⁵); it replaces a full Spark job per search. */
+  def coarseProbes(queryVecs: Array[Array[Float]],
+      centroids: Array[(Int, Array[Float])], nlist: Int, nprobe: Int)
+      : Array[Array[Int]] = {
+    val out = Array.fill(nlist)(new scala.collection.mutable.ArrayBuffer[Int]())
+    var qi = 0
+    while (qi < queryVecs.length) {
+      val qv = queryVecs(qi)
+      val h = new BoundedTopK(nprobe)
+      var c = 0
+      while (c < centroids.length) {
+        val (cid, cv) = centroids(c)
+        var acc = 0.0; var i = 0
+        while (i < qv.length) {
+          val d = qv(i).toDouble - cv(i).toDouble
+          acc += d * d; i += 1
+        }
+        h.insert(cid.toLong, math.sqrt(acc))
+        c += 1
+      }
+      var i = 0
+      while (i < h.size) {
+        out(h.ids(i).toInt) += qi
+        i += 1
+      }
+      qi += 1
+    }
+    out.map(_.sorted.toArray)
+  }
+}

@@ -36,15 +36,20 @@ trait Searcher extends Serializable {
   * repeats, BaselineCompare warm+3) hold at most one live broadcast per
   * searcher instance instead of accumulating blocks for the session. */
 trait QueryBroadcastLifecycle {
-  @transient private var prev: org.apache.spark.broadcast.Broadcast[_] = _
+  @transient private var prev: List[org.apache.spark.broadcast.Broadcast[_]] = Nil
+  /** call at the top of each search(): retires every broadcast the
+    * PREVIOUS search registered (unpersist, not destroy: frees executor
+    * copies; a straggling plan holding the old handle can still lazily
+    * re-fetch from the driver) */
+  protected def beginSearch(): Unit = synchronized {
+    prev.foreach(_.unpersist())
+    prev = Nil
+  }
   protected def trackBroadcast[T: scala.reflect.ClassTag](
       spark: SparkSession, value: T): org.apache.spark.broadcast.Broadcast[T] =
     synchronized {
-      // unpersist (not destroy): frees executor copies; a straggling plan
-      // holding the old handle can still lazily re-fetch from the driver
-      if (prev != null) prev.unpersist()
       val bc = spark.sparkContext.broadcast(value)
-      prev = bc
+      prev ::= bc
       bc
     }
 }

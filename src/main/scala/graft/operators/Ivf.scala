@@ -57,8 +57,22 @@ final case class IvfIndexer(nlist: Int, seed: Long) extends Indexer {
       .toDF("centroid_id", "vector")
     IndexArtifact(kind, assigned,
       meta = Map("nlist" -> nlist.toString, "seed" -> seed.toString),
-      aux = Map("centroids" -> centroids))
+      aux = Map("centroids" -> centroids),
+      // driver-side copy for searchers (skips a per-search collect job);
+      // reconstructable from aux on the load-from-store path
+      local = Map("centroids_local" -> centers))
   }
+}
+
+object IvfModel {
+  /** centroids as (cid, vector) pairs — from the build's driver-side copy
+    * when present, else one collect of the tiny aux relation */
+  def centroidsOf(artifact: IndexArtifact): Array[(Int, Array[Float])] =
+    artifact.local.get("centroids_local") match {
+      case Some(cs: Array[Array[Float]] @unchecked) => cs.zipWithIndex.map(_.swap)
+      case _ => artifact.aux("centroids").select("centroid_id", "vector")
+        .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
+    }
 }
 
 final case class IvfSearcher(nprobe: Int, metric: String) extends Searcher {

@@ -56,26 +56,33 @@ final case class IvfPqIndexer(
     IndexArtifact(kind, data,
       meta = pq.meta ++ ivf.meta + ("residual" -> residual.toString),
       aux = Map("centroids" -> ivf.aux("centroids"),
-        "codebooks" -> pq.aux("codebooks")))
+        "codebooks" -> pq.aux("codebooks")),
+      local = ivf.local ++ pq.local)
   }
 }
 
 final case class IvfPqSearcher(nprobe: Int, metric: String) extends Searcher
     with QueryBroadcastLifecycle {
   def search(artifact: IndexArtifact, queries: DataFrame, k: Int): DataFrame = {
+    beginSearch()
     val model = PqModel.fromArtifact(artifact)
     val q = queries.select(col("qid").cast("long").as("qid"), col("vector"))
-    val centroids = artifact.aux("centroids")
-      .select(col("centroid_id").cast("long").as("id"), col("vector"))
-    val probes = KnnJoin.knnJoin(q, centroids, nprobe, "l2")
-      .select(col("qid"), col("id").cast("int").as("centroid_id"))
     val l2 = !(metric == "ip" || metric == "dot")
     val spark = artifact.data.sparkSession
+    val residual = artifact.meta.getOrElse("residual", "false") == "true"
+    val centArr = IvfModel.centroidsOf(artifact)
+    val nlistAll = centArr.map(_._1).max + 1
+    // queries collected ONCE; every driver-side table below derives from it
+    val qVecs = model.collectByQid(q)
+    val qids = qVecs.keys.toArray.sorted
+    val qVecArr = qids.map(qVecs)
 
-    val score =
-      if (artifact.meta.getOrElse("residual", "false") != "true") {
-        val luts = model.luts(q, metric)
-        model.adcScoreUdf(trackBroadcast(spark, luts))
+    // scoring kernel over (qidx, cid, codes) — the query-major partition
+    // scan (see AdcScan / PqSearcher); qidx indexes the broadcast tables
+    val scorer: AdcScan.Scorer =
+      if (!residual) {
+        val bc = trackBroadcast(spark, qVecArr.map(v => model.lut(v, metric)))
+        new AdcScan.PqLutScorer(bc, l2)
       } else {
         // Residual ADC via FAISS's precomputed-table decomposition
         // (IndexIVFPQ use_precomputed_table):
@@ -86,21 +93,22 @@ final case class IvfPqSearcher(nprobe: Int, metric: String) extends Searcher
         // (query, probed list). A naive per-(query, list) LUT would be
         // nlist× bigger and OOMed at reference configs.
         require(l2, "residual IVF-PQ scoring is defined for L2")
-        val qVecs = model.collectByQid(q)
-        val cents = artifact.aux("centroids").select("centroid_id", "vector")
-          .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toMap
-        // term3 per query: −2·q_j·cb_j[c] (the ip LUT is −q·y; double it)
-        val qLut: Map[Long, Array[Double]] =
-          qVecs.map { case (qid, v) =>
-            qid -> model.lut(v, "ip").map(_ * 2.0)
-          }
+        val cents = centArr.toMap
+        // term3 per query: −2·q_j·cb_j[c] (the ip LUT is −q·y; double it).
+        // All three tables are independent per query / per list → each
+        // builds driver-core parallel (they dominated per-search prep)
+        val qLut = new Array[Array[Double]](qVecArr.length)
+        java.util.stream.IntStream.range(0, qVecArr.length).parallel()
+          .forEach(i => qLut(i) = model.lut(qVecArr(i), "ip").map(_ * 2.0))
         // term2 per list: ‖y‖² + 2·c_j·y over every (subspace, code)
         val mm = model.codebooks.length
         val nC = model.codebooks(0).length
         val dsub = model.dsub
         val nlist = cents.keys.max + 1
         val t2 = Array.ofDim[Float](nlist, mm * nC)
-        cents.foreach { case (cid, cv) =>
+        val centSeq = cents.toArray
+        java.util.stream.IntStream.range(0, centSeq.length).parallel().forEach { ci =>
+          val (cid, cv) = centSeq(ci)
           val row = t2(cid)
           var j = 0
           while (j < mm) {
@@ -121,61 +129,28 @@ final case class IvfPqSearcher(nprobe: Int, metric: String) extends Searcher
             j += 1
           }
         }
-        // term1 per (query, list): ‖q−c‖²
-        val qcNorm = new java.util.HashMap[Long, java.lang.Double]()
-        qVecs.foreach { case (qid, qv) =>
-          cents.foreach { case (cid, cv) =>
+        // term1 per (query, list): ‖q−c‖², dense [qidx][cid]
+        val qcNorm = new Array[Array[Double]](qVecArr.length)
+        java.util.stream.IntStream.range(0, qVecArr.length).parallel().forEach { qi =>
+          val qv = qVecArr(qi)
+          val row = new Array[Double](nlist)
+          centSeq.foreach { case (cid, cv) =>
             var acc = 0.0
             var i = 0
             while (i < qv.length) {
               val d = qv(i).toDouble - cv(i); acc += d * d; i += 1
             }
-            qcNorm.put((qid << 32) | (cid.toLong & 0xffffffffL), acc)
+            row(cid) = acc
           }
+          qcNorm(qi) = row
         }
-        val scorer = new ResidualAdcScorer(
-          trackBroadcast(spark, (qLut, t2, qcNorm)))
-        udf { (qid: Long, cid: Int, codes: Array[Byte]) =>
-          scorer.score(qid, cid, codes)
-        }
+        val bc = trackBroadcast(spark, (qLut, t2, qcNorm))
+        new AdcScan.ResidualScorer(bc)
       }
-    val distArgs =
-      if (artifact.meta.getOrElse("residual", "false") != "true")
-        score(col("qid"), col("codes"))
-      else score(col("qid"), col("centroid_id"), col("codes"))
-    val distCol = if (l2) sqrt(distArgs) else distArgs
-    val scored = artifact.data
-      .join(broadcast(probes), Seq("centroid_id"))
-      .select(col("qid"), col("id"), distCol.as("__dist"))
-    KnnJoin.topKExploded(scored, col("id"), col("__dist"), k)
-  }
-}
-
-/** Residual ADC scoring kernel over the precomputed decomposition:
-  * `score = ‖q−c‖² + Σ_j (t2[cid][j,code] + qLut[qid][j,code])`.
-  * Everything rides in ONE broadcast; the per-row work is two table adds
-  * per subspace — the same order as raw ADC. */
-final class ResidualAdcScorer(
-    bc: org.apache.spark.broadcast.Broadcast[
-      (Map[Long, Array[Double]], Array[Array[Float]],
-        java.util.HashMap[Long, java.lang.Double])]) extends Serializable {
-
-  def score(qid: Long, cid: Int, codes: Array[Byte]): Double = {
-    val (qLut, t2, qcNorm) = bc.value
-    val ql = qLut(qid)
-    val t = t2(cid)
-    val mm = codes.length
-    val nC = ql.length / mm
-    var acc: Double = qcNorm.get((qid << 32) | (cid.toLong & 0xffffffffL))
-    var j = 0
-    while (j < mm) {
-      val idx = j * nC + (codes(j) + 128)
-      acc += t(idx) + ql(idx)
-      j += 1
-    }
-    // the three-term cancellation can round to ~-1e-16 when the true
-    // distance is ~0; sqrt would then yield NaN (ordered LAST by Spark,
-    // dropping the best candidate from top-k)
-    math.max(0.0, acc)
+    // coarse probe on the driver (see IvfSq8Searcher), then the
+    // query-major scan over only the probed inverted lists
+    val probes = trackBroadcast(spark,
+      AdcScan.coarseProbes(qVecArr, centArr, nlistAll, nprobe))
+    AdcScan.searchTopKIvf(artifact.data, qids, k, scorer, probes)
   }
 }

@@ -23,26 +23,32 @@ final case class IvfSq8Indexer(nlist: Int, seed: Long) extends Indexer {
       .join(sq8.data, Seq("id"))
     IndexArtifact(kind, data,
       meta = sq8.meta ++ ivf.meta,
-      aux = Map("centroids" -> ivf.aux("centroids")))
+      aux = Map("centroids" -> ivf.aux("centroids")),
+      local = ivf.local)
   }
 }
 
 final case class IvfSq8Searcher(nprobe: Int, metric: String) extends Searcher
     with QueryBroadcastLifecycle {
   def search(artifact: IndexArtifact, queries: DataFrame, k: Int): DataFrame = {
+    beginSearch()
     val lo = artifact.meta("lo").split(",").map(_.toFloat)
     val hi = artifact.meta("hi").split(",").map(_.toFloat)
     val q = queries.select(col("qid").cast("long").as("qid"), col("vector"))
+    val spark = artifact.data.sparkSession
     val model = Sq8Model(lo, hi)
-    val dist = model.distByQidUdf(
-      trackBroadcast(artifact.data.sparkSession, model.collectQueries(q)), metric)
-    val centroids = artifact.aux("centroids")
-      .select(col("centroid_id").cast("long").as("id"), col("vector"))
-    val probes = KnnJoin.knnJoin(q, centroids, nprobe, "l2")
-      .select(col("qid"), col("id").cast("int").as("centroid_id"))
-    val scored = artifact.data
-      .join(broadcast(probes), Seq("centroid_id"))
-      .select(col("qid"), col("id"), dist(col("qid"), col("codes")).as("__dist"))
-    KnnJoin.topKExploded(scored, col("id"), col("__dist"), k)
+    val byQid = model.collectQueries(q)
+    val qids = byQid.keys.toArray.sorted
+    val qVecs = qids.map(byQid)
+    val bc = trackBroadcast(spark, qVecs)
+    // coarse probe on the driver (nlist × dim flops per query — trivial;
+    // replaces a full Spark job per search), then the query-major
+    // partition scan over only the probed inverted lists
+    val cents = IvfModel.centroidsOf(artifact)
+    val nlist = cents.map(_._1).max + 1
+    val probes = trackBroadcast(spark,
+      AdcScan.coarseProbes(qVecs, cents, nlist, nprobe))
+    AdcScan.searchTopKIvf(artifact.data, qids, k,
+      new AdcScan.Sq8Scorer(bc, lo, hi, Sq8Model.mode(metric)), probes)
   }
 }

@@ -64,33 +64,29 @@ final case class PqIndexer(numSubspaces: Int, numCentroids: Int, seed: Long)
       meta = Map("num_subspaces" -> numSubspaces.toString,
         "num_centroids" -> nCent.toString, "dsub" -> dsub.toString,
         "seed" -> seed.toString),
-      aux = Map("codebooks" -> cbDf))
+      aux = Map("codebooks" -> cbDf),
+      // driver-side model for searchers (skips a per-search collect job);
+      // reconstructable from aux on the load-from-store path
+      local = Map("pq_model" -> PqModel(codebooks, dsub)))
   }
 }
 
 final case class PqSearcher(metric: String) extends Searcher
     with QueryBroadcastLifecycle {
   def search(artifact: IndexArtifact, queries: DataFrame, k: Int): DataFrame = {
+    beginSearch()
     val model = PqModel.fromArtifact(artifact)
-    // Per-query LUTs are computed ONCE on the driver and ship in the
-    // scoring closure keyed by qid (the FAISS query-side table). Carrying
-    // the 1024-double LUT as a broadcast-join column meant deserializing
-    // a boxed Seq[Double] per joined row — a GC storm at n_base×n_queries
-    // rows. Only (qid, codes) cross the row boundary now; codes are
-    // BinaryType (primitive byte[], no boxing).
+    // Per-query LUTs are computed ONCE on the driver and ship in one
+    // broadcast as a dense double[][] indexed by qidx (the FAISS
+    // query-side table); the code relation streams through the
+    // partition-buffered query-major scan (see AdcScan).
     val spark = artifact.data.sparkSession
     val luts = model.luts(queries, metric)
-    val score = model.adcScoreUdf(trackBroadcast(spark, luts))
-    import spark.implicits._
-    val q = luts.keys.toSeq.sorted.toDF("qid")
+    val qids = luts.keys.toArray.sorted
+    val bc = trackBroadcast(spark, qids.map(luts))
     val l2 = !(metric == "ip" || metric == "dot")
-    val distCol =
-      if (l2) sqrt(score(col("qid"), col("codes")))
-      else score(col("qid"), col("codes"))
-    val scored = artifact.data
-      .crossJoin(broadcast(q))
-      .select(col("qid"), col("id"), distCol.as("__dist"))
-    KnnJoin.topKExploded(scored, col("id"), col("__dist"), k)
+    AdcScan.searchTopK(artifact.data, qids, k,
+      new AdcScan.PqLutScorer(bc, l2))
   }
 }
 
@@ -125,34 +121,23 @@ final case class PqModel(codebooks: Array[Array[Array[Float]]], dsub: Int)
   }
 
   /** per-qid LUTs computed ONCE on the driver (see PqSearcher note on why
-    * they ship in the scoring closure rather than as a join column) */
-  def luts(queries: DataFrame, metric: String): Map[Long, Array[Double]] =
-    queries.select(col("qid").cast("long"), col("vector")).collect()
-      .map(r => r.getLong(0) -> lut(r.getSeq[Float](1).toArray, metric)).toMap
+    * they ship in one broadcast rather than as a join column). LUT
+    * construction is independent per query → driver-core parallel. */
+  def luts(queries: DataFrame, metric: String): Map[Long, Array[Double]] = {
+    val rows = queries.select(col("qid").cast("long"), col("vector")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val out = new Array[(Long, Array[Double])](rows.length)
+    java.util.stream.IntStream.range(0, rows.length).parallel().forEach { i =>
+      out(i) = rows(i)._1 -> lut(rows(i)._2, metric)
+    }
+    out.toMap
+  }
 
   /** collected (qid → vector) map for scorers that build LUTs lazily on
     * the executor (residual IVF-PQ) */
   def collectByQid(queries: DataFrame): Map[Long, Array[Float]] =
     queries.select(col("qid").cast("long"), col("vector")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
-
-  /** ADC score over (qid, codes): Σ_j lut[j][code_j]. The LUT map rides
-    * as a broadcast variable — in the closure it would serialize into
-    * EVERY task binary (32 MiB at 256 queries × 64×256 doubles); as a
-    * broadcast it ships to each executor once. Callers pass the broadcast
-    * so THEY own its lifecycle (searchers retire the previous search's
-    * broadcast on the next call instead of accumulating blocks). */
-  def adcScoreUdf(bc: org.apache.spark.broadcast.Broadcast[Map[Long, Array[Double]]])
-      : org.apache.spark.sql.expressions.UserDefinedFunction = {
-    val mm = codebooks.length
-    udf { (qid: Long, codes: Array[Byte]) =>
-      val lut = bc.value(qid)
-      val nC = lut.length / mm
-      var acc = 0.0; var j = 0
-      while (j < mm) { acc += lut(j * nC + (codes(j) + 128)); j += 1 }
-      acc
-    }
-  }
 
   /** per-query LUT, flattened m×nCent doubles: lut[j*nCent + c] =
     * ‖q_j − codebook_j[c]‖² (L2) or −q_j·codebook_j[c] (IP) */
@@ -183,7 +168,12 @@ final case class PqModel(codebooks: Array[Array[Array[Float]]], dsub: Int)
 }
 
 object PqModel {
-  def fromArtifact(a: IndexArtifact): PqModel = {
+  def fromArtifact(a: IndexArtifact): PqModel = a.local.get("pq_model") match {
+    case Some(m: PqModel) => m
+    case _ => collectFromAux(a)
+  }
+
+  private def collectFromAux(a: IndexArtifact): PqModel = {
     val m = a.meta("num_subspaces").toInt
     val nC = a.meta("num_centroids").toInt
     val dsub = a.meta("dsub").toInt

@@ -41,23 +41,28 @@ final case class Sq8Indexer() extends Indexer {
 final case class Sq8Searcher(metric: String) extends Searcher
     with QueryBroadcastLifecycle {
   def search(artifact: IndexArtifact, queries: DataFrame, k: Int): DataFrame = {
+    beginSearch()
     val lo = artifact.meta("lo").split(",").map(_.toFloat)
     val hi = artifact.meta("hi").split(",").map(_.toFloat)
-    // query vectors ship in the scoring closure keyed by qid — only
-    // (qid, codes) cross the row boundary (see PqSearcher note)
+    // query vectors ship in one broadcast as float[][] indexed by qidx;
+    // the code relation streams through the partition-buffered
+    // query-major scan (see AdcScan / PqSearcher note)
     val spark = artifact.data.sparkSession
     val model = Sq8Model(lo, hi)
-    val dist = model.distByQidUdf(
-      trackBroadcast(spark, model.collectQueries(queries)), metric)
-    import spark.implicits._
-    val q = queries.select(col("qid").cast("long").as("qid")).as[Long]
-      .collect().sorted.toSeq.toDF("qid")
-    val scored = artifact.data
-      .crossJoin(broadcast(q))
-      .select(col("qid"), col("id"),
-        dist(col("qid"), col("codes")).as("__dist"))
-    KnnJoin.topKExploded(scored, col("id"), col("__dist"), k)
+    val byQid = model.collectQueries(queries)
+    val qids = byQid.keys.toArray.sorted
+    val bc = trackBroadcast(spark, qids.map(byQid))
+    AdcScan.searchTopK(artifact.data, qids, k,
+      new AdcScan.Sq8Scorer(bc, lo, hi, Sq8Model.mode(metric)))
   }
+}
+
+object Sq8Model {
+  /** scan-kernel metric mode: 0 = L2, 1 = IP, 2 = cosine */
+  def mode(metric: String): Int =
+    if (metric == "cosine" || metric == "angular") 2
+    else if (metric == "ip" || metric == "dot") 1
+    else 0
 }
 
 final case class Sq8Model(lo: Array[Float], hi: Array[Float]) extends Serializable {
@@ -77,40 +82,9 @@ final case class Sq8Model(lo: Array[Float], hi: Array[Float]) extends Serializab
     }
   }
 
-  /** collected (qid → vector) map for [[distByQidUdf]]'s broadcast */
+  /** collected (qid → vector) map for the searcher's qidx-indexed
+    * broadcast (scoring itself is AdcScan's Sq8Scorer kernel) */
   def collectQueries(queries: org.apache.spark.sql.DataFrame): Map[Long, Array[Float]] =
     queries.select(col("qid").cast("long"), col("vector")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
-
-  /** asymmetric distance keyed by qid: query vectors collected once on
-    * the driver, shipped as a broadcast (NOT captured in the closure —
-    * that would serialize them into every task binary); per row only
-    * (qid, codes) deserialize. The caller passes the broadcast and owns
-    * its lifecycle (see QueryBroadcastLifecycle). */
-  def distByQidUdf(bc: org.apache.spark.broadcast.Broadcast[Map[Long, Array[Float]]],
-      metric: String)
-      : org.apache.spark.sql.expressions.UserDefinedFunction = {
-    val l = lo; val h = hi
-    val cosine = metric == "cosine" || metric == "angular"
-    val ip = metric == "ip" || metric == "dot"
-    udf { (qid: Long, codes: Array[Byte]) =>
-      val q = bc.value(qid)
-      var acc = 0.0; var dot = 0.0; var nq = 0.0; var nb = 0.0
-      var i = 0
-      while (i < codes.length) {
-        val c = (codes(i) + 128) / 255.0
-        val x = l(i) + c * (h(i) - l(i))
-        val qq = q(i).toDouble
-        if (cosine) { dot += qq * x; nq += qq * qq; nb += x * x }
-        else if (ip) { dot += qq * x }
-        else { val d = qq - x; acc += d * d }
-        i += 1
-      }
-      if (cosine) {
-        val den = math.sqrt(nq) * math.sqrt(nb)
-        if (den == 0.0) 1.0 else 1.0 - dot / den
-      } else if (ip) -dot
-      else math.sqrt(acc)
-    }
-  }
 }

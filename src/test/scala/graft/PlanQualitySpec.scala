@@ -137,6 +137,63 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("PQ/SQ8/IVF-PQ searchers: partition-scan shape, no UDF, no pair rows") {
+    graft.operators.Registry.init()
+    val base = Tables.embBase(spark, dir)
+    val queries = Tables.embQueries(spark, dir).limit(8)
+    val algos = Seq(
+      ("pq", graft.operators.PqIndexer(16, 64, 42).build(base),
+        graft.operators.PqSearcher("l2")),
+      ("sq8", graft.operators.Sq8Indexer().build(base),
+        graft.operators.Sq8Searcher("l2")),
+      ("ivf_pq", graft.operators.IvfPqIndexer(8, 16, 64, 42).build(base),
+        graft.operators.IvfPqSearcher(4, "l2")),
+      ("ivf_pq_residual",
+        graft.operators.IvfPqIndexer(8, 16, 64, 42, residual = true).build(base),
+        graft.operators.IvfPqSearcher(4, "l2")),
+      ("ivf_sq8", graft.operators.IvfSq8Indexer(8, 42).build(base),
+        graft.operators.IvfSq8Searcher(4, "l2")))
+    for ((name, artifact, searcher) <- algos) {
+      // the bench/harness materializes the code relation once per build
+      // (encode is the build step); searches must then be UDF-free
+      artifact.data.cache().count()
+      try {
+        // force the DISTRIBUTED finish so the scan's plan shape is
+        // assertable (the default driver-merge finish returns an
+        // already-materialized local relation)
+        System.setProperty("graft.adc.driverMergeCap", "0")
+        val result =
+          try searcher.search(artifact, queries, 5)
+          finally System.clearProperty("graft.adc.driverMergeCap")
+        // expression-level check (not string matching: the cached code
+        // relation's lineage description legitimately mentions the
+        // build-time encode UDF, but nothing EXECUTED may be one)
+        var udfs = List.empty[String]
+        result.queryExecution.optimizedPlan.foreach(node =>
+          node.expressions.foreach(_.foreach {
+            case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF =>
+              udfs ::= u.toString
+            case _ => ()
+          }))
+        assert(udfs.isEmpty, s"$name search executes UDFs: $udfs")
+        val plan = result.queryExecution.executedPlan.toString
+        assert(plan.contains("MapPartitions"),
+          s"$name must score via the partition-buffered ADC scan:\n$plan")
+        assert(!plan.contains("CartesianProduct") &&
+          !plan.contains("BroadcastNestedLoopJoin"),
+          s"$name must not materialize pair rows through a join:\n$plan")
+        // both finishes must produce identical rows (the driver merge
+        // replicates the (dist, id) heap order bit-for-bit)
+        val distributed = result.collect().map(_.toSeq).toSet
+        val merged = searcher.search(artifact, queries, 5)
+          .collect().map(_.toSeq).toSet
+        assert(distributed == merged,
+          s"$name driver-merge finish diverges from the distributed tail")
+        assert(merged.nonEmpty, s"$name returned no rows")
+      } finally artifact.data.unpersist()
+    }
+  }
+
   test("vector expressions: zero vectors, empty arrays, nulls") {
     val df = Seq(
       (Some(Seq(0f, 0f)), Some(Seq(0f, 0f))),
