@@ -100,14 +100,28 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] spark.stop failed (ignored): ${e.getMessage}")
     }
-    // best-effort scratch cleanup (quietly; logging is already off)
+    // best-effort scratch cleanup (quietly; logging is already off):
+    // this run's dir, plus any stale target/spark-local-* left by a
+    // crashed bench or a dev probe whose pid is no longer alive
     try {
       import java.nio.file.{Files, Path}
       import java.util.Comparator
-      val root = Path.of(localDir)
-      if (Files.exists(root))
-        Files.walk(root).sorted(Comparator.reverseOrder[Path]())
-          .forEach(p => { try Files.deleteIfExists(p) catch { case _: Throwable => () }; () })
+      def rmTree(root: Path): Unit =
+        if (Files.exists(root))
+          Files.walk(root).sorted(Comparator.reverseOrder[Path]())
+            .forEach(p => { try Files.deleteIfExists(p) catch { case _: Throwable => () }; () })
+      rmTree(Path.of(localDir))
+      val target = Path.of("target")
+      if (Files.isDirectory(target))
+        Files.list(target)
+          .filter(p => p.getFileName.toString.startsWith("spark-local-"))
+          .forEach { p =>
+            val alive = "\\d+$".r.findFirstIn(p.getFileName.toString)
+              .flatMap(pid => scala.util.Try(
+                ProcessHandle.of(pid.toLong).isPresent).toOption)
+              .getOrElse(false)
+            if (!alive) rmTree(p)
+          }
     } catch { case _: Throwable => () }
     System.err.flush()
     println(artifact)

@@ -26,11 +26,12 @@ object ScaleProbe {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val docFactor = args.lift(1).map(_.toInt).getOrElse(100)
     val embFactor = args.lift(2).map(_.toInt).getOrElse(10)
+    val localDir = s"target/spark-local-probe-${ProcessHandle.current().pid()}"
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false")
-      .config("spark.local.dir", s"target/spark-local-probe-${ProcessHandle.current().pid()}")
+      .config("spark.local.dir", localDir)
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -101,5 +102,14 @@ object ScaleProbe {
         .dropDuplicates("a", "b").orderBy(col("a"), col("b")).limit(20)
     }
     spark.stop()
+    // leave no scratch behind (Bench's stale sweep is the backstop)
+    try {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      val root = Path.of(localDir)
+      if (Files.exists(root))
+        Files.walk(root).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => { try Files.deleteIfExists(p) catch { case _: Throwable => () }; () })
+    } catch { case _: Throwable => () }
   }
 }
