@@ -77,7 +77,7 @@ object Bench {
         try {
           val entries = graft.harness.BaselineCompare.run(spark)
           entries.foreach(e => System.err.println(
-            f"[baseline] ${e.algo}%-10s recall=${e.recall}%.4f qps=${e.qps}%.0f " +
+            f"[baseline] ${e.dataset}%-8s ${e.algo}%-10s recall=${e.recall}%.4f qps=${e.qps}%.0f " +
               f"build=${e.buildS}%.2fs (ref ${e.refRecall}%.4f/${e.refQps}%.0f)"))
           graft.harness.BaselineCompare.json(entries)
         } catch { case e: Throwable =>

@@ -6,57 +6,118 @@ import org.apache.spark.sql.functions._
 import graft.operators._
 import graft.sources.RandomDataset
 
-/** Reference-baseline comparison on the BASELINE.md primary workload
-  * (random 20k × 64-d, 256 queries, k=20, L2): every algorithm family at
-  * the reference's own configs, measured recall/QPS/build side-by-side
-  * with the published numbers (benchmark_20260305_070532/
-  * benchmark_summary.md:11-18). Rendered into the bench artifact so each
-  * round's recall parity and per-algorithm speed are judgeable from
-  * BENCH_r*.json alone. */
+/** Reference-baseline comparison across the BASELINE.md workload shapes:
+  * every algorithm family at the reference's own configs, measured
+  * recall/QPS/build side-by-side with the published numbers
+  * (benchmark_20260305_070532/benchmark_summary.md). Rendered into the
+  * bench artifact so each round's recall parity and per-algorithm speed
+  * are judgeable from BENCH_r*.json alone.
+  *
+  * Datasets: this is a zero-egress sandbox, so glove50/msmarco run as
+  * SHAPE stand-ins — seeded gaussian vectors at the reference's exact
+  * (n_train, n_test, dims, metric): glove50 = 20k × 50-d L2 / 256 q;
+  * msmarco = 100k × 384-d cosine / 70 q (cosine realized as L2 over
+  * normalized vectors — rank-identical). QPS and build comparisons carry
+  * over (cost is shape-driven); RECALL on gaussian data is not
+  * distribution-comparable to the real corpora (real embeddings cluster,
+  * gaussian doesn't), so the per-dataset ref_recall columns are anchors,
+  * not parity targets, outside `random`. */
 object BaselineCompare {
 
   final case class Entry(
-      algo: String, recall: Double, qps: Double, buildS: Double,
-      refRecall: Double, refQps: Double)
+      dataset: String, algo: String, recall: Double, qps: Double,
+      buildS: Double, refRecall: Double, refQps: Double)
 
-  /** reference rows: algo -> (recall@20, QPS) */
-  val reference: Map[String, (Double, Double)] = Map(
-    "exact" -> (1.0000, 220.03),
-    "hnsw" -> (0.9156, 23886.0),
-    "ivf_flat" -> (0.4105, 111697.0),
-    "ivf_pq" -> (0.5090, 43245.0),
-    "ivf_sq8" -> (0.5090, 248897.0),
-    "pq" -> (0.9672, 25606.0),
-    "covertree" -> (1.0000, 34.40),
-    "lsh" -> (0.3191, 172.98))
+  type AlgoRow = (String, String, String, Map[String, String])
 
-  /** (name, indexer, searcher, params) mirroring the reference configs.
-    * Cheap-build algorithms run FIRST: the shared box's load swings
-    * several-fold, so if the overall budget squeezes anyone out it should
-    * be the two expensive driver-side builds (covertree, hnsw), after the
-    * fast rows have already landed in the artifact. */
-  val algos: Seq[(String, String, String, Map[String, String])] = Seq(
-    ("exact", "brute_force", "linear", Map.empty[String, String]),
-    ("lsh", "lsh", "lsh", Map("num_tables" -> "12", "hash_size" -> "4",
-      "bucket_width" -> "20.0", "candidate_multiplier" -> "64")),
-    ("ivf_flat", "ivf", "ivf", Map("nlist" -> "100", "nprobe" -> "10")),
-    // nprobe 32 (not FAISS's default probe depth): our coarse quantizer
-    // trains on a different KMeans than FAISS's, so probe depth is the
-    // fair knob to reach the published recall — 0.54 vs the 0.509 row,
-    // matches-or-beats at equal nlist
-    ("ivf_sq8", "ivf_sq8", "ivf_sq8", Map("nlist" -> "256", "nprobe" -> "32")),
-    ("pq", "pq", "pq", Map("num_subspaces" -> "64", "num_centroids" -> "256")),
-    // residual=true is FAISS's own IVFPQ encoding (codes quantize
-    // v - centroid), the faithful comparison config
-    ("ivf_pq", "ivf_pq", "ivf_pq", Map("nlist" -> "256", "nprobe" -> "32",
-      "num_subspaces" -> "64", "num_centroids" -> "256",
-      "residual" -> "true")),
-    ("covertree", "covertree", "covertree", Map.empty[String, String]),
-    // ef_search above the reference's 100: a JVM walk pays per-batch job
-    // overhead, not per-hop SIMD, so the deeper beam buys recall parity
-    // at ~zero wall cost here
-    ("hnsw", "hnsw_global", "hnsw_global",
-      Map("m" -> "16", "ef_construction" -> "200", "ef_search" -> "256")))
+  /** One reference workload shape: data generation + per-algo configs +
+    * the published (recall@20, QPS) rows to print alongside. */
+  final case class Workload(
+      name: String, nTrain: Long, nTest: Long, dims: Int,
+      normalize: Boolean, algos: Seq[AlgoRow],
+      reference: Map[String, (Double, Double)])
+
+  /** Cheap-build algorithms run FIRST: the shared box's load swings
+    * several-fold, so if the budget squeezes anyone out it should be the
+    * expensive driver-side builds (covertree, hnsw), after the fast rows
+    * have already landed in the artifact. */
+  private def algoTable(dims: Int, nprobe: Int, lshTables: Int, lshHash: Int,
+      lshMult: Int, withDriverBuilds: Boolean): Seq[AlgoRow] = {
+    // PQ subspace count follows the reference per-dataset codec (PQ64 at
+    // 64-d / 384-d, PQ50 at 50-d): dims must divide evenly
+    val m = if (dims % 64 == 0) 64 else dims
+    val base = Seq[AlgoRow](
+      ("exact", "brute_force", "linear", Map.empty[String, String]),
+      ("lsh", "lsh", "lsh", Map("num_tables" -> lshTables.toString,
+        "hash_size" -> lshHash.toString, "bucket_width" -> "20.0",
+        "candidate_multiplier" -> lshMult.toString)),
+      ("ivf_flat", "ivf", "ivf", Map("nlist" -> "100", "nprobe" -> "10")),
+      // nprobe above FAISS's config (24→32 on random): our coarse
+      // quantizer trains a different KMeans, so probe depth is the fair
+      // knob to reach the published recall at equal nlist
+      ("ivf_sq8", "ivf_sq8", "ivf_sq8",
+        Map("nlist" -> "256", "nprobe" -> nprobe.toString)),
+      ("pq", "pq", "pq",
+        Map("num_subspaces" -> m.toString, "num_centroids" -> "256")),
+      // residual=true is FAISS's own IVFPQ encoding (codes quantize
+      // v - centroid), the faithful comparison config
+      ("ivf_pq", "ivf_pq", "ivf_pq", Map("nlist" -> "256",
+        "nprobe" -> nprobe.toString, "num_subspaces" -> m.toString,
+        "num_centroids" -> "256", "residual" -> "true")))
+    if (!withDriverBuilds) base
+    else base ++ Seq[AlgoRow](
+      ("covertree", "covertree", "covertree", Map.empty[String, String]),
+      // ef_search above the reference's 100: a JVM walk pays per-batch
+      // job overhead, not per-hop SIMD, so the deeper beam buys recall
+      // parity at ~zero wall cost here
+      ("hnsw", "hnsw_global", "hnsw_global",
+        Map("m" -> "16", "ef_construction" -> "200", "ef_search" -> "256")))
+  }
+
+  /** published rows per dataset: algo -> (recall@20, QPS) —
+    * benchmark_summary.md:11-18 (random), :27-34 (glove50), :43-50
+    * (msmarco) */
+  val workloads: Seq[Workload] = Seq(
+    Workload("random", 20000, 256, 64, normalize = false,
+      algoTable(64, nprobe = 32, lshTables = 12, lshHash = 4, lshMult = 64,
+        withDriverBuilds = true),
+      Map(
+        "exact" -> (1.0000, 220.03),
+        "hnsw" -> (0.9156, 23886.0),
+        "ivf_flat" -> (0.4105, 111697.0),
+        "ivf_pq" -> (0.5090, 43245.0),
+        "ivf_sq8" -> (0.5090, 248897.0),
+        "pq" -> (0.9672, 25606.0),
+        "covertree" -> (1.0000, 34.40),
+        "lsh" -> (0.3191, 172.98))),
+    Workload("glove50", 20000, 256, 50, normalize = false,
+      algoTable(50, nprobe = 32, lshTables = 12, lshHash = 4, lshMult = 64,
+        withDriverBuilds = true),
+      Map(
+        "exact" -> (1.0000, 290.68),
+        "hnsw" -> (0.9750, 213468.0),
+        "ivf_flat" -> (0.8699, 259546.0),
+        "ivf_pq" -> (0.9094, 95836.0),
+        "ivf_sq8" -> (0.9113, 70534.0),
+        "pq" -> (0.9820, 19837.0),
+        "covertree" -> (1.0000, 34.32),
+        "lsh" -> (0.5074, 81.85))),
+    // covertree/hnsw excluded at this shape, NOT silently: both are
+    // driver-side builds documented as bounded-scope (HnswGlobal.scala /
+    // CoverTree.scala) and at 100k × 384-d their build alone exceeds the
+    // per-algo watchdog, wasting 2 × 120 s of the stage budget per round
+    Workload("msmarco", 100000, 70, 384, normalize = true,
+      algoTable(384, nprobe = 48, lshTables = 24, lshHash = 8, lshMult = 128,
+        withDriverBuilds = false),
+      Map(
+        "exact" -> (1.0000, 550.41),
+        "hnsw" -> (0.9857, 7872.0),
+        "ivf_flat" -> (0.9529, 2387.0),
+        "ivf_pq" -> (0.6986, 1166.0),
+        "ivf_sq8" -> (0.9471, 16321.0),
+        "pq" -> (0.7757, 5743.0),
+        "covertree" -> (1.0000, 5.76),
+        "lsh" -> (0.3286, 147.29))))
 
   /** Per-algorithm wall budget. On overrun the algorithm's Spark job
     * group is canceled and its entry dropped — one wedged algorithm must
@@ -67,18 +128,45 @@ object BaselineCompare {
       sys.env.getOrElse("SPARK_GRAFT_BASELINE_ALGO_SEC", "120").toInt,
       scala.concurrent.duration.SECONDS)
 
-  /** Overall stage budget: once elapsed time crosses this, remaining
-    * algorithms are skipped (with a log line) rather than started. */
+  /** Overall stage budget across ALL workloads: once elapsed time crosses
+    * it, remaining algorithms/datasets are skipped with a log line. */
   val totalBudgetSec: Int =
-    sys.env.getOrElse("SPARK_GRAFT_BASELINE_TOTAL_SEC", "480").toInt
+    sys.env.getOrElse("SPARK_GRAFT_BASELINE_TOTAL_SEC", "900").toInt
 
   def run(spark: SparkSession): Seq[Entry] = {
-    import spark.implicits._
     Registry.init()
-    val train = RandomDataset.vectors(spark, 20000, 64, 42).cache()
-    val test = RandomDataset.vectors(spark, 256, 64, 43)
-      .withColumnRenamed("id", "qid").cache()
+    // dev filters: SPARK_GRAFT_BASELINE_ONLY=lsh,pq /
+    // SPARK_GRAFT_BASELINE_DATASETS=random,msmarco run subsets
+    val onlyAlgo = sys.env.get("SPARK_GRAFT_BASELINE_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val onlyDs = sys.env.get("SPARK_GRAFT_BASELINE_DATASETS")
+      .map(_.split(",").map(_.trim).toSet)
+    val stageStart = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - stageStart) / 1e9
+    workloads.filter(w => onlyDs.forall(_.contains(w.name))).flatMap { w =>
+      if (elapsed > totalBudgetSec) {
+        System.err.println(
+          f"[baseline] dataset ${w.name} skipped: stage budget spent " +
+            f"($elapsed%.0fs > ${totalBudgetSec}s)")
+        Nil
+      } else runWorkload(spark, w, onlyAlgo, () => elapsed)
+    }
+  }
+
+  private def runWorkload(spark: SparkSession, w: Workload,
+      onlyAlgo: Option[Set[String]], elapsed: () => Double): Seq[Entry] = {
+    import spark.implicits._
+    def vecs(n: Long, seed: Long) = {
+      val raw = RandomDataset.vectors(spark, n, w.dims, seed)
+      if (!w.normalize) raw
+      else raw.withColumn("vector",
+        graft.functions.VectorFunctions.vec_normalize(col("vector")))
+    }
+    val train = vecs(w.nTrain, 42).cache()
+    val test = vecs(w.nTest, 43).withColumnRenamed("id", "qid").cache()
     train.count(); test.count()
+    // cosine on normalized vectors ranks identically to L2, so every
+    // searcher (and the GT) runs L2 — one metric end to end
     val gt = KnnJoin.knnJoinAgg(test, train, 20, "l2")
       .select(col("qid"), transform(col("nn"), x => x("id")).as("gt_ids"))
       .cache()
@@ -86,38 +174,34 @@ object BaselineCompare {
 
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
-    // dev filter: SPARK_GRAFT_BASELINE_ONLY=lsh,pq runs a subset
-    val only = sys.env.get("SPARK_GRAFT_BASELINE_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
-    val stageStart = System.nanoTime()
-    val out = algos.filter(a => only.forall(_.contains(a._1)))
+    val out = w.algos.filter(a => onlyAlgo.forall(_.contains(a._1)))
       .flatMap { case (name, in, se, params) =>
-      val group = s"baseline-$name"
-      val elapsed = (System.nanoTime() - stageStart) / 1e9
-      if (elapsed > totalBudgetSec) {
-        System.err.println(
-          f"[baseline] $name skipped: stage budget spent ($elapsed%.0fs > ${totalBudgetSec}s)")
-        None
-      } else
-      try {
-        System.err.println(s"[baseline] running $name ...")
-        Await.result(Future {
-          spark.sparkContext.setJobGroup(group, s"baseline $name",
-            interruptOnCancel = true)
-          try runOne(spark, gt, train, test, name, in, se, params)
-          finally spark.sparkContext.clearJobGroup()
-        }, perAlgoBudget)
-      } catch { case e: Throwable =>
-        spark.sparkContext.cancelJobGroup(group)
-        System.err.println(s"[baseline] $name FAILED: ${e.getMessage}")
-        None
+        val group = s"baseline-${w.name}-$name"
+        if (elapsed() > totalBudgetSec) {
+          System.err.println(
+            f"[baseline] ${w.name}/$name skipped: stage budget spent " +
+              f"(${elapsed()}%.0fs > ${totalBudgetSec}s)")
+          None
+        } else
+        try {
+          System.err.println(s"[baseline] running ${w.name}/$name ...")
+          Await.result(Future {
+            spark.sparkContext.setJobGroup(group, s"baseline ${w.name} $name",
+              interruptOnCancel = true)
+            try runOne(spark, w, gt, train, test, name, in, se, params)
+            finally spark.sparkContext.clearJobGroup()
+          }, perAlgoBudget)
+        } catch { case e: Throwable =>
+          spark.sparkContext.cancelJobGroup(group)
+          System.err.println(s"[baseline] ${w.name}/$name FAILED: ${e.getMessage}")
+          None
+        }
       }
-    }
     train.unpersist(); test.unpersist(); gt.unpersist()
     out
   }
 
-  private def runOne(spark: SparkSession,
+  private def runOne(spark: SparkSession, w: Workload,
       gt: org.apache.spark.sql.DataFrame,
       train: org.apache.spark.sql.DataFrame,
       test: org.apache.spark.sql.DataFrame,
@@ -155,22 +239,24 @@ object BaselineCompare {
       .as[Double].head()
     pred.unpersist()
     artifact.data.unpersist()
-    val (refR, refQ) = reference(name)
-    Some(Entry(name, recall, 256.0 / secs, buildS, refR, refQ))
+    val (refR, refQ) = w.reference(name)
+    Some(Entry(w.name, name, recall, w.nTest.toDouble / secs, buildS, refR, refQ))
   }
 
-  /** JSON object fragment for the bench artifact */
+  /** JSON object fragment for the bench artifact, nested per dataset */
   def json(entries: Seq[Entry]): String =
-    entries.map { e =>
-      f""""${e.algo}":{"recall":${e.recall}%.4f,"qps":${e.qps}%.1f,""" +
-        f""""build_s":${e.buildS}%.2f,"ref_recall":${e.refRecall}%.4f,""" +
-        f""""ref_qps":${e.refQps}%.1f}"""
+    entries.groupBy(_.dataset).toSeq.sortBy(_._1).map { case (ds, es) =>
+      "\"" + ds + "\":" + es.map { e =>
+        f""""${e.algo}":{"recall":${e.recall}%.4f,"qps":${e.qps}%.1f,""" +
+          f""""build_s":${e.buildS}%.2f,"ref_recall":${e.refRecall}%.4f,""" +
+          f""""ref_qps":${e.refQps}%.1f}"""
+      }.mkString("{", ",", "}")
     }.mkString("{", ",", "}")
 
   def table(entries: Seq[Entry]): String = {
-    val header = f"${"algo"}%-10s ${"recall@20"}%10s ${"QPS"}%10s ${"build_s"}%8s   reference(recall/QPS)"
+    val header = f"${"dataset"}%-9s ${"algo"}%-10s ${"recall@20"}%10s ${"QPS"}%10s ${"build_s"}%8s   reference(recall/QPS)"
     (header +: entries.map { e =>
-      f"${e.algo}%-10s ${e.recall}%10.4f ${e.qps}%10.0f ${e.buildS}%8.2f   (${e.refRecall}%.4f / ${e.refQps}%.0f)"
+      f"${e.dataset}%-9s ${e.algo}%-10s ${e.recall}%10.4f ${e.qps}%10.0f ${e.buildS}%8.2f   (${e.refRecall}%.4f / ${e.refQps}%.0f)"
     }).mkString("\n")
   }
 }
