@@ -77,13 +77,26 @@ object IvfModel {
 
 final case class IvfSearcher(nprobe: Int, metric: String) extends Searcher {
   def search(artifact: IndexArtifact, queries: DataFrame, k: Int): DataFrame = {
+    val spark = artifact.data.sparkSession
+    import spark.implicits._
     val q = queries.select(col("qid").cast("long").as("qid"), col("vector"))
-    val centroids = artifact.aux("centroids")
-      .select(col("centroid_id").cast("long").as("id"), col("vector"))
-    // coarse probe: nprobe nearest centroids per query (always L2, as FAISS
-    // IVF coarse assignment is L2 even under other metrics)
-    val probes = KnnJoin.knnJoin(q, centroids, nprobe, "l2")
-      .select(col("qid"), col("id").cast("int").as("centroid_id"))
+    // coarse probe on the driver: nprobe nearest centroids per query
+    // (always L2, as FAISS IVF coarse assignment is L2 even under other
+    // metrics) — nlist × dim flops per query, replaces a Spark job. The
+    // scan itself stays the declarative equi-join + carried-vector rerank:
+    // raw-vector lists are fat and plenty-parallel, so the codegen'd join
+    // pipeline beats a buffering scan here (measured; unlike the
+    // byte-code ADC family where LUT locality dominates — see AdcScan).
+    val byQid = q.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val qids = byQid.keys.toArray.sorted
+    val qVecArr = qids.map(byQid)
+    val cents = IvfModel.centroidsOf(artifact)
+    val nlist = cents.map(_._1).max + 1
+    val probeArr = AdcScan.coarseProbes(qVecArr, cents, nlist, nprobe)
+    val probes = probeArr.iterator.zipWithIndex.flatMap { case (qs, cid) =>
+      qs.iterator.map(qi => (qids(qi), cid))
+    }.toSeq.toDF("qid", "centroid_id")
     // inverted-list pruned candidates: equi-join on centroid_id. The index
     // relation already carries the vectors it just pruned, so they ride
     // through the probe join straight into the rerank — ONE scan of the
