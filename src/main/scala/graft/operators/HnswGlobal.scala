@@ -93,7 +93,6 @@ final case class HnswGlobalSearcher(efSearch: Int = 100, metric: String = "l2",
       case Some(mo: HnswGlobalModel) => mo
       case _ => HnswGlobalModel.fromArtifact(artifact)
     }
-    val bModel = broadcastModel(spark, model)
     val acc = counter
     val efS = efSearch
     val outSchema = StructType(Seq(
@@ -101,8 +100,35 @@ final case class HnswGlobalSearcher(efSearch: Int = 100, metric: String = "l2",
       StructField("rank", IntegerType, nullable = false),
       StructField("id", LongType, nullable = false),
       StructField("dist", DoubleType, nullable = false)))
+    // Adaptive: the graph already lives on the driver (it was built
+    // there — this searcher's documented bounded scope), and a search
+    // batch is tiny BY DEFINITION, so below the cap the walk runs
+    // driver-parallel with zero Spark jobs beyond the query collect
+    // (which the ADC/PQ searchers pay anyway for their LUTs) — the same
+    // statistics-driven switch as AdcScan's finish. Huge query batches
+    // take the broadcast + mapPartitions path.
+    val qRows = queries.select(col("qid").cast("long"), col("vector"))
+    val cap = HnswGlobalSearcher.driverWalkCap
+    val probe = qRows.limit(cap + 1).collect()
+    if (probe.length <= cap) {
+      val rows = probe.map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      val ws = ThreadLocal.withInitial[HnswWorkspace](() =>
+        new HnswWorkspace(model.vecs.length))
+      val out = new Array[Seq[Row]](rows.length)
+      java.util.stream.IntStream.range(0, rows.length).parallel().forEach { i =>
+        val (qid, qv) = rows(i)
+        val (res, ndis) = model.knn(qv, k, efS, ws.get())
+        acc.foreach(_.add(ndis))
+        out(i) = res.zipWithIndex.map { case ((id, d), r) =>
+          Row(qid, r + 1, id, d): Row
+        }.toSeq
+      }
+      import scala.jdk.CollectionConverters._
+      return spark.createDataFrame(out.toSeq.flatten.asJava, outSchema)
+    }
+    val bModel = broadcastModel(spark, model)
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
-    queries.select(col("qid").cast("long"), col("vector"))
+    qRows
       .mapPartitions { it =>
         val mo = bModel.value
         // one workspace per partition: the O(n) stamp-visited array is
@@ -117,6 +143,16 @@ final case class HnswGlobalSearcher(efSearch: Int = 100, metric: String = "l2",
         }
       }(enc)
   }
+
+}
+
+object HnswGlobalSearcher {
+  /** query-batch cap for the driver-parallel walk (above it, the walk
+    * distributes via the broadcast model) */
+  def driverWalkCap: Int =
+    sys.props.get("graft.hnsw.driverWalkCap").map(_.toInt)
+      .orElse(sys.env.get("GRAFT_HNSW_DRIVER_WALK_CAP").map(_.toInt))
+      .getOrElse(100_000)
 }
 
 /** Driver-side multi-layer HNSW graph. Levels are sampled geometrically
