@@ -248,17 +248,31 @@ object AdcScan {
     }
   }
 
+  /** Flop guard for [[coarseProbes]]: above ~10¹⁰ driver flops
+    * (queries × nlist × dim) the caller should route probe selection
+    * through the distributed kNN join instead of wedging the driver.
+    * Any FAISS-shaped configuration (nlist ≤ ~10⁵, batches ≤ ~10⁵
+    * queries, dims ≤ ~10³) sits orders of magnitude below it. */
+  def coarseProbeFlopCap: Long =
+    sys.props.get("graft.adc.probeFlopCap").map(_.toLong)
+      .orElse(sys.env.get("GRAFT_ADC_PROBE_FLOP_CAP").map(_.toLong))
+      .getOrElse(10_000_000_000L)
+
+  def coarseProbesFit(nQueries: Long, nlist: Long, dims: Long): Boolean =
+    nQueries * nlist * dims <= coarseProbeFlopCap
+
   /** Driver-side coarse probe: top-`nprobe` lists per query by
     * (l2 dist, cid) — the same (dist, id) order and float→double
     * accumulation as the former KnnJoin probe plan, so the probed SET is
     * identical. nlist × dim flops per query is driver-trivial for any
-    * FAISS-shaped nlist (≤~10⁵); it replaces a full Spark job per search. */
+    * FAISS-shaped nlist (≤~10⁵); it replaces a full Spark job per search.
+    * Queries parallelize across driver cores. */
   def coarseProbes(queryVecs: Array[Array[Float]],
       centroids: Array[(Int, Array[Float])], nlist: Int, nprobe: Int)
       : Array[Array[Int]] = {
     val out = Array.fill(nlist)(new scala.collection.mutable.ArrayBuffer[Int]())
-    var qi = 0
-    while (qi < queryVecs.length) {
+    val probed = new Array[Array[Long]](queryVecs.length)
+    java.util.stream.IntStream.range(0, queryVecs.length).parallel().forEach { qi =>
       val qv = queryVecs(qi)
       val h = new BoundedTopK(nprobe)
       var c = 0
@@ -272,13 +286,37 @@ object AdcScan {
         h.insert(cid.toLong, math.sqrt(acc))
         c += 1
       }
-      var i = 0
-      while (i < h.size) {
-        out(h.ids(i).toInt) += qi
-        i += 1
-      }
+      probed(qi) = h.ids.take(h.size)
+    }
+    var qi = 0
+    while (qi < probed.length) {
+      probed(qi).foreach(cid => out(cid.toInt) += qi)
       qi += 1
     }
     out.map(_.sorted.toArray)
+  }
+
+  /** Probe selection with the flop guard: driver-side below
+    * [[coarseProbeFlopCap]], else the distributed kNN probe join with the
+    * (slim) probe pairs collected into the same dense cid → qidx form.
+    * Both paths produce the identical probed set. */
+  def probesAuto(q: DataFrame, qids: Array[Long],
+      qVecArr: Array[Array[Float]], centroids: Array[(Int, Array[Float])],
+      nlist: Int, nprobe: Int, centroidsDf: => DataFrame)
+      : Array[Array[Int]] = {
+    val dims = if (qVecArr.isEmpty) 0 else qVecArr(0).length
+    if (coarseProbesFit(qids.length.toLong, nlist.toLong, dims.toLong))
+      coarseProbes(qVecArr, centroids, nlist, nprobe)
+    else {
+      val qidx = qids.zipWithIndex.toMap
+      val cents = centroidsDf
+        .select(col("centroid_id").cast("long").as("id"), col("vector"))
+      val out = Array.fill(nlist)(new scala.collection.mutable.ArrayBuffer[Int]())
+      KnnJoin.knnJoin(q, cents, nprobe, "l2")
+        .select(col("qid"), col("id").cast("int"))
+        .collect()
+        .foreach(r => out(r.getInt(1)) += qidx(r.getLong(0)))
+      out.map(_.sorted.toArray)
+    }
   }
 }

@@ -93,7 +93,8 @@ final case class IvfSearcher(nprobe: Int, metric: String) extends Searcher {
     val qVecArr = qids.map(byQid)
     val cents = IvfModel.centroidsOf(artifact)
     val nlist = cents.map(_._1).max + 1
-    val probeArr = AdcScan.coarseProbes(qVecArr, cents, nlist, nprobe)
+    val probeArr = AdcScan.probesAuto(q, qids, qVecArr, cents, nlist, nprobe,
+      artifact.aux("centroids"))
     val probes = probeArr.iterator.zipWithIndex.flatMap { case (qs, cid) =>
       qs.iterator.map(qi => (qids(qi), cid))
     }.toSeq.toDF("qid", "centroid_id")

@@ -149,8 +149,8 @@ final case class IvfPqSearcher(nprobe: Int, metric: String) extends Searcher
       }
     // coarse probe on the driver (see IvfSq8Searcher), then the
     // query-major scan over only the probed inverted lists
-    val probes = trackBroadcast(spark,
-      AdcScan.coarseProbes(qVecArr, centArr, nlistAll, nprobe))
+    val probes = trackBroadcast(spark, AdcScan.probesAuto(
+      q, qids, qVecArr, centArr, nlistAll, nprobe, artifact.aux("centroids")))
     AdcScan.searchTopKIvf(artifact.data, qids, k, scorer, probes)
   }
 }

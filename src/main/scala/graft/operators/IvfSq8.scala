@@ -46,8 +46,8 @@ final case class IvfSq8Searcher(nprobe: Int, metric: String) extends Searcher
     // partition scan over only the probed inverted lists
     val cents = IvfModel.centroidsOf(artifact)
     val nlist = cents.map(_._1).max + 1
-    val probes = trackBroadcast(spark,
-      AdcScan.coarseProbes(qVecs, cents, nlist, nprobe))
+    val probes = trackBroadcast(spark, AdcScan.probesAuto(
+      q, qids, qVecs, cents, nlist, nprobe, artifact.aux("centroids")))
     AdcScan.searchTopKIvf(artifact.data, qids, k,
       new AdcScan.Sq8Scorer(bc, lo, hi, Sq8Model.mode(metric)), probes)
   }

@@ -140,4 +140,24 @@ class AnnSpec extends AnyFunSuite {
     val res = alg.run(trainC, testQ, 10)
     assert(recallOf(res) == 1.0)
   }
+
+  test("coarse probe: driver path ≡ distributed fallback (flop-guard paths)") {
+    val artifact = IvfIndexer(nlist = 8, seed = 42).build(trainC)
+    val q = testQ.select(col("qid").cast("long").as("qid"), col("vector"))
+    val byQid = q.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val qids = byQid.keys.toArray.sorted
+    val qVecs = qids.map(byQid)
+    val cents = IvfModel.centroidsOf(artifact)
+    val nlist = cents.map(_._1).max + 1
+    def run(): Array[Array[Int]] = AdcScan.probesAuto(
+      q, qids, qVecs, cents, nlist, nprobe = 3, artifact.aux("centroids"))
+    val driver = run()
+    System.setProperty("graft.adc.probeFlopCap", "0")
+    val distributed = try run()
+      finally System.clearProperty("graft.adc.probeFlopCap")
+    assert(driver.map(_.toSeq).toSeq == distributed.map(_.toSeq).toSeq,
+      "probe sets must be identical across both selection paths")
+    assert(driver.exists(_.nonEmpty))
+  }
 }
