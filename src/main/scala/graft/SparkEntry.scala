@@ -274,6 +274,32 @@ object SparkEntry {
           round(col("r.top_word_frac"), 6).as("top_word_frac"),
           round(col("r.top_2gram_frac"), 6).as("top_2gram_frac"),
           round(col("r.dup_3gram_frac"), 6).as("dup_3gram_frac"))),
+    // --- PII scrub: engine-portable regex redaction (emails → phones →
+    //     IPs, order is part of the contract) plus per-doc hit counts.
+    //     The synthetic corpus carries no PII, so each doc gets a
+    //     deterministic doc_id-derived email/phone/IP appended — the
+    //     scrub then has real work whose output DuckDB replays exactly ---
+    "text_pii_scrub" -> ((s, dir) => {
+      val injected = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or 555-867-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".7"))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), injected.as("t"))
+        .select(col("doc_id"),
+          TextAnalysis.piiScrub(col("t")).as("scrubbed"),
+          TextAnalysis.piiCounts(col("t")).as("c"))
+        .select(col("doc_id"), col("scrubbed"),
+          col("c.n_email").as("n_email"), col("c.n_phone").as("n_phone"),
+          col("c.n_ip").as("n_ip"))
+    }),
+    // --- cross-document duplicated spans (substring-dedup tier): per doc,
+    //     how many of its distinct word 5-grams appear in ≥1 other doc;
+    //     inverted-index shape, two equi-shuffles on the span key ---
+    "dedup_span_stats" -> ((s, dir) =>
+      Dedup.crossDocSpanStats(
+        Tables.load(s, dir, "documents"), "doc_id", "text", n = 5)),
     // --- deterministic content-hash sampling, stratified audit: the
     //     keep decision is a pure function of (doc_id, salt), so the
     //     sample is identical across partitionings/retries/engines ---
@@ -3375,6 +3401,59 @@ object SparkEntry {
         |      WHERE d3.doc_id = base.doc_id), 0)::DOUBLE / norm_len)
         |    END, 6) AS dup_3gram_frac
         |FROM base""".stripMargin,
+    // PII scrub: the same three REs in the same order (emails → phones →
+    // IPs); counts measured on the pre-stage text exactly as piiCounts
+    "text_pii_scrub" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@example.com or 555-867-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      || ' from 10.0.' || (doc_id % 256) || '.7' AS t
+        |  FROM documents),
+        |e AS (SELECT doc_id, t,
+        |  regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |    '<EMAIL>', 'g') AS t1 FROM b),
+        |p AS (SELECT doc_id, t, t1,
+        |  regexp_replace(t1, '\b\d{3}[-.]\d{3}[-.]\d{4}\b',
+        |    '<PHONE>', 'g') AS t2 FROM e)
+        |SELECT doc_id,
+        |  regexp_replace(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+        |    '<IP>', 'g') AS scrubbed,
+        |  len(regexp_extract_all(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |  len(regexp_extract_all(t1,
+        |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS n_phone,
+        |  len(regexp_extract_all(t2,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip
+        |FROM p""".stripMargin,
+    // Cross-doc span stats: same tokenization/5-gram construction as the
+    // repetition oracle; shared = span present in >= 2 docs (spans are
+    // distinct per doc, so count(*) counts documents)
+    "dedup_span_stats" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 3),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+        |      || toks[i+3] || ' ' || toks[i+4])) AS spans
+        |  FROM b),
+        |x AS (SELECT doc_id, unnest(spans) AS span FROM s),
+        |g AS (SELECT span, count(*) AS ndocs FROM x
+        |      GROUP BY span HAVING count(*) >= 2),
+        |cnt AS (
+        |  SELECT x.doc_id, count(*) AS n_spans,
+        |    count(*) FILTER (WHERE g.span IS NOT NULL) AS n_shared_spans
+        |  FROM x LEFT JOIN g ON x.span = g.span
+        |  GROUP BY x.doc_id)
+        |SELECT b.doc_id,
+        |  coalesce(cnt.n_spans, 0) AS n_spans,
+        |  coalesce(cnt.n_shared_spans, 0) AS n_shared_spans,
+        |  round(CASE WHEN coalesce(cnt.n_spans, 0) = 0 THEN 0.0
+        |    ELSE cnt.n_shared_spans::DOUBLE / cnt.n_spans END, 6)
+        |    AS shared_span_frac
+        |FROM b LEFT JOIN cnt ON b.doc_id = cnt.doc_id""".stripMargin,
     // Deterministic hash sampling: same md5 hex prefix, same threshold —
     // bucket < 6553 (= 0x1999, floor(0.1·65536)) expressed as a
     // fixed-width lowercase-hex string compare

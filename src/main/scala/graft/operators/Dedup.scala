@@ -522,6 +522,46 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  // ------------------------------------------ cross-document span overlap
+  /** Cross-document duplicated-span statistics — the word-span tier of
+    * exact substring dedup (Lee et al. 2022, arXiv:2107.06499: training
+    * spans repeated across documents hurt LMs; the suffix-array pass there
+    * is approximated here by fixed-length span fingerprints, the standard
+    * scalable relaxation). For every document: how many of its distinct
+    * `n`-token spans occur in at least one OTHER document, and the
+    * fraction of spans so shared.
+    *
+    * Shape: explode per-doc distinct spans → groupBy(span) count (rows ==
+    * distinct docs because spans are pre-deduped per doc) → semi-ish left
+    * join back → per-doc aggregate. Two shuffles on the span key + one on
+    * doc_id, all equi — the same inverted-index discipline as
+    * decontamination; no pairwise blow-up, so it survives 100 TB. Docs
+    * shorter than `n` tokens keep a row with zero spans.
+    *
+    * `hashSpans=true` ships 8-byte xxhash64 fingerprints through both
+    * shuffles instead of span strings — the wide-corpus configuration
+    * (collision odds ~n²/2⁶⁴); `false` keeps raw strings so an external
+    * SQL engine can replay the computation exactly. */
+  def crossDocSpanStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int, hashSpans: Boolean = false): DataFrame = {
+    val raw = df.select(col(idCol).cast("long").as("doc_id"),
+      explode_outer(shingles(col(textCol), n)).as("span"))
+    val spans = if (!hashSpans) raw
+      else raw.withColumn("span", xxhash64(col("span")))
+    val shared = spans.filter(col("span").isNotNull)
+      .groupBy("span").agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") >= 2)
+    spans.join(shared, Seq("span"), "left")
+      .groupBy("doc_id")
+      .agg(
+        sum(when(col("span").isNotNull, 1L).otherwise(0L)).as("n_spans"),
+        sum(when(col("ndocs").isNotNull, 1L).otherwise(0L))
+          .as("n_shared_spans"))
+      .withColumn("shared_span_frac",
+        when(col("n_spans") === 0, lit(0.0)).otherwise(
+          round(col("n_shared_spans").cast("double") / col("n_spans"), 6)))
+  }
+
   // ------------------------------------------- embedding cosine near-dup
   /** Embedding near-dup candidate pairs scored by exact cosine, with
     * candidates from sign-random-projection LSH buckets — an equi-join on

@@ -93,6 +93,40 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     xxhash64(regexp_replace(trim(lower(text)), "\\s+", " "))
 
+  // ------------------------------------------------------------ PII scrub
+  /** PII patterns, deliberately restricted to syntax shared by Java regex
+    * (Spark codegen) and RE2 (DuckDB oracle / Go- and Rust-based engines):
+    * character classes, bounded repeats and `\b` only — no lookarounds or
+    * backrefs, so the scrub is engine-portable and linear-time in RE2. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Redact emails, NANP-shaped phone numbers and IPv4 literals with
+    * typed placeholder tags. Pure `regexp_replace` chain — shuffle-free,
+    * codegen'd, embarrassingly parallel over documents at 100 TB. Order
+    * matters and is part of the contract: emails first (their domain can
+    * contain an IP), then phones (3-3-4 digit runs), then IPs — the same
+    * chain a DuckDB/RE2 replica must apply. */
+  def piiScrub(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        phoneRe, "<PHONE>"),
+      ipv4Re, "<IP>")
+
+  /** Per-document PII hit counts (pre-scrub), for audit dashboards and
+    * filter thresholds: struct(n_email, n_phone, n_ip). Counted on the
+    * same redaction order as [[piiScrub]] so counts equal tags emitted. */
+  def piiCounts(text: Column): Column = {
+    val afterEmail = regexp_replace(text, emailRe, "<EMAIL>")
+    val afterPhone = regexp_replace(afterEmail, phoneRe, "<PHONE>")
+    struct(
+      regexp_count(text, lit(emailRe)).cast("long").as("n_email"),
+      regexp_count(afterEmail, lit(phoneRe)).cast("long").as("n_phone"),
+      regexp_count(afterPhone, lit(ipv4Re)).cast("long").as("n_ip"))
+  }
+
   /** Repetition signals (the Gopher/MassiveText repetition-filter family,
     * Rae et al. 2021 §A1.1): documents dominated by a few repeated
     * n-grams are boilerplate/spam and get filtered before training.

@@ -160,4 +160,32 @@ class DedupSpec extends AnyFunSuite {
     assert(approx == exact,
       s"missing=${exact -- approx} extra=${approx -- exact}")
   }
+
+  test("crossDocSpanStats matches hand-computed span sharing") {
+    val docs = Seq(
+      (1L, "a b c d e f"),       // spans: "a b c d e", "b c d e f"
+      (2L, "a b c d e x"),       // spans: "a b c d e", "b c d e x"
+      (3L, "z z z z z"),         // 1 unique span, unshared
+      (4L, "q w"),               // shorter than n → 0 spans
+      (5L, ""),                  // empty → 0 spans
+      // within-doc repeats collapse: 11 positional 5-grams, 5 distinct
+      (6L, "m n o p q m n o p q m n o p q")
+    ).toDF("doc_id", "text")
+    val got = Dedup.crossDocSpanStats(docs, "doc_id", "text", n = 5)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == Seq(
+      (1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5), (3L, 1L, 0L, 0.0),
+      (4L, 0L, 0L, 0.0), (5L, 0L, 0L, 0.0), (6L, 5L, 0L, 0.0)))
+    // hashed-span variant (the wide-corpus shuffle shape) agrees exactly
+    val hashed = Dedup.crossDocSpanStats(docs, "doc_id", "text", n = 5,
+        hashSpans = true)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(hashed == got)
+  }
 }

@@ -63,6 +63,37 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(a != b)
   }
 
+  test("pii scrub redacts emails, phones, IPs; counts match tags emitted") {
+    val rows = Seq(
+      (1L, "mail bob.smith+x@sub.example.co.uk now"),
+      (2L, "call 555-867-5309 or 555.123.4567 today"),
+      (3L, "host 192.168.0.1 and 10.0.255.7 up"),
+      (4L, "mixed a@b.io 555-000-1111 1.2.3.4"),
+      (5L, "clean text no pii at all"),
+      (6L, "")).toDF("id", "text")
+    val out = rows.select(col("id"),
+        TextAnalysis.piiScrub(col("text")).as("s"),
+        TextAnalysis.piiCounts(col("text")).as("c"))
+      .orderBy("id")
+      .collect()
+      .map(r => (r.getString(1), r.getStruct(2).getLong(0),
+        r.getStruct(2).getLong(1), r.getStruct(2).getLong(2)))
+    assert(out(0) == (("mail <EMAIL> now", 1L, 0L, 0L)))
+    assert(out(1) == (("call <PHONE> or <PHONE> today", 0L, 2L, 0L)))
+    assert(out(2) == (("host <IP> and <IP> up", 0L, 0L, 2L)))
+    assert(out(3) == (("mixed <EMAIL> <PHONE> <IP>", 1L, 1L, 1L)))
+    assert(out(4) == (("clean text no pii at all", 0L, 0L, 0L)))
+    assert(out(5) == (("", 0L, 0L, 0L)))
+  }
+
+  test("pii scrub order: email domains that look like IPs are emails") {
+    val df = Seq((1L, "ping admin@10.0.0.1 plus bare 10.0.0.2")).toDF("id", "text")
+    val s = df.select(TextAnalysis.piiScrub(col("text"))).as[String].head()
+    // the email regex requires an alpha TLD, so admin@10.0.0.1 is NOT an
+    // email match — its IP tail is still scrubbed by the IP stage
+    assert(s == "ping admin@<IP> plus bare <IP>")
+  }
+
   test("stratified counts agree with the row-level predicate") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val audit = Sampling.stratifiedSampleCounts(docs, "doc_id", "lang", 0.1)
