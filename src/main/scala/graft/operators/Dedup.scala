@@ -546,8 +546,12 @@ object Dedup {
       n: Int, hashSpans: Boolean = false): DataFrame = {
     val raw = df.select(col(idCol).cast("long").as("doc_id"),
       explode_outer(shingles(col(textCol), n)).as("span"))
+    // xxhash64(NULL) yields the seed, not NULL — preserve the null marker
+    // rows from explode_outer (docs shorter than n) explicitly, or every
+    // span-less doc would share one phantom span
     val spans = if (!hashSpans) raw
-      else raw.withColumn("span", xxhash64(col("span")))
+      else raw.withColumn("span",
+        when(col("span").isNotNull, xxhash64(col("span"))))
     val shared = spans.filter(col("span").isNotNull)
       .groupBy("span").agg(count(lit(1)).as("ndocs"))
       .filter(col("ndocs") >= 2)
