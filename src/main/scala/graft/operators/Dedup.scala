@@ -34,15 +34,44 @@ object Dedup {
   def tokens(text: Column): Column =
     split(trim(lower(text)), "\\s+")
 
-  /** distinct word-level n-gram shingles of a text column */
+  /** distinct word-level n-gram shingles of a text column, first-occurrence
+    * order. One tight JVM pass (UDF) for the same reason as
+    * [[shingleHashes]]: the transform/slice/concat-per-position expression
+    * tree blows past codegen limits and falls back to interpreted
+    * evaluation — ~50× slower than this loop on the explode-heavy paths
+    * (decontamination, span stats, top-k n-grams). Semantics replicate the
+    * expression form exactly: trim = strip 0x20 only (Spark `trim`),
+    * locale-free lowercase, `split("\\s+", -1)`, sliding windows joined
+    * by one space, distinct keeping first occurrence, null text → null. */
   def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    array_distinct(
-      filter(
-        transform(toks, (_, i) =>
-          when(i + n <= size(toks),
-            concat_ws(" ", slice(toks, i + 1, lit(n))))),
-        x => x.isNotNull))
+    val u = udf { (t: String) =>
+      if (t == null) null
+      else {
+        var b = 0
+        var e = t.length
+        while (b < e && t.charAt(b) == ' ') b += 1
+        while (e > b && t.charAt(e - 1) == ' ') e -= 1
+        val toks = t.substring(b, e)
+          .toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
+        if (toks.length < n) Array.empty[String]
+        else {
+          val seen = new java.util.LinkedHashSet[String]()
+          val sb = new java.lang.StringBuilder
+          var i = 0
+          while (i + n <= toks.length) {
+            sb.setLength(0)
+            var j = 0
+            while (j < n) {
+              if (j > 0) sb.append(' ')
+              sb.append(toks(i + j)); j += 1
+            }
+            seen.add(sb.toString); i += 1
+          }
+          seen.toArray(new Array[String](seen.size))
+        }
+      }
+    }
+    u(text)
   }
 
   // -------------------------------------------------------------- minhash

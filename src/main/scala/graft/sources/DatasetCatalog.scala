@@ -10,11 +10,12 @@ import graft.operators.KnnJoin
   * config-addressable: a benchmark config can say `datasets: [glove50]`
   * and get canonical (id, vector) train/test/gt DataFrames.
   *
-  * Differences from the reference, by design: no download step (this is a
-  * zero-egress environment — the raw files must already sit under the
-  * catalog root; the reference's ~1,900 lines of fetch/cache plumbing
-  * collapse into codec + digest-cache here), and the processed canonical
-  * parquet is cached via the S13 digest cache so re-runs skip parsing.
+  * Acquisition: pass `download=true` (plus optional `url=`) and missing
+  * raw files are fetched first via [[Fetch.ensure]] — the reference's
+  * `Dataset.download` (FTP for sift1m, HTTP zip for glove50). Default is
+  * off: in a zero-egress environment the raw files must already sit under
+  * the catalog root. The processed canonical parquet is cached via the
+  * S13 digest cache either way, so re-runs skip parsing.
   */
 object DatasetCatalog {
 
@@ -107,9 +108,12 @@ object DatasetCatalog {
   def names: Seq[String] = available.keys.toSeq.sorted
 
   def resolve(spark: SparkSession, name: String, rootDir: String,
-      cacheRoot: String, options: Map[String, String]): Bundle =
-    available.getOrElse(name,
+      cacheRoot: String, options: Map[String, String]): Bundle = {
+    val spec = available.getOrElse(name,
       throw new IllegalArgumentException(
         s"unknown dataset '$name' (available: ${names.mkString(", ")})"))
-      .resolve(spark, rootDir, cacheRoot, options)
+    if (options.get("download").exists(_.toBoolean))
+      Fetch.ensure(name, rootDir, options.get("url"))
+    spec.resolve(spark, rootDir, cacheRoot, options)
+  }
 }
