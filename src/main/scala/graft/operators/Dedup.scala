@@ -447,16 +447,51 @@ object Dedup {
     *    only when vocabulary is large/sparse (web corpora) where posting
     *    lists are short and most pairs share nothing. Hot tokens are the
     *    skew risk — df-cap or salt upstream. */
+  /** sorted distinct 64-bit token hashes in one JVM pass. The column
+    * formulation (`transform`+`xxhash64`+`array_distinct`+`array_sort`)
+    * is a higher-order-function chain Catalyst cannot codegen — it ran
+    * interpreted and alone dominated the jaccard family (~6 ms/row).
+    * Chained splitmix64 over the token's chars gives full 64-bit
+    * entropy (String.hashCode's 32 bits would collide at web-corpus
+    * vocabulary sizes); set equality under hashing is exact modulo
+    * 64-bit collisions (~1e-16 per pair), same contract as before. */
+  private[operators] def tokenHash(s: String): Long = {
+    var h = 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < s.length) { h = splitmix64(h ^ s.charAt(i).toLong); i += 1 }
+    h
+  }
+
+  private[graft] def sortedTokenHashes(text: Column): Column = {
+    val u = udf { (t: String) =>
+      if (t == null) Array.empty[Long]
+      else {
+        val toks = t.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+        val seen = new java.util.HashSet[Long]()
+        val out = new Array[Long](toks.length)
+        var m = 0
+        var i = 0
+        while (i < toks.length) {
+          val h = tokenHash(toks(i))
+          if (seen.add(h)) { out(m) = h; m += 1 }
+          i += 1
+        }
+        val res = java.util.Arrays.copyOf(out, m)
+        java.util.Arrays.sort(res)
+        res
+      }
+    }
+    u(text)
+  }
+
   def jaccardSimilarityJoin(df: DataFrame, idCol: String, textCol: String,
       blockCol: String, threshold: Double): DataFrame = {
-    // tokens → 64-bit hashes, sorted distinct: the join then carries
+    // tokens → sorted distinct 64-bit hashes: the join then carries
     // compact long arrays (not string payloads) and the jaccard kernel is
-    // a zero-boxing codegen'd merge-intersection. Set equality under
-    // hashing is exact modulo 64-bit collisions (~1e-16 per pair).
+    // a zero-boxing codegen'd merge-intersection.
     val t = df.select(col(idCol).cast("long").as("id"),
       col(blockCol).as("block"),
-      array_sort(array_distinct(transform(tokens(col(textCol)),
-        tk => xxhash64(tk)))).as("toks"))
+      sortedTokenHashes(col(textCol)).as("toks"))
     t.as("l").join(t.as("r"),
         col("l.block") === col("r.block") && col("l.id") < col("r.id"))
       .select(col("l.id").as("a"), col("r.id").as("b"),
@@ -470,7 +505,7 @@ object Dedup {
       blockCol: String, threshold: Double): DataFrame = {
     val t = df.select(col(idCol).cast("long").as("id"),
       col(blockCol).as("block"),
-      array_distinct(tokens(col(textCol))).as("toks"))
+      sortedTokenHashes(col(textCol)).as("toks"))
       .withColumn("n", size(col("toks")))
     val posting = t.select(col("id"), col("block"), col("n"),
       explode(col("toks")).as("tok"))
@@ -518,8 +553,7 @@ object Dedup {
       blockCol: String, threshold: Double): DataFrame = {
     val t = trackPrefixCache(df.select(col(idCol).cast("long").as("id"),
       col(blockCol).as("block"),
-      array_sort(array_distinct(transform(tokens(col(textCol)),
-        tk => xxhash64(tk)))).as("toks"))
+      sortedTokenHashes(col(textCol)).as("toks"))
       .withColumn("n", size(col("toks")))
       .cache()) // tokenized once; feeds postings, prefixes and the verify
     val posting = t.select(col("id"), col("block"), col("n"),
