@@ -214,24 +214,26 @@ object BaselineCompare {
     artifact.data.cache().count()
     val buildS = (System.nanoTime() - t0) / 1e9
     val searcher = Registry.searcher(se, params, "l2")
-    // timing window = batch search only, materialized — the reference's
-    // pinned methodology (metrics_methodology.md: wall-clock around
-    // batch_search; recall evaluation happens outside the clock)
-    def timed(): (Double, org.apache.spark.sql.DataFrame) = {
+    // timing window = batch search only, materialized IN CLIENT MEMORY —
+    // the reference's pinned methodology (metrics_methodology.md:
+    // wall-clock around batch_search, which returns arrays to the
+    // caller; recall evaluation happens outside the clock). collect() is
+    // that same contract: for the LocalScan fast path it returns the
+    // already-computed rows without a job, for distributed plans it runs
+    // the search job exactly as before.
+    def timed(): (Double, Array[org.apache.spark.sql.Row]) = {
       val t1 = System.nanoTime()
-      val res = searcher.search(artifact, test, 20).cache()
-      res.count()
-      ((System.nanoTime() - t1) / 1e9, res)
+      val rows = searcher.search(artifact, test, 20).collect()
+      ((System.nanoTime() - t1) / 1e9, rows)
     }
-    val (_, warm) = timed() // warm: JIT + codegen + broadcast reuse
-    warm.unpersist()
+    timed() // warm: JIT + codegen + broadcast reuse
     // best-of-3: this box shares CPUs with other tenants and single
     // runs swing several-fold under external load; the minimum is the
     // stable estimate of what the code costs
     val runs = (1 to 3).map(_ => timed())
-    runs.init.foreach(_._2.unpersist())
     val secs = runs.map(_._1).min
-    val pred = runs.last._2
+    val res = graft.operators.LocalScan.rowsDf(spark, runs.last._2.toSeq)
+    val pred = res
       .groupBy("qid")
       .agg(TopKByDist.topK(col("id"), col("dist"), 20).as("nn"))
       .select(col("qid"), transform(col("nn"), x => x("id")).as("pred"))
@@ -239,7 +241,6 @@ object BaselineCompare {
       .withColumn("pred", coalesce(col("pred"), array().cast("array<bigint>")))
       .select(avg(Metrics.recallAtK(col("pred"), col("gt_ids"), 20)))
       .as[Double].head()
-    runs.last._2.unpersist()
     artifact.data.unpersist()
     val (refR, refQ) = w.reference(name)
     Some(Entry(w.name, name, recall, w.nTest.toDouble / secs, buildS, refR, refQ))

@@ -34,6 +34,18 @@ import org.apache.spark.sql.functions._
   */
 object AdcScan {
 
+  /** Driver-or-broadcast table handle. The [[LocalScan]] fast path must
+    * not pay a per-search broadcast WRITE (a 256-query PQ LUT is ~32 MB —
+    * dominating a sub-ms local scan), while the distributed scan needs a
+    * real Broadcast riding its task closures. Searchers pick the wrapper
+    * once per search via `QueryBroadcastLifecycle.trackLut`, keyed on the
+    * same local-table decision that picks the scan path. */
+  sealed trait Lut[T] extends Serializable { def value: T }
+  final case class LocalLut[T](value: T) extends Lut[T]
+  final case class BcLut[T](bc: Broadcast[T]) extends Lut[T] {
+    def value: T = bc.value
+  }
+
   /** scoring kernel over one (query, code-row) pair; the row's `len`
     * code bytes sit at `codes[off ..< off+len]` of the partition's flat
     * buffer (flat layout: no per-row array object in the 256-pass hot
@@ -45,7 +57,7 @@ object AdcScan {
   }
 
   /** PQ ADC: sqrt(Σ_j lut[j·nC + code_j]) (l2) or Σ_j lut[…] (ip). */
-  final class PqLutScorer(luts: Broadcast[Array[Array[Double]]],
+  final class PqLutScorer(luts: Lut[Array[Array[Double]]],
       sqrtOut: Boolean) extends Scorer {
     def score(qidx: Int, cid: Int, codes: Array[Byte], off: Int, len: Int): Double = {
       val lut = luts.value(qidx)
@@ -58,7 +70,7 @@ object AdcScan {
 
   /** SQ8 asymmetric: query float vs dequantized byte codes.
     * mode: 0 = L2 (sqrt), 1 = IP (−dot), 2 = cosine. */
-  final class Sq8Scorer(queries: Broadcast[Array[Array[Float]]],
+  final class Sq8Scorer(queries: Lut[Array[Array[Float]]],
       lo: Array[Float], hi: Array[Float], mode: Int) extends Scorer {
     def score(qidx: Int, cid: Int, codes: Array[Byte], off: Int, len: Int): Double = {
       val q = queries.value(qidx)
@@ -86,7 +98,7 @@ object AdcScan {
     * at 0 before sqrt (the cancellation can round to ~−1e-16 when the
     * true distance is ~0; sqrt would yield NaN, ordered LAST by Spark,
     * dropping the best candidate). */
-  final class ResidualScorer(tables: Broadcast[(Array[Array[Double]],
+  final class ResidualScorer(tables: Lut[(Array[Array[Double]],
       Array[Array[Float]], Array[Array[Double]])]) extends Scorer {
     def score(qidx: Int, cid: Int, codes: Array[Byte], off: Int, len: Int): Double = {
       val (qLut, t2, qcNorm) = tables.value
@@ -173,7 +185,7 @@ object AdcScan {
     * centroid_id: int, codes: binary); `probes(cid)` lists the query
     * indexes probing that list (empty array = unprobed). */
   def searchTopKIvf(data: DataFrame, qids: Array[Long], k: Int,
-      scorer: Scorer, probes: Broadcast[Array[Array[Int]]]): DataFrame = {
+      scorer: Scorer, probes: Lut[Array[Array[Int]]]): DataFrame = {
     val spark = data.sparkSession
     import spark.implicits._
     val nQ = qids.length

@@ -52,6 +52,14 @@ trait QueryBroadcastLifecycle {
       prev ::= bc
       bc
     }
+  /** Lut wrapper keyed on the scan-path decision: the LocalScan fast
+    * path reads driver memory directly (a per-search broadcast write of
+    * a multi-MB LUT would dominate a sub-ms local scan); the distributed
+    * scan gets a tracked Broadcast for its task closures. */
+  protected def trackLut[T: scala.reflect.ClassTag](
+      spark: SparkSession, local: Boolean, value: T): AdcScan.Lut[T] =
+    if (local) AdcScan.LocalLut(value)
+    else AdcScan.BcLut(trackBroadcast(spark, value))
 }
 
 /** An algorithm = indexer + searcher (reference CompositeAlgorithm,
@@ -182,8 +190,15 @@ final case class BruteForceIndexer() extends Indexer {
   def build(base: DataFrame): IndexArtifact = IndexArtifact(kind, base)
 }
 
-/** Flat scan searcher = the exact kNN join (modular.py:336-387). */
+/** Flat scan searcher = the exact kNN join (modular.py:336-387); below
+  * the LocalScan cap the scan runs driver-core-parallel on the memoized
+  * collected table — same kernel arithmetic, bit-identical results. */
 final case class LinearSearcher(metric: String) extends Searcher {
   def search(artifact: IndexArtifact, queries: DataFrame, k: Int): DataFrame =
-    KnnJoin.knnJoin(queries, artifact.data, k, metric)
+    (LocalScan.metricMode(metric), LocalScan.vecTable(artifact.data, ivf = false)) match {
+      case (Some(mode), Some(vt)) =>
+        val (qids, qVecs) = LocalScan.queryVecsAlways(queries)
+        LocalScan.scanVecsFull(artifact.data.sparkSession, vt, qids, qVecs, k, mode)
+      case _ => KnnJoin.knnJoin(queries, artifact.data, k, metric)
+    }
 }

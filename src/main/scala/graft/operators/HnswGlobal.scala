@@ -109,9 +109,12 @@ final case class HnswGlobalSearcher(efSearch: Int = 100, metric: String = "l2",
     // take the broadcast + mapPartitions path.
     val qRows = queries.select(col("qid").cast("long"), col("vector"))
     val cap = HnswGlobalSearcher.driverWalkCap
-    val probe = qRows.limit(cap + 1).collect()
-    if (probe.length <= cap) {
-      val rows = probe.map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    // memoized across repeated searches of the same batch (LocalScan):
+    // the query collect was the last remaining Spark job per search
+    val collected = LocalScan.queryVecs(queries).filter(_._1.length <= cap)
+    if (collected.isDefined) {
+      val (cQids, cVecs) = collected.get
+      val rows = cQids.zip(cVecs)
       val ws = ThreadLocal.withInitial[HnswWorkspace](() =>
         new HnswWorkspace(model.vecs.length))
       val out = new Array[Seq[Row]](rows.length)
@@ -123,8 +126,9 @@ final case class HnswGlobalSearcher(efSearch: Int = 100, metric: String = "l2",
           Row(qid, r + 1, id, d): Row
         }.toSeq
       }
-      import scala.jdk.CollectionConverters._
-      return spark.createDataFrame(out.toSeq.flatten.asJava, outSchema)
+      // single-slice relation: see LocalScan.rowsDf (a 32-task
+      // LocalTableScan over 5 k rows is pure scheduling overhead)
+      return LocalScan.rowsDf(spark, out.toSeq.flatten)
     }
     val bModel = broadcastModel(spark, model)
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)

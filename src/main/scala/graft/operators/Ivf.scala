@@ -87,14 +87,20 @@ final case class IvfSearcher(nprobe: Int, metric: String) extends Searcher {
     // raw-vector lists are fat and plenty-parallel, so the codegen'd join
     // pipeline beats a buffering scan here (measured; unlike the
     // byte-code ADC family where LUT locality dominates — see AdcScan).
-    val byQid = q.collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
-    val qids = byQid.keys.toArray.sorted
-    val qVecArr = qids.map(byQid)
+    val (qids, qVecArr) = LocalScan.queryVecsAlways(queries)
     val cents = IvfModel.centroidsOf(artifact)
     val nlist = cents.map(_._1).max + 1
     val probeArr = AdcScan.probesAuto(q, qids, qVecArr, cents, nlist, nprobe,
       artifact.aux("centroids"))
+    // below the LocalScan cap the probed lists scan driver-core-parallel
+    // on the memoized collected index (same kernel arithmetic as the
+    // codegen rerank → bit-identical); above it, the equi-join plan
+    (LocalScan.metricMode(metric),
+        LocalScan.vecTable(artifact.data, ivf = true)) match {
+      case (Some(mode), Some(vt)) =>
+        return LocalScan.scanVecsIvf(spark, vt, qids, qVecArr, k, mode, probeArr)
+      case _ => ()
+    }
     val probes = probeArr.iterator.zipWithIndex.flatMap { case (qs, cid) =>
       qs.iterator.map(qi => (qids(qi), cid))
     }.toSeq.toDF("qid", "centroid_id")

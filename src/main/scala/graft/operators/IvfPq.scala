@@ -72,17 +72,18 @@ final case class IvfPqSearcher(nprobe: Int, metric: String) extends Searcher
     val residual = artifact.meta.getOrElse("residual", "false") == "true"
     val centArr = IvfModel.centroidsOf(artifact)
     val nlistAll = centArr.map(_._1).max + 1
-    // queries collected ONCE; every driver-side table below derives from it
-    val qVecs = model.collectByQid(q)
-    val qids = qVecs.keys.toArray.sorted
-    val qVecArr = qids.map(qVecs)
+    // queries collected ONCE (memoized across searches of the same query
+    // batch); every driver-side table below derives from it
+    val (qids, qVecArr) = LocalScan.queryVecsAlways(queries)
+    val localTable = LocalScan.codeTable(artifact.data, ivf = true)
 
     // scoring kernel over (qidx, cid, codes) — the query-major partition
     // scan (see AdcScan / PqSearcher); qidx indexes the broadcast tables
     val scorer: AdcScan.Scorer =
       if (!residual) {
-        val bc = trackBroadcast(spark, qVecArr.map(v => model.lut(v, metric)))
-        new AdcScan.PqLutScorer(bc, l2)
+        val luts = qVecArr.map(v => model.lut(v, metric))
+        new AdcScan.PqLutScorer(
+          trackLut(spark, localTable.isDefined, luts), l2)
       } else {
         // Residual ADC via FAISS's precomputed-table decomposition
         // (IndexIVFPQ use_precomputed_table):
@@ -144,13 +145,20 @@ final case class IvfPqSearcher(nprobe: Int, metric: String) extends Searcher
           }
           qcNorm(qi) = row
         }
-        val bc = trackBroadcast(spark, (qLut, t2, qcNorm))
-        new AdcScan.ResidualScorer(bc)
+        new AdcScan.ResidualScorer(
+          trackLut(spark, localTable.isDefined, (qLut, t2, qcNorm)))
       }
     // coarse probe on the driver (see IvfSq8Searcher), then the
-    // query-major scan over only the probed inverted lists
-    val probes = trackBroadcast(spark, AdcScan.probesAuto(
-      q, qids, qVecArr, centArr, nlistAll, nprobe, artifact.aux("centroids")))
-    AdcScan.searchTopKIvf(artifact.data, qids, k, scorer, probes)
+    // query-major scan over only the probed inverted lists —
+    // driver-local below the LocalScan cap, partition-buffered above it
+    val probeArr = AdcScan.probesAuto(
+      q, qids, qVecArr, centArr, nlistAll, nprobe, artifact.aux("centroids"))
+    localTable match {
+      case Some(ct) =>
+        LocalScan.scanCodesIvf(spark, ct, qids, k, scorer, probeArr)
+      case None =>
+        AdcScan.searchTopKIvf(artifact.data, qids, k, scorer,
+          trackLut(spark, local = false, probeArr))
+    }
   }
 }

@@ -36,19 +36,24 @@ final case class IvfSq8Searcher(nprobe: Int, metric: String) extends Searcher
     val hi = artifact.meta("hi").split(",").map(_.toFloat)
     val q = queries.select(col("qid").cast("long").as("qid"), col("vector"))
     val spark = artifact.data.sparkSession
-    val model = Sq8Model(lo, hi)
-    val byQid = model.collectQueries(q)
-    val qids = byQid.keys.toArray.sorted
-    val qVecs = qids.map(byQid)
-    val bc = trackBroadcast(spark, qVecs)
+    val (qids, qVecs) = LocalScan.queryVecsAlways(queries)
     // coarse probe on the driver (nlist × dim flops per query — trivial;
-    // replaces a full Spark job per search), then the query-major
-    // partition scan over only the probed inverted lists
+    // replaces a full Spark job per search), then the query-major scan
+    // over only the probed inverted lists — driver-local below the
+    // LocalScan cap, partition-buffered above it
     val cents = IvfModel.centroidsOf(artifact)
     val nlist = cents.map(_._1).max + 1
-    val probes = trackBroadcast(spark, AdcScan.probesAuto(
-      q, qids, qVecs, cents, nlist, nprobe, artifact.aux("centroids")))
-    AdcScan.searchTopKIvf(artifact.data, qids, k,
-      new AdcScan.Sq8Scorer(bc, lo, hi, Sq8Model.mode(metric)), probes)
+    val probeArr = AdcScan.probesAuto(
+      q, qids, qVecs, cents, nlist, nprobe, artifact.aux("centroids"))
+    val localTable = LocalScan.codeTable(artifact.data, ivf = true)
+    val scorer = new AdcScan.Sq8Scorer(
+      trackLut(spark, localTable.isDefined, qVecs), lo, hi, Sq8Model.mode(metric))
+    localTable match {
+      case Some(ct) =>
+        LocalScan.scanCodesIvf(spark, ct, qids, k, scorer, probeArr)
+      case None =>
+        AdcScan.searchTopKIvf(artifact.data, qids, k, scorer,
+          trackLut(spark, local = false, probeArr))
+    }
   }
 }

@@ -1,0 +1,398 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-local batch-search fast path — the FAISS client-memory regime
+  * (reference: every index lives in process RAM and `batch_search`
+  * returns arrays without any cluster hop — modular.py:336-387,
+  * base_algorithm.py:57-71), expressed as an ADAPTIVE execution choice:
+  *
+  *  - below [[bytesCap]], the index relation is collected ONCE per
+  *    artifact (memoized by DataFrame identity — the artifact holds one
+  *    DataFrame instance for its lifetime) into flat primitive arrays,
+  *    and every subsequent batch search runs as a multi-threaded scan
+  *    across driver cores with ZERO Spark jobs;
+  *  - above it, callers keep the distributed partition-buffered scan
+  *    ([[AdcScan]]) / join pipelines — the 100 TB path, where the index
+  *    could never fit one machine and per-search job dispatch is noise
+  *    against the scan itself.
+  *
+  * The switch mirrors Spark's own broadcast-join threshold: statistics
+  * decide whether the small-side shortcut applies; semantics never
+  * change. Kernels reuse the exact scorer objects ([[AdcScan.Scorer]])
+  * and the [[BoundedTopK]] (dist, id) total order of the distributed
+  * path, so results are bit-identical either way (spec-asserted by
+  * LocalScanSpec against the forced-distributed plans).
+  *
+  * Why it matters for the benchmark: at reference workload shapes
+  * (20k-100k rows) a batch search is a few hundred microseconds of
+  * arithmetic; the distributed path's floor is one job dispatch
+  * (~tens of ms at local[32]) plus one multi-MB LUT broadcast write per
+  * search. The reference's FAISS numbers (10⁴-10⁵ QPS) live entirely
+  * below that floor.
+  */
+object LocalScan {
+
+  /** kill-switch (tests force the distributed path to prove equality):
+    * -Dgraft.local.enabled=false / GRAFT_LOCAL_SCAN=0 */
+  def enabled: Boolean =
+    sys.props.get("graft.local.enabled")
+      .orElse(sys.env.get("GRAFT_LOCAL_SCAN"))
+      .forall(v => v != "false" && v != "0")
+
+  /** max bytes of index payload collected to the driver (ids + codes or
+    * vectors); above it the caller keeps the distributed scan */
+  def bytesCap: Long =
+    sys.props.get("graft.local.bytesCap").map(_.toLong)
+      .orElse(sys.env.get("GRAFT_LOCAL_BYTES_CAP").map(_.toLong))
+      .getOrElse(512L << 20)
+
+  /** max query rows collected+memoized by [[queryVecs]]; a query batch
+    * beyond this is not a "batch search" but a join — callers fall back
+    * to their streaming plans */
+  def queryRowCap: Long =
+    sys.props.get("graft.local.queryRowCap").map(_.toLong).getOrElse(1L << 20)
+
+  /** one collected inverted-code relation: row r's code bytes at
+    * [r·m, (r+1)·m); rows grouped contiguously by centroid id with
+    * `listOffsets(cid) until listOffsets(cid+1)` (null for flat scans) */
+  final class CodeTable(val ids: Array[Long], val codes: Array[Byte],
+      val m: Int, val listOffsets: Array[Int]) {
+    def n: Int = ids.length
+  }
+
+  /** one collected float-vector relation, same layout with dim-strided
+    * floats */
+  final class VecTable(val ids: Array[Long], val flat: Array[Float],
+      val dim: Int, val listOffsets: Array[Int]) {
+    def n: Int = ids.length
+  }
+
+  // ---------------------------------------------------------------------
+  // memoization: DataFrame-identity keyed (an IndexArtifact holds the
+  // same DataFrame instance for its lifetime; a rebuilt artifact is a new
+  // key and the weak map lets the old collection be collected with it)
+  // ---------------------------------------------------------------------
+  private case object TooBig
+  private val memo =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[AnyRef, AnyRef]())
+
+  private def cached[T <: AnyRef](key: AnyRef)(compute: => Option[T]): Option[T] =
+    memo.get(key) match {
+      case TooBig => None
+      case null =>
+        val v = compute
+        memo.put(key, v.getOrElse(TooBig))
+        v
+      case v => Some(v.asInstanceOf[T])
+    }
+
+  /** queries collected once per queries-DataFrame instance: (qids sorted
+    * ascending, vectors aligned by qidx). None above [[queryRowCap]]. */
+  def queryVecs(queries: DataFrame): Option[(Array[Long], Array[Array[Float]])] =
+    cached[(Array[Long], Array[Array[Float]])](queries) {
+      if (queries.count() > queryRowCap) None
+      else {
+        val rows = queries
+          .select(col("qid").cast("long"), col("vector"))
+          .collect()
+          .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+          .sortBy(_._1)
+        Some((rows.map(_._1), rows.map(_._2)))
+      }
+    }
+
+  /** [[queryVecs]] with the pre-existing unconditional-collect behavior
+    * as the over-cap fallback: every searcher collected its query batch
+    * per search before this module existed; above the memo cap they keep
+    * doing exactly that. */
+  def queryVecsAlways(queries: DataFrame): (Array[Long], Array[Array[Float]]) =
+    queryVecs(queries).getOrElse {
+      val rows = queries
+        .select(col("qid").cast("long"), col("vector"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+        .sortBy(_._1)
+      (rows.map(_._1), rows.map(_._2))
+    }
+
+  /** collected code relation (id, codes[, centroid_id]) under the caps;
+    * memoized per DataFrame instance. */
+  def codeTable(data: DataFrame, ivf: Boolean): Option[CodeTable] =
+    if (!enabled) None
+    else cached[CodeTable](data) {
+      withinCap(data, "codes", bytesPerUnit = 1) { () =>
+        if (ivf) {
+          val rows = data
+            .select(col("id").cast("long"), col("centroid_id").cast("int"),
+              col("codes"))
+            .collect()
+            .map(r => (r.getInt(1), r.getLong(0), r.getAs[Array[Byte]](2)))
+            .sortBy(t => (t._1, t._2))
+          val m = if (rows.isEmpty) 0 else rows.head._3.length
+          val ct = new CodeTable(rows.map(_._2), flattenBytes(rows.map(_._3), m),
+            m, offsetsOf(rows.map(_._1)))
+          ct
+        } else {
+          val rows = data
+            .select(col("id").cast("long"), col("codes"))
+            .collect()
+            .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+          val m = if (rows.isEmpty) 0 else rows.head._2.length
+          new CodeTable(rows.map(_._1), flattenBytes(rows.map(_._2), m), m, null)
+        }
+      }
+    }
+
+  /** collected float-vector relation (id, vector[, centroid_id]) under
+    * the caps; memoized per DataFrame instance. */
+  def vecTable(data: DataFrame, ivf: Boolean): Option[VecTable] =
+    if (!enabled) None
+    else cached[VecTable](data) {
+      withinCap(data, "vector", bytesPerUnit = 4) { () =>
+        if (ivf) {
+          val rows = data
+            .select(col("id").cast("long"), col("centroid_id").cast("int"),
+              col("vector"))
+            .collect()
+            .map(r => (r.getInt(1), r.getLong(0), r.getSeq[Float](2).toArray))
+            .sortBy(t => (t._1, t._2))
+          val dim = if (rows.isEmpty) 0 else rows.head._3.length
+          new VecTable(rows.map(_._2), flattenFloats(rows.map(_._3), dim),
+            dim, offsetsOf(rows.map(_._1)))
+        } else {
+          val rows = data
+            .select(col("id").cast("long"), col("vector"))
+            .collect()
+            .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+          val dim = if (rows.isEmpty) 0 else rows.head._2.length
+          new VecTable(rows.map(_._1), flattenFloats(rows.map(_._2), dim), dim, null)
+        }
+      }
+    }
+
+  /** size gate: one count + one width probe (both memoized away with the
+    * table itself) — the collect only happens when n · width · unit fits */
+  private def withinCap[T](data: DataFrame, payloadCol: String,
+      bytesPerUnit: Int)(collect: () => T): Option[T] = {
+    if (!data.schema.fieldNames.contains(payloadCol)) return None
+    val n = data.count()
+    if (n == 0) return Some(collect())
+    val head = data.select(col(payloadCol)).limit(1).collect()(0)
+    val width =
+      if (bytesPerUnit == 1) head.getAs[Array[Byte]](0).length
+      else head.getSeq[Float](0).length
+    val bytes = n * (width.toLong * bytesPerUnit + 12)
+    if (bytes > bytesCap) None else Some(collect())
+  }
+
+  private def flattenBytes(rows: Array[Array[Byte]], m: Int): Array[Byte] = {
+    val out = new Array[Byte](rows.length * m)
+    var i = 0
+    while (i < rows.length) {
+      System.arraycopy(rows(i), 0, out, i * m, m); i += 1
+    }
+    out
+  }
+
+  private def flattenFloats(rows: Array[Array[Float]], dim: Int): Array[Float] = {
+    val out = new Array[Float](rows.length * dim)
+    var i = 0
+    while (i < rows.length) {
+      System.arraycopy(rows(i), 0, out, i * dim, dim); i += 1
+    }
+    out
+  }
+
+  /** rows sorted by cid → offsets array of length (maxCid+2):
+    * list cid spans [offsets(cid), offsets(cid+1)) */
+  private def offsetsOf(cids: Array[Int]): Array[Int] = {
+    val maxCid = if (cids.isEmpty) -1 else cids(cids.length - 1)
+    val off = new Array[Int](maxCid + 2)
+    var i = 0
+    while (i < cids.length) { off(cids(i) + 1) += 1; i += 1 }
+    i = 1
+    while (i < off.length) { off(i) += off(i - 1); i += 1 }
+    off
+  }
+
+  /** cid → query-idx lists (the [[AdcScan.coarseProbes]] shape) inverted
+    * to query-idx → sorted cid list for query-major local iteration */
+  def invertProbes(probes: Array[Array[Int]], nQ: Int): Array[Array[Int]] = {
+    val out = Array.fill(nQ)(new scala.collection.mutable.ArrayBuffer[Int]())
+    var cid = 0
+    while (cid < probes.length) {
+      probes(cid).foreach(qi => out(qi) += cid)
+      cid += 1
+    }
+    out.map(_.toArray)
+  }
+
+  // ---------------------------------------------------------------------
+  // kernels — driver-core-parallel over queries, one heap per query; the
+  // per-query independence makes the parallel schedule irrelevant to the
+  // result (each heap sees every candidate of its query exactly once)
+  // ---------------------------------------------------------------------
+
+  /** full scan: every query scores every code row (mirrors
+    * [[AdcScan.searchTopK]]'s partition pass + driver merge). */
+  def scanCodesFull(spark: SparkSession, ct: CodeTable, qids: Array[Long],
+      k: Int, scorer: AdcScan.Scorer): DataFrame = {
+    val heaps = new Array[BoundedTopK](qids.length)
+    if (ct.n > 0)
+      java.util.stream.IntStream.range(0, qids.length).parallel().forEach { qi =>
+        val h = new BoundedTopK(k)
+        var r = 0
+        while (r < ct.n) {
+          h.insert(ct.ids(r), scorer.score(qi, -1, ct.codes, r * ct.m, ct.m))
+          r += 1
+        }
+        heaps(qi) = h
+      }
+    resultDf(spark, qids, heaps)
+  }
+
+  /** IVF scan: each query scores only its probed lists (mirrors
+    * [[AdcScan.searchTopKIvf]]). */
+  def scanCodesIvf(spark: SparkSession, ct: CodeTable, qids: Array[Long],
+      k: Int, scorer: AdcScan.Scorer, probes: Array[Array[Int]]): DataFrame = {
+    val byQuery = invertProbes(probes, qids.length)
+    val heaps = new Array[BoundedTopK](qids.length)
+    java.util.stream.IntStream.range(0, qids.length).parallel().forEach { qi =>
+      var h: BoundedTopK = null
+      byQuery(qi).foreach { cid =>
+        if (cid + 1 < ct.listOffsets.length) {
+          var r = ct.listOffsets(cid)
+          val end = ct.listOffsets(cid + 1)
+          if (r < end && h == null) h = new BoundedTopK(k)
+          while (r < end) {
+            h.insert(ct.ids(r), scorer.score(qi, cid, ct.codes, r * ct.m, ct.m))
+            r += 1
+          }
+        }
+      }
+      heaps(qi) = h
+    }
+    resultDf(spark, qids, heaps)
+  }
+
+  /** metric kernels replicating the codegen expressions' arithmetic
+    * exactly (float → double per element, index-order accumulation —
+    * VectorExpressions.scala): local and distributed scores are
+    * bit-identical. mode: 0 = l2 (VecL2Dist), 1 = ip (VecIpDist),
+    * 2 = cosine (VecCosineDist). */
+  def metricMode(metric: String): Option[Int] = metric match {
+    case "l2" => Some(0)
+    case "ip" | "dot" => Some(1)
+    case "cosine" | "angular" => Some(2)
+    case _ => None
+  }
+
+  private def vecDist(q: Array[Float], flat: Array[Float], off: Int,
+      dim: Int, mode: Int): Double = {
+    if (mode == 2) {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < dim) {
+        val x = q(i).toDouble; val y = flat(off + i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      if (denom == 0.0) 1.0 else 1.0 - dot / denom
+    } else if (mode == 1) {
+      var acc = 0.0; var i = 0
+      while (i < dim) { acc += q(i).toDouble * flat(off + i).toDouble; i += 1 }
+      -acc
+    } else {
+      var acc = 0.0; var i = 0
+      while (i < dim) {
+        val d = q(i).toDouble - flat(off + i).toDouble
+        acc += d * d; i += 1
+      }
+      math.sqrt(acc)
+    }
+  }
+
+  /** exact flat scan (mirrors KnnJoin.knnJoin: broadcast queries × base
+    * scan + bounded heap, no padding). */
+  def scanVecsFull(spark: SparkSession, vt: VecTable, qids: Array[Long],
+      qVecs: Array[Array[Float]], k: Int, mode: Int): DataFrame = {
+    val heaps = new Array[BoundedTopK](qids.length)
+    if (vt.n > 0)
+      java.util.stream.IntStream.range(0, qids.length).parallel().forEach { qi =>
+        val h = new BoundedTopK(k)
+        val q = qVecs(qi)
+        var r = 0
+        while (r < vt.n) {
+          h.insert(vt.ids(r), vecDist(q, vt.flat, r * vt.dim, vt.dim, mode))
+          r += 1
+        }
+        heaps(qi) = h
+      }
+    resultDf(spark, qids, heaps)
+  }
+
+  /** IVF flat scan: probed lists only (mirrors IvfSearcher's equi-join +
+    * carried-vector rerank). */
+  def scanVecsIvf(spark: SparkSession, vt: VecTable, qids: Array[Long],
+      qVecs: Array[Array[Float]], k: Int, mode: Int,
+      probes: Array[Array[Int]]): DataFrame = {
+    val byQuery = invertProbes(probes, qids.length)
+    val heaps = new Array[BoundedTopK](qids.length)
+    java.util.stream.IntStream.range(0, qids.length).parallel().forEach { qi =>
+      var h: BoundedTopK = null
+      val q = qVecs(qi)
+      byQuery(qi).foreach { cid =>
+        if (cid + 1 < vt.listOffsets.length) {
+          var r = vt.listOffsets(cid)
+          val end = vt.listOffsets(cid + 1)
+          if (r < end && h == null) h = new BoundedTopK(k)
+          while (r < end) {
+            h.insert(vt.ids(r), vecDist(q, vt.flat, r * vt.dim, vt.dim, mode))
+            r += 1
+          }
+        }
+      }
+      heaps(qi) = h
+    }
+    resultDf(spark, qids, heaps)
+  }
+
+  /** canonical (qid, rank int, id, dist) relation from per-query heaps —
+    * the same emit as AdcScan.finish's driver-merge branch (ascending
+    * (dist, id), rank 1-based, queries with no candidates absent) */
+  def resultDf(spark: SparkSession, qids: Array[Long],
+      heaps: Array[BoundedTopK]): DataFrame = {
+    val out = qids.indices.iterator.flatMap { qi =>
+      val h = heaps(qi)
+      if (h == null) Iterator.empty
+      else h.sorted.iterator.zipWithIndex.map { case ((id, d), pos) =>
+        org.apache.spark.sql.Row(qids(qi), pos + 1, id, d)
+      }
+    }.toSeq
+    rowsDf(spark, out)
+  }
+
+  /** driver-sized result rows → a LocalRelation. Deliberate: a
+    * LocalRelation's `collect()` goes through
+    * `LocalTableScanExec.executeCollect`, which returns the rows WITHOUT
+    * launching a Spark job — the search result is already client-side
+    * (exactly the reference's `batch_search` return contract), so
+    * downstream consumers that collect it pay zero scheduling. Consumers
+    * that keep it relational get a normal plan node. */
+  def rowsDf(spark: SparkSession,
+      rows: Seq[org.apache.spark.sql.Row]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, resultSchema)
+  }
+
+  val resultSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("qid", LongType, nullable = false),
+      StructField("rank", IntegerType, nullable = false),
+      StructField("id", LongType, nullable = false),
+      StructField("dist", DoubleType, nullable = false)))
+  }
+}

@@ -76,17 +76,25 @@ final case class PqSearcher(metric: String) extends Searcher
   def search(artifact: IndexArtifact, queries: DataFrame, k: Int): DataFrame = {
     beginSearch()
     val model = PqModel.fromArtifact(artifact)
-    // Per-query LUTs are computed ONCE on the driver and ship in one
-    // broadcast as a dense double[][] indexed by qidx (the FAISS
-    // query-side table); the code relation streams through the
-    // partition-buffered query-major scan (see AdcScan).
+    // Per-query LUTs are computed ONCE on the driver (the FAISS
+    // query-side table), indexed by qidx; the code relation either scans
+    // locally (LocalScan, small-index regime) or streams through the
+    // partition-buffered query-major scan (AdcScan), with the LUT table
+    // riding a broadcast only in the distributed case.
     val spark = artifact.data.sparkSession
-    val luts = model.luts(queries, metric)
-    val qids = luts.keys.toArray.sorted
-    val bc = trackBroadcast(spark, qids.map(luts))
+    val (qids, qVecs) = LocalScan.queryVecsAlways(queries)
+    // LUT construction is independent per query → driver-core parallel
+    val lutArr = new Array[Array[Double]](qVecs.length)
+    java.util.stream.IntStream.range(0, qVecs.length).parallel()
+      .forEach(i => lutArr(i) = model.lut(qVecs(i), metric))
     val l2 = !(metric == "ip" || metric == "dot")
-    AdcScan.searchTopK(artifact.data, qids, k,
-      new AdcScan.PqLutScorer(bc, l2))
+    val localTable = LocalScan.codeTable(artifact.data, ivf = false)
+    val scorer = new AdcScan.PqLutScorer(
+      trackLut(spark, localTable.isDefined, lutArr), l2)
+    localTable match {
+      case Some(ct) => LocalScan.scanCodesFull(spark, ct, qids, k, scorer)
+      case None => AdcScan.searchTopK(artifact.data, qids, k, scorer)
+    }
   }
 }
 

@@ -44,16 +44,18 @@ final case class Sq8Searcher(metric: String) extends Searcher
     beginSearch()
     val lo = artifact.meta("lo").split(",").map(_.toFloat)
     val hi = artifact.meta("hi").split(",").map(_.toFloat)
-    // query vectors ship in one broadcast as float[][] indexed by qidx;
-    // the code relation streams through the partition-buffered
-    // query-major scan (see AdcScan / PqSearcher note)
+    // query vectors indexed by qidx: driver-held for the LocalScan path,
+    // one broadcast for the partition-buffered query-major scan
+    // (see AdcScan / PqSearcher note)
     val spark = artifact.data.sparkSession
-    val model = Sq8Model(lo, hi)
-    val byQid = model.collectQueries(queries)
-    val qids = byQid.keys.toArray.sorted
-    val bc = trackBroadcast(spark, qids.map(byQid))
-    AdcScan.searchTopK(artifact.data, qids, k,
-      new AdcScan.Sq8Scorer(bc, lo, hi, Sq8Model.mode(metric)))
+    val (qids, qVecs) = LocalScan.queryVecsAlways(queries)
+    val localTable = LocalScan.codeTable(artifact.data, ivf = false)
+    val scorer = new AdcScan.Sq8Scorer(
+      trackLut(spark, localTable.isDefined, qVecs), lo, hi, Sq8Model.mode(metric))
+    localTable match {
+      case Some(ct) => LocalScan.scanCodesFull(spark, ct, qids, k, scorer)
+      case None => AdcScan.searchTopK(artifact.data, qids, k, scorer)
+    }
   }
 }
 

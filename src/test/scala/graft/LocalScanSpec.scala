@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+import graft.sources.RandomDataset
+
+/** The LocalScan driver-local fast path must be bit-identical to the
+  * distributed plans it shortcuts: every algorithm family searched twice —
+  * once with the fast path enabled (default), once forced distributed via
+  * the kill-switch — and the full (qid, rank, id, dist) relations
+  * compared exactly (same ids AND same floating-point distances, since
+  * the kernels replicate the codegen expressions' accumulation order). */
+class LocalScanSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  Registry.init()
+
+  private lazy val (train, testQ, _) =
+    RandomDataset.dataset(spark, 800, 24, 16, 10, seed = 31)
+  private lazy val trainC = { train.cache(); train.count(); train }
+  private lazy val queries =
+    testQ.select(org.apache.spark.sql.functions.col("qid"),
+      org.apache.spark.sql.functions.col("vector"))
+
+  private def rows(df: DataFrame): Seq[(Long, Int, Long, Double)] =
+    df.select("qid", "rank", "id", "dist").as[(Long, Int, Long, Double)]
+      .collect().sortBy(t => (t._1, t._2)).toSeq
+
+  private def forcedDistributed[T](body: => T): T = {
+    sys.props("graft.local.enabled") = "false"
+    try body finally sys.props.remove("graft.local.enabled")
+  }
+
+  private def checkAlgo(name: String, indexer: String, searcher: String,
+      params: Map[String, String], metric: String = "l2"): Unit = {
+    val artifact = Registry.indexer(indexer, params + ("seed" -> "42"), metric)
+      .build(trainC)
+    artifact.data.cache().count()
+    val s = Registry.searcher(searcher, params, metric)
+    val local = rows(s.search(artifact, queries, 7))
+    val dist = forcedDistributed {
+      // fresh artifact DataFrame reference is NOT needed: the kill-switch
+      // bypasses the memo entirely, exercising the full distributed plan
+      rows(s.search(artifact, queries, 7))
+    }
+    assert(local.nonEmpty, s"$name produced no rows")
+    assert(local == dist, s"$name local != distributed")
+    artifact.data.unpersist()
+  }
+
+  test("linear (exact) local scan ≡ distributed kNN join, l2") {
+    checkAlgo("exact_l2", "brute_force", "linear", Map.empty)
+  }
+
+  test("linear (exact) local scan ≡ distributed kNN join, cosine") {
+    checkAlgo("exact_cos", "brute_force", "linear", Map.empty, metric = "cosine")
+  }
+
+  test("sq8 local code scan ≡ distributed AdcScan") {
+    checkAlgo("sq8", "sq8", "sq8", Map.empty)
+  }
+
+  test("pq local code scan ≡ distributed AdcScan") {
+    checkAlgo("pq", "pq", "pq",
+      Map("num_subspaces" -> "8", "num_centroids" -> "16"))
+  }
+
+  test("ivf_flat local probed scan ≡ distributed equi-join + rerank") {
+    checkAlgo("ivf", "ivf", "ivf", Map("nlist" -> "16", "nprobe" -> "4"))
+  }
+
+  test("ivf_sq8 local probed scan ≡ distributed AdcScan IVF") {
+    checkAlgo("ivf_sq8", "ivf_sq8", "ivf_sq8",
+      Map("nlist" -> "16", "nprobe" -> "4"))
+  }
+
+  test("ivf_pq raw local probed scan ≡ distributed AdcScan IVF") {
+    checkAlgo("ivf_pq_raw", "ivf_pq", "ivf_pq",
+      Map("nlist" -> "16", "nprobe" -> "4",
+        "num_subspaces" -> "8", "num_centroids" -> "16"))
+  }
+
+  test("ivf_pq residual local probed scan ≡ distributed AdcScan IVF") {
+    checkAlgo("ivf_pq_res", "ivf_pq", "ivf_pq",
+      Map("nlist" -> "16", "nprobe" -> "4", "residual" -> "true",
+        "num_subspaces" -> "8", "num_centroids" -> "16"))
+  }
+
+  test("hnsw_global memoized-query walk ≡ fresh-collect walk") {
+    val artifact = Registry.indexer("hnsw_global",
+      Map("m" -> "8", "ef_construction" -> "64", "seed" -> "42"), "l2")
+      .build(trainC)
+    val s = Registry.searcher("hnsw_global", Map("ef_search" -> "64"), "l2")
+    val a = rows(s.search(artifact, queries, 7))
+    val b = rows(s.search(artifact, queries, 7))
+    assert(a.nonEmpty && a == b)
+  }
+
+  test("memoization: repeated searches reuse the collected table (no growth)") {
+    val artifact = Registry.indexer("sq8", Map.empty, "l2").build(trainC)
+    artifact.data.cache().count()
+    val s = Registry.searcher("sq8", Map.empty, "l2")
+    val first = rows(s.search(artifact, queries, 5))
+    (1 to 3).foreach { _ =>
+      assert(rows(s.search(artifact, queries, 5)) == first)
+    }
+    artifact.data.unpersist()
+  }
+
+  test("bytes cap: table above the cap falls back to the distributed scan") {
+    sys.props("graft.local.bytesCap") = "64"
+    try {
+      val artifact = Registry.indexer("sq8", Map.empty, "l2").build(trainC)
+      artifact.data.cache().count()
+      val s = Registry.searcher("sq8", Map.empty, "l2")
+      val capped = rows(s.search(artifact, queries, 5))
+      sys.props.remove("graft.local.bytesCap")
+      // fresh artifact → fresh memo key → local path this time
+      val artifact2 = Registry.indexer("sq8", Map.empty, "l2").build(trainC)
+      val s2 = Registry.searcher("sq8", Map.empty, "l2")
+      val local = rows(s2.search(artifact2, queries, 5))
+      assert(capped == local)
+      artifact.data.unpersist()
+    } finally sys.props.remove("graft.local.bytesCap")
+  }
+}

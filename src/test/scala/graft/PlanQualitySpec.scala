@@ -158,13 +158,18 @@ class PlanQualitySpec extends AnyFunSuite {
       // (encode is the build step); searches must then be UDF-free
       artifact.data.cache().count()
       try {
-        // force the DISTRIBUTED finish so the scan's plan shape is
-        // assertable (the default driver-merge finish returns an
-        // already-materialized local relation)
+        // force the DISTRIBUTED scan + finish so the plan shape is
+        // assertable (the default LocalScan fast path and driver-merge
+        // finish both return an already-materialized local relation;
+        // LocalScanSpec proves those equal to this plan's rows)
         System.setProperty("graft.adc.driverMergeCap", "0")
+        System.setProperty("graft.local.enabled", "false")
         val result =
           try searcher.search(artifact, queries, 5)
-          finally System.clearProperty("graft.adc.driverMergeCap")
+          finally {
+            System.clearProperty("graft.adc.driverMergeCap")
+            System.clearProperty("graft.local.enabled")
+          }
         // expression-level check (not string matching: the cached code
         // relation's lineage description legitimately mentions the
         // build-time encode UDF, but nothing EXECUTED may be one)
