@@ -191,14 +191,22 @@ final case class BruteForceIndexer() extends Indexer {
 }
 
 /** Flat scan searcher = the exact kNN join (modular.py:336-387); below
-  * the LocalScan cap the scan runs driver-core-parallel on the memoized
-  * collected table — same kernel arithmetic, bit-identical results. */
+  * the LocalScan cap AND the per-batch flop budget the scan runs
+  * driver-core-parallel on the memoized collected table — same kernel
+  * arithmetic, bit-identical results. Above the flop budget the batch is
+  * compute-bound, not dispatch-bound: job dispatch is noise there, and on
+  * a real cluster the distributed scan holds every executor core while
+  * the driver kernel is capped at one machine (at local[32] the two are
+  * measured equal — same cores either way). */
 final case class LinearSearcher(metric: String) extends Searcher {
   def search(artifact: IndexArtifact, queries: DataFrame, k: Int): DataFrame =
     (LocalScan.metricMode(metric), LocalScan.vecTable(artifact.data, ivf = false)) match {
       case (Some(mode), Some(vt)) =>
         val (qids, qVecs) = LocalScan.queryVecsAlways(queries)
-        LocalScan.scanVecsFull(artifact.data.sparkSession, vt, qids, qVecs, k, mode)
+        if (qids.length.toLong * vt.n * vt.dim > LocalScan.fullScanFlopCap)
+          KnnJoin.knnJoin(queries, artifact.data, k, metric)
+        else
+          LocalScan.scanVecsFull(artifact.data.sparkSession, vt, qids, qVecs, k, mode)
       case _ => KnnJoin.knnJoin(queries, artifact.data, k, metric)
     }
 }

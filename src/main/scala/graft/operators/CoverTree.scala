@@ -52,8 +52,26 @@ final case class CoverTreeSearcher(metric: String = "l2",
       case Some(m: CoverTreeModel) => m
       case _ => CoverTreeModel.fromData(artifact.data, artifact.meta, metric)
     }
-    val bTree = spark.sparkContext.broadcast(tree)
     val acc = counter
+    // adaptive local walk (see HnswGlobalSearcher / LocalScan): the tree
+    // already lives on the driver, a search batch is tiny by definition —
+    // below the cap the walk runs driver-core-parallel with zero Spark
+    // jobs and zero per-search tree broadcasts
+    val collected = LocalScan.queryVecs(queries)
+      .filter(_._1.length <= HnswGlobalSearcher.driverWalkCap)
+    if (collected.isDefined) {
+      val (qids, qVecs) = collected.get
+      val out = new Array[Seq[Row]](qids.length)
+      java.util.stream.IntStream.range(0, qids.length).parallel().forEach { i =>
+        val (res, ndis) = tree.knn(qVecs(i), k)
+        acc.foreach(_.add(ndis))
+        out(i) = res.zipWithIndex.map { case ((id, d), r) =>
+          Row(qids(i), r + 1, id, d): Row
+        }.toSeq
+      }
+      return LocalScan.rowsDf(spark, out.toSeq.flatten)
+    }
+    val bTree = spark.sparkContext.broadcast(tree)
     val outSchema = StructType(Seq(
       StructField("qid", LongType, nullable = false),
       StructField("rank", IntegerType, nullable = false),

@@ -48,6 +48,15 @@ object LocalScan {
       .orElse(sys.env.get("GRAFT_LOCAL_BYTES_CAP").map(_.toLong))
       .getOrElse(512L << 20)
 
+  /** per-batch flop budget for the FULL flat scan (queries × rows × dim):
+    * above it the batch is compute-bound and the codegen'd distributed
+    * join pipeline outruns the driver kernel, so LinearSearcher keeps the
+    * declarative plan. Pruned scans (IVF lists, code scans) stay local —
+    * their per-batch work is orders of magnitude smaller. */
+  def fullScanFlopCap: Long =
+    sys.props.get("graft.local.fullScanFlopCap").map(_.toLong)
+      .getOrElse(2_000_000_000L)
+
   /** max query rows collected+memoized by [[queryVecs]]; a query batch
     * beyond this is not a "batch search" but a join — callers fall back
     * to their streaming plans */
