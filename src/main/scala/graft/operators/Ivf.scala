@@ -27,6 +27,28 @@ final case class IvfIndexer(nlist: Int, seed: Long) extends Indexer {
   val trainSample = 262144
 
   def build(base: DataFrame): IndexArtifact = {
+    val centers = IvfModel.train(base, nlist, seed, trainSample)
+    val assigned = base
+      .select(col("id").cast("long").as("id"), col("vector"))
+      .withColumn("centroid_id", IvfModel.assignUdf(centers)(col("vector")))
+    IndexArtifact(kind, assigned,
+      meta = Map("nlist" -> nlist.toString, "seed" -> seed.toString),
+      aux = Map("centroids" -> IvfModel.centroidsDf(base.sparkSession, centers)),
+      // driver-side copy for searchers (skips a per-search collect job);
+      // reconstructable from aux on the load-from-store path
+      local = Map("centroids_local" -> centers))
+  }
+}
+
+object IvfModel {
+
+  /** coarse-centroid training shared by every IVF-composed indexer:
+    * seeded Lloyd's on a bounded driver-side sample (the FAISS
+    * discipline — see IvfIndexer scaladoc). Extracting it lets IvfSq8 /
+    * IvfPq encode assign+codes in ONE pass over the base relation
+    * instead of building two relations and join-recombining them. */
+  def train(base: DataFrame, nlist: Int, seed: Long,
+      trainSample: Int = 262144): Array[Array[Float]] = {
     val cached = base.select(col("id").cast("long").as("id"), col("vector"))
     val n = cached.count()
     val fraction = math.min(1.0, trainSample.toDouble / math.max(1L, n))
@@ -34,9 +56,14 @@ final case class IvfIndexer(nlist: Int, seed: Long) extends Indexer {
         cached.sample(withReplacement = false, fraction, seed)
       else cached)
       .select("vector").collect().map(_.getSeq[Float](0).toArray)
-    val centers = LocalKMeans.fit(sample, math.min(nlist, sample.length), seed, iters = 15)
+    LocalKMeans.fit(sample, math.min(nlist, sample.length), seed, iters = 15)
+  }
 
-    val assign = udf { (v: Seq[Float]) =>
+  /** nearest-centroid assignment (always L2 — FAISS coarse quantizers
+    * assign by L2 under every metric) */
+  def assignUdf(centers: Array[Array[Float]])
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (v: Seq[Float]) =>
       val arr = v.toArray
       var best = 0; var bestD = Double.MaxValue
       var c = 0
@@ -49,22 +76,13 @@ final case class IvfIndexer(nlist: Int, seed: Long) extends Indexer {
       }
       best
     }
-    val assigned = cached.withColumn("centroid_id", assign(col("vector")))
-    val spark = base.sparkSession
-    import spark.implicits._
-    val centroids = centers.zipWithIndex.toSeq
-      .map { case (c, i) => (i, c) }
-      .toDF("centroid_id", "vector")
-    IndexArtifact(kind, assigned,
-      meta = Map("nlist" -> nlist.toString, "seed" -> seed.toString),
-      aux = Map("centroids" -> centroids),
-      // driver-side copy for searchers (skips a per-search collect job);
-      // reconstructable from aux on the load-from-store path
-      local = Map("centroids_local" -> centers))
-  }
-}
 
-object IvfModel {
+  def centroidsDf(spark: org.apache.spark.sql.SparkSession,
+      centers: Array[Array[Float]]): DataFrame = {
+    import spark.implicits._
+    centers.zipWithIndex.toSeq.map { case (c, i) => (i, c) }
+      .toDF("centroid_id", "vector")
+  }
   /** centroids as (cid, vector) pairs — from the build's driver-side copy
     * when present, else one collect of the tiny aux relation */
   def centroidsOf(artifact: IndexArtifact): Array[(Int, Array[Float])] =

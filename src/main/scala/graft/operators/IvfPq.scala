@@ -30,35 +30,56 @@ final case class IvfPqIndexer(
   val kind = "ivf_pq"
 
   def build(base: DataFrame): IndexArtifact = {
-    val ivf = IvfIndexer(nlist, seed).build(base)
-    val pqInput =
-      if (!residual) base
-      else {
-        // residuals vs the assigned coarse centroid: the centroid table is
-        // tiny (nlist rows) → broadcast map, zero-shuffle subtraction
-        val spark = base.sparkSession
-        val cents = ivf.aux("centroids").select("centroid_id", "vector")
-          .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toMap
-        val bc = spark.sparkContext.broadcast(cents)
-        val resUdf = udf { (cid: Int, v: Seq[Float]) =>
-          val c = bc.value(cid)
-          val out = new Array[Float](c.length)
-          var i = 0
-          while (i < c.length) { out(i) = v(i) - c(i); i += 1 }
-          out
-        }
-        ivf.data.select(col("id"),
-          resUdf(col("centroid_id"), col("vector")).as("vector"))
+    // models first (sampled Lloyd's for the coarse quantizer + per-
+    // subspace codebooks, both driver-side), then assign + encode in ONE
+    // projection of the base relation — the former compose-two-artifacts
+    // shape rescanned the base per artifact and shuffle-joined all rows
+    // just to recombine (centroid_id, codes) columns
+    val spark = base.sparkSession
+    val centers = IvfModel.train(base, nlist, seed)
+    val assign = IvfModel.assignUdf(centers)
+    if (!residual) {
+      val cached = base.select(col("id").cast("long").as("id"), col("vector")).cache()
+      val model = PqModel.train(cached, numSubspaces, numCentroids, seed)
+      val data = cached
+        .withColumn("centroid_id", assign(col("vector")))
+        .select(col("id"), col("centroid_id"),
+          model.encodeUdf()(col("vector")).as("codes"))
+      artifactOf(spark, centers, model, data)
+    } else {
+      // residuals vs the assigned coarse centroid: the centroid table is
+      // tiny (nlist rows) → broadcast map, zero-shuffle subtraction.
+      // assign (the expensive UDF) computes once into the cached relation;
+      // codebooks train on the residual geometry exactly as FAISS IVFPQ
+      val bc = spark.sparkContext.broadcast(centers)
+      val resUdf = udf { (cid: Int, v: Seq[Float]) =>
+        val c = bc.value(cid)
+        val out = new Array[Float](c.length)
+        var i = 0
+        while (i < c.length) { out(i) = v(i) - c(i); i += 1 }
+        out
       }
-    val pq = PqIndexer(numSubspaces, numCentroids, seed).build(pqInput)
-    val data = ivf.data.select("id", "centroid_id")
-      .join(pq.data, Seq("id"))
-    IndexArtifact(kind, data,
-      meta = pq.meta ++ ivf.meta + ("residual" -> residual.toString),
-      aux = Map("centroids" -> ivf.aux("centroids"),
-        "codebooks" -> pq.aux("codebooks")),
-      local = ivf.local ++ pq.local)
+      val cached = base.select(col("id").cast("long").as("id"), col("vector"))
+        .withColumn("centroid_id", assign(col("vector"))).cache()
+      val resInput = cached.select(col("id"),
+        resUdf(col("centroid_id"), col("vector")).as("vector"))
+      val model = PqModel.train(resInput, numSubspaces, numCentroids, seed)
+      val data = cached.select(col("id"), col("centroid_id"),
+        model.encodeUdf()(resUdf(col("centroid_id"), col("vector"))).as("codes"))
+      artifactOf(spark, centers, model, data)
+    }
   }
+
+  private def artifactOf(spark: org.apache.spark.sql.SparkSession,
+      centers: Array[Array[Float]], model: PqModel, data: DataFrame)
+      : IndexArtifact =
+    IndexArtifact(kind, data,
+      meta = PqModel.metaOf(model, numSubspaces, seed) ++
+        Map("nlist" -> nlist.toString, "seed" -> seed.toString,
+          "residual" -> residual.toString),
+      aux = Map("centroids" -> IvfModel.centroidsDf(spark, centers),
+        "codebooks" -> PqModel.codebooksDf(spark, model)),
+      local = Map("centroids_local" -> centers, "pq_model" -> model))
 }
 
 final case class IvfPqSearcher(nprobe: Int, metric: String) extends Searcher

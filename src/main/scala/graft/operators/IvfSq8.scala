@@ -17,14 +17,24 @@ final case class IvfSq8Indexer(nlist: Int, seed: Long) extends Indexer {
   val kind = "ivf_sq8"
 
   def build(base: DataFrame): IndexArtifact = {
-    val ivf = IvfIndexer(nlist, seed).build(base)
-    val sq8 = Sq8Indexer().build(base)
-    val data = ivf.data.select("id", "centroid_id")
-      .join(sq8.data, Seq("id"))
+    // models first (driver-side: sampled Lloyd's + one bounds pass), then
+    // assign + encode in ONE zero-shuffle projection of the base relation
+    // — the former compose-two-artifacts-and-join shape rescanned the
+    // base twice and shuffle-joined 100%-of-rows just to recombine
+    // columns it could have computed together
+    val centers = IvfModel.train(base, nlist, seed)
+    val (lo, hi) = Sq8Model.fitBounds(base)
+    val codes = Sq8Model(lo, hi).encodeUdf()
+    val data = base
+      .select(col("id").cast("long").as("id"), col("vector"))
+      .withColumn("centroid_id", IvfModel.assignUdf(centers)(col("vector")))
+      .select(col("id"), col("centroid_id"), codes(col("vector")).as("codes"))
     IndexArtifact(kind, data,
-      meta = sq8.meta ++ ivf.meta,
-      aux = Map("centroids" -> ivf.aux("centroids")),
-      local = ivf.local)
+      meta = Map(
+        "lo" -> lo.mkString(","), "hi" -> hi.mkString(","),
+        "nlist" -> nlist.toString, "seed" -> seed.toString),
+      aux = Map("centroids" -> IvfModel.centroidsDf(base.sparkSession, centers)),
+      local = Map("centroids_local" -> centers))
   }
 }
 

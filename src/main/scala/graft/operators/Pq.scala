@@ -28,46 +28,15 @@ final case class PqIndexer(numSubspaces: Int, numCentroids: Int, seed: Long)
   val trainSample = 65536
 
   def build(base: DataFrame): IndexArtifact = {
-    val dim = LshModel.dimOf(base, "vector")
-    require(dim % numSubspaces == 0,
-      s"dim $dim not divisible by num_subspaces $numSubspaces")
-    val dsub = dim / numSubspaces
     val cached = base.select(col("id").cast("long").as("id"), col("vector")).cache()
-    val n = cached.count()
-    val nCent = math.min(numCentroids, n.toInt)
-
-    // bounded deterministic sample → driver; one local Lloyd's run per
-    // subspace (microseconds each) instead of 2·m Spark jobs per fit
-    val fraction = math.min(1.0, trainSample.toDouble / math.max(1L, n))
-    val sample = (if (fraction < 1.0)
-        cached.sample(withReplacement = false, fraction, seed)
-      else cached)
-      .select(col("vector")).collect()
-      .map(_.getSeq[Float](0).toArray)
-    // per-subspace fits are independent (seed + j) → train them across
-    // driver cores; deterministic since each writes only its own slot
-    val codebooks: Array[Array[Array[Float]]] =
-      new Array[Array[Array[Float]]](numSubspaces)
-    java.util.stream.IntStream.range(0, numSubspaces).parallel().forEach { j =>
-      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
-      codebooks(j) = LocalKMeans.fit(sub, nCent, seed + j, iters = 15)
-    }
-
-    val enc = PqModel(codebooks, dsub).encodeUdf()
-    val data = cached.select(col("id"), enc(col("vector")).as("codes"))
-    val spark = base.sparkSession
-    import spark.implicits._
-    val cbDf = codebooks.zipWithIndex.flatMap { case (cb, j) =>
-      cb.zipWithIndex.map { case (c, ci) => (j, ci, c) }
-    }.toSeq.toDF("subspace", "centroid", "vector")
+    val model = PqModel.train(cached, numSubspaces, numCentroids, seed, trainSample)
+    val data = cached.select(col("id"), model.encodeUdf()(col("vector")).as("codes"))
     IndexArtifact(kind, data,
-      meta = Map("num_subspaces" -> numSubspaces.toString,
-        "num_centroids" -> nCent.toString, "dsub" -> dsub.toString,
-        "seed" -> seed.toString),
-      aux = Map("codebooks" -> cbDf),
+      meta = PqModel.metaOf(model, numSubspaces, seed),
+      aux = Map("codebooks" -> PqModel.codebooksDf(base.sparkSession, model)),
       // driver-side model for searchers (skips a per-search collect job);
       // reconstructable from aux on the load-from-store path
-      local = Map("pq_model" -> PqModel(codebooks, dsub)))
+      local = Map("pq_model" -> model))
   }
 }
 
@@ -176,6 +145,49 @@ final case class PqModel(codebooks: Array[Array[Array[Float]]], dsub: Int)
 }
 
 object PqModel {
+
+  /** codebook training shared by PQ and the IVF-PQ composition: bounded
+    * deterministic sample → driver, one local Lloyd's run per subspace
+    * (driver-core parallel, each independent via seed + j) instead of
+    * 2·m Spark jobs per fit. `input` is scanned twice (count + sample);
+    * pre-cache it when the caller also encodes from it. */
+  def train(input: DataFrame, numSubspaces: Int, numCentroids: Int,
+      seed: Long, trainSample: Int = 65536): PqModel = {
+    val dim = LshModel.dimOf(input, "vector")
+    require(dim % numSubspaces == 0,
+      s"dim $dim not divisible by num_subspaces $numSubspaces")
+    val dsub = dim / numSubspaces
+    val n = input.count()
+    val nCent = math.min(numCentroids, n.toInt)
+    val fraction = math.min(1.0, trainSample.toDouble / math.max(1L, n))
+    val sample = (if (fraction < 1.0)
+        input.sample(withReplacement = false, fraction, seed)
+      else input)
+      .select(col("vector")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val codebooks: Array[Array[Array[Float]]] =
+      new Array[Array[Array[Float]]](numSubspaces)
+    java.util.stream.IntStream.range(0, numSubspaces).parallel().forEach { j =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
+      codebooks(j) = LocalKMeans.fit(sub, nCent, seed + j, iters = 15)
+    }
+    PqModel(codebooks, dsub)
+  }
+
+  def metaOf(model: PqModel, numSubspaces: Int, seed: Long): Map[String, String] = Map(
+    "num_subspaces" -> numSubspaces.toString,
+    "num_centroids" -> model.codebooks(0).length.toString,
+    "dsub" -> model.dsub.toString,
+    "seed" -> seed.toString)
+
+  def codebooksDf(spark: org.apache.spark.sql.SparkSession,
+      model: PqModel): DataFrame = {
+    import spark.implicits._
+    model.codebooks.zipWithIndex.flatMap { case (cb, j) =>
+      cb.zipWithIndex.map { case (c, ci) => (j, ci, c) }
+    }.toSeq.toDF("subspace", "centroid", "vector")
+  }
+
   def fromArtifact(a: IndexArtifact): PqModel = a.local.get("pq_model") match {
     case Some(m: PqModel) => m
     case _ => collectFromAux(a)

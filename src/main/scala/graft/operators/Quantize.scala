@@ -19,14 +19,7 @@ final case class Sq8Indexer() extends Indexer {
   val kind = "sq8"
 
   def build(base: DataFrame): IndexArtifact = {
-    // per-dim min/max: tiny aggregate (dim rows), collected to the driver
-    val stats = base
-      .select(posexplode(col("vector")).as(Seq("pos", "x")))
-      .groupBy("pos").agg(min("x").as("lo"), max("x").as("hi"))
-      .orderBy("pos")
-      .collect()
-    val lo = stats.map(_.getAs[Float]("lo"))
-    val hi = stats.map(_.getAs[Float]("hi"))
+    val (lo, hi) = Sq8Model.fitBounds(base)
     val codes = Sq8Model(lo, hi).encodeUdf()
     val data = base.select(
       col("id").cast("long").as("id"),
@@ -65,6 +58,43 @@ object Sq8Model {
     if (metric == "cosine" || metric == "angular") 2
     else if (metric == "ip" || metric == "dot") 1
     else 0
+
+  /** per-dimension (min, max) in ONE pass: a per-partition float-array
+    * fold + driver merge. The former posexplode → groupBy(pos) plan
+    * shuffled n·dim scalar rows (38M at 100k × 384-d) to aggregate dim
+    * of them; min/max are order-independent, so the fold is exact. */
+  def fitBounds(base: DataFrame): (Array[Float], Array[Float]) = {
+    val parts = base.select(col("vector")).rdd.mapPartitions { it =>
+      var lo: Array[Float] = null
+      var hi: Array[Float] = null
+      it.foreach { r =>
+        val v = r.getSeq[Float](0)
+        if (lo == null) {
+          lo = v.toArray; hi = v.toArray
+        } else {
+          var i = 0
+          while (i < lo.length) {
+            val x = v(i)
+            if (x < lo(i)) lo(i) = x
+            if (x > hi(i)) hi(i) = x
+            i += 1
+          }
+        }
+      }
+      if (lo == null) Iterator.empty else Iterator.single((lo, hi))
+    }.collect()
+    require(parts.nonEmpty, "sq8: empty base relation")
+    val (lo, hi) = parts.head
+    parts.tail.foreach { case (l, h) =>
+      var i = 0
+      while (i < lo.length) {
+        if (l(i) < lo(i)) lo(i) = l(i)
+        if (h(i) > hi(i)) hi(i) = h(i)
+        i += 1
+      }
+    }
+    (lo, hi)
+  }
 }
 
 final case class Sq8Model(lo: Array[Float], hi: Array[Float]) extends Serializable {
