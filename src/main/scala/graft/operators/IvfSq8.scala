@@ -56,8 +56,18 @@ final case class IvfSq8Searcher(nprobe: Int, metric: String) extends Searcher
     val probeArr = AdcScan.probesAuto(
       q, qids, qVecs, cents, nlist, nprobe, artifact.aux("centroids"))
     val localTable = LocalScan.codeTable(artifact.data, ivf = true)
-    val scorer = new AdcScan.Sq8Scorer(
-      trackLut(spark, localTable.isDefined, qVecs), lo, hi, Sq8Model.mode(metric))
+    val mode = Sq8Model.mode(metric)
+    // local L2/IP scans score through the PQ ADC shape over a per-query
+    // dequant-distance LUT (see Sq8Model.luts — bit-identical, ~2× fewer
+    // FP ops); cosine and the distributed scan keep the inline dequant
+    val scorer: AdcScan.Scorer =
+      if (localTable.isDefined && mode != 2)
+        new AdcScan.PqLutScorer(
+          AdcScan.LocalLut(Sq8Model.luts(qVecs, lo, hi, mode)),
+          sqrtOut = mode == 0)
+      else
+        new AdcScan.Sq8Scorer(
+          trackLut(spark, localTable.isDefined, qVecs), lo, hi, mode)
     localTable match {
       case Some(ct) =>
         LocalScan.scanCodesIvf(spark, ct, qids, k, scorer, probeArr)

@@ -43,8 +43,18 @@ final case class Sq8Searcher(metric: String) extends Searcher
     val spark = artifact.data.sparkSession
     val (qids, qVecs) = LocalScan.queryVecsAlways(queries)
     val localTable = LocalScan.codeTable(artifact.data, ivf = false)
-    val scorer = new AdcScan.Sq8Scorer(
-      trackLut(spark, localTable.isDefined, qVecs), lo, hi, Sq8Model.mode(metric))
+    val mode = Sq8Model.mode(metric)
+    // local L2/IP scans score through the PQ ADC shape over a per-query
+    // dequant-distance LUT (see Sq8Model.luts — bit-identical, ~2× fewer
+    // FP ops); cosine and the distributed scan keep the inline dequant
+    val scorer: AdcScan.Scorer =
+      if (localTable.isDefined && mode != 2)
+        new AdcScan.PqLutScorer(
+          AdcScan.LocalLut(Sq8Model.luts(qVecs, lo, hi, mode)),
+          sqrtOut = mode == 0)
+      else
+        new AdcScan.Sq8Scorer(
+          trackLut(spark, localTable.isDefined, qVecs), lo, hi, mode)
     localTable match {
       case Some(ct) => LocalScan.scanCodesFull(spark, ct, qids, k, scorer)
       case None => AdcScan.searchTopK(artifact.data, qids, k, scorer)
@@ -58,6 +68,45 @@ object Sq8Model {
     if (metric == "cosine" || metric == "angular") 2
     else if (metric == "ip" || metric == "dot") 1
     else 0
+
+  /** Per-query SQ8 distance LUT, flattened dim×256 doubles:
+    * lut[i·256 + c] = (qᵢ − dequant(i, c))² for L2 (mode 0) or
+    * −qᵢ·dequant(i, c) for IP (mode 1). The dequantized value per
+    * (dim, code) is query-independent, so scoring collapses to the PQ
+    * ADC shape (pure lookup-adds via [[AdcScan.PqLutScorer]], dim
+    * "subspaces" of one element each) — element-for-element the same
+    * double arithmetic as [[AdcScan.Sq8Scorer]]'s inline dequant
+    * (IEEE negation and identical accumulation order), so results are
+    * bit-identical; LocalScanSpec asserts this against the distributed
+    * path, which keeps the inline scorer (a dim×256-per-query LUT
+    * broadcast would be ~200 MB at 384-d × 256 queries — fine in driver
+    * memory, wasteful on the wire). Cosine (mode 2) needs three
+    * accumulators and stays on the inline scorer. */
+  def luts(qVecs: Array[Array[Float]], lo: Array[Float], hi: Array[Float],
+      mode: Int): Array[Array[Double]] = {
+    val dim = lo.length
+    val out = new Array[Array[Double]](qVecs.length)
+    java.util.stream.IntStream.range(0, qVecs.length).parallel().forEach { qi =>
+      val q = qVecs(qi)
+      val lut = new Array[Double](dim * 256)
+      var i = 0
+      while (i < dim) {
+        val span = hi(i) - lo(i)
+        val qq = q(i).toDouble
+        var c = 0
+        while (c < 256) {
+          val x = lo(i) + (c / 255.0) * span
+          lut(i * 256 + c) =
+            if (mode == 1) -(qq * x)
+            else { val d = qq - x; d * d }
+          c += 1
+        }
+        i += 1
+      }
+      out(qi) = lut
+    }
+    out
+  }
 
   /** per-dimension (min, max) in ONE pass: a per-partition float-array
     * fold + driver merge. The former posexplode → groupBy(pos) plan

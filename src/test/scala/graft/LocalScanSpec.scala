@@ -63,6 +63,14 @@ class LocalScanSpec extends AnyFunSuite {
     checkAlgo("sq8", "sq8", "sq8", Map.empty)
   }
 
+  test("sq8 local LUT scoring ≡ inline dequant, ip metric") {
+    checkAlgo("sq8_ip", "sq8", "sq8", Map.empty, metric = "ip")
+  }
+
+  test("sq8 cosine keeps the inline scorer and still matches") {
+    checkAlgo("sq8_cos", "sq8", "sq8", Map.empty, metric = "cosine")
+  }
+
   test("pq local code scan ≡ distributed AdcScan") {
     checkAlgo("pq", "pq", "pq",
       Map("num_subspaces" -> "8", "num_centroids" -> "16"))
