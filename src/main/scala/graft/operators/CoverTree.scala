@@ -62,13 +62,18 @@ final case class CoverTreeSearcher(metric: String = "l2",
     if (collected.isDefined) {
       val (qids, qVecs) = collected.get
       val out = new Array[Seq[Row]](qids.length)
+      // per-query ndis slots, summed into the accumulator ONCE after the
+      // parallel loop: LongAccumulator.add is task-merge-safe on
+      // executors but not thread-safe for concurrent driver threads
+      val ndisPer = new Array[Long](qids.length)
       java.util.stream.IntStream.range(0, qids.length).parallel().forEach { i =>
         val (res, ndis) = tree.knn(qVecs(i), k)
-        acc.foreach(_.add(ndis))
+        ndisPer(i) = ndis
         out(i) = res.zipWithIndex.map { case ((id, d), r) =>
           Row(qids(i), r + 1, id, d): Row
         }.toSeq
       }
+      acc.foreach(_.add(ndisPer.sum))
       return LocalScan.rowsDf(spark, out.toSeq.flatten)
     }
     val bTree = spark.sparkContext.broadcast(tree)

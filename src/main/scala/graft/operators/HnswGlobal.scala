@@ -118,14 +118,19 @@ final case class HnswGlobalSearcher(efSearch: Int = 100, metric: String = "l2",
       val ws = ThreadLocal.withInitial[HnswWorkspace](() =>
         new HnswWorkspace(model.vecs.length))
       val out = new Array[Seq[Row]](rows.length)
+      // per-query ndis slots, summed into the accumulator ONCE after the
+      // parallel loop: LongAccumulator.add is task-merge-safe on
+      // executors but not thread-safe for concurrent driver threads
+      val ndisPer = new Array[Long](rows.length)
       java.util.stream.IntStream.range(0, rows.length).parallel().forEach { i =>
         val (qid, qv) = rows(i)
         val (res, ndis) = model.knn(qv, k, efS, ws.get())
-        acc.foreach(_.add(ndis))
+        ndisPer(i) = ndis
         out(i) = res.zipWithIndex.map { case ((id, d), r) =>
           Row(qid, r + 1, id, d): Row
         }.toSeq
       }
+      acc.foreach(_.add(ndisPer.sum))
       // single-slice relation: see LocalScan.rowsDf (a 32-task
       // LocalTableScan over 5 k rows is pure scheduling overhead)
       return LocalScan.rowsDf(spark, out.toSeq.flatten)

@@ -97,25 +97,6 @@ final case class PqModel(codebooks: Array[Array[Array[Float]]], dsub: Int)
     }
   }
 
-  /** per-qid LUTs computed ONCE on the driver (see PqSearcher note on why
-    * they ship in one broadcast rather than as a join column). LUT
-    * construction is independent per query → driver-core parallel. */
-  def luts(queries: DataFrame, metric: String): Map[Long, Array[Double]] = {
-    val rows = queries.select(col("qid").cast("long"), col("vector")).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
-    val out = new Array[(Long, Array[Double])](rows.length)
-    java.util.stream.IntStream.range(0, rows.length).parallel().forEach { i =>
-      out(i) = rows(i)._1 -> lut(rows(i)._2, metric)
-    }
-    out.toMap
-  }
-
-  /** collected (qid → vector) map for scorers that build LUTs lazily on
-    * the executor (residual IVF-PQ) */
-  def collectByQid(queries: DataFrame): Map[Long, Array[Float]] =
-    queries.select(col("qid").cast("long"), col("vector")).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
-
   /** per-query LUT, flattened m×nCent doubles: lut[j*nCent + c] =
     * ‖q_j − codebook_j[c]‖² (L2) or −q_j·codebook_j[c] (IP) */
   def lut(arr: Array[Float], metric: String): Array[Double] = {

@@ -6,10 +6,10 @@ import org.apache.spark.sql.functions._
 /** 8-bit scalar quantization (reference: FAISS `SQ8` via
   * `configs/benchmark_config.yaml:36-60`, glue modular.py:277-286).
   *
-  * Build: per-dimension min/max over the base set (posexplode →
-  * groupBy(pos) — a single shuffle of dim-sized cardinality), then each
-  * vector encoded to one byte per dimension. 4× memory reduction, matching
-  * FAISS SQ8's role; codes live in a `binary` column.
+  * Build: per-dimension min/max over the base set (a per-partition
+  * float-array fold + driver merge — see [[Sq8Model.fitBounds]]), then
+  * each vector encoded to one byte per dimension. 4× memory reduction,
+  * matching FAISS SQ8's role; codes live in a `binary` column.
   *
   * Search: asymmetric — the query stays float, base vectors are
   * dequantized inside the distance kernel. No rerank (the reference's SQ8
@@ -163,9 +163,4 @@ final case class Sq8Model(lo: Array[Float], hi: Array[Float]) extends Serializab
     }
   }
 
-  /** collected (qid → vector) map for the searcher's qidx-indexed
-    * broadcast (scoring itself is AdcScan's Sq8Scorer kernel) */
-  def collectQueries(queries: org.apache.spark.sql.DataFrame): Map[Long, Array[Float]] =
-    queries.select(col("qid").cast("long"), col("vector")).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
 }
