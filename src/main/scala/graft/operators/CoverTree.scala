@@ -61,7 +61,7 @@ final case class CoverTreeSearcher(metric: String = "l2",
       .filter(_._1.length <= HnswGlobalSearcher.driverWalkCap)
     if (collected.isDefined) {
       val (qids, qVecs) = collected.get
-      val out = new Array[Seq[Row]](qids.length)
+      val out = new Array[Seq[(Long, Int, Long, Double)]](qids.length)
       // per-query ndis slots, summed into the accumulator ONCE after the
       // parallel loop: LongAccumulator.add is task-merge-safe on
       // executors but not thread-safe for concurrent driver threads
@@ -70,11 +70,11 @@ final case class CoverTreeSearcher(metric: String = "l2",
         val (res, ndis) = tree.knn(qVecs(i), k)
         ndisPer(i) = ndis
         out(i) = res.zipWithIndex.map { case ((id, d), r) =>
-          Row(qids(i), r + 1, id, d): Row
+          (qids(i), r + 1, id, d)
         }.toSeq
       }
       acc.foreach(_.add(ndisPer.sum))
-      return LocalScan.rowsDf(spark, out.toSeq.flatten)
+      return LocalScan.tuplesDf(spark, out.toSeq.flatten)
     }
     val bTree = spark.sparkContext.broadcast(tree)
     val outSchema = StructType(Seq(

@@ -117,7 +117,7 @@ final case class HnswGlobalSearcher(efSearch: Int = 100, metric: String = "l2",
       val rows = cQids.zip(cVecs)
       val ws = ThreadLocal.withInitial[HnswWorkspace](() =>
         new HnswWorkspace(model.vecs.length))
-      val out = new Array[Seq[Row]](rows.length)
+      val out = new Array[Seq[(Long, Int, Long, Double)]](rows.length)
       // per-query ndis slots, summed into the accumulator ONCE after the
       // parallel loop: LongAccumulator.add is task-merge-safe on
       // executors but not thread-safe for concurrent driver threads
@@ -127,13 +127,11 @@ final case class HnswGlobalSearcher(efSearch: Int = 100, metric: String = "l2",
         val (res, ndis) = model.knn(qv, k, efS, ws.get())
         ndisPer(i) = ndis
         out(i) = res.zipWithIndex.map { case ((id, d), r) =>
-          Row(qid, r + 1, id, d): Row
+          (qid, r + 1, id, d)
         }.toSeq
       }
       acc.foreach(_.add(ndisPer.sum))
-      // single-slice relation: see LocalScan.rowsDf (a 32-task
-      // LocalTableScan over 5 k rows is pure scheduling overhead)
-      return LocalScan.rowsDf(spark, out.toSeq.flatten)
+      return LocalScan.tuplesDf(spark, out.toSeq.flatten)
     }
     val bModel = broadcastModel(spark, model)
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)

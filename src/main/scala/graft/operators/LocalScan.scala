@@ -245,21 +245,46 @@ object LocalScan {
   // result (each heap sees every candidate of its query exactly once)
   // ---------------------------------------------------------------------
 
+  /** queries per tile of the full scans: one parallel task owns a block
+    * of queries and streams the payload once per BLOCK instead of once
+    * per query — a full scan is memory-bandwidth-bound (256 queries ×
+    * a 1.3 MB code buffer = 327 MB of re-reads untiled, 41 MB at B=8),
+    * while row-chunking inside the block keeps the chunk L2-resident
+    * across the block's per-query passes (per-query pass order preserves
+    * scorer LUT locality). Top-k heaps are insertion-order-independent
+    * ((dist, id) total order), so tiling cannot change results. */
+  private val queryBlock = 8
+
   /** full scan: every query scores every code row (mirrors
     * [[AdcScan.searchTopK]]'s partition pass + driver merge). */
   def scanCodesFull(spark: SparkSession, ct: CodeTable, qids: Array[Long],
       k: Int, scorer: AdcScan.Scorer): DataFrame = {
     val heaps = new Array[BoundedTopK](qids.length)
-    if (ct.n > 0)
-      java.util.stream.IntStream.range(0, qids.length).parallel().forEach { qi =>
-        val h = new BoundedTopK(k)
-        var r = 0
-        while (r < ct.n) {
-          h.insert(ct.ids(r), scorer.score(qi, -1, ct.codes, r * ct.m, ct.m))
-          r += 1
+    if (ct.n > 0) {
+      val chunkRows = math.max(1, (256 << 10) / math.max(1, ct.m))
+      val nBlocks = (qids.length + queryBlock - 1) / queryBlock
+      java.util.stream.IntStream.range(0, nBlocks).parallel().forEach { b =>
+        val q0 = b * queryBlock
+        val q1 = math.min(qids.length, q0 + queryBlock)
+        var qi = q0
+        while (qi < q1) { heaps(qi) = new BoundedTopK(k); qi += 1 }
+        var c0 = 0
+        while (c0 < ct.n) {
+          val c1 = math.min(ct.n, c0 + chunkRows)
+          qi = q0
+          while (qi < q1) {
+            val h = heaps(qi)
+            var r = c0
+            while (r < c1) {
+              h.insert(ct.ids(r), scorer.score(qi, -1, ct.codes, r * ct.m, ct.m))
+              r += 1
+            }
+            qi += 1
+          }
+          c0 = c1
         }
-        heaps(qi) = h
       }
+    }
     resultDf(spark, qids, heaps)
   }
 
@@ -324,21 +349,36 @@ object LocalScan {
   }
 
   /** exact flat scan (mirrors KnnJoin.knnJoin: broadcast queries × base
-    * scan + bounded heap, no padding). */
+    * scan + bounded heap, no padding); tiled like [[scanCodesFull]]. */
   def scanVecsFull(spark: SparkSession, vt: VecTable, qids: Array[Long],
       qVecs: Array[Array[Float]], k: Int, mode: Int): DataFrame = {
     val heaps = new Array[BoundedTopK](qids.length)
-    if (vt.n > 0)
-      java.util.stream.IntStream.range(0, qids.length).parallel().forEach { qi =>
-        val h = new BoundedTopK(k)
-        val q = qVecs(qi)
-        var r = 0
-        while (r < vt.n) {
-          h.insert(vt.ids(r), vecDist(q, vt.flat, r * vt.dim, vt.dim, mode))
-          r += 1
+    if (vt.n > 0) {
+      val chunkRows = math.max(1, (64 << 10) / math.max(1, vt.dim))
+      val nBlocks = (qids.length + queryBlock - 1) / queryBlock
+      java.util.stream.IntStream.range(0, nBlocks).parallel().forEach { b =>
+        val q0 = b * queryBlock
+        val q1 = math.min(qids.length, q0 + queryBlock)
+        var qi = q0
+        while (qi < q1) { heaps(qi) = new BoundedTopK(k); qi += 1 }
+        var c0 = 0
+        while (c0 < vt.n) {
+          val c1 = math.min(vt.n, c0 + chunkRows)
+          qi = q0
+          while (qi < q1) {
+            val h = heaps(qi)
+            val q = qVecs(qi)
+            var r = c0
+            while (r < c1) {
+              h.insert(vt.ids(r), vecDist(q, vt.flat, r * vt.dim, vt.dim, mode))
+              r += 1
+            }
+            qi += 1
+          }
+          c0 = c1
         }
-        heaps(qi) = h
       }
+    }
     resultDf(spark, qids, heaps)
   }
 
@@ -377,11 +417,20 @@ object LocalScan {
       val h = heaps(qi)
       if (h == null) Iterator.empty
       else h.sorted.iterator.zipWithIndex.map { case ((id, d), pos) =>
-        org.apache.spark.sql.Row(qids(qi), pos + 1, id, d)
+        (qids(qi), pos + 1, id, d)
       }
     }.toSeq
-    rowsDf(spark, out)
+    tuplesDf(spark, out)
   }
+
+  /** canonical result rows as a LocalRelation over InternalRows — skips
+    * the per-row external-Row conversion (see Shim.localRelationDf) */
+  def tuplesDf(spark: SparkSession,
+      rows: Seq[(Long, Int, Long, Double)]): DataFrame =
+    org.apache.spark.sql.graftshim.Shim.localRelationDf(spark, resultSchema,
+      rows.map(t =>
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](t._1, t._2, t._3, t._4))))
 
   /** driver-sized result rows → a LocalRelation. Deliberate: a
     * LocalRelation's `collect()` goes through
