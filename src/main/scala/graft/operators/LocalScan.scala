@@ -98,6 +98,12 @@ object LocalScan {
       case v => Some(v.asInstanceOf[T])
     }
 
+  /** generic memo slot for operator-specific collected structures (e.g.
+    * LSH bucket maps) — same DataFrame-identity keying and None=too-big
+    * contract as the built-in tables. The caller owns the size gate. */
+  def memoized[T <: AnyRef](key: AnyRef)(compute: => Option[T]): Option[T] =
+    if (!enabled) None else cached(key)(compute)
+
   /** queries collected once per queries-DataFrame instance: (qids sorted
     * ascending, vectors aligned by qidx). None above [[queryRowCap]]. */
   def queryVecs(queries: DataFrame): Option[(Array[Long], Array[Array[Float]])] =
@@ -323,6 +329,10 @@ object LocalScan {
     case "cosine" | "angular" => Some(2)
     case _ => None
   }
+
+  /** public alias for operator-local fast paths (LSH rerank/fallback) */
+  def vecDistAt(q: Array[Float], flat: Array[Float], off: Int,
+      dim: Int, mode: Int): Double = vecDist(q, flat, off, dim, mode)
 
   private def vecDist(q: Array[Float], flat: Array[Float], off: Int,
       dim: Int, mode: Int): Double = {

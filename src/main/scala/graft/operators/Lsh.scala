@@ -86,6 +86,14 @@ final case class LshSearcher(
     val hashUdf = model.hashUdf(spark)
     val cap = maxCandidates.getOrElse(candidateMultiplier * k)
 
+    // driver-local probe→vote→cap→rerank→fallback below the LocalScan
+    // caps (same heaps, same kernels — bit-identical; LocalScanSpec)
+    LshLocal.trySearch(artifact, model, queries, k, cap, metric,
+      fallbackToBruteforce) match {
+      case Some(res) => return res
+      case None => ()
+    }
+
     val q = queries.select(col("qid").cast("long").as("qid"), col("vector"))
     val qKeys = q
       .withColumn("__keys", hashUdf(col("vector")))
@@ -122,6 +130,132 @@ final case class LshSearcher(
   }
 }
 
+/** Driver-local LSH batch search — the same adaptive switch as
+  * [[LocalScan]]: below the bytes cap the bucket relation collects once
+  * (memoized per artifact) into per-table hash maps and the whole
+  * probe → vote → cap → exact-rerank → brute-force-fallback pipeline
+  * runs driver-core-parallel per query with zero Spark jobs. Every stage
+  * replicates the relational plan's arithmetic and ordering exactly:
+  * integer collision votes, cap via the same [[BoundedTopK]] on
+  * (−votes, id), rerank and fallback through [[LocalScan]]'s metric
+  * kernels ((dist, id) order) — results are bit-identical
+  * (LocalScanSpec asserts against the forced-distributed plan). */
+private[operators] object LshLocal {
+
+  /** per-table key → packed id-array bucket maps + the aligned vector
+    * table for rerank/fallback */
+  final class Buckets(val tables: Array[scala.collection.mutable.LongMap[Array[Long]]])
+
+  private def collectBuckets(artifact: IndexArtifact,
+      numTables: Int): Option[Buckets] =
+    LocalScan.memoized[Buckets](artifact.data) {
+      val data = artifact.data
+      val n = data.count()
+      // (table, key, id) rows at ~24 bytes each against the shared cap
+      if (n * 24 > LocalScan.bytesCap) None
+      else {
+        val grouped = Array.fill(numTables)(
+          new scala.collection.mutable.LongMap[scala.collection.mutable.ArrayBuffer[Long]]())
+        data.select(col("id").cast("long"), col("table").cast("int"),
+            col("key").cast("long"))
+          .collect()
+          .foreach { r =>
+            val t = r.getInt(1)
+            if (t >= 0 && t < numTables)
+              grouped(t).getOrElseUpdate(r.getLong(2),
+                new scala.collection.mutable.ArrayBuffer[Long]()) += r.getLong(0)
+          }
+        Some(new Buckets(grouped.map(_.map { case (k, v) => (k, v.toArray) })))
+      }
+    }
+
+  def trySearch(artifact: IndexArtifact, model: LshModel, queries: DataFrame,
+      k: Int, cap: Int, metric: String, fallback: Boolean): Option[DataFrame] = {
+    val mode = LocalScan.metricMode(metric) match {
+      case Some(m) => m
+      case None => return None
+    }
+    val vt = LocalScan.vecTable(artifact.aux("vectors"), ivf = false) match {
+      case Some(v) => v
+      case None => return None
+    }
+    val buckets = collectBuckets(artifact, model.numTables) match {
+      case Some(b) => b
+      case None => return None
+    }
+    val (qids, qVecs) = LocalScan.queryVecs(queries) match {
+      case Some(qv) => qv
+      case None => return None
+    }
+    // id → row offset, memoized against the collected VecTable itself
+    // (which the memo keeps strongly alive as the aux relation's value —
+    // a tuple key would be weakly-referenced garbage immediately)
+    val idIndex = LocalScan.memoized[scala.collection.mutable.LongMap[Int]](vt) {
+      val m = new scala.collection.mutable.LongMap[Int](vt.n * 2)
+      var i = 0
+      while (i < vt.n) { m(vt.ids(i)) = i; i += 1 }
+      Some(m)
+    }.get
+
+    val spark = artifact.data.sparkSession
+    val out = new Array[Seq[(Long, Int, Long, Double)]](qids.length)
+    java.util.stream.IntStream.range(0, qids.length).parallel().forEach { qi =>
+      val qv = qVecs(qi)
+      val keys = model.hashOne(qv)
+      // J5 vote: integer collision counts across tables
+      val votes = new scala.collection.mutable.LongMap[Int]()
+      var t = 0
+      while (t < keys.length) {
+        buckets.tables(t).get(keys(t)).foreach { ids =>
+          var i = 0
+          while (i < ids.length) {
+            votes(ids(i)) = votes.getOrElse(ids(i), 0) + 1
+            i += 1
+          }
+        }
+        t += 1
+      }
+      val result =
+        if (votes.isEmpty) {
+          if (!fallback) null
+          else {
+            // J6 fallback: exact scan of the full table for this query
+            val h = new BoundedTopK(k)
+            var r = 0
+            while (r < vt.n) {
+              h.insert(vt.ids(r),
+                LocalScan.vecDistAt(qv, vt.flat, r * vt.dim, vt.dim, mode))
+              r += 1
+            }
+            h
+          }
+        } else {
+          // J6 cap by (votes desc, id asc) — the same bounded heap on
+          // dist = −votes the relational plan uses
+          val capHeap = new BoundedTopK(cap)
+          votes.foreach { case (id, c) => capHeap.insert(id, -c.toDouble) }
+          // J7 exact rerank of the capped candidates
+          val h = new BoundedTopK(k)
+          var i = 0
+          while (i < capHeap.size) {
+            val id = capHeap.ids(i)
+            idIndex.get(id).foreach { r =>
+              h.insert(id, LocalScan.vecDistAt(qv, vt.flat, r * vt.dim, vt.dim, mode))
+            }
+            i += 1
+          }
+          h
+        }
+      out(qi) =
+        if (result == null) Seq.empty
+        else result.sorted.toIndexedSeq.zipWithIndex.map { case ((id, d), pos) =>
+          (qids(qi), pos + 1, id, d)
+        }
+    }
+    Some(LocalScan.tuplesDf(spark, out.toSeq.flatten))
+  }
+}
+
 /** Deterministic hash-family parameters + the hashing closure. */
 final case class LshModel(
     numTables: Int, hashSize: Int, dim: Int,
@@ -135,36 +269,41 @@ final case class LshModel(
     (planes, offsets)
   }
 
-  def hashUdf(spark: SparkSession): org.apache.spark.sql.expressions.UserDefinedFunction = {
+  /** per-table keys of one vector — the single hashing code path shared
+    * by the UDF (build/probe plans) and the LshLocal fast path, so keys
+    * are identical by construction */
+  def hashOne(arr: Array[Float]): Array[Long] = {
     val (planes, offsets) = planesAndOffsets
     val w = bucketWidth
     val cosine = metric == "cosine" || metric == "ip" || metric == "angular"
     val nt = numTables; val hs = hashSize
-    udf { (v: Seq[Float]) =>
-      val arr = v.toArray
-      val keys = new Array[Long](nt)
-      var t = 0
-      while (t < nt) {
-        var key = 0L
-        var h = 0
-        while (h < hs) {
-          val plane = planes(t)(h)
-          var dot = 0.0
-          var i = 0
-          while (i < plane.length) { dot += plane(i) * arr(i); i += 1 }
-          if (cosine) {
-            if (dot >= 0) key |= (1L << h) // sign bit packing (lsh.py:79-80,102)
-          } else {
-            val bucket = math.floor((dot + offsets(t)(h)) / w).toLong // E2LSH
-            key = key * 1000003L + bucket // polynomial tuple combine
-          }
-          h += 1
+    val keys = new Array[Long](nt)
+    var t = 0
+    while (t < nt) {
+      var key = 0L
+      var h = 0
+      while (h < hs) {
+        val plane = planes(t)(h)
+        var dot = 0.0
+        var i = 0
+        while (i < plane.length) { dot += plane(i) * arr(i); i += 1 }
+        if (cosine) {
+          if (dot >= 0) key |= (1L << h) // sign bit packing (lsh.py:79-80,102)
+        } else {
+          val bucket = math.floor((dot + offsets(t)(h)) / w).toLong // E2LSH
+          key = key * 1000003L + bucket // polynomial tuple combine
         }
-        keys(t) = key
-        t += 1
+        h += 1
       }
-      keys
+      keys(t) = key
+      t += 1
     }
+    keys
+  }
+
+  def hashUdf(spark: SparkSession): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val self = this
+    udf { (v: Seq[Float]) => self.hashOne(v.toArray) }
   }
 }
 

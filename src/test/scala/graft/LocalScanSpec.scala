@@ -97,6 +97,38 @@ class LocalScanSpec extends AnyFunSuite {
         "num_subspaces" -> "8", "num_centroids" -> "16"))
   }
 
+  test("lsh local probe→vote→cap→rerank ≡ distributed plan, cosine") {
+    checkAlgo("lsh_cos", "lsh", "lsh",
+      Map("num_tables" -> "6", "hash_size" -> "8",
+        "candidate_multiplier" -> "16"), metric = "cosine")
+  }
+
+  test("lsh local pipeline ≡ distributed plan, e2lsh l2") {
+    checkAlgo("lsh_l2", "lsh", "lsh",
+      Map("num_tables" -> "6", "hash_size" -> "4", "bucket_width" -> "4.0",
+        "candidate_multiplier" -> "16"))
+  }
+
+  test("lsh zero-candidate fallback ≡ distributed fallback") {
+    // a tiny hash space with distant queries: force some queries to have
+    // zero collisions so the brute-force fallback branch runs both ways
+    val far = testQ.select(
+      org.apache.spark.sql.functions.col("qid"),
+      org.apache.spark.sql.functions.transform(
+        org.apache.spark.sql.functions.col("vector"),
+        x => x * org.apache.spark.sql.functions.lit(100.0f)).as("vector"))
+    val artifact = Registry.indexer("lsh",
+      Map("num_tables" -> "2", "hash_size" -> "16", "bucket_width" -> "0.5",
+        "seed" -> "42"), "l2").build(trainC)
+    artifact.data.cache().count()
+    val s = Registry.searcher("lsh",
+      Map("candidate_multiplier" -> "8"), "l2")
+    val local = rows(s.search(artifact, far, 5))
+    val dist = forcedDistributed { rows(s.search(artifact, far, 5)) }
+    assert(local.nonEmpty && local == dist)
+    artifact.data.unpersist()
+  }
+
   test("hnsw_global memoized-query walk ≡ fresh-collect walk") {
     val artifact = Registry.indexer("hnsw_global",
       Map("m" -> "8", "ef_construction" -> "64", "seed" -> "42"), "l2")

@@ -52,8 +52,14 @@ class PlanQualitySpec extends AnyFunSuite {
     graft.operators.Registry.init()
     val base = Tables.embBase(spark, dir)
     val idx = graft.operators.LshIndexer(4, 4, 4.0, "cosine", 42).build(base)
-    val probe = graft.operators.LshSearcher(8, None, fallbackToBruteforce = false,
-      "cosine").search(idx, Tables.embQueries(spark, dir), 5)
+    // force the DISTRIBUTED pipeline: the default LshLocal fast path
+    // returns an already-materialized local relation (LocalScanSpec
+    // proves it row-identical to this plan)
+    System.setProperty("graft.local.enabled", "false")
+    val probe =
+      try graft.operators.LshSearcher(8, None, fallbackToBruteforce = false,
+        "cosine").search(idx, Tables.embQueries(spark, dir), 5)
+      finally System.clearProperty("graft.local.enabled")
     val plan = probe.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin")
       || plan.contains("ShuffledHashJoin"),
