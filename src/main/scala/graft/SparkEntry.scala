@@ -333,6 +333,18 @@ object SparkEntry {
     "text_topk_ngrams" -> ((s, dir) =>
       Corpus.topNgramsByDf(Tables.load(s, dir, "documents"),
         "text", n = 2, k = 20)),
+    // --- GPT-style pretraining sequence packing: concat tokens in id
+    //     order, cut at a 512-token budget; two-phase cumsum (bounded
+    //     windows), row-local span explode. Every sequence but the last
+    //     must hold exactly 512 tokens — the oracle checks all of them ---
+    "corpus_pack" -> ((s, dir) =>
+      Corpus.packSequences(Tables.load(s, dir, "documents"),
+        "doc_id", "text", budget = 512)),
+    // --- overlapping token-window chunking (RAG/long-context prep):
+    //     32-token windows, stride 24; shuffle-free row-local explode ---
+    "text_chunk_windows" -> ((s, dir) =>
+      TextAnalysis.chunkWindows(Tables.load(s, dir, "documents"),
+        "doc_id", "text", window = 32, stride = 24)),
     // --- skew-mitigated join: lang is a heavy-hitter key (mostly 'en'),
     //     the straggler shape at corpus scale; the salted join splits
     //     each hot key across 8 reducers and must equal the plain join
@@ -3763,5 +3775,49 @@ object SparkEntry {
         |  FROM tok)
         |SELECT gram, count(*) AS doc_freq FROM g GROUP BY gram
         |ORDER BY doc_freq DESC, gram LIMIT 20""".stripMargin,
+    // Sequence packing: same whitespace token count, one global cumsum
+    // (the oracle can afford a flat window; the Spark side two-phases it),
+    // spans exploded to overlapped 512-token sequences
+    "corpus_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |    sum(toks) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+        |  FROM t),
+        |s AS (
+        |  SELECT doc_id, cum - toks AS start, cum FROM c WHERE toks > 0),
+        |e AS (
+        |  SELECT doc_id, start, cum,
+        |    unnest(range(start // 512, (cum - 1) // 512 + 1)) AS seq_id
+        |  FROM s)
+        |SELECT seq_id, count(*) AS n_docs,
+        |  sum(least(cum, (seq_id + 1) * 512)
+        |    - greatest(start, seq_id * 512))::BIGINT AS n_tokens
+        |FROM e GROUP BY seq_id""".stripMargin,
+    // Overlapping token windows: same tokenization, chunk count =
+    // 1 + ceil((n - W)/S) (min 1), last chunk short, empty docs skipped
+    "text_chunk_windows" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, toks, n,
+        |    1 + greatest(0, ceil((n - 32)::DOUBLE / 24)::BIGINT) AS n_chunks
+        |  FROM t WHERE n > 0),
+        |e AS (
+        |  SELECT doc_id, toks, n, unnest(range(0, n_chunks)) AS chunk_idx
+        |  FROM d)
+        |SELECT doc_id AS id, chunk_idx,
+        |  least(32, n - chunk_idx * 24) AS n_chunk_tokens,
+        |  toks[(chunk_idx * 24 + 1)::INT] AS first_tok,
+        |  toks[least(chunk_idx * 24 + 32, n)::INT] AS last_tok
+        |FROM e""".stripMargin,
   )
 }

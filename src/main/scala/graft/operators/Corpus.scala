@@ -52,6 +52,61 @@ object Corpus {
         countDistinct("eval_id").as("n_eval_docs"))
   }
 
+  // ------------------------------------------------------ sequence packing
+  /** GPT-style pretraining sequence packing: concatenate every document's
+    * whitespace tokens in ascending-id order and cut the stream into
+    * fixed `budget`-token training sequences (documents may straddle a
+    * boundary — the standard concat-then-chunk shape, not bin packing).
+    * Output: one row per (sequence, contributing doc) aggregated to
+    * `(seq_id, n_docs, n_tokens)` — every sequence except the last holds
+    * exactly `budget` tokens, which doubles as a self-check invariant.
+    *
+    * Scale shape: the global running token count is computed in two
+    * phases — per-id-range partial sums (a tiny aggregate of n/rangeSize
+    * rows) prefix-summed and joined back, then a window cumsum WITHIN
+    * each bounded range — so no window ever sees more than `rangeSize`
+    * documents. (The range-prefix window itself runs over the tiny
+    * per-range relation; at extreme scale it nests the same trick once
+    * more.) The per-doc [start, end) token span then explodes to its
+    * overlapped sequence ids — a pure row-local `sequence()`, no
+    * shuffle beyond the one tiny aggregate.
+    */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+      budget: Int, rangeSize: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextAnalysis.tokenCount(col(textCol))
+    val base = docs.select(col(idCol).cast("long").as("__id"), toks.as("__toks"))
+    val ranged = base.withColumn("__range", (col("__id") / rangeSize).cast("long"))
+    // phase 1: per-range totals (tiny), prefix-summed to range offsets
+    val offsets = ranged.groupBy("__range")
+      .agg(sum("__toks").as("__rtoks"))
+      .withColumn("__offset",
+        coalesce(sum("__rtoks").over(
+          Window.orderBy("__range")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__range"), col("__offset"))
+    // phase 2: bounded within-range cumsum + the global offset
+    val winRange = Window.partitionBy("__range").orderBy("__id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val spans = ranged
+      .join(broadcast(offsets), "__range")
+      .withColumn("__cum", sum("__toks").over(winRange) + col("__offset"))
+      .withColumn("__start", col("__cum") - col("__toks"))
+      .filter(col("__toks") > 0)
+    // explode each doc's token span to the sequences it overlaps
+    val b = lit(budget.toLong)
+    spans
+      .select(col("__id"), col("__start"), col("__cum"),
+        explode(sequence(
+          floor(col("__start") / b).cast("long"),
+          floor((col("__cum") - 1) / b).cast("long"))).as("seq_id"))
+      .groupBy("seq_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(least(col("__cum"), (col("seq_id") + 1) * b) -
+          greatest(col("__start"), col("seq_id") * b)).as("n_tokens"))
+  }
+
   // ---------------------------------------------------- C4-style filtering
   /** Document-level quality heuristics in the C4/Gopher tradition, as
     * independent boolean signals (a doc can trip several):

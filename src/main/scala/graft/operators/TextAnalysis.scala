@@ -15,6 +15,40 @@ object TextAnalysis {
     when(length(trim(text)) === 0, 0L)
       .otherwise(size(split(trim(text), "\\s+")).cast("long"))
 
+  /** Overlapping token-window chunking (the RAG / long-context
+    * preprocessing shape): each document's whitespace tokens split into
+    * windows of `window` tokens advancing by `stride` (< window ⇒
+    * overlap); the last window is short rather than padded, empty docs
+    * produce no chunks. Pure row-local explode — shuffle-free,
+    * embarrassingly parallel at corpus scale.
+    * Output: (id, chunk_idx, n_chunk_tokens, first_tok, last_tok). */
+  def chunkWindows(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, window: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    val toks = split(trim(col(textCol)), "\\s+")
+    val nTok = tokenCount(col(textCol))
+    // chunks = 1 + ceil((nTok − window) / stride), min 1, 0 for empty
+    val nChunks = when(nTok === 0, 0L).otherwise(
+      greatest(lit(0L),
+        ceil((nTok - window).cast("double") / stride).cast("long")) + 1L)
+    docs
+      .select(col(idCol).cast("long").as("id"), toks.as("__toks"),
+        nTok.as("__n"), nChunks.as("__chunks"))
+      .filter(col("__chunks") > 0)
+      .select(col("id"), col("__toks"), col("__n"),
+        explode(sequence(lit(0L), col("__chunks") - 1)).as("chunk_idx"))
+      .select(
+        col("id"), col("chunk_idx"),
+        least(lit(window.toLong), col("__n") - col("chunk_idx") * stride)
+          .as("n_chunk_tokens"),
+        element_at(col("__toks"), (col("chunk_idx") * stride + 1).cast("int"))
+          .as("first_tok"),
+        element_at(col("__toks"),
+          least(col("chunk_idx") * stride + window, col("__n")).cast("int"))
+          .as("last_tok"))
+  }
+
   /** BPE-ish subword count approximation: word-boundary pieces plus
     * length/4 continuation pieces per long word (a standard fast proxy
     * for tokenizer budget accounting). */

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Sampling, TextAnalysis}
+import graft.operators.{Corpus, Sampling, TextAnalysis}
 
 /** Hand-computed oracles for the repetition signals and the invariance
   * contract of deterministic hash sampling. */
@@ -105,5 +105,52 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(s <= n)
       assert(direct.getOrElse(lang, 0L) == s, s"$lang: audit $s vs ${direct.get(lang)}")
     }
+  }
+
+  test("chunkWindows: stride coverage, overlap, short tail, empty docs") {
+    val docs = Seq(
+      (1L, (1 to 80).map(i => s"w$i").mkString(" ")), // 80 tokens -> 3 chunks
+      (2L, "only three tokens"),                      // 1 short chunk
+      (3L, "   "),                                    // empty -> no chunks
+      (4L, (1 to 32).map(i => s"x$i").mkString(" "))  // exactly one window
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkWindows(docs, "doc_id", "text", window = 32, stride = 24)
+      .orderBy("id", "chunk_idx")
+      .select("id", "chunk_idx", "n_chunk_tokens", "first_tok", "last_tok")
+      .as[(Long, Long, Long, String, String)].collect().toSeq
+    // doc 1: chunks at token offsets 0/24/48 -> 32,32,32 tokens (80-48=32)
+    assert(out.filter(_._1 == 1L) == Seq(
+      (1L, 0L, 32L, "w1", "w32"),
+      (1L, 1L, 32L, "w25", "w56"),
+      (1L, 2L, 32L, "w49", "w80")))
+    assert(out.filter(_._1 == 2L) == Seq((2L, 0L, 3L, "only", "tokens")))
+    assert(!out.exists(_._1 == 3L))
+    assert(out.filter(_._1 == 4L) == Seq((4L, 0L, 32L, "x1", "x32")))
+  }
+
+  test("packSequences: exact budget fill, token conservation, straddling") {
+    val docs = (1 to 40).map(i => (i.toLong, (1 to 100).map(j => s"t$j").mkString(" ")))
+      .toDF("doc_id", "text") // 40 docs x 100 tokens = 4000 tokens
+    val out = Corpus.packSequences(docs, "doc_id", "text", budget = 512)
+      .orderBy("seq_id")
+      .select("seq_id", "n_docs", "n_tokens")
+      .as[(Long, Long, Long)].collect().toSeq
+    // 4000 tokens / 512 = 7 full sequences + a 416-token tail
+    assert(out.map(_._1) == (0L to 7L))
+    assert(out.init.forall(_._3 == 512L), s"non-budget bin: $out")
+    assert(out.last._3 == 4000L - 7 * 512L)
+    assert(out.map(_._3).sum == 4000L)
+    // 100-token docs straddle every 512 boundary: bins see 6 or 7 docs
+    assert(out.init.forall(r => r._2 == 6L || r._2 == 7L))
+  }
+
+  test("packSequences: two-phase cumsum invariant under tiny ranges") {
+    val docs = (1 to 40).map(i => (i.toLong, (1 to 100).map(j => s"t$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val onePhase = Corpus.packSequences(docs, "doc_id", "text", 512, rangeSize = 1 << 20)
+      .orderBy("seq_id").collect().toSeq
+    val manyRanges = Corpus.packSequences(docs, "doc_id", "text", 512, rangeSize = 3)
+      .orderBy("seq_id").collect().toSeq
+    assert(onePhase == manyRanges)
   }
 }
