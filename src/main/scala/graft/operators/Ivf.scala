@@ -28,9 +28,16 @@ final case class IvfIndexer(nlist: Int, seed: Long) extends Indexer {
 
   def build(base: DataFrame): IndexArtifact = {
     val centers = IvfModel.train(base, nlist, seed, trainSample)
+    // boxing-free assignment: tuple encoders move primitive float arrays
+    // straight from Tungsten rows into the assign kernel (the ScalaUDF
+    // path boxes every element through CatalystTypeConverters)
+    val spark = base.sparkSession
+    import spark.implicits._
     val assigned = base
       .select(col("id").cast("long").as("id"), col("vector"))
-      .withColumn("centroid_id", IvfModel.assignUdf(centers)(col("vector")))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (i, v) => (i, v, IvfModel.assign(centers, v)) })
+      .toDF("id", "vector", "centroid_id")
     IndexArtifact(kind, assigned,
       meta = Map("nlist" -> nlist.toString, "seed" -> seed.toString),
       aux = Map("centroids" -> IvfModel.centroidsDf(base.sparkSession, centers)),
@@ -60,22 +67,24 @@ object IvfModel {
   }
 
   /** nearest-centroid assignment (always L2 — FAISS coarse quantizers
-    * assign by L2 under every metric) */
+    * assign by L2 under every metric); primitive function is the single
+    * code path for the UDF and the boxing-free mapPartitions builds */
+  def assign(centers: Array[Array[Float]], arr: Array[Float]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < centers.length) {
+      var d = 0.0; var i = 0
+      val ce = centers(c)
+      while (i < ce.length) { val df = arr(i) - ce(i); d += df * df; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
   def assignUdf(centers: Array[Array[Float]])
       : org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { (v: Seq[Float]) =>
-      val arr = v.toArray
-      var best = 0; var bestD = Double.MaxValue
-      var c = 0
-      while (c < centers.length) {
-        var d = 0.0; var i = 0
-        val ce = centers(c)
-        while (i < ce.length) { val df = arr(i) - ce(i); d += df * df; i += 1 }
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
-      }
-      best
-    }
+    udf { (v: Seq[Float]) => assign(centers, v.toArray) }
 
   def centroidsDf(spark: org.apache.spark.sql.SparkSession,
       centers: Array[Array[Float]]): DataFrame = {

@@ -36,36 +36,47 @@ final case class IvfPqIndexer(
     // shape rescanned the base per artifact and shuffle-joined all rows
     // just to recombine (centroid_id, codes) columns
     val spark = base.sparkSession
+    import spark.implicits._
     val centers = IvfModel.train(base, nlist, seed)
-    val assign = IvfModel.assignUdf(centers)
+    def residualOf(cid: Int, v: Array[Float]): Array[Float] = {
+      val c = centers(cid)
+      val out = new Array[Float](c.length)
+      var i = 0
+      while (i < c.length) { out(i) = v(i) - c(i); i += 1 }
+      out
+    }
     if (!residual) {
       val cached = base.select(col("id").cast("long").as("id"), col("vector")).cache()
       val model = PqModel.train(cached, numSubspaces, numCentroids, seed)
+      // boxing-free assign + encode in one pass (see IvfIndexer.build)
       val data = cached
-        .withColumn("centroid_id", assign(col("vector")))
-        .select(col("id"), col("centroid_id"),
-          model.encodeUdf()(col("vector")).as("codes"))
+        .as[(Long, Array[Float])]
+        .mapPartitions(_.map { case (i, v) =>
+          (i, IvfModel.assign(centers, v), model.encode(v))
+        })
+        .toDF("id", "centroid_id", "codes")
       artifactOf(spark, centers, model, data)
     } else {
-      // residuals vs the assigned coarse centroid: the centroid table is
-      // tiny (nlist rows) → broadcast map, zero-shuffle subtraction.
-      // assign (the expensive UDF) computes once into the cached relation;
-      // codebooks train on the residual geometry exactly as FAISS IVFPQ
-      val bc = spark.sparkContext.broadcast(centers)
-      val resUdf = udf { (cid: Int, v: Seq[Float]) =>
-        val c = bc.value(cid)
-        val out = new Array[Float](c.length)
-        var i = 0
-        while (i < c.length) { out(i) = v(i) - c(i); i += 1 }
-        out
-      }
+      // residuals vs the assigned coarse centroid (zero-shuffle row-local
+      // subtraction; codebooks train on the residual geometry exactly as
+      // FAISS IVFPQ). assign — the expensive kernel — computes once into
+      // the cached relation; both the codebook-training sample pass and
+      // the final encode derive from it boxing-free.
       val cached = base.select(col("id").cast("long").as("id"), col("vector"))
-        .withColumn("centroid_id", assign(col("vector"))).cache()
-      val resInput = cached.select(col("id"),
-        resUdf(col("centroid_id"), col("vector")).as("vector"))
+        .as[(Long, Array[Float])]
+        .mapPartitions(_.map { case (i, v) => (i, IvfModel.assign(centers, v), v) })
+        .toDF("id", "centroid_id", "vector").cache()
+      val resInput = cached
+        .as[(Long, Int, Array[Float])]
+        .mapPartitions(_.map { case (i, cid, v) => (i, residualOf(cid, v)) })
+        .toDF("id", "vector")
       val model = PqModel.train(resInput, numSubspaces, numCentroids, seed)
-      val data = cached.select(col("id"), col("centroid_id"),
-        model.encodeUdf()(resUdf(col("centroid_id"), col("vector"))).as("codes"))
+      val data = cached
+        .as[(Long, Int, Array[Float])]
+        .mapPartitions(_.map { case (i, cid, v) =>
+          (i, cid, model.encode(residualOf(cid, v)))
+        })
+        .toDF("id", "centroid_id", "codes")
       artifactOf(spark, centers, model, data)
     }
   }

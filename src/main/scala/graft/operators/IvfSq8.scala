@@ -24,11 +24,17 @@ final case class IvfSq8Indexer(nlist: Int, seed: Long) extends Indexer {
     // columns it could have computed together
     val centers = IvfModel.train(base, nlist, seed)
     val (lo, hi) = Sq8Model.fitBounds(base)
-    val codes = Sq8Model(lo, hi).encodeUdf()
+    val model = Sq8Model(lo, hi)
+    val spark = base.sparkSession
+    import spark.implicits._
+    // boxing-free assign + encode in one pass (see IvfIndexer.build note)
     val data = base
       .select(col("id").cast("long").as("id"), col("vector"))
-      .withColumn("centroid_id", IvfModel.assignUdf(centers)(col("vector")))
-      .select(col("id"), col("centroid_id"), codes(col("vector")).as("codes"))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (i, v) =>
+        (i, IvfModel.assign(centers, v), model.encode(v))
+      })
+      .toDF("id", "centroid_id", "codes")
     IndexArtifact(kind, data,
       meta = Map(
         "lo" -> lo.mkString(","), "hi" -> hi.mkString(","),

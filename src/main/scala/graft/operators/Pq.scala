@@ -28,9 +28,15 @@ final case class PqIndexer(numSubspaces: Int, numCentroids: Int, seed: Long)
   val trainSample = 65536
 
   def build(base: DataFrame): IndexArtifact = {
+    val spark = base.sparkSession
+    import spark.implicits._
     val cached = base.select(col("id").cast("long").as("id"), col("vector")).cache()
     val model = PqModel.train(cached, numSubspaces, numCentroids, seed, trainSample)
-    val data = cached.select(col("id"), model.encodeUdf()(col("vector")).as("codes"))
+    // boxing-free encode (see IvfIndexer.build note)
+    val data = cached
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (i, v) => (i, model.encode(v)) })
+      .toDF("id", "codes")
     IndexArtifact(kind, data,
       meta = PqModel.metaOf(model, numSubspaces, seed),
       aux = Map("codebooks" -> PqModel.codebooksDf(base.sparkSession, model)),
@@ -71,30 +77,34 @@ final case class PqModel(codebooks: Array[Array[Array[Float]]], dsub: Int)
   extends Serializable {
   private def m: Int = codebooks.length
 
-  def encodeUdf(): org.apache.spark.sql.expressions.UserDefinedFunction = {
+  /** primitive encode — the single code path for the UDF and the
+    * boxing-free mapPartitions build */
+  def encode(arr: Array[Float]): Array[Byte] = {
     val cbs = codebooks; val ds = dsub
-    udf { (v: Seq[Float]) =>
-      val arr = v.toArray
-      val out = new Array[Byte](cbs.length)
-      var j = 0
-      while (j < cbs.length) {
-        val cb = cbs(j)
-        var best = 0; var bestD = Double.MaxValue
-        var c = 0
-        while (c < cb.length) {
-          var d = 0.0; var i = 0
-          while (i < ds) {
-            val diff = arr(j * ds + i) - cb(c)(i)
-            d += diff * diff; i += 1
-          }
-          if (d < bestD) { bestD = d; best = c }
-          c += 1
+    val out = new Array[Byte](cbs.length)
+    var j = 0
+    while (j < cbs.length) {
+      val cb = cbs(j)
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb.length) {
+        var d = 0.0; var i = 0
+        while (i < ds) {
+          val diff = arr(j * ds + i) - cb(c)(i)
+          d += diff * diff; i += 1
         }
-        out(j) = (best - 128).toByte
-        j += 1
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
       }
-      out
+      out(j) = (best - 128).toByte
+      j += 1
     }
+    out
+  }
+
+  def encodeUdf(): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val self = this
+    udf { (v: Seq[Float]) => self.encode(v.toArray) }
   }
 
   /** per-query LUT, flattened m×nCent doubles: lut[j*nCent + c] =

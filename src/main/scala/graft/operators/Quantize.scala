@@ -20,10 +20,15 @@ final case class Sq8Indexer() extends Indexer {
 
   def build(base: DataFrame): IndexArtifact = {
     val (lo, hi) = Sq8Model.fitBounds(base)
-    val codes = Sq8Model(lo, hi).encodeUdf()
-    val data = base.select(
-      col("id").cast("long").as("id"),
-      codes(col("vector")).as("codes"))
+    val model = Sq8Model(lo, hi)
+    val spark = base.sparkSession
+    import spark.implicits._
+    // boxing-free encode (see IvfIndexer.build note)
+    val data = base
+      .select(col("id").cast("long").as("id"), col("vector"))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (i, v) => (i, model.encode(v)) })
+      .toDF("id", "codes")
     IndexArtifact(kind, data,
       meta = Map(
         "lo" -> lo.mkString(","),
@@ -147,20 +152,23 @@ object Sq8Model {
 }
 
 final case class Sq8Model(lo: Array[Float], hi: Array[Float]) extends Serializable {
-  def encodeUdf(): org.apache.spark.sql.expressions.UserDefinedFunction = {
-    val l = lo; val h = hi
-    udf { (v: Seq[Float]) =>
-      val out = new Array[Byte](v.length)
-      var i = 0
-      while (i < out.length) {
-        val span = h(i) - l(i)
-        val t = if (span <= 0f) 0.0 else (v(i) - l(i)).toDouble / span
-        val c = math.max(0, math.min(255, math.round(t * 255).toInt))
-        out(i) = (c - 128).toByte
-        i += 1
-      }
-      out
+  /** primitive encode — the single code path for the UDF and the
+    * boxing-free mapPartitions build */
+  def encode(v: Array[Float]): Array[Byte] = {
+    val out = new Array[Byte](v.length)
+    var i = 0
+    while (i < out.length) {
+      val span = hi(i) - lo(i)
+      val t = if (span <= 0f) 0.0 else (v(i) - lo(i)).toDouble / span
+      val c = math.max(0, math.min(255, math.round(t * 255).toInt))
+      out(i) = (c - 128).toByte
+      i += 1
     }
+    out
   }
 
+  def encodeUdf(): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val self = this
+    udf { (v: Seq[Float]) => self.encode(v.toArray) }
+  }
 }
