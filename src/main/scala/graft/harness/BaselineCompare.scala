@@ -42,7 +42,7 @@ object BaselineCompare {
     * expensive driver-side builds (covertree, hnsw), after the fast rows
     * have already landed in the artifact. */
   private def algoTable(dims: Int, nprobe: Int, lshTables: Int, lshHash: Int,
-      lshMult: Int, withDriverBuilds: Boolean): Seq[AlgoRow] = {
+      lshMult: Int, withCoverTree: Boolean, withHnsw: Boolean): Seq[AlgoRow] = {
     // PQ subspace count follows the reference per-dataset codec (PQ64 at
     // 64-d / 384-d, PQ50 at 50-d): dims must divide evenly
     val m = if (dims % 64 == 0) 64 else dims
@@ -64,14 +64,15 @@ object BaselineCompare {
       ("ivf_pq", "ivf_pq", "ivf_pq", Map("nlist" -> "256",
         "nprobe" -> nprobe.toString, "num_subspaces" -> m.toString,
         "num_centroids" -> "256", "residual" -> "true")))
-    if (!withDriverBuilds) base
-    else base ++ Seq[AlgoRow](
-      ("covertree", "covertree", "covertree", Map.empty[String, String]),
-      // ef_search above the reference's 100: a JVM walk pays per-batch
-      // job overhead, not per-hop SIMD, so the deeper beam buys recall
-      // parity at ~zero wall cost here
+    val ct: Seq[AlgoRow] = if (!withCoverTree) Nil else Seq(
+      ("covertree", "covertree", "covertree", Map.empty[String, String]))
+    // ef_search above the reference's 100: a JVM walk pays per-batch
+    // overhead, not per-hop SIMD, so the deeper beam buys recall
+    // parity at ~zero wall cost here
+    val hnsw: Seq[AlgoRow] = if (!withHnsw) Nil else Seq(
       ("hnsw", "hnsw_global", "hnsw_global",
         Map("m" -> "16", "ef_construction" -> "200", "ef_search" -> "256")))
+    base ++ ct ++ hnsw
   }
 
   /** published rows per dataset: algo -> (recall@20, QPS) —
@@ -80,7 +81,7 @@ object BaselineCompare {
   val workloads: Seq[Workload] = Seq(
     Workload("random", 20000, 256, 64, normalize = false,
       algoTable(64, nprobe = 32, lshTables = 12, lshHash = 4, lshMult = 64,
-        withDriverBuilds = true),
+        withCoverTree = true, withHnsw = true),
       Map(
         "exact" -> (1.0000, 220.03),
         "hnsw" -> (0.9156, 23886.0),
@@ -92,7 +93,7 @@ object BaselineCompare {
         "lsh" -> (0.3191, 172.98))),
     Workload("glove50", 20000, 256, 50, normalize = false,
       algoTable(50, nprobe = 32, lshTables = 12, lshHash = 4, lshMult = 64,
-        withDriverBuilds = true),
+        withCoverTree = true, withHnsw = true),
       Map(
         "exact" -> (1.0000, 290.68),
         "hnsw" -> (0.9750, 213468.0),
@@ -102,13 +103,14 @@ object BaselineCompare {
         "pq" -> (0.9820, 19837.0),
         "covertree" -> (1.0000, 34.32),
         "lsh" -> (0.5074, 81.85))),
-    // covertree/hnsw excluded at this shape, NOT silently: both are
-    // driver-side builds documented as bounded-scope (HnswGlobal.scala /
-    // CoverTree.scala) and at 100k × 384-d their build alone exceeds the
-    // per-algo watchdog, wasting 2 × 120 s of the stage budget per round
+    // covertree excluded at this shape, NOT silently: the exact tree
+    // build at 100k × 384-d exceeds the per-algo watchdog (the REFERENCE
+    // itself took 4,387 s on this row — benchmark_summary.md:49). hnsw's
+    // driver-parallel build measures ~31 s here (HnswMsmarcoProbe), well
+    // inside the watchdog, so it participates.
     Workload("msmarco", 100000, 70, 384, normalize = true,
       algoTable(384, nprobe = 48, lshTables = 24, lshHash = 8, lshMult = 128,
-        withDriverBuilds = false),
+        withCoverTree = false, withHnsw = true),
       Map(
         "exact" -> (1.0000, 550.41),
         "hnsw" -> (0.9857, 7872.0),
