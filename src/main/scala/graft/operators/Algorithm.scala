@@ -199,14 +199,19 @@ final case class BruteForceIndexer() extends Indexer {
   * the driver kernel is capped at one machine (at local[32] the two are
   * measured equal — same cores either way). */
 final case class LinearSearcher(metric: String) extends Searcher {
-  def search(artifact: IndexArtifact, queries: DataFrame, k: Int): DataFrame =
-    (LocalScan.metricMode(metric), LocalScan.vecTable(artifact.data, ivf = false)) match {
-      case (Some(mode), Some(vt)) =>
-        val (qids, qVecs) = LocalScan.queryVecsAlways(queries)
-        if (qids.length.toLong * vt.n * vt.dim > LocalScan.fullScanFlopCap)
-          KnnJoin.knnJoin(queries, artifact.data, k, metric)
-        else
-          LocalScan.scanVecsFull(artifact.data.sparkSession, vt, qids, qVecs, k, mode)
-      case _ => KnnJoin.knnJoin(queries, artifact.data, k, metric)
-    }
+  def search(artifact: IndexArtifact, queries: DataFrame, k: Int): DataFrame = {
+    // flop gate from the cheap memoized (count, width) probe BEFORE any
+    // collect: a compute-bound batch must not pay (or pin) a full table
+    // collection it will never scan
+    val plan = for {
+      mode <- LocalScan.metricMode(metric)
+      if LocalScan.enabled
+      (qids, qVecs) = LocalScan.queryVecsAlways(queries)
+      (n, dim) <- LocalScan.payloadStats(artifact.data, "vector", bytesPerUnit = 4)
+      if qids.length.toLong * n * dim <= LocalScan.fullScanFlopCap
+      vt <- LocalScan.vecTable(artifact.data, ivf = false)
+    } yield LocalScan.scanVecsFull(
+      artifact.data.sparkSession, vt, qids, qVecs, k, mode)
+    plan.getOrElse(KnnJoin.knnJoin(queries, artifact.data, k, metric))
+  }
 }

@@ -67,7 +67,10 @@ object Corpus {
     * each bounded range — so no window ever sees more than `rangeSize`
     * documents. (The range-prefix window itself runs over the tiny
     * per-range relation; at extreme scale it nests the same trick once
-    * more.) The per-doc [start, end) token span then explodes to its
+    * more.) Ranges follow id VALUE density: with sparse ids (snowflake
+    * spacing ≥ rangeSize) the per-range relation degenerates toward one
+    * row per doc — pre-compact such ids to ranks (or raise rangeSize to
+    * the id spacing) to keep the phase-1 relation tiny. The per-doc [start, end) token span then explodes to its
     * overlapped sequence ids — a pure row-local `sequence()`, no
     * shuffle beyond the one tiny aggregate.
     */

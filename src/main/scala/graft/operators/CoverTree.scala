@@ -57,8 +57,8 @@ final case class CoverTreeSearcher(metric: String = "l2",
     // already lives on the driver, a search batch is tiny by definition —
     // below the cap the walk runs driver-core-parallel with zero Spark
     // jobs and zero per-search tree broadcasts
-    val collected = LocalScan.queryVecs(queries)
-      .filter(_._1.length <= HnswGlobalSearcher.driverWalkCap)
+    val collected = LocalScan.queryVecsCapped(queries,
+      HnswGlobalSearcher.driverWalkCap)
     if (collected.isDefined) {
       val (qids, qVecs) = collected.get
       val out = new Array[Seq[(Long, Int, Long, Double)]](qids.length)

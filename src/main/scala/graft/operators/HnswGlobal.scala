@@ -109,9 +109,10 @@ final case class HnswGlobalSearcher(efSearch: Int = 100, metric: String = "l2",
     // take the broadcast + mapPartitions path.
     val qRows = queries.select(col("qid").cast("long"), col("vector"))
     val cap = HnswGlobalSearcher.driverWalkCap
-    // memoized across repeated searches of the same batch (LocalScan):
-    // the query collect was the last remaining Spark job per search
-    val collected = LocalScan.queryVecs(queries).filter(_._1.length <= cap)
+    // memoized across repeated searches of the same batch (LocalScan);
+    // the capped probe collects at most cap+1 rows, so a huge query
+    // batch never lands on the driver before routing distributed
+    val collected = LocalScan.queryVecsCapped(queries, cap)
     if (collected.isDefined) {
       val (cQids, cVecs) = collected.get
       val rows = cQids.zip(cVecs)

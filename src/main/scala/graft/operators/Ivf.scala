@@ -67,8 +67,8 @@ object IvfModel {
   }
 
   /** nearest-centroid assignment (always L2 — FAISS coarse quantizers
-    * assign by L2 under every metric); primitive function is the single
-    * code path for the UDF and the boxing-free mapPartitions builds */
+    * assign by L2 under every metric; consumed by the boxing-free
+    * mapPartitions builds) */
   def assign(centers: Array[Array[Float]], arr: Array[Float]): Int = {
     var best = 0; var bestD = Double.MaxValue
     var c = 0
@@ -82,9 +82,6 @@ object IvfModel {
     best
   }
 
-  def assignUdf(centers: Array[Array[Float]])
-      : org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { (v: Seq[Float]) => assign(centers, v.toArray) }
 
   def centroidsDf(spark: org.apache.spark.sql.SparkSession,
       centers: Array[Array[Float]]): DataFrame = {

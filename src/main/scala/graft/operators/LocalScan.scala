@@ -104,15 +104,42 @@ object LocalScan {
   def memoized[T <: AnyRef](key: AnyRef)(compute: => Option[T]): Option[T] =
     if (!enabled) None else cached(key)(compute)
 
-  /** queries collected once per queries-DataFrame instance: (qids sorted
-    * ascending, vectors aligned by qidx). None above [[queryRowCap]]. */
+  private def collectQueryRows(queries: DataFrame): (Array[Long], Array[Array[Float]]) = {
+    val rows = queries
+      .select(col("qid").cast("long"), col("vector"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1)
+    (rows.map(_._1), rows.map(_._2))
+  }
+
+  /** Queries collected once per queries-DataFrame instance: (qids sorted
+    * ascending, vectors aligned by qidx). None above [[queryRowCap]] or
+    * with the fast path disabled. Memoization freezes the batch against
+    * THIS DataFrame instance: a lazy source whose underlying files
+    * change between searches of the same object returns the first
+    * collection — re-plan the DataFrame (or disable the fast path) for
+    * re-reading sources; pre-fast-path searchers re-collected per call
+    * but froze nothing across calls either way. */
   def queryVecs(queries: DataFrame): Option[(Array[Long], Array[Array[Float]])] =
-    cached[(Array[Long], Array[Array[Float]])](queries) {
+    if (!enabled) None
+    else cached[(Array[Long], Array[Array[Float]])](queries) {
       if (queries.count() > queryRowCap) None
+      else Some(collectQueryRows(queries))
+    }
+
+  /** [[queryVecs]] bounded by an explicit row cap for callers whose
+    * local path only serves small batches (driver graph walks): probes
+    * `cap + 1` rows so an over-cap batch never fully collects. */
+  def queryVecsCapped(queries: DataFrame,
+      cap: Int): Option[(Array[Long], Array[Array[Float]])] =
+    if (!enabled) None
+    else cached[(Array[Long], Array[Array[Float]])](queries) {
+      val probe = queries.select(col("qid").cast("long"), col("vector"))
+        .limit(cap + 1).collect()
+      if (probe.length > cap) None
       else {
-        val rows = queries
-          .select(col("qid").cast("long"), col("vector"))
-          .collect()
+        val rows = probe
           .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
           .sortBy(_._1)
         Some((rows.map(_._1), rows.map(_._2)))
@@ -120,18 +147,11 @@ object LocalScan {
     }
 
   /** [[queryVecs]] with the pre-existing unconditional-collect behavior
-    * as the over-cap fallback: every searcher collected its query batch
-    * per search before this module existed; above the memo cap they keep
-    * doing exactly that. */
+    * as the over-cap/disabled fallback: every searcher collected its
+    * query batch per search before this module existed; above the memo
+    * cap they keep doing exactly that. */
   def queryVecsAlways(queries: DataFrame): (Array[Long], Array[Array[Float]]) =
-    queryVecs(queries).getOrElse {
-      val rows = queries
-        .select(col("qid").cast("long"), col("vector"))
-        .collect()
-        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
-        .sortBy(_._1)
-      (rows.map(_._1), rows.map(_._2))
-    }
+    queryVecs(queries).getOrElse(collectQueryRows(queries))
 
   /** collected code relation (id, codes[, centroid_id]) under the caps;
     * memoized per DataFrame instance. */
@@ -188,20 +208,40 @@ object LocalScan {
       }
     }
 
-  /** size gate: one count + one width probe (both memoized away with the
-    * table itself) — the collect only happens when n · width · unit fits */
-  private def withinCap[T](data: DataFrame, payloadCol: String,
-      bytesPerUnit: Int)(collect: () => T): Option[T] = {
+  /** memoized (rowCount, payloadWidth) of a relation — the cheap probe
+    * behind [[withinCap]] and pre-collect guards (e.g. LinearSearcher's
+    * flop gate, which must decide BEFORE paying the collect) */
+  private val statsMemo =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[AnyRef, (Long, Int)]())
+
+  def payloadStats(data: DataFrame, payloadCol: String,
+      bytesPerUnit: Int): Option[(Long, Int)] = {
     if (!data.schema.fieldNames.contains(payloadCol)) return None
+    val hit = statsMemo.get(data)
+    if (hit != null) return Some(hit)
     val n = data.count()
-    if (n == 0) return Some(collect())
-    val head = data.select(col(payloadCol)).limit(1).collect()(0)
     val width =
-      if (bytesPerUnit == 1) head.getAs[Array[Byte]](0).length
-      else head.getSeq[Float](0).length
-    val bytes = n * (width.toLong * bytesPerUnit + 12)
-    if (bytes > bytesCap) None else Some(collect())
+      if (n == 0) 0
+      else {
+        val head = data.select(col(payloadCol)).limit(1).collect()(0)
+        if (bytesPerUnit == 1) head.getAs[Array[Byte]](0).length
+        else head.getSeq[Float](0).length
+      }
+    statsMemo.put(data, (n, width))
+    Some((n, width))
   }
+
+  /** size gate: one count + one width probe (both memoized) — the
+    * collect only happens when n · width · unit fits */
+  private def withinCap[T](data: DataFrame, payloadCol: String,
+      bytesPerUnit: Int)(collect: () => T): Option[T] =
+    payloadStats(data, payloadCol, bytesPerUnit) match {
+      case None => None
+      case Some((n, width)) =>
+        val bytes = n * (width.toLong * bytesPerUnit + 12)
+        if (bytes > bytesCap) None else Some(collect())
+    }
 
   private def flattenBytes(rows: Array[Array[Byte]], m: Int): Array[Byte] = {
     val out = new Array[Byte](rows.length * m)

@@ -239,9 +239,12 @@ private[operators] object LshLocal {
           var i = 0
           while (i < capHeap.size) {
             val id = capHeap.ids(i)
-            idIndex.get(id).foreach { r =>
-              h.insert(id, LocalScan.vecDistAt(qv, vt.flat, r * vt.dim, vt.dim, mode))
-            }
+            // P7 parity: KnnJoin.rerank drops negative-id candidates
+            // (padding convention) before reranking
+            if (id >= 0)
+              idIndex.get(id).foreach { r =>
+                h.insert(id, LocalScan.vecDistAt(qv, vt.flat, r * vt.dim, vt.dim, mode))
+              }
             i += 1
           }
           h

@@ -77,8 +77,7 @@ final case class PqModel(codebooks: Array[Array[Array[Float]]], dsub: Int)
   extends Serializable {
   private def m: Int = codebooks.length
 
-  /** primitive encode — the single code path for the UDF and the
-    * boxing-free mapPartitions build */
+  /** primitive encode (consumed by the boxing-free mapPartitions builds) */
   def encode(arr: Array[Float]): Array[Byte] = {
     val cbs = codebooks; val ds = dsub
     val out = new Array[Byte](cbs.length)
@@ -102,10 +101,6 @@ final case class PqModel(codebooks: Array[Array[Array[Float]]], dsub: Int)
     out
   }
 
-  def encodeUdf(): org.apache.spark.sql.expressions.UserDefinedFunction = {
-    val self = this
-    udf { (v: Seq[Float]) => self.encode(v.toArray) }
-  }
 
   /** per-query LUT, flattened m×nCent doubles: lut[j*nCent + c] =
     * ‖q_j − codebook_j[c]‖² (L2) or −q_j·codebook_j[c] (IP) */

@@ -152,8 +152,7 @@ object Sq8Model {
 }
 
 final case class Sq8Model(lo: Array[Float], hi: Array[Float]) extends Serializable {
-  /** primitive encode — the single code path for the UDF and the
-    * boxing-free mapPartitions build */
+  /** primitive encode (consumed by the boxing-free mapPartitions builds) */
   def encode(v: Array[Float]): Array[Byte] = {
     val out = new Array[Byte](v.length)
     var i = 0
@@ -167,8 +166,4 @@ final case class Sq8Model(lo: Array[Float], hi: Array[Float]) extends Serializab
     out
   }
 
-  def encodeUdf(): org.apache.spark.sql.expressions.UserDefinedFunction = {
-    val self = this
-    udf { (v: Seq[Float]) => self.encode(v.toArray) }
-  }
 }

@@ -129,6 +129,15 @@ class LocalScanSpec extends AnyFunSuite {
     artifact.data.unpersist()
   }
 
+  test("covertree local walk ≡ distributed broadcast walk") {
+    checkAlgo("covertree", "covertree", "covertree", Map.empty)
+  }
+
+  test("hnsw_global local walk ≡ distributed broadcast walk") {
+    checkAlgo("hnsw_walk", "hnsw_global", "hnsw_global",
+      Map("m" -> "8", "ef_construction" -> "64", "ef_search" -> "64"))
+  }
+
   test("hnsw_global memoized-query walk ≡ fresh-collect walk") {
     val artifact = Registry.indexer("hnsw_global",
       Map("m" -> "8", "ef_construction" -> "64", "seed" -> "42"), "l2")
