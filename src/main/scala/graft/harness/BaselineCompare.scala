@@ -14,14 +14,18 @@ import graft.sources.RandomDataset
   * are judgeable from BENCH_r*.json alone.
   *
   * Datasets: this is a zero-egress sandbox, so glove50/msmarco run as
-  * SHAPE stand-ins — seeded gaussian vectors at the reference's exact
-  * (n_train, n_test, dims, metric): glove50 = 20k × 50-d L2 / 256 q;
-  * msmarco = 100k × 384-d cosine / 70 q (cosine realized as L2 over
-  * normalized vectors — rank-identical). QPS and build comparisons carry
-  * over (cost is shape-driven); RECALL on gaussian data is not
-  * distribution-comparable to the real corpora (real embeddings cluster,
-  * gaussian doesn't), so the per-dataset ref_recall columns are anchors,
-  * not parity targets, outside `random`. */
+  * stand-ins at the reference's exact (n_train, n_test, dims, metric):
+  * glove50 = 20k × 50-d L2 / 256 q; msmarco = 100k × 384-d cosine / 70 q
+  * (cosine realized as L2 over normalized vectors — rank-identical).
+  * Each stand-in is a seeded mixture-of-gaussians
+  * ([[graft.sources.RandomDataset.clusteredVectors]]) because real
+  * embedding tables are clusterable and coarse-quantization recall is a
+  * function of that structure — an isotropic gaussian would make every
+  * IVF/LSH/graph recall number structurally meaningless. QPS and build
+  * comparisons carry over (cost is shape-driven); recall is INDICATIVE
+  * but the ref_recall columns remain anchors, not parity targets,
+  * outside `random` (which IS reference-identical: the reference's own
+  * random dataset is isotropic gaussian at the same shape+seed law). */
 object BaselineCompare {
 
   final case class Entry(
@@ -35,7 +39,11 @@ object BaselineCompare {
   final case class Workload(
       name: String, nTrain: Long, nTest: Long, dims: Int,
       normalize: Boolean, algos: Seq[AlgoRow],
-      reference: Map[String, (Double, Double)])
+      reference: Map[String, (Double, Double)],
+      // (numClusters, sigma): generate a mixture-of-gaussians stand-in
+      // instead of an isotropic gaussian — see RandomDataset
+      // .clusteredVectors for why recall needs cluster structure
+      clusters: Option[(Int, Double)] = None)
 
   /** Cheap-build algorithms run FIRST: the shared box's load swings
     * several-fold, so if the budget squeezes anyone out it should be the
@@ -102,7 +110,8 @@ object BaselineCompare {
         "ivf_sq8" -> (0.9113, 70534.0),
         "pq" -> (0.9820, 19837.0),
         "covertree" -> (1.0000, 34.32),
-        "lsh" -> (0.5074, 81.85))),
+        "lsh" -> (0.5074, 81.85)),
+      clusters = Some((200, 1.1))),
     // covertree excluded at this shape, NOT silently: the exact tree
     // build at 100k × 384-d exceeds the per-algo watchdog (the REFERENCE
     // itself took 4,387 s on this row — benchmark_summary.md:49). hnsw's
@@ -119,7 +128,8 @@ object BaselineCompare {
         "ivf_sq8" -> (0.9471, 16321.0),
         "pq" -> (0.7757, 5743.0),
         "covertree" -> (1.0000, 5.76),
-        "lsh" -> (0.3286, 147.29))))
+        "lsh" -> (0.3286, 147.29)),
+      clusters = Some((512, 0.9))))
 
   /** Per-algorithm wall budget. On overrun the algorithm's Spark job
     * group is canceled and its entry dropped — one wedged algorithm must
@@ -159,7 +169,15 @@ object BaselineCompare {
       onlyAlgo: Option[Set[String]], elapsed: () => Double): Seq[Entry] = {
     import spark.implicits._
     def vecs(n: Long, seed: Long) = {
-      val raw = RandomDataset.vectors(spark, n, w.dims, seed)
+      val raw = w.clusters match {
+        case Some((k, sigma)) =>
+          // centerSeed fixed at 7: train (seed 42) and queries (seed 43)
+          // share centers — queries land near the data like real query
+          // logs do, instead of in the inter-cluster void
+          RandomDataset.clusteredVectors(spark, n, w.dims, k, sigma, seed,
+            centerSeed = 7)
+        case None => RandomDataset.vectors(spark, n, w.dims, seed)
+      }
       if (!w.normalize) raw
       else raw.withColumn("vector",
         graft.functions.VectorFunctions.vec_normalize(col("vector")))
@@ -250,17 +268,18 @@ object BaselineCompare {
 
   /** JSON object fragment for the bench artifact, nested per dataset.
     * Each non-`random` dataset carries an explicit `data` marker: the
-    * reference measured real GloVe/MiniLM embeddings, this sandbox runs
-    * seeded gaussian stand-ins at the same (n, dims, metric) shape —
-    * QPS/build costs compare, recall distributions do not (clustered
-    * real embeddings are much easier for IVF-family pruning than
-    * isotropic gaussian), so ref_recall outside `random` is an anchor,
-    * not a parity target. */
+    * reference measured real GloVe/MiniLM embeddings; this zero-egress
+    * sandbox runs seeded CLUSTERED stand-ins (mixture-of-gaussians) at
+    * the same (n, dims, metric) shape. QPS/build costs compare directly
+    * (cost is shape-driven); recall is INDICATIVE — the stand-in has the
+    * cluster structure coarse quantization exploits, like real embedding
+    * tables, but not the reference datasets' exact neighbor statistics —
+    * so ref_recall outside `random` is an anchor, not a parity target. */
   def json(entries: Seq[Entry]): String =
     entries.groupBy(_.dataset).toSeq.sortBy(_._1).map { case (ds, es) =>
       val marker =
         if (ds == "random") """"data":"reference-identical-shape""""
-        else """"data":"gaussian-standin-recall-not-comparable""""
+        else """"data":"clustered-standin-recall-indicative""""
       "\"" + ds + "\":" + (marker +: es.map { e =>
         f""""${e.algo}":{"recall":${e.recall}%.4f,"qps":${e.qps}%.1f,""" +
           f""""build_s":${e.buildS}%.2f,"ref_recall":${e.refRecall}%.4f,""" +

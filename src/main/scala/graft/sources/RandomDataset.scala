@@ -37,6 +37,37 @@ object RandomDataset {
     (math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)).toFloat
   }
 
+  /** Mixture-of-gaussians vectors: each row picks one of `numClusters`
+    * centers (center_j ~ N(0,1), derived from `centerSeed` alone so a
+    * query set generated with a different `seed` shares the SAME
+    * centers) and adds isotropic noise `sigma * N(0,1)`.
+    *
+    * Purpose: real embedding tables (GloVe, passage encoders) are
+    * strongly clusterable, and coarse-quantization recall (IVF/LSH/graph
+    * walks) is a function of that structure — an isotropic gaussian is
+    * the degenerate worst case where nearest neighbors spread uniformly
+    * across coarse cells. This generator is the recall-indicative
+    * stand-in for those workload shapes. Same counter-based determinism
+    * as [[vectors]]: value depends only on (seed, centerSeed, id, j) —
+    * partitioning- and executor-count-invariant. */
+  def clusteredVectors(spark: SparkSession, n: Long, dim: Int,
+      numClusters: Int, sigma: Double, seed: Long, centerSeed: Long)
+      : DataFrame = {
+    val gen = udf { (id: Long) =>
+      val c = ((splitmix64(seed ^ (id * 0x9E3779B97F4A7C15L)) >>> 1) %
+        numClusters.toLong)
+      val out = new Array[Float](dim)
+      var j = 0
+      while (j < dim) {
+        out(j) =
+          (gaussian(centerSeed, c, j) + sigma * gaussian(seed, id, j)).toFloat
+        j += 1
+      }
+      out
+    }
+    spark.range(n).select(col("id"), gen(col("id")).as("vector"))
+  }
+
   /** (id long, vector array<float>) with n rows of dim-d N(0,1) vectors */
   def vectors(spark: SparkSession, n: Long, dim: Int, seed: Long): DataFrame = {
     val gen = udf { (id: Long) =>

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.sources.{Retention, TextVectorizer, Validate}
+import graft.sources.{RandomDataset, Retention, TextVectorizer, Validate}
 
 class SourcesSpec extends AnyFunSuite {
   lazy val spark = SparkFixture.spark
@@ -56,6 +56,30 @@ class SourcesSpec extends AnyFunSuite {
     val missing = Retention.missingIds(queries, retained, "doc_id")
       .as[Long].collect().sorted.toSeq
     assert(missing == Seq(77L, 99L))
+  }
+
+  test("clustered stand-in: deterministic, centers shared across seeds") {
+    def collect(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Float]] =
+      df.as[(Long, Seq[Float])].collect().toMap
+    val a = collect(RandomDataset.clusteredVectors(spark, 64, 8,
+      numClusters = 4, sigma = 0.05, seed = 1, centerSeed = 7))
+    val b = collect(RandomDataset.clusteredVectors(spark, 64, 8,
+      numClusters = 4, sigma = 0.05, seed = 1, centerSeed = 7))
+    assert(a == b) // counter-based: same inputs → bit-identical output
+    // a second draw (different row seed, SAME centerSeed) must land near
+    // the same 4 centers: NN distance across draws ≪ inter-center
+    // distance (≈ sqrt(2·8) ≈ 4), because sigma·sqrt(8) ≈ 0.14
+    def l2(x: Seq[Float], y: Seq[Float]): Double =
+      math.sqrt(x.zip(y).map { case (u, v) => (u - v) * (u - v) }.sum)
+    val q = collect(RandomDataset.clusteredVectors(spark, 16, 8,
+      numClusters = 4, sigma = 0.05, seed = 2, centerSeed = 7))
+    val maxNn = q.values.map(v => a.values.map(l2(v, _)).min).max
+    assert(maxNn < 1.0, s"query draw strayed $maxNn from shared centers")
+    // different centerSeed → different mixture entirely
+    val other = collect(RandomDataset.clusteredVectors(spark, 16, 8,
+      numClusters = 4, sigma = 0.05, seed = 2, centerSeed = 8))
+    val minCross = other.values.map(v => a.values.map(l2(v, _)).min).min
+    assert(minCross > 1.0, "centerSeed change should move the centers")
   }
 
   test("P6 validation helpers") {
