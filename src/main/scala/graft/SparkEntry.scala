@@ -357,6 +357,24 @@ object SparkEntry {
           "lang", "doc_id", replication = 8)
         .select(col("doc_id"), col("lang"), col("n_in_lang"))
     }),
+    // --- bucketed co-located join: both sides written bucketBy(4, key)
+    //     ONCE, then the join and the per-key agg both run with zero
+    //     exchanges (plan asserted in PlanQualitySpec); bucketing is a
+    //     pure storage-layout rewrite, so the oracle is the plain join ---
+    "bucketed_join" -> ((s, dir) => {
+      import graft.sources.Bucketing
+      Bucketing.writeBucketed(
+        Tables.load(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+        "gate_bkt_orders", "o_orderkey", 4)
+      Bucketing.writeBucketed(
+        Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o_orderkey"), col("l_quantity")),
+        "gate_bkt_items", "o_orderkey", 4)
+      Bucketing
+        .bucketedJoin(s, "gate_bkt_orders", "gate_bkt_items", "o_orderkey")
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(count(lit(1)).as("n_items"), sum("l_quantity").as("sum_qty"))
+    }),
     // --- streaming-shaped tumbling window agg (batch plan of the
     //     Structured Streaming query in graft.streaming.EventsStream) ---
     "st_window_agg" -> ((s, dir) =>
@@ -3481,6 +3499,13 @@ object SparkEntry {
         |FROM documents d
         |JOIN (SELECT lang, count(*) AS n_in_lang FROM documents GROUP BY lang) c
         |  USING (lang)""".stripMargin,
+    // Bucketing is a pure storage-layout rewrite — the oracle is the
+    // plain join + agg; any bucket-routing loss/dup breaks the hash
+    "bucketed_join" ->
+      """SELECT o.o_orderkey, o.o_orderpriority,
+        |  count(*) AS n_items, sum(l.l_quantity) AS sum_qty
+        |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |GROUP BY 1, 2""".stripMargin,
     // SimHash replicated bit-exactly in SQL: splitmix64 via HUGEINT
     // mod-2^64 limb arithmetic, Java String.hashCode via per-char fold
     // (documents are pure ASCII → code units ≡ codepoints). The oracle

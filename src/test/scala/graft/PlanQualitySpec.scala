@@ -205,6 +205,45 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed join + aggregation: zero exchanges end to end") {
+    import graft.sources.Bucketing
+    val orders = Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_orderpriority")
+    val items = Tables.load(spark, dir, "lineitem")
+      .select("l_orderkey", "l_quantity")
+      .withColumnRenamed("l_orderkey", "o_orderkey")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Bucketing.writeBucketed(orders, "pq_bkt_orders", "o_orderkey", 4)
+      Bucketing.writeBucketed(items, "pq_bkt_items", "o_orderkey", 4)
+      val joined = Bucketing
+        .bucketedJoin(spark, "pq_bkt_orders", "pq_bkt_items", "o_orderkey")
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("qty"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.linesIterator.take(8).mkString("\n"))
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join/agg must not shuffle:\n$plan")
+      // the SMJ's remaining Sort nodes must be partition-LOCAL
+      // (`global=false`): no network, O(bucket) work. (Spark 4 re-sorts
+      // inside buckets unless legacy bucketedTableScan.outputOrdering
+      // is enabled; the expensive property — no exchange — holds.)
+      assert(!plan.contains("Sort [o_orderkey#") ||
+        !"Sort \\[[^\\]]+\\], true".r.findFirstIn(plan).isDefined,
+        s"any sort must be partition-local:\n$plan")
+      // and the result must equal the plain (shuffling) join
+      val expected = orders.join(items, "o_orderkey").groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("qty"))
+        .collect().map(_.toSeq).toSet
+      assert(joined.collect().map(_.toSeq).toSet == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS pq_bkt_orders")
+      spark.sql("DROP TABLE IF EXISTS pq_bkt_items")
+    }
+  }
+
   test("vector expressions: zero vectors, empty arrays, nulls") {
     val df = Seq(
       (Some(Seq(0f, 0f)), Some(Seq(0f, 0f))),
