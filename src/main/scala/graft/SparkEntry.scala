@@ -357,6 +357,17 @@ object SparkEntry {
           "lang", "doc_id", replication = 8)
         .select(col("doc_id"), col("lang"), col("n_in_lang"))
     }),
+    // --- winnowing fingerprints (MOSS, Schleimer et al. 2003): rolling
+    //     window-min over positional 4-gram hashes; pairs sharing >= 2
+    //     selected fingerprints. Detects bounded-length VERBATIM overlap
+    //     with certainty (guarantee: any shared run of w+n-1 = 7 tokens
+    //     fingerprints identically), complementing minhash/simhash
+    //     similarity sketches. Oracle replays the full pipeline in SQL:
+    //     same hash chain, window-min via ROWS BETWEEN, same df cap ---
+    "dedup_winnow" -> ((s, dir) =>
+      Dedup.winnowDupPairs(Tables.load(s, dir, "documents"),
+          "doc_id", "text", n = 4, w = 4, minShared = 2, dfCap = 128)
+        .select(col("id_a"), col("id_b"), col("n_shared"))),
     // --- bucketed co-located join: both sides written bucketBy(4, key)
     //     ONCE, then the join and the per-key agg both run with zero
     //     exchanges (plan asserted in PlanQualitySpec); bucketing is a
@@ -3499,6 +3510,53 @@ object SparkEntry {
         |FROM documents d
         |JOIN (SELECT lang, count(*) AS n_in_lang FROM documents GROUP BY lang) c
         |  USING (lang)""".stripMargin,
+    // Winnowing replayed end-to-end in SQL: same splitmix64/hashCode
+    // macros as the minhash/simhash oracles; the 4-step gram-hash chain
+    // is staged one CTE per step because g_sm64 evaluates its argument
+    // twice — nesting the calls would square the expression tree per
+    // level. Trailing window-min over list slices (short docs: the
+    // p = m window covers all grams), distinct mins, df cap, self-join
+    // pair counts. HUGEINT min == the engine's unsigned 64-bit min.
+    "dedup_winnow" ->
+      """CREATE OR REPLACE MACRO g_m64(x) AS x % 18446744073709551616::HUGEINT;
+        |CREATE OR REPLACE MACRO g_mul64(a, b1, b0) AS g_m64((a*b0) + (((a*b1) % 4294967296::HUGEINT) * 4294967296::HUGEINT));
+        |CREATE OR REPLACE MACRO g_smA(x) AS g_m64(x + 11400714819323198485::HUGEINT);
+        |CREATE OR REPLACE MACRO g_smB(z) AS g_mul64(xor(z, z >> 30), 3210233709::HUGEINT, 484763065::HUGEINT);
+        |CREATE OR REPLACE MACRO g_smC(z) AS g_mul64(xor(z, z >> 27), 2496678331::HUGEINT, 321982955::HUGEINT);
+        |CREATE OR REPLACE MACRO g_sm64(x) AS xor(g_smC(g_smB(g_smA(x))), g_smC(g_smB(g_smA(x))) >> 31);
+        |CREATE OR REPLACE MACRO g_jh32(s) AS CASE WHEN s = '' THEN 0::HUGEINT ELSE
+        |  list_reduce(list_prepend(0::HUGEINT,
+        |    list_transform(string_split(s, ''), c -> unicode(c)::HUGEINT)),
+        |    (a, b) -> (a*31 + b) % 4294967296::HUGEINT) END;
+        |CREATE OR REPLACE MACRO g_ju64(h) AS CASE WHEN h >= 2147483648::HUGEINT
+        |  THEN h + 18446744069414584320::HUGEINT ELSE h END;
+        |CREATE OR REPLACE MACRO g_tokhash(s) AS g_sm64(xor(g_ju64(g_jh32(s)), 6364136223846793005::HUGEINT));
+        |WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok,
+        |    generate_subscripts(string_split_regex(lower(trim(text)), '\s+'), 1) AS pos
+        |  FROM documents),
+        |th AS (SELECT doc_id, pos, g_tokhash(tok) AS h FROM toks),
+        |hl AS (SELECT doc_id, list(h ORDER BY pos) AS hs FROM th GROUP BY doc_id),
+        |g1 AS (SELECT doc_id, hs, list_transform(range(1, len(hs) - 2),
+        |  i -> g_sm64(xor(2685821657736338717::HUGEINT, hs[i]))) AS c1
+        |  FROM hl WHERE len(hs) >= 4),
+        |g2 AS (SELECT doc_id, hs, list_transform(range(1, len(c1) + 1),
+        |  i -> g_sm64(xor(c1[i], hs[i + 1]))) AS c2 FROM g1),
+        |g3 AS (SELECT doc_id, hs, list_transform(range(1, len(c2) + 1),
+        |  i -> g_sm64(xor(c2[i], hs[i + 2]))) AS c3 FROM g2),
+        |gl AS (SELECT doc_id, list_transform(range(1, len(c3) + 1),
+        |  i -> g_sm64(xor(c3[i], hs[i + 3]))) AS gh FROM g3),
+        |fps AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id, unnest(
+        |    list_transform(range(least(4, len(gh)), len(gh) + 1), p ->
+        |      list_aggregate(gh[greatest(1, p - 3):p], 'min'))) AS fp
+        |  FROM gl),
+        |kept AS MATERIALIZED (
+        |  SELECT doc_id, fp FROM fps
+        |  WHERE fp IN (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 128))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
     // Bucketing is a pure storage-layout rewrite — the oracle is the
     // plain join + agg; any bucket-routing loss/dup breaks the hash
     "bucketed_join" ->

@@ -721,4 +721,94 @@ object Dedup {
     embeddingDupPairsCandidates(df, idCol, vecCol, numTables,
         lshHashSizeFor(threshold, numTables, missProb), seed)
       .filter(col("cosine") >= threshold)
+
+  // ---------------------------------------------------- winnowing (MOSS)
+  /** Winnowing fingerprint set (Schleimer–Wilkerson–Aiken, SIGMOD 2003 —
+    * the MOSS algorithm): hash every word n-gram in POSITION order, then
+    * every window of `w` consecutive gram hashes selects its minimum;
+    * the distinct selected values are the document's fingerprints
+    * (sorted ascending). Guarantee: two documents sharing a verbatim
+    * token run of length ≥ w + n − 1 share at least one fingerprint —
+    * unlike MinHash (a whole-document similarity sketch), winnowing
+    * detects bounded-length exact overlap with certainty, at a sample
+    * rate of ~2/(w+1) of all grams. Tie-breaks can't change the value
+    * SET (only which position is credited), so no rightmost-min rule is
+    * needed. Docs with fewer than w grams yield the min over all grams;
+    * fewer than n tokens → empty. Same token/gram hash chain as
+    * [[shingleHashes]]; minimum is UNSIGNED 64-bit order (what an
+    * oracle computing over non-negative 64-bit values sees). One tight
+    * JVM pass per row — shuffle-free, embarrassingly parallel. */
+  def winnowFingerprints(text: Column, n: Int, w: Int): Column = {
+    val u = udf { (t: String) => winnowArray(t, n, w) }
+    u(text)
+  }
+
+  private[graft] def winnowArray(t: String, n: Int, w: Int)
+      : Array[Long] = {
+    if (t == null) return Array.empty
+    val toks = t.trim.toLowerCase.split("\\s+")
+    if (toks.length < n) return Array.empty
+    val m = toks.length - n + 1
+    val tokHash = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      tokHash(i) = splitmix64(toks(i).hashCode.toLong ^ 0x5851F42D4C957F2DL)
+      i += 1
+    }
+    val h = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      var acc = 0x2545F4914F6CDD1DL
+      var j = 0
+      while (j < n) { acc = splitmix64(acc ^ tokHash(i + j)); j += 1 }
+      h(i) = acc
+      i += 1
+    }
+    val seen = new java.util.HashSet[Long]()
+    // monotonic deque (indices, strictly increasing hash) → O(m) mins
+    val dq = new Array[Int](m)
+    var head = 0
+    var tail = 0
+    i = 0
+    while (i < m) {
+      while (tail > head &&
+          java.lang.Long.compareUnsigned(h(dq(tail - 1)), h(i)) >= 0)
+        tail -= 1
+      dq(tail) = i; tail += 1
+      if (dq(head) <= i - w) head += 1
+      if (i >= w - 1) seen.add(h(dq(head)))
+      i += 1
+    }
+    if (m < w) seen.add(h(dq(head))) // short doc: one window over all
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    java.util.Arrays.sort(out)
+    out
+  }
+
+  /** Document pairs sharing ≥ `minShared` winnowing fingerprints, with
+    * the shared count — the MOSS overlap report, as a corpus-scale plan:
+    * explode fingerprints → drop fingerprints with document frequency
+    * above `dfCap` (boilerplate carries no pair signal, and the cap
+    * bounds join fan-out at dfCap²/2 pair rows per fingerprint — the
+    * same reason MOSS itself ignores over-common fingerprints) → self
+    * equi-join on fingerprint → count per pair. The hot-fingerprint set
+    * is tiny by construction (≤ |fps|/dfCap entries), hence broadcast
+    * for the anti-join. */
+  def winnowDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 4, w: Int = 4, minShared: Int = 2, dfCap: Int = 128)
+      : DataFrame = {
+    val fps = docs.select(col(idCol).as("doc_id"),
+      explode(winnowFingerprints(col(textCol), n, w)).as("fp"))
+    val hot = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select("fp")
+    val kept = fps.join(broadcast(hot), Seq("fp"), "left_anti")
+    kept.select(col("fp"), col("doc_id").as("id_a"))
+      .join(kept.select(col("fp"), col("doc_id").as("id_b")), "fp")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

@@ -188,4 +188,35 @@ class DedupSpec extends AnyFunSuite {
       .toSeq
     assert(hashed == got)
   }
+
+  test("winnowing: shared >= w+n-1 token run guarantees a shared fingerprint") {
+    val n = 4; val w = 4
+    // docs 1 and 2 share exactly a 7-token run (= w+n-1) inside
+    // otherwise-disjoint text; doc 3 shares nothing
+    val run = "alpha beta gamma delta epsilon zeta eta"
+    val docs = Seq(
+      (1L, s"one two three $run four five six"),
+      (2L, s"seven eight $run nine ten eleven twelve"),
+      (3L, "completely different words with no overlap at all here"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowDupPairs(docs, "doc_id", "text", n, w,
+        minShared = 1, dfCap = 128)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)),
+      s"w+n-1 shared run must fingerprint identically, got $pairs")
+    // sampling density: ~2/(w+1) of gram positions selected
+    val fpCount = Dedup.winnowArray(
+      (1 to 500).map(i => s"tok$i").mkString(" "), n, w).length
+    assert(fpCount > 100 && fpCount < 300, s"density off: $fpCount/497")
+    // short doc (< w grams): exactly one fingerprint, the global min
+    val short = Dedup.winnowArray("a b c d e", n, w) // m = 2 grams
+    assert(short.length == 1)
+    // < n tokens → empty; null-safe
+    assert(Dedup.winnowArray("a b c", n, w).isEmpty)
+    assert(Dedup.winnowArray(null, n, w).isEmpty)
+    // determinism + unsigned-min: selected values are a subset of gram
+    // hashes and stable across calls
+    val t = "the quick brown fox jumps over the lazy dog again and again"
+    assert(Dedup.winnowArray(t, n, w).toSeq == Dedup.winnowArray(t, n, w).toSeq)
+  }
 }
