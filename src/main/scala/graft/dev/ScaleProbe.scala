@@ -75,6 +75,10 @@ object ScaleProbe {
     timed("simhash_dup_pairs") {
       Dedup.simhashDupPairs(docs, "doc_id", "text", maxHamming = 3)
     }
+    timed("winnow_dup_pairs") {
+      Dedup.winnowDupPairs(docs, "doc_id", "text",
+        n = 4, w = 4, minShared = 2, dfCap = 128)
+    }
     timed("jaccard_prefix_pairs") {
       Dedup.jaccardSimilarityJoinPrefix(docs, "doc_id", "text", "lang", 0.9)
     }

@@ -32,5 +32,14 @@ class OpCountersSpec extends AnyFunSuite {
     val (loaded, _) = ArtifactStore.load(spark, dir, expectKind = Some("ivf"))
     assert(loaded.data.columns.contains("centroid_id"))
     assert(loaded.data.count() == 128)
+    // the plan-level payoff: an nprobe-style centroid predicate must
+    // reach the scan as a PARTITION filter (directory pruning — the scan
+    // reads nprobe/nlist of the index bytes at any scale), not a row filter
+    val plan = loaded.data
+      .filter(org.apache.spark.sql.functions.col("centroid_id").isin(1, 2))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [centroid_id") ||
+      "PartitionFilters: \\[[^\\]]*centroid_id".r.findFirstIn(plan).isDefined,
+      s"centroid probe must prune partitions at the scan:\n$plan")
   }
 }
