@@ -797,11 +797,18 @@ object Dedup {
     * equi-join on fingerprint → count per pair. The hot-fingerprint set
     * is tiny by construction (≤ |fps|/dfCap entries), hence broadcast
     * for the anti-join. */
+  private[graft] val winnowCacheSlot = new CacheSlot
+
   def winnowDupPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 4, w: Int = 4, minShared: Int = 2, dfCap: Int = 128)
       : DataFrame = {
-    val fps = docs.select(col(idCol).as("doc_id"),
-      explode(winnowFingerprints(col(textCol), n, w)).as("fp"))
+    // cached: three consumers (hot-fp agg, join side a, join side b)
+    // would otherwise re-run the fingerprint UDF over the corpus each —
+    // same retire-previous discipline as the minhash signature cache
+    val fps = winnowCacheSlot.track(docs
+      .select(col(idCol).as("doc_id"),
+        explode(winnowFingerprints(col(textCol), n, w)).as("fp"))
+      .cache())
     val hot = fps.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap).select("fp")
     val kept = fps.join(broadcast(hot), Seq("fp"), "left_anti")
