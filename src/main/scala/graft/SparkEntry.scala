@@ -328,6 +328,14 @@ object SparkEntry {
     "corpus_mixture" -> ((s, dir) =>
       Corpus.mixtureAudit(Tables.load(s, dir, "documents"),
         "doc_id", "source", budgetFrac = 0.5)),
+    // --- per-domain cap (C4/Gopher corpus balance): keep the 10 best
+    //     docs per source by (n_chars desc, doc_id). Bounded-heap partial
+    //     agg + broadcast semi-join — no window sort of the corpus, skew
+    //     carries ≤ |domains|·n slim rows (plan asserted in spec) ---
+    "corpus_domain_cap" -> ((s, dir) =>
+      Corpus.domainCap(Tables.load(s, dir, "documents"),
+          "doc_id", "source", "n_chars", n = 10)
+        .select(col("doc_id"), col("source"), col("n_chars"))),
     // --- corpus-wide top-20 word bigrams by document frequency:
     //     explode → partial agg → TakeOrderedAndProject (no full sort) ---
     "text_topk_ngrams" -> ((s, dir) =>
@@ -3846,6 +3854,15 @@ object SparkEntry {
         |    < thr.threshold) AS n_kept
         |FROM documents d JOIN thr USING (source)
         |GROUP BY thr.source, thr.n_rows, thr.threshold""".stripMargin,
+    // Per-domain cap: the oracle IS the window form the operator
+    // replaces — identical keep-set by construction (ties break by
+    // doc_id ascending on both sides)
+    "corpus_domain_cap" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents) WHERE rn <= 10""".stripMargin,
     // Top-k bigrams by document frequency: per-doc distinct bigrams,
     // global count, same (df desc, gram asc) deterministic tiebreak
     "text_topk_ngrams" ->

@@ -200,6 +200,37 @@ object Corpus {
         .as("n_kept"))
   }
 
+  // ------------------------------------------------------ per-domain cap
+  /** Per-domain document cap — the corpus-balance stage every large
+    * pipeline runs (C4 caps pages per domain; Gopher dedups then caps):
+    * keep at most `n` documents from any one `domainCol` value, the best
+    * first by (`orderDescCol` DESC, id ASC).
+    *
+    * 100 TB shape: deliberately NOT `row_number() OVER (PARTITION BY
+    * domain ORDER BY …)`. The window form shuffles and sorts the entire
+    * corpus by domain, and a heavy-hitter domain (there is always one)
+    * lands on a single reducer. Here the kept-id set comes from a
+    * bounded-heap aggregate ([[TopKByDist]], O(n) state per domain,
+    * map-side combined), so the shuffle carries at most n (id, key)
+    * pairs per domain per map partition — skew cannot concentrate more
+    * than |domains|·n slim rows anywhere. The kept-id relation
+    * (≤ |domains|·n rows) then broadcasts back for a semi-join; the
+    * corpus itself is never shuffled at all.
+    *
+    * Ordering contract (asserted equal to the window plan in
+    * TextAnalysisSpec): ties on the order key break by id ascending;
+    * rows with a null order key are never kept. */
+  def domainCap(df: DataFrame, idCol: String, domainCol: String,
+      orderDescCol: String, n: Int): DataFrame = {
+    val kept = df
+      .groupBy(col(domainCol))
+      .agg(TopKByDist.topK(col(idCol).cast("long"),
+        -col(orderDescCol).cast("double"), n).as("top"))
+      .select(explode(col("top.id")).as("__keep_id"))
+    df.join(broadcast(kept),
+      col(idCol).cast("long") === col("__keep_id"), "left_semi")
+  }
+
   // ------------------------------------------------------- n-gram stats
   /** Corpus-wide top-k word n-grams by DOCUMENT frequency (per-doc
     * distinct shingles, so one spammy doc can't dominate). Explode →

@@ -32,11 +32,22 @@ object Bucketing {
     * SMJ elides its Sort nodes; (b) it bounds small-file count at
     * `buckets`, not `tasks × buckets`. */
   def writeBucketed(df: DataFrame, table: String, key: String,
-      buckets: Int): Unit =
+      buckets: Int): Unit = {
+    val spark = df.sparkSession
+    // `mode("overwrite")` only overwrites tables the CATALOG knows; a
+    // fresh session (new in-memory catalog) with a managed location
+    // surviving from an earlier JVM hits LOCATION_ALREADY_EXISTS on the
+    // create path instead. Drop both the entry and any orphan dir.
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.repartition(buckets, col(key))
       .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(table) // managed: lives under spark.sql.warehouse.dir
+  }
 
   /** Equi-join two same-`buckets` tables on `key` — plans with zero
     * Exchange when both were written by [[writeBucketed]]. */

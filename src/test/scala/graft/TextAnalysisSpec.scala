@@ -107,6 +107,33 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("domainCap equals the window row_number plan, without a Window") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val capped = Corpus.domainCap(docs, "doc_id", "source", "n_chars", n = 7)
+    // oracle: the full window sort it replaces
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val expect = docs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 7)
+    assert(capped.select("doc_id").as[Long].collect().toSet ==
+      expect.select("doc_id").as[Long].collect().toSet)
+    assert(capped.columns.toSeq == docs.columns.toSeq,
+      "cap must preserve the input schema")
+    // the point of the operator: NO window node (corpus is never
+    // shuffled), top-k heap aggregated with a map-side partial
+    capped.queryExecution.optimizedPlan.foreach {
+      case _: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        fail("domainCap plan contains a window sort")
+      case _ => ()
+    }
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_top_k_by_dist"),
+      s"kept-id set must come from the bounded-heap partial agg:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"kept ids must broadcast back as a semi-join:\n$plan")
+  }
+
   test("chunkWindows: stride coverage, overlap, short tail, empty docs") {
     val docs = Seq(
       (1L, (1 to 80).map(i => s"w$i").mkString(" ")), // 80 tokens -> 3 chunks
