@@ -329,9 +329,10 @@ object SparkEntry {
       Corpus.mixtureAudit(Tables.load(s, dir, "documents"),
         "doc_id", "source", budgetFrac = 0.5)),
     // --- per-domain cap (C4/Gopher corpus balance): keep the 10 best
-    //     docs per source by (n_chars desc, doc_id). Bounded-heap partial
-    //     agg + broadcast semi-join — no window sort of the corpus, skew
-    //     carries ≤ |domains|·n slim rows (plan asserted in spec) ---
+    //     docs per source by (n_chars desc, doc_id). Rank filter → map-
+    //     side Partial WindowGroupLimit, so ≤ n rows per domain cross
+    //     the exchange (plan asserted in spec; measured vs the explicit
+    //     bounded-heap formulation in dev/DomainCapProbe) ---
     "corpus_domain_cap" -> ((s, dir) =>
       Corpus.domainCap(Tables.load(s, dir, "documents"),
           "doc_id", "source", "n_chars", n = 10)

@@ -206,21 +206,50 @@ object Corpus {
     * keep at most `n` documents from any one `domainCol` value, the best
     * first by (`orderDescCol` DESC, id ASC).
     *
-    * 100 TB shape: deliberately NOT `row_number() OVER (PARTITION BY
-    * domain ORDER BY …)`. The window form shuffles and sorts the entire
-    * corpus by domain, and a heavy-hitter domain (there is always one)
-    * lands on a single reducer. Here the kept-id set comes from a
-    * bounded-heap aggregate ([[TopKByDist]], O(n) state per domain,
-    * map-side combined), so the shuffle carries at most n (id, key)
-    * pairs per domain per map partition — skew cannot concentrate more
-    * than |domains|·n slim rows anywhere. The kept-id relation
-    * (≤ |domains|·n rows) then broadcasts back for a semi-join; the
-    * corpus itself is never shuffled at all.
+    * Implementation choice, measured (dev/DomainCapProbe.scala): the
+    * naive-looking `row_number() OVER (PARTITION BY domain …) <= n` is
+    * the RIGHT plan on Spark ≥ 3.5. Catalyst's
+    * InferWindowGroupLimit rewrites a rank filter with a literal bound
+    * into a Partial WindowGroupLimit BEFORE the exchange, so each map
+    * partition forwards at most n rows per domain — the shuffle is
+    * bounded and a heavy-hitter domain cannot flood one reducer (5M
+    * rows × 1 KB payload, 50% in one domain: 25 MB shuffled, not 5 GB).
+    * The spec asserts the Partial WindowGroupLimit is present; if that
+    * rewrite ever stops firing, the assertion — not production wall
+    * clock — breaks. [[domainCapViaHeap]] keeps the explicit
+    * bounded-heap formulation this was measured against: steady-state
+    * it is slightly faster (1.4 s vs 1.9 s, maxTask 0.7 s vs 1.1 s at
+    * the probe shape), but it silently degrades to a sort fallback in
+    * any session that hasn't raised
+    * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold`; the
+    * window form is config-free, so it is the default.
     *
-    * Ordering contract (asserted equal to the window plan in
-    * TextAnalysisSpec): ties on the order key break by id ascending;
-    * rows with a null order key are never kept. */
+    * Ties on the order key break by id ascending; both variants and the
+    * gate oracle share that total order. */
   def domainCap(df: DataFrame, idCol: String, domainCol: String,
+      orderDescCol: String, n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol))
+      .orderBy(col(orderDescCol).desc, col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n).drop("__rn")
+  }
+
+  /** The explicit formulation of [[domainCap]]: bounded-heap aggregate
+    * ([[TopKByDist]], O(n) state per domain, map-side combined) yielding
+    * the kept-id set, broadcast back as a semi-join — the corpus itself
+    * is never shuffled. Kept because it is the shape that generalizes
+    * when the keep rule ISN'T a rank filter Catalyst can push (e.g.
+    * top-n by a computed score with the scored row reused downstream),
+    * and as the measured baseline for the WindowGroupLimit plan.
+    *
+    * Rows with a null order key are never kept (the window form keeps
+    * them last). Config note: needs
+    * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold` ≥ the
+    * per-partition domain count (session entry points here use 65536) —
+    * at the 128-key default the partial aggregate falls back to
+    * sort-based mode and pays the very sort it avoids. */
+  def domainCapViaHeap(df: DataFrame, idCol: String, domainCol: String,
       orderDescCol: String, n: Int): DataFrame = {
     val kept = df
       .groupBy(col(domainCol))

@@ -107,31 +107,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
-  test("domainCap equals the window row_number plan, without a Window") {
+  test("domainCap: bounded shuffle plan, heap variant keeps identical ids") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val capped = Corpus.domainCap(docs, "doc_id", "source", "n_chars", n = 7)
-    // oracle: the full window sort it replaces
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("source")
-      .orderBy(col("n_chars").desc, col("doc_id"))
-    val expect = docs.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 7)
-    assert(capped.select("doc_id").as[Long].collect().toSet ==
-      expect.select("doc_id").as[Long].collect().toSet)
     assert(capped.columns.toSeq == docs.columns.toSeq,
       "cap must preserve the input schema")
-    // the point of the operator: NO window node (corpus is never
-    // shuffled), top-k heap aggregated with a map-side partial
-    capped.queryExecution.optimizedPlan.foreach {
-      case _: org.apache.spark.sql.catalyst.plans.logical.Window =>
-        fail("domainCap plan contains a window sort")
-      case _ => ()
-    }
+    // the plan this operator is ABOUT: the rank filter must compile to a
+    // map-side (Partial) WindowGroupLimit so at most n rows per domain
+    // cross the exchange — if Catalyst's InferWindowGroupLimit rewrite
+    // ever stops firing, fail here rather than at cluster wall-clock
     val plan = capped.queryExecution.executedPlan.toString
-    assert(plan.contains("partial_top_k_by_dist"),
-      s"kept-id set must come from the bounded-heap partial agg:\n$plan")
-    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
-      s"kept ids must broadcast back as a semi-join:\n$plan")
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"rank filter must push a Partial WindowGroupLimit below the exchange:\n$plan")
+    // the explicit bounded-heap formulation must keep the exact same id
+    // set (same (key desc, id asc) total order, tie-breaks included)
+    val viaHeap =
+      Corpus.domainCapViaHeap(docs, "doc_id", "source", "n_chars", n = 7)
+    assert(capped.select("doc_id").as[Long].collect().toSet ==
+      viaHeap.select("doc_id").as[Long].collect().toSet)
+    // and the cap must actually bite: no domain above n, some at n
+    val sizes = capped.groupBy("source").count().as[(String, Long)].collect()
+    assert(sizes.forall(_._2 <= 7) && sizes.exists(_._2 == 7))
   }
 
   test("chunkWindows: stride coverage, overlap, short tail, empty docs") {
