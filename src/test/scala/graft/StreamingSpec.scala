@@ -54,6 +54,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming kNN answers each micro-batch like the batch join") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.QueryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val base = Tables.embBase(spark, dir).cache()
+    val allQ = Tables.embQueries(spark, dir)
+      .as[(Long, Array[Float])].collect().toSeq
+    val (q1, q2) = allQ.splitAt(allQ.length / 2)
+
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long)]
+    val mem = MemoryStream[(Long, Array[Float])]
+    val stream = QueryStream.knnStream(
+      mem.toDF.toDF("qid", "vector"), base, k = 5, metric = "l2") {
+      (res, _) =>
+        collected.synchronized {
+          collected ++= res.select("qid", "rank", "id")
+            .as[(Long, Int, Long)].collect()
+        }
+    }
+    try {
+      mem.addData(q1)
+      stream.processAllAvailable()
+      val afterB1 = collected.synchronized(collected.size)
+      assert(afterB1 == q1.size * 5, s"batch 1 emitted $afterB1 rows")
+      mem.addData(q2)
+      stream.processAllAvailable()
+    } finally stream.stop()
+    // two micro-batches together must equal the one-shot batch join
+    val batch = graft.operators.KnnJoin.knnJoin(
+        Tables.embQueries(spark, dir), base, k = 5, metric = "l2")
+      .select("qid", "rank", "id").as[(Long, Int, Long)].collect()
+    assert(collected.synchronized(collected.toSet) == batch.toSet)
+    base.unpersist()
+  }
+
   test("dedupByFingerprint batch mode ≡ exactDedup first-seen semantics") {
     import spark.implicits._
     val docs = Seq((2L, "a  b"), (1L, "A b"), (3L, "c"), (4L, "c"))
