@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.operators.KnnJoin
+import graft.operators.{IndexArtifact, KnnJoin, Searcher}
 
 /** Streaming retrieval: a continuous stream of query vectors answered
   * micro-batch-by-micro-batch against a static base.
@@ -34,6 +34,21 @@ object QueryStream {
     queryStream.writeStream
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         if (!batch.isEmpty) sink(KnnJoin.knnJoin(batch, base, k, metric), epochId)
+      }
+      .start()
+
+  /** Same shape over a pre-built index: any registered [[Searcher]]
+    * (IVF, PQ, SQ8, LSH, HNSW, …) serves the stream — build once,
+    * answer every micro-batch from the artifact. The micro-batch is the
+    * unit the searchers' adaptive local/distributed switch already
+    * optimizes for, so a small trigger takes the driver-local fast path
+    * and a flood falls back to the distributed scan automatically. */
+  def searchStream(queryStream: DataFrame, artifact: IndexArtifact,
+      searcher: Searcher, k: Int)
+      (sink: (DataFrame, Long) => Unit): StreamingQuery =
+    queryStream.writeStream
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (!batch.isEmpty) sink(searcher.search(artifact, batch, k), epochId)
       }
       .start()
 }

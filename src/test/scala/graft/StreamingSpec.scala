@@ -91,6 +91,42 @@ class StreamingSpec extends AnyFunSuite {
     base.unpersist()
   }
 
+  test("streaming search over a pre-built IVF index matches one-shot search") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.{IvfIndexer, IvfSearcher}
+    import graft.streaming.QueryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val artifact = IvfIndexer(nlist = 8, seed = 42)
+      .build(Tables.embBase(spark, dir))
+    artifact.data.cache().count()
+    val searcher = IvfSearcher(nprobe = 2, metric = "l2")
+    val allQ = Tables.embQueries(spark, dir)
+      .as[(Long, Array[Float])].collect().toSeq
+    val (q1, q2) = allQ.splitAt(allQ.length / 2)
+
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long)]
+    val mem = MemoryStream[(Long, Array[Float])]
+    val stream = QueryStream.searchStream(
+      mem.toDF.toDF("qid", "vector"), artifact, searcher, k = 5) {
+      (res, _) =>
+        collected.synchronized {
+          collected ++= res.select("qid", "rank", "id")
+            .as[(Long, Int, Long)].collect()
+        }
+    }
+    try {
+      mem.addData(q1); stream.processAllAvailable()
+      mem.addData(q2); stream.processAllAvailable()
+    } finally stream.stop()
+    val oneShot = searcher
+      .search(artifact, Tables.embQueries(spark, dir), k = 5)
+      .select("qid", "rank", "id").as[(Long, Int, Long)].collect()
+    assert(collected.synchronized(collected.toSet) == oneShot.toSet)
+    artifact.data.unpersist()
+  }
+
   test("dedupByFingerprint batch mode ≡ exactDedup first-seen semantics") {
     import spark.implicits._
     val docs = Seq((2L, "a  b"), (1L, "A b"), (3L, "c"), (4L, "c"))
