@@ -78,9 +78,14 @@ object BenchmarkRunner {
           Reports.onePageSummary(dsName, results))
         Reports.write(s"$outputDir/$dsName/qps_recall.svg",
           Reports.qpsRecallSvg(results))
-        if (Reports.emitOperationsPlot(dsName))
+        Reports.writeBytes(s"$outputDir/$dsName/qps_recall.png",
+          Reports.qpsRecallPng(results))
+        if (Reports.emitOperationsPlot(dsName)) {
           Reports.write(s"$outputDir/$dsName/operations_recall.svg",
             Reports.operationsRecallSvg(results))
+          Reports.writeBytes(s"$outputDir/$dsName/operations_recall.png",
+            Reports.operationsRecallPng(results))
+        }
         summary.append(Reports.markdownSummary(dsName, results)).append("\n")
       } catch {
         case e: Exception =>

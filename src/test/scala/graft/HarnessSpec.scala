@@ -153,6 +153,31 @@ class HarnessSpec extends AnyFunSuite {
     assert(!Reports.emitOperationsPlot("random"))
   }
 
+  test("S18 PNG rasters: decode headlessly, correct dims, drawn content") {
+    val results = Seq(
+      Experiment.Result("exact", 100, 10, 8, 10, 0.1, 0.2, 50.0, 20.0,
+        Map("recall" -> 1.0)),
+      Experiment.Result("lsh", 100, 10, 8, 10, 0.1, 0.05, 200.0, 5.0,
+        Map("recall" -> 0.5)))
+    for (bytes <- Seq(Reports.qpsRecallPng(results),
+        Reports.operationsRecallPng(results, w = 320, h = 240))) {
+      // PNG magic
+      assert((bytes.take(4).map(_ & 0xff) sameElements Array(0x89, 0x50, 0x4e, 0x47)))
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null)
+      // white background + some non-white drawn pixels (axes/points/text)
+      assert((img.getRGB(2, 2) & 0xffffff) == 0xffffff)
+      val px = for (x <- 0 until img.getWidth; y <- 0 until img.getHeight)
+        yield img.getRGB(x, y) & 0xffffff
+      assert(px.exists(_ != 0xffffff), "PNG must contain drawn content")
+    }
+    assert(Reports.qpsRecallPng(results).length !=
+      Reports.qpsRecallPng(results, w = 320, h = 240).length)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Reports.qpsRecallPng(results, w = 320, h = 240)))
+    assert(img.getWidth == 320 && img.getHeight == 240)
+  }
+
   test("A10 wiring: covertree ndis lands in Result.metrics as ops/query") {
     import spark.implicits._
     val (train, test, gt) = graft.sources.RandomDataset.dataset(
