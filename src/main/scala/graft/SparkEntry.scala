@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Algorithm, Corpus, Dedup, KnnJoin, Metrics, Multimodal, Registry, Sampling, TextAnalysis}
+import graft.operators.{Algorithm, Bm25, Corpus, Dedup, KnnJoin, Metrics, Multimodal, Registry, Sampling, TextAnalysis}
 import graft.streaming.EventsStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -342,6 +342,18 @@ object SparkEntry {
     "text_topk_ngrams" -> ((s, dir) =>
       Corpus.topNgramsByDf(Tables.load(s, dir, "documents"),
         "text", n = 2, k = 20)),
+    // --- BM25 lexical retrieval (doc_id%23 docs as queries, top-5):
+    //     inverted-index postings relation, corpus-sized side never
+    //     reshuffled (query terms broadcast), ordered score fold for
+    //     engine parity, rank filter → WindowGroupLimit. Int-only output ---
+    "text_bm25_topk" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Bm25.searchTopK(docs,
+          docs.filter(col("doc_id") % 23 === 0)
+            .select(col("doc_id").as("qid"), col("text").as("qtext")),
+          "doc_id", "text", "qid", "qtext", k = 5)
+        .select("query_id", "doc_id", "rank")
+    }),
     // --- GPT-style pretraining sequence packing: concat tokens in id
     //     order, cut at a 512-token budget; two-phase cumsum (bounded
     //     windows), row-local span explode. Every sequence but the last
@@ -3876,6 +3888,47 @@ object SparkEntry {
         |  FROM tok)
         |SELECT gram, count(*) AS doc_freq FROM g GROUP BY gram
         |ORDER BY doc_freq DESC, gram LIMIT 20""".stripMargin,
+    // BM25 replay: same tokenizer, Lucene idf, Robertson tf saturation.
+    // Every literal is ::DOUBLE (DuckDB decimals would change the FP
+    // result) and k1+1 stays a SUM (the double 1.2+1.0 != literal 2.2);
+    // the per-(query,doc) score folds term-sorted on both engines, and
+    // ranking rounds to 6dp with doc_id tiebreak so ulp-level libm
+    // differences can't flip an order. Output is int-only.
+    "text_bm25_topk" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |d AS (SELECT doc_id, len(toks) AS dl, toks FROM tok),
+        |post AS (
+        |  SELECT doc_id, dl, term, count(*) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+        |  GROUP BY doc_id, dl, term),
+        |stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM d),
+        |df AS (SELECT term, count(*)::DOUBLE AS df FROM post GROUP BY term),
+        |q AS (
+        |  SELECT doc_id AS query_id, unnest(list_distinct(toks)) AS term
+        |  FROM tok WHERE doc_id % 23 = 0),
+        |qdf AS (
+        |  SELECT q.query_id, q.term,
+        |    ln(1.0::DOUBLE + (stats.n_docs - df.df + 0.5::DOUBLE)
+        |      / (df.df + 0.5::DOUBLE)) AS idf,
+        |    stats.avgdl AS avgdl
+        |  FROM q JOIN df USING (term), stats),
+        |scored AS (
+        |  SELECT qdf.query_id, post.doc_id, post.term,
+        |    qdf.idf * (post.tf * (1.2::DOUBLE + 1.0::DOUBLE))
+        |      / (post.tf + 1.2::DOUBLE *
+        |         (0.25::DOUBLE + 0.75::DOUBLE * post.dl / qdf.avgdl)) AS s
+        |  FROM post JOIN qdf USING (term)),
+        |agg AS (
+        |  SELECT query_id, doc_id, list_sum(list(s ORDER BY term)) AS score
+        |  FROM scored GROUP BY query_id, doc_id),
+        |r AS (
+        |  SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY round(score, 6) DESC, doc_id) AS rank
+        |  FROM agg)
+        |SELECT query_id, doc_id, rank FROM r WHERE rank <= 5""".stripMargin,
     // Sequence packing: same whitespace token count, one global cumsum
     // (the oracle can afford a flat window; the Spark side two-phases it),
     // spans exploded to overlapped 512-token sequences

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Okapi BM25 full-text retrieval as relational operators — the lexical
+  * complement to the vector-search family (the reference engine is
+  * vector-only; a training-data pipeline needs lexical retrieval for
+  * eval-set leakage hunts, hard-negative mining and quality audits,
+  * where near-verbatim overlap beats embedding similarity).
+  *
+  * Everything is DataFrame logic over an inverted index kept AS a
+  * relation:
+  *
+  *   - `postings` — explode + partial-combinable groupBy; at scale this
+  *     is the classic build-the-inverted-index shuffle on (doc, term),
+  *     paid once and reusable (write it bucketed by term and scoring
+  *     joins are co-located — see [[graft.sources.Bucketing]]).
+  *   - corpus statistics (N, avgdl) are a one-row aggregate broadcast
+  *     into the scoring expression; document frequencies join against
+  *     the tiny query-term relation FIRST, so the full `df` table never
+  *     rides along — only the ≤|query terms| rows that matter.
+  *   - scoring joins the postings to the broadcast query-term relation
+  *     on `term` (the corpus-sized side is never reshuffled), then one
+  *     groupBy (query, doc) whose width is bounded by actual matches.
+  *   - per-query top-k is the rank-filter window form: on Spark 4
+  *     Catalyst rewrites it to a Partial `WindowGroupLimit`, so each map
+  *     partition forwards at most k rows per query before the exchange
+  *     (measured in dev/DomainCapProbe.scala for the same shape).
+  *
+  * Cross-engine determinism: the per-(query, doc) score is a fold over
+  * the matched terms in sorted term order — float addition is not
+  * associative, and an unordered SUM can flip near-tied ranks between
+  * engines; ranking rounds to 6 dp with doc id as the tiebreak so the
+  * DuckDB oracle replays bit-for-bit. Tokenization is the corpus-wide
+  * convention: `split(trim(lower(text)), "\s+")` ([[Dedup.tokens]]).
+  */
+object Bm25 {
+
+  /** Inverted-index postings relation `(doc_id, term, tf, dl)` — term
+    * frequency per (document, term) with the document's token length
+    * carried on every posting (denormalized so scoring needs no second
+    * join back to a doc-length table). */
+  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docLengths(docs, idCol, textCol)
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy("doc_id", "term", "dl")
+      .agg(count(lit(1)).as("tf"))
+
+  /** `(doc_id, dl, toks)` — tokenized docs with token count; the scan
+    * both `postings` and the corpus statistics derive from. */
+  private def docLengths(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), Dedup.tokens(col(textCol)).as("toks"))
+      .withColumn("dl", size(col("toks")))
+
+  /** BM25 top-k search: `queries (qIdCol, qTextCol)` against
+    * `docs (idCol, textCol)`; returns
+    * `(query_id, doc_id, rank, score)` with `rank` 1-based per query,
+    * ordered by (score desc, doc_id asc), at most `k` rows per query.
+    *
+    * `k1`/`b` are the standard Robertson parameters; idf is the
+    * Lucene-style `ln(1 + (N - df + 0.5)/(df + 0.5))` (never negative).
+    * Query term frequency is ignored (distinct query terms), the common
+    * retrieval simplification. */
+  def searchTopK(docs: DataFrame, queries: DataFrame,
+      idCol: String, textCol: String, qIdCol: String, qTextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // one-row corpus stats from the pre-explode scan (no postings shuffle)
+    val stats = docLengths(docs, idCol, textCol)
+      .agg(count(lit(1)).cast("double").as("n_docs"),
+        avg("dl").as("avgdl"))
+    searchTopKOverPostings(postings(docs, idCol, textCol), stats,
+      queries, qIdCol, qTextCol, k, k1, b)
+  }
+
+  /** Scoring over a prebuilt `(doc_id, term, tf, dl)` postings relation
+    * and a one-row `(n_docs, avgdl)` stats relation — the 100 TB path:
+    * materialize `postings` once (bucketed by `term`, see
+    * [[graft.sources.Bucketing]]) and serve every query batch from it
+    * without re-tokenizing the corpus; `searchTopK` derives both
+    * inline for the one-shot case. */
+  def searchTopKOverPostings(post: DataFrame, stats: DataFrame,
+      queries: DataFrame, qIdCol: String, qTextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qterms = queries.select(col(qIdCol).as("query_id"),
+        explode(array_distinct(Dedup.tokens(col(qTextCol)))).as("term"))
+
+    // per-term document frequency, restricted to the query vocabulary
+    // before anything corpus-sized moves: df is an aggregate of the
+    // postings, but only the ≤|query terms| surviving rows are kept and
+    // re-broadcast into the scoring join.
+    val df = post.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val qdf = broadcast(qterms).join(df, "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .select("query_id", "term", "idf", "avgdl")
+
+    val scored = post.join(broadcast(qdf), "term")
+      .withColumn("s",
+        col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+
+    // order-stable fold (term-sorted) so both engines accumulate the
+    // same doubles in the same sequence
+    val agg = scored.groupBy("query_id", "doc_id")
+      .agg(aggregate(array_sort(collect_list(struct(col("term"), col("s")))),
+        lit(0.0), (acc, x) => acc + x.getField("s")).as("score"))
+
+    agg
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(round(col("score"), 6).desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "doc_id", "rank", "score")
+  }
+}

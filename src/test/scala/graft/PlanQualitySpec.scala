@@ -244,6 +244,27 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("BM25: corpus side never reshuffled for scoring; top-k is WindowGroupLimit") {
+    val docs = Tables.load(spark, dir, "documents")
+    val queries = docs.filter(col("doc_id") % 23 === 0)
+      .select(col("doc_id").as("qid"), col("text").as("qtext"))
+    val plan = graft.operators.Bm25
+      .searchTopK(docs, queries, "doc_id", "text", "qid", "qtext", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "no cartesian products")
+    // the single allowed nested-loop join is the one-row corpus-stats
+    // attach (a broadcast cross of exactly one row); candidate
+    // generation itself must stay equi-join
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size == 1,
+      s"only the 1-row stats cross-join may nest-loop:\n$plan")
+    // scoring join: postings stream, query-term/idf side broadcast
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query-term relation must broadcast into the scoring join:\n$plan")
+    // per-query top-k must map-side-limit before its exchange
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"rank filter must plan a Partial WindowGroupLimit:\n$plan")
+  }
+
   test("vector expressions: zero vectors, empty arrays, nulls") {
     val df = Seq(
       (Some(Seq(0f, 0f)), Some(Seq(0f, 0f))),
