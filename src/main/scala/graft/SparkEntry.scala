@@ -342,15 +342,17 @@ object SparkEntry {
     "text_topk_ngrams" -> ((s, dir) =>
       Corpus.topNgramsByDf(Tables.load(s, dir, "documents"),
         "text", n = 2, k = 20)),
-    // --- BM25 lexical retrieval (doc_id%23 docs as queries, top-5):
-    //     inverted-index postings relation, corpus-sized side never
-    //     reshuffled (query terms broadcast), ordered score fold for
-    //     engine parity, rank filter → WindowGroupLimit. Int-only output ---
+    // --- BM25 lexical retrieval (every 53rd doc's first 200 chars as a
+    //     query — retrieval queries are short — top-5): inverted-index
+    //     postings relation, corpus-sized side never reshuffled (query
+    //     terms broadcast), fixed-point associative scoring, rank filter
+    //     → WindowGroupLimit. Int-only output ---
     "text_bm25_topk" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       Bm25.searchTopK(docs,
-          docs.filter(col("doc_id") % 23 === 0)
-            .select(col("doc_id").as("qid"), col("text").as("qtext")),
+          docs.filter(col("doc_id") % 53 === 0)
+            .select(col("doc_id").as("qid"),
+              substring(col("text"), 1, 200).as("qtext")),
           "doc_id", "text", "qid", "qtext", k = 5)
         .select("query_id", "doc_id", "rank")
     }),
@@ -3891,9 +3893,9 @@ object SparkEntry {
     // BM25 replay: same tokenizer, Lucene idf, Robertson tf saturation.
     // Every literal is ::DOUBLE (DuckDB decimals would change the FP
     // result) and k1+1 stays a SUM (the double 1.2+1.0 != literal 2.2);
-    // the per-(query,doc) score folds term-sorted on both engines, and
-    // ranking rounds to 6dp with doc_id tiebreak so ulp-level libm
-    // differences can't flip an order. Output is int-only.
+    // per-term contributions round to fixed-point longs before the sum
+    // (associative — engine/order-independent) and ranking compares the
+    // long totals with doc_id tiebreak. Output is int-only.
     "text_bm25_topk" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
@@ -3906,8 +3908,9 @@ object SparkEntry {
         |stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM d),
         |df AS (SELECT term, count(*)::DOUBLE AS df FROM post GROUP BY term),
         |q AS (
-        |  SELECT doc_id AS query_id, unnest(list_distinct(toks)) AS term
-        |  FROM tok WHERE doc_id % 23 = 0),
+        |  SELECT doc_id AS query_id, unnest(list_distinct(
+        |    string_split_regex(lower(trim(substr(text, 1, 200))), '\s+'))) AS term
+        |  FROM documents WHERE doc_id % 53 = 0),
         |qdf AS (
         |  SELECT q.query_id, q.term,
         |    ln(1.0::DOUBLE + (stats.n_docs - df.df + 0.5::DOUBLE)
@@ -3921,12 +3924,13 @@ object SparkEntry {
         |         (0.25::DOUBLE + 0.75::DOUBLE * post.dl / qdf.avgdl)) AS s
         |  FROM post JOIN qdf USING (term)),
         |agg AS (
-        |  SELECT query_id, doc_id, list_sum(list(s ORDER BY term)) AS score
+        |  SELECT query_id, doc_id,
+        |    SUM(CAST(round(s * 1000000.0::DOUBLE, 0) AS BIGINT)) AS score_fixed
         |  FROM scored GROUP BY query_id, doc_id),
         |r AS (
         |  SELECT query_id, doc_id,
         |    row_number() OVER (PARTITION BY query_id
-        |      ORDER BY round(score, 6) DESC, doc_id) AS rank
+        |      ORDER BY score_fixed DESC, doc_id) AS rank
         |  FROM agg)
         |SELECT query_id, doc_id, rank FROM r WHERE rank <= 5""".stripMargin,
     // Sequence packing: same whitespace token count, one global cumsum

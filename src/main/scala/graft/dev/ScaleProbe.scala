@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Dedup, KnnJoin, Sampling, TextAnalysis}
+import graft.operators.{Bm25, Dedup, KnnJoin, Sampling, TextAnalysis}
 
 /** Scale probe: the 100× question, answered empirically on one box.
   *
@@ -85,6 +85,16 @@ object ScaleProbe {
     timed("connected_components") {
       Dedup.componentLabels(docs, "doc_id",
         Dedup.jaccardSimilarityJoinPrefix(docs, "doc_id", "text", "lang", 0.9))
+    }
+
+    timed("bm25_topk_100q") {
+      // ~100 queries spread across replicas; disjoint replica vocabularies
+      // mean the postings equi-join prunes each query to its own replica —
+      // the selectivity a term-bucketed index buys at scale
+      Bm25.searchTopK(docs,
+        docs.filter(col("doc_id") % 5003 === 0)
+          .select(col("doc_id").as("qid"), col("text").as("qtext")),
+        "doc_id", "text", "qid", "qtext", k = 10)
     }
 
     val emb0 = Tables.load(spark, sfDir, "embeddings")

@@ -29,12 +29,20 @@ import org.apache.spark.sql.functions._
   *     partition forwards at most k rows per query before the exchange
   *     (measured in dev/DomainCapProbe.scala for the same shape).
   *
-  * Cross-engine determinism: the per-(query, doc) score is a fold over
-  * the matched terms in sorted term order — float addition is not
-  * associative, and an unordered SUM can flip near-tied ranks between
-  * engines; ranking rounds to 6 dp with doc id as the tiebreak so the
-  * DuckDB oracle replays bit-for-bit. Tokenization is the corpus-wide
-  * convention: `split(trim(lower(text)), "\s+")` ([[Dedup.tokens]]).
+  * Cross-engine determinism AND aggregate speed come from the same
+  * choice: each per-term contribution is rounded to a fixed-point long
+  * (`round(s · 1e6)`) before summing. Long addition is associative, so
+  * the per-(query, doc) score is independent of partitioning, shuffle
+  * order and engine — no ordered fold, no per-group arrays — and the
+  * aggregate is a plain codegen'd `sum(long)` with map-side partial
+  * combine (an earlier `collect_list` + sorted-fold formulation was
+  * engine-stable too, but shuffled every term row into per-group
+  * arrays and ran the fold through interpreted higher-order functions
+  * — ~40× slower at 44M score rows). Ranking compares the fixed longs
+  * with doc id as the tiebreak; 1e-6 score resolution means docs
+  * closer than that tie and resolve by id, identically everywhere.
+  * Tokenization is the corpus-wide convention:
+  * `split(trim(lower(text)), "\s+")` ([[Dedup.tokens]]).
   */
 object Bm25 {
 
@@ -101,17 +109,17 @@ object Bm25 {
       .withColumn("s",
         col("idf") * (col("tf") * lit(k1 + 1.0)) /
           (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      // fixed-point: associative long sum (see object scaladoc)
+      .withColumn("s_fixed", round(col("s") * lit(1e6), 0).cast("long"))
 
-    // order-stable fold (term-sorted) so both engines accumulate the
-    // same doubles in the same sequence
     val agg = scored.groupBy("query_id", "doc_id")
-      .agg(aggregate(array_sort(collect_list(struct(col("term"), col("s")))),
-        lit(0.0), (acc, x) => acc + x.getField("s")).as("score"))
+      .agg(sum("s_fixed").as("score_fixed"))
 
     agg
       .withColumn("rank", row_number().over(Window.partitionBy("query_id")
-        .orderBy(round(col("score"), 6).desc, col("doc_id"))))
+        .orderBy(col("score_fixed").desc, col("doc_id"))))
       .filter(col("rank") <= k)
-      .select("query_id", "doc_id", "rank", "score")
+      .select(col("query_id"), col("doc_id"), col("rank"),
+        (col("score_fixed") / lit(1e6)).as("score"))
   }
 }

@@ -60,7 +60,8 @@ class Bm25Spec extends AnyFunSuite {
       assert(rows.length <= 5)
       assert(rows.map(_._3).toSeq == (1 to rows.length)) // contiguous ranks
     }
-    // same rows regardless of input partitioning (float fold is ordered)
+    // same rows regardless of input partitioning (fixed-point long sums
+    // are associative — no float-order sensitivity)
     val b = run(docs.repartition(7, $"source"))
     assert(a.toSeq == b.toSeq)
   }
