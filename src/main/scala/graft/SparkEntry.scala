@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Algorithm, Bm25, Corpus, Dedup, KnnJoin, Metrics, Multimodal, Registry, Sampling, TextAnalysis}
+import graft.operators.{Algorithm, Bm25, Corpus, Dedup, KnnJoin, LangModel, Metrics, Multimodal, Registry, Sampling, TextAnalysis}
 import graft.streaming.EventsStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -355,6 +355,14 @@ object SparkEntry {
               substring(col("text"), 1, 200).as("qtext")),
           "doc_id", "text", "qid", "qtext", k = 5)
         .select("query_id", "doc_id", "rank")
+    }),
+    // --- CCNet-style LM perplexity scoring: add-0.5 bigram model
+    //     trained relationally on the corpus scores every document;
+    //     NLL accumulates as fixed-point longs (associative — engine/
+    //     partitioning-independent). Int-only output ---
+    "text_perplexity" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      LangModel.nllScore(docs, docs, "doc_id", "text", "doc_id", "text")
     }),
     // --- GPT-style pretraining sequence packing: concat tokens in id
     //     order, cut at a 512-token budget; two-phase cumsum (bounded
@@ -3933,6 +3941,31 @@ object SparkEntry {
         |      ORDER BY score_fixed DESC, doc_id) AS rank
         |  FROM agg)
         |SELECT query_id, doc_id, rank FROM r WHERE rank <= 5""".stripMargin,
+    // Bigram-LM perplexity replay: same tokenizer, add-0.5 smoothing,
+    // ::DOUBLE literals, fixed-point BIGINT NLL sums (associative, so
+    // no ordering clauses needed); hugeint SUM cast back to BIGINT
+    "text_perplexity" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, toks, unnest(range(1, len(toks))) AS j FROM tok),
+        |bg AS (SELECT doc_id, toks[j] AS v, toks[j+1] AS w FROM idx),
+        |cvw AS (SELECT v, w, count(*) AS c_vw FROM bg GROUP BY v, w),
+        |cv AS (SELECT v, count(*) AS c_v FROM bg GROUP BY v),
+        |vocab AS (
+        |  SELECT count(DISTINCT t)::DOUBLE AS vsize
+        |  FROM (SELECT unnest(toks) AS t FROM tok)),
+        |scored AS (
+        |  SELECT b.doc_id,
+        |    CAST(round(-ln((COALESCE(c.c_vw, 0) + 0.5::DOUBLE)
+        |        / (COALESCE(g.c_v, 0) + 0.5::DOUBLE * vocab.vsize))
+        |      * 1000000.0::DOUBLE, 0) AS BIGINT) AS nf
+        |  FROM bg b LEFT JOIN cvw c USING (v, w)
+        |    LEFT JOIN cv g USING (v), vocab)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(SUM(nf) AS BIGINT) AS nll_fixed
+        |FROM scored GROUP BY doc_id""".stripMargin,
     // Sequence packing: same whitespace token count, one global cumsum
     // (the oracle can afford a flat window; the Spark side two-phases it),
     // spans exploded to overlapped 512-token sequences
