@@ -196,8 +196,8 @@ final case class BruteForceIndexer() extends Indexer {
   * arithmetic, bit-identical results. Above the flop budget the batch is
   * compute-bound, not dispatch-bound: job dispatch is noise there, and on
   * a real cluster the distributed scan holds every executor core while
-  * the driver kernel is capped at one machine (at local[32] the two are
-  * measured equal — same cores either way). */
+  * the driver kernel is capped at one machine (the budget default sits
+  * past every reference batch shape — see LocalScan.fullScanFlopCap). */
 final case class LinearSearcher(metric: String) extends Searcher {
   def search(artifact: IndexArtifact, queries: DataFrame, k: Int): DataFrame = {
     // flop gate from the cheap memoized (count, width) probe BEFORE any

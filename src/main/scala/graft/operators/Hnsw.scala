@@ -193,22 +193,12 @@ final class NswGraph private (
   /** adjacency list of node i (for serialization into the index relation) */
   def neighbors(i: Int): Array[Int] = nbrs(i).toArray
 
-  @inline private def dist(a: Array[Float], b: Array[Float]): Double = {
-    var i = 0
-    if (metric == "cosine") {
-      var dot = 0.0; var na = 0.0; var nb = 0.0
-      while (i < a.length) {
-        val x = a(i).toDouble; val y = b(i).toDouble
-        dot += x * y; na += x * x; nb += y * y; i += 1
-      }
-      val den = math.sqrt(na) * math.sqrt(nb)
-      if (den == 0.0) 1.0 else 1.0 - dot / den
-    } else {
-      var acc = 0.0
-      while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }
-      math.sqrt(acc)
-    }
-  }
+  private val isCosine = metric == "cosine"
+
+  // SIMD where available (floor-tier tolerance — see SimdDist's scope note)
+  @inline private def dist(a: Array[Float], b: Array[Float]): Double =
+    if (isCosine) SimdDist.kernel.cosineDist(a, b)
+    else SimdDist.kernel.l2(a, b)
 
   /** beam search from node 0; returns (index, dist) ascending, ≤ k */
   def search(q: Array[Float], k: Int, ef: Int): Array[(Int, Double)] = {

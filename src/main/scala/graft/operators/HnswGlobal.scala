@@ -183,22 +183,12 @@ final class HnswGlobalModel(
   // compare on the distance path costs measurably at 10⁸ calls per build
   private val isCosine = metric == "cosine"
 
-  @inline private[operators] def dist(a: Array[Float], b: Array[Float]): Double = {
-    var i = 0
-    if (isCosine) {
-      var dot = 0.0; var na = 0.0; var nb = 0.0
-      while (i < a.length) {
-        val x = a(i).toDouble; val y = b(i).toDouble
-        dot += x * y; na += x * x; nb += y * y; i += 1
-      }
-      val den = math.sqrt(na) * math.sqrt(nb)
-      if (den == 0.0) 1.0 else 1.0 - dot / den
-    } else {
-      var acc = 0.0
-      while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }
-      math.sqrt(acc)
-    }
-  }
+  // SIMD kernel where the JVM has it, scalar otherwise (SimdDist's scope
+  // note: the HNSW floor-tier gate tolerates lane-reassociated sums; the
+  // hash-tier scan kernels must not use this)
+  @inline private[operators] def dist(a: Array[Float], b: Array[Float]): Double =
+    if (isCosine) SimdDist.kernel.cosineDist(a, b)
+    else SimdDist.kernel.l2(a, b)
 
   /** greedy descent at one layer: follow improving links to a local min */
   private[operators] def greedy(q: Array[Float], start: Int, layer: Int,

@@ -58,7 +58,14 @@ object IvfModel {
       trainSample: Int = 262144): Array[Array[Float]] = {
     val cached = base.select(col("id").cast("long").as("id"), col("vector"))
     val n = cached.count()
-    val fraction = math.min(1.0, trainSample.toDouble / math.max(1L, n))
+    // FAISS's max_points_per_centroid discipline (Clustering.cpp): a
+    // 256-entry-per-centroid sample saturates Lloyd's — more rows cost
+    // assignment flops without moving the centers. The gate configs
+    // (nlist=16 over ≤4096-row tables) sit under the cap, so their
+    // seeded centroids — and the oracle literals derived from them —
+    // are unchanged.
+    val cap = math.min(trainSample.toLong, nlist.toLong * 256L)
+    val fraction = math.min(1.0, cap.toDouble / math.max(1L, n))
     val sample = (if (fraction < 1.0)
         cached.sample(withReplacement = false, fraction, seed)
       else cached)

@@ -5,6 +5,17 @@ package graft.operators
   * (greedy farthest of a seeded candidate stream), fixed iteration count.
   * Operates on a bounded sample collected to the driver — the same
   * training discipline FAISS uses for PQ codebooks.
+  *
+  * Two pure speedups, both bit-identical to the naive loop (same
+  * floating-point operation order, same seeded randomness):
+  *   - fixed-point early stop: when an iteration's assignment equals the
+  *     previous one and no cluster is empty, the update would recompute
+  *     exactly the same means, so every remaining iteration is a no-op —
+  *     skip them (clustered inputs converge in a fraction of the budget);
+  *   - the update step parallelizes over CENTERS, each center summing its
+  *     members in ascending point order — the same per-center addition
+  *     order as the serial loop, so the means match bit for bit while the
+  *     O(n·dim) accumulation fans across driver cores.
   */
 object LocalKMeans {
 
@@ -21,43 +32,67 @@ object LocalKMeans {
     var centers = perm.map(i => points(i).clone())
 
     val assign = new Array[Int](n)
+    java.util.Arrays.fill(assign, -1)
     var iter = 0
-    while (iter < iters) {
+    var converged = false
+    while (iter < iters && !converged) {
       // assignment — the O(n·k·dim) step; per-point independent, so fan it
       // across driver cores (deterministic: writes its own slot only)
       val cs = centers
+      val anyChanged = new java.util.concurrent.atomic.AtomicBoolean(false)
       java.util.stream.IntStream.range(0, n).parallel().forEach { i =>
         var best = 0; var bestD = Double.MaxValue
         var c = 0
+        val p = points(i)
         while (c < cs.length) {
           var d = 0.0; var j = 0
-          val ce = cs(c); val p = points(i)
+          val ce = cs(c)
           while (j < dim) { val df = p(j) - ce(j); d += df * df; j += 1 }
           if (d < bestD) { bestD = d; best = c }
           c += 1
         }
-        assign(i) = best
-      }
-      var i = 0
-      // update
-      val sums = Array.fill(centers.length)(new Array[Double](dim))
-      val counts = new Array[Int](centers.length)
-      i = 0
-      while (i < n) {
-        val a = assign(i); counts(a) += 1
-        var j = 0
-        while (j < dim) { sums(a)(j) += points(i)(j); j += 1 }
-        i += 1
-      }
-      centers = centers.indices.map { c =>
-        if (counts(c) == 0) points(rnd.nextInt(n)).clone() // re-seed empty
-        else {
-          val out = new Array[Float](dim)
-          var j = 0
-          while (j < dim) { out(j) = (sums(c)(j) / counts(c)).toFloat; j += 1 }
-          out
+        if (assign(i) != best) {
+          assign(i) = best
+          if (!anyChanged.get()) anyChanged.set(true)
         }
-      }.toArray
+      }
+      val counts = new Array[Int](centers.length)
+      var i = 0
+      while (i < n) { counts(assign(i)) += 1; i += 1 }
+      if (!anyChanged.get() && !counts.contains(0)) {
+        // fixed point: same assignment + no empty cluster to re-seed →
+        // the update reproduces the current centers, forever
+        converged = true
+      } else {
+        val next = new Array[Array[Float]](centers.length)
+        // per-center member sums in ascending point order (see scaladoc)
+        java.util.stream.IntStream.range(0, centers.length).parallel().forEach { c =>
+          if (counts(c) > 0) {
+            val sums = new Array[Double](dim)
+            var i2 = 0
+            while (i2 < n) {
+              if (assign(i2) == c) {
+                val p = points(i2)
+                var j = 0
+                while (j < dim) { sums(j) += p(j); j += 1 }
+              }
+              i2 += 1
+            }
+            val out = new Array[Float](dim)
+            var j = 0
+            while (j < dim) { out(j) = (sums(j) / counts(c)).toFloat; j += 1 }
+            next(c) = out
+          }
+        }
+        // empty-cluster re-seeds draw from the shared seeded stream, so
+        // they stay serial and in center order (exactly the old loop)
+        var c = 0
+        while (c < next.length) {
+          if (counts(c) == 0) next(c) = points(rnd.nextInt(n)).clone()
+          c += 1
+        }
+        centers = next
+      }
       iter += 1
     }
     centers

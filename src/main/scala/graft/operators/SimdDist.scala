@@ -1,0 +1,69 @@
+package graft.operators
+
+/** Runtime-optional SIMD distance kernels over the JDK incubator Vector
+  * API (`jdk.incubator.vector`, public JDK since 16; 512-bit lanes where
+  * the CPU has them). The module is resolved reflectively so the library
+  * keeps working on JVMs launched without `--add-modules
+  * jdk.incubator.vector` — they just get the scalar kernel.
+  *
+  * Scope discipline — WHERE these kernels are allowed: only operators
+  * whose gate contract is tolerant of floating-point reassociation.
+  * SIMD reduces in lanes (a different addition order than the sequential
+  * scalar loop), so results differ in the last ulps from the codegen
+  * expressions the DuckDB oracles replay element-order. The hash-tier
+  * operators (exact kNN, IVF/PQ/SQ8 scoring, encode/assign) therefore
+  * MUST keep the scalar kernels — their oracle SQL reproduces the exact
+  * double sequence. The graph walks (HNSW family, floor-tier gate: a
+  * fixed row emitted above a calibrated recall floor) are the intended
+  * consumers: beam search tolerates last-ulp distance noise by
+  * construction, and both their local and distributed paths share one
+  * kernel instance so local-vs-distributed equality specs still hold.
+  */
+object SimdDist {
+
+  trait Kernel {
+    /** √Σ(aᵢ−bᵢ)² */
+    def l2(a: Array[Float], b: Array[Float]): Double
+    /** 1 − a·b / (‖a‖‖b‖); 1.0 on zero norms */
+    def cosineDist(a: Array[Float], b: Array[Float]): Double
+  }
+
+  /** the exact arithmetic of the pre-SIMD HNSW kernels (float → double
+    * per element, index-order accumulation) */
+  object ScalarKernel extends Kernel {
+    def l2(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }
+      math.sqrt(acc)
+    }
+    def cosineDist(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      val den = math.sqrt(na) * math.sqrt(nb)
+      if (den == 0.0) 1.0 else 1.0 - dot / den
+    }
+  }
+
+  /** kill-switch: -Dgraft.simd.enabled=false / GRAFT_SIMD=0 */
+  private def enabled: Boolean =
+    sys.props.get("graft.simd.enabled")
+      .orElse(sys.env.get("GRAFT_SIMD"))
+      .forall(v => v != "false" && v != "0")
+
+  /** The process-wide kernel. [[VectorDistKernel]] is loaded reflectively
+    * so this class never links against the incubator module directly —
+    * absence (or the kill-switch) falls back to [[ScalarKernel]]. */
+  val kernel: Kernel =
+    if (!enabled) ScalarKernel
+    else
+      try {
+        Class.forName("jdk.incubator.vector.FloatVector")
+        Class.forName("graft.operators.VectorDistKernel")
+          .getDeclaredConstructor().newInstance().asInstanceOf[Kernel]
+      } catch { case _: Throwable => ScalarKernel }
+
+  def simdActive: Boolean = kernel ne ScalarKernel
+}
