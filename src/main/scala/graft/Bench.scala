@@ -62,7 +62,15 @@ object Bench {
       System.err.println(f"[bench] $name%-24s ${sec}%8.2fs")
       name -> sec
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    // 2-decimal precision on the PRINTED line: the driver's stdout tail
+    // window is ~2 KB and r5's 3.3-decimal + full-baseline line (3.4 KB)
+    // overflowed it — parsed: null, five rounds running. Budget: 52
+    // queries ≈ 1.15 KB + header/sf ≈ 0.1 KB + compact baseline ≈ 0.2 KB
+    // < 1.5 KB. Full 3-decimal + per-algo baseline detail goes to
+    // target/bench_last.json instead.
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+      .mkString("{", ",", "}")
+    val qsFull = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
 
@@ -70,26 +78,38 @@ object Bench {
     // BASELINE.md) — extra artifact data, NOT part of the total. Each
     // algorithm carries its own watchdog inside BaselineCompare (canceled
     // job group on overrun), so a wedged algorithm costs its own entry,
-    // not the round's BENCH artifact; partial results still land.
-    val baseline =
-      if (sys.env.getOrElse("SPARK_GRAFT_BASELINE", "1") == "0") "{}"
+    // not the round's BENCH artifact; partial results still land, and
+    // skipped algorithms land as explicit {"skipped": reason} entries.
+    val (baselineCompact, baselineFull) =
+      if (sys.env.getOrElse("SPARK_GRAFT_BASELINE", "1") == "0") ("{}", "{}")
       else
         try {
           val entries = graft.harness.BaselineCompare.run(spark)
           entries.foreach(e => System.err.println(
-            f"[baseline] ${e.dataset}%-8s ${e.algo}%-10s recall=${e.recall}%.4f qps=${e.qps}%.0f " +
-              f"build=${e.buildS}%.2fs (ref ${e.refRecall}%.4f/${e.refQps}%.0f)"))
-          graft.harness.BaselineCompare.json(entries)
+            e.skipped match {
+              case Some(reason) =>
+                f"[baseline] ${e.dataset}%-8s ${e.algo}%-10s SKIPPED: $reason"
+              case None =>
+                f"[baseline] ${e.dataset}%-8s ${e.algo}%-10s recall=${e.recall}%.4f qps=${e.qps}%.0f " +
+                  f"build=${e.buildS}%.2fs (ref ${e.refRecall}%.4f/${e.refQps}%.0f)"
+            }))
+          (graft.harness.BaselineCompare.jsonCompact(entries),
+            graft.harness.BaselineCompare.json(entries))
         } catch { case e: Throwable =>
           System.err.println(s"[baseline] skipped: ${e.getMessage}")
-          "{}"
+          ("{}", "{}")
         }
     val artifact =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"baseline":$baseline,"sf":"$sfDir"}"""
-    // Forensic copy on disk, independent of stdout capture windows.
+      s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","queries":$qs,"baseline":$baselineCompact,"sf":"$sfDir"}"""
+    val artifactFull =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qsFull,"baseline":$baselineFull,"sf":"$sfDir"}"""
+    // Forensic copy on disk (FULL detail), independent of stdout windows.
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("target/bench_last.json"), artifact + "\n")
+      java.nio.file.Paths.get("target/bench_last.json"), artifactFull + "\n")
     catch { case _: Throwable => () }
+    if (artifact.length > 1536)
+      System.err.println(s"[bench] WARNING printed artifact line is " +
+        s"${artifact.length} bytes (> 1536 target)")
     // Stop BEFORE printing the artifact line: a noisy shutdown (e.g. a
     // blockmgr temp-dir delete failing under /tmp) must never land its
     // stack trace after the JSON line — the driver reads the output TAIL,

@@ -30,7 +30,8 @@ object BaselineCompare {
 
   final case class Entry(
       dataset: String, algo: String, recall: Double, qps: Double,
-      buildS: Double, refRecall: Double, refQps: Double)
+      buildS: Double, refRecall: Double, refQps: Double,
+      skipped: Option[String] = None)
 
   type AlgoRow = (String, String, String, Map[String, String])
 
@@ -160,7 +161,15 @@ object BaselineCompare {
         System.err.println(
           f"[baseline] dataset ${w.name} skipped: stage budget spent " +
             f"($elapsed%.0fs > ${totalBudgetSec}s)")
-        Nil
+        // skips land in the artifact, never only in stderr: a missing row
+        // is indistinguishable from "never attempted" (the r5 msmarco
+        // hnsw lesson)
+        w.algos.filter(a => onlyAlgo.forall(_.contains(a._1))).map {
+          case (name, _, _, _) =>
+            val (refR, refQ) = w.reference(name)
+            Entry(w.name, name, 0, 0, 0, refR, refQ,
+              skipped = Some("stage-budget"))
+        }
       } else runWorkload(spark, w, onlyAlgo, () => elapsed)
     }
   }
@@ -197,11 +206,14 @@ object BaselineCompare {
     val out = w.algos.filter(a => onlyAlgo.forall(_.contains(a._1)))
       .flatMap { case (name, in, se, params) =>
         val group = s"baseline-${w.name}-$name"
+        val (refR, refQ) = w.reference(name)
+        def skip(reason: String): Option[Entry] =
+          Some(Entry(w.name, name, 0, 0, 0, refR, refQ, skipped = Some(reason)))
         if (elapsed() > totalBudgetSec) {
           System.err.println(
             f"[baseline] ${w.name}/$name skipped: stage budget spent " +
               f"(${elapsed()}%.0fs > ${totalBudgetSec}s)")
-          None
+          skip("stage-budget")
         } else
         try {
           System.err.println(s"[baseline] running ${w.name}/$name ...")
@@ -211,10 +223,17 @@ object BaselineCompare {
             try runOne(spark, w, gt, train, test, name, in, se, params)
             finally spark.sparkContext.clearJobGroup()
           }, perAlgoBudget)
-        } catch { case e: Throwable =>
-          spark.sparkContext.cancelJobGroup(group)
-          System.err.println(s"[baseline] ${w.name}/$name FAILED: ${e.getMessage}")
-          None
+        } catch {
+          case _: java.util.concurrent.TimeoutException =>
+            spark.sparkContext.cancelJobGroup(group)
+            System.err.println(
+              s"[baseline] ${w.name}/$name skipped: watchdog " +
+                s"(${perAlgoBudget.toSeconds}s) overrun")
+            skip(s"watchdog-${perAlgoBudget.toSeconds}s")
+          case e: Throwable =>
+            spark.sparkContext.cancelJobGroup(group)
+            System.err.println(s"[baseline] ${w.name}/$name FAILED: ${e.getMessage}")
+            skip("failed: " + Option(e.getMessage).getOrElse(e.getClass.getSimpleName).take(60))
         }
       }
     train.unpersist(); test.unpersist(); gt.unpersist()
@@ -228,6 +247,17 @@ object BaselineCompare {
       name: String, in: String, se: String,
       params: Map[String, String]): Option[Entry] = {
     import spark.implicits._
+    // JIT warm-up on a small prefix before the timed build: the reference
+    // is AOT-compiled C++, so its build numbers never include compiler
+    // warm-up — ours shouldn't either (search already warms + best-of-3;
+    // the r5 builds measured 5-8× JIT-cold inflation: glove50 hnsw 84.7 s
+    // cold vs ~4 s warm at identical shape). One small build compiles the
+    // same hot loops the real build runs.
+    try {
+      val warm = Registry.indexer(in, params + ("seed" -> "42"), "l2")
+        .build(train.limit(math.min(2000, w.nTrain).toInt))
+      warm.data.unpersist()
+    } catch { case _: Throwable => () }
     val t0 = System.nanoTime()
     val artifact = Registry.indexer(in, params + ("seed" -> "42"), "l2")
       .build(train)
@@ -281,10 +311,34 @@ object BaselineCompare {
         if (ds == "random") """"data":"reference-identical-shape""""
         else """"data":"clustered-standin-recall-indicative""""
       "\"" + ds + "\":" + (marker +: es.map { e =>
-        f""""${e.algo}":{"recall":${e.recall}%.4f,"qps":${e.qps}%.1f,""" +
-          f""""build_s":${e.buildS}%.2f,"ref_recall":${e.refRecall}%.4f,""" +
-          f""""ref_qps":${e.refQps}%.1f}"""
+        e.skipped match {
+          case Some(reason) =>
+            f""""${e.algo}":{"skipped":"$reason",""" +
+              f""""ref_recall":${e.refRecall}%.4f,"ref_qps":${e.refQps}%.1f}"""
+          case None =>
+            f""""${e.algo}":{"recall":${e.recall}%.4f,"qps":${e.qps}%.1f,""" +
+              f""""build_s":${e.buildS}%.2f,"ref_recall":${e.refRecall}%.4f,""" +
+              f""""ref_qps":${e.refQps}%.1f}"""
+        }
       }).mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
+
+  /** Compact per-dataset summary for the PRINTED artifact line (the
+    * driver's stdout tail window is ~2 KB; r5's 3.4 KB line overflowed it
+    * and was never parsed). Full per-algo detail stays in
+    * target/bench_last.json via [[json]]. recall_gm = geometric-mean
+    * recall@20 over measured rows; qps_x_gm = geometric-mean QPS ratio
+    * vs the reference on the same rows. */
+  def jsonCompact(entries: Seq[Entry]): String =
+    entries.groupBy(_.dataset).toSeq.sortBy(_._1).map { case (ds, es) =>
+      val ok = es.filter(_.skipped.isEmpty)
+      def gm(xs: Seq[Double]): Double =
+        if (xs.isEmpty) 0.0
+        else math.exp(xs.map(x => math.log(math.max(x, 1e-9))).sum / xs.size)
+      val recallGm = gm(ok.map(_.recall))
+      val qpsXGm = gm(ok.map(e => e.qps / e.refQps))
+      f""""$ds":{"recall_gm":$recallGm%.3f,"qps_x_gm":$qpsXGm%.2f,""" +
+        f""""ok":${ok.size},"skip":${es.size - ok.size}}"""
     }.mkString("{", ",", "}")
 
   def table(entries: Seq[Entry]): String = {

@@ -17,14 +17,24 @@ import org.apache.spark.sql.types._
 object EventsStream {
 
   val eventSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("event_id", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** ts arrives as ns-since-epoch (parquet TIMESTAMP(NANOS) read via
-    * nanosAsLong) → event-time timestamp column */
-  def withEventTime(events: DataFrame): DataFrame =
-    events.withColumn("event_time", timestamp_micros((col("ts") / 1000L).cast("long")))
+  /** ts → event-time timestamp column, adaptive to the physical type the
+    * parquet carries: ns-since-epoch longs (TIMESTAMP(NANOS) read via
+    * nanosAsLong — the pre-r6 testdata layout) or a real timestamp
+    * (timestamp[us], the current layout). Sessions pin UTC, so the
+    * NTZ→TZ cast is wall-clock-identity and matches DuckDB's naive
+    * epoch_ns() on the same values. */
+  def withEventTime(events: DataFrame): DataFrame = {
+    val ev = events.schema("ts").dataType match {
+      case LongType => timestamp_micros((col("ts") / 1000L).cast("long"))
+      case _ => col("ts").cast(TimestampType)
+    }
+    events.withColumn("event_time", ev)
+  }
 
   /** tumbling event-time window aggregation (shared batch/stream plan) */
   def windowedAgg(events: DataFrame, windowLen: String): DataFrame =
