@@ -78,27 +78,49 @@ object Bm25 {
     val stats = docLengths(docs, idCol, textCol)
       .agg(count(lit(1)).cast("double").as("n_docs"),
         avg("dl").as("avgdl"))
-    searchTopKOverPostings(postings(docs, idCol, textCol), stats,
+    // the postings relation feeds TWO consumers (the df aggregate and the
+    // scoring join); without a persist each branch re-runs the tokenize +
+    // explode + groupBy shuffle from scratch. Spill-safe MEMORY_AND_DISK;
+    // session cache-clear (or the caller) reclaims it. The repeated-batch
+    // path avoids the issue structurally — buildIndex materializes the
+    // postings once as a bucketed table.
+    searchTopKOverPostings(
+      postings(docs, idCol, textCol).cache(), stats,
       queries, qIdCol, qTextCol, k, k1, b)
   }
 
   /** Scoring over a prebuilt `(doc_id, term, tf, dl)` postings relation
     * and a one-row `(n_docs, avgdl)` stats relation — the 100 TB path:
     * materialize `postings` once (bucketed by `term`, see
-    * [[graft.sources.Bucketing]]) and serve every query batch from it
-    * without re-tokenizing the corpus; `searchTopK` derives both
-    * inline for the one-shot case. */
+    * [[graft.sources.Bucketing]] / [[buildIndex]]) and serve every query
+    * batch from it without re-tokenizing the corpus; `searchTopK`
+    * derives both inline for the one-shot case.
+    *
+    * `prebuiltDf`: an optional `(term, df)` relation persisted with the
+    * index ([[buildIndex]]). When present, serving never aggregates the
+    * postings at all — df rows for the query terms come from a
+    * term-keyed lookup join. When absent, df is computed from the
+    * postings, but ONLY after a broadcast semi-join against the query
+    * vocabulary: aggregating first and joining after would shuffle the
+    * full term dictionary per batch — at 100 TB that full-corpus
+    * aggregate would dominate a 5-term query's cost. */
   def searchTopKOverPostings(post: DataFrame, stats: DataFrame,
       queries: DataFrame, qIdCol: String, qTextCol: String,
-      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      prebuiltDf: Option[DataFrame] = None): DataFrame = {
     val qterms = queries.select(col(qIdCol).as("query_id"),
         explode(array_distinct(Dedup.tokens(col(qTextCol)))).as("term"))
 
     // per-term document frequency, restricted to the query vocabulary
-    // before anything corpus-sized moves: df is an aggregate of the
-    // postings, but only the ≤|query terms| surviving rows are kept and
-    // re-broadcast into the scoring join.
-    val df = post.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    // BEFORE the aggregate: the semi-join keeps only postings of query
+    // terms (a broadcast filter — the corpus side never moves), so the
+    // groupBy aggregates ≤ |matching postings| rows instead of the whole
+    // term dictionary. df values for surviving terms are identical.
+    val df = prebuiltDf.getOrElse {
+      val qvocab = qterms.select("term").distinct()
+      post.join(broadcast(qvocab), Seq("term"), "left_semi")
+        .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    }
     val qdf = broadcast(qterms).join(df, "term")
       .crossJoin(broadcast(stats))
       .withColumn("idf",
@@ -122,4 +144,40 @@ object Bm25 {
       .select(col("query_id"), col("doc_id"), col("rank"),
         (col("score_fixed") / lit(1e6)).as("score"))
   }
+
+  /** Persist the inverted index for repeated serving: postings bucketed
+    * by `term` (the scoring join's key — co-located, exchange-free
+    * reads), `(term, df)` document frequencies, and the one-row
+    * `(n_docs, avgdl)` stats — each as a managed table under
+    * `<table>_postings` / `_df` / `_stats`. The postings shuffle and the
+    * full-dictionary df aggregate are paid ONCE here; serving
+    * ([[searchFromIndex]]) touches only the postings and df rows of the
+    * batch's query terms. */
+  def buildIndex(docs: DataFrame, idCol: String, textCol: String,
+      table: String, buckets: Int = 32): Unit = {
+    val spark = docs.sparkSession
+    val post = postings(docs, idCol, textCol)
+    graft.sources.Bucketing.writeBucketed(post, s"${table}_postings",
+      "term", buckets)
+    // df from the already-bucketed postings: the groupBy("term") plans
+    // exchange-free on the bucketed layout
+    spark.table(s"${table}_postings")
+      .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_df")
+    docLengths(docs, idCol, textCol)
+      .agg(count(lit(1)).cast("double").as("n_docs"), avg("dl").as("avgdl"))
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_stats")
+  }
+
+  /** Serve a query batch from a [[buildIndex]] layout: no corpus
+    * tokenization, no postings aggregate — df and stats are persisted
+    * lookups, the scoring join streams only the bucketed postings. */
+  def searchFromIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, queries: DataFrame, qIdCol: String, qTextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    searchTopKOverPostings(spark.table(s"${table}_postings"),
+      spark.table(s"${table}_stats"), queries, qIdCol, qTextCol, k, k1, b,
+      prebuiltDf = Some(spark.table(s"${table}_df")))
 }

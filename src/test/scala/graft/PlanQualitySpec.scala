@@ -263,6 +263,42 @@ class PlanQualitySpec extends AnyFunSuite {
     // per-query top-k must map-side-limit before its exchange
     assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
       s"rank filter must plan a Partial WindowGroupLimit:\n$plan")
+    // df must aggregate ONLY postings surviving the query-vocabulary
+    // semi-join — a full-dictionary groupBy would shuffle every term in
+    // the corpus per batch
+    assert(plan.contains("LeftSemi"),
+      s"df aggregate must sit above the query-vocab semi-join:\n$plan")
+  }
+
+  test("BM25 serve-from-index: df persisted, no corpus aggregate at serve time") {
+    val docs = Tables.load(spark, dir, "documents")
+    val queries = docs.filter(col("doc_id") % 23 === 0)
+      .select(col("doc_id").as("qid"),
+        substring(col("text"), 1, 200).as("qtext"))
+    try {
+      graft.operators.Bm25.buildIndex(docs, "doc_id", "text",
+        "pq_bm25ix", buckets = 4)
+      val served = graft.operators.Bm25.searchFromIndex(spark, "pq_bm25ix",
+        queries, "qid", "qtext", k = 5)
+      val plan = served.queryExecution.executedPlan.toString
+      // serving must not recompute df from the postings: no semi-join
+      // prune path, df arrives from the persisted (term, df) table
+      assert(!plan.contains("LeftSemi"),
+        s"serve path must read persisted df, not re-aggregate postings:\n$plan")
+      assert(plan.contains("pq_bm25ix_df"),
+        s"df must come from the persisted table scan:\n$plan")
+      // and it must answer exactly like the one-shot inline path
+      val inline = graft.operators.Bm25.searchTopK(docs, queries,
+        "doc_id", "text", "qid", "qtext", k = 5)
+        .select("query_id", "doc_id", "rank").collect().map(_.toSeq).toSet
+      val got = served.select("query_id", "doc_id", "rank")
+        .collect().map(_.toSeq).toSet
+      assert(got == inline, "serve-from-index diverges from inline BM25")
+      assert(got.nonEmpty)
+    } finally {
+      Seq("pq_bm25ix_postings", "pq_bm25ix_df", "pq_bm25ix_stats")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
   }
 
   test("vector expressions: zero vectors, empty arrays, nulls") {
