@@ -54,7 +54,29 @@ object AdcScan {
     * non-IVF scans. */
   trait Scorer extends Serializable {
     def score(qidx: Int, cid: Int, codes: Array[Byte], off: Int, len: Int): Double
+
+    /** Score `nRows` consecutive rows (row r's codes at
+      * `off0 + r·stride`) into `out[0 ..< nRows]`. Default = per-row
+      * [[score]] loop. LUT scorers override with a j-block-tiled loop:
+      * at 384-d a per-query LUT is ~786 KB and scoring row-by-row walks
+      * ALL of it per row (every lookup an L2 miss); tiling reads each
+      * ~64 KB LUT slice once per CHUNK of rows. Each row's accumulation
+      * order stays exactly j = 0..m−1 (blocks processed in j order, one
+      * partial accumulator per row), so every score is bit-identical to
+      * the per-row form — only the interleaving across rows changes. */
+    def scoreChunk(qidx: Int, cid: Int, codes: Array[Byte], off0: Int,
+        stride: Int, nRows: Int, out: Array[Double]): Unit = {
+      var r = 0
+      while (r < nRows) {
+        out(r) = score(qidx, cid, codes, off0 + r * stride, stride)
+        r += 1
+      }
+    }
   }
+
+  /** rows per [[Scorer.scoreChunk]] tile (accumulator array = 2 KB,
+    * codes slab ≤ chunk × stride bytes — L2-friendly at every shape) */
+  val scoreChunkRows = 256
 
   /** PQ ADC: sqrt(Σ_j lut[j·nC + code_j]) (l2) or Σ_j lut[…] (ip). */
   final class PqLutScorer(luts: Lut[Array[Array[Double]]],
@@ -66,19 +88,69 @@ object AdcScan {
       while (j < len) { acc += lut(j * nC + (codes(off + j) + 128)); j += 1 }
       if (sqrtOut) math.sqrt(acc) else acc
     }
+
+    override def scoreChunk(qidx: Int, cid: Int, codes: Array[Byte],
+        off0: Int, stride: Int, nRows: Int, out: Array[Double]): Unit = {
+      val lut = luts.value(qidx)
+      val nC = lut.length / stride
+      val jb = math.max(1, (64 << 10) / 8 / nC) // LUT slice ≈ 64 KB
+      java.util.Arrays.fill(out, 0, nRows, 0.0)
+      var j0 = 0
+      while (j0 < stride) {
+        val j1 = math.min(stride, j0 + jb)
+        var r = 0
+        while (r < nRows) {
+          val off = off0 + r * stride
+          var acc = out(r)
+          var j = j0
+          while (j < j1) { acc += lut(j * nC + (codes(off + j) + 128)); j += 1 }
+          out(r) = acc
+          r += 1
+        }
+        j0 = j1
+      }
+      if (sqrtOut) {
+        var r = 0
+        while (r < nRows) { out(r) = math.sqrt(out(r)); r += 1 }
+      }
+    }
   }
 
   /** SQ8 asymmetric: query float vs dequantized byte codes.
-    * mode: 0 = L2 (sqrt), 1 = IP (−dot), 2 = cosine. */
+    * mode: 0 = L2 (sqrt), 1 = IP (−dot), 2 = cosine.
+    *
+    * Dequantization goes through a query-INDEPENDENT dim×256 table
+    * (`deq[i·256 + c] = lo(i) + ((c+128)/255.0)·(hi(i)−lo(i))` — each
+    * entry computed by exactly the inline formula, so every score is
+    * bit-identical to the formula the DuckDB oracle replays): one
+    * 131 KB (64-d) to 786 KB (384-d) table shared by ALL queries for the
+    * whole scan, replacing a double division + two FP ops per element
+    * with one lookup. @transient lazy: the distributed path broadcasts
+    * only lo/hi and each executor rebuilds the table once. */
   final class Sq8Scorer(queries: Lut[Array[Array[Float]]],
       lo: Array[Float], hi: Array[Float], mode: Int) extends Scorer {
+    @transient private lazy val deq: Array[Double] = {
+      val dim = lo.length
+      val out = new Array[Double](dim * 256)
+      var i = 0
+      while (i < dim) {
+        var b = 0
+        while (b < 256) {
+          val c = b / 255.0
+          out(i * 256 + b) = lo(i) + c * (hi(i) - lo(i))
+          b += 1
+        }
+        i += 1
+      }
+      out
+    }
     def score(qidx: Int, cid: Int, codes: Array[Byte], off: Int, len: Int): Double = {
       val q = queries.value(qidx)
+      val dq = deq
       var acc = 0.0; var dot = 0.0; var nq = 0.0; var nb = 0.0
       var i = 0
       while (i < len) {
-        val c = (codes(off + i) + 128) / 255.0
-        val x = lo(i) + c * (hi(i) - lo(i))
+        val x = dq(i * 256 + (codes(off + i) + 128))
         val qq = q(i).toDouble
         if (mode == 2) { dot += qq * x; nq += qq * qq; nb += x * x }
         else if (mode == 1) { dot += qq * x }
@@ -90,6 +162,50 @@ object AdcScan {
         if (den == 0.0) 1.0 else 1.0 - dot / den
       } else if (mode == 1) -dot
       else math.sqrt(acc)
+    }
+
+    /** tiled for L2/IP (the 786 KB deq table at 384-d walks fully per
+      * row otherwise); cosine's three accumulators keep the default */
+    override def scoreChunk(qidx: Int, cid: Int, codes: Array[Byte],
+        off0: Int, stride: Int, nRows: Int, out: Array[Double]): Unit = {
+      if (mode == 2) {
+        super.scoreChunk(qidx, cid, codes, off0, stride, nRows, out)
+        return
+      }
+      val q = queries.value(qidx)
+      val dq = deq
+      val jb = math.max(1, (64 << 10) / 8 / 256) // deq slice ≈ 64 KB
+      java.util.Arrays.fill(out, 0, nRows, 0.0)
+      var j0 = 0
+      while (j0 < stride) {
+        val j1 = math.min(stride, j0 + jb)
+        var r = 0
+        while (r < nRows) {
+          val off = off0 + r * stride
+          var acc = out(r)
+          var i = j0
+          if (mode == 1) {
+            while (i < j1) {
+              acc += q(i).toDouble * dq(i * 256 + (codes(off + i) + 128))
+              i += 1
+            }
+          } else {
+            while (i < j1) {
+              val d = q(i).toDouble - dq(i * 256 + (codes(off + i) + 128))
+              acc += d * d
+              i += 1
+            }
+          }
+          out(r) = acc
+          r += 1
+        }
+        j0 = j1
+      }
+      var r = 0
+      if (mode == 1)
+        while (r < nRows) { out(r) = -out(r); r += 1 }
+      else
+        while (r < nRows) { out(r) = math.sqrt(out(r)); r += 1 }
     }
   }
 
@@ -113,6 +229,41 @@ object AdcScan {
         j += 1
       }
       math.sqrt(math.max(0.0, acc))
+    }
+
+    /** tiled like [[PqLutScorer.scoreChunk]] (two tables walk per row
+      * here, so the residual path thrashes at even smaller dims);
+      * accumulators start at ‖q−c‖² and add (t2 + qLut) in j order —
+      * bit-identical to the per-row loop. */
+    override def scoreChunk(qidx: Int, cid: Int, codes: Array[Byte],
+        off0: Int, stride: Int, nRows: Int, out: Array[Double]): Unit = {
+      val (qLut, t2, qcNorm) = tables.value
+      val ql = qLut(qidx)
+      val t = t2(cid)
+      val nC = ql.length / stride
+      val base = qcNorm(qidx)(cid)
+      java.util.Arrays.fill(out, 0, nRows, base)
+      val jb = math.max(1, (64 << 10) / 8 / nC)
+      var j0 = 0
+      while (j0 < stride) {
+        val j1 = math.min(stride, j0 + jb)
+        var r = 0
+        while (r < nRows) {
+          val off = off0 + r * stride
+          var acc = out(r)
+          var j = j0
+          while (j < j1) {
+            val idx = j * nC + (codes(off + j) + 128)
+            acc += t(idx) + ql(idx)
+            j += 1
+          }
+          out(r) = acc
+          r += 1
+        }
+        j0 = j1
+      }
+      var r = 0
+      while (r < nRows) { out(r) = math.sqrt(math.max(0.0, out(r))); r += 1 }
     }
   }
 
@@ -165,12 +316,16 @@ object AdcScan {
       val fc = flatten(it.toArray[(Long, Array[Byte])])
       if (fc.n == 0) Iterator.empty
       else {
+        val buf = new Array[Double](scoreChunkRows)
         val out = Iterator.tabulate(nQ) { qi =>
           val h = new BoundedTopK(k)
           var r = 0
           while (r < fc.n) {
-            h.insert(fc.ids(r), scorer.score(qi, -1, fc.codes, r * fc.m, fc.m))
-            r += 1
+            val n = math.min(fc.n - r, scoreChunkRows)
+            scorer.scoreChunk(qi, -1, fc.codes, r * fc.m, fc.m, n, buf)
+            var i = 0
+            while (i < n) { h.insert(fc.ids(r + i), buf(i)); i += 1 }
+            r += n
           }
           emit(h, qids(qi))
         }
@@ -205,6 +360,7 @@ object AdcScan {
             .+=((row._1, row._3))
       }
       val heaps = new Array[BoundedTopK](nQ)
+      val buf = new Array[Double](scoreChunkRows)
       byCid.foreach { case (cidL, rows) =>
         val cid = cidL.toInt
         val fc = flatten(rows)
@@ -216,8 +372,11 @@ object AdcScan {
           if (h == null) { h = new BoundedTopK(k); heaps(q) = h }
           var r = 0
           while (r < fc.n) {
-            h.insert(fc.ids(r), scorer.score(q, cid, fc.codes, r * fc.m, fc.m))
-            r += 1
+            val n = math.min(fc.n - r, scoreChunkRows)
+            scorer.scoreChunk(q, cid, fc.codes, r * fc.m, fc.m, n, buf)
+            var i = 0
+            while (i < n) { h.insert(fc.ids(r + i), buf(i)); i += 1 }
+            r += n
           }
           qi += 1
         }

@@ -63,17 +63,16 @@ final case class IvfSq8Searcher(nprobe: Int, metric: String) extends Searcher
       q, qids, qVecs, cents, nlist, nprobe, artifact.aux("centroids"))
     val localTable = LocalScan.codeTable(artifact.data, ivf = true)
     val mode = Sq8Model.mode(metric)
-    // local L2/IP scans score through the PQ ADC shape over a per-query
-    // dequant-distance LUT (see Sq8Model.luts — bit-identical, ~2× fewer
-    // FP ops); cosine and the distributed scan keep the inline dequant
+    // ONE inline scorer on both paths (identical arithmetic by
+    // construction): dequantization reads the shared query-independent
+    // deq table (Sq8Scorer) and rows score through the j-block-tiled
+    // scoreChunk, so nothing per-query bigger than the query vector
+    // competes for cache. This replaced the per-query (q−x)² LUT
+    // formulation (Sq8Model.luts): at 384-d that LUT was 786 KB/query —
+    // walked fully per ROW by the scan — plus a ~55 MB build per batch.
     val scorer: AdcScan.Scorer =
-      if (localTable.isDefined && mode != 2)
-        new AdcScan.PqLutScorer(
-          AdcScan.LocalLut(Sq8Model.luts(qVecs, lo, hi, mode)),
-          sqrtOut = mode == 0)
-      else
-        new AdcScan.Sq8Scorer(
-          trackLut(spark, localTable.isDefined, qVecs), lo, hi, mode)
+      new AdcScan.Sq8Scorer(
+        trackLut(spark, localTable.isDefined, qVecs), lo, hi, mode)
     localTable match {
       case Some(ct) =>
         LocalScan.scanCodesIvf(spark, ct, qids, k, scorer, probeArr)

@@ -1,10 +1,10 @@
 package graft.operators
 
 /** Small driver-side Lloyd's k-means for codebook training (PQ subspace
-  * codebooks, SQ breakpoints). Deterministic: seeded k-means++-lite init
-  * (greedy farthest of a seeded candidate stream), fixed iteration count.
-  * Operates on a bounded sample collected to the driver — the same
-  * training discipline FAISS uses for PQ codebooks.
+  * codebooks, SQ breakpoints). Deterministic: seeded init (plain random
+  * distinct points, or k-means++ D²-sampling when `init = "++"`), fixed
+  * iteration count. Operates on a bounded sample collected to the
+  * driver — the same training discipline FAISS uses for PQ codebooks.
   *
   * Two pure speedups, both bit-identical to the naive loop (same
   * floating-point operation order, same seeded randomness):
@@ -19,17 +19,21 @@ package graft.operators
   */
 object LocalKMeans {
 
-  def fit(points: Array[Array[Float]], k: Int, seed: Long, iters: Int)
-      : Array[Array[Float]] = {
+  def fit(points: Array[Array[Float]], k: Int, seed: Long, iters: Int,
+      init: String = "random"): Array[Array[Float]] = {
     require(points.nonEmpty)
     val dim = points(0).length
     val n = points.length
     val kk = math.min(k, n)
     val rnd = new java.util.Random(seed)
 
-    // init: distinct random points (seeded)
-    val perm = rnd.ints(0, n).distinct().limit(kk).toArray
-    var centers = perm.map(i => points(i).clone())
+    var centers =
+      if (init == "++") ppInit(points, kk, rnd)
+      else {
+        // init: distinct random points (seeded)
+        val perm = rnd.ints(0, n).distinct().limit(kk).toArray
+        perm.map(i => points(i).clone())
+      }
 
     val assign = new Array[Int](n)
     java.util.Arrays.fill(assign, -1)
@@ -94,6 +98,51 @@ object LocalKMeans {
         centers = next
       }
       iter += 1
+    }
+    centers
+  }
+
+  /** k-means++ (Arthur & Vassilvitskii '07) seeding: first center uniform,
+    * each next sampled ∝ D²(x) to the nearest chosen center. Costs one
+    * extra O(n·k·dim) pass total (D² updates incrementally per new
+    * center); on structured data it cuts quantization error vs random
+    * init enough to matter for PQ recall at high dim. Deterministic from
+    * `rnd`; the D² update parallelizes per point (own-slot writes only). */
+  private def ppInit(points: Array[Array[Float]], kk: Int,
+      rnd: java.util.Random): Array[Array[Float]] = {
+    val n = points.length
+    val dim = points(0).length
+    val centers = new Array[Array[Float]](kk)
+    centers(0) = points(rnd.nextInt(n)).clone()
+    val d2 = new Array[Double](n)
+    java.util.Arrays.fill(d2, Double.MaxValue)
+    var c = 0
+    while (c < kk - 1) {
+      val ce = centers(c)
+      java.util.stream.IntStream.range(0, n).parallel().forEach { i =>
+        val p = points(i)
+        var d = 0.0; var j = 0
+        while (j < dim) { val df = p(j) - ce(j); d += df * df; j += 1 }
+        if (d < d2(i)) d2(i) = d
+      }
+      var total = 0.0
+      var i = 0
+      while (i < n) { total += d2(i); i += 1 }
+      val next =
+        if (total <= 0.0) rnd.nextInt(n) // all points coincide with centers
+        else {
+          val target = rnd.nextDouble() * total
+          var acc = 0.0; var pick = n - 1; var s = 0
+          var found = false
+          while (s < n && !found) {
+            acc += d2(s)
+            if (acc >= target) { pick = s; found = true }
+            s += 1
+          }
+          pick
+        }
+      centers(c + 1) = points(next).clone()
+      c += 1
     }
     centers
   }

@@ -319,17 +319,21 @@ object LocalScan {
   }
 
   /** full scan: every query scores every code row (mirrors
-    * [[AdcScan.searchTopK]]'s partition pass + driver merge). */
+    * [[AdcScan.searchTopK]]'s partition pass + driver merge). Rows score
+    * through [[AdcScan.Scorer.scoreChunk]] — the j-block-tiled batch
+    * kernel (bit-identical per-row arithmetic, LUT slices L2-resident). */
   def scanCodesFull(spark: SparkSession, ct: CodeTable, qids: Array[Long],
       k: Int, scorer: AdcScan.Scorer): DataFrame = {
     val heaps = new Array[BoundedTopK](qids.length)
     if (ct.n > 0) {
-      val chunkRows = math.max(1, (256 << 10) / math.max(1, ct.m))
+      val chunkRows = math.min(AdcScan.scoreChunkRows,
+        math.max(1, (256 << 10) / math.max(1, ct.m)))
       val qb = blockFor(qids.length)
       val nBlocks = (qids.length + qb - 1) / qb
       java.util.stream.IntStream.range(0, nBlocks).parallel().forEach { b =>
         val q0 = b * qb
         val q1 = math.min(qids.length, q0 + qb)
+        val buf = new Array[Double](chunkRows)
         var qi = q0
         while (qi < q1) { heaps(qi) = new BoundedTopK(k); qi += 1 }
         var c0 = 0
@@ -338,11 +342,10 @@ object LocalScan {
           qi = q0
           while (qi < q1) {
             val h = heaps(qi)
-            var r = c0
-            while (r < c1) {
-              h.insert(ct.ids(r), scorer.score(qi, -1, ct.codes, r * ct.m, ct.m))
-              r += 1
-            }
+            val n = c1 - c0
+            scorer.scoreChunk(qi, -1, ct.codes, c0 * ct.m, ct.m, n, buf)
+            var r = 0
+            while (r < n) { h.insert(ct.ids(c0 + r), buf(r)); r += 1 }
             qi += 1
           }
           c0 = c1
@@ -353,21 +356,30 @@ object LocalScan {
   }
 
   /** IVF scan: each query scores only its probed lists (mirrors
-    * [[AdcScan.searchTopKIvf]]). */
+    * [[AdcScan.searchTopKIvf]]). QUERY-major — the per-query LUT stays
+    * cache-resident across the query's whole probe scan (a list-major
+    * variant measured 10-45% SLOWER at both baseline shapes: cycling
+    * every probing query's state per list thrashes exactly the table
+    * the scan needs hot). Rows score through the j-block-tiled
+    * [[AdcScan.Scorer.scoreChunk]]. */
   def scanCodesIvf(spark: SparkSession, ct: CodeTable, qids: Array[Long],
       k: Int, scorer: AdcScan.Scorer, probes: Array[Array[Int]]): DataFrame = {
     val byQuery = invertProbes(probes, qids.length)
     val heaps = new Array[BoundedTopK](qids.length)
     java.util.stream.IntStream.range(0, qids.length).parallel().forEach { qi =>
       var h: BoundedTopK = null
+      val buf = new Array[Double](AdcScan.scoreChunkRows)
       byQuery(qi).foreach { cid =>
         if (cid + 1 < ct.listOffsets.length) {
           var r = ct.listOffsets(cid)
           val end = ct.listOffsets(cid + 1)
           if (r < end && h == null) h = new BoundedTopK(k)
           while (r < end) {
-            h.insert(ct.ids(r), scorer.score(qi, cid, ct.codes, r * ct.m, ct.m))
-            r += 1
+            val n = math.min(end - r, AdcScan.scoreChunkRows)
+            scorer.scoreChunk(qi, cid, ct.codes, r * ct.m, ct.m, n, buf)
+            var i = 0
+            while (i < n) { h.insert(ct.ids(r + i), buf(i)); i += 1 }
+            r += n
           }
         }
       }

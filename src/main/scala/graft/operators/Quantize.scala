@@ -49,17 +49,12 @@ final case class Sq8Searcher(metric: String) extends Searcher
     val (qids, qVecs) = LocalScan.queryVecsAlways(queries)
     val localTable = LocalScan.codeTable(artifact.data, ivf = false)
     val mode = Sq8Model.mode(metric)
-    // local L2/IP scans score through the PQ ADC shape over a per-query
-    // dequant-distance LUT (see Sq8Model.luts — bit-identical, ~2× fewer
-    // FP ops); cosine and the distributed scan keep the inline dequant
+    // ONE inline scorer on both paths (see IvfSq8Searcher): shared
+    // query-independent deq table + j-block-tiled scoreChunk replaced
+    // the per-query (q−x)² LUT formulation (Sq8Model.luts)
     val scorer: AdcScan.Scorer =
-      if (localTable.isDefined && mode != 2)
-        new AdcScan.PqLutScorer(
-          AdcScan.LocalLut(Sq8Model.luts(qVecs, lo, hi, mode)),
-          sqrtOut = mode == 0)
-      else
-        new AdcScan.Sq8Scorer(
-          trackLut(spark, localTable.isDefined, qVecs), lo, hi, mode)
+      new AdcScan.Sq8Scorer(
+        trackLut(spark, localTable.isDefined, qVecs), lo, hi, mode)
     localTable match {
       case Some(ct) => LocalScan.scanCodesFull(spark, ct, qids, k, scorer)
       case None => AdcScan.searchTopK(artifact.data, qids, k, scorer)
