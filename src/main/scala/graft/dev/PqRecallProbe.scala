@@ -23,8 +23,11 @@ object PqRecallProbe {
     val dims = 384
     def norm(df: org.apache.spark.sql.DataFrame) =
       df.withColumn("vector", graft.functions.VectorFunctions.vec_normalize(col("vector")))
-    val train = norm(RandomDataset.clusteredVectors(spark, nTrain, dims, 512, 0.9, 42, centerSeed = 7)).cache()
-    val test = norm(RandomDataset.clusteredVectors(spark, 70, dims, 512, 0.9, 43, centerSeed = 7))
+    val intrinsic = if (args.length > 1) args(1).toInt else 0
+    val train = norm(RandomDataset.clusteredVectors(spark, nTrain, dims, 512, 0.9, 42,
+      centerSeed = 7, intrinsicDim = intrinsic)).cache()
+    val test = norm(RandomDataset.clusteredVectors(spark, 70, dims, 512, 0.9, 43,
+      centerSeed = 7, intrinsicDim = intrinsic))
       .withColumnRenamed("id", "qid").cache()
     train.count(); test.count()
     val gt = KnnJoin.knnJoinAgg(test, train, 20, "l2")

@@ -41,10 +41,13 @@ object BaselineCompare {
       name: String, nTrain: Long, nTest: Long, dims: Int,
       normalize: Boolean, algos: Seq[AlgoRow],
       reference: Map[String, (Double, Double)],
-      // (numClusters, sigma): generate a mixture-of-gaussians stand-in
-      // instead of an isotropic gaussian — see RandomDataset
-      // .clusteredVectors for why recall needs cluster structure
-      clusters: Option[(Int, Double)] = None)
+      // (numClusters, sigma, intrinsicDim): generate a mixture-of-
+      // gaussians stand-in instead of an isotropic gaussian — see
+      // RandomDataset.clusteredVectors for why recall needs cluster
+      // structure, and why high-dim embeddings additionally need
+      // LOW-RANK intra-cluster noise (intrinsicDim > 0) for PQ recall
+      // to be meaningful
+      clusters: Option[(Int, Double, Int)] = None)
 
   /** Cheap-build algorithms run FIRST: the shared box's load swings
     * several-fold, so if the budget squeezes anyone out it should be the
@@ -66,13 +69,17 @@ object BaselineCompare {
       // knob to reach the published recall at equal nlist
       ("ivf_sq8", "ivf_sq8", "ivf_sq8",
         Map("nlist" -> "256", "nprobe" -> nprobe.toString)),
+      // train_iters=25 mirrors FAISS's kmeans default (niter=25); the
+      // gate configs stay at the pinned 15 to keep oracle literals stable
       ("pq", "pq", "pq",
-        Map("num_subspaces" -> m.toString, "num_centroids" -> "256")),
+        Map("num_subspaces" -> m.toString, "num_centroids" -> "256",
+          "train_iters" -> "25")),
       // residual=true is FAISS's own IVFPQ encoding (codes quantize
       // v - centroid), the faithful comparison config
       ("ivf_pq", "ivf_pq", "ivf_pq", Map("nlist" -> "256",
         "nprobe" -> nprobe.toString, "num_subspaces" -> m.toString,
-        "num_centroids" -> "256", "residual" -> "true")))
+        "num_centroids" -> "256", "residual" -> "true",
+        "train_iters" -> "25")))
     val ct: Seq[AlgoRow] = if (!withCoverTree) Nil else Seq(
       ("covertree", "covertree", "covertree", Map.empty[String, String]))
     // ef_search above the reference's 100: a JVM walk pays per-batch
@@ -112,7 +119,7 @@ object BaselineCompare {
         "pq" -> (0.9820, 19837.0),
         "covertree" -> (1.0000, 34.32),
         "lsh" -> (0.5074, 81.85)),
-      clusters = Some((200, 1.1))),
+      clusters = Some((200, 1.1, 0))),
     // covertree excluded at this shape, NOT silently: the exact tree
     // build at 100k × 384-d exceeds the per-algo watchdog (the REFERENCE
     // itself took 4,387 s on this row — benchmark_summary.md:49). hnsw's
@@ -130,7 +137,10 @@ object BaselineCompare {
         "pq" -> (0.7757, 5743.0),
         "covertree" -> (1.0000, 5.76),
         "lsh" -> (0.3286, 147.29)),
-      clusters = Some((512, 0.9))))
+      // intrinsicDim = 64: MiniLM-class encoders have effective rank in
+      // the tens — full-rank 384-d noise under-reported PQ recall (0.52
+      // vs the reference's real-data 0.78; 0.76-0.77 with rank-64 noise)
+      clusters = Some((512, 0.9, 64))))
 
   /** Per-algorithm wall budget. On overrun the algorithm's Spark job
     * group is canceled and its entry dropped — one wedged algorithm must
@@ -179,12 +189,12 @@ object BaselineCompare {
     import spark.implicits._
     def vecs(n: Long, seed: Long) = {
       val raw = w.clusters match {
-        case Some((k, sigma)) =>
+        case Some((k, sigma, intrinsic)) =>
           // centerSeed fixed at 7: train (seed 42) and queries (seed 43)
           // share centers — queries land near the data like real query
           // logs do, instead of in the inter-cluster void
           RandomDataset.clusteredVectors(spark, n, w.dims, k, sigma, seed,
-            centerSeed = 7)
+            centerSeed = 7, intrinsicDim = intrinsic)
         case None => RandomDataset.vectors(spark, n, w.dims, seed)
       }
       if (!w.normalize) raw

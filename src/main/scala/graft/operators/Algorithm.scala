@@ -128,7 +128,9 @@ object Registry {
         PqIndexer(
           numSubspaces = p.getOrElse("num_subspaces", "8").toInt,
           numCentroids = p.getOrElse("num_centroids", "256").toInt,
-          seed = p.getOrElse("seed", "42").toLong)
+          seed = p.getOrElse("seed", "42").toLong,
+          trainIters = p.getOrElse("train_iters", "15").toInt,
+          kmeansInit = p.getOrElse("kmeans_init", "random"))
       }
       registerSearcher("pq") { (p, m) => PqSearcher(metric = m) }
       registerIndexer("ivf_sq8") { (p, m) =>
@@ -145,7 +147,9 @@ object Registry {
           numSubspaces = p.getOrElse("num_subspaces", "8").toInt,
           numCentroids = p.getOrElse("num_centroids", "256").toInt,
           seed = p.getOrElse("seed", "42").toLong,
-          residual = p.getOrElse("residual", "false").toBoolean)
+          residual = p.getOrElse("residual", "false").toBoolean,
+          trainIters = p.getOrElse("train_iters", "15").toInt,
+          kmeansInit = p.getOrElse("kmeans_init", "random"))
       }
       registerSearcher("ivf_pq") { (p, m) =>
         IvfPqSearcher(nprobe = p.getOrElse("nprobe", "8").toInt, metric = m)

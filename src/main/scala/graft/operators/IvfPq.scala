@@ -25,7 +25,8 @@ import org.apache.spark.sql.functions._
   */
 final case class IvfPqIndexer(
     nlist: Int, numSubspaces: Int, numCentroids: Int, seed: Long,
-    residual: Boolean = false)
+    residual: Boolean = false,
+    trainIters: Int = 15, kmeansInit: String = "random")
   extends Indexer {
   val kind = "ivf_pq"
 
@@ -47,7 +48,8 @@ final case class IvfPqIndexer(
     }
     if (!residual) {
       val cached = base.select(col("id").cast("long").as("id"), col("vector")).cache()
-      val model = PqModel.train(cached, numSubspaces, numCentroids, seed)
+      val model = PqModel.train(cached, numSubspaces, numCentroids, seed,
+        iters = trainIters, init = kmeansInit)
       // boxing-free assign + encode in one pass (see IvfIndexer.build)
       val data = cached
         .as[(Long, Array[Float])]
@@ -70,7 +72,8 @@ final case class IvfPqIndexer(
         .as[(Long, Int, Array[Float])]
         .mapPartitions(_.map { case (i, cid, v) => (i, residualOf(cid, v)) })
         .toDF("id", "vector")
-      val model = PqModel.train(resInput, numSubspaces, numCentroids, seed)
+      val model = PqModel.train(resInput, numSubspaces, numCentroids, seed,
+        iters = trainIters, init = kmeansInit)
       val data = cached
         .as[(Long, Int, Array[Float])]
         .mapPartitions(_.map { case (i, cid, v) =>

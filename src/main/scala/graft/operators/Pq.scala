@@ -18,7 +18,8 @@ import org.apache.spark.sql.functions._
   * scoring closure; at cluster scale they'd be a broadcast variable —
   * semantically identical.
   */
-final case class PqIndexer(numSubspaces: Int, numCentroids: Int, seed: Long)
+final case class PqIndexer(numSubspaces: Int, numCentroids: Int, seed: Long,
+    trainIters: Int = 15, kmeansInit: String = "random")
   extends Indexer {
   val kind = "pq"
 
@@ -31,7 +32,8 @@ final case class PqIndexer(numSubspaces: Int, numCentroids: Int, seed: Long)
     val spark = base.sparkSession
     import spark.implicits._
     val cached = base.select(col("id").cast("long").as("id"), col("vector")).cache()
-    val model = PqModel.train(cached, numSubspaces, numCentroids, seed, trainSample)
+    val model = PqModel.train(cached, numSubspaces, numCentroids, seed, trainSample,
+      trainIters, kmeansInit)
     // boxing-free encode (see IvfIndexer.build note)
     val data = cached
       .as[(Long, Array[Float])]
@@ -138,7 +140,8 @@ object PqModel {
     * 2·m Spark jobs per fit. `input` is scanned twice (count + sample);
     * pre-cache it when the caller also encodes from it. */
   def train(input: DataFrame, numSubspaces: Int, numCentroids: Int,
-      seed: Long, trainSample: Int = 65536): PqModel = {
+      seed: Long, trainSample: Int = 65536, iters: Int = 15,
+      init: String = "random"): PqModel = {
     val dim = LshModel.dimOf(input, "vector")
     require(dim % numSubspaces == 0,
       s"dim $dim not divisible by num_subspaces $numSubspaces")
@@ -155,7 +158,7 @@ object PqModel {
       new Array[Array[Array[Float]]](numSubspaces)
     java.util.stream.IntStream.range(0, numSubspaces).parallel().forEach { j =>
       val sub = sample.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
-      codebooks(j) = LocalKMeans.fit(sub, nCent, seed + j, iters = 15)
+      codebooks(j) = LocalKMeans.fit(sub, nCent, seed + j, iters, init)
     }
     PqModel(codebooks, dsub)
   }

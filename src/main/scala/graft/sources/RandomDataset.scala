@@ -40,33 +40,75 @@ object RandomDataset {
   /** Mixture-of-gaussians vectors: each row picks one of `numClusters`
     * centers (center_j ~ N(0,1), derived from `centerSeed` alone so a
     * query set generated with a different `seed` shares the SAME
-    * centers) and adds isotropic noise `sigma * N(0,1)`.
+    * centers) and adds noise: isotropic `sigma * N(0,1)` by default, or
+    * — when `0 < intrinsicDim < dim` — rank-`intrinsicDim` noise
+    * `sigma · B_c z / √r` confined to a per-cluster random subspace
+    * (B_c a seeded dim×r gaussian basis shared by train and queries via
+    * `centerSeed`, z ~ N(0,1)^r per row; the √r keeps per-component
+    * variance ≈ sigma²).
     *
     * Purpose: real embedding tables (GloVe, passage encoders) are
-    * strongly clusterable, and coarse-quantization recall (IVF/LSH/graph
-    * walks) is a function of that structure — an isotropic gaussian is
-    * the degenerate worst case where nearest neighbors spread uniformly
-    * across coarse cells. This generator is the recall-indicative
-    * stand-in for those workload shapes. Same counter-based determinism
-    * as [[vectors]]: value depends only on (seed, centerSeed, id, j) —
-    * partitioning- and executor-count-invariant. */
+    * strongly clusterable AND low-intrinsic-dimensional — neighbors
+    * within a cluster differ along a few directions, not all `dim`.
+    * Full-rank gaussian noise at high dim is the degenerate worst case
+    * for product quantization (subspace variance everywhere), which is
+    * why the full-rank 384-d stand-in under-reported PQ recall (0.52)
+    * far below the reference's real-data 0.78. Coarse-quantization
+    * recall (IVF/LSH/graph walks) needs the cluster structure; PQ recall
+    * additionally needs the spectrum. Same counter-based determinism as
+    * [[vectors]]: values depend only on (seed, centerSeed, id, j). */
   def clusteredVectors(spark: SparkSession, n: Long, dim: Int,
-      numClusters: Int, sigma: Double, seed: Long, centerSeed: Long)
-      : DataFrame = {
+      numClusters: Int, sigma: Double, seed: Long, centerSeed: Long,
+      intrinsicDim: Int = 0): DataFrame = {
+    val r = intrinsicDim
     val gen = udf { (id: Long) =>
       val c = ((splitmix64(seed ^ (id * 0x9E3779B97F4A7C15L)) >>> 1) %
         numClusters.toLong)
       val out = new Array[Float](dim)
-      var j = 0
-      while (j < dim) {
-        out(j) =
-          (gaussian(centerSeed, c, j) + sigma * gaussian(seed, id, j)).toFloat
-        j += 1
+      if (r <= 0 || r >= dim) {
+        var j = 0
+        while (j < dim) {
+          out(j) =
+            (gaussian(centerSeed, c, j) + sigma * gaussian(seed, id, j)).toFloat
+          j += 1
+        }
+      } else {
+        val b = RandomDataset.basisFor(centerSeed, c, dim, r)
+        val z = new Array[Double](r)
+        var l = 0
+        // z counters start at dim so they never collide with the center
+        // draws on the same (seed, id) stream
+        while (l < r) { z(l) = gaussian(seed, id, dim + l); l += 1 }
+        val invSqrtR = 1.0 / math.sqrt(r.toDouble)
+        var j = 0
+        while (j < dim) {
+          var acc = 0.0
+          var l2 = 0
+          while (l2 < r) { acc += b(j * r + l2) * z(l2); l2 += 1 }
+          out(j) = (gaussian(centerSeed, c, j) + sigma * acc * invSqrtR).toFloat
+          j += 1
+        }
       }
       out
     }
     spark.range(n).select(col("id"), gen(col("id")).as("vector"))
   }
+
+  /** per-cluster noise basis (dim×r gaussians off the centerSeed stream,
+    * flattened row-major) — values are pure functions of the key, so the
+    * per-JVM memo is only an evaluation cache (≤ clusters × dim × r × 4 B) */
+  private val basisCache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Long, Int, Int), Array[Float]]()
+  private[sources] def basisFor(centerSeed: Long, c: Long, dim: Int,
+      r: Int): Array[Float] =
+    basisCache.computeIfAbsent((centerSeed, c, dim, r), { key =>
+      val (cs, cc, d, rr) = key
+      val bSeed = splitmix64(cs ^ 0xA5A5A5A5DEADBEEFL)
+      val out = new Array[Float](d * rr)
+      var i = 0
+      while (i < d * rr) { out(i) = gaussian(bSeed, cc, i); i += 1 }
+      out
+    })
 
   /** (id long, vector array<float>) with n rows of dim-d N(0,1) vectors */
   def vectors(spark: SparkSession, n: Long, dim: Int, seed: Long): DataFrame = {
