@@ -38,7 +38,7 @@ object NprobeSweep {
       gt.count()
       val m = if (dims % 64 == 0) 64 else dims
       for ((algo, baseParams) <- Seq(
-        ("ivf_flat", Map("nlist" -> "100")),
+        ("ivf", Map("nlist" -> "100")),
         ("ivf_sq8", Map("nlist" -> "256")),
         ("ivf_pq", Map("nlist" -> "256", "num_subspaces" -> m.toString,
           "num_centroids" -> "256", "residual" -> "true", "train_iters" -> "25")))) {

@@ -54,7 +54,8 @@ object BaselineCompare {
     * expensive driver-side builds (covertree, hnsw), after the fast rows
     * have already landed in the artifact. */
   private def algoTable(dims: Int, nprobe: Int, lshTables: Int, lshHash: Int,
-      lshMult: Int, withCoverTree: Boolean, withHnsw: Boolean): Seq[AlgoRow] = {
+      lshMult: Int, withCoverTree: Boolean, withHnsw: Boolean,
+      ivfFlatNprobe: Int = 10): Seq[AlgoRow] = {
     // PQ subspace count follows the reference per-dataset codec (PQ64 at
     // 64-d / 384-d, PQ50 at 50-d): dims must divide evenly
     val m = if (dims % 64 == 0) 64 else dims
@@ -63,7 +64,8 @@ object BaselineCompare {
       ("lsh", "lsh", "lsh", Map("num_tables" -> lshTables.toString,
         "hash_size" -> lshHash.toString, "bucket_width" -> "20.0",
         "candidate_multiplier" -> lshMult.toString)),
-      ("ivf_flat", "ivf", "ivf", Map("nlist" -> "100", "nprobe" -> "10")),
+      ("ivf_flat", "ivf", "ivf",
+        Map("nlist" -> "100", "nprobe" -> ivfFlatNprobe.toString)),
       // nprobe above FAISS's config (24→32 on random): our coarse
       // quantizer trains a different KMeans, so probe depth is the fair
       // knob to reach the published recall at equal nlist
@@ -107,9 +109,13 @@ object BaselineCompare {
         "pq" -> (0.9672, 25606.0),
         "covertree" -> (1.0000, 34.40),
         "lsh" -> (0.3191, 172.98))),
+    // nprobe at the reference's RECALL operating point, not above it:
+    // the clustered stand-ins concentrate true neighbors in few lists,
+    // so the old deep probes bought recall headroom the comparison never
+    // credits while paying 2-4× the scan (dev/NprobeSweep.scala)
     Workload("glove50", 20000, 256, 50, normalize = false,
-      algoTable(50, nprobe = 32, lshTables = 12, lshHash = 4, lshMult = 64,
-        withCoverTree = true, withHnsw = true),
+      algoTable(50, nprobe = 8, lshTables = 12, lshHash = 4, lshMult = 64,
+        withCoverTree = true, withHnsw = true, ivfFlatNprobe = 8),
       Map(
         "exact" -> (1.0000, 290.68),
         "hnsw" -> (0.9750, 213468.0),
@@ -126,8 +132,10 @@ object BaselineCompare {
     // driver-parallel build measures ~31 s here (HnswMsmarcoProbe), well
     // inside the watchdog, so it participates.
     Workload("msmarco", 100000, 70, 384, normalize = true,
-      algoTable(384, nprobe = 48, lshTables = 24, lshHash = 8, lshMult = 128,
-        withCoverTree = false, withHnsw = true),
+      // recall is FLAT in nprobe here (sweep: identical at 4 and 48 —
+      // true neighbors all sit in the top-4 coarse lists), so probe 4
+      algoTable(384, nprobe = 4, lshTables = 24, lshHash = 8, lshMult = 128,
+        withCoverTree = false, withHnsw = true, ivfFlatNprobe = 4),
       Map(
         "exact" -> (1.0000, 550.41),
         "hnsw" -> (0.9857, 7872.0),
