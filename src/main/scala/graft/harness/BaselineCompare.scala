@@ -55,7 +55,7 @@ object BaselineCompare {
     * have already landed in the artifact. */
   private def algoTable(dims: Int, nprobe: Int, lshTables: Int, lshHash: Int,
       lshMult: Int, withCoverTree: Boolean, withHnsw: Boolean,
-      ivfFlatNprobe: Int = 10): Seq[AlgoRow] = {
+      ivfFlatNprobe: Int = 10, hnswEf: Int = 256): Seq[AlgoRow] = {
     // PQ subspace count follows the reference per-dataset codec (PQ64 at
     // 64-d / 384-d, PQ50 at 50-d): dims must divide evenly
     val m = if (dims % 64 == 0) 64 else dims
@@ -84,12 +84,13 @@ object BaselineCompare {
         "train_iters" -> "25")))
     val ct: Seq[AlgoRow] = if (!withCoverTree) Nil else Seq(
       ("covertree", "covertree", "covertree", Map.empty[String, String]))
-    // ef_search above the reference's 100: a JVM walk pays per-batch
-    // overhead, not per-hop SIMD, so the deeper beam buys recall
-    // parity at ~zero wall cost here
+    // ef_search per workload at the reference's recall operating point
+    // with ~2-point margin (dev/EfSearchSweep.scala) — the old global 256
+    // bought surplus recall the comparison never credits for 20-45% QPS
     val hnsw: Seq[AlgoRow] = if (!withHnsw) Nil else Seq(
       ("hnsw", "hnsw_global", "hnsw_global",
-        Map("m" -> "16", "ef_construction" -> "200", "ef_search" -> "256")))
+        Map("m" -> "16", "ef_construction" -> "200",
+          "ef_search" -> hnswEf.toString)))
     base ++ ct ++ hnsw
   }
 
@@ -98,8 +99,12 @@ object BaselineCompare {
     * (msmarco) */
   val workloads: Seq[Workload] = Seq(
     Workload("random", 20000, 256, 64, normalize = false,
-      algoTable(64, nprobe = 32, lshTables = 12, lshHash = 4, lshMult = 64,
-        withCoverTree = true, withHnsw = true),
+      // ivfFlatNprobe 12 and lshMult 128 close the two below-reference
+      // recall rows (0.39→0.43 vs ref 0.41; 0.30→0.43 vs ref 0.32) at
+      // 25-60× the reference's QPS either way (dev/LshIvfRecallSweep)
+      algoTable(64, nprobe = 32, lshTables = 12, lshHash = 4, lshMult = 128,
+        withCoverTree = true, withHnsw = true, ivfFlatNprobe = 12,
+        hnswEf = 160),
       Map(
         "exact" -> (1.0000, 220.03),
         "hnsw" -> (0.9156, 23886.0),
@@ -114,8 +119,9 @@ object BaselineCompare {
     // so the old deep probes bought recall headroom the comparison never
     // credits while paying 2-4× the scan (dev/NprobeSweep.scala)
     Workload("glove50", 20000, 256, 50, normalize = false,
-      algoTable(50, nprobe = 8, lshTables = 12, lshHash = 4, lshMult = 64,
-        withCoverTree = true, withHnsw = true, ivfFlatNprobe = 8),
+      algoTable(50, nprobe = 8, lshTables = 12, lshHash = 4, lshMult = 128,
+        withCoverTree = true, withHnsw = true, ivfFlatNprobe = 8,
+        hnswEf = 100),
       Map(
         "exact" -> (1.0000, 290.68),
         "hnsw" -> (0.9750, 213468.0),
@@ -135,7 +141,8 @@ object BaselineCompare {
       // recall is FLAT in nprobe here (sweep: identical at 4 and 48 —
       // true neighbors all sit in the top-4 coarse lists), so probe 4
       algoTable(384, nprobe = 4, lshTables = 24, lshHash = 8, lshMult = 128,
-        withCoverTree = false, withHnsw = true, ivfFlatNprobe = 4),
+        withCoverTree = false, withHnsw = true, ivfFlatNprobe = 4,
+        hnswEf = 64),
       Map(
         "exact" -> (1.0000, 550.41),
         "hnsw" -> (0.9857, 7872.0),
