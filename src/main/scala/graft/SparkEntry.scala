@@ -356,6 +356,22 @@ object SparkEntry {
           "doc_id", "text", "qid", "qtext", k = 5)
         .select("query_id", "doc_id", "rank")
     }),
+    // --- BM25 served from the PERSISTED index (the 100 TB repeated-batch
+    //     path): postings bucketed by term + (term, df) + stats written
+    //     once, then scoring touches only query-term rows — no corpus
+    //     re-tokenization, no postings aggregate at serve time. Results
+    //     are defined to equal the inline path, so it replays the same
+    //     oracle ---
+    "text_bm25_serve" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Bm25.buildIndex(docs, "doc_id", "text", "graft_bm25_gate", buckets = 8)
+      Bm25.searchFromIndex(s, "graft_bm25_gate",
+          docs.filter(col("doc_id") % 53 === 0)
+            .select(col("doc_id").as("qid"),
+              substring(col("text"), 1, 200).as("qtext")),
+          "qid", "qtext", k = 5)
+        .select("query_id", "doc_id", "rank")
+    }),
     // --- CCNet-style LM perplexity scoring: add-0.5 bigram model
     //     trained relationally on the corpus scores every document;
     //     NLL accumulates as fixed-point longs (associative — engine/
@@ -3905,6 +3921,45 @@ object SparkEntry {
     // (associative — engine/order-independent) and ranking compares the
     // long totals with doc_id tiebreak. Output is int-only.
     "text_bm25_topk" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |d AS (SELECT doc_id, len(toks) AS dl, toks FROM tok),
+        |post AS (
+        |  SELECT doc_id, dl, term, count(*) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+        |  GROUP BY doc_id, dl, term),
+        |stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM d),
+        |df AS (SELECT term, count(*)::DOUBLE AS df FROM post GROUP BY term),
+        |q AS (
+        |  SELECT doc_id AS query_id, unnest(list_distinct(
+        |    string_split_regex(lower(trim(substr(text, 1, 200))), '\s+'))) AS term
+        |  FROM documents WHERE doc_id % 53 = 0),
+        |qdf AS (
+        |  SELECT q.query_id, q.term,
+        |    ln(1.0::DOUBLE + (stats.n_docs - df.df + 0.5::DOUBLE)
+        |      / (df.df + 0.5::DOUBLE)) AS idf,
+        |    stats.avgdl AS avgdl
+        |  FROM q JOIN df USING (term), stats),
+        |scored AS (
+        |  SELECT qdf.query_id, post.doc_id, post.term,
+        |    qdf.idf * (post.tf * (1.2::DOUBLE + 1.0::DOUBLE))
+        |      / (post.tf + 1.2::DOUBLE *
+        |         (0.25::DOUBLE + 0.75::DOUBLE * post.dl / qdf.avgdl)) AS s
+        |  FROM post JOIN qdf USING (term)),
+        |agg AS (
+        |  SELECT query_id, doc_id,
+        |    SUM(CAST(round(s * 1000000.0::DOUBLE, 0) AS BIGINT)) AS score_fixed
+        |  FROM scored GROUP BY query_id, doc_id),
+        |r AS (
+        |  SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score_fixed DESC, doc_id) AS rank
+        |  FROM agg)
+        |SELECT query_id, doc_id, rank FROM r WHERE rank <= 5""".stripMargin,
+    // serve-from-index is CONTRACTED to equal the inline path (same df
+    // values for surviving terms, same fixed-point scoring) — same oracle
+    "text_bm25_serve" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
         |  FROM documents),
