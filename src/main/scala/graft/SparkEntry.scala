@@ -138,6 +138,12 @@ object SparkEntry {
     // --- J9: PQ asymmetric-distance scoring ---
     "j9_pq_adc" -> annRecall("pq", "pq", "pq",
       Map("num_subspaces" -> "16", "num_centroids" -> "64"), "l2", floor = 0.50),
+    // --- J9+: OPQ rotation ahead of PQ (beyond the reference — FAISS
+    //     `OPQ16,PQ16` shape). Rotation + codebooks are seeded models →
+    //     floor-tier gate like J11; OpqSpec asserts the learned rotation
+    //     is orthogonal and reconstruction error ≤ plain PQ ---
+    "j9_opq_adc" -> annRecallGated("opq_pq", "opq_pq", "opq_pq",
+      Map("num_subspaces" -> "16", "num_centroids" -> "64"), "l2", floor = 0.50),
     // --- J10: IVF×SQ8 composition ---
     "j10_ivf_sq8" -> annRecall("ivf_sq8", "ivf_sq8", "ivf_sq8",
       Map("nlist" -> "16", "nprobe" -> "8"), "l2", floor = 0.75),
@@ -3140,6 +3146,10 @@ object SparkEntry {
     "j11_hnsw" ->
       """SELECT 'hnsw' AS algorithm, count(*)::BIGINT AS n_queries,
         |       0.6::DOUBLE AS recall_floor
+        |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
+    "j9_opq_adc" ->
+      """SELECT 'opq_pq' AS algorithm, count(*)::BIGINT AS n_queries,
+        |       0.5::DOUBLE AS recall_floor
         |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
     "j11_hnsw_global" ->
       """SELECT 'hnsw_global' AS algorithm, count(*)::BIGINT AS n_queries,

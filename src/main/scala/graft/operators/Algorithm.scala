@@ -133,6 +133,15 @@ object Registry {
           kmeansInit = p.getOrElse("kmeans_init", "random"))
       }
       registerSearcher("pq") { (p, m) => PqSearcher(metric = m) }
+      registerIndexer("opq_pq") { (p, _) =>
+        OpqPqIndexer(
+          numSubspaces = p.getOrElse("num_subspaces", "8").toInt,
+          numCentroids = p.getOrElse("num_centroids", "256").toInt,
+          seed = p.getOrElse("seed", "42").toLong,
+          opqIters = p.getOrElse("opq_iters", "8").toInt,
+          trainIters = p.getOrElse("train_iters", "15").toInt)
+      }
+      registerSearcher("opq_pq") { (p, m) => OpqPqSearcher(metric = m) }
       registerIndexer("ivf_sq8") { (p, m) =>
         IvfSq8Indexer(
           nlist = p.getOrElse("nlist", "64").toInt,
