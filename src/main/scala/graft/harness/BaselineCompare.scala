@@ -171,6 +171,13 @@ object BaselineCompare {
   val totalBudgetSec: Int =
     sys.env.getOrElse("SPARK_GRAFT_BASELINE_TOTAL_SEC", "900").toInt
 
+  // NOTE on graft.scan.simd: the flag exists (LocalScan.scanSimd,
+  // SimdScanSpec) and would be the FAISS-regime arithmetic for these
+  // measurements, but it stays OFF here: dev/KernelMicro measures this
+  // box's incubator Vector API at ≤1.4× scalar at 384-d and 0.5× at
+  // 64-d (virtualized JVM, intrinsics not engaging), so enabling it
+  // LOSES throughput. On hardware where the API intrinsifies it is the
+  // right knob for the float-scan rows.
   def run(spark: SparkSession): Seq[Entry] = {
     Registry.init()
     // dev filters: SPARK_GRAFT_BASELINE_ONLY=lsh,pq /

@@ -161,10 +161,12 @@ object Bm25 {
       "term", buckets)
     // df from the already-bucketed postings: the groupBy("term") plans
     // exchange-free on the bucketed layout
+    graft.sources.Bucketing.dropWithLocation(spark, s"${table}_df")
     spark.table(s"${table}_postings")
       .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
       .write.mode("overwrite").format("parquet")
       .saveAsTable(s"${table}_df")
+    graft.sources.Bucketing.dropWithLocation(spark, s"${table}_stats")
     docLengths(docs, idCol, textCol)
       .agg(count(lit(1)).cast("double").as("n_docs"), avg("dl").as("avgdl"))
       .write.mode("overwrite").format("parquet")

@@ -69,6 +69,24 @@ object LocalScan {
   def queryRowCap: Long =
     sys.props.get("graft.local.queryRowCap").map(_.toLong).getOrElse(1L << 20)
 
+  /** OPT-IN reassociated SIMD kernels for the driver-local FLOAT scans
+    * (exact / ivf_flat): -Dgraft.scan.simd=true / GRAFT_SCAN_SIMD=1.
+    * Default OFF — the default scalar kernels replicate the codegen
+    * expressions' double accumulation bit-for-bit, which the hash-tier
+    * gate oracles and the local≡distributed equality specs require.
+    * With the flag on, distances accumulate in float lanes (FAISS's own
+    * arithmetic regime — ~1e-5 relative error): results are
+    * recall-equivalent, not bit-reproducible against the distributed
+    * plans. Measure before enabling: on THIS sandbox the incubator
+    * Vector API barely intrinsifies (dev/KernelMicro: ≤1.4× scalar at
+    * 384-d, 0.5× at 64-d), so the flag stays off everywhere here; on
+    * hardware where the API engages it is the FAISS-regime knob for the
+    * float-scan rows. */
+  def scanSimd: Boolean =
+    sys.props.get("graft.scan.simd")
+      .orElse(sys.env.get("GRAFT_SCAN_SIMD"))
+      .exists(v => v == "true" || v == "1")
+
   /** one collected inverted-code relation: row r's code bytes at
     * [r·m, (r+1)·m); rows grouped contiguously by centroid id with
     * `listOffsets(cid) until listOffsets(cid+1)` (null for flat scans) */
@@ -429,10 +447,12 @@ object LocalScan {
   }
 
   /** exact flat scan (mirrors KnnJoin.knnJoin: broadcast queries × base
-    * scan + bounded heap, no padding); tiled like [[scanCodesFull]]. */
+    * scan + bounded heap, no padding); tiled like [[scanCodesFull]].
+    * [[scanSimd]] swaps in the reassociated SIMD kernels (opt-in). */
   def scanVecsFull(spark: SparkSession, vt: VecTable, qids: Array[Long],
       qVecs: Array[Array[Float]], k: Int, mode: Int): DataFrame = {
     val heaps = new Array[BoundedTopK](qids.length)
+    val simd = scanSimd && SimdDist.simdActive
     if (vt.n > 0) {
       val chunkRows = math.max(1, (64 << 10) / math.max(1, vt.dim))
       val qb = blockFor(qids.length)
@@ -451,7 +471,10 @@ object LocalScan {
             val q = qVecs(qi)
             var r = c0
             while (r < c1) {
-              h.insert(vt.ids(r), vecDist(q, vt.flat, r * vt.dim, vt.dim, mode))
+              val d =
+                if (simd) simdDistAt(q, vt.flat, r * vt.dim, mode)
+                else vecDist(q, vt.flat, r * vt.dim, vt.dim, mode)
+              h.insert(vt.ids(r), d)
               r += 1
             }
             qi += 1
@@ -463,6 +486,16 @@ object LocalScan {
     resultDf(spark, qids, heaps)
   }
 
+  /** reassociated SIMD distance over a flat row (opt-in via [[scanSimd]];
+    * same emitted convention as [[vecDist]]: L2 sqrt'd, IP negated) */
+  @inline private def simdDistAt(q: Array[Float], flat: Array[Float],
+      off: Int, mode: Int): Double = {
+    val kern = SimdDist.kernel
+    if (mode == 2) kern.cosineFlat(q, flat, off)
+    else if (mode == 1) -kern.dotFlat(q, flat, off)
+    else kern.l2Flat(q, flat, off)
+  }
+
   /** IVF flat scan: probed lists only (mirrors IvfSearcher's equi-join +
     * carried-vector rerank). */
   def scanVecsIvf(spark: SparkSession, vt: VecTable, qids: Array[Long],
@@ -470,6 +503,7 @@ object LocalScan {
       probes: Array[Array[Int]]): DataFrame = {
     val byQuery = invertProbes(probes, qids.length)
     val heaps = new Array[BoundedTopK](qids.length)
+    val simd = scanSimd && SimdDist.simdActive
     java.util.stream.IntStream.range(0, qids.length).parallel().forEach { qi =>
       var h: BoundedTopK = null
       val q = qVecs(qi)
@@ -479,7 +513,10 @@ object LocalScan {
           val end = vt.listOffsets(cid + 1)
           if (r < end && h == null) h = new BoundedTopK(k)
           while (r < end) {
-            h.insert(vt.ids(r), vecDist(q, vt.flat, r * vt.dim, vt.dim, mode))
+            val d =
+              if (simd) simdDistAt(q, vt.flat, r * vt.dim, mode)
+              else vecDist(q, vt.flat, r * vt.dim, vt.dim, mode)
+            h.insert(vt.ids(r), d)
             r += 1
           }
         }

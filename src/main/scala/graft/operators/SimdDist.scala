@@ -26,6 +26,13 @@ object SimdDist {
     def l2(a: Array[Float], b: Array[Float]): Double
     /** 1 − a·b / (‖a‖‖b‖); 1.0 on zero norms */
     def cosineDist(a: Array[Float], b: Array[Float]): Double
+    /** a·b */
+    def dot(a: Array[Float], b: Array[Float]): Double
+    /** flat-row variants: `b`'s row starts at `bOff`, length = a.length
+      * (LocalScan's collected tables are single flat float arrays) */
+    def l2Flat(a: Array[Float], b: Array[Float], bOff: Int): Double
+    def dotFlat(a: Array[Float], b: Array[Float], bOff: Int): Double
+    def cosineFlat(a: Array[Float], b: Array[Float], bOff: Int): Double
   }
 
   /** the exact arithmetic of the pre-SIMD HNSW kernels (float → double
@@ -40,6 +47,32 @@ object SimdDist {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) {
         val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      val den = math.sqrt(na) * math.sqrt(nb)
+      if (den == 0.0) 1.0 else 1.0 - dot / den
+    }
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def l2Flat(a: Array[Float], b: Array[Float], bOff: Int): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) {
+        val d = a(i).toDouble - b(bOff + i).toDouble; acc += d * d; i += 1
+      }
+      math.sqrt(acc)
+    }
+    def dotFlat(a: Array[Float], b: Array[Float], bOff: Int): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(bOff + i).toDouble; i += 1 }
+      acc
+    }
+    def cosineFlat(a: Array[Float], b: Array[Float], bOff: Int): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(bOff + i).toDouble
         dot += x * y; na += x * x; nb += y * y; i += 1
       }
       val den = math.sqrt(na) * math.sqrt(nb)

@@ -31,18 +31,23 @@ object Bucketing {
     * file and Spark's scan exposes the sortBy order to the optimizer —
     * SMJ elides its Sort nodes; (b) it bounds small-file count at
     * `buckets`, not `tasks × buckets`. */
-  def writeBucketed(df: DataFrame, table: String, key: String,
-      buckets: Int): Unit = {
-    val spark = df.sparkSession
-    // `mode("overwrite")` only overwrites tables the CATALOG knows; a
-    // fresh session (new in-memory catalog) with a managed location
-    // surviving from an earlier JVM hits LOCATION_ALREADY_EXISTS on the
-    // create path instead. Drop both the entry and any orphan dir.
+  /** Drop `table` AND its managed warehouse location. `mode("overwrite")`
+    * only overwrites tables the CATALOG knows; a fresh session (new
+    * in-memory catalog) with a managed location surviving from an
+    * earlier JVM hits LOCATION_ALREADY_EXISTS on the create path
+    * instead. Call before any managed saveAsTable. */
+  def dropWithLocation(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val loc = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    if (fs.exists(loc)) { fs.delete(loc, true); () }
+  }
+
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit = {
+    val spark = df.sparkSession
+    dropWithLocation(spark, table)
     df.repartition(buckets, col(key))
       .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key).sortBy(key)
