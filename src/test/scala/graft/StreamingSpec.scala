@@ -127,6 +127,33 @@ class StreamingSpec extends AnyFunSuite {
     artifact.data.unpersist()
   }
 
+  test("withEventTime adapts to both ts physical types (long-nanos and timestamp)") {
+    import spark.implicits._
+    import java.time.LocalDateTime
+    // the same instants, carried two ways: ns-since-epoch longs (the
+    // pre-r6 testdata layout, read via nanosAsLong) and timestamp_ntz
+    // (the current layout) — event_time must agree under the UTC session
+    val instants = Seq(
+      LocalDateTime.of(2026, 1, 1, 0, 0, 0),
+      LocalDateTime.of(2026, 1, 1, 12, 30, 45),
+      LocalDateTime.of(2026, 6, 15, 23, 59, 59))
+    val asLongNs = instants.map(t =>
+      t.toEpochSecond(java.time.ZoneOffset.UTC) * 1_000_000_000L +
+        t.getNano)
+    val longDf = asLongNs.zipWithIndex.map { case (ns, i) => (i.toLong, ns) }
+      .toDF("event_id", "ts")
+    val tsDf = instants.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("event_id", "ts")
+    val a = EventsStream.withEventTime(longDf)
+      .select(col("event_id"), col("event_time").cast("long"))
+      .collect().map(_.toSeq).toSet
+    val b = EventsStream.withEventTime(tsDf)
+      .select(col("event_id"), col("event_time").cast("long"))
+      .collect().map(_.toSeq).toSet
+    assert(a == b, s"long-ns and timestamp paths disagree: $a vs $b")
+    assert(a.nonEmpty)
+  }
+
   test("dedupByFingerprint batch mode ≡ exactDedup first-seen semantics") {
     import spark.implicits._
     val docs = Seq((2L, "a  b"), (1L, "A b"), (3L, "c"), (4L, "c"))
