@@ -259,6 +259,14 @@ object SparkEntry {
         .limit(20)
         .select(col("a"), col("b"), round(col("cosine"), 6).as("cosine"))
     }),
+    // --- SemDeDup-style semantic dedup: seeded k-means blocks the
+    //     corpus, only within-cluster pairs score (hash-model: the
+    //     oracle replays the seeded centroids as literals, like J8) ---
+    "dedup_semantic" -> ((s, dir) =>
+      Dedup.semanticDupPairs(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", numClusters = 8, threshold = 0.3)
+        .select(col("a"), col("b"), col("cluster"),
+          round(col("cosine"), 6).as("cosine"))),
     // --- text quality scoring + token counting ---
     "text_quality" -> ((s, dir) =>
       Tables.load(s, dir, "documents").select(
@@ -3967,6 +3975,34 @@ object SparkEntry {
         |      ORDER BY score_fixed DESC, doc_id) AS rank
         |  FROM agg)
         |SELECT query_id, doc_id, rank FROM r WHERE rank <= 5""".stripMargin,
+    // semantic dedup replay: seeded k-means centroid literals (k=8,
+    // seed=42, sf0.01 — dev/DumpCentroids 8), assignment = argmin
+    // squared-L2 with (d, cid) tie-break exactly like IvfModel.assign,
+    // then within-cluster cosine pairs; 1.0-(1.0-x) replicates the Spark
+    // expression's double arithmetic so the threshold compare agrees
+    "dedup_semantic" ->
+      """WITH cents(cid, cv) AS (VALUES
+        |(0, [-0.04480726,0.039853312,-0.024933727,-0.0093163485,-0.023245333,0.012614427,0.054728832,-1.2864353E-4,0.023714218,-0.033735577,-0.015639074,0.01102518,-0.013653416,0.038256247,-0.044502117,-0.015627217,0.05739749,0.047666736,-0.006900978,-0.0060148505,0.012129724,-0.038642976,0.049835708,-0.07559851,0.0046251,0.013269396,-0.0024563456,-8.6771336E-4,-0.054910433,-0.012732348,-0.061290354,0.056950923,0.004859085,-0.03931176,-0.047296956,0.06012104,0.038493086,0.003759206,0.011867993,-2.7364423E-4,-0.010485023,0.05882729,-0.05326326,-0.02706462,-0.008655151,-0.025917893,0.04725663,-0.010841405,-0.014668496,-0.07385174,-0.03566852,0.042831242,-0.0098387245,0.015324498,0.02373733,-0.0516024,-0.026894195,0.036630806,-0.024823267,-0.032775268,-0.013028684,-0.01002647,0.021846252,-0.00787168]::REAL[]),
+        |(1, [8.5345964E-4,0.052139536,0.0043838923,-0.017589048,0.03695904,0.045439404,-0.03346357,-0.027269514,0.0021899245,0.007331677,0.01855935,0.0036307564,0.031899408,0.069882475,0.0044798926,0.019126091,-0.006955754,-0.036424275,-0.020583367,0.03083141,-0.032562777,0.014962646,0.011712957,2.3312554E-4,0.05088811,0.012588174,-0.003070484,0.03590449,-0.05824219,0.0151971765,0.0030346857,-0.05812306,-0.0067983638,0.004081233,-0.027411012,0.005269963,0.014960354,0.013966148,0.017666483,0.065323934,0.0051031685,-0.042273704,0.046347618,-3.4257284E-4,-0.029382113,-0.02976645,-0.0046739522,-0.027721357,0.011838524,0.08170077,0.018318417,-0.017843433,0.015571274,-0.011843696,0.0059506358,0.02873015,0.05013372,-0.035538904,-0.056215998,-0.021111134,0.0786054,-0.021571899,0.019959195,-0.052144807]::REAL[]),
+        |(2, [-0.038803086,-0.011160323,-0.05963719,-0.004777334,0.059323378,0.08098525,0.027039545,-0.0414395,0.009946897,0.017448239,0.05249559,-0.030530872,-0.056823235,-0.035270713,0.03616587,-0.07883287,0.008240321,0.006885232,0.01646446,0.0101034185,0.039734453,-0.043418955,-0.060640547,0.014426732,-0.024591533,0.026323808,0.043923512,0.05274038,0.013648186,0.054135513,0.025190748,-0.037270144,0.03432283,-0.02482774,0.020231731,-0.01987015,0.019555217,0.014722699,0.0062203747,-0.005461968,-0.03396116,0.002262252,-0.009533494,0.03129678,0.039155576,-0.0079581225,0.008525824,-0.033990845,0.020952191,0.0071538547,0.0049592294,-0.045765936,-0.004782422,-0.0031234322,0.027360203,0.03904926,0.05915744,0.00911007,0.001706753,0.018645106,0.04048102,-0.05316523,-0.012962182,0.013154726]::REAL[]),
+        |(3, [0.062707394,-0.020712769,0.016963692,-0.039184228,0.0565652,0.058356352,-0.07323276,0.01105451,-0.008353046,-0.024043,0.056093562,-0.061384093,-0.014596446,-0.017240228,-0.031229874,0.09613645,0.03558696,0.05740614,-0.007648228,-0.010596868,-0.020098163,0.0066739707,-0.0015389394,0.02230357,-0.021809284,-0.030542474,0.02945634,0.0117213875,0.035948813,-0.07549831,0.033026353,-0.01132573,0.03427609,-0.010326261,0.04233252,-0.019916872,-0.048438992,-0.0498201,0.030162804,-1.4805438E-5,0.009785208,-0.021110734,0.061133843,7.610287E-4,-0.0016181272,0.011151055,0.02418504,0.026286166,0.035492275,0.00822603,-0.021298636,-0.024562215,0.08627622,-0.039396297,0.034211975,0.0040705837,-0.03177957,0.023874713,0.032274336,-0.042804983,-0.05093631,-0.004430887,0.03990731,0.053874265]::REAL[]),
+        |(4, [-0.003921453,-0.03149041,0.03594643,-0.028741455,-0.002102144,-0.02536687,-0.008015705,-0.0036488485,0.052812107,0.023258407,-0.0058367196,-0.015348402,6.635649E-4,-0.05008991,0.049865257,-0.04638626,0.0147166345,0.0033420152,0.025410805,0.03120294,0.008934726,0.043052927,-0.010438298,4.980837E-4,-0.016173244,0.017553687,-5.4672104E-4,-0.03614948,0.001845064,-0.025163729,-0.017558454,0.020694863,0.0152417775,-0.028628074,0.011144533,-0.07134702,0.016096795,0.008691789,-0.044901785,0.012190523,-9.1448845E-4,-0.0032180126,-0.049384985,-0.020231893,0.0036999262,0.037059132,-0.022476174,0.04620955,-0.034277722,-0.019803446,0.011077629,-0.031032708,0.060393,-0.036181297,-0.017399402,-0.024905277,0.020395849,0.018954849,0.07354701,-0.01842416,-0.035150528,0.06713112,-0.053155642,-0.0745577]::REAL[]),
+        |(5, [-0.011766344,-0.036510497,0.0010091894,0.042299535,-0.030580305,0.02504402,-0.043671854,0.050196297,-0.02248867,0.005720981,0.0029353364,0.081414856,0.0079782475,0.012322836,-0.0031171604,-0.00853115,-0.0644958,-0.015434526,-0.025730282,-0.030494686,-0.030698711,0.019501645,0.0035770277,-0.059686527,-0.0704443,0.01100748,-0.0021364172,0.008155304,0.010704594,-0.037169337,0.050035696,-0.0588748,0.002378868,0.02203058,0.048458576,0.08055368,-0.041709326,-0.013429706,0.016204862,-0.041614976,-0.03675156,-0.05772957,-0.023004161,-0.028312834,-0.002018211,-0.033493396,-0.0065470445,0.070118636,-0.03495222,-0.007438526,0.014573704,-7.2952657E-4,-0.024925549,0.038457796,-0.001129112,-0.011362576,-0.0606255,-0.03991594,-0.01725269,-0.0073270015,-0.019251447,0.035491634,-0.028967457,-0.04805515]::REAL[]),
+        |(6, [-0.004450416,-0.043384112,0.05935542,0.0083717685,-0.0071637128,-0.09605852,-0.018225733,0.084165856,-0.030666979,0.08721189,-0.019185215,0.004931489,0.03948422,0.0130991945,0.012280264,-0.007025499,0.031179752,-0.050273523,-0.04585487,0.030514361,0.011020315,-0.03035762,0.0011596922,0.036254816,0.054842558,0.020828165,-0.04848458,0.03846127,0.0017343384,0.0733536,0.024366584,-0.02203914,0.05485517,0.03711226,0.005592761,0.007499265,1.8107962E-4,-0.05230892,-0.019782644,0.012826456,0.022581372,0.026876682,-0.0067191464,0.06815304,-0.047154292,-0.0049292096,-0.019361706,-0.03872198,-0.017570361,-0.0044658887,0.081177175,0.06418416,0.0061656563,0.023700573,0.007671675,-0.019189674,-0.0117951725,-0.03310624,-0.004379994,0.014251805,-0.016117794,-0.0031357694,0.025143782,-0.0024384907]::REAL[]),
+        |(7, [0.051782124,0.0082318215,-0.011203002,0.011519108,0.0059271036,-0.019421937,-0.0487704,0.0010980066,-0.051750258,-0.07377763,-0.020040872,0.021844273,-0.023284279,-0.015590743,-0.023488607,0.079241775,-0.04286327,0.030151945,0.05078227,-0.043121412,-0.012361919,0.027760383,0.023400733,0.0073724817,0.004747894,0.028220886,-0.019008793,-0.004715192,0.044921327,0.022092404,0.0039650984,0.04273755,-0.05470818,-0.008612665,-0.0016169309,-0.025840865,-0.04260001,0.04852614,-0.014386711,-0.050184768,0.023846267,-0.053552024,0.04455721,-0.011459409,-0.036916398,0.07073435,-0.025057381,0.002304311,0.0136192525,-0.059250735,0.005940972,-0.0021371208,-0.062310297,-0.013260334,-0.02879288,0.017563757,0.039442282,-0.0026205862,-0.045089975,0.023342166,0.018032767,0.0076583517,-0.010105356,0.029409735]::REAL[])),
+        |t AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        |asg AS (SELECT id, v,
+        |  (SELECT cid FROM cents
+        |   ORDER BY list_sum(list_transform(list_zip(t.v, cents.cv::DOUBLE[]),
+        |     p -> (p[1]-p[2])*(p[1]-p[2]))), cid
+        |   LIMIT 1) AS cluster FROM t),
+        |p AS (SELECT l.id AS a, r.id AS b, l.cluster,
+        |    1.0 - (1.0 - list_sum(list_transform(list_zip(l.v, r.v), x -> x[1]*x[2]))
+        |      / (sqrt(list_sum(list_transform(l.v, x -> x*x)))
+        |         * sqrt(list_sum(list_transform(r.v, x -> x*x))))) AS cosine
+        |  FROM asg l JOIN asg r ON l.cluster = r.cluster AND l.id < r.id)
+        |SELECT a, b, cluster, round(cosine, 6) AS cosine FROM p
+        |WHERE cosine >= 0.3""".stripMargin,
     // serve-from-index is CONTRACTED to equal the inline path (same df
     // values for surviving terms, same fixed-point scoring) — same oracle
     "text_bm25_serve" ->

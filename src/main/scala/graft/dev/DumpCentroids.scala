@@ -2,16 +2,18 @@ package graft.dev
 
 import org.apache.spark.sql.SparkSession
 
-/** dev aid: print the seeded IVF coarse centroids of the gate config
-  * (nlist=16, seed=42 over sf0.01 embeddings) as SQL list literals. */
+/** dev aid: print seeded IVF coarse centroids as SQL list literals for
+  * hash-model oracle blocks. args: [nlist=16] — gate configs: 16 for the
+  * j8 probes, 8 for dedup_semantic. */
 object DumpCentroids {
   def main(args: Array[String]): Unit = {
+    val nlist = if (args.length > 0) args(0).toInt else 16
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val b = graft.Tables.embBase(spark, "/root/testdata/sf0.01")
-    val art = graft.operators.IvfIndexer(nlist = 16, seed = 42).build(b)
+    val art = graft.operators.IvfIndexer(nlist = nlist, seed = 42).build(b)
     val rows = art.aux("centroids")
       .select("centroid_id", "vector").collect()
       .sortBy(_.getInt(0))

@@ -661,6 +661,49 @@ object Dedup {
       .select(col("a"), col("b"), sim.as("cosine"))
   }
 
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al. '23,
+    * arXiv:2303.09540 — the k-means-blocked semantic dedup run on
+    * web-scale corpora): a seeded k-means partitions the embedding
+    * space, and only WITHIN-cluster pairs are scored for cosine
+    * similarity ≥ `threshold`. Complements [[embeddingDupPairs]]'s
+    * sign-LSH blocking: k-means cells adapt to the corpus's actual
+    * density (semantic duplicates share a cell with high probability),
+    * while hyperplane buckets are data-oblivious.
+    *
+    * Scale shape: centroids train on a bounded driver sample
+    * ([[IvfModel.train]], FAISS's own discipline), assignment is one
+    * broadcast-centroids map pass (no shuffle), and candidates arrive
+    * via the cluster-id equi-join — work is Σ_c |c|², bounded by the
+    * blocking, never the corpus-wide n². Approximate by construction:
+    * a true pair straddling a cell boundary is missed (the paper
+    * accepts exactly this); [[embeddingDupPairsExact]] is the oracle.
+    * Output: (a, b, cluster, cosine) with a < b. */
+  def semanticDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      numClusters: Int, threshold: Double, seed: Long = 42): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("vector"))
+    val centers = IvfModel.train(base, numClusters, seed)
+    val assigned = base.as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (i, v) => (i, v, IvfModel.assign(centers, v)) })
+      .toDF("id", "v", "cl")
+    assigned.as("l").join(assigned.as("r"),
+        col("l.cl") === col("r.cl") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"),
+        col("l.cl").as("cluster"),
+        (lit(1.0) - graft.functions.VectorFunctions
+          .cosine_dist(col("l.v"), col("r.v"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** retention policy over [[semanticDupPairs]]: drop every embedding
+    * with a more-canonical (smaller-id) semantic duplicate */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      numClusters: Int, threshold: Double, seed: Long = 42): DataFrame =
+    dropNearDups(df, idCol,
+      semanticDupPairs(df, idCol, vecCol, numClusters, threshold, seed))
+
   /** Exact all-pairs embedding near-dup: O(n²) theta join scoring every
     * pair. The ground-truth/small-N path (≲10⁵ rows) and the oracle the
     * approximate variant is validated against; at corpus scale use

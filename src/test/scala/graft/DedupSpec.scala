@@ -219,4 +219,29 @@ class DedupSpec extends AnyFunSuite {
     val t = "the quick brown fox jumps over the lazy dog again and again"
     assert(Dedup.winnowArray(t, n, w).toSeq == Dedup.winnowArray(t, n, w).toSeq)
   }
+
+  test("semanticDupPairs: k=1 ≡ exact; k-means blocking finds only true pairs") {
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val t = 0.3
+    val exact = Dedup.embeddingDupPairsExact(e, "vec_id", "embedding", t)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // one cluster = no blocking = exactly the all-pairs result
+    val k1 = Dedup.semanticDupPairs(e, "vec_id", "embedding",
+        numClusters = 1, threshold = t)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(k1 == exact, s"k=1 must equal exact: ${k1.size} vs ${exact.size}")
+    // blocked pairs are a SUBSET of the exact pairs (no false positives;
+    // misses are the documented cell-boundary cases)
+    val k8 = Dedup.semanticDupPairs(e, "vec_id", "embedding",
+        numClusters = 8, threshold = t)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(k8.subsetOf(exact), s"blocked pairs invented ${(k8 -- exact).size}")
+    assert(k8.nonEmpty, "gate data should contain within-cluster pairs")
+    // retention: survivors = all ids minus the b-side of some pair
+    val kept = Dedup.semanticDedup(e, "vec_id", "embedding",
+        numClusters = 8, threshold = t)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val dropped = k8.map(_._2)
+    assert(kept.intersect(dropped).isEmpty && kept.nonEmpty)
+  }
 }
