@@ -71,7 +71,7 @@ class PlanQualitySpec extends AnyFunSuite {
     // an equi-join on a blocking key — an O(n²)-row theta join would be
     // the 100 TB death sentence the LSH/prefix variants exist to avoid
     val d = "/root/testdata/sf0.001"
-    for (q <- Seq("dedup_jaccard_pairs", "dedup_simhash")) {
+    for (q <- Seq("dedup_jaccard_pairs", "dedup_simhash", "dedup_semantic")) {
       val plan = SparkEntry.queries(q)(spark, d)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$q plans a CartesianProduct")
