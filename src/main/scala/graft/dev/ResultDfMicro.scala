@@ -31,6 +31,26 @@ object ResultDfMicro {
     }
     t("resultDf only")(LocalScan.resultDf(spark, qids, heaps))
     t("resultDf + collect")(LocalScan.resultDf(spark, qids, heaps).collect())
+    // phase split: where do the milliseconds actually go?
+    t("rows build only") {
+      val out = qids.indices.iterator.flatMap { qi =>
+        val h = heaps(qi)
+        h.sorted.iterator.zipWithIndex.map { case ((id, d), pos) =>
+          (qids(qi), pos + 1, id, d)
+        }
+      }.toSeq
+      out.map(tu =>
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](tu._1, tu._2, tu._3, tu._4))): Unit
+    }
+    val df = LocalScan.resultDf(spark, qids, heaps)
+    t("analyzed")(df.queryExecution.analyzed)
+    t("optimizedPlan") {
+      LocalScan.resultDf(spark, qids, heaps).queryExecution.optimizedPlan: Unit
+    }
+    t("executedPlan") {
+      LocalScan.resultDf(spark, qids, heaps).queryExecution.executedPlan: Unit
+    }
     spark.stop()
   }
 }
