@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver reads a ~2KB TAIL of `sbt runMain graft.Bench` stdout
+// and json-parses the artifact line. Two sbt behaviors broke that for six
+// rounds: (a) forked run output is wrapped by sbt's logger as `[info] {…}`,
+// (b) sbt appends `[success] Total time…` AFTER the artifact, so last-line
+// parsers read the wrong line. Pass the child's stdout through verbatim
+// and drop the success trailer entirely.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not a task — exclude it
+// from the unused-key lint so the warning doesn't land in the stdout tail
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
