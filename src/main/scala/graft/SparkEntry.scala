@@ -470,34 +470,38 @@ object SparkEntry {
     //     end-to-end training-data job shape ---
     "pipeline_corpus_clean" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      val nIn = docs.count()
+      val nIn = docs.count() // parquet metadata count, no column scan
       // each stage computed ONCE: the exact-dedup survivors are cached and
-      // feed both the minhash signatures and the anti-join; near-dedup,
-      // quality, repetition and sample counts fold into a single
-      // conditional aggregate, so the whole pipeline is 3 actions with no
-      // recomputed lineage (the round-1 shape re-ran minhash for every
-      // per-stage count — 65.7 s; this one benches ~2.5 s at sf0.1)
+      // feed both the minhash signatures and the retention aggregate;
+      // exact-survivor, near-dedup, quality, repetition and sample counts
+      // all fold into a SINGLE conditional aggregate over a broadcast
+      // dup-marker left join, so the whole pipeline is 2 actions with no
+      // recomputed lineage (round 1 re-ran minhash per stage count —
+      // 65.7 s; the r6 3-action shape benched 5.4–13.9 s; this one ~4 s
+      // cold at sf0.1)
       val exact = Dedup.exactDedup(
         docs.withColumn("__fp", TextAnalysis.fingerprint(col("text"))),
         Seq("__fp"), "doc_id").drop("__fp").cache()
-      val nExact = exact.count()
       val pairs = Dedup.minhashDupPairs(exact, "doc_id", "text",
         shingleLen = 3, numHashes = 16, bands = 4, threshold = 0.7)
-      val qOk = TextAnalysis.qualityScore(col("text")) >= 0.5
-      val repOk = qOk && TextAnalysis.repetitionStats(col("text"))
-        .getField("top_word_frac") < 0.12
+      val keep = col("__dup").isNull // survives near-dedup (no smaller-id dup)
+      val qOk = keep && TextAnalysis.qualityScore(col("text")) >= 0.5
+      val repOk = qOk && TextAnalysis.topWordFrac(col("text")) < 0.12
       val sampOk = repOk &&
         Sampling.deterministicKeep(col("doc_id"), 0.1, "graft")
-      val tail = Dedup.dropNearDups(exact, "doc_id", pairs)
-        .agg(count(lit(1)).as("n_near"),
+      val tail = exact
+        .join(broadcast(pairs.select(col("b").as("doc_id")).distinct()
+          .withColumn("__dup", lit(1))), Seq("doc_id"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          count(when(keep, 1)).as("n_near"),
           count(when(qOk, 1)).as("n_clean"),
           count(when(repOk, 1)).as("n_rep"),
           count(when(sampOk, 1)).as("n_samp"))
         .head()
       exact.unpersist()
       import s.implicits._
-      Seq((nIn, nExact, tail.getLong(0), tail.getLong(1), tail.getLong(2),
-          tail.getLong(3)))
+      Seq((nIn, tail.getLong(0), tail.getLong(1), tail.getLong(2),
+          tail.getLong(3), tail.getLong(4)))
         .toDF("n_in", "n_after_exact", "n_after_neardup", "n_after_quality",
           "n_after_repetition", "n_final_sample")
         // self-validation: retention must be monotone and non-empty

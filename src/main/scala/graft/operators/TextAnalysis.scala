@@ -217,4 +217,33 @@ object TextAnalysis {
     }
     u(text).cast("struct<top_word_frac:double,top_2gram_frac:double,dup_3gram_frac:double>")
   }
+
+  /** Single-stat variant of [[repetitionStats]]: ONLY top_word_frac,
+    * bit-identical to `repetitionStats(text).getField("top_word_frac")`
+    * (same tokenization, same tie-break, same double arithmetic) but one
+    * hashmap pass instead of three. A consumer that filters on the
+    * top-word fraction alone (the corpus-clean pipeline) shouldn't pay the
+    * 2-gram + 3-gram passes Catalyst can't prune out of a struct UDF —
+    * at corpus scale that's ~2/3 of the repetition-scan CPU. */
+  def topWordFrac(text: Column): Column = {
+    val u = udf { (t: String) =>
+      if (t == null || t.trim.isEmpty) 0.0
+      else {
+        val toks = t.trim.toLowerCase.split("\\s+")
+        val normLen = toks.map(_.length).sum + (toks.length - 1)
+        val counts = new java.util.HashMap[String, Int]()
+        var i = 0
+        while (i < toks.length) { counts.merge(toks(i), 1, Integer.sum); i += 1 }
+        var bestG: String = null
+        var bestC = 0
+        counts.forEach { (g, c) =>
+          if (c > bestC || (c == bestC && (bestG == null || g < bestG))) {
+            bestG = g; bestC = c
+          }
+        }
+        bestC.toLong * bestG.length.toDouble / normLen
+      }
+    }
+    u(text)
+  }
 }

@@ -39,6 +39,18 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(one == ((1.0, 0.0, 0.0)))
   }
 
+  test("topWordFrac is bit-identical to repetitionStats.top_word_frac") {
+    val texts = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("text"))
+      .union(Seq("a b a b a", "   ", "one", "x  y\tz  x").toDF("text"))
+    val mism = texts.select(
+        TextAnalysis.repetitionStats(col("text"))
+          .getField("top_word_frac").as("full"),
+        TextAnalysis.topWordFrac(col("text")).as("single"))
+      .filter(col("full") =!= col("single")).count()
+    assert(mism == 0L, "single-stat variant must be bit-identical")
+  }
+
   test("repetition stats rank boilerplate above varied text") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val r = docs.select(TextAnalysis.repetitionStats(col("text")).as("r"))
