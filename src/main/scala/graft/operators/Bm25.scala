@@ -107,10 +107,20 @@ object Bm25 {
   def searchTopKOverPostings(post: DataFrame, stats: DataFrame,
       queries: DataFrame, qIdCol: String, qTextCol: String,
       k: Int, k1: Double = 1.2, b: Double = 0.75,
-      prebuiltDf: Option[DataFrame] = None): DataFrame = {
-    val qterms = queries.select(col(qIdCol).as("query_id"),
-        explode(array_distinct(Dedup.tokens(col(qTextCol)))).as("term"))
+      prebuiltDf: Option[DataFrame] = None): DataFrame =
+    scoreQTerms(post, stats, qtermsOf(queries, qIdCol, qTextCol),
+      k, k1, b, prebuiltDf)
 
+  /** `(query_id, term)` — the distinct query-term relation scoring joins
+    * against. */
+  private def qtermsOf(queries: DataFrame, qIdCol: String,
+      qTextCol: String): DataFrame =
+    queries.select(col(qIdCol).as("query_id"),
+      explode(array_distinct(Dedup.tokens(col(qTextCol)))).as("term"))
+
+  private def scoreQTerms(post: DataFrame, stats: DataFrame,
+      qterms: DataFrame, k: Int, k1: Double, b: Double,
+      prebuiltDf: Option[DataFrame]): DataFrame = {
     // per-term document frequency, restricted to the query vocabulary
     // BEFORE the aggregate: the semi-join keeps only postings of query
     // terms (a broadcast filter — the corpus side never moves), so the
@@ -173,13 +183,46 @@ object Bm25 {
       .saveAsTable(s"${table}_stats")
   }
 
+  /** [[buildIndex]] exactly once per index name: a no-op when the three
+    * index tables already sit in the catalog. The caller owns keying the
+    * name by input identity (the gate keys it by the testdata dir), so an
+    * existence check is a sufficient staleness guard — same name ⟹ same
+    * corpus. This is the fixture path that lets a repeated-serving bench
+    * time serving without re-paying the one-time build. */
+  def ensureIndex(docs: DataFrame, idCol: String, textCol: String,
+      table: String, buckets: Int = 32): Unit = {
+    val cat = docs.sparkSession.catalog
+    val ready = Seq("_postings", "_df", "_stats")
+      .forall(sfx => cat.tableExists(table + sfx))
+    if (!ready) buildIndex(docs, idCol, textCol, table, buckets)
+  }
+
   /** Serve a query batch from a [[buildIndex]] layout: no corpus
     * tokenization, no postings aggregate — df and stats are persisted
-    * lookups, the scoring join streams only the bucketed postings. */
+    * lookups, and the postings/df scans carry an `isin` filter on the
+    * batch's query-term vocabulary. The vocabulary is collected on the
+    * driver first (one job over the QUERY batch — the side that is small
+    * by definition), because a literal In on the bucket column is what
+    * unlocks bucket pruning + parquet pushdown: without it the scoring
+    * join would stream every postings bucket per batch, which at corpus
+    * scale reads the whole index to answer a 5-term query. */
   def searchFromIndex(spark: org.apache.spark.sql.SparkSession,
       table: String, queries: DataFrame, qIdCol: String, qTextCol: String,
-      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =
-    searchTopKOverPostings(spark.table(s"${table}_postings"),
-      spark.table(s"${table}_stats"), queries, qIdCol, qTextCol, k, k1, b,
-      prebuiltDf = Some(spark.table(s"${table}_df")))
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // The query batch is the broadcast-small side by contract, and it
+    // feeds three places (vocab filter, df lookup, scoring join) — so pay
+    // ONE job to land it on the driver and serve every consumer from a
+    // LocalRelation: no repeated derivation jobs, broadcasts without a
+    // collect stage, and the vocabulary literal in hand.
+    val qt = qtermsOf(queries, qIdCol, qTextCol)
+    val rows = qt.collect()
+    val qterms = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), qt.schema)
+    val vocab = rows.map(_.getString(1)).distinct.toSeq
+    val termIn = col("term").isin(vocab: _*)
+    scoreQTerms(
+      spark.table(s"${table}_postings").filter(termIn),
+      spark.table(s"${table}_stats"), qterms, k, k1, b,
+      prebuiltDf = Some(spark.table(s"${table}_df").filter(termIn)))
+  }
 }

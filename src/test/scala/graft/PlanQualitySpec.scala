@@ -287,6 +287,11 @@ class PlanQualitySpec extends AnyFunSuite {
         s"serve path must read persisted df, not re-aggregate postings:\n$plan")
       assert(plan.contains("pq_bm25ix_df"),
         s"df must come from the persisted table scan:\n$plan")
+      // the postings scan must be eligible for bucket pruning: the
+      // query-vocab isin literal reaches the bucketed file scan, so a
+      // batch touches only the buckets its terms hash into
+      assert(plan.contains("SelectedBucketsCount"),
+        s"query-vocab filter must enable bucket pruning on postings:\n$plan")
       // and it must answer exactly like the one-shot inline path
       val inline = graft.operators.Bm25.searchTopK(docs, queries,
         "doc_id", "text", "qid", "qtext", k = 5)
