@@ -22,10 +22,26 @@ object Shim {
       spark: org.apache.spark.sql.SparkSession,
       schema: org.apache.spark.sql.types.StructType,
       rows: Seq[org.apache.spark.sql.catalyst.InternalRow])
-      : org.apache.spark.sql.DataFrame =
-    org.apache.spark.sql.classic.Dataset.ofRows(
-      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
-      org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+      : org.apache.spark.sql.DataFrame = {
+    val session = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    session.withActive {
+      val rel = org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
         org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(schema),
-        rows))
+        rows)
+      // A bare LocalRelation of materialized rows is already in optimal
+      // form — every optimizer rule is a no-op on it, but the full batch
+      // sweep still costs ~14 ms per relation (dev/ResultDfMicro), which
+      // at per-search-batch frequency is the dominant framework tax of
+      // driver-local serving. Skip straight to the analyzed plan; any
+      // DERIVED Dataset composes the logical plan and gets the full
+      // pipeline as usual.
+      val qe = new org.apache.spark.sql.execution.QueryExecution(session, rel) {
+        override def optimizedPlan
+            : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+          commandExecuted
+      }
+      new org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row](
+        qe, org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(schema))
+    }
+  }
 }
