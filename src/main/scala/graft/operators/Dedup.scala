@@ -677,9 +677,21 @@ object Dedup {
     * blocking, never the corpus-wide n². Approximate by construction:
     * a true pair straddling a cell boundary is missed (the paper
     * accepts exactly this); [[embeddingDupPairsExact]] is the oracle.
+    *
+    * `maxClusterSize` (opt-in; default uncapped = the paper's exact
+    * semantics, and the gate's pinned-oracle config): the within-cluster
+    * join is quadratic in the LARGEST cluster, so one degenerate cell —
+    * a boilerplate blob, an all-zeros embedding bug — can turn the
+    * Σ|c|² bound into a single n²-ish hot task at corpus scale. Above
+    * the cap, a cluster of size s stratifies deterministically
+    * (seeded id hash) into ceil(s / cap) sub-blocks compared only
+    * within themselves: worst-case work drops s² → ~s²/nsub at the cost
+    * of missing cross-block pairs inside that cluster — the same
+    * accept-the-miss trade the cell boundary already makes.
     * Output: (a, b, cluster, cosine) with a < b. */
   def semanticDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      numClusters: Int, threshold: Double, seed: Long = 42): DataFrame = {
+      numClusters: Int, threshold: Double, seed: Long = 42,
+      maxClusterSize: Int = Int.MaxValue): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val base = df.select(col(idCol).cast("long").as("id"),
@@ -688,8 +700,24 @@ object Dedup {
     val assigned = base.as[(Long, Array[Float])]
       .mapPartitions(_.map { case (i, v) => (i, v, IvfModel.assign(centers, v)) })
       .toDF("id", "v", "cl")
-    assigned.as("l").join(assigned.as("r"),
-        col("l.cl") === col("r.cl") && col("l.id") < col("r.id"))
+    val (blocked, blockKeys) =
+      if (maxClusterSize == Int.MaxValue) (assigned, Seq("cl"))
+      else {
+        // per-cluster sizes are numClusters rows — broadcast; the strata
+        // key is a pure function of (id, seed, cluster size), so the
+        // blocking is partition-layout/retry invariant like every other
+        // dedup key in this module
+        val sizes = assigned.groupBy("cl").agg(count(lit(1)).as("__n"))
+        val b = assigned.join(broadcast(sizes), "cl")
+          .withColumn("__nsub",
+            ceil(col("__n").cast("double") / maxClusterSize).cast("long"))
+          .withColumn("sub", pmod(xxhash64(col("id"), lit(seed)), col("__nsub")))
+          .drop("__n", "__nsub")
+        (b, Seq("cl", "sub"))
+      }
+    blocked.as("l").join(blocked.as("r"),
+        blockKeys.map(k => col(s"l.$k") === col(s"r.$k"))
+          .reduce(_ && _) && col("l.id") < col("r.id"))
       .select(col("l.id").as("a"), col("r.id").as("b"),
         col("l.cl").as("cluster"),
         (lit(1.0) - graft.functions.VectorFunctions

@@ -27,6 +27,26 @@ class Bm25Spec extends AnyFunSuite {
     assert(p.size == 12)
   }
 
+  test("ensureIndex: builds once, second call is a catalog no-op") {
+    try {
+      Bm25.ensureIndex(corpus, "id", "text", "spec_bm25ix", buckets = 2)
+      val built = spark.table("spec_bm25ix_postings").count()
+      assert(built == 12L)
+      // rebuild with a DIFFERENT corpus under the same name: ensureIndex
+      // must NOT rebuild (same name ⟹ same corpus is the caller contract)
+      Bm25.ensureIndex(corpus.limit(1), "id", "text", "spec_bm25ix", buckets = 2)
+      assert(spark.table("spec_bm25ix_postings").count() == built,
+        "second ensureIndex must be a no-op")
+      // a missing piece forces the rebuild
+      spark.sql("DROP TABLE spec_bm25ix_df")
+      Bm25.ensureIndex(corpus.limit(1), "id", "text", "spec_bm25ix", buckets = 2)
+      assert(spark.table("spec_bm25ix_postings").count() == 4L,
+        "incomplete index trio must rebuild")
+    } finally
+      Seq("spec_bm25ix_postings", "spec_bm25ix_df", "spec_bm25ix_stats")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("rare terms outrank common ones; ranks are (score desc, id) ordered") {
     val queries = Seq((10L, "quick fox"), (20L, "dog")).toDF("qid", "qtext")
     val hits = Bm25.searchTopK(corpus, queries, "id", "text", "qid", "qtext",

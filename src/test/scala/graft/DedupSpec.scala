@@ -244,4 +244,24 @@ class DedupSpec extends AnyFunSuite {
     val dropped = k8.map(_._2)
     assert(kept.intersect(dropped).isEmpty && kept.nonEmpty)
   }
+
+  test("semanticDupPairs cluster-size cap: subset semantics, stratification bites") {
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val t = 0.3
+    def pairs(cap: Int): Set[(Long, Long)] =
+      Dedup.semanticDupPairs(e, "vec_id", "embedding", numClusters = 8,
+          threshold = t, maxClusterSize = cap)
+        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairs(Int.MaxValue)
+    val capped = pairs(16)
+    // the guard only ever REMOVES candidate comparisons: capped pairs are
+    // a strict subset once the cap is below the largest cluster
+    assert(capped.subsetOf(uncapped),
+      s"cap invented pairs: ${(capped -- uncapped).size}")
+    assert(capped.size < uncapped.size,
+      "a 16-row cap under 8 coarse clusters must split something")
+    assert(capped.nonEmpty, "within-stratum pairs must survive")
+    // deterministic: same seed, same strata, same result
+    assert(capped == pairs(16))
+  }
 }
