@@ -27,6 +27,11 @@ object Bench {
       .config("spark.local.dir", localDir)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // 55 gate queries × several codegen units each churn well past the
+      // default 100-entry codegen cache, so classes compiled in warm-up
+      // (and their JIT state) are evicted before late-alphabet gates run;
+      // static conf, must be set before the session exists
+      .config("spark.sql.codegen.cache.maxEntries", "4000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

