@@ -60,7 +60,11 @@ object BaselineCompare {
     // 64-d / 384-d, PQ50 at 50-d): dims must divide evenly
     val m = if (dims % 64 == 0) 64 else dims
     val base = Seq[AlgoRow](
-      ("exact", "brute_force", "linear", Map.empty[String, String]),
+      // l2_gram = FAISS IndexFlatL2's own arithmetic (‖q‖²+‖x‖²−2q·x,
+      // row norms hoisted — the gemm decomposition): the faithful
+      // comparison regime for the exact row, and the J2 gate's metric.
+      // Rankings equal plain l2 up to fp rounding at ties.
+      ("exact", "brute_force", "linear", Map("metric" -> "l2_gram")),
       ("lsh", "lsh", "lsh", Map("num_tables" -> lshTables.toString,
         "hash_size" -> lshHash.toString, "bucket_width" -> "20.0",
         "candidate_multiplier" -> lshMult.toString)),
@@ -335,7 +339,7 @@ object BaselineCompare {
       .build(train)
     artifact.data.cache().count()
     val buildS = (System.nanoTime() - t0) / 1e9
-    val searcher = Registry.searcher(se, params, "l2")
+    val searcher = Registry.searcher(se, params, params.getOrElse("metric", "l2"))
     // timing window = batch search only, materialized IN CLIENT MEMORY —
     // the reference's pinned methodology (metrics_methodology.md:
     // wall-clock around batch_search, which returns arrays to the

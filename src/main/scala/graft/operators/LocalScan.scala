@@ -100,6 +100,10 @@ object LocalScan {
   final class VecTable(val ids: Array[Long], val flat: Array[Float],
       val dim: Int, val listOffsets: Array[Int]) {
     def n: Int = ids.length
+    /** lazily-computed per-row squared norms (gram-trick scan). Cached ON
+      * the table: the generic memo is keyed by this instance already (the
+      * LSH id-index), and a fresh wrapper key would be weak-map garbage. */
+    @volatile private[operators] var normsCache: Array[Double] = null
   }
 
   // ---------------------------------------------------------------------
@@ -415,7 +419,31 @@ object LocalScan {
     case "l2" => Some(0)
     case "ip" | "dot" => Some(1)
     case "cosine" | "angular" => Some(2)
+    // J2 gram-trick L2 (FAISS IndexFlatL2's own regime: ‖q‖²+‖x‖²−2q·x
+    // with per-row norms hoisted) — inner loop is ONE dot product
+    case "l2_gram" => Some(3)
     case _ => None
+  }
+
+  /** per-row squared norms of a VecTable, computed once and memoized
+    * alongside it (keyed by the table instance): the gram-trick scan's
+    * hoisted ‖x‖² term. Accumulation is double in index order, exactly
+    * the `vec_dot(v, v)` the distributed gram plan computes. */
+  private def rowNorms(vt: VecTable): Array[Double] = {
+    val cached = vt.normsCache
+    if (cached != null) cached
+    else {
+      val out = new Array[Double](vt.n)
+      java.util.stream.IntStream.range(0, vt.n).parallel().forEach { r =>
+        var acc = 0.0; var i = 0; val off = r * vt.dim
+        while (i < vt.dim) {
+          val x = vt.flat(off + i).toDouble; acc += x * x; i += 1
+        }
+        out(r) = acc
+      }
+      vt.normsCache = out // idempotent; benign publish race
+      out
+    }
   }
 
   /** public alias for operator-local fast paths (LSH rerank/fallback) */
@@ -452,7 +480,11 @@ object LocalScan {
   def scanVecsFull(spark: SparkSession, vt: VecTable, qids: Array[Long],
       qVecs: Array[Array[Float]], k: Int, mode: Int): DataFrame = {
     val heaps = new Array[BoundedTopK](qids.length)
-    val simd = scanSimd && SimdDist.simdActive
+    // SIMD kernels cover modes 0-2 only; the gram mode's dot loop is
+    // already the minimal-op kernel
+    val simd = scanSimd && SimdDist.simdActive && mode != 3
+    val gram = mode == 3
+    val norms = if (gram) rowNorms(vt) else null
     if (vt.n > 0) {
       val chunkRows = math.max(1, (64 << 10) / math.max(1, vt.dim))
       val qb = blockFor(qids.length)
@@ -462,6 +494,17 @@ object LocalScan {
         val q1 = math.min(qids.length, q0 + qb)
         var qi = q0
         while (qi < q1) { heaps(qi) = new BoundedTopK(k); qi += 1 }
+        // hoisted ‖q‖² per query of this block (gram mode only)
+        val qq = if (!gram) null else {
+          val a = new Array[Double](q1 - q0)
+          var j = q0
+          while (j < q1) {
+            val q = qVecs(j); var acc = 0.0; var i = 0
+            while (i < q.length) { val x = q(i).toDouble; acc += x * x; i += 1 }
+            a(j - q0) = acc; j += 1
+          }
+          a
+        }
         var c0 = 0
         while (c0 < vt.n) {
           val c1 = math.min(vt.n, c0 + chunkRows)
@@ -470,7 +513,21 @@ object LocalScan {
             val h = heaps(qi)
             val q = qVecs(qi)
             var r = c0
-            while (r < c1) {
+            if (gram) {
+              val qn = qq(qi - q0)
+              val dim = vt.dim
+              while (r < c1) {
+                var dot = 0.0; var i = 0; val off = r * dim
+                while (i < dim) {
+                  dot += q(i).toDouble * vt.flat(off + i).toDouble; i += 1
+                }
+                // sqrt(max(0, qq + bb − 2·dot)) — vector_utils.py:20-51 /
+                // the distributed J2 plan, same double arithmetic
+                h.insert(vt.ids(r),
+                  math.sqrt(math.max(0.0, qn + norms(r) - 2.0 * dot)))
+                r += 1
+              }
+            } else while (r < c1) {
               val d =
                 if (simd) simdDistAt(q, vt.flat, r * vt.dim, mode)
                 else vecDist(q, vt.flat, r * vt.dim, vt.dim, mode)

@@ -59,6 +59,27 @@ class LocalScanSpec extends AnyFunSuite {
     checkAlgo("exact_cos", "brute_force", "linear", Map.empty, metric = "cosine")
   }
 
+  test("linear (exact) local scan ≡ distributed kNN join, l2_gram") {
+    checkAlgo("exact_gram", "brute_force", "linear", Map.empty,
+      metric = "l2_gram")
+  }
+
+  test("l2_gram ranks like l2 (distances equal within fp rounding)") {
+    val artifact = Registry.indexer("brute_force", Map("seed" -> "42"), "l2")
+      .build(trainC)
+    val s = Registry.searcher("linear", Map.empty, _: String)
+    val l2 = rows(s("l2").search(artifact, queries, 7))
+    val gram = rows(s("l2_gram").search(artifact, queries, 7))
+    assert(l2.size == gram.size)
+    l2.zip(gram).foreach { case ((q1, r1, _, d1), (q2, r2, _, d2)) =>
+      // ids may swap at fp ties; (query, rank) alignment and distance
+      // agreement to 1e-6 is the gram-trick contract (vector_utils.py)
+      assert(q1 == q2 && r1 == r2)
+      assert(math.abs(d1 - d2) <= 1e-6 * math.max(1.0, d1),
+        s"q$q1 rank$r1: $d1 vs $d2")
+    }
+  }
+
   test("sq8 local code scan ≡ distributed AdcScan") {
     checkAlgo("sq8", "sq8", "sq8", Map.empty)
   }
