@@ -40,7 +40,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "--add-modules=jdk.incubator.vector",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Xms == Xmx: the allocation-heavy driver-side builds (HNSW graph,
+  // union-find) otherwise pay one-time heap-expansion pauses INSIDE their
+  // timed window — the "first full-size build ~2×" effect HnswEfcSweep
+  // measured. 16g default: the box has 128 GiB and the bench context
+  // holds multiple cached workload artifacts while building; at 8g the
+  // build's garbage rate turned into a ~5× context-vs-standalone
+  // inflation (r6: msmarco hnsw 83.5 s in-bench vs ~16 s standalone).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   // many sequential queries generate many codegen classes; the default
   // 240m code cache overflows and the JIT stops compiling (later queries
   // then run interpreted, 10-30x slower)

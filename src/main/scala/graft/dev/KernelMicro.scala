@@ -7,7 +7,8 @@ import graft.operators.SimdDist
   * does it beat the scalar double-chain loop per element? */
 object KernelMicro {
   def main(args: Array[String]): Unit = {
-    println(s"simdActive=${SimdDist.simdActive}")
+    println(s"vectorKernel=${SimdDist.vectorKernel.isDefined} " +
+      s"(process default simdActive=${SimdDist.simdActive})")
     val rnd = new java.util.Random(7)
     for (dim <- Seq(64, 384)) {
       val nRows = 4096
@@ -27,7 +28,7 @@ object KernelMicro {
           f"(${best / nRows / dim}%5.2f ns/elem)  [$sink%.1f]")
       }
       val s = SimdDist.ScalarKernel
-      val k = SimdDist.kernel
+      val k = SimdDist.vectorKernel.getOrElse(SimdDist.ScalarKernel)
       run("scalar_l2", r => s.l2Flat(q, flat, r * dim))
       run("simd_l2", r => k.l2Flat(q, flat, r * dim))
       run("scalar_dot", r => s.dotFlat(q, flat, r * dim))

@@ -18,7 +18,7 @@ object SimdScanShootout {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Registry.init()
-    println(s"simdActive=${SimdDist.simdActive}")
+    println(s"vectorKernel=${SimdDist.vectorKernel.isDefined}")
     for ((name, n, dims, nQ) <- Seq(("random", 20000, 64, 256),
       ("msmarco", 100000, 384, 70))) {
       val train = RandomDataset.vectors(spark, n, dims, 42).cache()

@@ -195,7 +195,8 @@ final class NswGraph private (
 
   private val isCosine = metric == "cosine"
 
-  // SIMD where available (floor-tier tolerance — see SimdDist's scope note)
+  // scalar by default; Vector API only via graft.simd.enabled opt-in
+  // (floor-tier tolerance — see SimdDist's scope note)
   @inline private def dist(a: Array[Float], b: Array[Float]): Double =
     if (isCosine) SimdDist.kernel.cosineDist(a, b)
     else SimdDist.kernel.l2(a, b)

@@ -7,8 +7,6 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.util.LongAccumulator
 
-import scala.collection.mutable.ArrayBuffer
-
 /** Hierarchical NSW — the reference's actual HNSW shape (multi-layer,
   * Malkov & Yashunin '18; reference glue hnsw.py:76-81, M=16 efC=200):
   * exponentially-thinning upper layers give O(log n) greedy descent to a
@@ -183,9 +181,10 @@ final class HnswGlobalModel(
   // compare on the distance path costs measurably at 10⁸ calls per build
   private val isCosine = metric == "cosine"
 
-  // SIMD kernel where the JVM has it, scalar otherwise (SimdDist's scope
-  // note: the HNSW floor-tier gate tolerates lane-reassociated sums; the
-  // hash-tier scan kernels must not use this)
+  // SimdDist.kernel is SCALAR unless graft.simd.enabled is set (the
+  // floor-tier gate tolerates lane-reassociated sums, so the Vector API
+  // is admissible here — but it measured 45-60% slower on this box's
+  // non-intrinsifying JVM; see SimdDist's scope note)
   @inline private[operators] def dist(a: Array[Float], b: Array[Float]): Double =
     if (isCosine) SimdDist.kernel.cosineDist(a, b)
     else SimdDist.kernel.l2(a, b)
@@ -209,17 +208,22 @@ final class HnswGlobalModel(
     cur
   }
 
-  /** ef-beam at one layer; returns (idx, dist) ascending, ≤ ef entries.
+  /** ef-beam at one layer; returns (node, dist) ascending, ≤ ef entries,
+    * as primitive parallel arrays.
     * Hot path: primitive min-heap candidates + int-stamp visited array —
     * zero boxing, zero per-visit allocation (the java.util.PriorityQueue/
     * HashSet version spent more time allocating tuples and Integers than
-    * computing distances; 20k-insert builds went from minutes to seconds). */
+    * computing distances; 20k-insert builds went from minutes to seconds).
+    * The result heap is workspace-reused and DRAINED into the two output
+    * arrays — the only allocation per call. (The earlier boxed-tuple
+    * return was the dominant garbage source of the 100k-insert build:
+    * amplified by a busy bench-context heap it inflated build 5×.) */
   private[operators] def searchLayer(q: Array[Float], start: Int, ef: Int,
-      layer: Int, ws: HnswWorkspace): Array[(Int, Double)] = {
+      layer: Int, ws: HnswWorkspace): NodeDists = {
     val visited = ws.freshVisited()
     val stamp = ws.stamp
     ws.clearHeap()
-    val best = new BoundedTopK(ef)
+    val best = ws.topkFor(ef)
     val d0 = dist(q, vecs(start)); ws.ndis += 1
     ws.push(d0, start); visited(start) = stamp; best.insert(start.toLong, d0)
     while (ws.heapSize > 0) {
@@ -242,7 +246,16 @@ final class HnswGlobalModel(
         }
       }
     }
-    best.sorted.map { case (i, d) => (i.toInt, d) }
+    // drain the (dist desc, id desc) max-heap back-to-front → ascending
+    val n = best.size
+    val nodes = new Array[Int](n)
+    val ds = new Array[Double](n)
+    var i = n - 1
+    while (i >= 0) {
+      nodes(i) = best.ids(0).toInt; ds(i) = best.dists(0)
+      best.popRoot(); i -= 1
+    }
+    new NodeDists(nodes, ds)
   }
 
   /** approximate k-NN: greedy descent through upper layers, ef-beam at
@@ -256,7 +269,11 @@ final class HnswGlobalModel(
     var lc = maxLevel
     while (lc > 0) { ep = greedy(q, ep, lc, ws); lc -= 1 }
     val res = searchLayer(q, ep, math.max(ef, k), 0, ws)
-    (res.take(k).map { case (i, d) => (ids(i), d) }, ws.ndis - ndis0)
+    val kk = math.min(k, res.length)
+    val out = new Array[(Long, Double)](kk)
+    var i = 0
+    while (i < kk) { out(i) = (ids(res.nodes(i)), res.dists(i)); i += 1 }
+    (out, ws.ndis - ndis0)
   }
 
   def knn(q: Array[Float], k: Int, ef: Int): (Array[(Long, Double)], Long) =
@@ -271,10 +288,26 @@ final class HnswGlobalModel(
     }
 }
 
+/** Beam-search result rows: (node index, dist) ascending, primitive
+  * parallel arrays — the unboxed return shape of
+  * [[HnswGlobalModel.searchLayer]]. */
+final class NodeDists(val nodes: Array[Int], val dists: Array[Double]) {
+  def length: Int = nodes.length
+  def nonEmpty: Boolean = nodes.length > 0
+}
+
 /** Allocation-free per-search scratch: stamp-based visited marks (one int
-  * array reused across calls, no clearing) and a primitive (dist, node)
-  * binary min-heap for the beam candidates. */
+  * array reused across calls, no clearing), a primitive (dist, node)
+  * binary min-heap for the beam candidates, and a reused result top-k. */
 final class HnswWorkspace(n: Int) {
+  private var topk: BoundedTopK = null
+  /** one result heap per workspace, re-created only when ef changes
+    * (constant within a build or a search batch) */
+  def topkFor(k: Int): BoundedTopK = {
+    if (topk == null || topk.k != k) topk = new BoundedTopK(k)
+    else topk.reset()
+    topk
+  }
   var ndis = 0L
   private val visited = new Array[Int](n)
   var stamp = 0
@@ -365,29 +398,41 @@ object HnswGlobalModel {
 
     @inline def d(a: Int, b: Int): Double = model.dist(vecs(a), vecs(b))
     /** SELECT-NEIGHBORS-HEURISTIC (Malkov-Yashunin Alg. 4): walk the
-      * candidates ascending and keep e only if it is closer to the base
-      * point than to every already-kept neighbor — spreads links across
-      * directions instead of clustering them (closest-M alone cost ~7
-      * recall points on the 20k random baseline); pruned candidates
-      * back-fill to the cap (keepPrunedConnections). */
-    def selectNeighbors(cand: Array[(Int, Double)], cap: Int): Array[Int] = {
-      val res = new ArrayBuffer[Int](cap)
-      val skipped = new ArrayBuffer[Int]()
+      * candidates ascending (`nodes`/`ds` pre-sorted by (dist, node)) and
+      * keep e only if it is closer to the base point than to every
+      * already-kept neighbor — spreads links across directions instead of
+      * clustering them (closest-M alone cost ~7 recall points on the 20k
+      * random baseline); pruned candidates back-fill to the cap
+      * (keepPrunedConnections). `exclude` drops the inserted node itself
+      * without an intermediate filtered copy. Primitive arrays end to
+      * end: this runs ~n·m times per build and the boxed-tuple version
+      * was a dominant garbage source. */
+    def selectNeighbors(nodes: Array[Int], ds: Array[Double], len: Int,
+        exclude: Int, cap: Int): Array[Int] = {
+      val res = new Array[Int](cap)
+      var resLen = 0
+      val skipped = new Array[Int](len)
+      var skippedLen = 0
       var j = 0
-      while (j < cand.length && res.length < cap) {
-        val (e, dE) = cand(j)
-        var keep = true
-        var r = 0
-        while (keep && r < res.length) {
-          if (d(e, res(r)) < dE) keep = false
-          r += 1
+      while (j < len && resLen < cap) {
+        val e = nodes(j); val dE = ds(j)
+        if (e != exclude) {
+          var keep = true
+          var r = 0
+          while (keep && r < resLen) {
+            if (d(e, res(r)) < dE) keep = false
+            r += 1
+          }
+          if (keep) { res(resLen) = e; resLen += 1 }
+          else { skipped(skippedLen) = e; skippedLen += 1 }
         }
-        if (keep) res += e else skipped += e
         j += 1
       }
       var s = 0
-      while (res.length < cap && s < skipped.length) { res += skipped(s); s += 1 }
-      res.toArray
+      while (resLen < cap && s < skippedLen) {
+        res(resLen) = skipped(s); resLen += 1; s += 1
+      }
+      if (resLen == cap) res else java.util.Arrays.copyOf(res, resLen)
     }
     /** append `nb` to links(e)(lc) and re-prune with the same heuristic
       * if over cap — copy-on-write under e's lock, so readers never see
@@ -400,8 +445,24 @@ object HnswGlobalModel {
         val next =
           if (appended.length <= cap) appended
           else {
-            val cand = appended.map(x => (x, d(e, x))).sortBy(t => (t._2, t._1))
-            selectNeighbors(cand, cap)
+            // insertion-sort the ≤ 2m+1 candidates by (dist, node) asc
+            // in place on primitive parallel arrays
+            val len = appended.length
+            val ds = new Array[Double](len)
+            var i = 0
+            while (i < len) { ds(i) = d(e, appended(i)); i += 1 }
+            i = 1
+            while (i < len) {
+              val dv = ds(i); val nv = appended(i)
+              var j = i - 1
+              while (j >= 0 &&
+                  (ds(j) > dv || (ds(j) == dv && appended(j) > nv))) {
+                ds(j + 1) = ds(j); appended(j + 1) = appended(j); j -= 1
+              }
+              ds(j + 1) = dv; appended(j + 1) = nv
+              i += 1
+            }
+            selectNeighbors(appended, ds, len, -1, cap)
           }
         links(e)(lc).set(next)
       }
@@ -416,13 +477,13 @@ object HnswGlobalModel {
       lc = math.min(lvl, top)
       while (lc >= 0) {
         val w = model.searchLayer(vecs(i), ep, efC, lc, ws)
-        val neighbors = selectNeighbors(w.filter(_._1 != i), m)
+        val neighbors = selectNeighbors(w.nodes, w.dists, w.length, i, m)
         val cap = if (lc == 0) mmax0 else m
         neighbors.foreach { e =>
           addLink(i, lc, e, cap)
           addLink(e, lc, i, cap)
         }
-        if (w.nonEmpty) ep = w.head._1
+        if (w.nonEmpty) ep = w.nodes(0)
         lc -= 1
       }
       if (lvl > model.maxLevel) entryLock.synchronized {

@@ -482,7 +482,7 @@ object LocalScan {
     val heaps = new Array[BoundedTopK](qids.length)
     // SIMD kernels cover modes 0-2 only; the gram mode's dot loop is
     // already the minimal-op kernel
-    val simd = scanSimd && SimdDist.simdActive && mode != 3
+    val simd = scanSimd && SimdDist.vectorKernel.isDefined && mode != 3
     val gram = mode == 3
     val norms = if (gram) rowNorms(vt) else null
     if (vt.n > 0) {
@@ -547,7 +547,7 @@ object LocalScan {
     * same emitted convention as [[vecDist]]: L2 sqrt'd, IP negated) */
   @inline private def simdDistAt(q: Array[Float], flat: Array[Float],
       off: Int, mode: Int): Double = {
-    val kern = SimdDist.kernel
+    val kern = SimdDist.vectorKernel.getOrElse(SimdDist.ScalarKernel)
     if (mode == 2) kern.cosineFlat(q, flat, off)
     else if (mode == 1) -kern.dotFlat(q, flat, off)
     else kern.l2Flat(q, flat, off)
@@ -560,7 +560,7 @@ object LocalScan {
       probes: Array[Array[Int]]): DataFrame = {
     val byQuery = invertProbes(probes, qids.length)
     val heaps = new Array[BoundedTopK](qids.length)
-    val simd = scanSimd && SimdDist.simdActive
+    val simd = scanSimd && SimdDist.vectorKernel.isDefined
     java.util.stream.IntStream.range(0, qids.length).parallel().forEach { qi =>
       var h: BoundedTopK = null
       val q = qVecs(qi)

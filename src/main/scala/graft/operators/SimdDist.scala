@@ -80,23 +80,32 @@ object SimdDist {
     }
   }
 
-  /** kill-switch: -Dgraft.simd.enabled=false / GRAFT_SIMD=0 */
+  /** The Vector-API kernel when `jdk.incubator.vector` resolves in this
+    * JVM, independent of the enable flag — specs and the dev shootouts
+    * compare it against [[ScalarKernel]] directly. Loaded reflectively so
+    * this class never links against the incubator module. */
+  val vectorKernel: Option[Kernel] =
+    try {
+      Class.forName("jdk.incubator.vector.FloatVector")
+      Some(Class.forName("graft.operators.VectorDistKernel")
+        .getDeclaredConstructor().newInstance().asInstanceOf[Kernel])
+    } catch { case _: Throwable => None }
+
+  /** opt-in: -Dgraft.simd.enabled=true / GRAFT_SIMD=1 */
   private def enabled: Boolean =
     sys.props.get("graft.simd.enabled")
       .orElse(sys.env.get("GRAFT_SIMD"))
-      .forall(v => v != "false" && v != "0")
+      .exists(v => v == "true" || v == "1")
 
-  /** The process-wide kernel. [[VectorDistKernel]] is loaded reflectively
-    * so this class never links against the incubator module directly —
-    * absence (or the kill-switch) falls back to [[ScalarKernel]]. */
+  /** The process-wide kernel consumed by the HNSW family. OPT-IN, default
+    * scalar: on this sandbox's virtualized Xeon the incubator API never
+    * intrinsifies (dev/KernelMicro: ≤1.4× scalar at 384-d, 0.5× at 64-d)
+    * and its object-per-call fallback path made HNSW builds 45-60%
+    * SLOWER when it briefly became the round-7 default (HnswBuildProfile
+    * msmarco shape: scalar 15.6 s vs vector 23-26 s — the r7 watchdog
+    * skip). On hardware where the API engages, flip it on. */
   val kernel: Kernel =
-    if (!enabled) ScalarKernel
-    else
-      try {
-        Class.forName("jdk.incubator.vector.FloatVector")
-        Class.forName("graft.operators.VectorDistKernel")
-          .getDeclaredConstructor().newInstance().asInstanceOf[Kernel]
-      } catch { case _: Throwable => ScalarKernel }
+    if (enabled) vectorKernel.getOrElse(ScalarKernel) else ScalarKernel
 
   def simdActive: Boolean = kernel ne ScalarKernel
 }

@@ -65,6 +65,32 @@ final class BoundedTopK(val k: Int) extends Serializable {
     while (i < o.size) { insert(o.ids(i), o.dists(i)); i += 1 }
   }
 
+  /** empty for reuse (HnswWorkspace amortizes one instance per thread) */
+  def reset(): Unit = size = 0
+
+  /** remove the root (current worst); callers drain the heap into
+    * descending order without the boxed-tuple path of [[sorted]] */
+  def popRoot(): Unit = {
+    size -= 1
+    if (size > 0) {
+      dists(0) = dists(size); ids(0) = ids(size)
+      var i = 0
+      var done = false
+      while (!done) {
+        val l = 2 * i + 1; val r = l + 1
+        var m = i
+        if (l < size && worse(dists(l), ids(l), dists(m), ids(m))) m = l
+        if (r < size && worse(dists(r), ids(r), dists(m), ids(m))) m = r
+        if (m == i) done = true
+        else {
+          val td = dists(i); dists(i) = dists(m); dists(m) = td
+          val ti = ids(i); ids(i) = ids(m); ids(m) = ti
+          i = m
+        }
+      }
+    }
+  }
+
   /** ascending (dist, id) */
   def sorted: Array[(Long, Double)] = {
     val out = ids.take(size).zip(dists.take(size)).map { case (i, d) => (i, d) }

@@ -39,7 +39,7 @@ class SimdScanSpec extends AnyFunSuite {
   }
 
   test("flat SIMD kernels agree with scalar to 1e-5 relative") {
-    assume(SimdDist.simdActive, "no jdk.incubator.vector in this JVM")
+    assume(SimdDist.vectorKernel.isDefined, "no jdk.incubator.vector in this JVM")
     val rnd = new java.util.Random(7)
     val dim = 131 // odd size exercises the lane tail
     val q = Array.fill(dim)(rnd.nextFloat() * 2 - 1)
@@ -47,7 +47,7 @@ class SimdScanSpec extends AnyFunSuite {
     for (row <- 0 until 5) {
       val off = row * dim
       val b = java.util.Arrays.copyOfRange(flat, off, off + dim)
-      val k = SimdDist.kernel
+      val k = SimdDist.vectorKernel.get
       val s = SimdDist.ScalarKernel
       assert(math.abs(k.l2Flat(q, flat, off) - s.l2(q, b)) <=
         1e-5 * math.max(1.0, s.l2(q, b)))
