@@ -21,11 +21,31 @@ object SparkEntry {
       k = 10, metric = "l2")
   }
 
-  /** Gate-fixture index name keyed by the testdata dir, so an index built
-    * for one scale factor can never serve another. */
-  private def bm25GateIndex(dir: String): String =
+  /** Gate-fixture index name keyed by the testdata dir PLUS a cheap
+    * corpus fingerprint (file count, total bytes, max mtime of the
+    * documents parquet). Managed tables survive JVMs and rounds, so the
+    * dir path alone is not a staleness key: regenerated testdata at the
+    * same path must hash to a DIFFERENT index name or ensureIndex would
+    * silently serve postings of the old corpus. */
+  private def bm25GateIndex(dir: String): String = {
+    val fp = try {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(dir, "documents.parquet")
+      val files =
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.walk(p).iterator().asScala
+            .filter(f => java.nio.file.Files.isRegularFile(f)).toList
+        else List(p)
+      val bytes = files.map(java.nio.file.Files.size).sum
+      val mtime = files.map(f =>
+        java.nio.file.Files.getLastModifiedTime(f).toMillis)
+        .foldLeft(0L)(math.max)
+      s"${files.size}:$bytes:$mtime"
+    } catch { case _: Throwable => "nofp" }
     "graft_bm25_gate_" + java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      .digest(s"$dir|$fp".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+  }
 
   /** One-time fixtures a bench harness should pay OUTSIDE per-query
     * timing: the BM25 serve gate's persisted index (its name claims it

@@ -138,9 +138,11 @@ object BaselineCompare {
       clusters = Some((200, 1.1, 0))),
     // covertree excluded at this shape, NOT silently: the exact tree
     // build at 100k × 384-d exceeds the per-algo watchdog (the REFERENCE
-    // itself took 4,387 s on this row — benchmark_summary.md:49). hnsw's
-    // driver-parallel build measures ~31 s here (HnswMsmarcoProbe), well
-    // inside the watchdog, so it participates.
+    // itself took 4,387 s on this row — benchmark_summary.md:49). hnsw
+    // participates: its driver-parallel build measures ~13 s standalone
+    // at this shape (HnswBuildProfile, post-r8 primitive-array rewrite +
+    // scalar kernels + pre-sized heap; the r7 Vector-API default plus
+    // boxed-tuple garbage inflated it past the 120 s watchdog in-bench).
     Workload("msmarco", 100000, 70, 384, normalize = true,
       // recall is FLAT in nprobe here (sweep: identical at 4 and 48 —
       // true neighbors all sit in the top-4 coarse lists), so probe 4
@@ -272,11 +274,14 @@ object BaselineCompare {
     // Phase A (listed order): build + first search timing; artifacts stay
     // alive. Phase B (REVERSED order): re-time the same searchers. The
     // reference runs repeat=2 and this box suffers CPU steal — two
-    // measurements of each row taken minutes apart, with the order
+    // measurement WINDOWS per row taken minutes apart, with the order
     // reversed so no row sits at the same position in the load pattern
-    // twice, and the per-row minimum as the estimate, is the cheapest
-    // honest defense (builds are NOT repeated: build time is a one-shot
-    // cost and doubling it would blow the stage budget).
+    // twice, and the minimum as the estimate, is the cheapest honest
+    // defense (builds are NOT repeated: build time is a one-shot cost
+    // and doubling it would blow the stage budget). Each window times 3
+    // back-to-back searches, so the artifact's `reps` reports the TRUE
+    // count of timed searches behind the min (6, or 3 when phase B was
+    // squeezed out) — not the number of windows.
     val prepped: Seq[Either[Entry, Prepped]] = w.algos
       .filter(a => onlyAlgo.forall(_.contains(a._1)))
       .map { case (name, in, se, params) =>
@@ -290,6 +295,17 @@ object BaselineCompare {
               skipped = Some(reason)))
         }
       }
+    // Interleaving keeps EVERY algo's artifact cached until its phase-B
+    // window — log storage headroom at the phase boundary so an eviction
+    // (which would make a phase-B search silently re-pay index
+    // recomputation inside its timed window) is visible in the round log.
+    locally {
+      val infos = spark.sparkContext.getRDDStorageInfo
+      val mb = infos.map(_.memSize).sum / (1 << 20)
+      System.err.println(
+        s"[baseline] ${w.name} phase B start: ${infos.length} cached RDDs, " +
+          s"${mb} MiB in storage")
+    }
     val out = prepped.reverse.map {
       case Left(e) => e
       case Right(p) =>
@@ -303,7 +319,7 @@ object BaselineCompare {
         p.artifact.data.unpersist()
         val secs = secsB.fold(p.secsA)(b => math.min(p.secsA, b))
         Entry(w.name, p.name, p.recall, w.nTest.toDouble / secs, p.buildS,
-          p.refR, p.refQ, reps = 1 + secsB.size)
+          p.refR, p.refQ, reps = 3 + 3 * secsB.size)
     }.reverse
     train.unpersist(); test.unpersist(); gt.unpersist()
     out

@@ -185,10 +185,13 @@ object Bm25 {
 
   /** [[buildIndex]] exactly once per index name: a no-op when the three
     * index tables already sit in the catalog. The caller owns keying the
-    * name by input identity (the gate keys it by the testdata dir), so an
-    * existence check is a sufficient staleness guard — same name ⟹ same
-    * corpus. This is the fixture path that lets a repeated-serving bench
-    * time serving without re-paying the one-time build. */
+    * name by input CONTENT identity, not just a path — managed tables
+    * outlive the JVM, so a name that doesn't change when the corpus at
+    * the same path changes would silently serve a stale index (the gate
+    * folds a file-count/bytes/mtime fingerprint of the corpus into the
+    * name for exactly this reason). This is the fixture path that lets a
+    * repeated-serving bench time serving without re-paying the one-time
+    * build. */
   def ensureIndex(docs: DataFrame, idCol: String, textCol: String,
       table: String, buckets: Int = 32): Unit = {
     val cat = docs.sparkSession.catalog
@@ -213,16 +216,37 @@ object Bm25 {
     // feeds three places (vocab filter, df lookup, scoring join) — so pay
     // ONE job to land it on the driver and serve every consumer from a
     // LocalRelation: no repeated derivation jobs, broadcasts without a
-    // collect stage, and the vocabulary literal in hand.
+    // collect stage, and the vocabulary literal in hand. The collect is
+    // CAPPED (same discipline as LocalScan.queryVecsCapped): a caller
+    // that hands a huge "batch" must not OOM the driver or build a
+    // million-entry In literal — above the cap, fall back to the
+    // streaming plan (distributed qterms broadcast into the joins; every
+    // postings bucket is read, which is the correct trade when the query
+    // vocabulary is no longer small).
     val qt = qtermsOf(queries, qIdCol, qTextCol)
-    val rows = qt.collect()
-    val qterms = spark.createDataFrame(
-      java.util.Arrays.asList(rows: _*), qt.schema)
-    val vocab = rows.map(_.getString(1)).distinct.toSeq
-    val termIn = col("term").isin(vocab: _*)
-    scoreQTerms(
-      spark.table(s"${table}_postings").filter(termIn),
-      spark.table(s"${table}_stats"), qterms, k, k1, b,
-      prebuiltDf = Some(spark.table(s"${table}_df").filter(termIn)))
+    val cap = serveBatchCap
+    val rows = qt.limit(cap + 1).collect()
+    if (rows.length > cap)
+      scoreQTerms(
+        spark.table(s"${table}_postings"),
+        spark.table(s"${table}_stats"), qt, k, k1, b,
+        prebuiltDf = Some(spark.table(s"${table}_df")))
+    else {
+      val qterms = spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), qt.schema)
+      val vocab = rows.map(_.getString(1)).distinct.toSeq
+      val termIn = col("term").isin(vocab: _*)
+      scoreQTerms(
+        spark.table(s"${table}_postings").filter(termIn),
+        spark.table(s"${table}_stats"), qterms, k, k1, b,
+        prebuiltDf = Some(spark.table(s"${table}_df").filter(termIn)))
+    }
   }
+
+  /** max (query_id, term) rows [[searchFromIndex]] lands on the driver
+    * before routing the batch through the streaming plan instead */
+  def serveBatchCap: Int =
+    sys.props.get("graft.bm25.serveBatchCap").map(_.toInt)
+      .orElse(sys.env.get("GRAFT_BM25_SERVE_BATCH_CAP").map(_.toInt))
+      .getOrElse(200_000)
 }
