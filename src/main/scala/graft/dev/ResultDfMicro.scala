@@ -44,6 +44,7 @@ object ResultDfMicro {
           Array[Any](tu._1, tu._2, tu._3, tu._4))): Unit
     }
     val df = LocalScan.resultDf(spark, qids, heaps)
+    t("collect prebuilt df")(df.collect())
     t("analyzed")(df.queryExecution.analyzed)
     t("optimizedPlan") {
       LocalScan.resultDf(spark, qids, heaps).queryExecution.optimizedPlan: Unit

@@ -18,6 +18,23 @@ object Shim {
     * pays eagerly per row (measurable at per-batch search-result scale:
     * ~3× on result-relation creation). Rows must match `schema` exactly;
     * LocalTableScanExec projects them to UnsafeRow lazily at execution. */
+  // Per-schema caches for the per-batch result-relation path: building an
+  // ExpressionEncoder (serializer/deserializer expression trees) cost
+  // ~3-4 ms per call at search-batch frequency, for the same handful of
+  // schemas every time. Attributes are reused across relations of the
+  // same schema — safe for the same reason self-joins are: the analyzer's
+  // DeduplicateRelations re-ids conflicting attributes when two such
+  // relations meet in one plan.
+  private val encoderCache = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.sql.types.StructType,
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[
+      org.apache.spark.sql.Row]]()
+  private val attrCache = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.sql.types.StructType,
+    Seq[org.apache.spark.sql.catalyst.expressions.Attribute]]()
+  private val converterCache = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.sql.types.StructType, Any => Any]()
+
   def localRelationDf(
       spark: org.apache.spark.sql.SparkSession,
       schema: org.apache.spark.sql.types.StructType,
@@ -25,23 +42,47 @@ object Shim {
       : org.apache.spark.sql.DataFrame = {
     val session = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     session.withActive {
+      val attrs = attrCache.computeIfAbsent(schema,
+        s => org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(s))
       val rel = org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
-        org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(schema),
-        rows)
-      // A bare LocalRelation of materialized rows is already in optimal
-      // form — every optimizer rule is a no-op on it, but the full batch
-      // sweep still costs ~14 ms per relation (dev/ResultDfMicro), which
-      // at per-search-batch frequency is the dominant framework tax of
-      // driver-local serving. Skip straight to the analyzed plan; any
-      // DERIVED Dataset composes the logical plan and gets the full
+        attrs, rows)
+      // A bare LocalRelation of materialized rows is already resolved AND
+      // in optimal form — every analyzer and optimizer rule is a no-op on
+      // it, but the full rule sweeps still cost ~6 ms (analysis, at
+      // Dataset init) + ~5 ms (optimize) per relation (dev/ResultDfMicro),
+      // which at per-search-batch frequency is the dominant framework tax
+      // of driver-local serving. Pin all three phases to the relation
+      // itself (it holds no Command nodes, so commandExecuted ≡ analyzed);
+      // any DERIVED Dataset composes the logical plan and gets the full
       // pipeline as usual.
       val qe = new org.apache.spark.sql.execution.QueryExecution(session, rel) {
+        override def analyzed
+            : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = rel
+        override def commandExecuted
+            : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = rel
         override def optimizedPlan
-            : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
-          commandExecuted
+            : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = rel
       }
+      val enc = encoderCache.computeIfAbsent(schema,
+        s => org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(s))
+      // collect() on the ROOT relation returns the rows we already hold,
+      // through a schema-cached Catalyst→Scala converter: the default
+      // path resolves and compiles a fresh row deserializer PER DATASET
+      // (~6 ms at search-batch frequency — the last third of the
+      // per-batch tax; dev/ResultDfMicro). Identical Row values and
+      // order (LocalTableScanExec.executeCollect preserves insertion
+      // order). Any DERIVED Dataset — select/filter/join — is a plain
+      // Dataset again and collects through the normal machinery.
       new org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row](
-        qe, org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(schema))
+        qe, enc) {
+        override def collect(): Array[org.apache.spark.sql.Row] = {
+          val conv = converterCache.computeIfAbsent(schema, s =>
+            org.apache.spark.sql.catalyst.CatalystTypeConverters
+              .createToScalaConverter(s))
+          rows.iterator.map(r =>
+            conv(r).asInstanceOf[org.apache.spark.sql.Row]).toArray
+        }
+      }
     }
   }
 }
