@@ -21,16 +21,18 @@ object EfSearchSweep {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
     Registry.init()
-    for ((name, n, dims, nQ, clusters, sigma, intrinsic, normalize, refRecall) <- Seq(
-      ("random", 20000, 64, 256, 0, 0.0, 0, false, 0.9156),
-      ("glove50", 20000, 256, 256, 200, 1.1, 0, false, 0.9750),
-      ("msmarco", 100000, 384, 70, 512, 0.9, 64, true, 0.9857))) {
+    // msmarco matches the r8 HARDENED baseline stand-in (sigma 1.2 +
+    // overlap 0.7 — BaselineCompare.workloads); keep in sync
+    for ((name, n, dims, nQ, clusters, sigma, intrinsic, normalize, refRecall, overlap) <- Seq(
+      ("random", 20000, 64, 256, 0, 0.0, 0, false, 0.9156, 0.0),
+      ("glove50", 20000, 256, 256, 200, 1.1, 0, false, 0.9750, 0.0),
+      ("msmarco", 100000, 384, 70, 512, 1.2, 64, true, 0.9857, 0.7))) {
       val dimsFix = if (name == "glove50") 50 else dims
       def gen(count: Long, seed: Long) = {
         val raw =
           if (clusters > 0)
             RandomDataset.clusteredVectors(spark, count, dimsFix, clusters, sigma,
-              seed, centerSeed = 7, intrinsicDim = intrinsic)
+              seed, centerSeed = 7, intrinsicDim = intrinsic, overlap = overlap)
           else RandomDataset.vectors(spark, count, dimsFix, seed)
         if (normalize) raw.withColumn("vector",
           graft.functions.VectorFunctions.vec_normalize(col("vector")))

@@ -20,17 +20,21 @@ object NprobeSweep {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
     Registry.init()
-    for ((name, n, dims, nQ, clusters, sigma, intrinsic, normalize) <- Seq(
-      ("glove50", 20000, 50, 256, 200, 1.1, 0, false),
-      ("msmarco", 100000, 384, 70, 512, 0.9, 64, true))) {
+    // msmarco matches the r8 HARDENED baseline stand-in (sigma 1.2 +
+    // overlap 0.7 — BaselineCompare.workloads); keep in sync
+    for ((name, n, dims, nQ, clusters, sigma, intrinsic, normalize, overlap) <- Seq(
+      ("glove50", 20000, 50, 256, 200, 1.1, 0, false, 0.0),
+      ("msmarco", 100000, 384, 70, 512, 1.2, 64, true, 0.7))) {
       def norm(df: org.apache.spark.sql.DataFrame) =
         if (normalize) df.withColumn("vector",
           graft.functions.VectorFunctions.vec_normalize(col("vector")))
         else df
       val train = norm(RandomDataset.clusteredVectors(spark, n, dims, clusters,
-        sigma, 42, centerSeed = 7, intrinsicDim = intrinsic)).cache()
+        sigma, 42, centerSeed = 7, intrinsicDim = intrinsic,
+        overlap = overlap)).cache()
       val test = norm(RandomDataset.clusteredVectors(spark, nQ, dims, clusters,
-        sigma, 43, centerSeed = 7, intrinsicDim = intrinsic))
+        sigma, 43, centerSeed = 7, intrinsicDim = intrinsic,
+        overlap = overlap))
         .withColumnRenamed("id", "qid").cache()
       train.count(); test.count()
       val gt = KnnJoin.knnJoinAgg(test, train, 20, "l2")

@@ -47,7 +47,13 @@ object BaselineCompare {
       // structure, and why high-dim embeddings additionally need
       // LOW-RANK intra-cluster noise (intrinsicDim > 0) for PQ recall
       // to be meaningful
-      clusters: Option[(Int, Double, Int)] = None)
+      clusters: Option[(Int, Double, Int)] = None,
+      // inter-cluster edge-bridge mixing (RandomDataset.clusteredVectors
+      // `overlap`): 0 = pure mixture. >0 makes the coarse-probe problem
+      // HARD the way real embedding data is — without it the stand-in's
+      // true neighbors all sit in the query's own cluster and IVF recall
+      // saturates at tiny nprobe (the r7 "missing hardness" finding)
+      overlap: Double = 0.0)
 
   /** Cheap-build algorithms run FIRST: the shared box's load swings
     * several-fold, so if the budget squeezes anyone out it should be the
@@ -55,7 +61,8 @@ object BaselineCompare {
     * have already landed in the artifact. */
   private def algoTable(dims: Int, nprobe: Int, lshTables: Int, lshHash: Int,
       lshMult: Int, withCoverTree: Boolean, withHnsw: Boolean,
-      ivfFlatNprobe: Int = 10, hnswEf: Int = 256): Seq[AlgoRow] = {
+      ivfFlatNprobe: Int = 10, hnswEf: Int = 256,
+      ivfPqNprobe: Int = -1): Seq[AlgoRow] = {
     // PQ subspace count follows the reference per-dataset codec (PQ64 at
     // 64-d / 384-d, PQ50 at 50-d): dims must divide evenly
     val m = if (dims % 64 == 0) 64 else dims
@@ -81,9 +88,12 @@ object BaselineCompare {
         Map("num_subspaces" -> m.toString, "num_centroids" -> "256",
           "train_iters" -> "25")),
       // residual=true is FAISS's own IVFPQ encoding (codes quantize
-      // v - centroid), the faithful comparison config
+      // v - centroid), the faithful comparison config. Its probe depth
+      // can differ from ivf_sq8's: PQ distances are approximate, so its
+      // recall plateaus earlier and surplus probes are pure QPS loss.
       ("ivf_pq", "ivf_pq", "ivf_pq", Map("nlist" -> "256",
-        "nprobe" -> nprobe.toString, "num_subspaces" -> m.toString,
+        "nprobe" -> (if (ivfPqNprobe > 0) ivfPqNprobe else nprobe).toString,
+        "num_subspaces" -> m.toString,
         "num_centroids" -> "256", "residual" -> "true",
         "train_iters" -> "25")))
     val ct: Seq[AlgoRow] = if (!withCoverTree) Nil else Seq(
@@ -143,12 +153,17 @@ object BaselineCompare {
     // at this shape (HnswBuildProfile, post-r8 primitive-array rewrite +
     // scalar kernels + pre-sized heap; the r7 Vector-API default plus
     // boxed-tuple garbage inflated it past the 120 s watchdog in-bench).
+    // Operating points re-pinned on the r8 HARDENED stand-in
+    // (dev/OverlapSweep + dev/MsmarcoRetune): overlap=0.7/deg=4 with
+    // sigma=1.2 reproduces the reference's coarse-probe hardness —
+    // ivf_flat recall 0.915@16 / 0.949@24 / 0.969@32 vs the reference's
+    // 0.9529@32 (benchmark_summary.md:45). The old stand-in saturated
+    // at 1.0000 by nprobe=4 (the r7 "missing hardness" finding), which
+    // made every pruned-regime QPS ratio flattering.
     Workload("msmarco", 100000, 70, 384, normalize = true,
-      // recall is FLAT in nprobe here (sweep: identical at 4 and 48 —
-      // true neighbors all sit in the top-4 coarse lists), so probe 4
-      algoTable(384, nprobe = 4, lshTables = 24, lshHash = 8, lshMult = 128,
-        withCoverTree = false, withHnsw = true, ivfFlatNprobe = 4,
-        hnswEf = 64),
+      algoTable(384, nprobe = 24, lshTables = 24, lshHash = 8, lshMult = 512,
+        withCoverTree = false, withHnsw = true, ivfFlatNprobe = 32,
+        hnswEf = 64, ivfPqNprobe = 8),
       Map(
         "exact" -> (1.0000, 550.41),
         "hnsw" -> (0.9857, 7872.0),
@@ -160,8 +175,9 @@ object BaselineCompare {
         "lsh" -> (0.3286, 147.29)),
       // intrinsicDim = 64: MiniLM-class encoders have effective rank in
       // the tens — full-rank 384-d noise under-reported PQ recall (0.52
-      // vs the reference's real-data 0.78; 0.76-0.77 with rank-64 noise)
-      clusters = Some((512, 0.9, 64))))
+      // vs the reference's real-data 0.78); sigma 0.9→1.2 under the
+      // overlap knob keeps PQ at 0.789 vs ref 0.7757 (MsmarcoRetune)
+      clusters = Some((512, 1.2, 64)), overlap = 0.7))
 
   /** Per-algorithm wall budget. On overrun the algorithm's Spark job
     * group is canceled and its entry dropped — one wedged algorithm must
@@ -222,7 +238,7 @@ object BaselineCompare {
           // share centers — queries land near the data like real query
           // logs do, instead of in the inter-cluster void
           RandomDataset.clusteredVectors(spark, n, w.dims, k, sigma, seed,
-            centerSeed = 7, intrinsicDim = intrinsic)
+            centerSeed = 7, intrinsicDim = intrinsic, overlap = w.overlap)
         case None => RandomDataset.vectors(spark, n, w.dims, seed)
       }
       if (!w.normalize) raw

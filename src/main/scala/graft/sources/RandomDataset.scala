@@ -56,20 +56,58 @@ object RandomDataset {
     * far below the reference's real-data 0.78. Coarse-quantization
     * recall (IVF/LSH/graph walks) needs the cluster structure; PQ recall
     * additionally needs the spectrum. Same counter-based determinism as
-    * [[vectors]]: values depend only on (seed, centerSeed, id, j). */
+    * [[vectors]]: values depend only on (seed, centerSeed, id, j).
+    *
+    * `overlap` (0 = off, the default — every pre-existing fixture and
+    * pinned oracle is byte-identical): hardness knob for the COARSE
+    * quantizer. A pure mixture-of-gaussians at these sigmas is too
+    * separable — each query's true neighbors sit in its own cluster, so
+    * IVF recall saturates at tiny nprobe (the r7 verdict's "missing
+    * hardness" finding: stand-in ivf_flat hits 1.0 at nprobe=4 where
+    * real msmarco needs 32 for 0.95). With `overlap` > 0 each point is
+    * pulled along a deterministic inter-cluster EDGE: cluster `a` gets
+    * `overlapDegree` fixed partner clusters (derived from `centerSeed`,
+    * so train and queries share the edge map), the row picks one edge
+    * and a position `α ~ U(0, overlap)`, and its mean becomes
+    * `(1−α)·center_a + α·center_b`. Points on an edge form a continuum
+    * between clusters; a coarse quantizer must cut these bridges
+    * somewhere, so near-boundary queries have neighbors on both sides —
+    * recall now climbs with nprobe instead of saturating, like real
+    * embedding data. Each directed edge carries ≈ n/(numClusters ×
+    * overlapDegree) rows, so 20-NN neighborhoods along the edge stay
+    * populated. Noise (isotropic or low-rank) is unchanged and keyed to
+    * cluster `a`. */
   def clusteredVectors(spark: SparkSession, n: Long, dim: Int,
       numClusters: Int, sigma: Double, seed: Long, centerSeed: Long,
-      intrinsicDim: Int = 0): DataFrame = {
+      intrinsicDim: Int = 0, overlap: Double = 0.0,
+      overlapDegree: Int = 4): DataFrame = {
     val r = intrinsicDim
     val gen = udf { (id: Long) =>
       val c = ((splitmix64(seed ^ (id * 0x9E3779B97F4A7C15L)) >>> 1) %
         numClusters.toLong)
+      // inter-cluster edge: partner cluster + position, only when the
+      // overlap knob is on. Counters on the (seed, id) stream start at
+      // 1 << 20 — far above the center/noise draws (≤ 2·(dim+r)).
+      val (c2, alpha) =
+        if (overlap <= 0.0) (c, 0.0)
+        else {
+          val e = (splitmix64((seed ^ 0xD6E8FEB86659FD93L) ^
+            (id * 0x9E3779B97F4A7C15L)) >>> 1) % overlapDegree.toLong
+          // edge map is a pure function of (centerSeed, a, e): shared by
+          // every seed (train AND queries see the same graph)
+          val partner = ((splitmix64(splitmix64(centerSeed ^ 0x0F0F0F0F0F0F0F0FL) ^
+            (c * 0x51_7C_C1_B7_27_22_0A_95L) ^ e) >>> 1) % numClusters.toLong)
+          (partner, overlap * uniform(seed, id, 1 << 20))
+        }
       val out = new Array[Float](dim)
+      @inline def center(j: Int): Double =
+        if (alpha == 0.0 || c2 == c) gaussian(centerSeed, c, j).toDouble
+        else (1.0 - alpha) * gaussian(centerSeed, c, j) +
+          alpha * gaussian(centerSeed, c2, j)
       if (r <= 0 || r >= dim) {
         var j = 0
         while (j < dim) {
-          out(j) =
-            (gaussian(centerSeed, c, j) + sigma * gaussian(seed, id, j)).toFloat
+          out(j) = (center(j) + sigma * gaussian(seed, id, j)).toFloat
           j += 1
         }
       } else {
@@ -85,7 +123,7 @@ object RandomDataset {
           var acc = 0.0
           var l2 = 0
           while (l2 < r) { acc += b(j * r + l2) * z(l2); l2 += 1 }
-          out(j) = (gaussian(centerSeed, c, j) + sigma * acc * invSqrtR).toFloat
+          out(j) = (center(j) + sigma * acc * invSqrtR).toFloat
           j += 1
         }
       }

@@ -80,6 +80,38 @@ class SourcesSpec extends AnyFunSuite {
       numClusters = 4, sigma = 0.05, seed = 2, centerSeed = 8))
     val minCross = other.values.map(v => a.values.map(l2(v, _)).min).min
     assert(minCross > 1.0, "centerSeed change should move the centers")
+    // overlap=0 (the default) is byte-identical to the pre-knob output:
+    // pinned fixtures and oracle literals must not move
+    val aOv0 = collect(RandomDataset.clusteredVectors(spark, 64, 8,
+      numClusters = 4, sigma = 0.05, seed = 1, centerSeed = 7, overlap = 0.0))
+    assert(a == aOv0)
+  }
+
+  test("clustered stand-in overlap knob: deterministic, pulls rows off-center") {
+    def collect(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Float]] =
+      df.as[(Long, Seq[Float])].collect().toMap
+    def l2(x: Seq[Float], y: Seq[Float]): Double =
+      math.sqrt(x.zip(y).map { case (u, v) => (u - v) * (u - v) }.sum)
+    val base = collect(RandomDataset.clusteredVectors(spark, 256, 8,
+      numClusters = 4, sigma = 0.05, seed = 1, centerSeed = 7))
+    val ov = collect(RandomDataset.clusteredVectors(spark, 256, 8,
+      numClusters = 4, sigma = 0.05, seed = 1, centerSeed = 7, overlap = 0.8))
+    val ov2 = collect(RandomDataset.clusteredVectors(spark, 256, 8,
+      numClusters = 4, sigma = 0.05, seed = 1, centerSeed = 7, overlap = 0.8))
+    assert(ov == ov2) // counter-based determinism holds with the knob on
+    // centers: the 4 means of the overlap=0 draw are (near) the true
+    // centers; with overlap on, a sizable fraction of rows must sit
+    // FARTHER from every center than sigma-noise allows (they live on
+    // inter-cluster edges), while overlap=0 rows all hug a center
+    val centers = base.values.toSeq.grouped(64).map { g =>
+      g.transpose.map(c => c.sum / c.size).toSeq
+    }.toSeq // crude, but inter-center distance ≈ 4 vs sigma·√8 ≈ 0.14
+    def minDist(v: Seq[Float]): Double =
+      base.values.map(l2(v, _)).min
+    val strayed = ov.values.count(v => minDist(v) > 0.5)
+    assert(strayed > 20,
+      s"overlap=0.8 should pull rows onto inter-cluster edges ($strayed strayed)")
+    assert(centers.nonEmpty) // silence unused warning; sanity only
   }
 
   test("P6 validation helpers") {
