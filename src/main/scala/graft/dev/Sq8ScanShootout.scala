@@ -21,14 +21,17 @@ object Sq8ScanShootout {
     Registry.init()
     for ((name, n, dims, nQ, nlist, nprobe, clusters) <- Seq(
       ("random", 20000, 64, 256, 256, 32, 0),
-      ("msmarco", 100000, 384, 70, 256, 48, 512))) {
+      // r8 hardened stand-in shape + pinned nprobe=24 (BaselineCompare)
+      ("msmarco", 100000, 384, 70, 256, 24, 512))) {
       val train0 =
         if (clusters > 0)
-          RandomDataset.clusteredVectors(spark, n, dims, clusters, 0.9, 42, centerSeed = 7)
+          RandomDataset.clusteredVectors(spark, n, dims, clusters, 1.2, 42,
+            centerSeed = 7, intrinsicDim = 64, overlap = 0.7)
         else RandomDataset.vectors(spark, n, dims, 42)
       val test0 =
         if (clusters > 0)
-          RandomDataset.clusteredVectors(spark, nQ, dims, clusters, 0.9, 43, centerSeed = 7)
+          RandomDataset.clusteredVectors(spark, nQ, dims, clusters, 1.2, 43,
+            centerSeed = 7, intrinsicDim = 64, overlap = 0.7)
         else RandomDataset.vectors(spark, nQ, dims, 43)
       def norm(df: org.apache.spark.sql.DataFrame) =
         if (clusters > 0) df.withColumn("vector",
@@ -51,6 +54,7 @@ object Sq8ScanShootout {
       // co-tenants (run-to-run swings of 2-5×); interleaving the
       // contenders and taking each one's MINIMUM cancels the drift
       val inline = new AdcScan.Sq8Scorer(AdcScan.LocalLut(qVecs), lo, hi, 0)
+      val stridedSc = new AdcScan.Sq8FastScorer(AdcScan.LocalLut(qVecs), lo, hi, 0)
       val inlinePerRow = new AdcScan.Scorer {
         def score(qidx: Int, cid: Int, codes: Array[Byte], off: Int, len: Int): Double =
           inline.score(qidx, cid, codes, off, len)
@@ -64,6 +68,8 @@ object Sq8ScanShootout {
         }),
         ("inline_tiled", () =>
           LocalScan.scanCodesIvf(spark, ct, qids, 20, inline, probes).collect(): Unit),
+        ("fast_gram", () =>
+          LocalScan.scanCodesIvf(spark, ct, qids, 20, stridedSc, probes).collect(): Unit),
         ("inline_per_row", () =>
           LocalScan.scanCodesIvf(spark, ct, qids, 20, inlinePerRow, probes).collect(): Unit))
       variants.foreach { case (_, f) => f(); f() } // warm all

@@ -80,8 +80,13 @@ object BaselineCompare {
       // nprobe above FAISS's config (24→32 on random): our coarse
       // quantizer trains a different KMeans, so probe depth is the fair
       // knob to reach the published recall at equal nlist
+      // strided_accum: stride-4 partial sums in the scan kernel —
+      // FAISS's AVX kernels reassociate the same way, and the single-
+      // chain loop is FP-add-latency bound (Sq8ScanShootout: 9.3 ns/elem,
+      // 95% of search wall); recall-equivalent, gates keep the exact sum
       ("ivf_sq8", "ivf_sq8", "ivf_sq8",
-        Map("nlist" -> "256", "nprobe" -> nprobe.toString)),
+        Map("nlist" -> "256", "nprobe" -> nprobe.toString,
+          "strided_accum" -> "true")),
       // train_iters=25 mirrors FAISS's kmeans default (niter=25); the
       // gate configs stay at the pinned 15 to keep oracle literals stable
       ("pq", "pq", "pq",

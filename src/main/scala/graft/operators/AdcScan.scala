@@ -78,6 +78,13 @@ object AdcScan {
     * codes slab ≤ chunk × stride bytes — L2-friendly at every shape) */
   val scoreChunkRows = 256
 
+  /** JVM-wide [[Sq8FastScorer]] row-norms memo: weak identity keys on
+    * the flat codes array, so an unpersisted artifact's entry collects
+    * with the array (same lifecycle contract as LocalScan's memo) */
+  private val sq8NormsCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[Array[Byte], Array[Double]]())
+
   /** PQ ADC: sqrt(Σ_j lut[j·nC + code_j]) (l2) or Σ_j lut[…] (ip). */
   final class PqLutScorer(luts: Lut[Array[Array[Double]]],
       sqrtOut: Boolean) extends Scorer {
@@ -126,7 +133,10 @@ object AdcScan {
     * 131 KB (64-d) to 786 KB (384-d) table shared by ALL queries for the
     * whole scan, replacing a double division + two FP ops per element
     * with one lookup. @transient lazy: the distributed path broadcasts
-    * only lo/hi and each executor rebuilds the table once. */
+    * only lo/hi and each executor rebuilds the table once.
+    *
+    * For the FAISS-regime fast path see [[Sq8FastScorer]]; this class is
+    * the oracle-exact kernel the gates pin. */
   final class Sq8Scorer(queries: Lut[Array[Array[Float]]],
       lo: Array[Float], hi: Array[Float], mode: Int) extends Scorer {
     @transient private lazy val deq: Array[Double] = {
@@ -206,6 +216,201 @@ object AdcScan {
         while (r < nRows) { out(r) = -out(r); r += 1 }
       else
         while (r < nRows) { out(r) = math.sqrt(out(r)); r += 1 }
+    }
+  }
+
+  /** FAISS-regime SQ8 kernel (opt-in via `strided_accum`; gates keep
+    * [[Sq8Scorer]]'s oracle-exact index-order sum). Two structural
+    * changes, both recall-equivalent reassociations of the same math:
+    *
+    * 1. **Factored dequantization.** `deq[i,c] = lo(i) + scale(i)·u(c)`
+    *    with `u(c) = c/255` a 256-entry (2 KB, L1-resident) table —
+    *    [[Sq8Scorer]]'s dim×256 table is 786 KB at 384-d, so every
+    *    data-dependent lookup was an L2 hit; the measured scan floor was
+    *    ~9 ns/element with the lookup latency chain dominating
+    *    (dev/Sq8ScanShootout; a stride-4 unroll alone recovered only
+    *    ~24%).
+    * 2. **Gram decomposition + hoisting.** L2: ‖q−x‖² = ‖q−lo−s·u‖²
+    *    = qn − 2·Σᵢ ys(i)·u(cᵢ) + rn(row), with ys(i) = (qᵢ−lo(i))·
+    *    scale(i) per QUERY (3 KB, once per batch), qn = Σ(qᵢ−lo(i))²
+    *    per query, and rn(row) = Σ scale(i)²·u(cᵢ)² per ROW — computed
+    *    in ONE parallel pass per scan and reused by every probing query.
+    *    IP: q·x = q·lo (hoisted) + Σ qs(i)·u(cᵢ). The inner loop is one
+    *    sequential load + one L1 lookup + one FMA per element, stride-4
+    *    unrolled.
+    *
+    * FAISS's own AVX kernels reassociate sums the same way, so this is
+    * the faithful comparison regime (the l2_gram precedent). Values
+    * differ from the exact kernel by reassociation + cancellation noise
+    * (clamped at 0 before sqrt like [[ResidualScorer]]); local ≡
+    * distributed still holds — both paths share this scorer when the
+    * flag is on. `normsFor` memoizes per-row norms on the codes-array
+    * instance: the local path passes one flat array per artifact; the
+    * distributed path re-derives per partition pass. mode: 0 = L2,
+    * 1 = IP (cosine callers route through the exact scorer). */
+  final class Sq8FastScorer(queries: Lut[Array[Array[Float]]],
+      lo: Array[Float], hi: Array[Float], mode: Int) extends Scorer {
+    private val dim = lo.length
+
+    @transient private lazy val u: Array[Double] = {
+      val out = new Array[Double](256)
+      var b = 0
+      while (b < 256) { out(b) = b / 255.0; b += 1 }
+      out
+    }
+    @transient private lazy val u2: Array[Double] = {
+      val out = new Array[Double](256)
+      var b = 0
+      while (b < 256) { val v = b / 255.0; out(b) = v * v; b += 1 }
+      out
+    }
+    @transient private lazy val scaleD: Array[Double] =
+      Array.tabulate(dim)(i => hi(i).toDouble - lo(i).toDouble)
+    @transient private lazy val scale2D: Array[Double] =
+      Array.tabulate(dim)(i => scaleD(i) * scaleD(i))
+
+    /** per-query hoisted state: ys(i) (L2) or qs(i) (IP), plus the
+      * scalar constant (qn for L2, q·lo for IP) */
+    @transient private lazy val qState: (Array[Array[Double]], Array[Double]) = {
+      val qv = queries.value
+      val w = new Array[Array[Double]](qv.length)
+      val c = new Array[Double](qv.length)
+      var qi = 0
+      while (qi < qv.length) {
+        val q = qv(qi)
+        val arr = new Array[Double](dim)
+        var acc = 0.0
+        var i = 0
+        if (mode == 1) {
+          while (i < dim) {
+            arr(i) = q(i).toDouble * scaleD(i)
+            acc += q(i).toDouble * lo(i).toDouble
+            i += 1
+          }
+        } else {
+          while (i < dim) {
+            val y = q(i).toDouble - lo(i).toDouble
+            arr(i) = y * scaleD(i)
+            acc += y * y
+            i += 1
+          }
+        }
+        w(qi) = arr; c(qi) = acc
+        qi += 1
+      }
+      (w, c)
+    }
+
+    /** row norms rn(row) = Σᵢ scale(i)²·u(cᵢ)², one parallel pass per
+      * codes-array instance (JVM-wide WeakHashMap identity memo in
+      * [[sq8NormsCache]]: a NEW scorer is built per search call, but the
+      * local scan passes the SAME flat array per artifact — the pass must
+      * amortize across searches, not re-run per call). Norms are
+      * metric-independent (codes + lo/hi only) and codes arrays are
+      * per-artifact instances, so identity keying cannot collide. */
+    private def normsCache = sq8NormsCache
+
+    /** per-scorer memo of the LAST resolved (codes → norms) pair: the
+      * scan calls scoreChunk once per ≤256-row chunk, and a synchronized
+      * map get per chunk contends across the parallel query threads.
+      * Tuple2 fields are final → safe publication; racing writes are
+      * idempotent. */
+    @transient private var rnLast: (Array[Byte], Array[Double]) = null
+    private def normsResolved(codes: Array[Byte]): Array[Double] = {
+      val p = rnLast
+      if (p != null && (p._1 eq codes)) p._2
+      else {
+        val a = normsFor(codes)
+        rnLast = (codes, a)
+        a
+      }
+    }
+
+    private def normsFor(codes: Array[Byte]): Array[Double] = {
+      val got = normsCache.get(codes)
+      if (got != null) return got
+      // computeIfAbsent under the map monitor: concurrent scoring threads
+      // block instead of duplicating the pass (the nested parallel stream
+      // still makes progress — the computing thread joins its own tasks).
+      // Local callers avoid even that via [[precomputeNorms]] before the
+      // query fan-out.
+      normsCache.computeIfAbsent(codes, { cs: Array[Byte] =>
+        val n = cs.length / math.max(1, dim)
+        val out = new Array[Double](n)
+        val s2 = scale2D; val uu = u2; val d = dim
+        java.util.stream.IntStream.range(0, n).parallel().forEach { r =>
+          val off = r * d
+          var a0 = 0.0; var a1 = 0.0; var a2 = 0.0; var a3 = 0.0
+          var i = 0
+          val m4 = d - 3
+          while (i < m4) {
+            a0 += s2(i) * uu(cs(off + i) + 128)
+            a1 += s2(i + 1) * uu(cs(off + i + 1) + 128)
+            a2 += s2(i + 2) * uu(cs(off + i + 2) + 128)
+            a3 += s2(i + 3) * uu(cs(off + i + 3) + 128)
+            i += 4
+          }
+          while (i < d) { a0 += s2(i) * uu(cs(off + i) + 128); i += 1 }
+          out(r) = (a0 + a1) + (a2 + a3)
+        }
+        out
+      })
+    }
+
+    /** eager per-row-norms pass with the full driver pool (call before a
+      * parallel query fan-out so scoring threads never contend on the
+      * norms monitor); no-op for IP mode */
+    def precomputeNorms(codes: Array[Byte]): Unit =
+      if (mode == 0) { normsFor(codes); () }
+
+    /** the shared weighted-lookup sum S = Σᵢ w(i)·u(cᵢ), stride-4 */
+    @inline private def wsum(w: Array[Double], codes: Array[Byte],
+        off: Int, len: Int): Double = {
+      val uu = u
+      var a0 = 0.0; var a1 = 0.0; var a2 = 0.0; var a3 = 0.0
+      var i = 0
+      val m4 = len - 3
+      while (i < m4) {
+        a0 += w(i) * uu(codes(off + i) + 128)
+        a1 += w(i + 1) * uu(codes(off + i + 1) + 128)
+        a2 += w(i + 2) * uu(codes(off + i + 2) + 128)
+        a3 += w(i + 3) * uu(codes(off + i + 3) + 128)
+        i += 4
+      }
+      while (i < len) { a0 += w(i) * uu(codes(off + i) + 128); i += 1 }
+      (a0 + a1) + (a2 + a3)
+    }
+
+    def score(qidx: Int, cid: Int, codes: Array[Byte], off: Int, len: Int): Double = {
+      val (w, c) = qState
+      val s = wsum(w(qidx), codes, off, len)
+      if (mode == 1) -(c(qidx) + s)
+      else {
+        val rn = normsResolved(codes)(off / math.max(1, len))
+        math.sqrt(math.max(0.0, c(qidx) - 2.0 * s + rn))
+      }
+    }
+
+    override def scoreChunk(qidx: Int, cid: Int, codes: Array[Byte],
+        off0: Int, stride: Int, nRows: Int, out: Array[Double]): Unit = {
+      val (wAll, cAll) = qState
+      val w = wAll(qidx); val c = cAll(qidx)
+      if (mode == 1) {
+        var r = 0
+        while (r < nRows) {
+          out(r) = -(c + wsum(w, codes, off0 + r * stride, stride))
+          r += 1
+        }
+      } else {
+        val rn = normsResolved(codes)
+        val row0 = off0 / math.max(1, stride)
+        var r = 0
+        while (r < nRows) {
+          val s = wsum(w, codes, off0 + r * stride, stride)
+          out(r) = math.sqrt(math.max(0.0, c - 2.0 * s + rn(row0 + r)))
+          r += 1
+        }
+      }
     }
   }
 

@@ -148,7 +148,11 @@ object Registry {
           seed = p.getOrElse("seed", "42").toLong)
       }
       registerSearcher("ivf_sq8") { (p, m) =>
-        IvfSq8Searcher(nprobe = p.getOrElse("nprobe", "8").toInt, metric = m)
+        IvfSq8Searcher(nprobe = p.getOrElse("nprobe", "8").toInt, metric = m,
+          // opt-in stride-4 accumulation (AdcScan.Sq8Scorer): recall-
+          // equivalent but not bit-identical to the oracle's index-order
+          // sum — gates never set it; the baseline harness does
+          strided = p.getOrElse("strided_accum", "false").toBoolean)
       }
       registerIndexer("ivf_pq") { (p, _) =>
         IvfPqIndexer(

@@ -44,7 +44,8 @@ final case class IvfSq8Indexer(nlist: Int, seed: Long) extends Indexer {
   }
 }
 
-final case class IvfSq8Searcher(nprobe: Int, metric: String) extends Searcher
+final case class IvfSq8Searcher(nprobe: Int, metric: String,
+    strided: Boolean = false) extends Searcher
     with QueryBroadcastLifecycle {
   def search(artifact: IndexArtifact, queries: DataFrame, k: Int): DataFrame = {
     beginSearch()
@@ -70,11 +71,20 @@ final case class IvfSq8Searcher(nprobe: Int, metric: String) extends Searcher
     // competes for cache. This replaced the per-query (q−x)² LUT
     // formulation (Sq8Model.luts): at 384-d that LUT was 786 KB/query —
     // walked fully per ROW by the scan — plus a ~55 MB build per batch.
+    val qLut = trackLut(spark, localTable.isDefined, qVecs)
+    // strided: the FAISS-regime factored/gram kernel (recall-equivalent,
+    // reassociated — baseline harness only); default: the oracle-exact
+    // kernel the gates pin. Cosine always routes exact (3-accumulator
+    // form has no gram decomposition).
     val scorer: AdcScan.Scorer =
-      new AdcScan.Sq8Scorer(
-        trackLut(spark, localTable.isDefined, qVecs), lo, hi, mode)
+      if (strided && mode != 2) new AdcScan.Sq8FastScorer(qLut, lo, hi, mode)
+      else new AdcScan.Sq8Scorer(qLut, lo, hi, mode)
     localTable match {
       case Some(ct) =>
+        scorer match {
+          case f: AdcScan.Sq8FastScorer => f.precomputeNorms(ct.codes)
+          case _ => ()
+        }
         LocalScan.scanCodesIvf(spark, ct, qids, k, scorer, probeArr)
       case None =>
         AdcScan.searchTopKIvf(artifact.data, qids, k, scorer,

@@ -85,6 +85,30 @@ class AnnSpec extends AnyFunSuite {
     assert(r > 0.8, s"ivf_sq8 full-probe recall $r")
   }
 
+  test("IVF-SQ8 fast kernel: same ids, distances within reassociation noise") {
+    val idx = IvfSq8Indexer(nlist = 8, seed = 42).build(trainC)
+    val exact = IvfSq8Searcher(nprobe = 8, metric = "l2")
+      .search(idx, testQ, 10)
+      .select("qid", "rank", "id", "dist").as[(Long, Int, Long, Double)]
+      .collect().sortBy(t => (t._1, t._2))
+    val fast = IvfSq8Searcher(nprobe = 8, metric = "l2", strided = true)
+      .search(idx, testQ, 10)
+      .select("qid", "rank", "id", "dist").as[(Long, Int, Long, Double)]
+      .collect().sortBy(t => (t._1, t._2))
+    assert(exact.length == fast.length)
+    // the factored/gram kernel reassociates the sum (and pays gram
+    // cancellation): rankings must agree away from exact ties and each
+    // distance must match to FP-cancellation tolerance, NOT bit-exactly
+    exact.zip(fast).foreach { case ((q1, r1, i1, d1), (q2, r2, i2, d2)) =>
+      assert(q1 == q2 && r1 == r2, s"rank mismatch $q1/$r1 vs $q2/$r2")
+      val tol = 1e-6 * math.max(1.0, math.abs(d1))
+      assert(math.abs(d1 - d2) < tol,
+        s"dist drift at qid=$q1 rank=$r1: $d1 vs $d2")
+      // id may differ only where the two kernels round a tie apart
+      if (i1 != i2) assert(math.abs(d1 - d2) < tol)
+    }
+  }
+
   test("IVF-PQ composition: recall above the partial-probe floor") {
     val idx = IvfPqIndexer(nlist = 8, numSubspaces = 8, numCentroids = 32,
       seed = 42).build(trainC)
