@@ -70,13 +70,17 @@ object BaselineCompare {
       // l2_gram = FAISS IndexFlatL2's own arithmetic (‖q‖²+‖x‖²−2q·x,
       // row norms hoisted — the gemm decomposition): the faithful
       // comparison regime for the exact row, and the J2 gate's metric.
-      // Rankings equal plain l2 up to fp rounding at ties.
-      ("exact", "brute_force", "linear", Map("metric" -> "l2_gram")),
+      // Rankings equal plain l2 up to fp rounding at ties. strided_accum
+      // additionally pipelines the dot in four FMA chains (FAISS's gemm
+      // reassociates the same way; LocalScan.dot4).
+      ("exact", "brute_force", "linear",
+        Map("metric" -> "l2_gram", "strided_accum" -> "true")),
       ("lsh", "lsh", "lsh", Map("num_tables" -> lshTables.toString,
         "hash_size" -> lshHash.toString, "bucket_width" -> "20.0",
         "candidate_multiplier" -> lshMult.toString)),
       ("ivf_flat", "ivf", "ivf",
-        Map("nlist" -> "100", "nprobe" -> ivfFlatNprobe.toString)),
+        Map("nlist" -> "100", "nprobe" -> ivfFlatNprobe.toString,
+          "strided_accum" -> "true")),
       // nprobe above FAISS's config (24→32 on random): our coarse
       // quantizer trains a different KMeans, so probe depth is the fair
       // knob to reach the published recall at equal nlist

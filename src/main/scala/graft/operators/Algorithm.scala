@@ -98,7 +98,11 @@ object Registry {
   private object Builtins {
     lazy val done: Boolean = {
       registerIndexer("brute_force")((_, _) => BruteForceIndexer())
-      registerSearcher("linear")((p, m) => LinearSearcher(m))
+      // strided_accum (here and on ivf/ivf_sq8): opt-in stride-4 gram
+      // kernels — recall-equivalent, reassociated; the FAISS comparison
+      // regime. Gates never set it; the baseline harness does.
+      registerSearcher("linear")((p, m) => LinearSearcher(m,
+        strided = p.getOrElse("strided_accum", "false").toBoolean))
       registerIndexer("lsh") { (p, m) =>
         LshIndexer(
           numTables = p.getOrElse("num_tables", "8").toInt,
@@ -120,7 +124,8 @@ object Registry {
           seed = p.getOrElse("seed", "42").toLong)
       }
       registerSearcher("ivf") { (p, m) =>
-        IvfSearcher(nprobe = p.getOrElse("nprobe", "8").toInt, metric = m)
+        IvfSearcher(nprobe = p.getOrElse("nprobe", "8").toInt, metric = m,
+          strided = p.getOrElse("strided_accum", "false").toBoolean)
       }
       registerIndexer("sq8") { (p, _) => Sq8Indexer() }
       registerSearcher("sq8") { (p, m) => Sq8Searcher(metric = m) }
@@ -215,7 +220,8 @@ final case class BruteForceIndexer() extends Indexer {
   * a real cluster the distributed scan holds every executor core while
   * the driver kernel is capped at one machine (the budget default sits
   * past every reference batch shape — see LocalScan.fullScanFlopCap). */
-final case class LinearSearcher(metric: String) extends Searcher {
+final case class LinearSearcher(metric: String,
+    strided: Boolean = false) extends Searcher {
   def search(artifact: IndexArtifact, queries: DataFrame, k: Int): DataFrame = {
     // flop gate from the cheap memoized (count, width) probe BEFORE any
     // collect: a compute-bound batch must not pay (or pin) a full table
@@ -228,7 +234,7 @@ final case class LinearSearcher(metric: String) extends Searcher {
       if qids.length.toLong * n * dim <= LocalScan.fullScanFlopCap
       vt <- LocalScan.vecTable(artifact.data, ivf = false)
     } yield LocalScan.scanVecsFull(
-      artifact.data.sparkSession, vt, qids, qVecs, k, mode)
+      artifact.data.sparkSession, vt, qids, qVecs, k, mode, strided = strided)
     plan.getOrElse(KnnJoin.knnJoin(queries, artifact.data, k, metric))
   }
 }

@@ -106,7 +106,8 @@ object IvfModel {
     }
 }
 
-final case class IvfSearcher(nprobe: Int, metric: String) extends Searcher {
+final case class IvfSearcher(nprobe: Int, metric: String,
+    strided: Boolean = false) extends Searcher {
   def search(artifact: IndexArtifact, queries: DataFrame, k: Int): DataFrame = {
     val spark = artifact.data.sparkSession
     import spark.implicits._
@@ -129,7 +130,8 @@ final case class IvfSearcher(nprobe: Int, metric: String) extends Searcher {
     (LocalScan.metricMode(metric),
         LocalScan.vecTable(artifact.data, ivf = true)) match {
       case (Some(mode), Some(vt)) =>
-        return LocalScan.scanVecsIvf(spark, vt, qids, qVecArr, k, mode, probeArr)
+        return LocalScan.scanVecsIvf(spark, vt, qids, qVecArr, k, mode,
+          probeArr, strided = strided)
       case _ => ()
     }
     val probes = probeArr.iterator.zipWithIndex.flatMap { case (qs, cid) =>

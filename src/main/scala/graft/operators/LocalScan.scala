@@ -474,11 +474,54 @@ object LocalScan {
     }
   }
 
+  /** stride-4 dot product (FAISS-regime reassociation: four independent
+    * FMA chains pipeline where the index-order chain serializes on
+    * FP-add latency — the same trade as AdcScan.Sq8FastScorer) */
+  @inline private def dot4(q: Array[Float], flat: Array[Float], off: Int,
+      dim: Int): Double = {
+    var a0 = 0.0; var a1 = 0.0; var a2 = 0.0; var a3 = 0.0
+    var i = 0
+    val m4 = dim - 3
+    while (i < m4) {
+      a0 += q(i).toDouble * flat(off + i).toDouble
+      a1 += q(i + 1).toDouble * flat(off + i + 1).toDouble
+      a2 += q(i + 2).toDouble * flat(off + i + 2).toDouble
+      a3 += q(i + 3).toDouble * flat(off + i + 3).toDouble
+      i += 4
+    }
+    while (i < dim) { a0 += q(i).toDouble * flat(off + i).toDouble; i += 1 }
+    (a0 + a1) + (a2 + a3)
+  }
+
+  /** strided-kernel distance from a hoisted query norm, row norm and
+    * stride-4 dot: l2/l2_gram via the gram identity (clamped at 0 —
+    * cancellation), ip = −dot, cosine from the same norms. Emitted
+    * conventions match [[vecDist]] exactly; values differ by
+    * reassociation + gram cancellation only. */
+  @inline private def stridedDist(mode: Int, qn: Double, rn: Double,
+      dot: Double): Double =
+    if (mode == 1) -dot
+    else if (mode == 2) {
+      val den = math.sqrt(qn) * math.sqrt(rn)
+      if (den == 0.0) 1.0 else 1.0 - dot / den
+    } else math.sqrt(math.max(0.0, qn + rn - 2.0 * dot))
+
+  private def queryNorm(q: Array[Float]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < q.length) { val x = q(i).toDouble; acc += x * x; i += 1 }
+    acc
+  }
+
   /** exact flat scan (mirrors KnnJoin.knnJoin: broadcast queries × base
     * scan + bounded heap, no padding); tiled like [[scanCodesFull]].
-    * [[scanSimd]] swaps in the reassociated SIMD kernels (opt-in). */
+    * [[scanSimd]] swaps in the reassociated SIMD kernels (opt-in);
+    * `strided` swaps in the scalar stride-4 gram kernels (opt-in via the
+    * searcher's `strided_accum` — the FAISS comparison regime; not
+    * bit-identical to the oracle-exact kernels, so gates never set it). */
   def scanVecsFull(spark: SparkSession, vt: VecTable, qids: Array[Long],
-      qVecs: Array[Array[Float]], k: Int, mode: Int): DataFrame = {
+      qVecs: Array[Array[Float]], k: Int, mode: Int,
+      strided: Boolean = false): DataFrame = {
+    if (strided) return scanVecsFullStrided(spark, vt, qids, qVecs, k, mode)
     val heaps = new Array[BoundedTopK](qids.length)
     // SIMD kernels cover modes 0-2 only; the gram mode's dot loop is
     // already the minimal-op kernel
@@ -553,23 +596,80 @@ object LocalScan {
     else kern.l2Flat(q, flat, off)
   }
 
+  /** full flat scan with the stride-4 gram kernels: one dot4 per
+    * element-row, ‖q‖² hoisted per query, per-row norms computed once
+    * per table (memoized) and shared by every query and every search */
+  private def scanVecsFullStrided(spark: SparkSession, vt: VecTable,
+      qids: Array[Long], qVecs: Array[Array[Float]], k: Int,
+      mode: Int): DataFrame = {
+    val heaps = new Array[BoundedTopK](qids.length)
+    val m = if (mode == 3) 0 else mode // l2_gram ≡ l2 here: gram IS the kernel
+    val norms = if (m == 1) null else rowNorms(vt)
+    if (vt.n > 0) {
+      val chunkRows = math.max(1, (64 << 10) / math.max(1, vt.dim))
+      val qb = blockFor(qids.length)
+      val nBlocks = (qids.length + qb - 1) / qb
+      java.util.stream.IntStream.range(0, nBlocks).parallel().forEach { b =>
+        val q0 = b * qb
+        val q1 = math.min(qids.length, q0 + qb)
+        var qi = q0
+        while (qi < q1) { heaps(qi) = new BoundedTopK(k); qi += 1 }
+        val qq = new Array[Double](q1 - q0)
+        var j = q0
+        while (j < q1) { qq(j - q0) = queryNorm(qVecs(j)); j += 1 }
+        var c0 = 0
+        while (c0 < vt.n) {
+          val c1 = math.min(vt.n, c0 + chunkRows)
+          qi = q0
+          while (qi < q1) {
+            val h = heaps(qi)
+            val q = qVecs(qi)
+            val qn = qq(qi - q0)
+            val dim = vt.dim
+            var r = c0
+            while (r < c1) {
+              val dot = dot4(q, vt.flat, r * dim, dim)
+              h.insert(vt.ids(r),
+                stridedDist(m, qn, if (norms == null) 0.0 else norms(r), dot))
+              r += 1
+            }
+            qi += 1
+          }
+          c0 = c1
+        }
+      }
+    }
+    resultDf(spark, qids, heaps)
+  }
+
   /** IVF flat scan: probed lists only (mirrors IvfSearcher's equi-join +
-    * carried-vector rerank). */
+    * carried-vector rerank). `strided` as in [[scanVecsFull]]. */
   def scanVecsIvf(spark: SparkSession, vt: VecTable, qids: Array[Long],
       qVecs: Array[Array[Float]], k: Int, mode: Int,
-      probes: Array[Array[Int]]): DataFrame = {
+      probes: Array[Array[Int]], strided: Boolean = false): DataFrame = {
     val byQuery = invertProbes(probes, qids.length)
     val heaps = new Array[BoundedTopK](qids.length)
     val simd = scanSimd && SimdDist.vectorKernel.isDefined
+    val m = if (strided && mode == 3) 0 else mode
+    val norms = if (strided && m != 1) rowNorms(vt) else null
     java.util.stream.IntStream.range(0, qids.length).parallel().forEach { qi =>
       var h: BoundedTopK = null
       val q = qVecs(qi)
+      val qn = if (strided) queryNorm(q) else 0.0
       byQuery(qi).foreach { cid =>
         if (cid + 1 < vt.listOffsets.length) {
           var r = vt.listOffsets(cid)
           val end = vt.listOffsets(cid + 1)
           if (r < end && h == null) h = new BoundedTopK(k)
-          while (r < end) {
+          if (strided) {
+            val dim = vt.dim
+            while (r < end) {
+              val dot = dot4(q, vt.flat, r * dim, dim)
+              h.insert(vt.ids(r),
+                stridedDist(m, qn, if (norms == null) 0.0 else norms(r), dot))
+              r += 1
+            }
+          } else while (r < end) {
             val d =
               if (simd) simdDistAt(q, vt.flat, r * vt.dim, mode)
               else vecDist(q, vt.flat, r * vt.dim, vt.dim, mode)

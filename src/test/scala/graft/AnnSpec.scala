@@ -109,6 +109,30 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("strided float kernels: linear + IVF match exact rankings within noise") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("qid", "rank", "id", "dist").as[(Long, Int, Long, Double)]
+      .collect().sortBy(t => (t._1, t._2))
+    def close(a: Array[(Long, Int, Long, Double)],
+        b: Array[(Long, Int, Long, Double)]): Unit = {
+      assert(a.length == b.length)
+      a.zip(b).foreach { case ((q1, r1, i1, d1), (q2, r2, i2, d2)) =>
+        assert(q1 == q2 && r1 == r2)
+        val tol = 1e-6 * math.max(1.0, math.abs(d1))
+        assert(math.abs(d1 - d2) < tol, s"dist drift qid=$q1 rank=$r1: $d1 vs $d2")
+        if (i1 != i2) assert(math.abs(d1 - d2) < tol) // ties may round apart
+      }
+    }
+    val flat = BruteForceIndexer().build(trainC)
+    for (m <- Seq("l2", "l2_gram", "cosine"))
+      close(rows(LinearSearcher(m).search(flat, testQ, 10)),
+        rows(LinearSearcher(m, strided = true).search(flat, testQ, 10)))
+    val ivf = IvfIndexer(nlist = 8, seed = 42).build(trainC)
+    close(rows(IvfSearcher(nprobe = 4, metric = "l2").search(ivf, testQ, 10)),
+      rows(IvfSearcher(nprobe = 4, metric = "l2", strided = true)
+        .search(ivf, testQ, 10)))
+  }
+
   test("IVF-PQ composition: recall above the partial-probe floor") {
     val idx = IvfPqIndexer(nlist = 8, numSubspaces = 8, numCentroids = 32,
       seed = 42).build(trainC)
