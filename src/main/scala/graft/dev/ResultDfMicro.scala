@@ -14,12 +14,17 @@ object ResultDfMicro {
     spark.sparkContext.setLogLevel("ERROR")
     val nQ = 256; val k = 20
     val qids = Array.tabulate(nQ)(_.toLong)
-    val rnd = new java.util.Random(7)
-    val heaps = Array.fill(nQ) {
-      val h = new BoundedTopK(k)
-      (0 until 40).foreach(i => h.insert(i.toLong, rnd.nextDouble()))
-      h
+    // resultDf drains its heaps (packed-row rewrite), so every timed call
+    // gets a fresh set; the build is part of no timed phase
+    def freshHeaps(): Array[BoundedTopK] = {
+      val rnd = new java.util.Random(7)
+      Array.fill(nQ) {
+        val h = new BoundedTopK(k)
+        (0 until 40).foreach(i => h.insert(i.toLong, rnd.nextDouble()))
+        h
+      }
     }
+    var heaps = freshHeaps()
     def t(label: String)(f: => Unit): Unit = {
       f; f
       var best = Double.MaxValue
@@ -29,28 +34,23 @@ object ResultDfMicro {
       }
       println(f"$label%-22s $best%8.3f ms (min-of-20)")
     }
-    t("resultDf only")(LocalScan.resultDf(spark, qids, heaps))
-    t("resultDf + collect")(LocalScan.resultDf(spark, qids, heaps).collect())
-    // phase split: where do the milliseconds actually go?
-    t("rows build only") {
-      val out = qids.indices.iterator.flatMap { qi =>
-        val h = heaps(qi)
-        h.sorted.iterator.zipWithIndex.map { case ((id, d), pos) =>
-          (qids(qi), pos + 1, id, d)
-        }
-      }.toSeq
-      out.map(tu =>
-        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          Array[Any](tu._1, tu._2, tu._3, tu._4))): Unit
+    t("resultDf only") {
+      heaps = freshHeaps(); LocalScan.resultDf(spark, qids, heaps)
     }
-    val df = LocalScan.resultDf(spark, qids, heaps)
+    t("resultDf + collect") {
+      heaps = freshHeaps(); LocalScan.resultDf(spark, qids, heaps).collect()
+    }
+    t("heap rebuild only") { heaps = freshHeaps() }
+    val df = LocalScan.resultDf(spark, qids, freshHeaps())
     t("collect prebuilt df")(df.collect())
     t("analyzed")(df.queryExecution.analyzed)
     t("optimizedPlan") {
-      LocalScan.resultDf(spark, qids, heaps).queryExecution.optimizedPlan: Unit
+      LocalScan.resultDf(spark, qids, freshHeaps())
+        .queryExecution.optimizedPlan: Unit
     }
     t("executedPlan") {
-      LocalScan.resultDf(spark, qids, heaps).queryExecution.executedPlan: Unit
+      LocalScan.resultDf(spark, qids, freshHeaps())
+        .queryExecution.executedPlan: Unit
     }
     spark.stop()
   }

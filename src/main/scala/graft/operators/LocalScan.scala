@@ -686,26 +686,95 @@ object LocalScan {
   /** canonical (qid, rank int, id, dist) relation from per-query heaps —
     * the same emit as AdcScan.finish's driver-merge branch (ascending
     * (dist, id), rank 1-based, queries with no candidates absent) */
+  // (qid long, rank int, id long, dist double): UnsafeRow fixed-width
+  // layout = 8-byte null bitset + 4 × 8-byte slots
+  private val resultRowBytes = 8 + 4 * 8
+
+  /** field-wise InternalRow→Row for [[resultSchema]] — same values the
+    * generic Catalyst converter produces, without its per-field dispatch
+    * (Shim.localRelationDf's fastRow hook) */
+  private val fastResultRow
+      : org.apache.spark.sql.catalyst.InternalRow => org.apache.spark.sql.Row =
+    r => new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+      Array[Any](r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)),
+      resultSchema)
+
+  /** one UnsafeRow pointing into the shared packed buffer, fields zeroed
+    * (null bits clear) and ready for setters */
+  @inline private def packedRow(bytes: Array[Byte], slot: Int)
+      : org.apache.spark.sql.catalyst.expressions.UnsafeRow = {
+    val r = new org.apache.spark.sql.catalyst.expressions.UnsafeRow(4)
+    r.pointTo(bytes,
+      org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET +
+        slot.toLong * resultRowBytes,
+      resultRowBytes)
+    r
+  }
+
+  /** per-query heaps → the canonical result relation. Rows are packed
+    * UnsafeRows over ONE shared byte buffer (~40 B/row, zero boxing) —
+    * the boxed-tuple + GenericInternalRow + generic-converter path cost
+    * ~2.3 ms per 5,120-row batch, the dominant fixed tax of every
+    * driver-local serving row once the kernels were fast
+    * (dev/ResultDfMicro). DESTRUCTIVE on the heaps (popRoot drain,
+    * back-to-front = ascending (dist, id) — identical order and values
+    * to the old BoundedTopK.sorted path). */
   def resultDf(spark: SparkSession, qids: Array[Long],
       heaps: Array[BoundedTopK]): DataFrame = {
-    val out = qids.indices.iterator.flatMap { qi =>
+    var n = 0
+    var qi = 0
+    while (qi < heaps.length) {
+      val h = heaps(qi); if (h != null) n += h.size; qi += 1
+    }
+    val bytes = new Array[Byte](n * resultRowBytes)
+    val rows = new Array[org.apache.spark.sql.catalyst.InternalRow](n)
+    var base = 0
+    qi = 0
+    while (qi < qids.length) {
       val h = heaps(qi)
-      if (h == null) Iterator.empty
-      else h.sorted.iterator.zipWithIndex.map { case ((id, d), pos) =>
-        (qids(qi), pos + 1, id, d)
+      if (h != null && h.size > 0) {
+        val cnt = h.size
+        var pos = cnt - 1
+        while (pos >= 0) {
+          val r = packedRow(bytes, base + pos)
+          r.setLong(0, qids(qi))
+          r.setInt(1, pos + 1)
+          r.setLong(2, h.ids(0))
+          r.setDouble(3, h.dists(0))
+          rows(base + pos) = r
+          h.popRoot()
+          pos -= 1
+        }
+        base += cnt
       }
-    }.toSeq
-    tuplesDf(spark, out)
+      qi += 1
+    }
+    org.apache.spark.sql.graftshim.Shim.localRelationDf(spark, resultSchema,
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(rows),
+      fastResultRow)
   }
 
   /** canonical result rows as a LocalRelation over InternalRows — skips
     * the per-row external-Row conversion (see Shim.localRelationDf) */
   def tuplesDf(spark: SparkSession,
-      rows: Seq[(Long, Int, Long, Double)]): DataFrame =
+      rows: Seq[(Long, Int, Long, Double)]): DataFrame = {
+    val n = rows.length
+    val bytes = new Array[Byte](n * resultRowBytes)
+    val out = new Array[org.apache.spark.sql.catalyst.InternalRow](n)
+    var i = 0
+    val it = rows.iterator
+    while (it.hasNext) {
+      val t = it.next()
+      val r = packedRow(bytes, i)
+      r.setLong(0, t._1); r.setInt(1, t._2)
+      r.setLong(2, t._3); r.setDouble(3, t._4)
+      out(i) = r
+      i += 1
+    }
     org.apache.spark.sql.graftshim.Shim.localRelationDf(spark, resultSchema,
-      rows.map(t =>
-        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          Array[Any](t._1, t._2, t._3, t._4))))
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(out),
+      fastResultRow)
+  }
 
   /** driver-sized result rows → a LocalRelation. Deliberate: a
     * LocalRelation's `collect()` goes through

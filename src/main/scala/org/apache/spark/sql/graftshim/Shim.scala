@@ -39,6 +39,21 @@ object Shim {
       spark: org.apache.spark.sql.SparkSession,
       schema: org.apache.spark.sql.types.StructType,
       rows: Seq[org.apache.spark.sql.catalyst.InternalRow])
+      : org.apache.spark.sql.DataFrame =
+    localRelationDf(spark, schema, rows, null)
+
+  /** As above, with an optional caller-supplied InternalRow→Row builder
+    * for the overridden root `collect()`: a field-wise builder for a
+    * known fixed schema skips the generic Catalyst→Scala converter's
+    * per-field dispatch (the remaining third of the per-batch
+    * result-relation tax; dev/ResultDfMicro). Must produce the same Row
+    * values/order the generic converter would. */
+  def localRelationDf(
+      spark: org.apache.spark.sql.SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      rows: Seq[org.apache.spark.sql.catalyst.InternalRow],
+      fastRow: org.apache.spark.sql.catalyst.InternalRow =>
+        org.apache.spark.sql.Row)
       : org.apache.spark.sql.DataFrame = {
     val session = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     session.withActive {
@@ -76,6 +91,7 @@ object Shim {
       new org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row](
         qe, enc) {
         override def collect(): Array[org.apache.spark.sql.Row] = {
+          if (fastRow != null) return rows.iterator.map(fastRow).toArray
           val conv = converterCache.computeIfAbsent(schema, s =>
             org.apache.spark.sql.catalyst.CatalystTypeConverters
               .createToScalaConverter(s))
