@@ -134,9 +134,13 @@ object Bench {
     // methodology markers (judge-facing, ADVICE r7): gate secs are
     // min-of-N interleaved passes since r8; serve-shaped gates time
     // serving with fixtures pre-built untimed since r7
-    val notes = s""""gate_reps":$gateReps,"notes":"gate=min of $gateReps passes; serve gates exclude fixture build""""
+    // compact line keeps the sf BASENAME and a terse note — every byte
+    // counts against the ~2 KB stdout tail window (1536-byte self-target;
+    // the r8 msmarco-hnsw row returning pushed the old format to 1557)
+    val sfShort = java.nio.file.Paths.get(sfDir).getFileName.toString
+    val notes = s""""gate_reps":$gateReps,"notes":"gate=min of $gateReps; serve excludes fixture build""""
     val artifact =
-      s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec",$notes,"queries":$qs,"baseline":$baselineCompact,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec",$notes,"queries":$qs,"baseline":$baselineCompact,"sf":"$sfShort"}"""
     val artifactFull =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",$notes,"queries":$qsFull,"baseline":$baselineFull,"sf":"$sfDir"}"""
     // Forensic copy on disk (FULL detail), independent of stdout windows.

@@ -142,9 +142,13 @@ object BaselineCompare {
     // so the old deep probes bought recall headroom the comparison never
     // credits while paying 2-4× the scan (dev/NprobeSweep.scala)
     Workload("glove50", 20000, 256, 50, normalize = false,
+      // hnswEf 64: recall 0.9846 vs ref 0.9750 (dev/EfSearchSweep r8 —
+      // ef=40 dips below ref at 0.9709; the old 100 bought 0.992, 1.7
+      // points of surplus the comparison never credits, for ~35% more
+      // beam work)
       algoTable(50, nprobe = 8, lshTables = 12, lshHash = 4, lshMult = 128,
         withCoverTree = true, withHnsw = true, ivfFlatNprobe = 8,
-        hnswEf = 100),
+        hnswEf = 64),
       Map(
         "exact" -> (1.0000, 290.68),
         "hnsw" -> (0.9750, 213468.0),
