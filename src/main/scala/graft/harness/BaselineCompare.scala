@@ -62,7 +62,7 @@ object BaselineCompare {
   private def algoTable(dims: Int, nprobe: Int, lshTables: Int, lshHash: Int,
       lshMult: Int, withCoverTree: Boolean, withHnsw: Boolean,
       ivfFlatNprobe: Int = 10, hnswEf: Int = 256,
-      ivfPqNprobe: Int = -1): Seq[AlgoRow] = {
+      ivfPqNprobe: Int = -1, pqInit: String = "random"): Seq[AlgoRow] = {
     // PQ subspace count follows the reference per-dataset codec (PQ64 at
     // 64-d / 384-d, PQ50 at 50-d): dims must divide evenly
     val m = if (dims % 64 == 0) 64 else dims
@@ -95,7 +95,7 @@ object BaselineCompare {
       // gate configs stay at the pinned 15 to keep oracle literals stable
       ("pq", "pq", "pq",
         Map("num_subspaces" -> m.toString, "num_centroids" -> "256",
-          "train_iters" -> "25")),
+          "train_iters" -> "25", "kmeans_init" -> pqInit)),
       // residual=true is FAISS's own IVFPQ encoding (codes quantize
       // v - centroid), the faithful comparison config. Its probe depth
       // can differ from ivf_sq8's: PQ distances are approximate, so its
@@ -145,10 +145,15 @@ object BaselineCompare {
       // hnswEf 64: recall 0.9846 vs ref 0.9750 (dev/EfSearchSweep r8 —
       // ef=40 dips below ref at 0.9709; the old 100 bought 0.992, 1.7
       // points of surplus the comparison never credits, for ~35% more
-      // beam work)
+      // beam work). pqInit "++": the ONE sub-reference recall row —
+      // random-init codebooks plateau at 0.9750 vs ref 0.9820; D²-seeded
+      // k-means reaches 0.9918 at the same iters AND converges faster
+      // (dev/Glove50PqProbe). random/msmarco pq keep random init: both
+      // already clear ref and random's 0.15-point margin isn't worth
+      // perturbing.
       algoTable(50, nprobe = 8, lshTables = 12, lshHash = 4, lshMult = 128,
         withCoverTree = true, withHnsw = true, ivfFlatNprobe = 8,
-        hnswEf = 64),
+        hnswEf = 64, pqInit = "++"),
       Map(
         "exact" -> (1.0000, 290.68),
         "hnsw" -> (0.9750, 213468.0),
