@@ -180,6 +180,36 @@ class LocalScanSpec extends AnyFunSuite {
     artifact.data.unpersist()
   }
 
+  test("packed resultDf: null/empty/partial heaps, derived-plan reuse") {
+    // the packed-UnsafeRow rewrite must keep resultDf's contract on the
+    // edges: null heap slots skipped, sub-k heaps emit their size,
+    // ordering ascending (dist, id) with rank 1..n per query
+    val qids = Array(10L, 20L, 30L)
+    val heaps = new Array[BoundedTopK](3)
+    heaps(0) = new BoundedTopK(3)
+    heaps(0).insert(7L, 0.5); heaps(0).insert(8L, 0.25)
+    // heaps(1) stays null; heaps(2) empty
+    heaps(2) = new BoundedTopK(3)
+    val df = LocalScan.resultDf(spark, qids, heaps)
+    val got = df.select("qid", "rank", "id", "dist")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(got == Seq((10L, 1, 8L, 0.25), (10L, 2, 7L, 0.5)))
+    // a DERIVED plan over the packed relation goes through the normal
+    // machinery (not the overridden root collect) and must agree
+    val derived = LocalScan.resultDf(spark, qids, {
+      val h = new Array[BoundedTopK](3)
+      h(0) = new BoundedTopK(3)
+      h(0).insert(7L, 0.5); h(0).insert(8L, 0.25)
+      h(2) = new BoundedTopK(3)
+      h
+    }).filter(org.apache.spark.sql.functions.col("rank") === 1)
+      .select("qid", "id").as[(Long, Long)].collect().toSeq
+    assert(derived == Seq((10L, 8L)))
+    // all-null heaps → empty relation, collectable both ways
+    val empty = LocalScan.resultDf(spark, qids, new Array[BoundedTopK](3))
+    assert(empty.collect().isEmpty && empty.count() == 0)
+  }
+
   test("bytes cap: table above the cap falls back to the distributed scan") {
     sys.props("graft.local.bytesCap") = "64"
     try {
