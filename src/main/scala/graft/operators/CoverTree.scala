@@ -61,7 +61,7 @@ final case class CoverTreeSearcher(metric: String = "l2",
       HnswGlobalSearcher.driverWalkCap)
     if (collected.isDefined) {
       val (qids, qVecs) = collected.get
-      val out = new Array[Seq[(Long, Int, Long, Double)]](qids.length)
+      val out = new Array[Array[(Long, Double)]](qids.length)
       // per-query ndis slots, summed into the accumulator ONCE after the
       // parallel loop: LongAccumulator.add is task-merge-safe on
       // executors but not thread-safe for concurrent driver threads
@@ -69,12 +69,10 @@ final case class CoverTreeSearcher(metric: String = "l2",
       java.util.stream.IntStream.range(0, qids.length).parallel().forEach { i =>
         val (res, ndis) = tree.knn(qVecs(i), k)
         ndisPer(i) = ndis
-        out(i) = res.zipWithIndex.map { case ((id, d), r) =>
-          (qids(i), r + 1, id, d)
-        }.toSeq
+        out(i) = res
       }
       acc.foreach(_.add(ndisPer.sum))
-      return LocalScan.tuplesDf(spark, out.toSeq.flatten)
+      return LocalScan.pairsResultDf(spark, qids, out)
     }
     val bTree = spark.sparkContext.broadcast(tree)
     val outSchema = StructType(Seq(

@@ -113,24 +113,20 @@ final case class HnswGlobalSearcher(efSearch: Int = 100, metric: String = "l2",
     val collected = LocalScan.queryVecsCapped(queries, cap)
     if (collected.isDefined) {
       val (cQids, cVecs) = collected.get
-      val rows = cQids.zip(cVecs)
       val ws = ThreadLocal.withInitial[HnswWorkspace](() =>
         new HnswWorkspace(model.vecs.length))
-      val out = new Array[Seq[(Long, Int, Long, Double)]](rows.length)
+      val out = new Array[Array[(Long, Double)]](cQids.length)
       // per-query ndis slots, summed into the accumulator ONCE after the
       // parallel loop: LongAccumulator.add is task-merge-safe on
       // executors but not thread-safe for concurrent driver threads
-      val ndisPer = new Array[Long](rows.length)
-      java.util.stream.IntStream.range(0, rows.length).parallel().forEach { i =>
-        val (qid, qv) = rows(i)
-        val (res, ndis) = model.knn(qv, k, efS, ws.get())
+      val ndisPer = new Array[Long](cQids.length)
+      java.util.stream.IntStream.range(0, cQids.length).parallel().forEach { i =>
+        val (res, ndis) = model.knn(cVecs(i), k, efS, ws.get())
         ndisPer(i) = ndis
-        out(i) = res.zipWithIndex.map { case ((id, d), r) =>
-          (qid, r + 1, id, d)
-        }.toSeq
+        out(i) = res
       }
       acc.foreach(_.add(ndisPer.sum))
-      return LocalScan.tuplesDf(spark, out.toSeq.flatten)
+      return LocalScan.pairsResultDf(spark, cQids, out)
     }
     val bModel = broadcastModel(spark, model)
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)

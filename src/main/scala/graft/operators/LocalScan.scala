@@ -756,6 +756,42 @@ object LocalScan {
 
   /** canonical result rows as a LocalRelation over InternalRows — skips
     * the per-row external-Row conversion (see Shim.localRelationDf) */
+  /** per-query (id, dist) arrays (already ascending) → the canonical
+    * result relation, packed like [[resultDf]] without the intermediate
+    * per-query tuple Seqs + flatten (the last boxed leg of the driver
+    * walk paths — hnsw_global / covertree) */
+  def pairsResultDf(spark: SparkSession, qids: Array[Long],
+      perQuery: Array[Array[(Long, Double)]]): DataFrame = {
+    var n = 0
+    var qi = 0
+    while (qi < perQuery.length) {
+      val p = perQuery(qi); if (p != null) n += p.length; qi += 1
+    }
+    val bytes = new Array[Byte](n * resultRowBytes)
+    val rows = new Array[org.apache.spark.sql.catalyst.InternalRow](n)
+    var slot = 0
+    qi = 0
+    while (qi < qids.length) {
+      val p = perQuery(qi)
+      if (p != null) {
+        var pos = 0
+        while (pos < p.length) {
+          val r = packedRow(bytes, slot)
+          r.setLong(0, qids(qi))
+          r.setInt(1, pos + 1)
+          r.setLong(2, p(pos)._1)
+          r.setDouble(3, p(pos)._2)
+          rows(slot) = r
+          slot += 1; pos += 1
+        }
+      }
+      qi += 1
+    }
+    org.apache.spark.sql.graftshim.Shim.localRelationDf(spark, resultSchema,
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(rows),
+      fastResultRow)
+  }
+
   def tuplesDf(spark: SparkSession,
       rows: Seq[(Long, Int, Long, Double)]): DataFrame = {
     val n = rows.length

@@ -198,7 +198,7 @@ private[operators] object LshLocal {
     }.get
 
     val spark = artifact.data.sparkSession
-    val out = new Array[Seq[(Long, Int, Long, Double)]](qids.length)
+    val out = new Array[BoundedTopK](qids.length)
     java.util.stream.IntStream.range(0, qids.length).parallel().forEach { qi =>
       val qv = qVecs(qi)
       val keys = model.hashOne(qv)
@@ -249,13 +249,9 @@ private[operators] object LshLocal {
           }
           h
         }
-      out(qi) =
-        if (result == null) Seq.empty
-        else result.sorted.toIndexedSeq.zipWithIndex.map { case ((id, d), pos) =>
-          (qids(qi), pos + 1, id, d)
-        }
+      out(qi) = result // null → no rows for this query (resultDf skips)
     }
-    Some(LocalScan.tuplesDf(spark, out.toSeq.flatten))
+    Some(LocalScan.resultDf(spark, qids, out))
   }
 }
 
