@@ -615,12 +615,12 @@ object AdcScan {
         heaps.getOrElseUpdate(row._1, new BoundedTopK(k))
           .insert(row._2, row._3)
       }
-      val out = heaps.toArray.sortBy(_._1).iterator.flatMap { case (qid, h) =>
-        h.sorted.iterator.zipWithIndex.map { case ((id, d), pos) =>
-          (qid, pos + 1, id, d)
-        }
-      }.toSeq
-      out.toDF("qid", "rank", "id", "dist")
+      // packed result relation, qid-ascending like the old toDF emission
+      // (queries with no survivors stay absent: null heap slots skip)
+      val sortedQids = qids.clone()
+      java.util.Arrays.sort(sortedQids)
+      val aligned = sortedQids.map(q => heaps.getOrElse(q, null))
+      LocalScan.resultDf(spark, sortedQids, aligned)
     }
   }
 
