@@ -136,34 +136,48 @@ final case class IvfPqSearcher(nprobe: Int, metric: String) extends Searcher
         val qLut = new Array[Array[Double]](qVecArr.length)
         java.util.stream.IntStream.range(0, qVecArr.length).parallel()
           .forEach(i => qLut(i) = model.lut(qVecArr(i), "ip").map(_ * 2.0))
-        // term2 per list: ‖y‖² + 2·c_j·y over every (subspace, code)
+        // term2 per list: ‖y‖² + 2·c_j·y over every (subspace, code) —
+        // query-INdependent and artifact-fixed, so built ONCE per
+        // artifact (memoized like FAISS's use_precomputed_table, which
+        // computes it at index-build time); rebuilding per search() call
+        // taxed every timed batch
         val mm = model.codebooks.length
         val nC = model.codebooks(0).length
         val dsub = model.dsub
         val nlist = cents.keys.max + 1
-        val t2 = Array.ofDim[Float](nlist, mm * nC)
         val centSeq = cents.toArray
-        java.util.stream.IntStream.range(0, centSeq.length).parallel().forEach { ci =>
-          val (cid, cv) = centSeq(ci)
-          val row = t2(cid)
-          var j = 0
-          while (j < mm) {
-            val cb = model.codebooks(j)
-            var cc = 0
-            while (cc < nC) {
-              val y = cb(cc)
-              var acc = 0.0
-              var i = 0
-              while (i < dsub) {
-                val yy = y(i).toDouble
-                acc += yy * yy + 2.0 * cv(j * dsub + i) * yy
-                i += 1
+        val t2 = IvfPqSearcher.term2Memo.synchronized {
+          IvfPqSearcher.term2Memo.get(artifact.data)
+        } match {
+          case t: Array[Array[Float]] if t != null => t
+          case _ =>
+            val t = Array.ofDim[Float](nlist, mm * nC)
+            java.util.stream.IntStream.range(0, centSeq.length).parallel().forEach { ci =>
+              val (cid, cv) = centSeq(ci)
+              val row = t(cid)
+              var j = 0
+              while (j < mm) {
+                val cb = model.codebooks(j)
+                var cc = 0
+                while (cc < nC) {
+                  val y = cb(cc)
+                  var acc = 0.0
+                  var i = 0
+                  while (i < dsub) {
+                    val yy = y(i).toDouble
+                    acc += yy * yy + 2.0 * cv(j * dsub + i) * yy
+                    i += 1
+                  }
+                  row(j * nC + cc) = acc.toFloat
+                  cc += 1
+                }
+                j += 1
               }
-              row(j * nC + cc) = acc.toFloat
-              cc += 1
             }
-            j += 1
-          }
+            IvfPqSearcher.term2Memo.synchronized {
+              IvfPqSearcher.term2Memo.put(artifact.data, t)
+            }
+            t
         }
         // term1 per (query, list): ‖q−c‖², dense [qidx][cid]
         val qcNorm = new Array[Array[Double]](qVecArr.length)
@@ -196,4 +210,11 @@ final case class IvfPqSearcher(nprobe: Int, metric: String) extends Searcher
           trackLut(spark, local = false, probeArr))
     }
   }
+}
+
+object IvfPqSearcher {
+  /** residual term2 table per artifact (keyed by the artifact's data
+    * DataFrame instance, weak like LocalScan's table memo) */
+  private[operators] val term2Memo =
+    new java.util.WeakHashMap[AnyRef, Array[Array[Float]]]()
 }
