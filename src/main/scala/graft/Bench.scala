@@ -61,20 +61,25 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // (sec, ok): a failed pass must not feed the min — a fast exception
+    // would otherwise launder a broken query into a best-case timing
     def timeOnce(name: String, fn: (SparkSession, String) => DataFrame,
-        tag: String): Double = {
+        tag: String): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try materialize(fn(spark, sfDir))
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
+      val ok =
+        try { materialize(fn(spark, sfDir)); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+        }
       val sec = (System.nanoTime() - t0) / 1e9
       // isolate queries from each other: drop caches a query created and
       // nudge the collector so earlier queries' garbage doesn't bill here
       spark.catalog.clearCache()
       System.gc()
-      System.err.println(f"[bench] $name%-24s ${sec}%8.2fs $tag")
-      sec
+      System.err.println(
+        f"[bench] $name%-24s ${sec}%8.2fs $tag${if (ok) "" else " FAILED"}")
+      (sec, ok)
     }
     // Two interleaved timing passes, second in REVERSE order, per-query
     // minimum — the same CPU-steal defense the baseline rows carry
@@ -82,16 +87,25 @@ object Bench {
     // dedup_jaccard_pairs 2.75→3.23 s unattributable). Reverse order so
     // no query occupies the same position in the load pattern twice.
     // SPARK_GRAFT_GATE_REPS=1 restores the single-pass behavior.
+    // clamped to {1, 2}: only two passes are ever run, so a larger env
+    // value would misstate the artifact's methodology note
     val gateReps =
-      math.max(1, sys.env.getOrElse("SPARK_GRAFT_GATE_REPS", "2").toInt)
+      math.min(2, math.max(1, sys.env.getOrElse("SPARK_GRAFT_GATE_REPS", "2").toInt))
+    // min over SUCCESSFUL passes; if every pass failed, report the max
+    // time-to-failure (never flatter a broken query)
+    def combine(a: (Double, Boolean), b: Option[(Double, Boolean)]): Double =
+      (Seq(a) ++ b.toSeq).filter(_._2).map(_._1) match {
+        case Nil => (Seq(a) ++ b.toSeq).map(_._1).max
+        case oks => oks.min
+      }
     val passA = selected.map { case (name, fn) =>
       name -> timeOnce(name, fn, "A") }
     val minByName: Map[String, Double] =
-      if (gateReps < 2) passA.toMap
+      if (gateReps < 2) passA.map { case (n, ab) => n -> combine(ab, None) }.toMap
       else {
         val passB = selected.reverse.map { case (name, fn) =>
           name -> timeOnce(name, fn, "B") }.toMap
-        passA.map { case (n, a) => n -> math.min(a, passB(n)) }.toMap
+        passA.map { case (n, a) => n -> combine(a, Some(passB(n))) }.toMap
       }
     val results = selected.map { case (n, _) => n -> minByName(n) }
     // 2-decimal precision on the PRINTED line: the driver's stdout tail

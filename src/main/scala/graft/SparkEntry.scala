@@ -32,10 +32,13 @@ object SparkEntry {
       import scala.jdk.CollectionConverters._
       val p = java.nio.file.Paths.get(dir, "documents.parquet")
       val files =
-        if (java.nio.file.Files.isDirectory(p))
-          java.nio.file.Files.walk(p).iterator().asScala
+        if (java.nio.file.Files.isDirectory(p)) {
+          // close the walk stream: it holds directory handles until GC
+          val st = java.nio.file.Files.walk(p)
+          try st.iterator().asScala
             .filter(f => java.nio.file.Files.isRegularFile(f)).toList
-        else List(p)
+          finally st.close()
+        } else List(p)
       val bytes = files.map(java.nio.file.Files.size).sum
       val mtime = files.map(f =>
         java.nio.file.Files.getLastModifiedTime(f).toMillis)

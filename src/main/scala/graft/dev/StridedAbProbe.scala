@@ -24,13 +24,15 @@ object StridedAbProbe {
         ("random", 20000, 64, None),
         ("glove50", 20000, 50, Some((200, 1.1, 0))))) {
       val train = (clusters match {
-        case Some((c, s, id)) =>
-          RandomDataset.clusteredVectors(spark, n, dim, c, s, 42, id)
+        case Some((c, s, intr)) =>
+          RandomDataset.clusteredVectors(spark, n, dim, c, s, 42,
+            centerSeed = 7, intrinsicDim = intr)
         case None => RandomDataset.vectors(spark, n, dim, 42)
       }).cache()
       val test = (clusters match {
-        case Some((c, s, id)) =>
-          RandomDataset.clusteredVectors(spark, 256, dim, c, s, 43, id)
+        case Some((c, s, intr)) =>
+          RandomDataset.clusteredVectors(spark, 256, dim, c, s, 43,
+            centerSeed = 7, intrinsicDim = intr)
         case None => RandomDataset.vectors(spark, 256, dim, 43)
       }).withColumnRenamed("id", "qid").cache()
       train.count(); test.count()

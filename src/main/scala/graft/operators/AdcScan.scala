@@ -329,12 +329,15 @@ object AdcScan {
     private def normsFor(codes: Array[Byte]): Array[Double] = {
       val got = normsCache.get(codes)
       if (got != null) return got
-      // computeIfAbsent under the map monitor: concurrent scoring threads
-      // block instead of duplicating the pass (the nested parallel stream
-      // still makes progress — the computing thread joins its own tasks).
-      // Local callers avoid even that via [[precomputeNorms]] before the
+      // compute OUTSIDE the map monitor: computeIfAbsent would hold the
+      // single JVM-wide lock for the whole parallel pass, serializing
+      // every other codes array's lookup behind it (distributed scans
+      // hit one array per partition). A same-array race duplicates the
+      // pass instead — benign and idempotent (same values; partitions
+      // are single-threaded so it needs two concurrent SEARCHES). Local
+      // callers avoid even that via [[precomputeNorms]] before the
       // query fan-out.
-      normsCache.computeIfAbsent(codes, { cs: Array[Byte] =>
+      val computed = locally { val cs = codes
         val n = cs.length / math.max(1, dim)
         val out = new Array[Double](n)
         val s2 = scale2D; val uu = u2; val d = dim
@@ -354,7 +357,9 @@ object AdcScan {
           out(r) = (a0 + a1) + (a2 + a3)
         }
         out
-      })
+      }
+      val prior = normsCache.putIfAbsent(codes, computed)
+      if (prior != null) prior else computed
     }
 
     /** eager per-row-norms pass with the full driver pool (call before a
@@ -616,8 +621,11 @@ object AdcScan {
           .insert(row._2, row._3)
       }
       // packed result relation, qid-ascending like the old toDF emission
-      // (queries with no survivors stay absent: null heap slots skip)
-      val sortedQids = qids.clone()
+      // (queries with no survivors stay absent: null heap slots skip).
+      // DISTINCT qids: a duplicated qid in the batch would alias one
+      // heap into two slots and leave null rows after the first drain —
+      // the old heaps-map emission was per-distinct-qid too
+      val sortedQids = qids.distinct
       java.util.Arrays.sort(sortedQids)
       val aligned = sortedQids.map(q => heaps.getOrElse(q, null))
       LocalScan.resultDf(spark, sortedQids, aligned)

@@ -21,17 +21,17 @@ object Shim {
   // Per-schema caches for the per-batch result-relation path: building an
   // ExpressionEncoder (serializer/deserializer expression trees) cost
   // ~3-4 ms per call at search-batch frequency, for the same handful of
-  // schemas every time. Attributes are reused across relations of the
-  // same schema — safe for the same reason self-joins are: the analyzer's
-  // DeduplicateRelations re-ids conflicting attributes when two such
-  // relations meet in one plan.
+  // schemas every time. Attributes are NOT cached: sharing exprIds
+  // between two distinct same-schema relations makes an explicit-Column
+  // join between them (df1(\"qid\") === df2(\"qid\")) mis-resolve — both
+  // references carry one exprId, DeduplicateRelations re-ids only one
+  // side, and the condition silently degenerates. toAttributes is
+  // microseconds; the encoder/converter (the actual millisecond costs)
+  // are schema-keyed and safe to share.
   private val encoderCache = new java.util.concurrent.ConcurrentHashMap[
     org.apache.spark.sql.types.StructType,
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[
       org.apache.spark.sql.Row]]()
-  private val attrCache = new java.util.concurrent.ConcurrentHashMap[
-    org.apache.spark.sql.types.StructType,
-    Seq[org.apache.spark.sql.catalyst.expressions.Attribute]]()
   private val converterCache = new java.util.concurrent.ConcurrentHashMap[
     org.apache.spark.sql.types.StructType, Any => Any]()
 
@@ -57,8 +57,8 @@ object Shim {
       : org.apache.spark.sql.DataFrame = {
     val session = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     session.withActive {
-      val attrs = attrCache.computeIfAbsent(schema,
-        s => org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(s))
+      val attrs =
+        org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(schema)
       val rel = org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
         attrs, rows)
       // A bare LocalRelation of materialized rows is already resolved AND
