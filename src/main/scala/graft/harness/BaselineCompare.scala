@@ -181,10 +181,26 @@ object BaselineCompare {
     Workload("msmarco", 100000, 70, 384, normalize = true,
       algoTable(384, nprobe = 24, lshTables = 24, lshHash = 8, lshMult = 512,
         withCoverTree = false, withHnsw = true, ivfFlatNprobe = 32,
-        hnswEf = 64, ivfPqNprobe = 8),
+        hnswEf = 64, ivfPqNprobe = 8) ++ Seq[AlgoRow](
+        // The DISTRIBUTED per-centroid HNSW (Hnsw.scala) at the same
+        // shape — the 100 TB build path (per-group graphs build in
+        // parallel across executors; the global build is driver-bound).
+        // Reference anchor = the reference's single-node hnsw row: the
+        // reference has no distributed variant, so the anchor is a
+        // comparison point, not a parity claim. Operating point from
+        // dev/HnswDistProbe (r9): SPANN-style spill=2 boundary closure,
+        // 16 groups, probe 12, ef 20 → recall 0.9921 ≥ ref 0.9857 at
+        // ~0.6× ref QPS, build ~2× the global's at this shape (the
+        // crossover analysis lives in README §hnsw-dist).
+        ("hnsw_dist", "hnsw", "hnsw",
+          Map("n_partitions" -> "16", "m" -> "16",
+            "ef_construction" -> "100", "spill" -> "2",
+            "spill_eps" -> "0.15", "nprobe" -> "12",
+            "ef_search" -> "20"))),
       Map(
         "exact" -> (1.0000, 550.41),
         "hnsw" -> (0.9857, 7872.0),
+        "hnsw_dist" -> (0.9857, 7872.0),
         "ivf_flat" -> (0.9529, 2387.0),
         "ivf_pq" -> (0.6986, 1166.0),
         "ivf_sq8" -> (0.9471, 16321.0),

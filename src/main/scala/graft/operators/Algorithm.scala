@@ -191,7 +191,9 @@ object Registry {
           m = p.getOrElse("m", "8").toInt,
           efConstruction = p.getOrElse("ef_construction", "32").toInt,
           metric = m,
-          seed = p.getOrElse("seed", "42").toLong)
+          seed = p.getOrElse("seed", "42").toLong,
+          spill = p.getOrElse("spill", "1").toInt,
+          spillEps = p.getOrElse("spill_eps", "0.15").toDouble)
       }
       registerSearcher("hnsw") { (p, m) =>
         HnswSearcher(

@@ -21,7 +21,15 @@ import org.apache.spark.sql.types._
   */
 final case class HnswIndexer(
     nPartitions: Int = 8, m: Int = 8, efConstruction: Int = 32,
-    metric: String = "l2", seed: Long = 42) extends Indexer {
+    metric: String = "l2", seed: Long = 42,
+    // SPANN-style boundary closure (Chen et al., NeurIPS 2021 §4.2):
+    // assign each vector to up to `spill` nearest centroids whose
+    // distance is within (1+spillEps)·d₁ — boundary points then appear
+    // in every graph a nearby query may route to, lifting the
+    // recall-per-probe frontier at the cost of duplicated index rows.
+    // spill=1 (default) is the plain disjoint partition; searchers
+    // dedup by id iff meta says spill>1.
+    spill: Int = 1, spillEps: Double = 0.15) extends Indexer {
   val kind = "hnsw"
 
   def build(base: DataFrame): IndexArtifact = {
@@ -34,20 +42,29 @@ final case class HnswIndexer(
       .select("vector").collect().map(_.getSeq[Float](0).toArray)
     val centers = LocalKMeans.fit(sample, math.min(nPartitions, sample.length),
       seed, iters = 10)
+    val spillN = math.max(1, math.min(spill, centers.length))
+    val eps = spillEps
     val assign = udf { (v: Seq[Float]) =>
       val arr = v.toArray
-      var best = 0; var bestD = Double.MaxValue
+      // top-`spill` centroids ascending by distance (exact: nPartitions
+      // is small by construction)
+      val top = new BoundedTopK(spillN)
       var c = 0
       while (c < centers.length) {
         var d = 0.0; var i = 0
         val ce = centers(c)
         while (i < ce.length) { val df = arr(i) - ce(i); d += df * df; i += 1 }
-        if (d < bestD) { bestD = d; best = c }
+        top.insert(c.toLong, d)
         c += 1
       }
-      best
+      val sorted = top.sorted
+      val d1 = math.sqrt(sorted(0)._2)
+      sorted.iterator.zipWithIndex
+        .filter { case ((_, d), j) => j == 0 || math.sqrt(d) <= (1.0 + eps) * d1 }
+        .map(_._1._1.toInt).toSeq
     }
-    val assigned = cached.withColumn("centroid_id", assign(col("vector")))
+    val assigned = cached
+      .withColumn("centroid_id", explode(assign(col("vector"))))
       .repartition(centers.length, col("centroid_id"))
     // per-centroid NSW construction, ONCE, inside the build job: each
     // Spark partition holds whole centroid groups (repartition hashes the
@@ -95,7 +112,8 @@ final case class HnswIndexer(
       .toDF("centroid_id", "vector")
     IndexArtifact(kind, adjacency,
       meta = Map("m" -> m.toString, "ef_construction" -> efConstruction.toString,
-        "metric" -> metric, "n_partitions" -> centers.length.toString),
+        "metric" -> metric, "n_partitions" -> centers.length.toString,
+        "spill" -> spillN.toString),
       aux = Map("centroids" -> centroids))
   }
 }
@@ -104,6 +122,60 @@ final case class HnswSearcher(nprobe: Int = 2, efSearch: Int = 48,
     metric: String = "l2") extends Searcher {
 
   def search(artifact: IndexArtifact, queries: DataFrame, k: Int): DataFrame = {
+    // Adaptive driver-local walk (same discipline as HnswGlobalSearcher /
+    // LocalScan): the per-centroid graphs are disjoint-id and walk-ready,
+    // so a small serving batch routes + walks driver-parallel with zero
+    // Spark jobs beyond the query collect. Capped by the query-row cap
+    // and the payload bytes cap; over-cap inputs keep the distributed
+    // plan below, which HnswDistLocalSpec asserts produces identical
+    // rows.
+    if (LocalScan.enabled) {
+      val collected =
+        LocalScan.queryVecsCapped(queries, HnswGlobalSearcher.driverWalkCap)
+      val model =
+        if (collected.isDefined) HnswSearcher.localModel(artifact) else None
+      if (collected.isDefined && model.isDefined) {
+        val (cQids, cVecs) = collected.get
+        val mo = model.get
+        // spill>1 duplicates boundary rows across graphs: a query probing
+        // two graphs can see the same (id, dist) twice, so the merge must
+        // dedup by id (duplicates carry identical dist — same vector,
+        // same deterministic kernel)
+        val dedup = artifact.meta.get("spill").exists(_.toInt > 1)
+        val heaps = new Array[BoundedTopK](cQids.length)
+        java.util.stream.IntStream.range(0, cQids.length).parallel().forEach { qi =>
+          val qv = cVecs(qi)
+          // routing = KnnJoin.knnJoin(q, centroids, nprobe, "l2"): plain
+          // L2 in index-order double accumulation, ties broken (dist, id)
+          // by the shared BoundedTopK
+          val route = new BoundedTopK(math.min(nprobe, mo.centroids.length))
+          var c = 0
+          while (c < mo.centroids.length) {
+            val ce = mo.centroids(c)
+            var acc = 0.0; var i = 0
+            while (i < ce.length) {
+              val d = qv(i).toDouble - ce(i).toDouble; acc += d * d; i += 1
+            }
+            route.insert(c.toLong, math.sqrt(acc))
+            c += 1
+          }
+          val h = new BoundedTopK(k)
+          val seen = if (dedup) new java.util.HashSet[java.lang.Long]() else null
+          route.sorted.foreach { case (cidL, _) =>
+            val cid = cidL.toInt
+            val g = mo.graphs(cid)
+            if (g != null) {
+              val ids = mo.idsByCid(cid)
+              g.search(qv, k, efSearch).foreach { case (i, d) =>
+                if (seen == null || seen.add(ids(i))) h.insert(ids(i), d)
+              }
+            }
+          }
+          heaps(qi) = h
+        }
+        return LocalScan.resultDf(artifact.data.sparkSession, cQids, heaps)
+      }
+    }
     // route each query to its nprobe nearest centroid graphs
     val q = queries.select(col("qid").cast("long").as("qid"), col("vector"))
     val centroids = artifact.aux("centroids")
@@ -170,30 +242,112 @@ final case class HnswSearcher(nprobe: Int = 2, efSearch: Int = 48,
         }
       }
     }(enc)
-    // merge across probed partitions → global top-k per query
-    KnnJoin.topKExploded(merged, col("id"), col("dist"), k)
+    // merge across probed partitions → global top-k per query. With
+    // spill>1 a boundary row lives in several graphs, so the same
+    // (qid, id) can arrive twice with identical dist — dedup before the
+    // top-k so a duplicate never occupies two result slots.
+    val deduped =
+      if (artifact.meta.get("spill").exists(_.toInt > 1))
+        merged.dropDuplicates("qid", "id")
+      else merged
+    KnnJoin.topKExploded(deduped, col("id"), col("dist"), k)
   }
 }
 
+object HnswSearcher {
+  /** Driver-collected per-centroid graphs: the build's adjacency relation
+    * reloaded walk-ready. Id spaces are disjoint across centroid groups
+    * (each base row lives in exactly one), so the cross-probe merge needs
+    * no dedup — same invariant the distributed mapPartitions path relies
+    * on. */
+  final class DistModel(
+      val graphs: Array[NswGraph],
+      val idsByCid: Array[Array[Long]],
+      val centroids: Array[Array[Float]])
+
+  /** memoized per artifact relation; None above [[LocalScan.bytesCap]]
+    * (the vector payload dominates: nbrs add ~2m ints/row) */
+  private[operators] def localModel(artifact: IndexArtifact): Option[DistModel] =
+    LocalScan.memoized[DistModel](artifact.data) {
+      val fits = LocalScan.payloadStats(artifact.data, "vector", 4).exists {
+        case (n, width) => n * (width.toLong * 4 + 64) <= LocalScan.bytesCap
+      }
+      if (!fits) None
+      else {
+        val met = artifact.meta.getOrElse("metric", "l2")
+        val nPart = artifact.meta("n_partitions").toInt
+        val rows = artifact.data
+          .select(col("centroid_id").cast("int"), col("idx").cast("int"),
+            col("id").cast("long"), col("vector"), col("nbrs"))
+          .collect()
+        val counts = new Array[Int](nPart)
+        rows.foreach(r => counts(r.getInt(0)) += 1)
+        val ids = Array.tabulate(nPart)(c => new Array[Long](counts(c)))
+        val vecs = Array.tabulate(nPart)(c => new Array[Array[Float]](counts(c)))
+        val adj = Array.tabulate(nPart)(c => new Array[Array[Int]](counts(c)))
+        rows.foreach { r =>
+          val cid = r.getInt(0); val idx = r.getInt(1)
+          ids(cid)(idx) = r.getLong(2)
+          vecs(cid)(idx) = r.getSeq[Float](3).toArray
+          adj(cid)(idx) = r.getSeq[Int](4).toArray
+        }
+        val graphs = Array.tabulate(nPart) { c =>
+          if (counts(c) == 0) null
+          else NswGraph.fromAdjacency(vecs(c), adj(c), met)
+        }
+        val centroids = artifact.aux("centroids")
+          .select(col("centroid_id").cast("int"), col("vector"))
+          .collect()
+          .sortBy(_.getInt(0))
+          .map(_.getSeq[Float](1).toArray)
+        Some(new DistModel(graphs, ids, centroids))
+      }
+    }
+}
+
+/** growable primitive int list: the adjacency representation (a generic
+  * ArrayBuffer[Int] boxes every element — measurable on the walk hot
+  * path, where each beam step reads a full neighbor list) */
+private[operators] final class IntVec(initial: Int = 8) {
+  private var arr = new Array[Int](math.max(1, initial))
+  private var n = 0
+  def add(x: Int): Unit = {
+    if (n == arr.length) arr = java.util.Arrays.copyOf(arr, n * 2)
+    arr(n) = x; n += 1
+  }
+  @inline def apply(i: Int): Int = arr(i)
+  @inline def length: Int = n
+  def toArray: Array[Int] = java.util.Arrays.copyOf(arr, n)
+}
+
 /** Navigable-small-world graph (single layer; Malkov et al. 2014 — the
-  * base layer of HNSW) with incremental insertion and beam search. */
+  * base layer of HNSW) with incremental insertion and beam search.
+  * Search scratch (stamp-visited marks, primitive candidate heap, result
+  * top-k) lives in a per-thread [[HnswWorkspace]] — the same de-boxing
+  * HnswGlobal's walk got in round 8; the boxed HashSet[Integer] +
+  * tuple-PriorityQueue path cost ~3× on both the per-centroid build and
+  * the serve walk (dev/HnswDistProbe before/after). */
 final class NswGraph private (
     vecs: Array[Array[Float]], metric: String,
-    private val nbrs: Array[scala.collection.mutable.ArrayBuffer[Int]]) {
+    private val nbrs: Array[IntVec]) {
 
   def this(vecs: Array[Array[Float]], metric: String) =
-    this(vecs, metric,
-      Array.fill(vecs.length)(new scala.collection.mutable.ArrayBuffer[Int]()))
+    this(vecs, metric, Array.fill(vecs.length)(new IntVec()))
 
   private[operators] def link(a: Int, b: Int): Unit = {
-    nbrs(a) += b
-    nbrs(b) += a
+    nbrs(a).add(b)
+    nbrs(b).add(a)
   }
 
   /** adjacency list of node i (for serialization into the index relation) */
   def neighbors(i: Int): Array[Int] = nbrs(i).toArray
 
   private val isCosine = metric == "cosine"
+
+  // per-thread scratch, sized once to this graph's node count (the build
+  // path inserts into a graph whose arrays are pre-sized to final n)
+  @transient private lazy val wsTl: ThreadLocal[HnswWorkspace] =
+    ThreadLocal.withInitial(() => new HnswWorkspace(vecs.length))
 
   // scalar by default; Vector API only via graft.simd.enabled opt-in
   // (floor-tier tolerance — see SimdDist's scope note)
@@ -204,25 +358,29 @@ final class NswGraph private (
   /** beam search from node 0; returns (index, dist) ascending, ≤ k */
   def search(q: Array[Float], k: Int, ef: Int): Array[(Int, Double)] = {
     if (vecs.isEmpty) return Array.empty
-    val visited = new java.util.HashSet[Integer]()
-    val cand = new java.util.PriorityQueue[(Double, Int)](
-      (x: (Double, Int), y: (Double, Int)) => java.lang.Double.compare(x._1, y._1))
-    val best = new BoundedTopK(math.max(k, ef))
+    val ws = wsTl.get()
+    val visited = ws.freshVisited()
+    val stamp = ws.stamp
+    ws.clearHeap()
+    val best = ws.topkFor(math.max(k, ef))
     val d0 = dist(q, vecs(0))
-    cand.add((d0, 0)); visited.add(0); best.insert(0L, d0)
-    while (!cand.isEmpty) {
-      val (d, node) = cand.poll()
+    ws.push(d0, 0); visited(0) = stamp; best.insert(0L, d0)
+    var done = false
+    while (!done && ws.heapSize > 0) {
+      val d = ws.topDist
       val worst = if (best.size < best.k) Double.PositiveInfinity else best.dists(0)
-      if (d > worst) { cand.clear() }
+      if (d > worst) done = true
       else {
+        val node = ws.popNode()
         val ns = nbrs(node)
         var i = 0
         while (i < ns.length) {
           val nb = ns(i)
-          if (visited.add(nb)) {
+          if (visited(nb) != stamp) {
+            visited(nb) = stamp
             val dn = dist(q, vecs(nb))
             val w = if (best.size < best.k) Double.PositiveInfinity else best.dists(0)
-            if (dn < w) { cand.add((dn, nb)); best.insert(nb.toLong, dn) }
+            if (dn < w) { ws.push(dn, nb); best.insert(nb.toLong, dn) }
           }
           i += 1
         }
@@ -253,8 +411,9 @@ object NswGraph {
   def fromAdjacency(vecs: Array[Array[Float]], adjacency: Array[Array[Int]],
       metric: String): NswGraph = {
     val nbrs = adjacency.map { a =>
-      val b = new scala.collection.mutable.ArrayBuffer[Int](a.length)
-      b ++= a
+      val b = new IntVec(math.max(1, a.length))
+      var i = 0
+      while (i < a.length) { b.add(a(i)); i += 1 }
       b
     }
     new NswGraph(vecs, metric, nbrs)

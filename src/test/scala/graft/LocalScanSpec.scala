@@ -159,6 +159,12 @@ class LocalScanSpec extends AnyFunSuite {
       Map("m" -> "8", "ef_construction" -> "64", "ef_search" -> "64"))
   }
 
+  test("hnsw (distributed per-centroid) local walk ≡ distributed plan") {
+    checkAlgo("hnsw_dist", "hnsw", "hnsw",
+      Map("n_partitions" -> "4", "m" -> "8", "ef_construction" -> "64",
+        "nprobe" -> "2", "ef_search" -> "64"))
+  }
+
   test("hnsw_global memoized-query walk ≡ fresh-collect walk") {
     val artifact = Registry.indexer("hnsw_global",
       Map("m" -> "8", "ef_construction" -> "64", "seed" -> "42"), "l2")
