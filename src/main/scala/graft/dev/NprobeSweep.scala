@@ -23,18 +23,20 @@ object NprobeSweep {
     // msmarco matches the r8 HARDENED baseline stand-in (sigma 1.2 +
     // overlap 0.7 — BaselineCompare.workloads); keep in sync
     for ((name, n, dims, nQ, clusters, sigma, intrinsic, normalize, overlap) <- Seq(
+      ("random", 20000, 64, 256, 0, 0.0, 0, false, 0.0),
       ("glove50", 20000, 50, 256, 200, 1.1, 0, false, 0.0),
       ("msmarco", 100000, 384, 70, 512, 1.2, 64, true, 0.7))) {
       def norm(df: org.apache.spark.sql.DataFrame) =
         if (normalize) df.withColumn("vector",
           graft.functions.VectorFunctions.vec_normalize(col("vector")))
         else df
-      val train = norm(RandomDataset.clusteredVectors(spark, n, dims, clusters,
-        sigma, 42, centerSeed = 7, intrinsicDim = intrinsic,
-        overlap = overlap)).cache()
-      val test = norm(RandomDataset.clusteredVectors(spark, nQ, dims, clusters,
-        sigma, 43, centerSeed = 7, intrinsicDim = intrinsic,
-        overlap = overlap))
+      def gen(cnt: Int, seed: Long) =
+        if (clusters == 0) RandomDataset.vectors(spark, cnt, dims, seed)
+        else RandomDataset.clusteredVectors(spark, cnt, dims, clusters,
+          sigma, seed, centerSeed = 7, intrinsicDim = intrinsic,
+          overlap = overlap)
+      val train = norm(gen(n, 42)).cache()
+      val test = norm(gen(nQ, 43))
         .withColumnRenamed("id", "qid").cache()
       train.count(); test.count()
       val gt = KnnJoin.knnJoinAgg(test, train, 20, "l2")
@@ -49,7 +51,7 @@ object NprobeSweep {
         val artifact = Registry.indexer(algo, baseParams + ("seed" -> "42"), "l2")
           .build(train)
         artifact.data.cache().count()
-        for (nprobe <- Seq(4, 8, 12, 16, 24, 32, 48)) {
+        for (nprobe <- Seq(3, 4, 5, 6, 8, 10, 12, 16, 20, 24, 32)) {
           val searcher = Registry.searcher(algo,
             baseParams + ("nprobe" -> nprobe.toString), "l2")
           searcher.search(artifact, test, 20).collect() // warm

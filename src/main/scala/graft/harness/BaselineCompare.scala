@@ -151,8 +151,12 @@ object BaselineCompare {
       // (dev/Glove50PqProbe). random/msmarco pq keep random init: both
       // already clear ref and random's 0.15-point margin isn't worth
       // perturbing.
-      algoTable(50, nprobe = 8, lshTables = 12, lshHash = 4, lshMult = 128,
-        withCoverTree = true, withHnsw = true, ivfFlatNprobe = 8,
+      // nprobe 8→5 (r9): the r8 pin still over-probed — recall at 5 is
+      // 0.8984/0.9311/0.9254 (ivf_flat/sq8/ivf_pq) vs ref
+      // 0.8699/0.9113/0.9094, a 2-3 point margin at ~60% of the scan
+      // (dev/NprobeSweep r9 rerun)
+      algoTable(50, nprobe = 5, lshTables = 12, lshHash = 4, lshMult = 128,
+        withCoverTree = true, withHnsw = true, ivfFlatNprobe = 5,
         hnswEf = 64, pqInit = "++"),
       Map(
         "exact" -> (1.0000, 290.68),

@@ -106,6 +106,30 @@ object AdcScan {
       while (j0 < stride) {
         val j1 = math.min(stride, j0 + jb)
         var r = 0
+        // 4-row register blocking: each row's accumulation chain stays
+        // exactly j-ascending (bit-identical to the per-row loop — the
+        // gate contract), but four independent add chains + four
+        // independent LUT loads pipeline where one chain serializes on
+        // FP-add latency and lookup misses
+        while (r + 3 < nRows) {
+          val offA = off0 + r * stride
+          val offB = offA + stride
+          val offC = offB + stride
+          val offD = offC + stride
+          var a0 = out(r); var a1 = out(r + 1)
+          var a2 = out(r + 2); var a3 = out(r + 3)
+          var j = j0
+          while (j < j1) {
+            val base = j * nC + 128
+            a0 += lut(base + codes(offA + j))
+            a1 += lut(base + codes(offB + j))
+            a2 += lut(base + codes(offC + j))
+            a3 += lut(base + codes(offD + j))
+            j += 1
+          }
+          out(r) = a0; out(r + 1) = a1; out(r + 2) = a2; out(r + 3) = a3
+          r += 4
+        }
         while (r < nRows) {
           val off = off0 + r * stride
           var acc = out(r)
@@ -190,6 +214,41 @@ object AdcScan {
       while (j0 < stride) {
         val j1 = math.min(stride, j0 + jb)
         var r = 0
+        // 4-row register blocking (see PqLutScorer.scoreChunk): per-row
+        // chains stay i-ascending → bit-identical, but pipeline
+        while (r + 3 < nRows) {
+          val offA = off0 + r * stride
+          val offB = offA + stride
+          val offC = offB + stride
+          val offD = offC + stride
+          var a0 = out(r); var a1 = out(r + 1)
+          var a2 = out(r + 2); var a3 = out(r + 3)
+          var i = j0
+          if (mode == 1) {
+            while (i < j1) {
+              val base = i * 256 + 128
+              val qq = q(i).toDouble
+              a0 += qq * dq(base + codes(offA + i))
+              a1 += qq * dq(base + codes(offB + i))
+              a2 += qq * dq(base + codes(offC + i))
+              a3 += qq * dq(base + codes(offD + i))
+              i += 1
+            }
+          } else {
+            while (i < j1) {
+              val base = i * 256 + 128
+              val qq = q(i).toDouble
+              val dA = qq - dq(base + codes(offA + i))
+              val dB = qq - dq(base + codes(offB + i))
+              val dC = qq - dq(base + codes(offC + i))
+              val dD = qq - dq(base + codes(offD + i))
+              a0 += dA * dA; a1 += dB * dB; a2 += dC * dC; a3 += dD * dD
+              i += 1
+            }
+          }
+          out(r) = a0; out(r + 1) = a1; out(r + 2) = a2; out(r + 3) = a3
+          r += 4
+        }
         while (r < nRows) {
           val off = off0 + r * stride
           var acc = out(r)
@@ -458,6 +517,29 @@ object AdcScan {
       while (j0 < stride) {
         val j1 = math.min(stride, j0 + jb)
         var r = 0
+        // 4-row register blocking (see PqLutScorer.scoreChunk): per-row
+        // chains stay j-ascending → bit-identical, but pipeline
+        while (r + 3 < nRows) {
+          val offA = off0 + r * stride
+          val offB = offA + stride
+          val offC = offB + stride
+          val offD = offC + stride
+          var a0 = out(r); var a1 = out(r + 1)
+          var a2 = out(r + 2); var a3 = out(r + 3)
+          var j = j0
+          while (j < j1) {
+            val jn = j * nC + 128
+            val iA = jn + codes(offA + j); val iB = jn + codes(offB + j)
+            val iC = jn + codes(offC + j); val iD = jn + codes(offD + j)
+            a0 += t(iA) + ql(iA)
+            a1 += t(iB) + ql(iB)
+            a2 += t(iC) + ql(iC)
+            a3 += t(iD) + ql(iD)
+            j += 1
+          }
+          out(r) = a0; out(r + 1) = a1; out(r + 2) = a2; out(r + 3) = a3
+          r += 4
+        }
         while (r < nRows) {
           val off = off0 + r * stride
           var acc = out(r)
@@ -654,30 +736,68 @@ object AdcScan {
   def coarseProbes(queryVecs: Array[Array[Float]],
       centroids: Array[(Int, Array[Float])], nlist: Int, nprobe: Int)
       : Array[Array[Int]] = {
-    val out = Array.fill(nlist)(new scala.collection.mutable.ArrayBuffer[Int]())
-    val probed = new Array[Array[Long]](queryVecs.length)
-    java.util.stream.IntStream.range(0, queryVecs.length).parallel().forEach { qi =>
-      val qv = queryVecs(qi)
-      val h = new BoundedTopK(nprobe)
-      var c = 0
-      while (c < centroids.length) {
-        val (cid, cv) = centroids(c)
-        var acc = 0.0; var i = 0
-        while (i < qv.length) {
-          val d = qv(i).toDouble - cv(i).toDouble
-          acc += d * d; i += 1
-        }
-        h.insert(cid.toLong, math.sqrt(acc))
-        c += 1
-      }
-      probed(qi) = h.ids.take(h.size)
+    // flat centroid layout + blocked parallelism: the boxed-tuple
+    // per-query version cost ~1.4 ms of the 6.7 ms random-ivf_flat batch
+    // (nlist=100) and ~4 ms at nlist=256 — per-query fork-join tasks of
+    // ~6k flops are all dispatch (dev/IvfStageProfile). Arithmetic is
+    // UNCHANGED (index-order float→double accumulation, (dist, cid)
+    // ties): the probed set feeds hash-tier gate oracles.
+    val nc = centroids.length
+    val dim = if (nc == 0) 0 else centroids(0)._2.length
+    val cids = new Array[Int](nc)
+    val flat = new Array[Float](nc * dim)
+    var c = 0
+    while (c < nc) {
+      cids(c) = centroids(c)._1
+      System.arraycopy(centroids(c)._2, 0, flat, c * dim, dim)
+      c += 1
     }
+    val nq = queryVecs.length
+    val probed = new Array[Array[Long]](nq)
+    val qb = 16 // queries per task: ~nlist·dim·16 flops, dispatch-amortized
+    val nBlocks = (nq + qb - 1) / qb
+    java.util.stream.IntStream.range(0, nBlocks).parallel().forEach { b =>
+      var qi = b * qb
+      val q1 = math.min(nq, qi + qb)
+      while (qi < q1) {
+        val qv = queryVecs(qi)
+        val h = new BoundedTopK(nprobe)
+        var c = 0
+        while (c < nc) {
+          var acc = 0.0; var i = 0; val off = c * dim
+          while (i < dim) {
+            val d = qv(i).toDouble - flat(off + i).toDouble
+            acc += d * d; i += 1
+          }
+          h.insert(cids(c).toLong, math.sqrt(acc))
+          c += 1
+        }
+        probed(qi) = h.ids.take(h.size)
+        qi += 1
+      }
+    }
+    // dense (cid → ascending qidx) assembly without ArrayBuffer/boxing;
+    // qi ascends in the fill loop so each list is already sorted
+    val counts = new Array[Int](nlist)
     var qi = 0
-    while (qi < probed.length) {
-      probed(qi).foreach(cid => out(cid.toInt) += qi)
+    while (qi < nq) {
+      val p = probed(qi); var j = 0
+      while (j < p.length) { counts(p(j).toInt) += 1; j += 1 }
       qi += 1
     }
-    out.map(_.sorted.toArray)
+    val out = Array.tabulate(nlist)(c => new Array[Int](counts(c)))
+    val fill = new Array[Int](nlist)
+    qi = 0
+    while (qi < nq) {
+      val p = probed(qi); var j = 0
+      while (j < p.length) {
+        val cid = p(j).toInt
+        out(cid)(fill(cid)) = qi; fill(cid) += 1
+        j += 1
+      }
+      qi += 1
+    }
+    out
   }
 
   /** Probe selection with the flop guard: driver-side below

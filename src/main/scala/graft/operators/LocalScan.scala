@@ -474,23 +474,34 @@ object LocalScan {
     }
   }
 
-  /** stride-4 dot product (FAISS-regime reassociation: four independent
-    * FMA chains pipeline where the index-order chain serializes on
-    * FP-add latency — the same trade as AdcScan.Sq8FastScorer) */
+  /** stride-8 FLOAT dot product — FAISS's own accumulation regime
+    * (fvec_inner_product accumulates in float lanes): eight independent
+    * float chains with no per-element cvtss2sd. vs the index-order
+    * double kernel this is both reassociated AND single-precision;
+    * dev/FloatAccumMicro: 0.42–0.90 ns/elem vs 1.24–1.72 (double
+    * index-order) and 2.2–2.5 (the r8 stride-4 double chains, which
+    * turned out cvt-throughput-bound). Only the `strided_accum`
+    * baseline-serving rows use it — gates keep the oracle-exact double
+    * kernels. */
   @inline private def dot4(q: Array[Float], flat: Array[Float], off: Int,
       dim: Int): Double = {
-    var a0 = 0.0; var a1 = 0.0; var a2 = 0.0; var a3 = 0.0
+    var a0 = 0.0f; var a1 = 0.0f; var a2 = 0.0f; var a3 = 0.0f
+    var a4 = 0.0f; var a5 = 0.0f; var a6 = 0.0f; var a7 = 0.0f
     var i = 0
-    val m4 = dim - 3
-    while (i < m4) {
-      a0 += q(i).toDouble * flat(off + i).toDouble
-      a1 += q(i + 1).toDouble * flat(off + i + 1).toDouble
-      a2 += q(i + 2).toDouble * flat(off + i + 2).toDouble
-      a3 += q(i + 3).toDouble * flat(off + i + 3).toDouble
-      i += 4
+    val m8 = dim - 7
+    while (i < m8) {
+      a0 += q(i) * flat(off + i)
+      a1 += q(i + 1) * flat(off + i + 1)
+      a2 += q(i + 2) * flat(off + i + 2)
+      a3 += q(i + 3) * flat(off + i + 3)
+      a4 += q(i + 4) * flat(off + i + 4)
+      a5 += q(i + 5) * flat(off + i + 5)
+      a6 += q(i + 6) * flat(off + i + 6)
+      a7 += q(i + 7) * flat(off + i + 7)
+      i += 8
     }
-    while (i < dim) { a0 += q(i).toDouble * flat(off + i).toDouble; i += 1 }
-    (a0 + a1) + (a2 + a3)
+    while (i < dim) { a0 += q(i) * flat(off + i); i += 1 }
+    (((a0 + a1) + (a2 + a3)) + ((a4 + a5) + (a6 + a7))).toDouble
   }
 
   /** strided-kernel distance from a hoisted query norm, row norm and
