@@ -185,10 +185,13 @@ object SparkEntry {
     "j9_pq_adc" -> annRecall("pq", "pq", "pq",
       Map("num_subspaces" -> "16", "num_centroids" -> "64"), "l2", floor = 0.50),
     // --- J9+: OPQ rotation ahead of PQ (beyond the reference — FAISS
-    //     `OPQ16,PQ16` shape). Rotation + codebooks are seeded models →
-    //     floor-tier gate like J11; OpqSpec asserts the learned rotation
-    //     is orthogonal and reconstruction error ≤ plain PQ ---
-    "j9_opq_adc" -> annRecallGated("opq_pq", "opq_pq", "opq_pq",
+    //     `OPQ16,PQ16` shape). Hash-model tier since r9: the learned
+    //     rotation is deterministic given seed + sample cap (same
+    //     property as the PQ codebooks), so the oracle embeds R and the
+    //     codebooks as literals and replays rotate → encode → ADC in SQL
+    //     (dev/DumpOpq generates + validates the literals). OpqSpec
+    //     asserts orthogonality and reconstruction error ≤ plain PQ ---
+    "j9_opq_adc" -> annRecall("opq_pq", "opq_pq", "opq_pq",
       Map("num_subspaces" -> "16", "num_centroids" -> "64"), "l2", floor = 0.50),
     // --- J10: IVF×SQ8 composition ---
     "j10_ivf_sq8" -> annRecall("ivf_sq8", "ivf_sq8", "ivf_sq8",
@@ -3208,10 +3211,1151 @@ object SparkEntry {
       """SELECT 'hnsw' AS algorithm, count(*)::BIGINT AS n_queries,
         |       0.6::DOUBLE AS recall_floor
         |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
-    "j9_opq_adc" ->
-      """SELECT 'opq_pq' AS algorithm, count(*)::BIGINT AS n_queries,
-        |       0.5::DOUBLE AS recall_floor
-        |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
+    // OPQ+PQ ADC replicated in SQL (hash-model since r9): the learned
+    // 64x64 rotation R and the subspace codebooks (both deterministic
+    // given seed 42 + the sf0.01 gate data + sample caps) embedded as
+    // literals; rotate = per-row double dot -> REAL cast (exactly
+    // OpqModel.rotate), then the same encode/LUT/ADC/recall pipeline as
+    // the j9_pq_adc oracle over the rotated vectors, GT in the ORIGINAL
+    // space. Generated + standalone-validated by dev/DumpOpq.
+    // (literal VALUES exceed the JVM 64KB string-constant cap -> chunked)
+    "j9_opq_adc" -> Seq(
+"""WITH rot(i, rr) AS (VALUES
+(0, [0.96118546,0.013243077,0.023383547,0.012593174,-0.06230509,-0.041235656,0.009424548,0.04273654,0.013301128,0.05703253,-0.019824298,-0.023408603,-0.01747633,-0.0064954557,-0.0029785738,-0.020546336,0.041861363,0.021290867,0.0404735,-0.03055488,-0.024283227,-0.0058257864,-0.043963157,-0.023383696,0.06873241,0.0025028524,0.027798707,0.03749055,0.03058914,0.053339463,-0.017230222,0.022210069,-0.017186752,0.01440634,-0.026169429,-0.02430428,0.013149844,0.026144773,0.014075952,-0.045689624,-0.015082857,0.058368728,0.053816907,-0.013515185,0.01307593,0.0024578092,0.0035985713,-0.048879404,-0.065756105,0.019177524,0.018179033,-0.07236828,-0.0054598413,-0.02421706,-0.08871243,-0.04542014,-0.04189688,-0.011965413,0.012607785,0.040247113,0.0058882562,-0.059190802,-0.010859232,0.029661732]::REAL[]),
+(1, [0.0031018367,0.9479308,0.027832706,0.006723832,0.041852422,0.008357255,0.0044548833,-0.021518052,-0.047583457,-0.045200013,0.015188026,0.044855535,0.06855424,0.034778804,-0.0048150136,-0.0432695,0.043271422,-0.052452926,0.05987072,-0.021501388,0.045160897,-0.01836675,-0.009400756,0.03234806,0.0073919115,0.020554502,0.0012700451,-0.025370114,-0.058551867,-0.021144638,0.06605901,0.043498147,0.013285014,-0.014568326,-0.009922532,-0.029259648,-0.004275392,0.036965244,-0.006764361,0.05415608,0.017911019,-0.11393254,0.10169462,0.013438228,0.021448895,0.024957092,0.023951834,0.04856317,0.014559867,-0.0722259,-0.005492538,0.044673406,-0.04039549,-0.05380764,0.0069092023,-0.02124294,-0.027916528,-0.04320404,0.014429838,0.07294055,-0.005938245,0.009014173,-0.017342795,-0.0767148]::REAL[]),
+(2, [-0.019113952,-0.0030457643,0.9418027,0.006213494,0.026983535,-0.024919476,0.0048323907,0.063050225,-0.011220324,-0.010356295,0.004257052,-0.05713774,-0.009898661,0.020026796,0.07033367,0.003928613,-0.023201585,0.06979405,0.029976452,-3.6851998E-4,0.07843498,0.066458166,0.0558719,-0.030723985,0.016872922,-0.043708753,-0.022774069,0.03488506,0.040034767,-0.05149601,0.00508126,0.037441783,0.06085881,0.014861892,-0.082563855,0.01437831,-0.012592886,0.0022509068,-0.026703773,0.03739399,0.029091436,-0.021369142,-0.058956273,-0.042318184,0.083798915,0.044939402,-0.08307062,-0.04307091,0.026738835,0.11531286,0.006990276,-0.036528092,-0.00463472,0.061302356,0.026269875,0.0136202555,0.011113417,0.06999357,-0.016485406,0.029486308,0.038577564,0.016767524,0.042712234,0.017759906]::REAL[]),
+(3, [0.005872536,-0.0147913685,-0.02121603,0.9575024,0.023374157,-0.035033293,0.0018690742,0.017865682,-0.029675188,-0.016110297,-0.037414063,0.03870123,-0.057049386,0.032878503,-0.05044929,0.10021494,0.035243243,-0.0012991532,-0.0529865,0.03298559,0.027590372,0.08466425,-0.014596331,0.040226124,-0.005324527,-0.03408725,0.024196606,0.010223433,-0.041867007,0.004265332,0.029571373,6.9589785E-4,0.00834471,0.014120968,-0.06288965,3.40426E-4,0.002720264,0.034310088,0.023943255,0.02531643,0.048495896,-0.001984865,-0.03705353,0.04071401,-0.0064344867,0.03260936,-0.035976548,0.06354805,0.01595703,-0.059229627,0.01590593,-0.037913486,0.017090783,0.03098946,0.045139607,-0.012274281,0.014017166,0.027376447,0.062963344,0.03913844,0.030986866,0.05035937,0.03864215,-0.03506176]::REAL[]),
+(4, [0.04918229,-0.037190318,-0.01850837,-0.009090167,0.9419896,0.008151787,-0.01172497,-0.008203935,-0.010718146,-9.4372535E-4,0.049368072,-0.01171892,-0.009018549,-0.03650551,0.030530093,0.0012601583,-0.017091962,0.020108959,-0.08153992,-0.08452599,-0.07898725,-0.026532859,0.0030771662,0.049356263,-0.048439816,0.009545598,0.022726504,0.03215534,0.05993375,0.06452812,-0.051661573,0.03403379,0.017040944,-0.0030072941,-0.0029262616,-0.033960816,0.05008031,0.06394686,-0.01738662,-0.06019729,-0.050830293,-0.0350302,0.011297562,0.02055712,-0.04260772,0.013628167,0.03483699,-0.028608533,-0.0140686035,0.09267335,-0.09116605,-0.0028217512,-0.033479188,-0.07760704,0.04017473,-0.0023951184,-0.033994857,0.036686435,0.018829938,0.10746654,-0.013973492,0.042020436,-0.032491595,1.4621294E-4]::REAL[]),
+(5, [0.044201963,-0.0069257896,0.025541876,0.023325138,-0.026073156,0.9567766,0.0066267345,0.020314561,-0.026584731,0.0107110785,0.006451635,0.04855275,0.028996097,-0.028858753,0.008139795,-0.01398291,-0.007154107,0.042779602,-0.06573582,0.043342624,-0.06352034,-0.022131337,0.002331185,0.06416953,-0.019584607,-0.004334601,0.07681236,-0.003727679,0.004656213,-0.06164216,-0.04092743,0.015105249,-0.0018414076,-0.044603437,0.024178356,-0.034097873,-0.02647347,-0.02283555,-0.039342895,-0.0029203743,-0.07171474,0.021436753,0.012851785,-0.010154725,0.045240894,-0.03043923,-0.062544,-0.0049835336,-0.01459066,-0.044874657,0.025018286,0.0070892307,0.059061594,0.016385093,0.057779524,-0.013803378,-0.008487327,0.044643037,0.027763983,0.09043677,0.06709221,0.010061484,0.028521976,-0.019983646]::REAL[]),
+(6, [-0.009773933,-0.0011043763,0.0010324812,-0.013271305,0.00753789,-0.021207763,0.9444362,0.025100747,-0.037690166,-0.017520957,-0.0025483142,0.022133121,-0.026754279,0.041207083,-0.041396126,-0.043976996,0.09473265,0.0014680871,-0.029432446,-0.013986617,-0.051519297,0.008320157,-0.05838135,0.004337231,-0.063835934,-0.006247408,-0.030066483,0.08686928,-0.02037292,0.046482675,-0.02757474,0.006725364,-0.015629046,-0.049462516,-0.07665145,-0.034918506,-0.042325314,-0.084642686,-0.050141193,-0.04925621,-0.013495158,0.05769576,-0.016087165,-0.0015910905,0.007789449,0.0097248675,-0.056458768,0.0643015,4.3480276E-4,-0.011397583,-0.08715744,0.057239164,0.037675958,0.0036460105,-0.038333125,0.039192792,-0.026820846,0.008487883,-0.07084734,-0.015874857,0.052603763,0.012147515,0.022947349,-0.07958102]::REAL[]),
+(7, [-0.020016974,0.033818077,-0.077162825,-0.021367233,-0.012733187,-0.033002224,-0.021093858,0.93579394,-0.03587538,-0.01908701,0.095964715,-0.007925729,-0.06741806,-0.080575675,-0.04732151,0.046849832,-0.113805406,-0.00980049,-0.00679612,0.031673178,-0.027596267,-0.003617274,0.050587617,-0.0021395877,-0.011371332,0.030319758,-0.08109815,-0.018027592,2.7524607E-4,-0.03653335,0.014726828,0.053456355,-0.0073816283,-0.052219477,-0.022117686,0.050782014,-0.035993986,0.053942125,-0.049113818,-0.09148035,-0.014483324,-0.025964038,0.010829185,0.004598481,-0.015195404,-0.05024209,-0.0062010176,-0.034436144,-0.014743981,0.0560589,0.065349236,0.04560655,0.007125635,0.029013038,0.026285836,0.010556363,-0.030615995,0.03879169,0.013386555,0.008257975,0.05596337,0.09923071,-6.1452965E-4,-0.07440998]::REAL[]),
+(8, [-0.011610512,0.070528075,-0.008701693,0.004106566,0.021038577,0.020062907,0.043789953,0.03784679,0.92921436,0.008329052,-0.001155173,-0.025522327,-0.02632624,-0.0388136,0.041206475,-0.0020229458,0.05485494,-0.07017771,-0.09302819,0.025920425,0.03295297,0.107050456,-0.007728196,-4.574178E-4,-0.01117523,-0.0982391,0.07136139,-0.024230732,0.048982482,0.01494781,-0.014173299,0.029502533,0.011801865,-0.0077994387,-0.020861035,0.011278746,0.02153453,0.0023806705,0.011498362,-0.08502077,-0.017855706,-0.06609821,-0.10287681,0.022941882,0.058872055,-0.028707884,-0.045192,-0.017981974,-0.006629856,-0.058261022,0.04093705,0.03364619,-0.031920426,0.04184992,-0.046983413,-0.121339254,0.054294236,0.07535946,0.037851382,-0.061036758,-0.03930491,0.0040773465,0.013039145,0.031861216]::REAL[]),
+(9, [-0.047990285,0.043491818,-0.0018140153,0.0043517365,0.02504743,-0.012725681,-8.3075545E-4,0.010895943,-0.005299031,0.9528616,0.0063459026,0.0018693305,-0.019361323,0.058834005,0.0013663928,-0.018681925,0.018567508,0.033727515,0.0076956847,0.11228375,0.0062907254,0.0062664677,-0.076439396,-0.010962992,-0.015869884,0.089268446,-0.048542116,-0.010923368,0.007701347,-0.00836351,-0.016315516,0.04645031,-0.020868665,-2.7848058E-5,-0.05664772,0.036269367,0.08402006,0.014176364,-0.03972378,-0.00940847,-0.018674599,-0.007089107,-5.797952E-4,-0.023799902,0.054528333,-0.008503037,-0.029863046,0.011842802,0.024207423,-0.027610116,-0.027265372,-0.0055814814,0.044446353,0.08421953,0.050331675,0.016768726,-0.030815795,-0.081646435,6.633824E-4,-0.012661525,-0.04724929,0.032237664,0.07225713,-0.004914687]::REAL[]),
+(10, [0.020681765,-0.009327383,0.0068127783,0.03329927,-0.041799836,-0.0035558436,0.006191344,-0.078280784,-3.5234858E-4,0.013166836,0.965379,0.013122107,-0.0048603667,-0.061079375,-0.10582152,0.002388974,-0.0102507,-0.031826317,0.0339193,0.0072304006,-0.007629702,0.019176403,0.03250792,0.032784745,-0.03212021,-0.062132042,0.0013856394,0.03218867,-0.028717577,-0.030308358,-0.05377544,-0.008809742,-0.0114084175,0.0061218487,-0.02368992,-0.01419163,0.0104549285,-0.0034475033,0.0042899325,0.07688909,0.004598413,0.017707368,-0.04046846,0.01414007,0.0052789017,0.009000239,-0.017238557,0.020082679,-0.0018535908,-0.015534386,-0.015763763,-0.0039778054,-0.022799922,-0.020922085,-0.04053863,0.024715867,0.025413081,0.017757,0.013783106,0.0042015235,-0.06630517,-0.07705876,4.0325423E-4,0.049340725]::REAL[]),
+(11, [0.024845082,-0.029863998,0.056685314,-0.042693384,-0.0024581898,-0.049170874,-0.023242073,-0.0014643739,0.0134114055,0.031582214,-0.008425539,0.9415277,0.048567627,-0.05676174,0.055165596,0.11599486,0.026230166,-0.0024140044,-0.025896596,-0.07372561,-0.062767684,-0.0029135917,-0.013091255,0.019220691,0.003846833,0.0024517654,-0.024870234,0.020517118,-0.05601827,-0.039548762,-0.02085611,-0.0163573,0.02335206,0.09435314,0.019005178,0.06198957,-0.037638146,0.05183828,-0.014929277,-0.01670165,-0.0055075916,-0.040290434,-0.03424024,-0.052818004,-0.04164485,-0.008254779,-0.0049926084,-0.005949058,-0.034288373,-0.037867155,-0.025996193,0.008685423,0.010098273,-0.03478367,-0.06256598,-0.025715869,0.010677684,0.1263877,-0.056108,-0.05670235,0.041834403,0.06065586,0.007855138,0.002579041]::REAL[]),
+(12, [-0.0071203155,-0.077416815,0.0020619605,0.03731288,0.0025718512,-0.036210317,0.024419947,0.08512436,0.050787207,0.015647825,0.013938462,-0.057454664,0.9350033,0.018651027,0.0023123855,0.012648197,0.040314704,-0.0017228782,0.027190315,5.5455824E-4,0.05718095,-0.07107627,-0.004397025,0.05389712,0.045182757,0.046459667,0.08284644,0.10055898,-0.12313219,0.06571552,0.008797753,-0.017945537,-0.02302937,-0.01347289,-0.06956779,-0.043811038,0.06293015,0.0648722,-0.010762314,0.0035086917,-0.031962197,0.011727208,0.045058083,-0.06705441,0.02719382,0.031570274,0.01855023,-5.663476E-4,-0.0032705665,-0.029479967,0.03264665,-0.07695984,0.045074508,-0.03199821,0.0439363,0.045707677,0.027607555,0.057029285,0.023251243,-0.0073802834,0.027725711,0.036259353,-0.022225419,-0.0014125141]::REAL[]),
+(13, [0.01254284,-0.012892235,-0.01678919,-0.030008458,0.030261755,0.035605863,-0.03827701,0.0656016,0.0384703,-0.05455907,0.072604276,0.056527097,5.697449E-4,0.9561829,0.021398349,0.010342069,-0.019914351,-0.06276052,-0.031729322,-0.0135924425,-0.047435377,0.009829347,0.037730373,-0.014965182,0.048251446,-0.03801909,-0.044127867,-0.036999445,-0.017053502,0.0015690841,-0.056332067,-0.04546384,-0.06248871,0.018359927,0.02678737,0.044499982,-0.03230001,-0.0118155,-3.1108197E-4,-0.050340418,0.022090817,0.029943159,-0.025010569,0.04735906,-0.023999605,0.075173624,1.2064514E-4,-0.06490386,-0.026885448,0.038335934,-0.030376993,-0.04037621,0.03491527,0.05286767,0.039883263,-0.02604431,-0.020530108,-0.038055662,0.008694776,-0.025478581,-0.018082185,-0.013770525,-0.0026397593,-0.033569008]::REAL[]),
+(14, [0.005483499,0.0026828873,-0.07974544,0.05452926,-0.023940042,-0.021909256,0.04606174,0.007520624,-0.035516247,-0.008627234,0.10939089,-0.055048317,-0.017946571,-0.019556535,0.9401858,0.018317936,-0.01702248,0.015126455,0.01979819,-0.009202427,0.022053065,-0.028145242,-0.0026837124,-0.023668738,0.053814378,0.073820285,0.06323079,-0.06979075,-0.06414448,-0.04323606,0.045368515,0.08031395,-0.068240955,0.030727059,-0.032496925,0.007830875,-0.009693497,0.0015214519,-0.03696071,-0.027247708,0.033795167,-0.0055241147,-0.01843027,-0.006106789,-0.026695894,-0.021973256,-0.013170219,-0.030336777,-0.06960357,0.009570695,0.010841121,0.106768355,0.06724914,0.0012203701,0.042131532,0.039483517,0.03075544,0.042620912,-0.021874852,0.030288106,0.03646086,-0.072808,0.060543034,0.0011227389]::REAL[]),
+(15, [0.020541117,0.04924303,0.008808244,-0.08971212,-0.0062575922,0.009017214,0.03991588,-0.06034095,-0.020319633,-0.007015112,0.0067042504,-0.10316121,-0.035436787,0.0059980927,-0.0215679,0.92614585,0.058427565,-0.022608338,0.0149215665,0.067101024,-0.022117415,-0.057774883,0.047300823,0.033298675,-0.03817193,0.04864007,0.0706787,0.03672557,0.019208007,0.121616565,-0.035023212,-0.047657788,-0.01733563,0.06360895,0.015955426,0.0074596866,0.043481443,0.03669083,-0.017329399,-0.056824606,-0.010019634,-0.062027406,0.0032813577,-0.05575509,0.0802649,-0.08738801,-0.012757939,0.028534027,-0.005937235,0.023302756,0.06278315,0.04041928,0.064766556,0.11109454,0.019765606,0.0017500642,0.03417542,-0.020866098,-0.0036487214,0.018059714,-0.039174084,0.0059889285,-0.06998642,-0.057709493]::REAL[]),
+(16, [-0.032753877,-0.041568406,0.011142116,-0.03147908,0.022703413,0.033131007,-0.10231407,0.105376914,-0.031155163,-0.02236707,0.020943198,-0.02909364,-0.07613961,0.008186552,0.017779227,-0.068507835,0.93817383,-0.014607454,0.013776951,0.027244061,-0.013219937,0.029008457,0.068456836,0.0019317043,0.015877848,0.04852001,0.024471994,-0.013845085,-0.098487794,0.018137787,-0.009482064,-0.007593592,0.022034882,-0.01439515,-0.045163963,0.041078262,0.022491109,0.0116619505,0.022929246,0.031930286,0.0037677914,0.0067715505,0.047507863,-0.10102728,-0.07402941,0.04276443,0.077318214,0.08082465,0.027146844,0.075416215,-0.0063752364,0.003041074,0.018963816,0.05351263,-0.046056155,0.041963544,0.0039634425,0.040946662,-0.018505454,-0.047432,-0.023248125,0.017327944,-0.031340256,-0.005996062]::REAL[]),
+(17, [-0.010344057,0.06977335,-0.06779426,-0.0023596913,-0.017716961,-0.03714371,-0.0012558589,-0.007396109,0.08303728,-0.041681457,0.03280999,-2.2870224E-4,0.0051908945,0.045251787,-0.02710722,0.020685272,0.0044178255,0.9573028,-0.029055683,0.015944287,-0.057262886,-0.023338493,-0.039712515,-0.009000501,0.013743446,0.008675414,-0.0110667255,-0.05144877,-0.032926932,-0.038018342,-0.08446352,0.040297575,0.08512931,0.027550185,-0.0107291555,-0.001170338,-0.003639243,-0.01956094,0.024578247,0.013063135,0.04580377,0.033576712,-0.013384841,-0.030345172,-0.04930545,0.017873505,-0.0025454448,-0.023683382,-0.017844908,0.036267776,0.013675188,0.0080641555,0.02004808,0.014525067,0.020027358,0.062136512,0.05403784,-0.0033552118,0.052045815,-0.038674388,-0.014396257,0.029149456,-0.060105752,-0.053615794]::REAL[]),
+(18, [0.0065800897,-0.05708939,-0.03823283,0.022577573,0.08909045,0.044335935,0.036133304,-0.0029340615,0.083094425,-0.009337021,-0.031039508,0.026677575,-0.06113078,0.03187458,-0.032828014,-0.026885008,-0.025998814,0.024918174,0.92683077,-0.022962794,-0.035759848,0.06613337,0.0499068,-0.02949653,-0.062181864,-0.026797583,0.07979002,-0.004919932,-0.059595022,-0.006304609,-0.012633385,0.0062931916,-0.07361479,-0.030665332,0.020590175,0.007210391,-0.02530107,0.056576166,-0.015748136,0.0066709444,-0.010499635,-0.08425698,-0.042057954,-0.060128562,0.0056223613,-0.012089458,0.028240416,-0.02346543,0.080838665,-0.08894894,0.045459602,-0.011669888,0.028376915,0.033750042,0.10755016,0.10123525,0.10226552,0.038889114,-0.007072901,0.002675018,0.055231564,0.04682191,0.028764367,-0.008599002]::REAL[]),
+(19, [0.040194135,-0.01867082,0.026787112,-0.05231591,0.07228135,-0.058545902,0.005928119,-0.039317936,0.006765831,-0.11129007,0.008787026,0.07710343,-0.016638406,0.012840823,0.01389396,-0.06755418,-0.036466815,-0.012115988,0.007987728,0.9349877,-0.019413387,-0.06415524,-0.010364066,0.022827018,-0.024131233,-0.035683583,0.012672805,-0.036206223,-0.032304294,0.00427582,0.04483498,-0.0018406791,0.027298225,-0.0056591723,0.014593553,-0.029603526,0.10241879,0.059349407,0.006404706,-0.038009297,0.0120314015,-0.023083657,0.06787151,0.029784579,-0.073277354,3.0420706E-4,-0.014093893,0.119584024,-0.01684733,-0.039513484,0.030471692,-0.07231552,0.04436631,-0.010947063,0.020924762,0.019761574,-0.049330354,0.0067659034,-0.008925829,0.028984597,0.10817613,-0.017186435,0.035861112,-0.049229994]::REAL[]),
+(20, [0.03495468,-0.053352658,-0.06356698,-0.0483413,0.067889296,0.067923024,0.016742336,0.024934594,-9.006843E-4,-0.016340282,0.018380802,0.067830466,-0.07004213,0.03932282,-0.032138646,0.031849343,-0.012589733,0.06340648,0.024203021,4.8506472E-4,0.94825983,0.036137547,-0.02084492,0.049417656,0.011896496,0.045408413,0.0053756256,0.025559872,-0.048902825,-0.002847178,0.033671502,-0.008291385,-0.04274611,0.025410073,-0.024053544,-0.10419814,-0.034871,0.017714614,-0.031035934,-0.040434636,0.029277688,0.04986251,0.05387642,-0.011135749,-0.053754188,-0.005425214,-0.0017382256,0.08245398,0.012586711,0.020861479,-0.0970064,0.030153783,0.026314827,-1.321619E-4,0.004319585,-0.025227401,-0.011820778,-0.025280729,-0.031793218,-0.018654374,-0.014706052,0.045925148,0.014264223,0.006069183]::REAL[]),
+(21, [0.022179104,0.035802413,-0.062044103,-0.08609554,0.007041662,0.016351627,-0.022187939,0.002071061,-0.112500064,-0.015953794,-0.014654622,0.002241513,0.083900176,-0.025307138,0.04503424,0.024486138,-0.020951515,0.026704174,-0.06578061,0.05438413,-0.032988574,0.93475753,3.4297077E-4,0.018351862,-0.12969728,-0.019333648,0.024752738,0.116389886,0.0050348393,0.0437863,0.015818018,0.009801289,-0.034605175,0.02581614,0.07669958,0.042738773,0.056378774,0.028725179,-0.02207265,-0.038653534,0.020173518,-0.0026410033,-0.017532581,0.026780581,-0.025855124,0.06148835,-0.054800306,-0.035845418,0.03847363,0.011090065,-0.02969396,-0.02563517,0.026469946,0.041541178,0.0059353467,0.041946597,0.02425752,-0.0592942,0.016141605,-0.046980154,0.020764716,-0.05582487,-0.043791555,-0.017358724]::REAL[]),
+(22, [0.029014586,0.023833634,-0.04735863,0.017983846,-0.030227637,-0.014568302,0.068716615,-0.061758995,0.023790428,0.064109474,-0.03743341,0.022775512,0.00281905,-0.030214556,-0.024643654,-0.039315715,-0.048571028,0.035249475,-0.054329403,0.0061442438,0.00516695,-0.002309911,0.9538957,-0.011849303,-0.03689051,0.05001348,0.05583765,-0.04123432,-0.050281804,0.026511783,-0.0062068333,0.06940238,-0.012020658,0.048038326,-0.029007709,-0.029930897,-0.0068951054,0.027597014,-0.0754448,-0.0021702272,-0.0033733514,0.026475571,0.021407876,0.037230946,-0.058212943,-0.025162965,0.0060667153,-0.05743763,-0.017805673,0.05811896,-0.020467069,-0.05926933,0.040824823,-0.031053662,0.020485362,-0.005352946,-0.053576134,-0.020048086,0.0025917557,0.014949172,-0.031182427,0.017977752,0.079707466,0.02788406]::REAL[]),
+(23, [0.018136345,-0.03220325,0.014467394,-0.019731417,-0.058248326,-0.054666065,5.0653855E-4,0.0076858304,0.017369166,0.029906405,-0.04109794,-0.009454807,-0.023986515,0.011791908,0.03136068,-0.033463668,0.011983926,-0.009134376,0.052790772,-0.011109226,-0.027750758,-0.03359014,0.016191611,0.9515576,-0.025114376,-0.031669,-0.053245425,-6.0616195E-4,0.039579954,-0.021923415,-0.006050215,0.035685148,0.034081064,0.06473762,0.066555075,-0.03316921,-0.016997121,-0.031444896,0.011397498,0.014218789,0.004352494,-0.017050447,-0.0058963266,0.03777602,-0.038831986,0.05007597,-0.088811874,-0.05384686,0.05529577,0.10222636,0.037906483,0.059592236,-0.055306092,-0.018004112,-0.0049771294,0.029428197,0.03430912,-0.030905273,0.031111065,0.023068637,-0.035322826,-0.06746379,-0.017440187,-0.07513529]::REAL[]),
+(24, [-0.049845647,-0.0010195668,-0.028487729,-5.7750597E-4,0.031843763,0.021892905,0.05267116,-0.022911068,0.0016496511,-0.0012441367,0.016163373,0.008321052,-0.03401486,-0.0510965,-0.055817995,0.015647348,-0.016700884,-0.020396532,0.027299061,0.05286751,-0.03222048,0.122564115,0.023924006,0.01404628,0.949514,-0.013626147,-0.017014481,0.024758749,0.010415157,0.03543558,-0.07930087,0.0809702,-0.06167726,0.06752911,-0.0029749419,-0.0422679,-0.02301258,0.025912179,-0.047801115,0.0034506128,-0.057011917,-0.030383531,-0.01405852,0.0037927108,0.02571994,-0.019404069,-0.010413606,-0.007144544,0.06958498,0.050827604,-0.02626712,0.061024394,-0.031866204,0.018588059,0.04533192,0.078535005,-0.033909358,-0.010406211,0.010957407,-0.015301099,-0.005733816,0.04606635,-0.04419709,-0.011117662]::REAL[]),
+(25, [0.0068450724,-0.03192482,0.05925572,0.035391252,0.0072635603,1.5766683E-4,-0.0012000399,-0.011150226,0.103619315,-0.08062016,0.043155808,0.012531991,-0.031945173,0.04415215,-0.07757424,-0.037164606,-0.041247495,-0.0135578355,0.010749786,0.023984138,-0.05447283,0.04168664,-0.024708908,0.020419938,0.004149739,0.94348395,-0.005687857,0.023095794,0.020895753,0.020289399,0.06833222,0.067977935,-0.0119201355,-0.0062055127,0.12546934,-0.04385622,-0.01756015,-0.05144538,0.07660118,0.05517844,0.045869254,0.006559152,0.019830545,-0.009979728,0.054586772,-0.014945217,-0.03567916,0.036222853,-0.021411583,-0.044563454,-0.043766946,0.060555015,-0.028410845,0.009476783,-0.007860885,0.024998687,0.005060622,0.063983805,0.010207314,-0.009744087,-0.008251373,-0.05119868,0.017408201,0.01053819]::REAL[]),
+(26, [-0.045037016,0.005079862,0.007829855,-0.04014448,-0.031458378,-0.09361673,0.0058016414,0.08043688,-0.09274221,0.021346547,-0.010324279,0.048391085,-0.08224257,0.05693899,-0.06846001,-0.08342512,-0.043643437,0.013425172,-0.052712295,-0.019075451,-0.020932255,-0.0077853533,-0.05487249,0.0462232,0.019210396,-0.0101749245,0.9342414,0.02003754,0.012560297,-0.04203972,-0.022956217,0.0053719897,-0.00862544,0.016553026,-0.048198465,-0.06548738,0.07658889,-0.02545803,0.027270183,-0.011313117,0.010326434,-0.0020690807,-0.0082595255,-0.04211358,0.07249019,-0.04387951,0.0055741416,0.059964914,-0.0035722465,0.059701942,-0.019243503,0.045828488,0.024355117,0.049377535,-0.012723144,-0.06268115,-0.013044715,0.05819291,0.06859722,0.039966874,-0.07031796,-0.04255165,0.053457215,0.008631368]::REAL[]),
+(27, [-0.044223383,0.025218008,-0.028135484,0.009119466,-0.022863343,0.015452225,-0.06065965,0.00433362,0.044838715,0.025114529,-0.0069077136,-0.008573485,-0.1088225,0.027943363,0.07930368,-0.031421136,-0.017478643,0.034733124,0.009090098,0.03679082,-0.020027641,-0.10158704,0.045094337,-0.019018665,0.008783291,-0.027059568,-0.0139896795,0.93849915,0.015438335,0.007829511,0.0515317,-0.015591165,0.030404912,-0.0151767535,0.04540842,0.011932658,-0.047512095,-0.050142385,-0.0155414725,-0.0011775661,0.076995894,0.01930829,0.12281943,-0.05627659,-0.038581982,0.059654284,0.07726708,-0.049285583,0.012494151,-0.013428803,0.076295264,-0.011510057,-0.01642361,-0.030319607,0.03363039,-0.04766633,-0.019220531,0.054218564,0.043640267,-0.03748376,-0.04904578,0.0041631428,-0.014779382,-0.042994943]::REAL[]),
+(28, [-0.037087318,0.044852946,-0.035253346,0.043752484,-0.025982825,0.01404215,0.025735037,0.03211133,-0.043214384,-0.01135854,0.024925906,0.06106576,0.11977029,0.011226823,0.048701532,-0.004467763,0.10430644,0.039810807,0.07269748,0.03909799,0.05314872,-0.036738105,0.05339155,-0.027517464,0.0024515013,0.011436552,0.028440213,0.010092278,0.93988216,-0.00863094,0.010492722,0.002112072,-0.096018784,0.032922905,-0.031576592,0.051427025,-0.009961179,0.038468305,0.00844441,0.034979094,0.03515318,0.0051245345,-0.042097494,0.06895598,-0.053910386,0.01600851,0.011976084,0.021809872,-0.012315708,-0.022516187,-0.026175834,-0.03421076,0.0035271435,-8.8021427E-4,-0.068474516,0.011761183,0.0608059,-0.08478842,0.0054561556,-0.03628687,0.063660905,-0.018374262,-0.025702272,0.05455502]::REAL[]),
+(29, [-0.04419244,0.013000875,0.041233756,0.014329347,-0.06050254,0.042708565,-0.06773797,0.03153734,-0.012464246,-0.014985019,0.037524365,0.08129687,-0.048135024,0.007876533,0.053507064,-0.114196055,-0.030715307,0.057011098,0.00825488,-0.012034864,-0.002243152,-0.030493071,-0.022287186,0.018000003,-0.031789873,-0.027876163,0.008341896,-0.018586699,0.01107404,0.94791645,0.0107488455,0.01639217,-0.026405994,-0.0864718,-0.043711152,-0.026986115,0.043356296,-0.027011786,-0.021858348,0.05519434,-0.0018385093,0.021261109,0.011666506,0.029221632,0.0531257,-0.090272285,-0.027219426,0.010532206,0.07533383,0.032056153,0.015619775,0.04248572,-0.037137676,0.033762775,0.01544309,-0.035976484,-0.0044147107,-0.036994785,-0.067555845,-0.0035598604,0.0018336431,0.02342921,0.031712137,-0.016290648]::REAL[]),
+(30, [-0.0071854047,-0.040223163,0.008715673,-0.025610203,0.039652586,0.05662758,0.022126207,-0.0073587927,0.021310953,0.041201342,0.054507907,-0.008016555,-0.014441973,0.030698156,-0.048826855,0.043574594,0.0010214265,0.056394808,0.019745095,-0.03447469,-0.060865916,0.0017211713,0.0032670777,0.015190455,0.08571499,-0.06263178,0.047914337,-0.056914613,-0.012603137,0.029605126,0.9343639,-0.003701142,0.050238322,0.07889962,-0.021126593,0.060809366,-0.061202098,-0.02307881,0.019400142,-0.11799698,0.0018592064,0.0846766,0.009645017,-0.029875396,-0.030449994,0.031003516,-0.0096306745,0.001067667,-0.101066664,-0.0011637651,-0.05426193,-0.069946356,-0.0111837145,-0.07211934,-0.055239033,0.041894305,0.07713867,-0.025079003,-0.021040343,-0.020910552,-0.04068308,0.042769384,-0.029385084,-0.021245273]::REAL[]),
+(31, [0.0011489625,-0.031441562,-0.04537817,-0.012554278,-0.03190204,0.005852204,-0.019908596,-0.058007654,-0.021035677,-0.022958258,-0.0064416425,0.0016015859,0.04020833,0.038455788,-0.07246644,0.05717274,0.009344589,-0.06609828,-0.010376528,0.007232615,0.027289264,-0.030417737,-0.063414775,-0.056594323,-0.078751415,-0.06217265,0.023394665,0.009384533,0.010692227,0.007693677,-0.01099455,0.93189937,0.10429844,0.031111885,0.00896217,0.06553503,-0.08661454,0.009034217,-0.021737745,-0.0015749705,0.027498154,0.048203003,-0.072946355,-0.009278736,-0.066317506,0.06339121,0.03781995,0.0036661564,0.020660968,0.04074175,0.025337333,-0.020146681,-0.113602564,0.0438375,0.05851261,0.05296621,-0.007785769,0.07053044,-0.08271212,-0.0075160987,-0.0046054875,-0.050610628,-2.753708E-4,-0.07122416]::REAL[]),
+(32, [0.021201944,-0.022115553,-0.051268853,0.019038694,-0.008991719,0.026625622,0.018630655,0.037158433,-0.013161178,0.024639715,0.0064738267,-0.009340133,0.03795676,0.036990203,0.05661487,0.012034618,-0.024977798,-0.071555726,0.08093004,0.008901018,0.03990186,0.029739344,0.03199705,-0.040490318,0.04912372,0.016896827,0.036198065,-0.024702711,0.074673444,0.052895598,-0.054532643,-0.11414202,0.9294512,-0.011964823,-0.0043959147,0.0059581217,-0.06551149,-0.013496417,-0.031213833,-0.007343744,-0.014651561,-0.087731384,0.012775082,0.0060684346,-0.036076542,0.06466329,-0.019227933,-0.020590423,-0.04185223,-0.06780082,-0.10741091,0.0928289,-0.013390492,0.038041197,0.0069866935,0.07534471,-0.045329817,-0.036147006,-0.0154115185,-0.035480946,-0.07768493,-0.092068315,-0.042919833,0.030689096]::REAL[]),
+(33, [-0.03409166,0.017478095,-4.750932E-4,0.007409943,-0.0066275485,0.04441402,0.03307453,0.050852608,0.0061198073,-6.8185845E-4,-0.0017972166,-0.08694168,-0.013450826,-0.012806081,-0.029073432,-0.093839645,-0.014415493,-0.03355691,0.021948354,-3.3024055E-4,-0.016723253,-0.022496019,-0.05567495,-0.05715944,-0.07307362,0.007456967,-0.028445384,-0.010990581,-0.0128630595,0.10312915,-0.076143354,-0.023051606,-0.0044676345,0.9466323,-0.008922112,-0.0077113537,-0.040474605,-0.008657342,-0.04001531,-0.02906462,-0.027179634,-0.040879358,0.0848086,-0.07552712,-0.027557142,0.011049231,0.008366841,0.028379457,-0.005953359,-0.009391189,0.017347544,-0.02381539,0.08098829,-0.025603995,-0.018405724,3.6954155E-4,-0.01925644,0.07675684,0.09373167,-0.007517916,0.0071633584,-0.030343367,-0.021607818,0.013318268]::REAL[]),
+(34, [-5.6674867E-4,0.012714213,0.07268971,0.074834675,0.012685631,-0.022134583,0.09247851,0.057542887,-0.016454171,0.07800913,0.021084847,-0.028384859,0.051099725,-0.010672107,0.038684413,2.8875668E-4,0.060883418,0.03673532,-0.007041703,0.013231946,0.049752653,-0.046477336,0.01625746,-0.052754622,0.018505696,-0.09441412,0.06154977,-0.050576083,-0.002347847,0.05038351,-0.004198109,-0.009613033,0.0035796457,-0.009322591,0.93122536,0.013954178,-0.0996838,0.03710359,-0.0562919,0.0071995175,-0.05122645,0.008908883,-0.057651203,-0.026598806,0.05240568,0.0026330673,0.060591307,0.053323273,-0.003695156,0.02695549,0.040109187,-0.049385298,-0.038807683,-0.11845781,-0.03223596,-0.072134145,-0.0035829823,-0.01773964,0.025026934,-0.05785721,-0.020893069,-0.018192867,0.034215268,0.05070371]::REAL[]),
+(35, [0.030541062,0.023123117,0.0020267721,0.011453845,0.023834841,0.034381,0.04547744,-0.05636777,-0.0067442963,-0.04674136,0.0093902,-0.04709512,0.021272682,-0.047344174,-0.027957443,-0.034623954,-0.043948404,0.005894643,-0.0068741743,0.024894102,0.09184357,-0.052607704,-0.004869585,0.04429662,0.036509857,0.06611771,0.07279718,-8.8603527E-4,-0.05277413,0.032043908,-0.053785153,-0.05247571,-0.021292029,-0.009519172,-0.016338242,0.9535858,0.0078013944,0.050885897,-0.012932914,-0.037702065,-0.029152049,-0.01014344,0.024809135,0.035468645,-0.03712057,-0.0059534716,-5.7632447E-4,-0.054936267,0.08163249,0.030938359,-0.044296063,0.017830778,0.06087439,-0.011390904,-0.021178871,-0.006697192,-0.012159114,-0.0085024545,0.032332323,-0.027357697,-0.050583664,-0.012412762,0.06131868,-0.039437894]::REAL[]),
+(36, [-0.0034413214,-0.009844943,0.0030438453,0.012163983,-0.039700195,0.043075796,0.05842,0.032077942,-0.013640997,-0.060158234,0.0027007153,0.025390321,-0.05866576,0.037253596,0.0098500615,-0.02841744,-0.028592892,-0.0064381864,0.015707152,-0.11949705,0.033841267,-0.045907214,0.024188152,-0.00529575,0.03959106,-0.0069837742,-0.07522371,0.025783392,0.011804423,-0.048174348,0.046648126,0.08753216,0.09052482,0.04259563,0.11192396,0.009306376,0.9405219,-0.01685336,0.0017310106,0.0070851482,-0.0037318387,-0.04616961,0.06197977,0.018108025,2.1249485E-4,-0.0057859435,0.01834688,0.021656018,0.00950452,-0.001304611,0.019038355,-0.04081098,0.015278016,0.011543905,-0.029407151,0.0065358006,0.13529386,0.021003837,-0.03899953,-0.05104219,0.020770347,0.025405815,-0.007808008,-0.009012744]::REAL[]),
+(37, [-0.05175516,-0.032387424,-0.0051474012,-0.031720538,-0.071728356,0.0134078115,0.07430536,-0.05419334,5.955274E-4,-0.006090093,0.00805542,-0.045348786,-0.09726291,0.034690604,0.002828194,-0.056352623,-0.008506273,0.015634544,-0.05561155,-0.065360375,-0.01792972,-0.016921308,-0.034296397,0.043414567,-0.015037691,0.038953263,0.00784974,0.03473838,-0.016265057,0.019956073,0.012352323,0.011273323,0.04205442,-0.01680439,-0.027435258,-0.038272414,-0.020001251,0.94897205,5.65894E-4,0.02179436,-0.004119731,0.012013232,0.09120081,0.0028970335,0.09937922,0.0079384325,-0.014044793,-0.017989136,-0.07835834,-0.012773127,0.023817204,-0.06230891,0.0027225446,0.0191322,-0.031287078,-0.004223878,0.030052958,0.01949016,0.021572607,-0.025077296,0.07549378,0.019140072,-0.057440825,0.040518075]::REAL[]),
+(38, [-0.014115224,0.02927089,0.014216136,-0.022127662,0.018085588,0.03675527,0.04387725,0.053173136,-0.025878942,0.051159583,-0.0034057018,-0.0037565136,0.0063703726,-0.00723457,0.037375614,0.026402619,-0.025905523,-0.015339632,0.017082522,-0.00288433,0.017569032,0.01003787,0.06557241,-0.005379226,0.034382183,-0.0665933,-0.02200116,0.030518115,-0.024036588,0.033096865,-0.040007044,0.05106753,0.029886348,0.023979897,0.030305043,7.2473916E-4,-0.030282013,0.005826483,0.95683724,-0.026118398,-0.038691178,0.02184205,0.008329907,0.05320355,-0.011583641,-0.035337012,-0.029803906,0.033825044,0.042411417,0.01776016,-0.06996689,-0.014928244,0.13706048,-0.05520966,-0.012312119,-4.9039506E-4,0.03852562,0.026797606,-0.0017441928,-0.052461576,0.029976826,0.0050871177,0.029681422,0.06029406]::REAL[]),
+(39, [0.04780916,-0.037491385,-0.04259598,-0.04842109,0.0755714,0.030194605,0.056804437,0.097559445,0.07891639,0.03711535,-0.06205586,-0.0147537235,-0.019952381,0.040417153,0.028863491,0.09040285,-0.04697875,-0.017642586,-0.024544077,0.028479518,0.01803215,0.033792637,-0.0061548036,-0.00844866,0.005450082,-0.049060382,0.044754047,-0.008498658,-0.040082943,-0.017861042,0.08140113,-0.015967334,0.002614816,0.040217455,-0.019934464,0.043702073,-0.008350165,-0.007676345,0.0052960366,0.9405302,0.058453135,0.014493334,-0.019148987,0.05748848,-0.06648946,0.007277924,0.02796477,-0.00612562,-7.0525194E-4,0.002150473,0.024084076,-0.033080935,0.0069013843,-0.07580262,-0.0916631,0.06843621,-0.043715965,0.044999372,-0.03368462,-0.053808544,0.02150836,0.018380204,-0.018103963,-0.017723657]::REAL[]),
+(40, [0.010701735,-0.021957422,0.0066739493,-0.027505718,0.047212992,0.07839652,0.020627467,0.023856528,0.0076876325,0.038472738,-0.015013362,-0.0048279124,0.047632884,-0.042153083,-0.04845217,0.0057290294,1.9270563E-4,-0.040792678,0.013592224,-0.008254176,-0.033488054,-0.020597992,0.010797302,-0.009925224,0.05052866,-0.053677354,-0.0027863248,-0.066604674,-0.03102138,0.024065698,-0.032363523,-0.02687352,-0.0220789,0.015657885,0.04524455,0.013811691,0.021302762,0.035271596,0.025401201,-0.073356144,0.9638349,0.009595262,3.0665495E-4,-0.011916202,-0.020408286,-0.0060442607,-0.012496574,-0.020182624,-0.02252881,-0.028627649,-0.03126872,0.105513655,-0.0053161727,-0.039301556,-0.019082922,0.012795945,-0.022598257,-0.0029127705,5.2501814E-4,0.0013132076,-0.0285813,-0.07964593,-0.0027774018,-2.2822249E-4]::REAL[]),
+(41, [-0.06965947,0.10504572,0.038616247,0.004923004,0.03741733,-0.025474753,-0.056647982,0.028756475,0.06628824,-0.0044007795,-0.018283151,0.0155996885,-0.01711712,-0.042359527,0.015248706,0.06718918,-0.005262231,-0.046542283,0.08495882,0.00782288,-0.029448643,0.006557649,-0.014563241,0.016501475,0.02256143,1.8330009E-4,0.019963283,-0.031387333,0.009322942,-0.0022275005,-0.07962372,-0.04208695,0.0532902,0.024337253,0.018578105,-0.009962506,0.07140946,0.022819633,-0.028440492,-0.024275217,-0.036487192,0.9299378,0.011083917,-0.012181222,-0.043983996,0.056304805,0.0040643406,-0.094562694,0.06616365,-0.13734488,-0.03860127,0.015845606,0.06617488,-0.017085446,-0.049653973,0.03849621,-0.09296737,0.038605172,-0.011776493,0.042027283,0.0047516874,-0.048242826,0.0039939373,-0.06613323]::REAL[]),
+(42, [-0.045717474,-0.074135624,0.037251,0.050637268,0.0022147053,-0.022582607,0.024098076,-0.017562712,0.08633301,0.021720253,0.042901818,0.023655877,-0.017204758,0.015642684,0.013820598,0.04382145,-0.027759027,0.0074119926,0.0066644684,-0.046996653,-0.033380143,0.064431764,-0.017183706,0.0030715298,-1.21697785E-5,-0.05334663,0.030590296,-0.13091962,0.06520715,-0.03251706,-0.025969204,0.0542557,-0.010190154,-0.0693788,0.037696917,0.006357552,-0.077330664,-0.10294707,-0.006423606,0.003440775,0.008172066,-0.00897851,0.9367351,0.005426074,0.050504908,-0.03292547,0.016474262,-0.06410858,0.04019649,0.018657632,0.023706889,-0.040739857,-0.05056877,0.013793273,0.0062282514,0.030129794,-8.5260853E-4,0.065584004,-0.07155163,-0.06786594,0.06267971,-6.075126E-4,0.015549511,0.028794281]::REAL[]),
+(43, [0.0030768462,-0.023212379,0.052937638,-0.03997095,-0.016710863,0.0047310833,-0.019738091,0.002522631,-0.009518829,0.03073953,-0.0022674876,0.009551384,0.04607944,-0.037191864,-0.0056080804,0.041403282,0.09489305,0.041008964,0.059623152,-0.038826007,-0.00991797,-0.038724307,-0.042789627,-0.040613532,-4.4435644E-4,0.02412279,0.046063807,0.05817954,-0.08092518,-0.020416766,0.0354907,-0.003647862,0.0077827373,0.06786883,0.026123455,-0.05275007,-0.021111926,0.011944187,-0.0622743,-0.062989116,0.005203243,-0.015837956,0.0066553615,0.95097363,-0.048238393,-0.032924052,0.048891496,-0.009163971,0.082616135,-0.0057622986,-0.02355543,0.013882023,0.043132126,0.066517286,-0.039204728,-0.014492152,-0.031869527,0.05833784,0.012256571,-0.0113299955,0.043036748,-0.013739528,0.02916302,-0.049638733]::REAL[]),
+(44, [0.0061101653,-0.022305511,-0.12068928,-0.023185322,0.058365535,-0.0382238,-0.023579685,0.020012978,-0.06290909,-0.05705537,-0.013396223,0.05055723,-0.005196797,0.021094035,0.03195549,-0.041200854,0.07146861,0.041258805,0.0106904805,0.06787858,0.045066457,0.014417572,0.063533485,0.029276328,-0.0156624,-0.048531204,-0.084252216,0.027379494,0.02232775,-0.05205307,0.025721725,0.04782155,0.060828257,0.054981526,-0.047692075,0.06061238,-0.016694011,-0.083730504,-0.0016291783,0.04951455,0.04580165,0.06948026,-0.03905594,0.06314399,0.93830496,-0.010915938,0.016575873,0.016887926,0.0049360823,-0.010708484,-0.03608743,-0.04867119,-0.02222992,-0.04194823,-0.0035956122,-0.010962551,0.04423645,0.049316954,0.029605385,0.023291228,-0.001339553,-0.00641021,0.04613652,-0.0019933574]::REAL[]),
+(45, [-2.2404021E-4,-0.017896406,-0.031730425,-0.034561668,-0.03446778,0.027388789,0.016211895,0.034143545,0.023335032,0.02147546,-0.0021794904,0.015160901,-0.053424068,-0.08847354,0.015363495,0.0618727,-0.045862775,-0.008667342,-0.01023226,0.001578772,0.008358346,-0.055162087,0.018930798,-0.04563869,0.013839813,0.031694625,0.049762152,-0.0776979,-4.1990733E-4,0.086223155,-0.027575655,-0.053564474,-0.07855286,-0.02798578,-0.0066163195,-0.013394336,0.016084414,-0.0057814596,0.03387803,-0.015673736,-0.0034793653,-0.06523826,0.023175433,0.039080337,0.041851796,0.95582086,0.006006399,0.0065127327,0.048135452,0.010558983,0.022246206,-0.040747076,0.013820944,-0.029812984,0.055817723,-0.0035264485,0.023872983,0.057831105,-0.010954552,0.03282997,-0.045054223,0.00926617,-0.036725048,-0.039054926]::REAL[]),
+(46, [0.006010961,-0.02414715,0.08187713,0.03336819,-0.049118735,0.05988516,0.065179616,-0.002757237,0.03372586,0.032500032,0.012613639,0.010363241,-0.004844988,0.011080244,0.015853504,0.014179951,-0.07826561,0.0020401469,-0.032129236,0.038364474,-0.0018219039,0.079407796,-0.0031733308,0.07704602,-0.012688926,0.026532171,-0.009956078,-0.058406882,0.006133207,0.013657243,-0.0047552017,-0.03477944,0.01263457,0.005790753,-0.06308786,-0.005122024,-4.4071366E-4,0.014401711,0.046802092,-0.03615302,-0.0019141579,0.005421437,-0.031922773,-0.024596589,0.009954653,-0.009443817,0.9549874,-0.0036381823,0.020122781,0.03417084,0.007514183,0.09912524,-0.10065569,-0.023321152,-0.029485825,0.036602423,0.027784418,-0.027988635,0.013778956,0.049062505,0.0018839503,0.026213162,-0.0030674322,-0.023939302]::REAL[]),
+(47, [0.038376823,-0.035249103,0.032872465,-0.060132146,-0.0034484298,-0.0010038817,-0.06939303,0.022531446,0.050315607,0.016691871,-0.018652175,-0.023608208,-7.0863235E-4,0.040653065,0.050928354,0.004277779,-0.09585761,0.016774409,0.016928177,-0.12932613,-0.08784794,0.044601366,0.05869865,0.043871637,0.02363546,-0.0325439,-0.055868484,0.026453985,0.011597417,-0.007972908,-0.040106904,0.001462884,0.02625651,-0.036508113,-0.03574656,0.06610542,-0.038077515,0.011705552,-0.05554034,-0.012876722,0.018568376,0.07809,0.052997783,0.015772315,-0.030585332,-0.0028093413,0.002071516,0.94277996,6.209045E-4,-0.01904378,-0.028229535,-0.051831227,0.029836627,-0.060814634,0.0014274174,0.020425137,0.03159896,0.04981221,0.034071766,0.040470634,-0.022549506,-0.005201202,0.017386647,-0.0520112]::REAL[]),
+(48, [0.07579722,-0.018541802,-0.027440464,-0.0042755203,6.392953E-4,0.006765337,0.011790141,0.020315792,0.014717232,-0.0127987545,0.0118556935,0.026038606,0.0011648714,0.039519068,0.057395384,0.0013304435,-0.021305183,0.012306988,-0.10431749,0.0015067498,-0.02013156,-0.05494798,0.013908061,-0.059485447,-0.045613874,0.022693861,0.010995075,-0.015687088,0.015140595,-0.07027742,0.101333834,-0.02762754,0.034349475,0.01578152,-0.0019420577,-0.06499796,-0.022536142,0.074426584,-0.028533626,-0.022524336,0.022643259,-0.04634255,-0.03034528,-0.078786574,0.003858171,-0.05088209,-0.025276115,0.004136188,0.94815964,-0.018910259,0.009596868,-0.02048955,0.0045682997,-0.04894985,-0.009375629,0.07350177,0.03027797,-0.021180935,-0.046061546,0.02779756,-0.02991463,-0.058942005,-0.073986724,0.026719477]::REAL[]),
+(49, [-0.02069714,0.088164866,-0.102258064,0.07359472,-0.058798745,0.04389549,-0.0017110168,-0.06652263,0.08752357,0.015190503,6.2985666E-4,0.056011815,0.043017805,-0.035442833,-0.019269325,-0.014542423,-0.056553546,-0.065840304,0.09729956,0.033308897,-0.021453299,-0.014001773,-0.067796804,-0.09322202,-0.045192678,0.035589375,-0.039205074,0.014540903,0.006298406,-0.03126823,0.017275484,-0.055928133,0.057859883,-0.0150208,0.003615016,-0.032189604,0.004029194,0.010704753,-0.025812667,0.004296048,0.029782137,0.10223436,-0.008388973,-0.0055325474,0.018429317,-6.610332E-4,-0.020103432,0.02632589,0.011411186,0.9305913,-0.027012516,0.0039299666,0.119428754,0.036307458,-0.039191384,0.035715897,8.5303665E-4,0.0042112106,0.013859237,0.0022213773,0.06844205,-0.027541965,-0.024341604,-0.002482984]::REAL[]),
+(50, [-0.0068144775,0.0012645461,-0.019684598,-0.024913618,0.10389378,-0.011894142,0.07324776,-0.064539894,-0.05128818,0.034885727,0.023866808,0.039268903,-0.009671159,0.037810195,-0.021223467,-0.06178943,0.007300596,-0.017506167,-0.038388178,-0.0418736,0.08925915,0.05181937,0.019157553,-0.027824707,0.037519768,0.051585298,0.013365558,-0.05343852,0.029087309,-0.0033451293,0.02318372,-0.04140154,0.10173861,-0.0016624673,-0.037758652,0.036465805,-0.02881052,-0.03280287,0.062283054,-0.040785737,0.026853787,0.056002397,-0.028617749,0.041096047,0.008329244,-0.012371945,-0.021979656,0.03295943,-0.017257687,0.018412985,0.9502181,0.021649865,0.027392808,-0.010635069,-0.03529431,0.040731553,0.017779104,0.019746276,-0.043949213,0.033139393,0.011273656,0.004587876,-0.017117472,-0.021324186]::REAL[]),
+(51, [0.07986753,-0.05280132,0.03142265,0.031328242,0.020067856,-0.025621371,-0.050344307,-0.033149533,-0.025395894,0.002822658,-0.012466879,-0.0030085265,0.07657566,0.044593856,-0.08453122,-0.04427394,-5.9778115E-4,0.016588325,-0.003617729,0.052071095,-0.027497005,-0.004829836,0.071473226,-0.05872214,-0.05808218,-0.084075265,-0.043116584,0.027036272,0.015584798,-0.0383862,0.08856842,0.034108233,-0.069866344,0.024357399,0.046314385,0.0069365925,0.029138912,0.06180957,0.00279945,0.057410967,-0.09566391,0.025310637,0.06037253,-0.0073719416,0.04340165,0.064704806,-0.06582942,0.060675886,0.010564284,-0.012863335,7.771012E-4,0.9274611,0.064977884,0.060191445,0.014699239,-0.070694484,0.0519901,8.8484836E-4,0.008542553,-0.022259757,0.034912016,0.01736081,-0.059360318,0.072450176]::REAL[]),
+(52, [-8.545485E-4,0.0036826031,0.02404928,-0.014868126,0.0065154247,-0.07146351,-0.03537521,-0.020970345,0.03921459,-0.046314057,0.023204314,0.005698556,-0.045377053,-0.024825973,-0.06388952,-0.04739461,-1.422173E-4,-0.01698582,-0.044217274,-0.06335689,-0.013368467,0.0023983489,-0.049814325,0.06824652,0.02955021,-0.006530004,-0.040559787,-0.008185016,0.04441853,0.030875271,0.036320034,0.1208954,0.03044065,-0.09330667,0.04515519,-0.04581145,-0.031870466,-0.024352275,-0.107693285,0.024027392,0.021639135,-0.084488586,0.021496354,-0.038868472,0.026409922,-0.0057736845,0.12119708,-0.048004787,-0.006982906,-0.094682015,-0.003621838,-0.045783814,0.93070954,-0.016081015,0.049035694,0.0019458267,-0.05242256,-0.0040325234,0.03415183,0.06526732,-0.0155353425,-0.020258898,0.012003359,0.01280546]::REAL[]),
+(53, [0.052979335,0.04067956,-0.047780816,-0.027582673,0.091351084,-0.016652212,0.01714366,-0.022071663,-0.021569641,-0.055678274,0.017464371,0.033760395,0.04038397,-0.06613917,0.016576387,-0.095131464,-0.05925132,-0.016998062,-0.05503374,-0.030452594,0.0027738642,-0.065679595,0.040395606,0.025299001,0.0063070618,-0.03415088,-0.041759394,0.00554963,-0.0047959303,-0.019664906,0.0747726,-0.047421552,-0.016141552,0.024610152,0.11737769,0.0083966665,-0.04584742,-0.016945131,0.053132307,0.06981645,0.042925857,0.036320075,-0.0013299045,-0.053696536,0.006439805,0.03322384,0.04920884,0.051741853,0.028946672,-0.046307843,-0.0034445073,-0.08460895,-0.0033070908,0.93895924,-0.0010775285,0.040552437,0.042253546,0.017003272,0.05005644,-0.019995637,0.017442362,0.009521521,0.029198408,-0.019972164]::REAL[]),
+(54, [0.087113455,0.011315398,-0.011668248,-0.057987154,-0.053841185,-0.057182312,0.048813637,-0.017335458,0.040687244,-0.02291517,0.030743621,0.0489041,-0.025327548,-0.0364468,-0.032658618,-0.011555413,0.07041369,-0.028879497,-0.094099864,-0.035115797,0.0038970558,0.002136667,-0.030965162,-3.8876387E-4,-0.02208961,-0.0024290015,0.006734807,-0.025933001,0.069950625,-0.013998356,0.058762208,-0.08130897,0.02695033,0.043066036,0.029699178,0.032074552,0.020653045,0.019780502,0.028520802,0.07754122,0.030928876,0.081151016,-0.010169048,0.04656758,-0.02106555,-0.055952366,0.024640048,0.0016449027,-0.007081852,0.03729699,0.012245484,-0.012965863,-0.049056478,-0.032804992,0.948926,-0.0019251416,0.03505114,0.038747862,0.012393218,0.010137654,0.028068095,0.025402708,0.030387413,0.02895667]::REAL[]),
+(55, [0.037488542,0.03550239,0.011033677,0.013062539,-0.031331856,-0.009646884,-0.05435139,-0.011132146,0.09220139,0.004128152,-0.025138095,0.015387272,-0.04542868,0.021516684,-0.031167537,-0.014409468,-0.008388526,-0.0422603,-0.113717556,-0.029134043,0.040944804,-0.04736282,0.0019171513,-0.01658856,-0.06842747,-0.04860563,0.05642042,0.053244505,0.010293692,0.03820631,-0.024273561,-0.047052346,-0.08060302,-0.010953216,0.076883264,0.009531612,0.016736016,-0.005214636,0.008741684,-0.071642,-0.02616682,-0.04703773,-0.026763463,0.024187082,0.044095673,-0.009011682,-0.03613497,-0.009529136,-0.0824516,-0.032412656,-0.028560346,0.0626545,-0.0149559025,-0.0342973,-0.01633844,0.93992865,-0.079546005,0.048460122,0.0086269295,0.06180267,0.055469267,0.030707646,9.085103E-5,0.049606778]::REAL[]),
+(56, [0.036100686,0.048273515,0.006514067,-0.012333329,0.03695538,-0.0058297794,-0.0048653544,0.026084892,-0.045833305,0.044315945,-0.03218919,-0.012757117,-0.031458706,0.003083368,-0.033766985,-0.03150127,-0.015882434,-0.07613612,-0.09563424,0.06387532,0.0095567,-0.03119386,0.023421876,-0.029489841,0.029201051,0.013323621,0.023773871,0.0122846365,-0.055000048,0.02740385,-0.10152837,-0.008055383,0.029070083,-0.0076660565,-0.008360708,-0.011495816,-0.12135786,-0.03347834,-0.068489715,0.018415706,0.013062514,0.0801175,0.012261702,0.036066853,-0.05515269,-0.021951534,-0.013956173,-0.05051794,-0.03499796,-0.010406678,-0.040580627,-0.028438572,0.054433394,-0.05177947,-0.035204805,0.0697799,0.945604,0.01412734,-0.0011022234,-0.014751518,0.0036054146,-0.005459023,-0.023706988,-0.03151185]::REAL[]),
+(57, [0.017109444,0.06278945,-0.07352209,-0.023499267,-0.041248567,-0.027143864,-0.011560208,-0.07229848,-0.103543065,0.08120804,-0.008270175,-0.119395256,-0.01607817,0.053372234,-0.03352647,6.4471166E-4,-0.026312483,0.0113209775,-0.016935803,0.021926595,0.036197096,0.051412426,0.020819983,0.033108916,0.013206243,-0.03328477,-0.063076,-0.06031893,0.10121044,0.042652458,0.0275488,-0.077961616,0.016242255,-0.07946864,0.013441736,-0.0019576757,-0.0026213252,-0.011993591,-0.025090996,-0.039677043,0.0039539663,-0.037372198,-0.06793689,-0.042241886,-0.05046567,-0.049909372,0.016587641,-0.048763935,0.02725902,4.272583E-5,-0.038064525,0.012761102,-0.005113995,-0.011542552,-0.0408644,-0.04901343,-0.022244312,0.9349614,0.0011887986,-0.03250803,0.022743711,0.04401193,0.0035105476,-0.043438874]::REAL[]),
+(58, [-0.014046351,-0.03863713,0.02496393,-0.0599696,-0.0111442385,-0.013541026,0.06477389,-0.01899587,-0.03182689,0.007461446,-0.007339533,0.07095962,-0.019050185,0.002015647,0.031348813,0.024817908,0.021394355,-0.0498459,0.016598258,-0.0075734807,0.039411362,-0.011488717,0.001136463,-0.050379947,-0.011181873,-0.007052007,-0.056385867,-0.056678448,-0.0049490836,0.053922974,0.033207312,0.07606427,0.019396916,-0.09645201,-0.028457534,-0.019527256,0.02457929,-0.032179922,0.0017713371,0.025696225,-0.0018274869,0.013581185,0.05034285,-0.0070704133,-0.034143604,-0.0012917835,-0.020053137,-0.03236553,0.044457115,-0.008268159,0.03120782,0.0015322183,-0.049740132,-0.043176237,-0.016050482,0.014711111,-0.0016888469,-0.0047903736,0.96196824,-0.023016034,0.03260485,-0.027436307,-0.0440345,-0.033559214]::REAL[]),
+(59, [-0.05609554,-0.07090057,-0.03959094,-0.042675905,-0.096789576,-0.06987483,0.028831432,0.005598704,0.058337584,0.020841995,-0.004258921,0.03876478,0.01858468,0.033629436,-0.016508,0.0021708435,0.058448635,0.035512496,0.011598188,-0.0150111485,0.02869894,0.055690862,-0.007316713,-0.049833592,0.025533857,-0.012785291,-0.047065288,0.03323753,0.02467554,0.0071363924,0.02336408,-3.315039E-5,0.036636986,0.020560203,0.07198066,0.05116312,0.020901639,0.012804768,0.056332078,0.057363063,0.0064056218,-0.028642323,0.05707614,0.00458302,-0.042217635,-0.020713437,-0.04360499,-0.039242186,-0.0124260485,0.0035613931,-0.031712543,0.009434897,-0.059220377,0.030691039,-0.04337763,-0.061430942,0.045390513,0.02825134,0.0072971913,0.952594,0.006701722,0.00767881,0.031995192,0.010490408]::REAL[]),
+(60, [-0.0065685227,0.011334311,-0.035297927,-0.036857877,0.010630973,-0.05387182,-0.0611941,-0.046900474,0.030702885,0.062522046,0.06259515,-0.06416613,-0.03692993,0.01863148,-0.038881466,0.033539765,0.01686937,0.0063739805,-0.04919011,-0.09259071,0.015851734,-0.019289408,0.034870557,0.043304864,0.031389892,0.016113838,0.073771186,0.03485632,-0.04718702,0.017280199,0.010435546,-0.0113591105,0.080659054,0.008245809,0.011677614,0.048475873,-0.019748725,-0.082993954,-0.024169056,-0.02389724,0.03361721,-0.016064474,-0.06535974,-0.054279525,0.0010100901,0.054756556,0.012256637,0.009876583,0.033799432,-0.049884215,-0.02635841,-0.011051394,-0.010192368,-0.02362497,-0.02616245,-0.06903443,-0.009011476,-0.05083485,-0.017412012,-0.0077528916,0.94988,-0.010107423,0.00439751,-0.0016797052]::REAL[]),
+(61, [0.06306677,-0.005591058,-0.01024592,-0.04083716,-0.056432605,-0.012618901,-0.012816025,-0.09663572,-0.008018574,-0.030191295,0.072172426,-0.05958663,-0.0037379141,0.010569559,0.07521818,-0.02400937,-0.009296645,-0.056582533,-0.015457649,0.018110273,-0.041873105,0.0319381,-0.027618604,0.041208956,-0.04285929,0.041815907,0.053124588,-0.009540472,0.032463565,-0.02054691,-0.049092826,0.037424628,0.09386085,0.035760835,0.039930854,1.0817408E-4,-0.02546321,-0.032447975,-0.0017308857,-0.008932812,0.0914459,0.04867129,-0.0021130238,0.016167622,-9.709046E-4,0.010086124,-0.035545383,-0.007971443,0.053748716,0.0110037485,-0.01634371,0.0035735695,0.019238876,-0.013738208,-0.042266473,-0.01784335,-0.008670881,-0.0582109,0.029900141,-0.0032096126,-0.019155426,0.95265114,-0.009116334,-0.013864785]::REAL[]),""",
+"""(62, [0.01702429,0.011568033,-0.04554177,-0.05076343,0.02302729,-0.0068848096,-0.0281929,-0.007010831,-0.008532847,-0.067699954,5.389526E-4,-0.025156498,0.028429804,0.007025312,-0.0530665,0.07767094,0.0320481,0.033766903,-0.0239062,-0.0326117,-0.032353926,0.028600521,-0.06390375,-3.0911833E-4,0.032232944,-0.013515567,-0.05291305,0.020141125,0.03611113,-0.008669073,0.023634931,-0.01845421,0.047629625,0.025482126,-0.020790868,-0.06584096,0.0024437003,0.06807538,-0.018059462,0.010447703,-0.0031312422,-0.01573756,0.00407783,-0.044752058,-0.045736156,0.05424338,-3.155114E-4,-0.020744367,0.06000647,0.025479436,0.025656274,0.06089651,-0.017889205,-0.031555105,-0.0419655,0.025384026,0.036254305,-0.021676231,0.04022696,-0.041684605,-0.009853737,0.0028869137,0.96089876,-0.025295759]::REAL[]),
+(63, [-0.03312447,0.08637806,-0.030155778,-0.0013074016,0.013215633,0.016810829,0.06022742,0.06302518,-0.040264264,-0.016195998,-0.0447144,-0.0011698155,-0.017410921,0.035769694,-0.0047923303,0.06902818,-0.0052404683,0.039690845,0.019371962,0.051008977,-0.025133926,0.003066282,-0.038794592,0.09132217,0.008504427,0.006357869,-0.021729063,0.034528434,-0.069334246,0.022856824,0.010315049,0.064452685,0.0023588175,-0.01631177,-0.056051046,0.041688368,0.005668646,-0.045988042,-0.07324442,-0.009354424,0.020572877,0.06580146,-0.015921036,0.045080796,-0.034072112,0.04875539,0.026323577,0.041041292,0.0062586917,0.004751981,0.031417713,-0.053337753,-0.012703088,0.026943088,-0.015540748,-0.019892696,0.019536855,0.04867732,0.03173711,0.0050355676,0.0019843536,0.024481218,0.022756292,0.9538123]::REAL[])),
+cbs(sub, cent, cb) AS (VALUES
+(0, 0, [-0.041373897,0.094898365,-0.05544069,0.19789234]::REAL[]),
+(0, 1, [-0.17298372,0.16860574,-0.032739308,0.05380778]::REAL[]),
+(0, 2, [-0.28487435,-0.035501223,0.046021163,0.01462124]::REAL[]),
+(0, 3, [0.28086847,-0.014124124,0.115322076,-0.101969644]::REAL[]),
+(0, 4, [-0.07317724,-0.00434969,0.0029871154,0.011126148]::REAL[]),
+(0, 5, [-0.1095266,-0.23322125,0.051501617,0.17410716]::REAL[]),
+(0, 6, [0.03308949,-0.14282696,0.13991988,0.15280256]::REAL[]),
+(0, 7, [0.09061261,0.06578913,0.076322615,0.19946891]::REAL[]),
+(0, 8, [-0.012777477,0.012171681,0.16784889,0.10040963]::REAL[]),
+(0, 9, [-0.13312665,0.048702378,-0.059435964,-0.0015600084]::REAL[]),
+(0, 10, [-0.05093066,-0.13450527,-0.14006922,0.008160048]::REAL[]),
+(0, 11, [0.03297867,-0.020606672,-0.11086192,0.22842436]::REAL[]),
+(0, 12, [-0.11822681,-0.13338996,0.13068101,0.19175339]::REAL[]),
+(0, 13, [0.14361662,0.1037271,0.16888008,0.044976622]::REAL[]),
+(0, 14, [-0.08826513,-0.09594217,-0.10530891,0.22266485]::REAL[]),
+(0, 15, [-0.20151654,-0.0031652956,0.02622073,-0.3602867]::REAL[]),
+(0, 16, [-0.1523306,0.06349707,0.21381131,-0.119334854]::REAL[]),
+(0, 17, [0.12569381,0.12348725,-0.031483676,-0.04850128]::REAL[]),
+(0, 18, [-0.13117366,-0.096672736,0.1148566,0.011578548]::REAL[]),
+(0, 19, [0.13612369,0.06836265,-0.2762075,-0.06828041]::REAL[]),
+(0, 20, [-0.1163462,-0.023452166,-0.19367835,-0.14960858]::REAL[]),
+(0, 21, [0.066389486,0.23865426,-0.06474497,0.13829575]::REAL[]),
+(0, 22, [0.10413442,-0.07603986,-0.09894791,0.03622215]::REAL[]),
+(0, 23, [0.060804002,-0.17498049,0.103972115,-0.21862096]::REAL[]),
+(0, 24, [0.045070052,0.048969056,-0.042330366,0.020419165]::REAL[]),
+(0, 25, [-0.2114322,-0.19919388,-0.04639609,0.0023460984]::REAL[]),
+(0, 26, [-0.10880097,-0.21018091,0.14414883,-0.10239611]::REAL[]),
+(0, 27, [0.103203684,0.118331224,-0.13535129,0.1233778]::REAL[]),
+(0, 28, [0.22133194,-0.08680919,0.03494246,-0.07339505]::REAL[]),
+(0, 29, [0.06999072,-0.23115669,-0.2016477,-0.10993898]::REAL[]),
+(0, 30, [-0.22888474,0.036275737,-0.00962047,-0.12722771]::REAL[]),
+(0, 31, [-0.017392455,-0.00449491,-0.1563364,-0.08649677]::REAL[]),
+(0, 32, [-0.049596746,-0.047247063,0.020684673,-0.17841278]::REAL[]),
+(0, 33, [-0.23115592,-0.14760758,-0.027778154,-0.22942452]::REAL[]),
+(0, 34, [-0.0011522744,0.043283917,-0.052562915,-0.12905265]::REAL[]),
+(0, 35, [-0.025654573,-0.006994505,-0.12676205,0.06815337]::REAL[]),
+(0, 36, [-0.019488944,0.2623987,0.050383125,0.027137846]::REAL[]),
+(0, 37, [0.1808349,-0.10965783,-0.059750866,-0.14163333]::REAL[]),
+(0, 38, [-0.08560212,-0.12015607,-0.051442564,-0.21874194]::REAL[]),
+(0, 39, [0.10285605,-0.060826473,0.06093798,-0.020464515]::REAL[]),
+(0, 40, [-0.049584236,-0.004354183,0.11478514,-0.036878902]::REAL[]),
+(0, 41, [0.05001816,-0.23872092,0.045412228,0.041564777]::REAL[]),
+(0, 42, [-0.042398613,0.15787168,-0.12608862,-0.081559084]::REAL[]),
+(0, 43, [-0.12802674,-0.07731414,0.020316688,-0.07004571]::REAL[]),
+(0, 44, [0.21165794,-0.077087864,0.05373412,0.1256663]::REAL[]),
+(0, 45, [-0.12932469,0.08006512,0.02769846,0.2822745]::REAL[]),
+(0, 46, [-0.20256081,-0.016976159,-0.23264576,-0.004694246]::REAL[]),
+(0, 47, [0.031038772,-0.002843909,-0.2846192,0.11617002]::REAL[]),
+(0, 48, [0.2567721,0.100653306,-0.05016427,0.12727274]::REAL[]),
+(0, 49, [0.11956751,-0.13042085,-0.023795152,0.11431125]::REAL[]),
+(0, 50, [0.08604198,-0.17802511,-0.102495,-0.043629065]::REAL[]),
+(0, 51, [0.19240916,0.08424646,0.023776747,-0.18432148]::REAL[]),
+(0, 52, [0.0227456,0.16420417,-0.09658965,-0.28010353]::REAL[]),
+(0, 53, [0.022423591,-0.019344496,2.5196705E-4,0.11842744]::REAL[]),
+(0, 54, [0.023689324,0.11482735,0.12125695,-0.13073318]::REAL[]),
+(0, 55, [-0.17130667,0.121533334,0.11108231,0.05805204]::REAL[]),
+(0, 56, [-0.1049728,0.12567782,0.0077187624,-0.13832507]::REAL[]),
+(0, 57, [0.2080392,0.01179391,-0.14322586,0.075415656]::REAL[]),
+(0, 58, [0.062182523,-2.0537483E-4,0.065003425,-0.17134601]::REAL[]),
+(0, 59, [0.013165458,-0.04357698,0.2442632,-0.08244908]::REAL[]),
+(0, 60, [-0.1738578,-0.020295307,-0.017562771,0.14095691]::REAL[]),
+(0, 61, [0.004106971,0.13965338,0.13089819,0.018286062]::REAL[]),
+(0, 62, [-0.011131641,0.26072899,0.055006757,-0.11972946]::REAL[]),
+(0, 63, [-0.02216406,-0.142845,0.012210018,-0.03555414]::REAL[]),
+(1, 0, [0.00933875,-0.14141935,-0.16781403,0.16720304]::REAL[]),
+(1, 1, [-0.09943039,-0.13480148,0.011631548,-0.03115014]::REAL[]),
+(1, 2, [0.1814998,-0.09103343,-0.08230779,-0.19022919]::REAL[]),
+(1, 3, [0.14782234,0.18665676,-0.2650095,-0.033797797]::REAL[]),
+(1, 4, [-0.012244892,0.03135909,-0.052931648,0.073645346]::REAL[]),
+(1, 5, [0.1676709,0.14314407,0.07116028,0.22517276]::REAL[]),
+(1, 6, [-0.0615236,0.3242104,0.121485814,-0.23150936]::REAL[]),
+(1, 7, [-0.08681875,-0.16939974,0.19695947,0.11014942]::REAL[]),
+(1, 8, [-0.09529107,0.19002207,-0.0628641,-0.009763501]::REAL[]),
+(1, 9, [-0.29991633,-0.10650411,-0.03835346,0.028594427]::REAL[]),
+(1, 10, [-0.05946964,0.0576504,0.036107324,-0.046786934]::REAL[]),
+(1, 11, [0.21432683,0.12767552,-0.09968637,0.08274709]::REAL[]),
+(1, 12, [0.073163494,-0.05384393,-0.20785752,-0.17898224]::REAL[]),
+(1, 13, [-0.084467664,-0.03618263,-0.24465086,0.10506203]::REAL[]),
+(1, 14, [9.2787726E-4,-0.104913786,-0.109895654,0.07406866]::REAL[]),
+(1, 15, [-0.12874596,-0.06461443,-0.025831742,-0.16590029]::REAL[]),
+(1, 16, [0.10020155,-0.22120671,-0.115180075,0.061658397]::REAL[]),
+(1, 17, [0.09151946,-0.028312113,0.06458109,0.104845405]::REAL[]),
+(1, 18, [0.17519702,0.08095486,0.103584915,-0.106633626]::REAL[]),
+(1, 19, [-0.0054130084,0.10259553,-0.19431913,0.07421444]::REAL[]),
+(1, 20, [-0.11491634,4.120329E-4,0.046152726,0.17134814]::REAL[]),
+(1, 21, [-0.093506455,0.0375043,-0.09919737,-0.017461233]::REAL[]),
+(1, 22, [0.10428635,0.021677244,-0.06886852,-0.0481022]::REAL[]),
+(1, 23, [0.07677367,0.031751715,-0.10996987,0.17081144]::REAL[]),
+(1, 24, [0.22484688,0.25283134,0.1176205,-0.16606683]::REAL[]),
+(1, 25, [-0.2476293,0.15213953,0.0680873,-0.019652775]::REAL[]),
+(1, 26, [0.018442322,0.017873084,0.0069720857,-0.23133789]::REAL[]),
+(1, 27, [-0.16714333,0.014157406,0.1838997,0.11452744]::REAL[]),
+(1, 28, [-0.040768918,0.037847955,0.10009789,0.24571173]::REAL[]),
+(1, 29, [-0.29629236,0.115498796,-0.05091273,0.22581525]::REAL[]),
+(1, 30, [0.07399317,0.005324292,0.12582476,-0.19178484]::REAL[]),
+(1, 31, [0.19108741,0.17851819,-0.13960965,-0.038065024]::REAL[]),
+(1, 32, [0.15608235,-0.005147789,-0.116158724,0.052959174]::REAL[]),
+(1, 33, [0.12807456,-0.2181158,0.0605294,0.043420907]::REAL[]),
+(1, 34, [-0.05815051,0.18986118,0.22254363,0.04626492]::REAL[]),
+(1, 35, [0.09837436,-0.096757226,-0.036217425,-0.3254159]::REAL[]),
+(1, 36, [0.14227766,-0.15796342,-0.027253615,0.18259051]::REAL[]),
+(1, 37, [0.025667874,-0.101658344,0.027433721,-0.1747532]::REAL[]),
+(1, 38, [0.22235999,-0.020089043,0.025314998,0.09618673]::REAL[]),
+(1, 39, [0.11310479,0.08464369,0.016503407,0.06885001]::REAL[]),
+(1, 40, [-0.016715087,0.114182174,-0.21259476,-0.12637721]::REAL[]),
+(1, 41, [0.07665189,0.14022027,-0.03135202,-0.10111998]::REAL[]),
+(1, 42, [0.050070204,0.21898744,0.09990175,0.091962166]::REAL[]),
+(1, 43, [0.08079975,-0.16075167,0.31160352,-0.05439729]::REAL[]),
+(1, 44, [-0.09620493,-0.075708725,0.039402097,0.0487258]::REAL[]),
+(1, 45, [0.005517831,0.15510017,-0.027921215,0.048371185]::REAL[]),
+(1, 46, [-0.16034472,-0.27737767,-0.009880574,-0.12358011]::REAL[]),
+(1, 47, [-0.09214206,0.16496366,-0.012840901,0.14437193]::REAL[]),
+(1, 48, [-0.08887091,0.024338823,-0.10501096,0.20374109]::REAL[]),
+(1, 49, [0.25738236,-0.13865362,-0.17610063,0.14460331]::REAL[]),
+(1, 50, [-0.048438538,0.015896084,0.14006542,0.008600073]::REAL[]),
+(1, 51, [-0.0034209087,-0.11824932,-0.1308027,-0.06556053]::REAL[]),
+(1, 52, [-0.20898347,0.06774955,-0.13626708,-0.020785619]::REAL[]),
+(1, 53, [0.022511788,0.009880717,-0.14327052,-0.39048445]::REAL[]),
+(1, 54, [0.16117257,-0.07054579,-0.20592444,-0.035369698]::REAL[]),
+(1, 55, [0.05849746,0.05657638,0.2828344,-0.0661857]::REAL[]),
+(1, 56, [-0.04477963,-0.06280144,0.14321373,0.1412688]::REAL[]),
+(1, 57, [0.046930548,-0.0867339,0.06954452,-0.048270646]::REAL[]),
+(1, 58, [0.036644883,0.21028228,-0.08457537,0.1803288]::REAL[]),
+(1, 59, [0.002949919,-0.25727305,0.014838322,0.16704975]::REAL[]),
+(1, 60, [-0.14765929,0.067065164,0.11295865,-0.011009485]::REAL[]),
+(1, 61, [-0.13789319,-0.08446765,0.19073269,-0.06505654]::REAL[]),
+(1, 62, [-0.046939585,0.11212355,9.6370874E-4,0.2709176]::REAL[]),
+(1, 63, [0.06696868,-0.028188236,-0.052122846,0.28186783]::REAL[]),
+(2, 0, [-0.05930388,-0.1875456,0.109355435,0.03005199]::REAL[]),
+(2, 1, [0.002723429,0.028686138,-0.2770042,0.024428174]::REAL[]),
+(2, 2, [0.007356717,-0.06861195,0.06568196,0.08190189]::REAL[]),
+(2, 3, [0.10805165,-0.16141015,-0.12750536,-0.1416446]::REAL[]),
+(2, 4, [-0.0019964895,-0.12929496,-0.08242509,0.10780992]::REAL[]),
+(2, 5, [-0.0021556865,0.13271913,0.17307298,0.12780705]::REAL[]),
+(2, 6, [0.07851011,-0.038889766,0.058270276,-0.32814595]::REAL[]),
+(2, 7, [0.28220928,-0.23489092,0.15833135,0.3269498]::REAL[]),
+(2, 8, [0.119753495,0.2237862,0.09597527,-0.004880254]::REAL[]),
+(2, 9, [0.28175312,-0.22063297,0.2758296,-0.02179506]::REAL[]),
+(2, 10, [0.09965741,0.26469815,-0.102302395,0.09558345]::REAL[]),
+(2, 11, [0.15752272,-0.07130237,-0.09753323,0.2477671]::REAL[]),
+(2, 12, [0.021244794,-0.074192315,0.11344688,-0.13137826]::REAL[]),
+(2, 13, [0.082448356,0.1310644,-0.08617929,-0.028988367]::REAL[]),
+(2, 14, [-0.0882423,-0.056216124,0.14266689,0.25326413]::REAL[]),
+(2, 15, [-0.05883116,0.011669211,-0.06639043,-0.20644145]::REAL[]),
+(2, 16, [-0.059573047,0.3691931,0.24144596,-0.0039586416]::REAL[]),
+(2, 17, [-0.094038405,0.26458928,-0.06314001,-0.05786479]::REAL[]),
+(2, 18, [-0.2455125,0.13837305,0.15920514,0.011775089]::REAL[]),
+(2, 19, [-0.032917824,0.041437417,-0.08104448,-0.017502403]::REAL[]),
+(2, 20, [0.05281518,0.14636663,-0.14840281,-0.24106638]::REAL[]),
+(2, 21, [-0.06347796,0.11898507,0.13423723,-0.06087785]::REAL[]),
+(2, 22, [-0.18283841,-0.09886243,0.19968149,-0.10733626]::REAL[]),
+(2, 23, [-0.09776625,0.23572534,0.06333862,0.07655123]::REAL[]),
+(2, 24, [-0.18684179,0.036323436,0.08689715,-0.1937268]::REAL[]),
+(2, 25, [0.2133143,-0.049254652,-0.013488541,-0.002567015]::REAL[]),
+(2, 26, [-0.12472065,-0.22179517,0.035686497,0.19486378]::REAL[]),
+(2, 27, [0.01848513,0.07922015,0.14590886,0.0016229759]::REAL[]),
+(2, 28, [0.07910608,-0.1323288,-0.019831171,-0.007340812]::REAL[]),
+(2, 29, [-0.11526331,0.15023328,-0.1606825,0.20476206]::REAL[]),
+(2, 30, [0.08969214,-0.25527245,0.11198257,0.07766229]::REAL[]),
+(2, 31, [-0.101483874,-0.17027771,-0.16822919,-0.02751244]::REAL[]),
+(2, 32, [0.1678522,-0.19052494,-5.7392754E-8,0.07453839]::REAL[]),
+(2, 33, [0.084387645,0.030310946,-0.1389669,0.111244634]::REAL[]),
+(2, 34, [-0.12159125,-0.017513007,0.165827,-0.013117241]::REAL[]),
+(2, 35, [-9.568721E-4,-0.035492245,-0.092179276,-0.0955977]::REAL[]),
+(2, 36, [0.06660305,-0.07721043,-0.1806346,0.02384639]::REAL[]),
+(2, 37, [0.07269411,-0.19030015,0.06717906,-0.14967416]::REAL[]),
+(2, 38, [0.083409764,-0.03297868,-0.02720599,-0.0030687158]::REAL[]),
+(2, 39, [0.20725714,-0.012215018,0.16460562,0.06295474]::REAL[]),
+(2, 40, [0.03193342,-0.11389457,0.23685414,0.086406805]::REAL[]),
+(2, 41, [-0.14450975,-0.19385312,-0.0075494577,-0.0642984]::REAL[]),
+(2, 42, [0.12510484,0.109510295,-0.029077856,-0.21707134]::REAL[]),
+(2, 43, [0.021141764,-0.17887221,0.01520126,0.015384009]::REAL[]),
+(2, 44, [-0.1758368,0.013957954,-0.028718224,-0.05667217]::REAL[]),
+(2, 45, [-0.07679936,0.0011023502,0.018565219,-0.1419465]::REAL[]),
+(2, 46, [-0.1785827,-0.2130845,-0.092460394,0.10137655]::REAL[]),
+(2, 47, [0.08485,0.09299961,0.025804209,0.06803584]::REAL[]),
+(2, 48, [-0.16696677,0.12785067,-0.06643892,0.046302173]::REAL[]),
+(2, 49, [-0.102235325,-0.19566354,-0.059016675,-0.25736478]::REAL[]),
+(2, 50, [0.026733013,-0.07422855,-0.32613477,0.2962647]::REAL[]),
+(2, 51, [-0.0701245,0.03007685,-0.0074604303,0.14547952]::REAL[]),
+(2, 52, [-0.007891242,0.12793648,0.015820237,0.3025576]::REAL[]),
+(2, 53, [-0.040241867,-0.011415759,0.07550468,-0.032240015]::REAL[]),
+(2, 54, [-0.050282106,-0.07448828,0.18078795,-0.22167957]::REAL[]),
+(2, 55, [0.2527496,0.0726329,-0.068773314,0.079692826]::REAL[]),
+(2, 56, [-0.15538162,-0.03413644,0.00986397,0.018663798]::REAL[]),
+(2, 57, [0.093868226,-0.1283077,0.23362757,-0.16359848]::REAL[]),
+(2, 58, [0.14230168,-0.015010952,0.0040827724,-0.14677949]::REAL[]),
+(2, 59, [0.18279473,0.10931674,0.15433569,-0.09837333]::REAL[]),
+(2, 60, [-0.1775162,-0.012888891,-0.19104692,-0.09671161]::REAL[]),
+(2, 61, [0.117402114,0.015667794,0.009589028,-0.048819557]::REAL[]),
+(2, 62, [-0.069766745,0.10822228,0.12682728,-0.15713054]::REAL[]),
+(2, 63, [0.23565933,-0.06929316,-0.1440223,-0.1019137]::REAL[]),
+(3, 0, [-0.21254236,-0.022495808,-0.16432995,-0.13241252]::REAL[]),
+(3, 1, [0.16027403,-0.16062005,-0.027480215,0.080344856]::REAL[]),
+(3, 2, [-0.16097018,0.17795777,0.11900425,-0.07290554]::REAL[]),
+(3, 3, [-0.0056186942,-0.3073596,-0.14287719,-0.080256425]::REAL[]),
+(3, 4, [-0.15798107,-0.14114343,-0.1047488,-0.1463007]::REAL[]),
+(3, 5, [-0.11753425,0.048838057,-0.19455402,0.005674113]::REAL[]),
+(3, 6, [-0.16346648,-0.059371755,0.021301813,-0.04250174]::REAL[]),
+(3, 7, [0.055632297,-0.10908947,0.046562664,-0.2283105]::REAL[]),
+(3, 8, [0.005794709,0.14521816,0.009058371,0.10778329]::REAL[]),
+(3, 9, [-0.08588857,-0.07524176,0.22142991,-0.06586668]::REAL[]),
+(3, 10, [-0.17432289,-0.06813822,0.042928826,-0.19575807]::REAL[]),
+(3, 11, [-0.10484396,0.15935701,0.20720851,0.112979]::REAL[]),
+(3, 12, [0.19278413,0.19915701,-0.023770843,-0.07031794]::REAL[]),
+(3, 13, [0.25536472,-0.02775096,0.07828045,0.17253065]::REAL[]),
+(3, 14, [-0.0629172,0.28802067,0.0075324993,-0.011540829]::REAL[]),
+(3, 15, [0.121426456,-0.14920858,0.3008886,-0.017676188]::REAL[]),
+(3, 16, [0.03310354,-0.16279857,0.10586685,-0.103169456]::REAL[]),
+(3, 17, [0.05287851,0.060720876,-0.23235938,-0.09896017]::REAL[]),
+(3, 18, [0.06541686,0.05548456,0.12774749,0.040108476]::REAL[]),
+(3, 19, [0.035613656,0.13486052,-0.20416835,0.1060518]::REAL[]),
+(3, 20, [-0.061037023,-0.06057413,-0.27748984,0.05411584]::REAL[]),
+(3, 21, [-0.16475466,0.032067545,-0.15716773,0.25171736]::REAL[]),
+(3, 22, [-0.01157089,-0.035510816,0.05918825,-0.056484506]::REAL[]),
+(3, 23, [-0.29130223,-0.09992571,0.079861894,-0.002872276]::REAL[]),
+(3, 24, [0.12015158,0.15857787,0.11514383,-0.12495155]::REAL[]),
+(3, 25, [0.03688391,-0.038687073,0.18880907,0.15367603]::REAL[]),
+(3, 26, [-0.19140686,-0.030944515,0.16814415,0.023720047]::REAL[]),
+(3, 27, [-0.2524863,0.07205522,-0.07512299,0.027746238]::REAL[]),
+(3, 28, [0.033447497,0.084219866,-0.012810048,-0.12986557]::REAL[]),
+(3, 29, [0.038468607,0.045262903,0.04608828,-0.09076497]::REAL[]),
+(3, 30, [-0.09865087,0.017770415,-0.11922739,-0.22225913]::REAL[]),
+(3, 31, [0.17282423,0.02233256,0.18318644,-0.09845002]::REAL[]),
+(3, 32, [0.23847918,-0.07250418,0.08309826,-0.14783627]::REAL[]),
+(3, 33, [-0.040538613,-0.079087354,-0.10536999,0.1749865]::REAL[]),
+(3, 34, [0.022645008,-0.084457286,0.017048042,0.08211231]::REAL[]),
+(3, 35, [0.15265846,0.17120953,-0.043844763,0.07275291]::REAL[]),
+(3, 36, [0.070217334,-2.133731E-4,-0.05095523,0.2706369]::REAL[]),
+(3, 37, [-0.04944693,0.13022031,0.08297351,-0.19365408]::REAL[]),
+(3, 38, [0.09239302,-0.00879988,-0.02477208,-0.05856945]::REAL[]),
+(3, 39, [0.10122779,0.019657476,-0.014619602,0.06835228]::REAL[]),
+(3, 40, [-0.110783346,0.118499115,-0.07684661,-0.04284689]::REAL[]),
+(3, 41, [-0.03770308,0.070757434,0.1663134,-0.10428096]::REAL[]),
+(3, 42, [-0.066868365,-0.009194764,0.05944247,0.14708057]::REAL[]),
+(3, 43, [0.14758997,0.18789664,0.113065794,0.092588894]::REAL[]),
+(3, 44, [0.22679606,-0.046614464,-0.13845696,-0.09846849]::REAL[]),
+(3, 45, [0.0023794486,0.012966374,-0.13315691,0.119623646]::REAL[]),
+(3, 46, [0.04869282,-0.07174823,-0.14084874,-0.0653579]::REAL[]),
+(3, 47, [-0.12995848,0.070075125,0.017297208,0.045946714]::REAL[]),
+(3, 48, [-0.023436269,-0.18136418,-0.016937464,-0.034031175]::REAL[]),
+(3, 49, [-0.13963425,-0.08000693,-0.08717704,0.023759436]::REAL[]),
+(3, 50, [-0.099227466,-0.33659792,0.0512587,-0.05651742]::REAL[]),
+(3, 51, [-0.103390105,-0.021950034,0.26776794,0.30946776]::REAL[]),
+(3, 52, [0.25314596,-0.23825201,-0.14908302,0.20716482]::REAL[]),
+(3, 53, [0.0352268,0.022273693,-0.07826226,-0.13655254]::REAL[]),
+(3, 54, [0.18677743,-0.19255692,-0.15966271,0.05634609]::REAL[]),
+(3, 55, [-0.010099572,-0.12074428,-0.16440679,-0.27184153]::REAL[]),
+(3, 56, [-0.017188061,-0.23550078,-0.026614195,0.1349772]::REAL[]),
+(3, 57, [0.20443611,0.12890786,-0.1209941,0.15348941]::REAL[]),
+(3, 58, [-0.038063824,-0.1914386,0.0041221874,-0.14359793]::REAL[]),
+(3, 59, [0.09909237,-0.20620972,0.057065524,-0.0017685823]::REAL[]),
+(3, 60, [0.11662098,-0.11173698,0.14998983,0.025081435]::REAL[]),
+(3, 61, [0.0038776854,0.14578113,-0.13126992,-0.09184337]::REAL[]),
+(3, 62, [0.041816093,-0.04963894,0.17233041,-0.22460297]::REAL[]),
+(3, 63, [-0.13539915,-0.13431044,-0.15956663,-0.03408191]::REAL[]),
+(4, 0, [-0.06583243,0.0966665,0.06289851,-0.06534274]::REAL[]),
+(4, 1, [-0.032406885,0.12668449,-0.17505881,-0.058951322]::REAL[]),
+(4, 2, [-0.10389603,-0.08813885,-0.06101007,0.043182496]::REAL[]),
+(4, 3, [0.040390097,0.0725889,-0.16514573,0.12543452]::REAL[]),
+(4, 4, [-0.022693396,0.13388209,0.03333294,0.25699395]::REAL[]),
+(4, 5, [0.070647165,-0.067427315,-0.1257298,0.0056099137]::REAL[]),
+(4, 6, [0.15740627,0.042428754,0.12705061,0.16702661]::REAL[]),
+(4, 7, [0.026501663,-0.034249354,2.7971937E-5,0.10102076]::REAL[]),
+(4, 8, [-0.07205555,0.013241739,-0.03202667,-0.060196683]::REAL[]),
+(4, 9, [-0.1088584,0.17424765,-0.075104415,0.04977211]::REAL[]),
+(4, 10, [0.0357372,-0.024074629,0.059041172,-0.047347773]::REAL[]),
+(4, 11, [-0.033201933,-0.009741809,0.18321493,-6.398315E-4]::REAL[]),
+(4, 12, [-0.117014125,0.0698801,0.108995095,0.099031895]::REAL[]),
+(4, 13, [-0.14439222,0.0461278,-0.15601441,0.13825321]::REAL[]),
+(4, 14, [-0.025968775,0.091885015,-0.048450302,-0.20956519]::REAL[]),
+(4, 15, [-0.14177354,-0.06025208,-0.009233573,-0.12940162]::REAL[]),
+(4, 16, [-0.17837979,-0.26910624,-0.09479698,-0.13083176]::REAL[]),
+(4, 17, [0.23744546,-0.072621085,-0.12881099,-0.051372997]::REAL[]),
+(4, 18, [0.117575474,-0.2125748,-0.1563373,0.079956636]::REAL[]),
+(4, 19, [-0.14292227,-0.04103825,-0.004327039,0.15582629]::REAL[]),
+(4, 20, [-0.0045600953,0.19401206,0.06442562,-0.13004525]::REAL[]),
+(4, 21, [0.10268852,0.12324458,-0.16602276,-0.10285352]::REAL[]),
+(4, 22, [-0.050910998,-0.17778513,0.08038872,0.063548855]::REAL[]),
+(4, 23, [0.1494029,0.08176027,0.020247336,-0.01378499]::REAL[]),
+(4, 24, [-0.13807434,0.0791858,-0.12214966,0.008372461]::REAL[]),
+(4, 25, [-0.074320346,0.07136211,-0.012936082,0.0831909]::REAL[]),
+(4, 26, [-0.21593054,-0.08991226,-0.14396815,-0.010272419]::REAL[]),
+(4, 27, [0.10949513,0.15145837,0.02746015,-0.13094679]::REAL[]),
+(4, 28, [-0.07827395,-0.16156209,0.05450265,-0.083400495]::REAL[]),
+(4, 29, [0.13048588,0.02182368,-0.07101793,-0.15603988]::REAL[]),
+(4, 30, [-0.03976657,-0.11041374,-0.15156284,0.1299457]::REAL[]),
+(4, 31, [0.0422949,-0.015406906,0.26099575,0.10902885]::REAL[]),
+(4, 32, [0.0592824,0.24340178,-0.08718145,0.009325384]::REAL[]),
+(4, 33, [0.0795166,-0.20864439,-0.063206345,-0.15921585]::REAL[]),
+(4, 34, [0.11188424,-0.15312336,0.08795233,0.04387173]::REAL[]),
+(4, 35, [-0.016446523,0.20406854,0.12546203,0.14600262]::REAL[]),
+(4, 36, [0.1905211,-0.08580135,0.0077402894,0.190587]::REAL[]),
+(4, 37, [0.04168638,-0.049152017,-0.07143712,-0.14243163]::REAL[]),
+(4, 38, [0.09005,-0.12813714,0.046475954,-0.077047884]::REAL[]),
+(4, 39, [-0.23773679,0.2669996,-0.101740606,0.05940252]::REAL[]),
+(4, 40, [-0.062201668,-0.25445715,-0.13976564,-0.019750776]::REAL[]),
+(4, 41, [-0.09308531,0.2311025,0.2719096,-0.036964856]::REAL[]),
+(4, 42, [-0.062995315,-0.06222956,-0.23784584,-0.01180372]::REAL[]),
+(4, 43, [-0.2411097,-0.07550888,0.12975584,-0.034491096]::REAL[]),
+(4, 44, [0.057850875,0.05795533,0.049273152,-0.28263265]::REAL[]),
+(4, 45, [-0.045354575,0.2430436,0.012094525,0.10978576]::REAL[]),
+(4, 46, [-0.011748454,0.3696051,0.045879383,-0.1330159]::REAL[]),
+(4, 47, [0.2216777,0.0015262592,0.025610628,-0.18242858]::REAL[]),
+(4, 48, [-0.14291525,-0.21433762,-0.11515211,0.15906632]::REAL[]),
+(4, 49, [0.24125823,-0.18693267,0.088010825,-0.19322674]::REAL[]),
+(4, 50, [-0.23176526,0.07850904,0.10903405,-0.10868749]::REAL[]),
+(4, 51, [0.0059156814,0.05971952,0.14652722,0.12559824]::REAL[]),
+(4, 52, [-0.022594746,0.1254973,0.113827184,0.0119040655]::REAL[]),
+(4, 53, [0.1784502,0.024067886,-0.07146645,0.04465618]::REAL[]),
+(4, 54, [0.24777849,-0.036393985,0.07579955,-0.01293287]::REAL[]),
+(4, 55, [0.06640233,-0.05237717,0.15034652,0.064961255]::REAL[]),
+(4, 56, [-0.16680866,0.14415279,0.077362806,-0.016036708]::REAL[]),
+(4, 57, [0.016581591,0.08331399,0.16755524,-0.094651856]::REAL[]),
+(4, 58, [0.07285161,0.12113878,-0.05577921,0.10520053]::REAL[]),
+(4, 59, [-0.10277897,-0.1587425,0.3585034,-0.036388814]::REAL[]),
+(4, 60, [0.22170526,0.16643658,0.19632654,-0.024557322]::REAL[]),
+(4, 61, [0.04961483,-0.02622792,0.19235003,-0.08068559]::REAL[]),
+(4, 62, [-0.06195318,-0.025683966,0.098721445,-0.15087402]::REAL[]),
+(4, 63, [0.11204138,-0.032782033,-0.27832416,0.05359106]::REAL[]),
+(5, 0, [0.24408022,0.1196249,-0.060301844,0.16380085]::REAL[]),
+(5, 1, [0.06331548,0.01874994,-0.27793863,-0.060380317]::REAL[]),
+(5, 2, [-0.16617203,0.17137381,0.14542413,-0.16363277]::REAL[]),
+(5, 3, [-0.16449828,-0.099240914,0.033322588,0.33358413]::REAL[]),
+(5, 4, [-0.056155995,-0.02791845,-0.05977263,-0.13313065]::REAL[]),
+(5, 5, [-0.058354847,0.16880436,0.0043563773,0.013493307]::REAL[]),
+(5, 6, [-0.12049778,-0.040371545,0.07369659,-0.09127306]::REAL[]),
+(5, 7, [0.25646904,0.015191241,0.07897544,-0.053357165]::REAL[]),
+(5, 8, [0.10942203,-0.037736423,-0.18123579,0.22978467]::REAL[]),
+(5, 9, [-0.04404113,-0.06946341,-0.12516683,0.11552715]::REAL[]),
+(5, 10, [-0.15969951,-0.054234814,-0.052566662,0.16972253]::REAL[]),
+(5, 11, [0.0032940642,0.13629127,0.13749403,0.26825747]::REAL[]),
+(5, 12, [-0.2722813,-0.079752415,-0.106212474,-0.041426968]::REAL[]),
+(5, 13, [-0.045184556,0.1137035,-0.16488732,0.091859296]::REAL[]),
+(5, 14, [-0.25563958,0.18648939,0.15781437,0.07451707]::REAL[]),
+(5, 15, [-0.07713524,-0.08239332,-0.09942791,-0.045356203]::REAL[]),
+(5, 16, [0.02127872,0.08833246,0.01804561,0.24861413]::REAL[]),
+(5, 17, [-0.13834137,0.029996647,0.101264946,0.10972699]::REAL[]),
+(5, 18, [-0.10146603,-0.077922374,0.2209909,-0.3134397]::REAL[]),
+(5, 19, [0.07143033,-0.17549267,-0.10717246,-0.014716942]::REAL[]),
+(5, 20, [-0.019911293,-0.22820131,0.24650389,-0.08279569]::REAL[]),
+(5, 21, [0.13443786,0.085451625,0.19239242,-0.077033095]::REAL[]),
+(5, 22, [0.18526699,-0.17203514,-0.020374643,-0.2669265]::REAL[]),
+(5, 23, [0.16315085,-0.0023949686,-0.056684416,-0.07645306]::REAL[]),
+(5, 24, [0.06742948,-0.057317942,0.10490994,-0.07830848]::REAL[]),
+(5, 25, [0.07823521,0.023676127,0.15772936,-0.261933]::REAL[]),
+(5, 26, [0.06259734,0.067949146,-0.11426876,0.04929963]::REAL[]),
+(5, 27, [-0.15253024,-0.072429754,0.16947445,-0.046240285]::REAL[]),
+(5, 28, [0.039009146,-0.15358184,0.068318345,0.15578035]::REAL[]),
+(5, 29, [0.13269982,-0.029476507,-0.03716604,0.054287516]::REAL[]),
+(5, 30, [0.11502763,-0.0796873,0.106107876,-0.31474382]::REAL[]),
+(5, 31, [0.02632028,-0.28280607,-0.10103544,0.031271674]::REAL[]),
+(5, 32, [0.020311242,0.040568016,-0.014972549,-0.015145854]::REAL[]),
+(5, 33, [-0.032025743,-0.09434171,-0.22993863,-0.09909066]::REAL[]),
+(5, 34, [0.12844273,0.06594365,-0.22011335,0.09699768]::REAL[]),
+(5, 35, [-0.21818557,0.0019159579,-0.058605686,-0.13466163]::REAL[]),
+(5, 36, [-0.08830545,-0.10677986,-0.0015894936,-0.17410912]::REAL[]),
+(5, 37, [0.10218161,0.100204654,0.12010761,0.105605535]::REAL[]),
+(5, 38, [0.015704336,0.31675345,-0.09779031,0.15009676]::REAL[]),
+(5, 39, [0.075566016,-0.014593218,0.008322148,0.023871878]::REAL[]),
+(5, 40, [-0.015091221,0.077867314,0.080293,0.016794654]::REAL[]),
+(5, 41, [-0.15988857,0.09153536,-0.15350944,-0.052057516]::REAL[]),
+(5, 42, [-0.007926819,0.042866983,-0.13496153,-0.057851836]::REAL[]),
+(5, 43, [0.08002011,-0.08049095,-0.13276106,0.097052716]::REAL[]),
+(5, 44, [0.054854818,-0.015701354,0.10552668,0.10481346]::REAL[]),
+(5, 45, [0.016762868,0.17133124,0.08564538,-0.24119313]::REAL[]),
+(5, 46, [0.1869724,-0.15763976,-0.025489984,0.008556872]::REAL[]),
+(5, 47, [0.1903749,0.17781278,-0.08702595,-0.1612201]::REAL[]),
+(5, 48, [0.034325056,0.12770581,-0.06668799,0.1350948]::REAL[]),
+(5, 49, [-0.080318876,0.13037677,-0.048776574,-0.19205467]::REAL[]),
+(5, 50, [-0.13573317,-0.0649806,-0.1045366,0.04451051]::REAL[]),
+(5, 51, [-0.049210925,-0.14611493,0.10759888,-0.19736129]::REAL[]),
+(5, 52, [0.099116705,-0.017277252,0.10757885,-0.15799792]::REAL[]),
+(5, 53, [0.06263024,0.18938437,0.08948015,-0.019437948]::REAL[]),
+(5, 54, [-0.09186117,0.040589653,0.060069274,-0.077558056]::REAL[]),
+(5, 55, [-0.120554395,0.21533377,-0.0059165396,0.120208606]::REAL[]),
+(5, 56, [-0.002380493,0.12464482,-0.06889595,-0.17463955]::REAL[]),
+(5, 57, [-0.028373897,-0.16523273,-0.10556474,0.0719568]::REAL[]),
+(5, 58, [0.022783,-0.073125705,-0.0016027029,-0.14750555]::REAL[]),
+(5, 59, [-0.03489249,0.051278602,-0.053201463,0.05937368]::REAL[]),
+(5, 60, [0.06892708,-0.15016758,0.08741861,6.129285E-4]::REAL[]),
+(5, 61, [-0.084159896,-0.17330176,0.06139678,0.039231826]::REAL[]),
+(5, 62, [0.060857702,-0.01596234,-0.077070914,-0.24388008]::REAL[]),
+(5, 63, [0.17705044,0.09184258,-0.029658798,0.030247658]::REAL[]),
+(6, 0, [-0.088607,-0.24003533,0.1445764,-0.045668308]::REAL[]),
+(6, 1, [0.021773517,0.1507134,0.05039683,-0.14336267]::REAL[]),
+(6, 2, [-0.16185449,0.120937265,0.048834547,0.22560619]::REAL[]),
+(6, 3, [0.009180649,-0.20689979,0.06532815,0.016472857]::REAL[]),
+(6, 4, [-0.14569587,0.18924959,0.054527204,0.043453626]::REAL[]),
+(6, 5, [-0.16971464,0.016926868,0.26681116,0.07836106]::REAL[]),
+(6, 6, [0.26380682,0.18771021,0.0655849,-0.0809381]::REAL[]),
+(6, 7, [0.09174016,-0.18251912,-0.11767809,0.054480158]::REAL[]),
+(6, 8, [0.04358469,-0.07826418,0.06515884,0.18249187]::REAL[]),
+(6, 9, [-0.016491251,0.24249078,0.007835344,0.054418497]::REAL[]),
+(6, 10, [0.16407108,-0.29113576,0.19782338,0.009723533]::REAL[]),
+(6, 11, [0.17472586,0.091905065,-0.07671243,0.21055283]::REAL[]),
+(6, 12, [-0.21123995,0.015981667,0.086561866,-0.0071049836]::REAL[]),
+(6, 13, [-0.053071592,-0.1633586,-0.15256076,0.1727676]::REAL[]),
+(6, 14, [0.04144062,0.11340094,-0.15931153,-0.116960034]::REAL[]),
+(6, 15, [0.05535533,0.018688332,-0.056424696,-0.17228723]::REAL[]),
+(6, 16, [-0.24226482,0.1906832,-0.06702032,0.081346385]::REAL[]),
+(6, 17, [0.044326533,-0.12152155,0.15197504,0.006800537]::REAL[]),
+(6, 18, [-0.038232435,-0.16224165,-0.13101038,-0.08482173]::REAL[]),
+(6, 19, [-0.12036331,0.044220977,-0.10867986,-0.17019099]::REAL[]),
+(6, 20, [-0.18369582,0.11438405,-0.188926,-0.011212939]::REAL[]),
+(6, 21, [0.26659998,-0.13108853,0.016822001,-0.059309587]::REAL[]),
+(6, 22, [0.16609673,0.04259387,0.051660534,-0.022474311]::REAL[]),
+(6, 23, [0.024835762,0.13084853,-0.19849654,0.17151658]::REAL[]),
+(6, 24, [0.013932693,0.10409111,-0.0726727,0.030877344]::REAL[]),
+(6, 25, [-0.09470318,-0.11974472,0.09562593,-0.14668459]::REAL[]),
+(6, 26, [-0.13012308,0.01646028,-0.16405414,0.109410875]::REAL[]),
+(6, 27, [-0.04117512,-0.0957366,-0.10855038,-0.23794177]::REAL[]),
+(6, 28, [0.18921,-0.07875722,0.071163565,0.13233191]::REAL[]),
+(6, 29, [0.12207909,0.043419648,0.1705021,0.06940914]::REAL[]),
+(6, 30, [0.11186345,0.098415524,0.008330451,0.09038321]::REAL[]),
+(6, 31, [-0.061679065,0.038975965,-0.027505793,0.056873687]::REAL[]),
+(6, 32, [0.13714147,-0.20955092,-0.47108445,-0.16314362]::REAL[]),
+(6, 33, [0.12677535,-0.11820453,0.01266835,-0.14134856]::REAL[]),
+(6, 34, [0.20315504,0.032999016,0.20937322,-0.16688828]::REAL[]),
+(6, 35, [0.2002335,0.108007506,-0.13643034,0.053954836]::REAL[]),
+(6, 36, [-0.110193394,-0.033289034,0.013897357,0.089332215]::REAL[]),
+(6, 37, [-0.030653901,-0.0829591,-0.021425577,-0.11549269]::REAL[]),
+(6, 38, [0.018073797,-0.051330265,-0.18574807,-0.024638655]::REAL[]),
+(6, 39, [-0.05927734,0.08438492,0.09318982,0.012473423]::REAL[]),
+(6, 40, [0.07931996,0.25255117,0.13708319,0.050453085]::REAL[]),
+(6, 41, [-0.08711822,0.2226013,-0.14401974,-0.031743966]::REAL[]),
+(6, 42, [-0.019073147,0.09148626,-0.108494006,-0.2784964]::REAL[]),
+(6, 43, [0.2176098,-0.017661659,-0.088688105,0.098807134]::REAL[]),
+(6, 44, [0.07638099,-0.05220083,-0.09041883,0.025359642]::REAL[]),
+(6, 45, [-0.051084403,0.012100179,0.0023867893,0.29067665]::REAL[]),
+(6, 46, [-0.08750175,-0.10628241,0.022735303,0.16425902]::REAL[]),
+(6, 47, [0.022990687,-0.123129,0.036037594,-0.010386792]::REAL[]),
+(6, 48, [-0.036504462,0.20965481,0.21870834,-0.07388182]::REAL[]),
+(6, 49, [0.03262294,0.037446678,-0.035059236,-0.062349733]::REAL[]),
+(6, 50, [0.16209882,0.14438692,-0.06450344,-0.122683614]::REAL[]),
+(6, 51, [0.04878722,0.17800686,-0.11189375,0.027653534]::REAL[]),
+(6, 52, [0.19708452,0.21866772,-0.2754185,-0.3161314]::REAL[]),
+(6, 53, [0.10976072,0.024504019,-0.05572547,0.03306664]::REAL[]),
+(6, 54, [0.051860142,-0.06606758,0.086929604,-0.027429702]::REAL[]),
+(6, 55, [-0.14304657,-0.22658323,-0.047029544,0.038501907]::REAL[]),
+(6, 56, [-0.044652242,-0.027241947,0.19311763,-0.10383655]::REAL[]),
+(6, 57, [0.09539559,0.13689992,0.055636838,-0.053035423]::REAL[]),
+(6, 58, [0.026131656,0.08619991,0.0861135,-0.019059103]::REAL[]),
+(6, 59, [-0.29919714,-0.08277461,-0.036969863,-0.0024358588]::REAL[]),
+(6, 60, [-0.12658286,-0.1144626,-0.1443219,-0.2334598]::REAL[]),
+(6, 61, [-0.18257327,0.022306165,0.014102783,-0.25426668]::REAL[]),
+(6, 62, [-0.10128235,-0.11916953,-0.047142223,-0.05758795]::REAL[]),
+(6, 63, [-0.024551356,0.013430597,-0.12584122,0.10890276]::REAL[]),
+(7, 0, [0.014048956,-0.37306362,-0.12645195,-0.00950442]::REAL[]),
+(7, 1, [-0.008209829,0.25059852,0.24056534,0.07115077]::REAL[]),
+(7, 2, [0.0123365605,0.23395032,-0.2618433,0.012601089]::REAL[]),
+(7, 3, [-0.044184133,0.12574962,0.1640596,-0.15369447]::REAL[]),
+(7, 4, [0.1758528,0.037002955,0.005682585,-0.11783036]::REAL[]),
+(7, 5, [-0.23919046,-0.07922391,0.2116693,-0.0927841]::REAL[]),
+(7, 6, [-0.32899818,0.110833876,0.10757264,-0.048554517]::REAL[]),
+(7, 7, [0.005126732,-0.12694994,0.21234658,0.0509351]::REAL[]),
+(7, 8, [0.07266489,0.043788135,-0.0034789941,0.03211507]::REAL[]),
+(7, 9, [0.044712227,0.012108242,0.0014131267,-0.23772128]::REAL[]),
+(7, 10, [-0.10727077,-0.13216208,0.06370519,0.21636896]::REAL[]),
+(7, 11, [0.09851756,-0.0014976789,-0.0057122624,0.33739427]::REAL[]),
+(7, 12, [0.1491396,0.1411111,-0.47146866,-0.27711943]::REAL[]),
+(7, 13, [0.14095412,-0.13286063,0.10539861,0.30647433]::REAL[]),
+(7, 14, [0.16777468,0.010443989,0.17179285,-0.2120932]::REAL[]),
+(7, 15, [-0.19119789,0.030156491,-0.23032801,-0.10324591]::REAL[]),
+(7, 16, [-0.20613848,-0.12732448,0.14508589,0.06782585]::REAL[]),
+(7, 17, [0.119336456,0.14157172,-0.11580299,-0.23002821]::REAL[]),
+(7, 18, [0.04745361,0.041575335,0.035403013,-0.09272329]::REAL[]),
+(7, 19, [-0.025704505,0.2639011,-0.06243934,0.04278968]::REAL[]),
+(7, 20, [-0.0105048735,0.04875522,0.2152538,-0.0032649923]::REAL[]),
+(7, 21, [0.2396692,0.07685344,-0.06366361,0.05823474]::REAL[]),
+(7, 22, [0.1327343,0.042043243,0.2560878,-0.0077065807]::REAL[]),
+(7, 23, [0.124317296,0.09251598,-0.091358796,-0.07453984]::REAL[]),
+(7, 24, [-0.061157692,0.0031119455,-0.14615983,0.01171554]::REAL[]),
+(7, 25, [-0.1341534,0.16274768,-0.009705467,-0.0013552121]::REAL[]),
+(7, 26, [-0.057776887,-0.061118703,-0.090076245,-0.19178167]::REAL[]),
+(7, 27, [0.18997347,0.19542553,-0.0014035683,0.11905527]::REAL[]),
+(7, 28, [0.10862112,0.09157047,0.17186207,0.15032673]::REAL[]),
+(7, 29, [-0.046557944,-0.1538449,0.16645011,-0.22131397]::REAL[]),
+(7, 30, [-0.027130635,-0.05647862,0.0059184693,0.04116265]::REAL[]),
+(7, 31, [-0.024429562,0.077775285,0.09268805,0.095465556]::REAL[]),
+(7, 32, [-0.12572655,-0.08820834,0.14502394,-0.10342834]::REAL[]),
+(7, 33, [-0.022863781,0.19854479,0.018969826,-0.102662876]::REAL[]),
+(7, 34, [0.09019655,0.32366997,0.16279736,-0.13142239]::REAL[]),
+(7, 35, [0.04731991,-9.2758046E-4,-0.039860487,0.12263989]::REAL[]),
+(7, 36, [-0.21522886,-0.046769567,-0.08709702,-0.0255019]::REAL[]),
+(7, 37, [-0.09660623,-0.027307348,0.12172515,0.08229406]::REAL[]),
+(7, 38, [0.036955997,0.038776547,-0.18154897,0.08815593]::REAL[]),
+(7, 39, [0.08229973,0.0041386504,0.10974251,0.03993123]::REAL[]),
+(7, 40, [0.27268982,-0.07155421,0.10850664,0.03875997]::REAL[]),
+(7, 41, [-0.029385006,-0.10398812,-0.011489259,0.10243619]::REAL[]),
+(7, 42, [-0.14867312,0.1362773,0.18466964,0.049273916]::REAL[]),
+(7, 43, [-0.057264104,0.33621648,-0.036684185,0.13463129]::REAL[]),
+(7, 44, [-0.028512472,0.24580914,0.087494835,0.1941511]::REAL[]),
+(7, 45, [-0.014073609,-0.08537477,-0.14835803,0.2651964]::REAL[]),
+(7, 46, [-0.15805335,-0.003839966,0.22173284,0.003322647]::REAL[]),
+(7, 47, [0.04460369,-0.21602918,0.12399384,-0.14050603]::REAL[]),
+(7, 48, [-0.16770491,-0.09783837,-0.18718767,0.12831344]::REAL[]),
+(7, 49, [0.1510718,-0.077442974,-0.18016061,0.01523336]::REAL[]),
+(7, 50, [0.058423627,-0.1503215,0.03255942,-0.05044154]::REAL[]),
+(7, 51, [0.13631143,-0.18116283,-0.1353922,-0.02337576]::REAL[]),
+(7, 52, [-0.14624791,-0.22255597,0.036010195,-0.07725906]::REAL[]),
+(7, 53, [0.021627894,-0.22983722,0.085899785,0.12088578]::REAL[]),
+(7, 54, [-0.002891094,0.083425455,-0.047963068,-0.0063615795]::REAL[]),
+(7, 55, [-0.14285848,0.0017168985,0.041483633,-0.109189294]::REAL[]),
+(7, 56, [0.16979484,-0.07374948,0.054730162,-0.12548468]::REAL[]),
+(7, 57, [0.012631928,-0.07437825,-0.11447443,-0.03110495]::REAL[]),
+(7, 58, [0.12629187,-0.031988665,0.031162528,0.0034942206]::REAL[]),
+(7, 59, [0.113187775,-0.07219877,0.020538231,0.14075504]::REAL[]),
+(7, 60, [-0.06487618,0.1010234,-0.13039586,-0.077294804]::REAL[]),
+(7, 61, [-0.05887364,0.0555761,-0.017610228,0.03736989]::REAL[]),
+(7, 62, [-0.16980174,0.102105126,-0.09628901,0.14719713]::REAL[]),
+(7, 63, [0.032967225,0.15466619,-0.061569255,0.1421558]::REAL[]),
+(8, 0, [-0.26392984,-0.12288087,0.013025016,0.06182864]::REAL[]),
+(8, 1, [-0.1065958,-0.2139162,-0.11740896,-0.015090912]::REAL[]),
+(8, 2, [-0.057089165,-0.15905045,0.12480135,0.0905662]::REAL[]),
+(8, 3, [-0.10417312,0.094905406,-0.09209061,-0.18719517]::REAL[]),
+(8, 4, [-0.012801139,-0.0895087,0.0034284596,0.014962091]::REAL[]),
+(8, 5, [0.09730231,-0.06753055,0.16602759,0.011445772]::REAL[]),
+(8, 6, [-0.20057184,0.10976687,-0.03676456,0.25163975]::REAL[]),
+(8, 7, [0.0591238,-0.18638895,0.0033431232,0.140987]::REAL[]),
+(8, 8, [-0.026688356,0.052848168,0.020709213,0.12641773]::REAL[]),
+(8, 9, [-0.10887685,-0.09673756,0.14957216,-0.1541417]::REAL[]),
+(8, 10, [-0.045892484,-0.0456757,-0.21885629,0.21995594]::REAL[]),
+(8, 11, [0.019354219,-0.09660526,0.032270607,-0.08046889]::REAL[]),
+(8, 12, [0.09665158,0.051036872,0.024705805,0.03584107]::REAL[]),
+(8, 13, [0.10440019,-0.028156623,0.032171153,0.3031458]::REAL[]),
+(8, 14, [0.038457908,-0.030393073,-0.022718243,-0.31608975]::REAL[]),
+(8, 15, [0.21264175,0.088697165,0.13632098,-0.048681457]::REAL[]),
+(8, 16, [-0.0444779,-0.04184082,0.114695966,-0.07969225]::REAL[]),
+(8, 17, [-0.16541812,-0.100973494,0.010722617,-0.19854312]::REAL[]),
+(8, 18, [0.023596713,0.095966645,-0.13026902,0.24730825]::REAL[]),
+(8, 19, [-0.013089528,-0.028447233,-0.021677366,0.062157806]::REAL[]),
+(8, 20, [-0.35967904,0.14328773,-0.0942181,-0.15629935]::REAL[]),
+(8, 21, [-0.05803971,-0.014685449,-0.23962337,-0.29820275]::REAL[]),
+(8, 22, [0.07284603,-0.09711791,-0.22125082,-0.044669498]::REAL[]),
+(8, 23, [-0.17682652,0.054311812,-0.052299853,0.060080796]::REAL[]),
+(8, 24, [0.15294914,-0.08335415,0.08418312,0.08324861]::REAL[]),
+(8, 25, [0.047773335,0.031496596,-0.09948926,-0.034056667]::REAL[]),
+(8, 26, [-0.11322458,-0.07386941,-0.007149776,0.20552135]::REAL[]),
+(8, 27, [0.08589029,-0.009032913,-0.14101554,-0.21333216]::REAL[]),
+(8, 28, [0.1783329,0.12111851,-0.007802973,-0.01051711]::REAL[]),
+(8, 29, [0.008007575,-0.197272,0.07811901,-0.0067937793]::REAL[]),
+(8, 30, [0.0926869,-0.11571246,0.18118712,-0.24290146]::REAL[]),
+(8, 31, [0.078572564,0.13240716,0.07945149,-0.039350532]::REAL[]),
+(8, 32, [0.108153224,0.12809907,-0.0725011,0.12893853]::REAL[]),
+(8, 33, [0.11480667,-0.18572019,0.24728651,-0.057757996]::REAL[]),
+(8, 34, [-0.053024605,0.22303805,-0.017154397,-0.084025376]::REAL[]),
+(8, 35, [0.12519667,0.22779891,0.1407561,-0.09202787]::REAL[]),
+(8, 36, [0.12754352,0.25864473,-0.124507815,-0.18173918]::REAL[]),
+(8, 37, [-0.024527447,0.029943373,0.23519832,-0.05247513]::REAL[]),
+(8, 38, [-0.0065692333,0.13834715,0.25851125,-0.15316337]::REAL[]),
+(8, 39, [0.034911383,-0.16768461,0.0020447809,-0.1544537]::REAL[]),
+(8, 40, [-0.1233641,-0.03400205,0.2457291,0.02940115]::REAL[]),
+(8, 41, [0.16143206,-0.040949956,-0.22301297,0.10098298]::REAL[]),
+(8, 42, [0.1414586,-0.035476446,-0.020024871,0.06421388]::REAL[]),
+(8, 43, [0.032037795,0.1386561,0.1629917,0.13958924]::REAL[]),
+(8, 44, [0.07700443,0.19041461,-0.10657813,-0.03449095]::REAL[]),
+(8, 45, [-0.12493627,-0.06407881,-0.15919992,-0.11247601]::REAL[]),
+(8, 46, [-0.028744623,-0.07827406,-0.07002628,-0.21937868]::REAL[]),
+(8, 47, [-0.24618532,0.08231947,0.04912619,-0.081001334]::REAL[]),
+(8, 48, [0.21375808,0.0644118,-0.09650193,-0.06846341]::REAL[]),
+(8, 49, [0.028990664,-0.04582528,0.106562674,0.13427517]::REAL[]),
+(8, 50, [0.20594993,0.03567506,0.14521275,0.16102102]::REAL[]),
+(8, 51, [-0.074478775,-0.029277563,0.071254894,0.10969468]::REAL[]),
+(8, 52, [0.11689115,0.31067437,-0.019485703,0.00414805]::REAL[]),
+(8, 53, [0.10602194,-0.117685065,-0.094155505,-0.05436364]::REAL[]),
+(8, 54, [0.16036041,-0.13373299,-0.01959673,0.027819976]::REAL[]),
+(8, 55, [0.08665968,0.047548853,0.04493477,-0.2041638]::REAL[]),
+(8, 56, [-0.037710063,-0.042562805,0.12700993,-0.23141843]::REAL[]),
+(8, 57, [-0.056553636,0.08711028,0.025240658,-0.04989688]::REAL[]),
+(8, 58, [0.11832448,-0.058436647,-0.09786584,0.19167133]::REAL[]),
+(8, 59, [-0.054253325,-0.04790249,-0.13491511,0.12531278]::REAL[]),
+(8, 60, [0.004875627,-0.14983796,-0.13136382,0.05630308]::REAL[]),
+(8, 61, [-0.05834472,-0.029858947,-0.017440602,-0.08609062]::REAL[]),
+(8, 62, [-0.08913707,0.12535547,-0.13421546,-8.79947E-4]::REAL[]),
+(8, 63, [0.16244659,-0.1131929,0.04958077,-0.15472986]::REAL[]),
+(9, 0, [-0.10119033,0.1199394,-0.115030974,0.20045008]::REAL[]),
+(9, 1, [0.17560722,-0.04403399,-0.11689502,0.1538811]::REAL[]),
+(9, 2, [-0.029412234,-6.929935E-4,-0.082946986,0.2483761]::REAL[]),
+(9, 3, [0.04525278,0.10936875,0.118021466,-0.05837156]::REAL[]),
+(9, 4, [0.020889658,-0.14670235,-0.04891919,-0.04220214]::REAL[]),
+(9, 5, [-0.12517086,-0.12694743,-0.29020983,-0.026940351]::REAL[]),
+(9, 6, [0.07028786,0.04014016,0.10501153,0.2891609]::REAL[]),
+(9, 7, [-0.3083736,-0.023999777,0.010485058,0.11333706]::REAL[]),
+(9, 8, [-0.033930734,-0.03822269,-0.07147035,-0.10137979]::REAL[]),
+(9, 9, [0.09037432,-0.021337816,-0.08681237,0.16668184]::REAL[]),
+(9, 10, [0.29561096,-0.062267303,0.18310618,-0.0137640545]::REAL[]),
+(9, 11, [-0.102600865,0.08660865,0.010799843,-0.13745487]::REAL[]),
+(9, 12, [-0.06788265,-0.2652402,-0.12692752,-0.092642814]::REAL[]),
+(9, 13, [-0.15243384,-0.15612105,-0.06409496,-0.07857305]::REAL[]),
+(9, 14, [0.14413014,-0.3397637,-0.10645825,0.13199028]::REAL[]),
+(9, 15, [0.06583384,-0.04605914,0.08378415,-0.04348354]::REAL[]),
+(9, 16, [0.022542393,-0.10350672,0.15946573,-0.053628165]::REAL[]),
+(9, 17, [-0.28089142,-0.20493892,-0.014482635,0.07674974]::REAL[]),
+(9, 18, [-0.13944736,-0.061819803,-0.07635505,0.16810903]::REAL[]),
+(9, 19, [0.024115898,0.20008391,0.010007453,0.106970906]::REAL[]),
+(9, 20, [-0.10152548,-0.16286011,0.12685354,0.0779755]::REAL[]),
+(9, 21, [0.1650954,0.052492443,0.13330758,-0.296347]::REAL[]),
+(9, 22, [-0.09670821,-0.29134312,-0.011988397,0.12950498]::REAL[]),
+(9, 23, [-0.01053035,-0.1747503,0.10863009,0.08611158]::REAL[]),
+(9, 24, [-0.17019375,0.113616645,-0.0570661,0.007960806]::REAL[]),
+(9, 25, [0.12335501,-0.007437803,0.065388136,0.14196323]::REAL[]),
+(9, 26, [0.006116543,-0.12965842,0.03539227,0.051846437]::REAL[]),
+(9, 27, [0.0133917695,-0.03394954,0.13466245,0.13034537]::REAL[]),
+(9, 28, [-0.09705129,-0.13454612,0.06302507,-0.11243875]::REAL[]),
+(9, 29, [0.07489047,0.096077174,0.25636917,0.06628063]::REAL[]),
+(9, 30, [-0.34656203,0.10876605,-0.03192682,-0.09933267]::REAL[]),
+(9, 31, [0.003080894,-0.16180673,0.13386227,-0.24159274]::REAL[]),
+(9, 32, [0.07765911,-0.13660322,-0.039625842,0.07056346]::REAL[]),
+(9, 33, [0.15795834,-0.09359069,-0.29658026,-0.03012009]::REAL[]),
+(9, 34, [-0.06410987,0.22765642,0.13439175,-0.034620743]::REAL[]),
+(9, 35, [0.17718239,0.08128474,0.070564546,0.09981386]::REAL[]),
+(9, 36, [-0.06698613,-0.03682291,0.19736758,0.043771297]::REAL[]),
+(9, 37, [0.15054566,-0.022531614,0.08051571,-0.033418074]::REAL[]),
+(9, 38, [0.21464755,0.09631701,0.0056961617,-0.07958541]::REAL[]),
+(9, 39, [0.027832836,0.2020947,-0.092421845,-0.10185463]::REAL[]),
+(9, 40, [0.17818101,-0.2782805,0.026034364,0.011946888]::REAL[]),
+(9, 41, [-0.20104268,-0.11017822,-0.15567912,0.07452753]::REAL[]),
+(9, 42, [0.11134335,0.012967318,-0.01814835,-0.16807686]::REAL[]),
+(9, 43, [0.02132418,0.028890798,-0.060983118,0.10004677]::REAL[]),
+(9, 44, [0.17107522,-0.20940164,-0.10372064,-0.03310199]::REAL[]),
+(9, 45, [0.054118656,-0.16439524,-0.2839152,0.07827312]::REAL[]),
+(9, 46, [0.083973005,-0.004152805,-0.1395649,-0.08335333]::REAL[]),
+(9, 47, [-0.12897348,0.1043254,-0.16767699,-0.040611517]::REAL[]),
+(9, 48, [-0.113985665,0.1484714,0.037655924,0.1925162]::REAL[]),
+(9, 49, [0.038068015,0.07044841,0.07604686,0.04582088]::REAL[]),
+(9, 50, [0.1346988,-0.09060335,0.2956061,-0.07862697]::REAL[]),
+(9, 51, [0.19543779,0.058240455,-0.07553405,0.029985158]::REAL[]),
+(9, 52, [-0.13774142,-0.058419164,0.25197798,-0.10642339]::REAL[]),
+(9, 53, [0.056410104,0.12884578,-0.21412882,0.04709846]::REAL[]),
+(9, 54, [-0.2429018,0.03191394,0.16096306,0.035932466]::REAL[]),
+(9, 55, [-0.067671455,-0.04869265,-0.12133586,0.009633975]::REAL[]),
+(9, 56, [-0.0011000274,-0.16129088,0.01425234,0.20501392]::REAL[]),
+(9, 57, [-0.10539794,-0.013789332,-0.008288888,-0.31411988]::REAL[]),
+(9, 58, [-0.05625464,0.07768253,-0.23666747,-0.17332941]::REAL[]),
+(9, 59, [-0.027616486,0.043924622,0.0036217296,0.007537094]::REAL[]),
+(9, 60, [0.11659905,-0.1295848,0.024212062,-0.13069905]::REAL[]),
+(9, 61, [0.00800655,-0.115970545,-0.09867575,-0.18421087]::REAL[]),
+(9, 62, [-0.061332166,-0.10772475,0.008505862,0.0054631736]::REAL[]),
+(9, 63, [-0.06429514,-0.010644922,0.101438396,-0.12196372]::REAL[]),
+(10, 0, [0.044351175,-0.0014869608,0.065805204,0.23612866]::REAL[]),
+(10, 1, [0.06397091,-0.15652697,-0.15264198,-0.06751957]::REAL[]),
+(10, 2, [-0.1474216,-0.16323912,0.11521562,0.076606445]::REAL[]),
+(10, 3, [0.0011222162,-0.056409456,-0.19411492,-0.19724743]::REAL[]),
+(10, 4, [-0.14591075,0.03606835,0.09386664,-0.055714667]::REAL[]),
+(10, 5, [0.08181155,0.14530927,-0.09282929,0.25102946]::REAL[]),
+(10, 6, [0.021441659,-0.1542289,0.040022276,-0.1412469]::REAL[]),
+(10, 7, [0.095423676,-0.085892364,0.30296788,0.07965111]::REAL[]),
+(10, 8, [-0.07666742,-0.19690943,-0.10179613,0.030824337]::REAL[]),
+(10, 9, [-0.07953591,-0.055028386,-0.16524397,-0.05651065]::REAL[]),
+(10, 10, [-0.15755591,-0.059389118,-0.18793178,0.06503454]::REAL[]),
+(10, 11, [0.07720619,-0.028816814,0.1345725,0.09594234]::REAL[]),
+(10, 12, [0.051501274,0.09656975,-0.19313733,0.15704972]::REAL[]),
+(10, 13, [0.14142682,-0.17928593,0.07736745,0.14669225]::REAL[]),
+(10, 14, [-0.24143314,0.037793763,-0.112350844,0.11194467]::REAL[]),
+(10, 15, [-0.11225535,-0.05253799,0.039169565,0.096250616]::REAL[]),
+(10, 16, [0.17676742,0.1277908,-0.07076351,-0.092383906]::REAL[]),
+(10, 17, [-0.123611964,0.11697568,0.06659682,0.099599734]::REAL[]),
+(10, 18, [-0.09261232,-0.07047907,-0.018330641,-0.23081073]::REAL[]),
+(10, 19, [-0.052721847,-0.082717195,0.18440554,0.13425617]::REAL[]),
+(10, 20, [-0.09549901,0.21610978,-0.14902176,0.12481322]::REAL[]),
+(10, 21, [0.10271861,-0.094316155,0.095599405,-0.024396122]::REAL[]),
+(10, 22, [-0.09662895,-0.08657849,-0.10255484,0.10042748]::REAL[]),
+(10, 23, [0.08618315,0.10907358,-0.09547666,0.0012005573]::REAL[]),
+(10, 24, [0.09711263,-0.104092,0.14581507,-0.1954182]::REAL[]),
+(10, 25, [0.2843494,-0.06421992,-0.14444849,-0.048199568]::REAL[]),
+(10, 26, [-0.23628786,0.0050994563,-0.15995628,-0.105094664]::REAL[]),
+(10, 27, [0.0866474,0.18408513,0.15325199,0.11092929]::REAL[]),
+(10, 28, [0.056856856,0.11247015,-0.05594896,0.15013894]::REAL[]),
+(10, 29, [0.10759214,-0.29157877,-0.05750433,0.02783087]::REAL[]),
+(10, 30, [-0.12376249,-0.15814033,-0.04642863,0.20407167]::REAL[]),
+(10, 31, [0.19627099,-0.17057335,-0.002479152,-0.06301994]::REAL[]),
+(10, 32, [-0.023894077,0.19916846,-0.1022941,-0.19771762]::REAL[]),
+(10, 33, [0.2491911,0.26354912,0.032579094,0.02520293]::REAL[]),
+(10, 34, [0.061554685,-0.045485035,-0.13693549,0.19703981]::REAL[]),
+(10, 35, [-0.07129118,0.08254416,-0.10799507,0.06289286]::REAL[]),
+(10, 36, [-0.16881345,0.161081,0.03430153,-0.0862112]::REAL[]),
+(10, 37, [0.011246188,0.19349533,-0.2509666,-0.039509714]::REAL[]),
+(10, 38, [-0.27372062,-0.032171313,0.10147829,0.076961756]::REAL[]),
+(10, 39, [-0.01903986,0.21535276,0.007894303,0.026662359]::REAL[]),
+(10, 40, [-0.031238742,0.097698376,-0.16600446,-0.0990458]::REAL[]),
+(10, 41, [0.26905578,0.2847727,0.13094878,0.09301912]::REAL[]),
+(10, 42, [0.2880695,0.039073564,0.009440688,0.13443848]::REAL[]),
+(10, 43, [0.0652594,0.16659787,0.1899961,-0.07695489]::REAL[]),
+(10, 44, [0.25514805,-0.16875952,0.15195447,-0.061196618]::REAL[]),
+(10, 45, [0.17633161,0.02819734,0.06512517,-0.07433072]::REAL[]),
+(10, 46, [0.016566057,-0.015047716,-0.07255549,0.12149671]::REAL[]),
+(10, 47, [-0.18359987,-0.024096955,-0.035616383,-0.009259475]::REAL[]),
+(10, 48, [-0.02633623,-0.03975837,-0.26020268,0.097981595]::REAL[]),
+(10, 49, [0.07997346,-0.0047936393,-0.08287305,-0.1229589]::REAL[]),
+(10, 50, [0.034113213,0.053037945,0.04833207,-0.13436484]::REAL[]),
+(10, 51, [-0.16541524,0.19546816,0.2786995,0.22855523]::REAL[]),
+(10, 52, [-0.057659734,0.013723064,-0.015513285,-0.014612793]::REAL[]),
+(10, 53, [-0.31978998,-0.045283698,-0.036267206,-0.11491229]::REAL[]),
+(10, 54, [0.12252217,0.00633697,-0.009784746,0.1104765]::REAL[]),
+(10, 55, [-0.25187752,0.2304068,-0.15578988,-0.14419428]::REAL[]),
+(10, 56, [0.07797694,-0.06455059,0.008413467,0.3459585]::REAL[]),
+(10, 57, [-0.031732358,0.055711094,0.13606672,0.010143907]::REAL[]),
+(10, 58, [-0.02171898,0.003694026,0.27389517,-0.059034377]::REAL[]),
+(10, 59, [0.09181263,-0.121456355,-0.0023092874,0.08947048]::REAL[]),
+(10, 60, [-0.0012284943,0.059873514,0.047763042,0.12498419]::REAL[]),
+(10, 61, [-0.03600726,-0.18464783,0.050181095,-0.022562675]::REAL[]),
+(10, 62, [0.16407017,0.021875525,-0.12031788,-0.30108827]::REAL[]),
+(10, 63, [0.20860234,-0.04912319,-0.08777244,0.21268141]::REAL[]),
+(11, 0, [-0.15161753,-0.11623922,-0.2020963,-0.039906472]::REAL[]),
+(11, 1, [-0.05987975,-0.27622947,0.05783975,0.049460582]::REAL[]),
+(11, 2, [-0.1335842,0.002059243,0.006541878,-0.06769161]::REAL[]),
+(11, 3, [0.14004956,-0.04283428,-0.17975084,0.24930501]::REAL[]),
+(11, 4, [-0.07738751,0.16203952,-0.09693552,0.05661961]::REAL[]),
+(11, 5, [0.12211741,0.0019387896,0.21445633,-0.069388166]::REAL[]),
+(11, 6, [0.042400185,0.21109249,0.10310524,-0.05485925]::REAL[]),
+(11, 7, [-0.008687575,-0.13218008,-0.13917817,0.16763481]::REAL[]),
+(11, 8, [0.073894285,-0.1597277,0.06964878,-0.06975424]::REAL[]),
+(11, 9, [-0.09000243,0.09113017,-0.081269264,-0.045026433]::REAL[]),
+(11, 10, [0.13530998,0.03774513,0.025874402,-0.19477642]::REAL[]),
+(11, 11, [-0.030752921,0.10090253,-0.14690451,-0.20917805]::REAL[]),
+(11, 12, [0.04104123,-0.21425359,-0.09456,0.048524413]::REAL[]),
+(11, 13, [-0.014335326,-0.2719653,-0.101049855,-0.086513385]::REAL[]),
+(11, 14, [-0.20535605,0.11891137,0.20113422,-0.13186258]::REAL[]),
+(11, 15, [0.03853962,0.19246128,-0.14977178,0.025315827]::REAL[]),
+(11, 16, [0.259121,0.037706625,0.022199625,-0.010757709]::REAL[]),
+(11, 17, [-0.1779088,-0.071391076,0.124102816,0.16371407]::REAL[]),""",
+"""(11, 18, [0.029450106,-0.21959335,0.020518506,-0.1659084]::REAL[]),
+(11, 19, [0.03822241,0.0024037343,0.036723923,0.015489261]::REAL[]),
+(11, 20, [0.23856206,-0.04458352,-0.02972148,-0.14489889]::REAL[]),
+(11, 21, [-0.047145873,-0.06309518,0.05631276,0.13511708]::REAL[]),
+(11, 22, [0.1457303,0.02804804,-0.12725642,-0.07735846]::REAL[]),
+(11, 23, [-0.23094517,0.092179365,-0.09308873,-0.022841135]::REAL[]),
+(11, 24, [-0.21620095,0.06830937,-0.26675582,-0.20424455]::REAL[]),
+(11, 25, [0.1772658,-0.18226671,-0.09009725,-0.17931114]::REAL[]),
+(11, 26, [-0.0062087593,-0.06898442,-0.053572316,-0.098615855]::REAL[]),
+(11, 27, [0.19331752,-0.05512379,0.107378416,0.151517]::REAL[]),
+(11, 28, [0.00989977,-0.06886666,-0.005584194,0.15892467]::REAL[]),
+(11, 29, [0.06617904,-0.041897777,0.09817863,-0.2743432]::REAL[]),
+(11, 30, [-0.3857603,0.17458643,0.0020752335,0.017274337]::REAL[]),
+(11, 31, [-0.15852328,-0.1537457,0.058403417,-0.18270937]::REAL[]),
+(11, 32, [-0.036639858,0.21170369,-0.12093265,0.31960496]::REAL[]),
+(11, 33, [0.14147489,-0.070118554,-0.04074762,0.0639523]::REAL[]),
+(11, 34, [0.063167885,0.06652032,0.031332877,0.12504315]::REAL[]),
+(11, 35, [0.051284574,0.16359647,0.028871672,-0.15563306]::REAL[]),
+(11, 36, [-0.15531804,0.034376197,-0.105454534,0.22066253]::REAL[]),
+(11, 37, [-0.083429255,0.08124675,0.0343754,0.0483121]::REAL[]),
+(11, 38, [0.14588067,0.09672744,-0.032800097,0.052848432]::REAL[]),
+(11, 39, [0.14459924,0.094397694,-0.086916454,0.19499221]::REAL[]),
+(11, 40, [-0.13233362,-0.18763211,-0.0023374092,-0.031331897]::REAL[]),
+(11, 41, [-0.08595354,0.2029141,0.07561512,0.16292644]::REAL[]),
+(11, 42, [-0.2943615,-0.2304199,-0.0183486,-0.10680221]::REAL[]),
+(11, 43, [0.0077778525,0.0298524,-0.11720145,0.09147391]::REAL[]),
+(11, 44, [-0.32803208,0.0623946,-0.111399904,0.0518981]::REAL[]),
+(11, 45, [-0.13855311,0.005109722,-0.07620798,0.011174708]::REAL[]),
+(11, 46, [-0.04989966,-0.097530425,-0.16313413,-0.041129537]::REAL[]),
+(11, 47, [-0.07668803,0.064245455,0.029196467,0.3074522]::REAL[]),
+(11, 48, [-0.043954886,0.08995265,0.19961324,0.08762461]::REAL[]),
+(11, 49, [-0.124044515,0.011865859,-0.29084772,0.17005284]::REAL[]),
+(11, 50, [0.12107518,-0.05427222,-0.2789177,0.013416289]::REAL[]),
+(11, 51, [-0.071512304,-0.18355796,0.0063279984,0.29875037]::REAL[]),
+(11, 52, [0.2081037,0.16439213,0.06946024,0.06125325]::REAL[]),
+(11, 53, [-0.073792934,0.13279326,0.013990369,-0.17401049]::REAL[]),
+(11, 54, [0.04212149,0.22248603,-0.02307996,0.010549306]::REAL[]),
+(11, 55, [-0.043942824,-0.016868936,0.15689461,-0.009698778]::REAL[]),
+(11, 56, [0.22342047,0.10261506,-0.23033679,0.019416554]::REAL[]),
+(11, 57, [0.06675708,-0.19456026,-0.27928153,0.028002955]::REAL[]),
+(11, 58, [-0.21728502,0.018165236,0.047607947,0.06127057]::REAL[]),
+(11, 59, [0.04623803,0.08585635,-0.09499978,-0.061603907]::REAL[]),
+(11, 60, [-0.056421254,0.046193305,-0.2080519,0.021311082]::REAL[]),
+(11, 61, [0.15345095,-0.19075625,0.002048758,0.016802793]::REAL[]),
+(11, 62, [-0.092356935,-0.10137804,0.037414804,0.02250123]::REAL[]),
+(11, 63, [-0.011173766,-0.06247596,0.04586375,-0.1520084]::REAL[]),
+(12, 0, [0.018311925,0.040537592,-0.11175896,0.016516047]::REAL[]),
+(12, 1, [-0.0066155647,-0.16787003,-0.08392575,-0.14473635]::REAL[]),
+(12, 2, [0.08497322,-0.24623081,-0.05534698,0.11883916]::REAL[]),
+(12, 3, [0.056704015,0.14538075,0.0117685,0.08873972]::REAL[]),
+(12, 4, [0.29672483,-0.23241442,0.0022671102,0.047660798]::REAL[]),
+(12, 5, [-0.24559037,-0.07316434,0.1488808,0.04025055]::REAL[]),
+(12, 6, [0.057490773,-0.14470041,0.026455598,-0.036661524]::REAL[]),
+(12, 7, [-0.07630759,0.10603728,-0.046029158,0.12992114]::REAL[]),
+(12, 8, [0.005711923,-0.01858214,0.21047181,0.07844731]::REAL[]),
+(12, 9, [-0.17191675,-0.09502391,-0.032917533,0.14618127]::REAL[]),
+(12, 10, [-0.1551398,-0.06442349,0.02969806,-0.0021093593]::REAL[]),
+(12, 11, [-0.10383319,-0.12697637,0.096543916,0.0036480678]::REAL[]),
+(12, 12, [0.09759215,0.24452186,-0.15119037,0.02604839]::REAL[]),
+(12, 13, [0.16830443,0.027676927,0.08423348,0.016702363]::REAL[]),
+(12, 14, [-0.024719015,0.03353398,0.046416927,0.04986648]::REAL[]),
+(12, 15, [-0.19191363,-0.083006494,-0.13527776,0.009227948]::REAL[]),
+(12, 16, [0.011592284,-0.035817776,-0.13690855,0.1164729]::REAL[]),
+(12, 17, [-0.02888469,0.039472822,0.166429,-0.26807383]::REAL[]),
+(12, 18, [0.10342296,-0.05861717,0.19203362,-0.086693354]::REAL[]),
+(12, 19, [0.20824821,-0.032393068,0.120965704,-0.28173837]::REAL[]),
+(12, 20, [-0.0914894,0.05069731,0.06535435,0.09033133]::REAL[]),
+(12, 21, [-0.006563328,-0.0018443795,-0.023704577,-0.01061214]::REAL[]),
+(12, 22, [0.15636413,-0.16714245,0.079081014,0.22749123]::REAL[]),
+(12, 23, [0.06870558,-0.017575981,-0.2716453,0.15482996]::REAL[]),
+(12, 24, [0.08407188,0.06405197,-0.06129334,-0.11288918]::REAL[]),
+(12, 25, [0.21721634,0.1523103,-0.1299734,0.09551554]::REAL[]),
+(12, 26, [0.08883726,-0.049798153,-0.080349185,-0.22580615]::REAL[]),
+(12, 27, [-0.054464143,-0.23363721,-0.08282194,-0.029424304]::REAL[]),
+(12, 28, [0.009717091,-0.016913388,-0.11352112,-0.1117851]::REAL[]),
+(12, 29, [-0.23450327,0.10908298,-0.01555351,0.039067518]::REAL[]),
+(12, 30, [-0.23237202,0.008602763,0.019466918,-0.17916614]::REAL[]),
+(12, 31, [-0.09198171,0.25304294,0.104804955,0.016632907]::REAL[]),
+(12, 32, [0.1797215,-0.09875849,-0.17667475,-0.01471621]::REAL[]),
+(12, 33, [0.07497692,-0.1557506,0.27712232,0.15478735]::REAL[]),
+(12, 34, [0.15460582,-0.0691488,-0.030297622,-0.0841246]::REAL[]),
+(12, 35, [0.09309085,-0.20945743,0.10595919,-0.14420515]::REAL[]),
+(12, 36, [0.07066749,0.11247821,-0.0865686,-0.25157872]::REAL[]),
+(12, 37, [-0.008694211,-0.02204471,0.10348483,-0.008232268]::REAL[]),
+(12, 38, [-0.060302235,-0.06522576,-0.121508196,-0.06453297]::REAL[]),
+(12, 39, [0.040256467,-0.020397233,0.07579311,-0.13657062]::REAL[]),
+(12, 40, [0.12635504,3.6004395E-4,-0.07043425,0.19048102]::REAL[]),
+(12, 41, [0.06252149,0.14015207,-0.0034829858,-0.05542664]::REAL[]),
+(12, 42, [0.18341033,0.087280065,0.12914662,-0.11418583]::REAL[]),
+(12, 43, [0.0019876529,-0.09159538,-0.016515398,0.09376068]::REAL[]),
+(12, 44, [-0.039697666,-0.115807325,0.105328694,0.18486826]::REAL[]),
+(12, 45, [0.064998776,0.06709704,0.16794293,0.17910907]::REAL[]),
+(12, 46, [-0.18709284,0.16117138,0.022382123,-0.10850565]::REAL[]),
+(12, 47, [0.18340772,0.19092447,0.088839695,-0.10928931]::REAL[]),
+(12, 48, [-0.05432683,-0.1578105,0.24533898,0.04292549]::REAL[]),
+(12, 49, [-0.18312843,0.036376696,0.0048974217,0.26127973]::REAL[]),
+(12, 50, [-0.13479117,0.058582794,-0.11878612,-0.048875593]::REAL[]),
+(12, 51, [0.073445626,0.0029061204,-0.18426406,-0.07549599]::REAL[]),
+(12, 52, [-0.041926417,0.1448186,-0.1703293,-0.07307043]::REAL[]),
+(12, 53, [0.06739688,0.24495922,0.047428645,-0.04134746]::REAL[]),
+(12, 54, [-0.014225888,-0.025921993,-0.01958037,-0.14419004]::REAL[]),
+(12, 55, [0.36733618,-0.17744413,0.14916743,-0.094733655]::REAL[]),
+(12, 56, [-0.11131997,0.07975636,0.0073037427,-0.007458205]::REAL[]),
+(12, 57, [0.039984703,0.15136985,0.33726323,-0.3089657]::REAL[]),
+(12, 58, [-0.082217224,0.11910145,0.16267988,0.091767445]::REAL[]),
+(12, 59, [0.24853893,0.047194533,-0.11354883,-0.080888435]::REAL[]),
+(12, 60, [-0.15255342,-0.22304383,0.07220182,-0.094328456]::REAL[]),
+(12, 61, [0.0039469795,0.1312238,0.15491678,-0.059069153]::REAL[]),
+(12, 62, [-0.1428377,0.047821205,-0.15831524,0.18980321]::REAL[]),
+(12, 63, [-0.116789736,0.006344964,-0.15801755,-0.1935102]::REAL[]),
+(13, 0, [0.33039552,-0.026560977,0.090888664,0.016560817]::REAL[]),
+(13, 1, [0.016864754,0.22587654,-0.078065895,-0.018919397]::REAL[]),
+(13, 2, [0.006078695,-0.0052384795,0.08652058,0.07404127]::REAL[]),
+(13, 3, [0.091596305,0.0840003,-0.13384391,-0.11614783]::REAL[]),
+(13, 4, [-0.025281537,0.13895237,-0.20090386,-0.14974496]::REAL[]),
+(13, 5, [0.010143059,0.2429295,0.13409603,0.01737428]::REAL[]),
+(13, 6, [0.22604126,-0.12864642,-0.15578376,0.12523775]::REAL[]),
+(13, 7, [-0.07540468,0.109479,0.15753625,0.11014632]::REAL[]),
+(13, 8, [-0.111640625,-0.2381951,-0.10690148,-0.017314158]::REAL[]),
+(13, 9, [-0.084082484,0.09786009,-0.06927641,-0.10977693]::REAL[]),
+(13, 10, [-0.012497652,-0.13175349,0.18675168,0.20741409]::REAL[]),
+(13, 11, [0.22356196,-0.039735086,0.10546305,0.11800627]::REAL[]),
+(13, 12, [-0.014674794,8.135129E-4,-0.1859576,-0.046128806]::REAL[]),
+(13, 13, [0.086096056,-0.13388418,0.0067545073,0.075886875]::REAL[]),
+(13, 14, [0.024015553,0.08448768,0.13508552,-0.039341412]::REAL[]),
+(13, 15, [-0.15639313,0.18442605,-0.060133953,0.17778897]::REAL[]),
+(13, 16, [-0.048394874,-0.14625897,0.051338896,0.065518685]::REAL[]),
+(13, 17, [0.08741397,0.21350038,0.060186807,-0.08382994]::REAL[]),
+(13, 18, [0.012382296,0.1164176,0.2341756,-0.0074204477]::REAL[]),
+(13, 19, [0.09809516,-0.0326124,-0.047849968,-0.03849852]::REAL[]),
+(13, 20, [-0.0131654395,-0.0028232546,-0.025714252,-0.08503026]::REAL[]),
+(13, 21, [0.088758685,0.049423743,0.013486477,0.08802514]::REAL[]),
+(13, 22, [0.1309419,0.056850053,-0.14430499,0.057109933]::REAL[]),
+(13, 23, [-0.095124915,-0.12321276,0.004321325,-0.018497374]::REAL[]),
+(13, 24, [0.07233909,-0.11393896,0.15433833,-0.22032371]::REAL[]),
+(13, 25, [0.22792862,-0.037332118,0.13955696,-0.15374091]::REAL[]),
+(13, 26, [0.08740744,-0.12803864,-0.16992842,-0.12419873]::REAL[]),
+(13, 27, [-0.26048744,-8.181562E-4,-0.1006924,-0.0986803]::REAL[]),
+(13, 28, [0.25592595,0.11309354,0.1476518,-0.023263626]::REAL[]),
+(13, 29, [0.07265132,0.10590454,-0.095598,0.19055332]::REAL[]),
+(13, 30, [-0.24465357,0.15605107,0.34869653,0.022493165]::REAL[]),
+(13, 31, [-0.030175406,-0.023582697,0.008151534,-0.21811622]::REAL[]),
+(13, 32, [-0.06939906,-0.07811823,-0.13444214,0.2223717]::REAL[]),
+(13, 33, [-0.019338937,-0.040857587,-0.15244432,-0.29419068]::REAL[]),
+(13, 34, [-0.0499861,0.05609472,-0.13093288,0.096029125]::REAL[]),
+(13, 35, [-0.16425939,-0.0065109567,-0.037287306,-0.2665069]::REAL[]),
+(13, 36, [0.18835858,-0.25110638,0.2289459,0.036821313]::REAL[]),
+(13, 37, [-0.2165054,-0.01040298,0.10830039,-0.029010523]::REAL[]),
+(13, 38, [-0.11640644,0.14000629,-0.20131871,-0.15683225]::REAL[]),
+(13, 39, [-0.01844836,-0.06113957,-0.16459407,0.036310934]::REAL[]),
+(13, 40, [0.18716744,0.058176182,-0.08607939,-0.057440355]::REAL[]),
+(13, 41, [-0.1868587,-0.11016998,0.01899473,-0.18024907]::REAL[]),
+(13, 42, [-0.17704421,-0.10377091,-0.015583374,0.10368301]::REAL[]),
+(13, 43, [-0.2621037,0.018669639,-0.10123342,0.052014206]::REAL[]),
+(13, 44, [0.063936,-0.07163261,0.26290423,0.0031125627]::REAL[]),
+(13, 45, [0.07714678,-0.0071677607,0.035029657,0.18366195]::REAL[]),
+(13, 46, [-0.12195097,-0.10481282,0.18717872,0.021763586]::REAL[]),
+(13, 47, [-0.16345125,0.07304405,0.28783906,-0.040271398]::REAL[]),
+(13, 48, [0.06430368,-0.18603472,0.030608086,-0.14791043]::REAL[]),
+(13, 49, [0.049071483,-0.021975806,0.0027640166,0.028616864]::REAL[]),
+(13, 50, [0.27837598,-0.05049422,-0.10413851,-0.047258805]::REAL[]),
+(13, 51, [0.17337921,-0.10791204,0.07174656,-0.0097370315]::REAL[]),
+(13, 52, [-0.095900536,0.031564303,0.057244543,0.11495468]::REAL[]),
+(13, 53, [0.08694493,0.060027074,0.057770677,-0.10420906]::REAL[]),
+(13, 54, [-0.20734172,0.07387367,0.04944391,0.045435656]::REAL[]),
+(13, 55, [0.07908622,-0.15116176,0.15927108,0.07524166]::REAL[]),
+(13, 56, [0.06695791,-0.18030578,-0.06719701,0.004373061]::REAL[]),
+(13, 57, [0.19293799,-0.0878513,0.065017164,0.2293225]::REAL[]),
+(13, 58, [0.20534906,0.034163795,0.029074658,-0.14094837]::REAL[]),
+(13, 59, [-0.043683246,0.104962714,0.0389044,-0.019946815]::REAL[]),
+(13, 60, [-0.06219581,0.15258971,0.09412897,-0.15816171]::REAL[]),
+(13, 61, [0.026412826,0.053852614,0.21344745,-0.16113515]::REAL[]),
+(13, 62, [-0.19354883,0.18455434,0.023258187,0.12547639]::REAL[]),
+(13, 63, [0.0034990225,0.12220044,0.06555719,0.14035735]::REAL[]),
+(14, 0, [0.0392597,-0.13050544,-0.059732568,0.20050497]::REAL[]),
+(14, 1, [-0.11703488,-0.09225158,0.21552013,-0.031980354]::REAL[]),
+(14, 2, [-0.11371321,-0.030288514,-0.03437588,0.023730896]::REAL[]),
+(14, 3, [0.11309277,-0.1439549,-0.07805645,0.11431269]::REAL[]),
+(14, 4, [0.15735671,-0.002895516,0.14970599,-0.16828081]::REAL[]),
+(14, 5, [0.16080403,0.1651729,0.1768765,-0.0019854861]::REAL[]),
+(14, 6, [0.1675266,-0.049638383,0.04339868,-0.11021116]::REAL[]),
+(14, 7, [0.16206513,-0.06685301,0.12304484,0.17362896]::REAL[]),
+(14, 8, [-0.29491067,0.07022221,-0.14231427,0.18739963]::REAL[]),
+(14, 9, [-0.056587834,-0.1623535,-0.010225129,0.07823797]::REAL[]),
+(14, 10, [-0.17026938,0.01467781,0.026946144,0.15030594]::REAL[]),
+(14, 11, [-0.07812027,-0.0033267618,-0.20375003,-0.13886078]::REAL[]),
+(14, 12, [0.110983774,0.061545268,-0.10025584,-0.2566929]::REAL[]),
+(14, 13, [0.040632267,-0.004549081,-0.13216148,0.01839593]::REAL[]),
+(14, 14, [0.26894325,0.17513251,-0.0051723868,0.109431505]::REAL[]),
+(14, 15, [-0.016689692,-0.0061165597,0.4132781,0.18906605]::REAL[]),
+(14, 16, [0.08069038,0.15471876,-0.25930512,-0.09983953]::REAL[]),
+(14, 17, [-0.082506225,-0.004438718,-0.17257625,0.18314233]::REAL[]),
+(14, 18, [0.068726875,-0.27872646,-0.214294,-0.06360413]::REAL[]),
+(14, 19, [-0.04531842,-0.13014662,-0.12033395,0.019588465]::REAL[]),
+(14, 20, [0.030318568,-0.002709355,0.24253221,0.038387004]::REAL[]),
+(14, 21, [0.10185547,0.15343468,-0.05642587,0.032717492]::REAL[]),
+(14, 22, [0.02498822,-0.2138114,-0.1780057,-0.010137527]::REAL[]),
+(14, 23, [0.08035907,0.07104298,0.09616054,0.10278822]::REAL[]),
+(14, 24, [-0.013557914,-0.1000608,-0.08615856,-0.26987723]::REAL[]),
+(14, 25, [0.2121537,0.01881597,-0.13554716,0.04469511]::REAL[]),
+(14, 26, [-0.28788316,-0.004185945,0.07258979,-0.00775213]::REAL[]),
+(14, 27, [0.08703916,0.0033845396,0.011102482,0.020896297]::REAL[]),
+(14, 28, [-0.05608934,0.2575036,-0.11921752,-0.04219021]::REAL[]),
+(14, 29, [-0.03971978,0.09303325,0.21472968,0.2652551]::REAL[]),
+(14, 30, [-0.22301218,0.07793912,0.022485621,-0.0397467]::REAL[]),
+(14, 31, [-0.0853365,-0.09862794,-0.29807067,0.05236448]::REAL[]),
+(14, 32, [-0.085258916,0.060418963,-0.29077956,0.050491393]::REAL[]),
+(14, 33, [0.042330455,0.11020491,0.3574867,-0.21042092]::REAL[]),
+(14, 34, [-0.20835274,0.13191913,-0.108779736,-0.0035071222]::REAL[]),
+(14, 35, [-0.20913959,-0.20002756,-0.07768769,-0.15552363]::REAL[]),
+(14, 36, [0.05644088,-0.2444361,0.13660686,-0.018339083]::REAL[]),
+(14, 37, [-0.054149505,0.060472753,0.0056595155,-0.17623533]::REAL[]),
+(14, 38, [0.09864951,-0.112259485,0.07899728,0.08771228]::REAL[]),
+(14, 39, [0.16027081,0.019295797,-0.028974432,-0.15144596]::REAL[]),
+(14, 40, [0.06784424,-0.23144136,-0.013656056,-0.06926344]::REAL[]),
+(14, 41, [-0.105984904,-0.13441181,0.11239376,0.09001483]::REAL[]),
+(14, 42, [-0.1233381,0.15529092,0.2333176,-0.1122031]::REAL[]),
+(14, 43, [0.050048746,0.18514934,0.17151625,-0.2002394]::REAL[]),
+(14, 44, [-0.11287088,-0.1026918,-0.03618841,-0.0844362]::REAL[]),
+(14, 45, [-0.03448811,0.044109847,0.03806175,0.09946269]::REAL[]),
+(14, 46, [0.2514243,-0.08404762,0.0011586415,-0.004267885]::REAL[]),
+(14, 47, [0.016380297,-0.18080062,0.09867482,-0.20512955]::REAL[]),
+(14, 48, [0.061130755,-0.053490095,-0.25100693,-0.049219448]::REAL[]),
+(14, 49, [-0.20846432,-0.11758416,-0.11828457,-0.033882055]::REAL[]),
+(14, 50, [-0.2535059,-0.080528505,0.053532653,-0.18821758]::REAL[]),
+(14, 51, [0.03070701,-0.015892906,-0.090937704,-0.15169618]::REAL[]),
+(14, 52, [-0.1451181,0.035201542,0.122287236,-0.045558993]::REAL[]),
+(14, 53, [0.15104312,0.34336367,0.0039996393,-0.13131045]::REAL[]),
+(14, 54, [-0.012602831,0.057448704,-0.054489587,0.20854571]::REAL[]),
+(14, 55, [0.1259038,-0.033134572,-0.1088056,0.2892286]::REAL[]),
+(14, 56, [-0.10508103,0.12703812,0.094738916,0.13110702]::REAL[]),
+(14, 57, [0.19645521,-0.078633085,-0.23141928,-0.044928953]::REAL[]),
+(14, 58, [-0.037182674,-0.05213042,0.10541731,-0.12351227]::REAL[]),
+(14, 59, [-0.15448777,0.026908245,-0.0959436,-0.14614113]::REAL[]),
+(14, 60, [-0.07406616,0.053966433,-0.18665174,0.03885594]::REAL[]),
+(14, 61, [-0.013699733,0.16699919,0.020628108,-0.033035967]::REAL[]),
+(14, 62, [-0.022235135,-0.03148899,0.050522402,-0.044321574]::REAL[]),
+(14, 63, [0.18626009,0.13049805,0.0792205,-0.1063834]::REAL[]),
+(15, 0, [0.16650535,-0.003642174,-0.018270995,0.060090326]::REAL[]),
+(15, 1, [-0.025091529,0.04526816,0.11264048,0.13503917]::REAL[]),
+(15, 2, [0.077764496,0.021099664,-0.16847542,-0.05432554]::REAL[]),
+(15, 3, [-0.12946355,0.05479303,-0.0076600863,0.07584714]::REAL[]),
+(15, 4, [-0.010666138,-0.035765,-0.10199456,-0.05420012]::REAL[]),
+(15, 5, [-0.1725937,0.12787685,-0.14085187,-0.012815475]::REAL[]),
+(15, 6, [0.059065025,0.075320505,0.052004207,0.08970979]::REAL[]),
+(15, 7, [-0.059441473,-0.03186213,-0.037627403,0.05437792]::REAL[]),
+(15, 8, [-0.029901532,-0.32205406,0.032846343,-0.1598407]::REAL[]),
+(15, 9, [-0.062366165,0.14581537,0.22763737,-0.03271797]::REAL[]),
+(15, 10, [-0.03572877,0.17918952,-0.18330178,-0.10721895]::REAL[]),
+(15, 11, [0.21247107,0.13374874,0.028943323,0.2909289]::REAL[]),
+(15, 12, [0.058129612,0.0051463363,0.20089376,0.030340748]::REAL[]),
+(15, 13, [0.13291092,0.22757484,0.16699134,0.08109744]::REAL[]),
+(15, 14, [-0.017515358,0.10074294,-0.14279537,0.087911226]::REAL[]),
+(15, 15, [-0.18486917,-0.015140418,-0.09950954,-0.038652528]::REAL[]),
+(15, 16, [0.08780672,0.12884393,0.13053647,0.077779405]::REAL[]),
+(15, 17, [-0.095446974,-0.14510214,-0.057195704,-0.1928458]::REAL[]),
+(15, 18, [0.13626745,0.030290358,-0.20458972,0.08427479]::REAL[]),
+(15, 19, [0.07472969,0.035313107,0.12565948,-0.07988516]::REAL[]),
+(15, 20, [-0.13929495,-0.020443747,0.17837012,0.15078822]::REAL[]),
+(15, 21, [-0.046143353,-0.11463034,0.18910076,0.03885776]::REAL[]),
+(15, 22, [0.21509695,-0.06945686,0.018571967,-0.051870536]::REAL[]),
+(15, 23, [0.07225638,0.20286569,0.11237696,-0.21297474]::REAL[]),
+(15, 24, [-0.11786233,-0.043570343,0.095139734,-0.1330133]::REAL[]),
+(15, 25, [0.14314479,-0.12588574,0.21676126,0.06087378]::REAL[]),
+(15, 26, [0.012174887,-0.26780725,-0.16180971,0.11523557]::REAL[]),
+(15, 27, [-0.09144214,0.06163824,-0.016885357,-0.049070366]::REAL[]),
+(15, 28, [0.035884645,0.27330595,-0.055272784,-0.22400096]::REAL[]),
+(15, 29, [0.004603746,0.021826392,0.09980197,-0.30714375]::REAL[]),
+(15, 30, [-0.017803349,-0.034917735,-0.03199143,0.13738088]::REAL[]),
+(15, 31, [0.023062361,0.04515157,0.016681971,-0.029115742]::REAL[]),
+(15, 32, [-0.028949464,-0.18522798,0.094523944,0.19540639]::REAL[]),
+(15, 33, [0.013100378,-0.18003882,-0.17128998,-0.107165076]::REAL[]),
+(15, 34, [-0.14640336,0.07770883,0.041808985,0.23460881]::REAL[]),
+(15, 35, [0.10980106,-0.20527638,-0.05173935,-0.110431656]::REAL[]),
+(15, 36, [-0.09905353,0.07039237,-0.05663098,-0.21725386]::REAL[]),
+(15, 37, [-0.08026568,-0.09304902,0.23702869,-0.11002778]::REAL[]),
+(15, 38, [0.042079736,0.0035468547,0.034613594,-0.16549926]::REAL[]),
+(15, 39, [-0.09678696,-0.105836,-0.016708912,-0.038107146]::REAL[]),
+(15, 40, [0.09341375,-0.13219737,-0.13843139,0.058990087]::REAL[]),
+(15, 41, [0.0715803,-0.14946541,-0.016440757,0.13976179]::REAL[]),
+(15, 42, [0.08602703,0.19153635,-0.04330134,0.008454744]::REAL[]),
+(15, 43, [0.032601483,-0.19739462,0.09010186,-0.005110156]::REAL[]),
+(15, 44, [0.05629684,-0.0013363604,-0.17868634,-0.20275222]::REAL[]),
+(15, 45, [0.092505865,-0.042041212,-0.049767043,0.23482911]::REAL[]),
+(15, 46, [0.082732216,-0.21302544,-0.12365854,0.10386315]::REAL[]),
+(15, 47, [0.2788933,-0.034183476,0.14287551,-0.09230986]::REAL[]),
+(15, 48, [-0.16663392,0.035939805,-0.146476,0.16018578]::REAL[]),
+(15, 49, [-0.118570134,0.2610419,-0.04413255,0.030050248]::REAL[]),
+(15, 50, [-0.0310498,0.23296294,0.13130364,0.0147172185]::REAL[]),
+(15, 51, [-0.27622566,0.027059352,0.008167952,0.023130164]::REAL[]),
+(15, 52, [-0.09541136,-0.20430274,0.14484048,-0.05940446]::REAL[]),
+(15, 53, [-0.06569421,0.017319564,0.06604311,0.025620412]::REAL[]),
+(15, 54, [-0.1315381,-0.20577359,-0.015393252,-0.015622463]::REAL[]),
+(15, 55, [0.25082013,0.12617971,0.06617159,-0.07136494]::REAL[]),
+(15, 56, [0.14135642,-0.05736324,0.25795117,-0.06426509]::REAL[]),
+(15, 57, [0.23515435,0.05247725,-0.069955245,-0.057206288]::REAL[]),
+(15, 58, [0.067077175,-0.15005608,0.027278125,-0.29031774]::REAL[]),
+(15, 59, [0.07486948,0.1318117,-0.13260294,-0.14453213]::REAL[]),
+(15, 60, [-0.1844346,-0.16144489,-0.06901376,0.06756499]::REAL[]),
+(15, 61, [-0.033455897,0.081011236,0.19399692,0.23756096]::REAL[]),
+(15, 62, [-0.22382781,0.0640146,0.034046397,-0.13419579]::REAL[]),
+(15, 63, [-0.12553422,-0.10374239,-0.23804687,-0.051232796]::REAL[])),
+rb AS (
+  SELECT e.vec_id AS id,
+    list(CAST(list_sum(list_transform(list_zip(r.rr, e.embedding),
+      p -> p[1]::DOUBLE * p[2]::DOUBLE)) AS REAL) ORDER BY r.i) AS v
+  FROM embeddings e, rot r GROUP BY e.vec_id),
+qids AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id % 50 = 0),
+codes AS (
+  SELECT id, sub, cent AS code FROM (
+    SELECT rb.id, c.sub, c.cent, row_number() OVER (PARTITION BY rb.id, c.sub ORDER BY
+      list_sum(list_transform(list_zip(rb.v[c.sub*4+1:c.sub*4+4], c.cb),
+        x -> (x[1]::DOUBLE - x[2]::DOUBLE) * (x[1]::DOUBLE - x[2]::DOUBLE))), c.cent) AS rn
+    FROM rb, cbs c) t WHERE rn = 1),
+lut AS (
+  SELECT rb.id AS qid, c.sub, c.cent,
+    list_sum(list_transform(list_zip(rb.v[c.sub*4+1:c.sub*4+4], c.cb),
+      x -> (x[1]::DOUBLE - x[2]::DOUBLE) * (x[1]::DOUBLE - x[2]::DOUBLE))) AS sd
+  FROM rb JOIN qids ON rb.id = qids.qid, cbs c),
+cd AS (
+  SELECT l.qid, co.id, sqrt(sum(l.sd)) AS dist
+  FROM codes co JOIN lut l ON co.sub = l.sub AND co.code = l.cent
+  GROUP BY l.qid, co.id),
+pred AS (
+  SELECT qid, list(id ORDER BY rn) AS pred FROM (
+    SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn
+    FROM cd) t WHERE rn <= 10 GROUP BY qid),
+bv AS (SELECT vec_id AS id, embedding::DOUBLE[] AS dv FROM embeddings),
+gtd AS (
+  SELECT q.id AS qid, r.id,
+    sqrt(list_sum(list_transform(list_zip(q.dv, r.dv),
+      p -> (p[1]-p[2])*(p[1]-p[2])))) AS dist
+  FROM bv q JOIN qids ON q.id = qids.qid, bv r),
+gt AS (
+  SELECT qid, list(id ORDER BY rn) AS gt FROM (
+    SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn
+    FROM gtd) t WHERE rn <= 10 GROUP BY qid),
+per AS (
+  SELECT g.qid,
+    len(list_intersect(g.gt, p.pred))::DOUBLE / len(g.gt) AS recall,
+    coalesce(1.0 / (SELECT min(pos) FROM (
+      SELECT unnest(p.pred) AS pid, generate_subscripts(p.pred, 1) AS pos) u
+      WHERE list_contains(g.gt, pid)), 0.0) AS rr
+  FROM gt g LEFT JOIN pred p ON g.qid = p.qid)
+SELECT 'opq_pq' AS algorithm, count(*) AS n_queries,
+  round(avg(recall), 4) AS recall_10, round(avg(rr), 4) AS mrr_10
+FROM per
+HAVING round(avg(recall), 4) >= 0.50""").mkString("\n"),
     "j11_hnsw_global" ->
       """SELECT 'hnsw_global' AS algorithm, count(*)::BIGINT AS n_queries,
         |       0.85::DOUBLE AS recall_floor
