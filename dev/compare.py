@@ -10,10 +10,17 @@ outdir = sys.argv[2] if len(sys.argv) > 2 else '/tmp/verify_out'
 con = duckdb.connect()
 for t in ['region','nation','customer','supplier','part','orders','lineitem','events','documents','embeddings']:
     p = f'{sfdir}/{t}.parquet'
-    if os.path.exists(p):
+    if os.path.isdir(p):  # Spark-written dir (dev/ScaleData output)
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
+    elif os.path.exists(p):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
 oracle = json.load(open(f'{outdir}/oracle_sql.json'))
+# optional 3rd arg: comma-list restricting the compare (scaled-data pass
+# runs the near-linear-oracle subset; the driver never passes this)
+if len(sys.argv) > 3:
+    only = set(sys.argv[3].split(','))
+    oracle = {k: v for k, v in oracle.items() if k in only}
 fails = 0
 for name, sql in sorted(oracle.items()):
     pq_dir = f'{outdir}/{name}'

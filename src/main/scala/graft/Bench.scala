@@ -100,14 +100,30 @@ object Bench {
       }
     val passA = selected.map { case (name, fn) =>
       name -> timeOnce(name, fn, "A") }
+    val passBOpt: Option[Map[String, (Double, Boolean)]] =
+      if (gateReps < 2) None
+      else Some(selected.reverse.map { case (name, fn) =>
+        name -> timeOnce(name, fn, "B") }.toMap)
     val minByName: Map[String, Double] =
-      if (gateReps < 2) passA.map { case (n, ab) => n -> combine(ab, None) }.toMap
-      else {
-        val passB = selected.reverse.map { case (name, fn) =>
-          name -> timeOnce(name, fn, "B") }.toMap
-        passA.map { case (n, a) => n -> combine(a, Some(passB(n))) }.toMap
-      }
+      passA.map { case (n, a) => n -> combine(a, passBOpt.map(_(n))) }.toMap
     val results = selected.map { case (n, _) => n -> minByName(n) }
+    // Per-pass times (ADVICE r8 #4): the r8 single-shot→min-of-2 switch
+    // made r7-vs-r8 gate deltas unattributable. The methodology is now
+    // FROZEN (two interleaved passes, reverse order, min), and both raw
+    // passes land in the artifact: compact line carries the pass TOTALS,
+    // the full on-disk artifact carries per-query [a, b].
+    val passTotals = {
+      val a = passA.map(_._2._1).sum
+      passBOpt match {
+        case Some(b) => f"[${a}%.2f,${selected.map(s => b(s._1)._1).sum}%.2f]"
+        case None => f"[${a}%.2f]"
+      }
+    }
+    val qsAb = selected.map { case (n, _) =>
+      val a = passA.find(_._1 == n).get._2._1
+      val tail = passBOpt.map(b => f",${b(n)._1}%.3f").getOrElse("")
+      "\"" + n + "\":[" + f"$a%.3f" + tail + "]"
+    }.mkString("{", ",", "}")
     // 2-decimal precision on the PRINTED line: the driver's stdout tail
     // window is ~2 KB and r5's 3.3-decimal + full-baseline line (3.4 KB)
     // overflowed it — parsed: null, five rounds running. Budget: 52
@@ -152,11 +168,11 @@ object Bench {
     // counts against the ~2 KB stdout tail window (1536-byte self-target;
     // the r8 msmarco-hnsw row returning pushed the old format to 1557)
     val sfShort = java.nio.file.Paths.get(sfDir).getFileName.toString
-    val notes = s""""gate_reps":$gateReps,"notes":"gate=min of $gateReps; serve excludes fixture build""""
+    val notes = s""""gate_reps":$gateReps,"pass_totals":$passTotals,"notes":"gate=min of $gateReps; serve excludes fixture build""""
     val artifact =
       s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec",$notes,"queries":$qs,"baseline":$baselineCompact,"sf":"$sfShort"}"""
     val artifactFull =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",$notes,"queries":$qsFull,"baseline":$baselineFull,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",$notes,"queries":$qsFull,"queries_ab":$qsAb,"baseline":$baselineFull,"sf":"$sfDir"}"""
     // Forensic copy on disk (FULL detail), independent of stdout windows.
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench_last.json"), artifactFull + "\n")

@@ -1,0 +1,79 @@
+package graft.dev
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Builds an sf1-equivalent testdata dir by replicating the sf0.1 fact
+  * tables `factor`× with key shifts (ADVICE r8 #6: a larger-sf
+  * correctness pass to catch partitioning-dependent bugs the small
+  * fixtures can't). Dimension tables (region/nation/part/supplier/
+  * customer) copy through unchanged; fact keys shift per replica so FK
+  * joins stay valid:
+  *   lineitem.l_orderkey / orders.o_orderkey — shared base (max+1)
+  *   embeddings.vec_id — base rounded up to a multiple of 50, so the
+  *     gate's `vec_id % 50 = 0` query subset scales with the data
+  *   documents.doc_id, events id columns — per-table base
+  * The SAME parquet feeds both the Spark gates and the DuckDB oracle,
+  * so the comparison is closed over whatever data this produces.
+  *
+  * Run: sbt "runMain graft.dev.ScaleData /root/testdata/sf0.1 /tmp/sfbig 10"
+  */
+object ScaleData {
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val dst = args.lift(1).getOrElse("/tmp/sfbig")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def maxOf(df: DataFrame, c: String): Long =
+      df.agg(max(col(c).cast("long"))).collect()(0).getLong(0)
+    def roundUp(v: Long, m: Long): Long = ((v + m - 1) / m) * m
+
+    val reps = spark.range(factor).toDF("__r")
+    def replicate(df: DataFrame, shifts: Map[String, Long]): DataFrame =
+      shifts.foldLeft(df.crossJoin(broadcast(reps))) { case (d, (c, base)) =>
+        d.withColumn(c, (col(c).cast("long") + col("__r") * base).cast(
+          df.schema(c).dataType))
+      }.drop("__r")
+
+    def write(name: String, df: DataFrame): Unit = {
+      df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      println(s"[scale] $name -> ${spark.read.parquet(s"$dst/$name.parquet").count()} rows")
+    }
+
+    // dims: copy through
+    Seq("region", "nation", "part", "supplier", "customer").foreach { t =>
+      write(t, Tables.load(spark, src, t))
+    }
+    // facts
+    val orders = Tables.load(spark, src, "orders")
+    val lineitem = Tables.load(spark, src, "lineitem")
+    val okBase = math.max(maxOf(orders, "o_orderkey"),
+      maxOf(lineitem, "l_orderkey")) + 1
+    write("orders", replicate(orders, Map("o_orderkey" -> okBase)))
+    write("lineitem", replicate(lineitem, Map("l_orderkey" -> okBase)))
+
+    val emb = Tables.load(spark, src, "embeddings")
+    val embBase = roundUp(maxOf(emb, "vec_id") + 1, 50)
+    write("embeddings", replicate(emb, Map("vec_id" -> embBase)))
+
+    val docs = Tables.load(spark, src, "documents")
+    write("documents", replicate(docs,
+      Map("doc_id" -> (maxOf(docs, "doc_id") + 1))))
+
+    val events = Tables.load(spark, src, "events")
+    val idCols = events.schema.fieldNames.filter(c =>
+      c == "event_id" || c == "user_id" || c == "session_id")
+    val shifts = idCols.map(c => c -> (maxOf(events, c) + 1)).toMap
+    write("events", replicate(events, shifts))
+    spark.stop()
+  }
+}

@@ -80,6 +80,76 @@ object SimdDist {
     }
   }
 
+  /** FAISS-regime scalar kernel: eight independent FLOAT accumulation
+    * chains (FAISS's fvec_* functions accumulate in float; the
+    * index-order double chain additionally pays a cvtss2sd per element
+    * and serializes on FP-add latency — dev/FloatAccumMicro measures
+    * 0.42–0.90 ns/elem vs 1.24–1.72). Values differ from [[ScalarKernel]]
+    * by reassociation + single-precision rounding — fine for the
+    * floor-tier graph walks this object serves (see scope note above),
+    * and both the local and distributed paths share one kernel instance
+    * so the local ≡ distributed equality specs still hold. */
+  object FloatScalarKernel extends Kernel {
+    @inline private def dotF(a: Array[Float], b: Array[Float], bOff: Int): Float = {
+      var a0 = 0.0f; var a1 = 0.0f; var a2 = 0.0f; var a3 = 0.0f
+      var a4 = 0.0f; var a5 = 0.0f; var a6 = 0.0f; var a7 = 0.0f
+      var i = 0
+      val m8 = a.length - 7
+      while (i < m8) {
+        a0 += a(i) * b(bOff + i)
+        a1 += a(i + 1) * b(bOff + i + 1)
+        a2 += a(i + 2) * b(bOff + i + 2)
+        a3 += a(i + 3) * b(bOff + i + 3)
+        a4 += a(i + 4) * b(bOff + i + 4)
+        a5 += a(i + 5) * b(bOff + i + 5)
+        a6 += a(i + 6) * b(bOff + i + 6)
+        a7 += a(i + 7) * b(bOff + i + 7)
+        i += 8
+      }
+      while (i < a.length) { a0 += a(i) * b(bOff + i); i += 1 }
+      ((a0 + a1) + (a2 + a3)) + ((a4 + a5) + (a6 + a7))
+    }
+    @inline private def l2sqF(a: Array[Float], b: Array[Float], bOff: Int): Float = {
+      var a0 = 0.0f; var a1 = 0.0f; var a2 = 0.0f; var a3 = 0.0f
+      var a4 = 0.0f; var a5 = 0.0f; var a6 = 0.0f; var a7 = 0.0f
+      var i = 0
+      val m8 = a.length - 7
+      while (i < m8) {
+        val d0 = a(i) - b(bOff + i); val d1 = a(i + 1) - b(bOff + i + 1)
+        val d2 = a(i + 2) - b(bOff + i + 2); val d3 = a(i + 3) - b(bOff + i + 3)
+        val d4 = a(i + 4) - b(bOff + i + 4); val d5 = a(i + 5) - b(bOff + i + 5)
+        val d6 = a(i + 6) - b(bOff + i + 6); val d7 = a(i + 7) - b(bOff + i + 7)
+        a0 += d0 * d0; a1 += d1 * d1; a2 += d2 * d2; a3 += d3 * d3
+        a4 += d4 * d4; a5 += d5 * d5; a6 += d6 * d6; a7 += d7 * d7
+        i += 8
+      }
+      while (i < a.length) { val d = a(i) - b(bOff + i); a0 += d * d; i += 1 }
+      ((a0 + a1) + (a2 + a3)) + ((a4 + a5) + (a6 + a7))
+    }
+    @inline private def normF(a: Array[Float]): Float = {
+      var acc = 0.0f; var i = 0
+      while (i < a.length) { acc += a(i) * a(i); i += 1 }
+      acc
+    }
+    def l2(a: Array[Float], b: Array[Float]): Double =
+      math.sqrt(l2sqF(a, b, 0).toDouble)
+    def cosineDist(a: Array[Float], b: Array[Float]): Double = {
+      val den = math.sqrt(normF(a).toDouble) * math.sqrt(normF(b).toDouble)
+      if (den == 0.0) 1.0 else 1.0 - dotF(a, b, 0).toDouble / den
+    }
+    def dot(a: Array[Float], b: Array[Float]): Double = dotF(a, b, 0).toDouble
+    def l2Flat(a: Array[Float], b: Array[Float], bOff: Int): Double =
+      math.sqrt(l2sqF(a, b, bOff).toDouble)
+    def dotFlat(a: Array[Float], b: Array[Float], bOff: Int): Double =
+      dotF(a, b, bOff).toDouble
+    def cosineFlat(a: Array[Float], b: Array[Float], bOff: Int): Double = {
+      var na = 0.0f; var i = 0
+      while (i < a.length) { val y = b(bOff + i); na += y * y; i += 1 }
+      val den = math.sqrt(normF(a).toDouble) * math.sqrt(na.toDouble)
+      if (den == 0.0) 1.0 else 1.0 - dotF(a, b, bOff).toDouble / den
+    }
+  }
+
   /** The Vector-API kernel when `jdk.incubator.vector` resolves in this
     * JVM, independent of the enable flag — specs and the dev shootouts
     * compare it against [[ScalarKernel]] directly. Loaded reflectively so
@@ -97,15 +167,24 @@ object SimdDist {
       .orElse(sys.env.get("GRAFT_SIMD"))
       .exists(v => v == "true" || v == "1")
 
-  /** The process-wide kernel consumed by the HNSW family. OPT-IN, default
-    * scalar: on this sandbox's virtualized Xeon the incubator API never
-    * intrinsifies (dev/KernelMicro: ≤1.4× scalar at 384-d, 0.5× at 64-d)
-    * and its object-per-call fallback path made HNSW builds 45-60%
-    * SLOWER when it briefly became the round-7 default (HnswBuildProfile
-    * msmarco shape: scalar 15.6 s vs vector 23-26 s — the r7 watchdog
-    * skip). On hardware where the API engages, flip it on. */
+  /** The process-wide kernel consumed by the HNSW family. Default =
+    * [[FloatScalarKernel]] since r9 (FAISS's own float accumulation,
+    * 1.7–3.5× the double chain on this box — dev/FloatAccumMicro; the
+    * graph walks are floor-tier by design, so reassociation is in
+    * contract). The Vector API stays OPT-IN: on this sandbox's
+    * virtualized Xeon the incubator API never intrinsifies
+    * (dev/KernelMicro: ≤1.4× scalar at 384-d, 0.5× at 64-d) and its
+    * object-per-call fallback path made HNSW builds 45-60% SLOWER when
+    * it briefly became the round-7 default (HnswBuildProfile msmarco
+    * shape: scalar 15.6 s vs vector 23-26 s — the r7 watchdog skip). On
+    * hardware where the API engages, flip it on with GRAFT_SIMD=1.
+    * GRAFT_EXACT_KERNEL=1 restores the index-order double kernel. */
   val kernel: Kernel =
-    if (enabled) vectorKernel.getOrElse(ScalarKernel) else ScalarKernel
+    if (enabled) vectorKernel.getOrElse(FloatScalarKernel)
+    else if (sys.props.get("graft.exact.kernel")
+        .orElse(sys.env.get("GRAFT_EXACT_KERNEL"))
+        .exists(v => v == "true" || v == "1")) ScalarKernel
+    else FloatScalarKernel
 
-  def simdActive: Boolean = kernel ne ScalarKernel
+  def simdActive: Boolean = vectorKernel.exists(_ eq kernel)
 }

@@ -19,12 +19,29 @@ class SimdDistSpec extends AnyFunSuite {
     assert(SimdDist.vectorKernel.isDefined)
   }
 
-  test("process default kernel is scalar (Vector API is opt-in)") {
+  test("process default kernel is float-scalar (Vector API is opt-in)") {
     // measured on this box (HnswBuildProfile, dev/KernelMicro): the
     // non-intrinsified Vector API path made HNSW builds 45-60% slower
-    // when it was briefly the default — the r7 msmarco watchdog skip
+    // when it was briefly the default — the r7 msmarco watchdog skip.
+    // r9: default is the FAISS-regime float-accumulation scalar kernel
+    // (dev/FloatAccumMicro), with GRAFT_EXACT_KERNEL=1 as the escape
     assert(!SimdDist.simdActive)
-    assert(SimdDist.kernel eq SimdDist.ScalarKernel)
+    assert(SimdDist.kernel eq SimdDist.FloatScalarKernel)
+  }
+
+  test("float-scalar kernel matches the exact kernel within tolerance") {
+    val k = SimdDist.FloatScalarKernel
+    for (n <- Seq(1, 6, 15, 16, 17, 50, 64, 384, 1000); s <- 1 to 3) {
+      val (a, b) = vecs(n, n * 13 + s)
+      assert(math.abs(SimdDist.ScalarKernel.l2(a, b) - k.l2(a, b)) <=
+        1e-4 * math.max(1.0, SimdDist.ScalarKernel.l2(a, b)), s"l2 n=$n s=$s")
+      assert(math.abs(SimdDist.ScalarKernel.cosineDist(a, b) -
+        k.cosineDist(a, b)) <= 1e-4, s"cos n=$n s=$s")
+      assert(math.abs(SimdDist.ScalarKernel.dotFlat(a, b, 0) -
+        k.dotFlat(a, b, 0)) <= 1e-3 * math.max(1.0, n), s"dot n=$n s=$s")
+    }
+    val z = new Array[Float](16)
+    assert(k.cosineDist(z, Array.fill(16)(1f)) == 1.0)
   }
 
   test("l2 matches scalar within accumulation tolerance") {
