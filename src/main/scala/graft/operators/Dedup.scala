@@ -124,12 +124,20 @@ object Dedup {
   def minhashSignatureFromHashes(shingleHashCol: Column, numHashes: Int,
       seed: Long): Column = {
     val u = udf { (sh: Seq[Long]) =>
-      val sig = Array.fill(numHashes)(Long.MaxValue)
+      // UNSIGNED min (init = unsigned max): the salted hashes live in the
+      // full 64-bit domain and the DuckDB oracle replays them as HUGEINTs,
+      // where min() is unsigned — a signed min here is a DIFFERENT minhash
+      // function that happened to agree on the sf0.01 gate aggregates and
+      // silently diverged at sf0.1 (the r9 off-by-one: pair (1290, 3624),
+      // jaccard 0.94, banded under unsigned min in 3/4 bands but missed
+      // entirely under signed min). Unsigned is also the standard
+      // convention for 64-bit minhash.
+      val sig = Array.fill(numHashes)(-1L)
       sh.foreach { h =>
         var i = 0
         while (i < numHashes) {
           val v = splitmix64(h ^ (seed + i))
-          if (v < sig(i)) sig(i) = v
+          if (java.lang.Long.compareUnsigned(v, sig(i)) < 0) sig(i) = v
           i += 1
         }
       }
