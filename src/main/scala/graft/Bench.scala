@@ -115,8 +115,8 @@ object Bench {
     val passTotals = {
       val a = passA.map(_._2._1).sum
       passBOpt match {
-        case Some(b) => f"[${a}%.2f,${selected.map(s => b(s._1)._1).sum}%.2f]"
-        case None => f"[${a}%.2f]"
+        case Some(b) => f"[${a}%.1f,${selected.map(s => b(s._1)._1).sum}%.1f]"
+        case None => f"[${a}%.1f]"
       }
     }
     val qsAb = selected.map { case (n, _) =>
@@ -168,7 +168,10 @@ object Bench {
     // counts against the ~2 KB stdout tail window (1536-byte self-target;
     // the r8 msmarco-hnsw row returning pushed the old format to 1557)
     val sfShort = java.nio.file.Paths.get(sfDir).getFileName.toString
-    val notes = s""""gate_reps":$gateReps,"pass_totals":$passTotals,"notes":"gate=min of $gateReps; serve excludes fixture build""""
+    // "pt" = raw A/B pass totals (full per-query A/B in the on-disk
+    // artifact; README documents the key) — every byte on this line
+    // counts against the driver's ~2 KB stdout tail window
+    val notes = s""""gate_reps":$gateReps,"pt":$passTotals,"notes":"gate=min of $gateReps; serve excl fixture build""""
     val artifact =
       s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec",$notes,"queries":$qs,"baseline":$baselineCompact,"sf":"$sfShort"}"""
     val artifactFull =
@@ -177,9 +180,11 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench_last.json"), artifactFull + "\n")
     catch { case _: Throwable => () }
-    if (artifact.length > 1536)
+    // 1600-byte self-target: the driver tail window is ~2 KB and r8
+    // shipped (and parsed) 1557; 1600 keeps ~400 B headroom
+    if (artifact.length > 1600)
       System.err.println(s"[bench] WARNING printed artifact line is " +
-        s"${artifact.length} bytes (> 1536 target)")
+        s"${artifact.length} bytes (> 1600 target)")
     // Stop BEFORE printing the artifact line: a noisy shutdown (e.g. a
     // blockmgr temp-dir delete failing under /tmp) must never land its
     // stack trace after the JSON line — the driver reads the output TAIL,

@@ -93,6 +93,10 @@ object BaselineCompare {
           "strided_accum" -> "true")),
       // train_iters=25 mirrors FAISS's kmeans default (niter=25); the
       // gate configs stay at the pinned 15 to keep oracle literals stable
+      // strided_accum (float LUTs) measured PAR with the double ADC
+      // scorers here (dev/FloatAdcAb: 19.0 vs 19.7 ms at the random
+      // shape) — the gathers are latency-bound and the 4-row blocking
+      // already pipelines them, so the rows keep the oracle-exact path
       ("pq", "pq", "pq",
         Map("num_subspaces" -> m.toString, "num_centroids" -> "256",
           "train_iters" -> "25", "kmeans_init" -> pqInit)),

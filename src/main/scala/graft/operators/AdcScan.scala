@@ -147,6 +147,162 @@ object AdcScan {
     }
   }
 
+  /** FAISS-regime PQ ADC (opt-in via `strided_accum`; gates keep
+    * [[PqLutScorer]]'s oracle-exact double path): FLOAT LUTs — half the
+    * table bytes, so the 128 KB/query 64×256 table becomes 64 KB and the
+    * data-dependent gathers hit closer caches — with float accumulation
+    * (FAISS's own ADC arithmetic). Same j-tiling + 4-row blocking as the
+    * exact scorer; values differ by single-precision rounding only, so
+    * recall is equivalent and both the local and distributed paths share
+    * the one scorer when the flag is on. */
+  final class FloatPqLutScorer(luts: Lut[Array[Array[Float]]],
+      sqrtOut: Boolean) extends Scorer {
+    def score(qidx: Int, cid: Int, codes: Array[Byte], off: Int, len: Int): Double = {
+      val lut = luts.value(qidx)
+      val nC = lut.length / len
+      var acc = 0.0f; var j = 0
+      while (j < len) { acc += lut(j * nC + (codes(off + j) + 128)); j += 1 }
+      if (sqrtOut) math.sqrt(acc.toDouble) else acc.toDouble
+    }
+
+    override def scoreChunk(qidx: Int, cid: Int, codes: Array[Byte],
+        off0: Int, stride: Int, nRows: Int, out: Array[Double]): Unit = {
+      val lut = luts.value(qidx)
+      val nC = lut.length / stride
+      val jb = math.max(1, (64 << 10) / 4 / nC) // float LUT slice ≈ 64 KB
+      val accs = new Array[Float](nRows)
+      var j0 = 0
+      while (j0 < stride) {
+        val j1 = math.min(stride, j0 + jb)
+        var r = 0
+        while (r + 3 < nRows) {
+          val offA = off0 + r * stride
+          val offB = offA + stride
+          val offC = offB + stride
+          val offD = offC + stride
+          var a0 = accs(r); var a1 = accs(r + 1)
+          var a2 = accs(r + 2); var a3 = accs(r + 3)
+          var j = j0
+          while (j < j1) {
+            val base = j * nC + 128
+            a0 += lut(base + codes(offA + j))
+            a1 += lut(base + codes(offB + j))
+            a2 += lut(base + codes(offC + j))
+            a3 += lut(base + codes(offD + j))
+            j += 1
+          }
+          accs(r) = a0; accs(r + 1) = a1; accs(r + 2) = a2; accs(r + 3) = a3
+          r += 4
+        }
+        while (r < nRows) {
+          val off = off0 + r * stride
+          var acc = accs(r)
+          var j = j0
+          while (j < j1) { acc += lut(j * nC + (codes(off + j) + 128)); j += 1 }
+          accs(r) = acc
+          r += 1
+        }
+        j0 = j1
+      }
+      var r = 0
+      if (sqrtOut)
+        while (r < nRows) { out(r) = math.sqrt(accs(r).toDouble); r += 1 }
+      else
+        while (r < nRows) { out(r) = accs(r).toDouble; r += 1 }
+    }
+  }
+
+  /** FAISS-regime residual IVF-PQ ADC (opt-in via `strided_accum`): both
+    * per-entry tables float (t2 already is; qLut converted once per
+    * batch), float accumulation, ‖q−c‖² base added back in double before
+    * the clamp+sqrt. See [[FloatPqLutScorer]] for the regime contract. */
+  final class FloatResidualScorer(tables: Lut[(Array[Array[Float]],
+      Array[Array[Float]], Array[Array[Double]])]) extends Scorer {
+    def score(qidx: Int, cid: Int, codes: Array[Byte], off: Int, len: Int): Double = {
+      val (qLut, t2, qcNorm) = tables.value
+      val ql = qLut(qidx)
+      val t = t2(cid)
+      val nC = ql.length / len
+      var acc = 0.0f
+      var j = 0
+      while (j < len) {
+        val idx = j * nC + (codes(off + j) + 128)
+        acc += t(idx) + ql(idx)
+        j += 1
+      }
+      math.sqrt(math.max(0.0, qcNorm(qidx)(cid) + acc.toDouble))
+    }
+
+    override def scoreChunk(qidx: Int, cid: Int, codes: Array[Byte],
+        off0: Int, stride: Int, nRows: Int, out: Array[Double]): Unit = {
+      val (qLut, t2, qcNorm) = tables.value
+      val ql = qLut(qidx)
+      val t = t2(cid)
+      val nC = ql.length / stride
+      val base = qcNorm(qidx)(cid)
+      val accs = new Array[Float](nRows)
+      val jb = math.max(1, (64 << 10) / 4 / nC)
+      var j0 = 0
+      while (j0 < stride) {
+        val j1 = math.min(stride, j0 + jb)
+        var r = 0
+        while (r + 3 < nRows) {
+          val offA = off0 + r * stride
+          val offB = offA + stride
+          val offC = offB + stride
+          val offD = offC + stride
+          var a0 = accs(r); var a1 = accs(r + 1)
+          var a2 = accs(r + 2); var a3 = accs(r + 3)
+          var j = j0
+          while (j < j1) {
+            val jn = j * nC + 128
+            val iA = jn + codes(offA + j); val iB = jn + codes(offB + j)
+            val iC = jn + codes(offC + j); val iD = jn + codes(offD + j)
+            a0 += t(iA) + ql(iA)
+            a1 += t(iB) + ql(iB)
+            a2 += t(iC) + ql(iC)
+            a3 += t(iD) + ql(iD)
+            j += 1
+          }
+          accs(r) = a0; accs(r + 1) = a1; accs(r + 2) = a2; accs(r + 3) = a3
+          r += 4
+        }
+        while (r < nRows) {
+          val off = off0 + r * stride
+          var acc = accs(r)
+          var j = j0
+          while (j < j1) {
+            val idx = j * nC + (codes(off + j) + 128)
+            acc += t(idx) + ql(idx)
+            j += 1
+          }
+          accs(r) = acc
+          r += 1
+        }
+        j0 = j1
+      }
+      var r = 0
+      while (r < nRows) {
+        out(r) = math.sqrt(math.max(0.0, base + accs(r).toDouble)); r += 1
+      }
+    }
+  }
+
+  /** primitive parallel double→float LUT conversion (a boxed
+    * `Array.map(_.toFloat)` over 256 × 16K entries cost ~20 ms per
+    * search — more than the scan it was feeding) */
+  def toFloatLuts(luts: Array[Array[Double]]): Array[Array[Float]] = {
+    val out = new Array[Array[Float]](luts.length)
+    java.util.stream.IntStream.range(0, luts.length).parallel().forEach { i =>
+      val l = luts(i)
+      val f = new Array[Float](l.length)
+      var j = 0
+      while (j < l.length) { f(j) = l(j).toFloat; j += 1 }
+      out(i) = f
+    }
+    out
+  }
+
   /** SQ8 asymmetric: query float vs dequantized byte codes.
     * mode: 0 = L2 (sqrt), 1 = IP (−dot), 2 = cosine.
     *

@@ -137,7 +137,10 @@ object Registry {
           trainIters = p.getOrElse("train_iters", "15").toInt,
           kmeansInit = p.getOrElse("kmeans_init", "random"))
       }
-      registerSearcher("pq") { (p, m) => PqSearcher(metric = m) }
+      registerSearcher("pq") { (p, m) =>
+        PqSearcher(metric = m,
+          strided = p.getOrElse("strided_accum", "false").toBoolean)
+      }
       registerIndexer("opq_pq") { (p, _) =>
         OpqPqIndexer(
           numSubspaces = p.getOrElse("num_subspaces", "8").toInt,
@@ -170,7 +173,8 @@ object Registry {
           kmeansInit = p.getOrElse("kmeans_init", "random"))
       }
       registerSearcher("ivf_pq") { (p, m) =>
-        IvfPqSearcher(nprobe = p.getOrElse("nprobe", "8").toInt, metric = m)
+        IvfPqSearcher(nprobe = p.getOrElse("nprobe", "8").toInt, metric = m,
+          strided = p.getOrElse("strided_accum", "false").toBoolean)
       }
       registerIndexer("hnsw_global") { (p, met) =>
         HnswGlobalIndexer(

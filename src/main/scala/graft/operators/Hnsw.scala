@@ -256,10 +256,10 @@ final case class HnswSearcher(nprobe: Int = 2, efSearch: Int = 48,
 
 object HnswSearcher {
   /** Driver-collected per-centroid graphs: the build's adjacency relation
-    * reloaded walk-ready. Id spaces are disjoint across centroid groups
-    * (each base row lives in exactly one), so the cross-probe merge needs
-    * no dedup — same invariant the distributed mapPartitions path relies
-    * on. */
+    * reloaded walk-ready. With spill=1 id spaces are disjoint across
+    * centroid groups (each base row lives in exactly one) and the
+    * cross-probe merge needs no dedup; with spill>1 boundary rows live in
+    * several graphs and both serve paths dedup by id (meta-driven). */
   final class DistModel(
       val graphs: Array[NswGraph],
       val idsByCid: Array[Array[Long]],

@@ -96,8 +96,8 @@ final case class IvfPqIndexer(
       local = Map("centroids_local" -> centers, "pq_model" -> model))
 }
 
-final case class IvfPqSearcher(nprobe: Int, metric: String) extends Searcher
-    with QueryBroadcastLifecycle {
+final case class IvfPqSearcher(nprobe: Int, metric: String,
+    strided: Boolean = false) extends Searcher with QueryBroadcastLifecycle {
   def search(artifact: IndexArtifact, queries: DataFrame, k: Int): DataFrame = {
     beginSearch()
     val model = PqModel.fromArtifact(artifact)
@@ -117,7 +117,11 @@ final case class IvfPqSearcher(nprobe: Int, metric: String) extends Searcher
     val scorer: AdcScan.Scorer =
       if (!residual) {
         val luts = qVecArr.map(v => model.lut(v, metric))
-        new AdcScan.PqLutScorer(
+        if (strided)
+          new AdcScan.FloatPqLutScorer(
+            trackLut(spark, localTable.isDefined,
+              AdcScan.toFloatLuts(luts)), l2)
+        else new AdcScan.PqLutScorer(
           trackLut(spark, localTable.isDefined, luts), l2)
       } else {
         // Residual ADC via FAISS's precomputed-table decomposition
@@ -194,7 +198,13 @@ final case class IvfPqSearcher(nprobe: Int, metric: String) extends Searcher
           }
           qcNorm(qi) = row
         }
-        new AdcScan.ResidualScorer(
+        // strided_accum: float qLut + float accumulation (t2 is float
+        // already) — the FAISS comparison regime for the baseline row
+        if (strided)
+          new AdcScan.FloatResidualScorer(
+            trackLut(spark, localTable.isDefined,
+              (AdcScan.toFloatLuts(qLut), t2, qcNorm)))
+        else new AdcScan.ResidualScorer(
           trackLut(spark, localTable.isDefined, (qLut, t2, qcNorm)))
       }
     // coarse probe on the driver (see IvfSq8Searcher), then the

@@ -48,8 +48,8 @@ final case class PqIndexer(numSubspaces: Int, numCentroids: Int, seed: Long,
   }
 }
 
-final case class PqSearcher(metric: String) extends Searcher
-    with QueryBroadcastLifecycle {
+final case class PqSearcher(metric: String, strided: Boolean = false)
+    extends Searcher with QueryBroadcastLifecycle {
   def search(artifact: IndexArtifact, queries: DataFrame, k: Int): DataFrame = {
     beginSearch()
     val model = PqModel.fromArtifact(artifact)
@@ -66,8 +66,15 @@ final case class PqSearcher(metric: String) extends Searcher
       .forEach(i => lutArr(i) = model.lut(qVecs(i), metric))
     val l2 = !(metric == "ip" || metric == "dot")
     val localTable = LocalScan.codeTable(artifact.data, ivf = false)
-    val scorer = new AdcScan.PqLutScorer(
-      trackLut(spark, localTable.isDefined, lutArr), l2)
+    // strided_accum = FAISS-regime float LUTs + float accumulation
+    // (baseline serving rows; gates keep the oracle-exact double scorer)
+    val scorer: AdcScan.Scorer =
+      if (strided)
+        new AdcScan.FloatPqLutScorer(
+          trackLut(spark, localTable.isDefined,
+            AdcScan.toFloatLuts(lutArr)), l2)
+      else new AdcScan.PqLutScorer(
+        trackLut(spark, localTable.isDefined, lutArr), l2)
     localTable match {
       case Some(ct) => LocalScan.scanCodesFull(spark, ct, qids, k, scorer)
       case None => AdcScan.searchTopK(artifact.data, qids, k, scorer)

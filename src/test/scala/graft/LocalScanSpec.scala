@@ -175,6 +175,31 @@ class LocalScanSpec extends AnyFunSuite {
     assert(a.nonEmpty && a == b)
   }
 
+  test("float-LUT ADC scorers rank like the oracle-exact double scorers") {
+    // strided_accum on pq/ivf_pq = FloatPqLutScorer/FloatResidualScorer:
+    // values differ by single-precision rounding, rankings must be
+    // recall-equivalent (dev/FloatAdcAb measures the perf side)
+    for ((ind, params) <- Seq(
+        ("pq", Map("num_subspaces" -> "8", "num_centroids" -> "32")),
+        ("ivf_pq", Map("nlist" -> "8", "nprobe" -> "4",
+          "num_subspaces" -> "8", "num_centroids" -> "32",
+          "residual" -> "true")))) {
+      val artifact = Registry.indexer(ind, params + ("seed" -> "42"), "l2")
+        .build(trainC)
+      artifact.data.cache().count()
+      val d = rows(Registry.searcher(ind, params, "l2")
+        .search(artifact, queries, 7))
+      val f = rows(Registry.searcher(ind,
+          params + ("strided_accum" -> "true"), "l2")
+        .search(artifact, queries, 7))
+      val dIds = d.map(t => (t._1, t._3)).toSet
+      val fIds = f.map(t => (t._1, t._3)).toSet
+      val overlap = dIds.intersect(fIds).size.toDouble / dIds.size
+      assert(overlap >= 0.95, s"$ind float-vs-double id overlap $overlap")
+      artifact.data.unpersist()
+    }
+  }
+
   test("memoization: repeated searches reuse the collected table (no growth)") {
     val artifact = Registry.indexer("sq8", Map.empty, "l2").build(trainC)
     artifact.data.cache().count()
