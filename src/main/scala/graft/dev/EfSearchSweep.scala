@@ -48,7 +48,7 @@ object EfSearchSweep {
         Map("m" -> "16", "ef_construction" -> "200", "seed" -> "42"), "l2")
         .build(train)
       artifact.data.cache().count()
-      for (ef <- Seq(40, 64, 100, 160, 256)) {
+      for (ef <- Seq(40, 48, 56, 64, 80, 100, 128, 160)) {
         val searcher = Registry.searcher("hnsw_global",
           Map("ef_search" -> ef.toString), "l2")
         searcher.search(artifact, test, 20).collect() // warm

@@ -198,8 +198,8 @@ object BaselineCompare {
         // comparison point, not a parity claim. Operating point from
         // dev/HnswDistProbe (r9): SPANN-style spill=2 boundary closure,
         // 16 groups, probe 12, ef 20 → recall 0.9921 ≥ ref 0.9857 at
-        // ~0.6× ref QPS, build ~2× the global's at this shape (the
-        // crossover analysis lives in README §hnsw-dist).
+        // ~0.8× ref QPS, build ~2.6× the global's at this shape (the
+        // crossover analysis lives in README §Distributed HNSW).
         ("hnsw_dist", "hnsw", "hnsw",
           Map("n_partitions" -> "16", "m" -> "16",
             "ef_construction" -> "100", "spill" -> "2",

@@ -960,7 +960,7 @@ object AdcScan {
     * [[coarseProbeFlopCap]], else the distributed kNN probe join with the
     * (slim) probe pairs collected into the same dense cid → qidx form.
     * Both paths produce the identical probed set. */
-  def probesAuto(q: DataFrame, qids: Array[Long],
+  def probesAuto(q: => DataFrame, qids: Array[Long],
       qVecArr: Array[Array[Float]], centroids: Array[(Int, Array[Float])],
       nlist: Int, nprobe: Int, centroidsDf: => DataFrame)
       : Array[Array[Int]] = {

@@ -105,7 +105,9 @@ final case class HnswGlobalSearcher(efSearch: Int = 100, metric: String = "l2",
     // (which the ADC/PQ searchers pay anyway for their LUTs) — the same
     // statistics-driven switch as AdcScan's finish. Huge query batches
     // take the broadcast + mapPartitions path.
-    val qRows = queries.select(col("qid").cast("long"), col("vector"))
+    // lazy (see IvfSq8Searcher): DataFrame construction runs the
+    // analyzer eagerly; only the distributed mapPartitions path needs it
+    def qRows = queries.select(col("qid").cast("long"), col("vector"))
     val cap = HnswGlobalSearcher.driverWalkCap
     // memoized across repeated searches of the same batch (LocalScan);
     // the capped probe collects at most cap+1 rows, so a huge query

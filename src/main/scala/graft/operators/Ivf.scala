@@ -111,7 +111,10 @@ final case class IvfSearcher(nprobe: Int, metric: String,
   def search(artifact: IndexArtifact, queries: DataFrame, k: Int): DataFrame = {
     val spark = artifact.data.sparkSession
     import spark.implicits._
-    val q = queries.select(col("qid").cast("long").as("qid"), col("vector"))
+    // lazy — see IvfSq8Searcher: only probesAuto's fallback and the
+    // distributed rerank branch need it; building a DataFrame runs the
+    // analyzer eagerly and taxed every driver-local serve batch
+    def q = queries.select(col("qid").cast("long").as("qid"), col("vector"))
     // coarse probe on the driver: nprobe nearest centroids per query
     // (always L2, as FAISS IVF coarse assignment is L2 even under other
     // metrics) — nlist × dim flops per query, replaces a Spark job. The

@@ -101,7 +101,8 @@ final case class IvfPqSearcher(nprobe: Int, metric: String,
   def search(artifact: IndexArtifact, queries: DataFrame, k: Int): DataFrame = {
     beginSearch()
     val model = PqModel.fromArtifact(artifact)
-    val q = queries.select(col("qid").cast("long").as("qid"), col("vector"))
+    // lazy — see IvfSq8Searcher: only probesAuto's fallback needs it
+    def q = queries.select(col("qid").cast("long").as("qid"), col("vector"))
     val l2 = !(metric == "ip" || metric == "dot")
     val spark = artifact.data.sparkSession
     val residual = artifact.meta.getOrElse("residual", "false") == "true"
