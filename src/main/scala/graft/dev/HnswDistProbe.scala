@@ -89,8 +89,39 @@ object HnswDistProbe {
       artifact.data.unpersist()
     }
 
+    // optional: big-batch distributed-serve amortization — time the
+    // mapPartitions serve path (the over-cap regime) at `bigBatch`
+    // queries, untimed build, no GT (recall is pinned by the small-batch
+    // measurements; this measures job-dispatch amortization only)
+    val bigBatch = args.lift(2).map(_.toInt).getOrElse(0)
+
     println(s"n_train=$nTrain  (ref msmarco hnsw: recall 0.9857, qps 7872, " +
       "build 248s on ref hw)")
+    if (bigBatch > 0) {
+      val (np, m, efC, nprobe, efS, spill, eps) = sweep.head
+      val artifact = Registry.indexer("hnsw",
+        Map("n_partitions" -> np.toString, "m" -> m.toString,
+          "ef_construction" -> efC.toString, "spill" -> spill.toString,
+          "spill_eps" -> eps.toString, "seed" -> "42"), "l2").build(train)
+      artifact.data.cache().count()
+      val s = Registry.searcher("hnsw",
+        Map("nprobe" -> nprobe.toString, "ef_search" -> efS.toString), "l2")
+      val bigQ = vecs(bigBatch, 44).withColumnRenamed("id", "qid").cache()
+      bigQ.count()
+      // force the DISTRIBUTED path regardless of caps
+      sys.props("graft.local.enabled") = "false"
+      try {
+        s.search(artifact, bigQ, 20).count() // warm
+        val secs = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          s.search(artifact, bigQ, 20).count()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        println(f"distributed-serve bigBatch=$bigBatch%d: ${secs}%.2fs " +
+          f"qps=${bigBatch / secs}%8.0f (mapPartitions path, caps forced off)")
+      } finally sys.props.remove("graft.local.enabled")
+      artifact.data.unpersist(); bigQ.unpersist()
+    }
     measure("global m=16 efC=200 ef=64", "hnsw_global", "hnsw_global",
       Map("m" -> "16", "ef_construction" -> "200"),
       Map("ef_search" -> "64"))
