@@ -165,6 +165,29 @@ class LocalScanSpec extends AnyFunSuite {
         "nprobe" -> "2", "ef_search" -> "64"))
   }
 
+  test("hnsw spill=2 boundary closure: dedup'd results, local ≡ distributed") {
+    // spill>1 duplicates boundary rows into neighboring graphs; a query
+    // probing two graphs can see the same id twice and BOTH serve paths
+    // must dedup — the baseline hnsw_dist row runs this configuration
+    val params = Map("n_partitions" -> "4", "m" -> "8",
+      "ef_construction" -> "64", "spill" -> "2", "spill_eps" -> "0.5",
+      "nprobe" -> "3", "ef_search" -> "64")
+    val artifact = Registry.indexer("hnsw", params + ("seed" -> "42"), "l2")
+      .build(trainC)
+    artifact.data.cache().count()
+    assert(artifact.meta("spill") == "2")
+    // the closure actually duplicated rows (eps 0.5 is generous)
+    assert(artifact.data.count() > trainC.count())
+    val s = Registry.searcher("hnsw", params, "l2")
+    val local = rows(s.search(artifact, queries, 7))
+    val dist = forcedDistributed { rows(s.search(artifact, queries, 7)) }
+    assert(local.nonEmpty && local == dist, "spill local != distributed")
+    // no duplicate (qid, id) slots in the merged top-k
+    val dupes = local.groupBy(t => (t._1, t._3)).filter(_._2.size > 1)
+    assert(dupes.isEmpty, s"duplicate ids in top-k: ${dupes.keys.take(3)}")
+    artifact.data.unpersist()
+  }
+
   test("hnsw_global memoized-query walk ≡ fresh-collect walk") {
     val artifact = Registry.indexer("hnsw_global",
       Map("m" -> "8", "ef_construction" -> "64", "seed" -> "42"), "l2")
