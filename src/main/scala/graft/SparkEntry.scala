@@ -718,7 +718,7 @@ object SparkEntry {
         |    FROM gtd) t WHERE rn <= 10 GROUP BY qid),
         |per AS (
         |  SELECT g.qid,
-        |    len(list_intersect(g.gt, p.pred))::DOUBLE / len(g.gt) AS recall,
+        |    coalesce(len(list_intersect(g.gt, p.pred))::DOUBLE / len(g.gt), 0.0) AS recall,
         |    coalesce(1.0 / (SELECT min(pos) FROM (
         |      SELECT unnest(p.pred) AS pid, generate_subscripts(p.pred, 1) AS pos) u
         |      WHERE list_contains(g.gt, pid)), 0.0) AS rr
@@ -787,7 +787,7 @@ object SparkEntry {
         |    FROM gtd) t WHERE rn <= 10 GROUP BY qid),
         |per AS (
         |  SELECT g.qid,
-        |    len(list_intersect(g.gt, p.pred))::DOUBLE / len(g.gt) AS recall,
+        |    coalesce(len(list_intersect(g.gt, p.pred))::DOUBLE / len(g.gt), 0.0) AS recall,
         |    coalesce(1.0 / (SELECT min(pos) FROM (
         |      SELECT unnest(p.pred) AS pid, generate_subscripts(p.pred, 1) AS pos) u
         |      WHERE list_contains(g.gt, pid)), 0.0) AS rr
@@ -1859,7 +1859,7 @@ object SparkEntry {
         |    FROM gtd) t WHERE rn <= 10 GROUP BY qid),
         |per AS (
         |  SELECT g.qid,""".stripMargin,
-      """    len(list_intersect(g.gt, p.pred))::DOUBLE / len(g.gt) AS recall,
+      """    coalesce(len(list_intersect(g.gt, p.pred))::DOUBLE / len(g.gt), 0.0) AS recall,
         |    coalesce(1.0 / (SELECT min(pos) FROM (
         |      SELECT unnest(p.pred) AS pid, generate_subscripts(p.pred, 1) AS pos) u
         |      WHERE list_contains(g.gt, pid)), 0.0) AS rr
@@ -2961,7 +2961,7 @@ object SparkEntry {
         |    FROM gtd) t WHERE rn <= 10 GROUP BY qid),
         |per AS (
         |  SELECT g.qid,
-        |    len(list_intersect(g.gt, p.pred))::DOUBLE / len(g.gt) AS recall,
+        |    coalesce(len(list_intersect(g.gt, p.pred))::DOUBLE / len(g.gt), 0.0) AS recall,
         |    coalesce(1.0 / (SELECT min(pos) FROM (
         |      SELECT unnest(p.pred) AS pid, generate_subscripts(p.pred, 1) AS pos) u
         |      WHERE list_contains(g.gt, pid)), 0.0) AS rr
@@ -3046,7 +3046,7 @@ object SparkEntry {
         |    FROM gtd) t WHERE rn <= 10 GROUP BY qid),
         |per AS (
         |  SELECT g.qid,
-        |    len(list_intersect(g.gt, p.pred))::DOUBLE / len(g.gt) AS recall,
+        |    coalesce(len(list_intersect(g.gt, p.pred))::DOUBLE / len(g.gt), 0.0) AS recall,
         |    coalesce(1.0 / (SELECT min(pos) FROM (
         |      SELECT unnest(p.pred) AS pid, generate_subscripts(p.pred, 1) AS pos) u
         |      WHERE list_contains(g.gt, pid)), 0.0) AS rr
@@ -3153,7 +3153,7 @@ object SparkEntry {
         |    FROM gtd) t WHERE rn <= 10 GROUP BY qid),
         |per AS (
         |  SELECT g.qid,
-        |    len(list_intersect(g.gt, p.pred))::DOUBLE / len(g.gt) AS recall,
+        |    coalesce(len(list_intersect(g.gt, p.pred))::DOUBLE / len(g.gt), 0.0) AS recall,
         |    coalesce(1.0 / (SELECT min(pos) FROM (
         |      SELECT unnest(p.pred) AS pid, generate_subscripts(p.pred, 1) AS pos) u
         |      WHERE list_contains(g.gt, pid)), 0.0) AS rr
@@ -4347,7 +4347,7 @@ gt AS (
     FROM gtd) t WHERE rn <= 10 GROUP BY qid),
 per AS (
   SELECT g.qid,
-    len(list_intersect(g.gt, p.pred))::DOUBLE / len(g.gt) AS recall,
+    coalesce(len(list_intersect(g.gt, p.pred))::DOUBLE / len(g.gt), 0.0) AS recall,
     coalesce(1.0 / (SELECT min(pos) FROM (
       SELECT unnest(p.pred) AS pid, generate_subscripts(p.pred, 1) AS pos) u
       WHERE list_contains(g.gt, pid)), 0.0) AS rr
@@ -4505,7 +4505,7 @@ HAVING round(avg(recall), 4) >= 0.50""").mkString("\n"),
         |    FROM gtd) t WHERE rn <= 10 GROUP BY qid),
         |per AS (
         |  SELECT g.qid,
-        |    len(list_intersect(g.gt, p.pred))::DOUBLE / len(g.gt) AS recall,
+        |    coalesce(len(list_intersect(g.gt, p.pred))::DOUBLE / len(g.gt), 0.0) AS recall,
         |    coalesce(1.0 / (SELECT min(pos) FROM (
         |      SELECT unnest(p.pred) AS pid, generate_subscripts(p.pred, 1) AS pos) u
         |      WHERE list_contains(g.gt, pid)), 0.0) AS rr

@@ -200,9 +200,10 @@ final case class HnswSearcher(nprobe: Int = 2, efSearch: Int = 48,
           col("vector"), lit(null).cast("array<int>").as("nbrs"), col("qid")))
       .repartition(artifact.meta("n_partitions").toInt, col("centroid_id"))
     val merged = tagged.mapPartitions { it =>
-      // bucket rows per centroid group: graphs are disjoint by centroid,
-      // so a query routed to two groups in this partition searches each
-      // and the global top-k merge dedups nothing (no overlapping ids)
+      // bucket rows per centroid group: with spill=1 graphs are disjoint
+      // by centroid and the top-k merge sees no overlapping ids; with
+      // spill>1 boundary rows live in several graphs, so the merge below
+      // (and the local path) dedup by id — keep that dedup
       final class Group {
         var ids: Array[Long] = _
         var vecs: Array[Array[Float]] = _
@@ -269,8 +270,11 @@ object HnswSearcher {
     * (the vector payload dominates: nbrs add ~2m ints/row) */
   private[operators] def localModel(artifact: IndexArtifact): Option[DistModel] =
     LocalScan.memoized[DistModel](artifact.data) {
+      // per-row estimate: vector floats + adjacency (~2m ints at spill-time
+      // degree, NswGraph caps degree at 2m) + Row/array-header overhead
+      val m = artifact.meta.getOrElse("m", "16").toInt
       val fits = LocalScan.payloadStats(artifact.data, "vector", 4).exists {
-        case (n, width) => n * (width.toLong * 4 + 64) <= LocalScan.bytesCap
+        case (n, width) => n * (width.toLong * 4 + 8L * m + 64) <= LocalScan.bytesCap
       }
       if (!fits) None
       else {

@@ -39,6 +39,26 @@ final case class HnswGlobalIndexer(
   val kind = "hnsw_global"
 
   def build(base: DataFrame): IndexArtifact = {
+    // Auto-route above the driver build budget (same cap discipline as
+    // LocalScan): the global build collects every vector onto the driver,
+    // which README pins at roughly 5M×384 on the default 16 GiB heap.
+    // Rather than OOM past that, route to the distributed per-centroid
+    // build (HnswIndexer — the measured `hnsw_dist` path) with the
+    // SPANN spill=2 closure and ~128k-row groups. HnswGlobalSearcher
+    // recognizes the resulting kind="hnsw" artifact and delegates.
+    val stats = LocalScan.payloadStats(base, "vector", 4)
+    val fits = stats.exists { case (n, width) =>
+      // floats + layered adjacency (~2m ints layer0 + thinning uppers
+      // ≈ 12m bytes/row) + Row/array-header overhead
+      n * (width.toLong * 4 + 12L * m + 64) <= HnswGlobalIndexer.buildBytesCap
+    }
+    if (!fits) {
+      val n = stats.map(_._1).getOrElse(0L)
+      val nPart = math.max(8L, math.min(4096L, n / 131072L + 1L)).toInt
+      return HnswIndexer(nPartitions = nPart, m = m,
+        efConstruction = math.min(efConstruction, 100), metric = metric,
+        seed = seed, spill = 2, spillEps = 0.15).build(base)
+    }
     val rows = base.select(col("id").cast("long"), col("vector"))
       .orderBy("id").collect()
     val ids = rows.map(_.getLong(0))
@@ -59,6 +79,18 @@ final case class HnswGlobalIndexer(
       aux = Map("graph" -> graph),
       local = Map("model" -> model))
   }
+}
+
+object HnswGlobalIndexer {
+  /** driver-heap budget for the global (collect-everything) build.
+    * Default 8 GiB ≈ 5M×384-d float vectors + adjacency on the 16 GiB
+    * default heap — the crossover README §Distributed HNSW documents.
+    * Above it [[HnswGlobalIndexer.build]] routes to the distributed
+    * per-centroid build instead of OOMing. */
+  def buildBytesCap: Long =
+    sys.props.get("graft.hnsw.buildBytesCap").map(_.toLong)
+      .orElse(sys.env.get("GRAFT_HNSW_BUILD_BYTES_CAP").map(_.toLong))
+      .getOrElse(8L << 30)
 }
 
 final case class HnswGlobalSearcher(efSearch: Int = 100, metric: String = "l2",
@@ -86,6 +118,12 @@ final case class HnswGlobalSearcher(efSearch: Int = 100, metric: String = "l2",
     }
 
   def search(artifact: IndexArtifact, queries: DataFrame, k: Int): DataFrame = {
+    // over-cap builds auto-route to the distributed per-centroid index
+    // (HnswGlobalIndexer.build) — serve it with its own searcher at the
+    // measured hnsw_dist operating point (probe 12 of the spill=2 groups)
+    if (artifact.kind == "hnsw")
+      return HnswSearcher(nprobe = 12, efSearch = efSearch, metric = metric)
+        .search(artifact, queries, k)
     val spark = artifact.data.sparkSession
     val model = artifact.local.get("model") match {
       case Some(mo: HnswGlobalModel) => mo

@@ -181,6 +181,29 @@ class AnnSpec extends AnyFunSuite {
     assert(a == b, "reloaded artifact must reproduce the search exactly")
   }
 
+  test("global HNSW auto-routes to the distributed build above the cap") {
+    // shrink the driver build budget so the 512-row fixture is over-cap:
+    // the build must return the distributed per-centroid artifact
+    // (kind="hnsw") instead of collecting, and HnswGlobalSearcher must
+    // serve it through the delegated walk at useful recall
+    sys.props("graft.hnsw.buildBytesCap") = "1024"
+    try {
+      val idx = HnswGlobalIndexer(m = 8, efConstruction = 64, metric = "l2",
+        seed = 42).build(trainC)
+      assert(idx.kind == "hnsw", "over-cap build must route distributed")
+      assert(idx.meta("spill") == "2", "routed build carries the SPANN closure")
+      assert(!idx.local.contains("model"), "no driver-collected global model")
+      val res = HnswGlobalSearcher(efSearch = 64, metric = "l2")
+        .search(idx, testQ, 10)
+      val r = recallOf(res)
+      assert(r > 0.8, s"routed hnsw recall $r")
+    } finally sys.props.remove("graft.hnsw.buildBytesCap")
+    // and under the default cap the same call stays global
+    val global = HnswGlobalIndexer(m = 8, efConstruction = 64, metric = "l2",
+      seed = 42).build(trainC)
+    assert(global.kind == "hnsw_global" && global.local.contains("model"))
+  }
+
   test("registry dispatch builds the same algorithms") {
     val alg = Algorithm("exact",
       Registry.indexer("brute_force", Map(), "l2"),
