@@ -208,7 +208,17 @@ object BaselineCompare {
           Map("n_partitions" -> "16", "m" -> "16",
             "ef_construction" -> "100", "spill" -> "2",
             "spill_eps" -> "0.15", "nprobe" -> "12",
-            "ef_search" -> "20"))),
+            "ef_search" -> "20")),
+        // covertree LAST (r10): re-included with a declared 360 s row
+        // budget — the only published reference row with no measured
+        // counterpart through r9 (1.0000 / 5.76 QPS / 4,388 s build,
+        // benchmark_summary.md:49). The r10 block-parallel cover-test
+        // scan (CoverTree.scala) brings the exact build to a MEASURED
+        // ~181 s at this shape (dev/CoverTreeMsmarcoProbe, ~24× the
+        // reference build), over the default 120 s watchdog but a
+        // one-shot cost, and running last it can never starve other rows.
+        ("covertree", "covertree", "covertree",
+          Map("_budget_sec" -> "360"))),
       Map(
         "exact" -> (1.0000, 550.41),
         "hnsw" -> (0.9857, 7872.0),
@@ -237,7 +247,7 @@ object BaselineCompare {
   /** Overall stage budget across ALL workloads: once elapsed time crosses
     * it, remaining algorithms/datasets are skipped with a log line. */
   val totalBudgetSec: Int =
-    sys.env.getOrElse("SPARK_GRAFT_BASELINE_TOTAL_SEC", "900").toInt
+    sys.env.getOrElse("SPARK_GRAFT_BASELINE_TOTAL_SEC", "1200").toInt
 
   // NOTE on graft.scan.simd: the flag exists (LocalScan.scanSimd,
   // SimdScanSpec) and would be the FAISS-regime arithmetic for these
@@ -303,8 +313,14 @@ object BaselineCompare {
 
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
-    // watchdog + budget guard shared by both measurement phases
-    def guarded[T](name: String, phase: String)(body: => T): Either[String, T] = {
+    // watchdog + budget guard shared by both measurement phases; a row
+    // can declare a larger budget via the `_budget_sec` pseudo-param
+    // (consumed here, ignored by indexers/searchers) — the msmarco
+    // covertree build is a MEASURED ~180 s, not a wedge, and skipping it
+    // left the only published reference row with no counterpart (r9)
+    def guarded[T](name: String, phase: String,
+        budget: scala.concurrent.duration.FiniteDuration = perAlgoBudget)
+        (body: => T): Either[String, T] = {
       val group = s"baseline-${w.name}-$name-$phase"
       if (elapsed() > totalBudgetSec) {
         System.err.println(
@@ -318,14 +334,14 @@ object BaselineCompare {
               s"baseline ${w.name} $name $phase", interruptOnCancel = true)
             try body
             finally spark.sparkContext.clearJobGroup()
-          }, perAlgoBudget))
+          }, budget))
         catch {
           case _: java.util.concurrent.TimeoutException =>
             spark.sparkContext.cancelJobGroup(group)
             System.err.println(
               s"[baseline] ${w.name}/$name/$phase skipped: watchdog " +
-                s"(${perAlgoBudget.toSeconds}s) overrun")
-            Left(s"watchdog-${perAlgoBudget.toSeconds}s")
+                s"(${budget.toSeconds}s) overrun")
+            Left(s"watchdog-${budget.toSeconds}s")
           case e: Throwable =>
             spark.sparkContext.cancelJobGroup(group)
             System.err.println(s"[baseline] ${w.name}/$name/$phase FAILED: ${e.getMessage}")
@@ -349,7 +365,11 @@ object BaselineCompare {
       .map { case (name, in, se, params) =>
         val (refR, refQ) = w.reference(name)
         System.err.println(s"[baseline] running ${w.name}/$name ...")
-        guarded(name, "prep")(
+        val rowBudget = params.get("_budget_sec")
+          .map(sec => scala.concurrent.duration.Duration(sec.toInt,
+            scala.concurrent.duration.SECONDS))
+          .getOrElse(perAlgoBudget)
+        guarded(name, "prep", rowBudget)(
             prepOne(spark, w, gt, train, test, name, in, se, params)) match {
           case Right(p) => Right(p)
           case Left(reason) =>
