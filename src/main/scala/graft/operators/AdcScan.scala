@@ -956,6 +956,56 @@ object AdcScan {
     out
   }
 
+  /** Probe selection from ALREADY-COMPUTED squared query→centroid
+    * distances (dense [qidx][cid] — the residual scorer's term1 table):
+    * same (sqrt dist, cid) top-`nprobe` rule and dense cid → ascending
+    * qidx output as [[coarseProbes]], minus the duplicate distance pass.
+    * BoundedTopK's (dist, id) total order makes the selection
+    * insertion-order independent, so iterating cid ascending yields the
+    * identical probed set. */
+  def probesFromDists(d2: Array[Array[Double]], nlist: Int, nprobe: Int)
+      : Array[Array[Int]] = {
+    val nq = d2.length
+    val probed = new Array[Array[Long]](nq)
+    val qb = 16
+    val nBlocks = (nq + qb - 1) / qb
+    java.util.stream.IntStream.range(0, nBlocks).parallel().forEach { b =>
+      var qi = b * qb
+      val q1 = math.min(nq, qi + qb)
+      while (qi < q1) {
+        val row = d2(qi)
+        val h = new BoundedTopK(nprobe)
+        var c = 0
+        while (c < row.length) {
+          h.insert(c.toLong, math.sqrt(row(c)))
+          c += 1
+        }
+        probed(qi) = h.ids.take(h.size)
+        qi += 1
+      }
+    }
+    val counts = new Array[Int](nlist)
+    var qi = 0
+    while (qi < nq) {
+      val p = probed(qi); var j = 0
+      while (j < p.length) { counts(p(j).toInt) += 1; j += 1 }
+      qi += 1
+    }
+    val out = Array.tabulate(nlist)(c => new Array[Int](counts(c)))
+    val fill = new Array[Int](nlist)
+    qi = 0
+    while (qi < nq) {
+      val p = probed(qi); var j = 0
+      while (j < p.length) {
+        val cid = p(j).toInt
+        out(cid)(fill(cid)) = qi; fill(cid) += 1
+        j += 1
+      }
+      qi += 1
+    }
+    out
+  }
+
   /** Probe selection with the flop guard: driver-side below
     * [[coarseProbeFlopCap]], else the distributed kNN probe join with the
     * (slim) probe pairs collected into the same dense cid → qidx form.

@@ -125,18 +125,26 @@ final case class IvfSearcher(nprobe: Int, metric: String,
     val (qids, qVecArr) = LocalScan.queryVecsAlways(queries)
     val cents = IvfModel.centroidsOf(artifact)
     val nlist = cents.map(_._1).max + 1
-    val probeArr = AdcScan.probesAuto(q, qids, qVecArr, cents, nlist, nprobe,
-      artifact.aux("centroids"))
+    val dims = if (qVecArr.isEmpty) 0 else qVecArr(0).length
     // below the LocalScan cap the probed lists scan driver-core-parallel
     // on the memoized collected index (same kernel arithmetic as the
-    // codegen rerank → bit-identical); above it, the equi-join plan
+    // codegen rerank → bit-identical); above it, the equi-join plan.
+    // Below the coarse flop cap the probe FUSES into the scan pass
+    // (scanVecsIvfFused — identical probed set and rows, one dispatch)
     (LocalScan.metricMode(metric),
         LocalScan.vecTable(artifact.data, ivf = true)) match {
+      case (Some(mode), Some(vt))
+          if AdcScan.coarseProbesFit(qids.length.toLong, nlist.toLong, dims.toLong) =>
+        return LocalScan.scanVecsIvfFused(spark, vt, qids, qVecArr, k, mode,
+          cents, nprobe, strided = strided)
       case (Some(mode), Some(vt)) =>
         return LocalScan.scanVecsIvf(spark, vt, qids, qVecArr, k, mode,
-          probeArr, strided = strided)
+          AdcScan.probesAuto(q, qids, qVecArr, cents, nlist, nprobe,
+            artifact.aux("centroids")), strided = strided)
       case _ => ()
     }
+    val probeArr = AdcScan.probesAuto(q, qids, qVecArr, cents, nlist, nprobe,
+      artifact.aux("centroids"))
     val probes = probeArr.iterator.zipWithIndex.flatMap { case (qs, cid) =>
       qs.iterator.map(qi => (qids(qi), cid))
     }.toSeq.toDF("qid", "centroid_id")

@@ -115,9 +115,15 @@ final case class IvfPqSearcher(nprobe: Int, metric: String,
 
     // scoring kernel over (qidx, cid, codes) — the query-major partition
     // scan (see AdcScan / PqSearcher); qidx indexes the broadcast tables
+    // residual prep already computes every query→centroid distance
+    // (term1); the coarse probe below reuses it instead of re-running
+    // the same pass (AdcScan.probesFromDists — identical probed set)
+    var qcDists: Array[Array[Double]] = null
     val scorer: AdcScan.Scorer =
       if (!residual) {
-        val luts = qVecArr.map(v => model.lut(v, metric))
+        val luts = new Array[Array[Double]](qVecArr.length)
+        java.util.stream.IntStream.range(0, qVecArr.length).parallel()
+          .forEach(i => luts(i) = model.lut(qVecArr(i), metric))
         if (strided)
           new AdcScan.FloatPqLutScorer(
             trackLut(spark, localTable.isDefined,
@@ -140,7 +146,7 @@ final case class IvfPqSearcher(nprobe: Int, metric: String,
         // builds driver-core parallel (they dominated per-search prep)
         val qLut = new Array[Array[Double]](qVecArr.length)
         java.util.stream.IntStream.range(0, qVecArr.length).parallel()
-          .forEach(i => qLut(i) = model.lut(qVecArr(i), "ip").map(_ * 2.0))
+          .forEach(i => qLut(i) = model.lutScaled(qVecArr(i), "ip", 2.0))
         // term2 per list: ‖y‖² + 2·c_j·y over every (subspace, code) —
         // query-INdependent and artifact-fixed, so built ONCE per
         // artifact (memoized like FAISS's use_precomputed_table, which
@@ -199,6 +205,7 @@ final case class IvfPqSearcher(nprobe: Int, metric: String,
           }
           qcNorm(qi) = row
         }
+        qcDists = qcNorm
         // strided_accum: float qLut + float accumulation (t2 is float
         // already) — the FAISS comparison regime for the baseline row
         if (strided)
@@ -211,8 +218,15 @@ final case class IvfPqSearcher(nprobe: Int, metric: String,
     // coarse probe on the driver (see IvfSq8Searcher), then the
     // query-major scan over only the probed inverted lists —
     // driver-local below the LocalScan cap, partition-buffered above it
-    val probeArr = AdcScan.probesAuto(
-      q, qids, qVecArr, centArr, nlistAll, nprobe, artifact.aux("centroids"))
+    // dense-cid guard: probesFromDists scans every slot of the term1 row,
+    // so a sparse cid space (a dropped centroid leaving a zero-filled gap)
+    // would probe a nonexistent list — coarseProbes iterates only real
+    // centroids, so fall back there in that (never-seen) case
+    val probeArr =
+      if (qcDists != null && centArr.length == nlistAll)
+        AdcScan.probesFromDists(qcDists, nlistAll, nprobe)
+      else AdcScan.probesAuto(
+        q, qids, qVecArr, centArr, nlistAll, nprobe, artifact.aux("centroids"))
     localTable match {
       case Some(ct) =>
         LocalScan.scanCodesIvf(spark, ct, qids, k, scorer, probeArr)

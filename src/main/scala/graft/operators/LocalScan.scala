@@ -655,6 +655,41 @@ object LocalScan {
 
   /** IVF flat scan: probed lists only (mirrors IvfSearcher's equi-join +
     * carried-vector rerank). `strided` as in [[scanVecsFull]]. */
+  /** one query's probed-list scan (shared by [[scanVecsIvf]] and
+    * [[scanVecsIvfFused]] — identical arithmetic and visit order) */
+  private def scanQueryLists(vt: VecTable, q: Array[Float], cids: Array[Int],
+      k: Int, mode: Int, m: Int, strided: Boolean, simd: Boolean,
+      norms: Array[Double]): BoundedTopK = {
+    var h: BoundedTopK = null
+    val qn = if (strided) queryNorm(q) else 0.0
+    var ci = 0
+    while (ci < cids.length) {
+      val cid = cids(ci)
+      if (cid + 1 < vt.listOffsets.length) {
+        var r = vt.listOffsets(cid)
+        val end = vt.listOffsets(cid + 1)
+        if (r < end && h == null) h = new BoundedTopK(k)
+        if (strided) {
+          val dim = vt.dim
+          while (r < end) {
+            val dot = dot4(q, vt.flat, r * dim, dim)
+            h.insert(vt.ids(r),
+              stridedDist(m, qn, if (norms == null) 0.0 else norms(r), dot))
+            r += 1
+          }
+        } else while (r < end) {
+          val d =
+            if (simd) simdDistAt(q, vt.flat, r * vt.dim, mode)
+            else vecDist(q, vt.flat, r * vt.dim, vt.dim, mode)
+          h.insert(vt.ids(r), d)
+          r += 1
+        }
+      }
+      ci += 1
+    }
+    h
+  }
+
   def scanVecsIvf(spark: SparkSession, vt: VecTable, qids: Array[Long],
       qVecs: Array[Array[Float]], k: Int, mode: Int,
       probes: Array[Array[Int]], strided: Boolean = false): DataFrame = {
@@ -664,32 +699,64 @@ object LocalScan {
     val m = if (strided && mode == 3) 0 else mode
     val norms = if (strided && m != 1) rowNorms(vt) else null
     java.util.stream.IntStream.range(0, qids.length).parallel().forEach { qi =>
-      var h: BoundedTopK = null
-      val q = qVecs(qi)
-      val qn = if (strided) queryNorm(q) else 0.0
-      byQuery(qi).foreach { cid =>
-        if (cid + 1 < vt.listOffsets.length) {
-          var r = vt.listOffsets(cid)
-          val end = vt.listOffsets(cid + 1)
-          if (r < end && h == null) h = new BoundedTopK(k)
-          if (strided) {
-            val dim = vt.dim
-            while (r < end) {
-              val dot = dot4(q, vt.flat, r * dim, dim)
-              h.insert(vt.ids(r),
-                stridedDist(m, qn, if (norms == null) 0.0 else norms(r), dot))
-              r += 1
-            }
-          } else while (r < end) {
-            val d =
-              if (simd) simdDistAt(q, vt.flat, r * vt.dim, mode)
-              else vecDist(q, vt.flat, r * vt.dim, vt.dim, mode)
-            h.insert(vt.ids(r), d)
-            r += 1
+      heaps(qi) =
+        scanQueryLists(vt, qVecs(qi), byQuery(qi), k, mode, m, strided, simd, norms)
+    }
+    resultDf(spark, qids, heaps)
+  }
+
+  /** Coarse probe FUSED into the scan pass: one parallel sweep computes
+    * each query's top-`nprobe` centroids (the exact
+    * [[AdcScan.coarseProbes]] arithmetic — index-order float→double
+    * accumulation, (dist, cid) ties) and scans the probed lists in the
+    * same task. The probed SET and every emitted row are identical to
+    * probesAuto + [[scanVecsIvf]] (scan visits the same cids ascending;
+    * top-k heaps are visit-order-independent) — this removes a fork-join
+    * dispatch, the per-centroid ArrayBuffer staging, and the
+    * invertProbes pass, together ~0.5 ms of the ~2.5 ms tiny-batch
+    * serving floor (dev/ServeFloorProbe). */
+  def scanVecsIvfFused(spark: SparkSession, vt: VecTable, qids: Array[Long],
+      qVecs: Array[Array[Float]], k: Int, mode: Int,
+      centroids: Array[(Int, Array[Float])], nprobe: Int,
+      strided: Boolean = false): DataFrame = {
+    val nc = centroids.length
+    val dim = if (nc == 0) 0 else centroids(0)._2.length
+    val ccids = new Array[Int](nc)
+    val cflat = new Array[Float](nc * dim)
+    var c = 0
+    while (c < nc) {
+      ccids(c) = centroids(c)._1
+      System.arraycopy(centroids(c)._2, 0, cflat, c * dim, dim)
+      c += 1
+    }
+    val heaps = new Array[BoundedTopK](qids.length)
+    val simd = scanSimd && SimdDist.vectorKernel.isDefined
+    val m = if (strided && mode == 3) 0 else mode
+    val norms = if (strided && m != 1) rowNorms(vt) else null
+    val nq = qids.length
+    // per-query tasks: the probed-list scan (~50-100 us/query) dwarfs the
+    // fork-join dispatch, and 16-query blocks left half the pool idle at
+    // the 256-query baseline batch shape
+    java.util.stream.IntStream.range(0, nq).parallel().forEach { qi =>
+      locally {
+        val q = qVecs(qi)
+        val ph = new BoundedTopK(nprobe)
+        var c = 0
+        while (c < nc) {
+          var acc = 0.0; var i = 0; val off = c * dim
+          while (i < dim) {
+            val d = q(i).toDouble - cflat(off + i).toDouble
+            acc += d * d; i += 1
           }
+          ph.insert(ccids(c).toLong, math.sqrt(acc))
+          c += 1
         }
+        val cids = new Array[Int](ph.size)
+        var j = 0
+        while (j < cids.length) { cids(j) = ph.ids(j).toInt; j += 1 }
+        java.util.Arrays.sort(cids) // ascending, like invertProbes
+        heaps(qi) = scanQueryLists(vt, q, cids, k, mode, m, strided, simd, norms)
       }
-      heaps(qi) = h
     }
     resultDf(spark, qids, heaps)
   }
@@ -732,18 +799,26 @@ object LocalScan {
     * to the old BoundedTopK.sorted path). */
   def resultDf(spark: SparkSession, qids: Array[Long],
       heaps: Array[BoundedTopK]): DataFrame = {
+    // per-query slot bases via prefix sum, then a PARALLEL drain: each
+    // query writes a disjoint slot range, so the packed layout (and every
+    // row value) is identical to the sequential drain — the ~0.4 ms
+    // single-threaded pack was a fixed tax on every tiny serving batch
+    // (dev/ServeFloorProbe). Below the threshold the sequential loop
+    // avoids the fork-join dispatch.
+    val nq = heaps.length
+    val bases = new Array[Int](nq)
     var n = 0
     var qi = 0
-    while (qi < heaps.length) {
+    while (qi < nq) {
+      bases(qi) = n
       val h = heaps(qi); if (h != null) n += h.size; qi += 1
     }
     val bytes = new Array[Byte](n * resultRowBytes)
     val rows = new Array[org.apache.spark.sql.catalyst.InternalRow](n)
-    var base = 0
-    qi = 0
-    while (qi < qids.length) {
+    def drain(qi: Int): Unit = {
       val h = heaps(qi)
       if (h != null && h.size > 0) {
+        val base = bases(qi)
         val cnt = h.size
         var pos = cnt - 1
         while (pos >= 0) {
@@ -756,14 +831,27 @@ object LocalScan {
           h.popRoot()
           pos -= 1
         }
-        base += cnt
       }
-      qi += 1
     }
+    if (n >= parallelEmitThreshold) {
+      // block-granular: per-query tasks are ~20 rows (~1.5 us) — pure
+      // dispatch; 32-query blocks keep task size ~50 us
+      val qb = 32
+      val nBlocks = (nq + qb - 1) / qb
+      java.util.stream.IntStream.range(0, nBlocks).parallel().forEach { b =>
+        var i = b * qb
+        val end = math.min(nq, i + qb)
+        while (i < end) { drain(i); i += 1 }
+      }
+    } else { qi = 0; while (qi < nq) { drain(qi); qi += 1 } }
     org.apache.spark.sql.graftshim.Shim.localRelationDf(spark, resultSchema,
       scala.collection.immutable.ArraySeq.unsafeWrapArray(rows),
       fastResultRow)
   }
+
+  /** rows below this emit/convert sequentially (fork-join dispatch costs
+    * more than it saves on tiny batches) */
+  private val parallelEmitThreshold = 2048
 
   /** canonical result rows as a LocalRelation over InternalRows — skips
     * the per-row external-Row conversion (see Shim.localRelationDf) */
@@ -773,18 +861,21 @@ object LocalScan {
     * walk paths — hnsw_global / covertree) */
   def pairsResultDf(spark: SparkSession, qids: Array[Long],
       perQuery: Array[Array[(Long, Double)]]): DataFrame = {
+    // same prefix-sum + parallel-emit shape as [[resultDf]]
+    val nq = perQuery.length
+    val bases = new Array[Int](nq)
     var n = 0
     var qi = 0
-    while (qi < perQuery.length) {
+    while (qi < nq) {
+      bases(qi) = n
       val p = perQuery(qi); if (p != null) n += p.length; qi += 1
     }
     val bytes = new Array[Byte](n * resultRowBytes)
     val rows = new Array[org.apache.spark.sql.catalyst.InternalRow](n)
-    var slot = 0
-    qi = 0
-    while (qi < qids.length) {
+    def emit(qi: Int): Unit = {
       val p = perQuery(qi)
       if (p != null) {
+        var slot = bases(qi)
         var pos = 0
         while (pos < p.length) {
           val r = packedRow(bytes, slot)
@@ -796,8 +887,16 @@ object LocalScan {
           slot += 1; pos += 1
         }
       }
-      qi += 1
     }
+    if (n >= parallelEmitThreshold) {
+      val qb = 32
+      val nBlocks = (nq + qb - 1) / qb
+      java.util.stream.IntStream.range(0, nBlocks).parallel().forEach { b =>
+        var i = b * qb
+        val end = math.min(nq, i + qb)
+        while (i < end) { emit(i); i += 1 }
+      }
+    } else { qi = 0; while (qi < nq) { emit(qi); qi += 1 } }
     org.apache.spark.sql.graftshim.Shim.localRelationDf(spark, resultSchema,
       scala.collection.immutable.ArraySeq.unsafeWrapArray(rows),
       fastResultRow)
