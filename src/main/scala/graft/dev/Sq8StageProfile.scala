@@ -16,16 +16,29 @@ object Sq8StageProfile {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Registry.init()
-    val train = RandomDataset.vectors(spark, 20000, 64, 42).cache()
-    val test = RandomDataset.vectors(spark, 256, 64, 43)
+    // args: [msmarco] switches to the 100k x 384 / 70 q / nprobe 24 shape
+    val msmarco = args.headOption.contains("msmarco")
+    val nprobeN = if (msmarco) 24 else 32
+    def vecs(n: Long, seed: Long) = {
+      val raw =
+        if (msmarco) RandomDataset.clusteredVectors(spark, n, 384, 512, 1.2,
+          seed, centerSeed = 7, intrinsicDim = 64, overlap = 0.7)
+        else RandomDataset.vectors(spark, n, 64, seed)
+      if (msmarco) raw.withColumn("vector",
+        graft.functions.VectorFunctions.vec_normalize(col("vector")))
+      else raw
+    }
+    val train = vecs(if (msmarco) 100000 else 20000, 42).cache()
+    val test = vecs(if (msmarco) 70 else 256, 43)
       .withColumnRenamed("id", "qid").cache()
     train.count(); test.count()
     val artifact = Registry.indexer("ivf_sq8",
       Map("nlist" -> "256", "seed" -> "42"), "l2").build(train)
     artifact.data.cache().count()
-    val params = Map("nlist" -> "256", "nprobe" -> "32",
+    val params = Map("nlist" -> "256", "nprobe" -> nprobeN.toString,
       "strided_accum" -> "true")
     val searcher = Registry.searcher("ivf_sq8", params, "l2")
+    val nq = if (msmarco) 70 else 256
     // end-to-end
     (1 to 3).foreach(_ => searcher.search(artifact, test, 20).collect())
     val e2e = (1 to 7).map { _ =>
@@ -33,7 +46,7 @@ object Sq8StageProfile {
       searcher.search(artifact, test, 20).collect()
       (System.nanoTime() - t0) / 1e9
     }.min
-    println(f"e2e: ${e2e * 1e3}%.2fms qps=${256 / e2e}%.0f")
+    println(f"e2e: ${e2e * 1e3}%.2fms qps=${nq / e2e}%.0f")
 
     // stages, replicated from IvfSq8Searcher
     val lo = artifact.meta("lo").split(",").map(_.toFloat)
@@ -44,7 +57,7 @@ object Sq8StageProfile {
     val ct = LocalScan.codeTable(artifact.data, ivf = true).get
     val (qids, qv) = LocalScan.queryVecsAlways(test)
     (1 to 3).foreach { _ =>
-      val probes = AdcScan.probesAuto(q, qids, qv, cents, nlist, 32,
+      val probes = AdcScan.probesAuto(q, qids, qv, cents, nlist, nprobeN,
         artifact.aux("centroids"))
       val sc = new AdcScan.Sq8FastScorer(AdcScan.LocalLut(qv), lo, hi, 0)
       sc.precomputeNorms(ct.codes)
@@ -52,7 +65,7 @@ object Sq8StageProfile {
     }
     val best = (1 to 7).map { _ =>
       val t0 = System.nanoTime()
-      val probes = AdcScan.probesAuto(q, qids, qv, cents, nlist, 32,
+      val probes = AdcScan.probesAuto(q, qids, qv, cents, nlist, nprobeN,
         artifact.aux("centroids"))
       val t1 = System.nanoTime()
       val sc = new AdcScan.Sq8FastScorer(AdcScan.LocalLut(qv), lo, hi, 0)
@@ -67,6 +80,34 @@ object Sq8StageProfile {
     println(f"probes=${best._1 / 1e3}%6.0fus scorer+norms=${best._2 / 1e3}%6.0fus " +
       f"scan+pack=${best._3 / 1e3}%6.0fus collect=${best._4 / 1e3}%6.0fus " +
       f"total=${best._5 / 1e6}%5.2fms")
+
+    // same-JVM interleaved A/B: list-major (Sq8FastScorer default) vs a
+    // delegating wrapper that forces the query-major pass
+    locally {
+      val probes = AdcScan.probesAuto(q, qids, qv, cents, nlist, nprobeN,
+        artifact.aux("centroids"))
+      val fast = new AdcScan.Sq8FastScorer(AdcScan.LocalLut(qv), lo, hi, 0)
+      fast.precomputeNorms(ct.codes)
+      val queryMajor = new AdcScan.Scorer {
+        override def prefersListMajor: Boolean = false
+        def score(qidx: Int, cid: Int, codes: Array[Byte], off: Int, len: Int): Double =
+          fast.score(qidx, cid, codes, off, len)
+        override def scoreChunk(qidx: Int, cid: Int, codes: Array[Byte],
+            off0: Int, stride: Int, nRows: Int, out: Array[Double]): Unit =
+          fast.scoreChunk(qidx, cid, codes, off0, stride, nRows, out)
+      }
+      def run(sc: AdcScan.Scorer): Long = {
+        val t0 = System.nanoTime()
+        LocalScan.scanCodesIvf(spark, ct, qids, 20, sc, probes).collect()
+        System.nanoTime() - t0
+      }
+      (1 to 3).foreach { _ => run(fast); run(queryMajor) }
+      (1 to 3).foreach { _ =>
+        val lm = (1 to 5).map(_ => run(fast)).min
+        val qm = (1 to 5).map(_ => run(queryMajor)).min
+        println(f"A/B scan: list-major=${lm / 1e6}%6.1fms query-major=${qm / 1e6}%6.1fms")
+      }
+    }
     spark.stop()
   }
 }

@@ -64,6 +64,14 @@ object AdcScan {
       * order stays exactly j = 0..m−1 (blocks processed in j order, one
       * partial accumulator per row), so every score is bit-identical to
       * the per-row form — only the interleaving across rows changes. */
+    /** true when the scorer's per-query state is small enough (a few KB)
+      * that a LIST-major IVF scan — codes chunk kept hot while every
+      * probing query scores it — beats the query-major pass. LUT scorers
+      * keep the default false: cycling their ~100-786 KB per-query
+      * tables per chunk thrashes exactly what the scan needs resident
+      * (the measured list-major regression that pinned query-major). */
+    def prefersListMajor: Boolean = false
+
     def scoreChunk(qidx: Int, cid: Int, codes: Array[Byte], off0: Int,
         stride: Int, nRows: Int, out: Array[Double]): Unit = {
       var r = 0
@@ -467,6 +475,14 @@ object AdcScan {
       lo: Array[Float], hi: Array[Float], mode: Int) extends Scorer {
     private val dim = lo.length
 
+    /** per-query state is ys/qs (dim doubles ≈ 3 KB at 384-d) + a scalar
+      * — the u table and row norms are query-shared, so the list-major
+      * scan's state cycling is L1-cheap while the codes-traffic saving
+      * is ~(avg probing queries per list)× (dev/Sq8StageProfile msmarco:
+      * the query-major scan re-read 252 MB/batch at 42 ms where the
+      * arithmetic bound is ~8 ms) */
+    override def prefersListMajor: Boolean = true
+
     @transient private lazy val u: Array[Double] = {
       val out = new Array[Double](256)
       var b = 0
@@ -601,24 +617,85 @@ object AdcScan {
       (a0 + a1) + (a2 + a3)
     }
 
+    /** INT16-quantized weights (the symmetric-scoring escape, r9 advice
+      * #6): wsq(i) = round(w(i)/step) with step = max|w|/16383, so
+      *   Σ w(i)·u(cᵢ) = Σ w(i)·(cᵢ+128)/255
+      *                ≈ (step·Σ wsq(i)·cᵢ + 128·Σ w(i)) / 255
+      * and the inner loop is ONE int16×int8 multiply-accumulate per
+      * element — no table lookup, no double FMA chain
+      * (dev/Sq8SymMicro: 0.55 vs 0.90 ns/elem). |Σ| ≤ dim·16383·128
+      * stays in int32 through 1024 dims. Weight quantization error is
+      * ≤ 2⁻¹⁴ relative — recall-equivalent, same contract as this
+      * scorer's reassociated sums (opt-in strided regime only; gates pin
+      * the exact Sq8Scorer). Shared by score and scoreChunk so local ≡
+      * distributed still holds. */
+    @transient private lazy val qIntState
+        : (Array[Array[Short]], Array[Double], Array[Double]) = {
+      val (w, _) = qState
+      val wsq = new Array[Array[Short]](w.length)
+      val step = new Array[Double](w.length)
+      val wsumConst = new Array[Double](w.length)
+      var qi = 0
+      while (qi < w.length) {
+        val arr = w(qi)
+        var mx = 0.0
+        var i = 0
+        while (i < arr.length) {
+          val a = math.abs(arr(i)); if (a > mx) mx = a; i += 1
+        }
+        val st = if (mx == 0.0) 1.0 else mx / 16383.0
+        val qarr = new Array[Short](arr.length)
+        var sw = 0.0
+        i = 0
+        while (i < arr.length) {
+          qarr(i) = math.round(arr(i) / st).toShort
+          sw += arr(i)
+          i += 1
+        }
+        wsq(qi) = qarr; step(qi) = st; wsumConst(qi) = 128.0 * sw
+        qi += 1
+      }
+      (wsq, step, wsumConst)
+    }
+
+    /** S_int = Σᵢ wsq(i)·cᵢ over raw signed code bytes, stride-4 int */
+    @inline private def iwsum(w: Array[Short], codes: Array[Byte],
+        off: Int, len: Int): Int = {
+      var a0 = 0; var a1 = 0; var a2 = 0; var a3 = 0
+      var i = 0
+      val m4 = len - 3
+      while (i < m4) {
+        a0 += w(i) * codes(off + i)
+        a1 += w(i + 1) * codes(off + i + 1)
+        a2 += w(i + 2) * codes(off + i + 2)
+        a3 += w(i + 3) * codes(off + i + 3)
+        i += 4
+      }
+      while (i < len) { a0 += w(i) * codes(off + i); i += 1 }
+      (a0 + a1) + (a2 + a3)
+    }
+
     def score(qidx: Int, cid: Int, codes: Array[Byte], off: Int, len: Int): Double = {
-      val (w, c) = qState
-      val s = wsum(w(qidx), codes, off, len)
-      if (mode == 1) -(c(qidx) + s)
+      val c = qState._2(qidx)
+      val (wsq, step, wc) = qIntState
+      val s = (step(qidx) * iwsum(wsq(qidx), codes, off, len) + wc(qidx)) / 255.0
+      if (mode == 1) -(c + s)
       else {
         val rn = normsResolved(codes)(off / math.max(1, len))
-        math.sqrt(math.max(0.0, c(qidx) - 2.0 * s + rn))
+        math.sqrt(math.max(0.0, c - 2.0 * s + rn))
       }
     }
 
     override def scoreChunk(qidx: Int, cid: Int, codes: Array[Byte],
         off0: Int, stride: Int, nRows: Int, out: Array[Double]): Unit = {
-      val (wAll, cAll) = qState
-      val w = wAll(qidx); val c = cAll(qidx)
+      val c = qState._2(qidx)
+      val (wsqAll, stepAll, wcAll) = qIntState
+      val w = wsqAll(qidx); val step = stepAll(qidx); val wc = wcAll(qidx)
       if (mode == 1) {
         var r = 0
         while (r < nRows) {
-          out(r) = -(c + wsum(w, codes, off0 + r * stride, stride))
+          val s = (step * iwsum(w, codes, off0 + r * stride, stride) + wc) / 255.0
+          out(r) = -(c + s)
           r += 1
         }
       } else {
@@ -626,7 +703,7 @@ object AdcScan {
         val row0 = off0 / math.max(1, stride)
         var r = 0
         while (r < nRows) {
-          val s = wsum(w, codes, off0 + r * stride, stride)
+          val s = (step * iwsum(w, codes, off0 + r * stride, stride) + wc) / 255.0
           out(r) = math.sqrt(math.max(0.0, c - 2.0 * s + rn(row0 + r)))
           r += 1
         }

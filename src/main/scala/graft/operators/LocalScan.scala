@@ -386,6 +386,8 @@ object LocalScan {
     * [[AdcScan.Scorer.scoreChunk]]. */
   def scanCodesIvf(spark: SparkSession, ct: CodeTable, qids: Array[Long],
       k: Int, scorer: AdcScan.Scorer, probes: Array[Array[Int]]): DataFrame = {
+    if (scorer.prefersListMajor)
+      return scanCodesIvfListMajor(spark, ct, qids, k, scorer, probes)
     val byQuery = invertProbes(probes, qids.length)
     val heaps = new Array[BoundedTopK](qids.length)
     java.util.stream.IntStream.range(0, qids.length).parallel().forEach { qi =>
@@ -404,6 +406,157 @@ object LocalScan {
             r += n
           }
         }
+      }
+      heaps(qi) = h
+    }
+    resultDf(spark, qids, heaps)
+  }
+
+  /** LIST-major IVF code scan for scorers with tiny per-query state
+    * ([[AdcScan.Scorer.prefersListMajor]]): parallel over inverted
+    * lists, each ≤[[AdcScan.scoreChunkRows]]-row codes chunk scored by
+    * EVERY query probing that list while it is cache-hot — codes DRAM
+    * traffic drops from Σ_q (probed rows of q) to the union of probed
+    * lists (~(avg probing queries/list)× less; the msmarco ivf_sq8 scan
+    * was bandwidth-bound at 42 ms vs an ~8 ms arithmetic bound,
+    * dev/Sq8StageProfile). Each (list, query) keeps a bounded partial
+    * top-k; the per-query merge of its lists' partials is EXACT (top-k
+    * of a union = top-k over per-subset top-ks, and the (dist, id)
+    * total order makes the result insertion-order independent) — rows
+    * are bit-identical to the query-major pass. */
+  private def scanCodesIvfListMajor(spark: SparkSession, ct: CodeTable,
+      qids: Array[Long], k: Int, scorer: AdcScan.Scorer,
+      probes: Array[Array[Int]]): DataFrame = {
+    val nq = qids.length
+    val nlist = probes.length
+    // work units = (cid, row range of ≤4 chunks): clustered data skews
+    // both list sizes and probe counts, so whole-list tasks leave one
+    // (hot big list × all its queries) pole while the pool idles —
+    // chunk-range units keep every task ~1 ms regardless of skew
+    val unitRows = AdcScan.scoreChunkRows * 4
+    // query-range split alongside the row split: a hot list probed by
+    // every query makes (rows × allQueries) units into multi-ms poles —
+    // cap per-unit work at ~2M code bytes so the pool stays busy under
+    // arbitrary probe/list skew
+    val qPerUnitFor = (rows: Int) =>
+      math.max(1, 2_000_000 / math.max(1, rows * ct.m))
+    var nUnits = 0
+    var cid = 0
+    while (cid < nlist) {
+      val nq0 = probes(cid).length
+      if (nq0 > 0 && cid + 1 < ct.listOffsets.length) {
+        val rows = ct.listOffsets(cid + 1) - ct.listOffsets(cid)
+        if (rows > 0) {
+          val nr = (rows + unitRows - 1) / unitRows
+          val qpu = qPerUnitFor(math.min(rows, unitRows))
+          nUnits += nr * ((nq0 + qpu - 1) / qpu)
+        }
+      }
+      cid += 1
+    }
+    val unitCid = new Array[Int](nUnits)
+    val unitStart = new Array[Int](nUnits)
+    val unitEnd = new Array[Int](nUnits)
+    val unitQ0 = new Array[Int](nUnits)
+    val unitQ1 = new Array[Int](nUnits)
+    val unitOffsets = new Array[Int](nlist + 1) // units of cid: [off(cid), off(cid+1))
+    var u = 0
+    cid = 0
+    while (cid < nlist) {
+      unitOffsets(cid) = u
+      val nq0 = probes(cid).length
+      if (nq0 > 0 && cid + 1 < ct.listOffsets.length) {
+        var r = ct.listOffsets(cid)
+        val end = ct.listOffsets(cid + 1)
+        val qpu = qPerUnitFor(math.min(end - r, unitRows))
+        while (r < end) {
+          val rEnd = math.min(end, r + unitRows)
+          var q0 = 0
+          while (q0 < nq0) {
+            unitCid(u) = cid; unitStart(u) = r; unitEnd(u) = rEnd
+            unitQ0(u) = q0; unitQ1(u) = math.min(nq0, q0 + qpu)
+            q0 += qpu; u += 1
+          }
+          r = rEnd
+        }
+      }
+      cid += 1
+    }
+    unitOffsets(nlist) = u
+    // partials(u)(j) = unit's top-k for probing query probes(cid)(j)
+    val partials = new Array[Array[BoundedTopK]](nUnits)
+    java.util.stream.IntStream.range(0, nUnits).parallel().forEach { u =>
+      val cidU = unitCid(u)
+      val qs = probes(cidU)
+      val q0 = unitQ0(u); val q1 = unitQ1(u)
+      val local = new Array[BoundedTopK](q1 - q0)
+      var j = 0
+      while (j < local.length) { local(j) = new BoundedTopK(k); j += 1 }
+      val buf = new Array[Double](AdcScan.scoreChunkRows)
+      var r = unitStart(u)
+      val end = unitEnd(u)
+      while (r < end) {
+        val n = math.min(end - r, AdcScan.scoreChunkRows)
+        var qj = q0
+        while (qj < q1) {
+          scorer.scoreChunk(qs(qj), cidU, ct.codes, r * ct.m, ct.m, n, buf)
+          val h = local(qj - q0)
+          var i = 0
+          while (i < n) { h.insert(ct.ids(r + i), buf(i)); i += 1 }
+          qj += 1
+        }
+        r += n
+      }
+      partials(u) = local
+    }
+    // per-query merge of its partial heaps (disjoint writes; parallel)
+    val byQuery = invertProbes(probes, nq)
+    // position of query qi inside probes(cid) for O(1) partial lookup:
+    // fill order mirrors invertProbes, so posByQuery(qi)(x) pairs with
+    // byQuery(qi)(x)
+    val posByQuery = {
+      val counts = new Array[Int](nq)
+      var cid2 = 0
+      while (cid2 < nlist) {
+        val qs = probes(cid2); var j = 0
+        while (j < qs.length) { counts(qs(j)) += 1; j += 1 }
+        cid2 += 1
+      }
+      val out = Array.tabulate(nq)(qi => new Array[Int](counts(qi)))
+      val fill = new Array[Int](nq)
+      cid2 = 0
+      while (cid2 < nlist) {
+        val qs = probes(cid2); var j = 0
+        while (j < qs.length) {
+          val qi = qs(j)
+          out(qi)(fill(qi)) = j; fill(qi) += 1
+          j += 1
+        }
+        cid2 += 1
+      }
+      out
+    }
+    val heaps = new Array[BoundedTopK](nq)
+    java.util.stream.IntStream.range(0, nq).parallel().forEach { qi =>
+      var h: BoundedTopK = null
+      val cids = byQuery(qi)
+      val poss = posByQuery(qi)
+      var x = 0
+      while (x < cids.length) {
+        val c = cids(x)
+        val pos = poss(x)
+        var uu = unitOffsets(c)
+        val u1 = unitOffsets(c + 1)
+        while (uu < u1) {
+          if (pos >= unitQ0(uu) && pos < unitQ1(uu)) {
+            val ph = partials(uu)(pos - unitQ0(uu))
+            if (h == null && ph.size > 0) h = new BoundedTopK(k)
+            var i = 0
+            while (i < ph.size) { h.insert(ph.ids(i), ph.dists(i)); i += 1 }
+          }
+          uu += 1
+        }
+        x += 1
       }
       heaps(qi) = h
     }

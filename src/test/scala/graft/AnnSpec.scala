@@ -97,11 +97,13 @@ class AnnSpec extends AnyFunSuite {
       .collect().sortBy(t => (t._1, t._2))
     assert(exact.length == fast.length)
     // the factored/gram kernel reassociates the sum (and pays gram
-    // cancellation): rankings must agree away from exact ties and each
-    // distance must match to FP-cancellation tolerance, NOT bit-exactly
+    // cancellation), and since r10 quantizes the per-query weights to
+    // int16 (≤2⁻¹⁴ ≈ 6e-5 relative — AdcScan.Sq8FastScorer.qIntState):
+    // rankings must agree away from ties and each distance must match to
+    // the documented quantization tolerance, NOT bit-exactly
     exact.zip(fast).foreach { case ((q1, r1, i1, d1), (q2, r2, i2, d2)) =>
       assert(q1 == q2 && r1 == r2, s"rank mismatch $q1/$r1 vs $q2/$r2")
-      val tol = 1e-6 * math.max(1.0, math.abs(d1))
+      val tol = 1e-4 * math.max(1.0, math.abs(d1))
       assert(math.abs(d1 - d2) < tol,
         s"dist drift at qid=$q1 rank=$r1: $d1 vs $d2")
       // id may differ only where the two kernels round a tie apart
