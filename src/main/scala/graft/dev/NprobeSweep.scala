@@ -22,10 +22,13 @@ object NprobeSweep {
     Registry.init()
     // msmarco matches the r8 HARDENED baseline stand-in (sigma 1.2 +
     // overlap 0.7 — BaselineCompare.workloads); keep in sync
+    // optional arg: restrict to one dataset (e.g. "random")
+    val onlyDs = args.headOption
     for ((name, n, dims, nQ, clusters, sigma, intrinsic, normalize, overlap) <- Seq(
       ("random", 20000, 64, 256, 0, 0.0, 0, false, 0.0),
       ("glove50", 20000, 50, 256, 200, 1.1, 0, false, 0.0),
-      ("msmarco", 100000, 384, 70, 512, 1.2, 64, true, 0.7))) {
+      ("msmarco", 100000, 384, 70, 512, 1.2, 64, true, 0.7))
+        if onlyDs.forall(_ == name)) {
       def norm(df: org.apache.spark.sql.DataFrame) =
         if (normalize) df.withColumn("vector",
           graft.functions.VectorFunctions.vec_normalize(col("vector")))
@@ -51,7 +54,7 @@ object NprobeSweep {
         val artifact = Registry.indexer(algo, baseParams + ("seed" -> "42"), "l2")
           .build(train)
         artifact.data.cache().count()
-        for (nprobe <- Seq(3, 4, 5, 6, 8, 10, 12, 16, 20, 24, 32)) {
+        for (nprobe <- Seq(3, 4, 5, 6, 8, 10, 12, 16, 20, 24, 26, 28, 30, 32)) {
           val searcher = Registry.searcher(algo,
             baseParams + ("nprobe" -> nprobe.toString), "l2")
           searcher.search(artifact, test, 20).collect() // warm

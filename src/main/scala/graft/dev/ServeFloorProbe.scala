@@ -141,6 +141,74 @@ object ServeFloorProbe {
           val df = LocalScan.pairsResultDf(spark, qids, per)
           assert(df != null)
         }
+        // split the pack cost: raw UnsafeRow fill vs the DataFrame wrap
+        locally {
+          val n = per.map(p => if (p == null) 0 else p.length).sum
+          val rowBytes = 8 + 4 * 8
+          bench("raw pack loop 5120 rows") { () =>
+            val bytes = new Array[Byte](n * rowBytes)
+            val rows = new Array[org.apache.spark.sql.catalyst.InternalRow](n)
+            var slot = 0
+            var qi = 0
+            while (qi < qids.length) {
+              val p = per(qi)
+              if (p != null) {
+                var pos = 0
+                while (pos < p.length) {
+                  val r = new org.apache.spark.sql.catalyst.expressions.UnsafeRow(4)
+                  r.pointTo(bytes,
+                    org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET +
+                      slot.toLong * rowBytes, rowBytes)
+                  r.setLong(0, qids(qi))
+                  r.setInt(1, pos + 1)
+                  r.setLong(2, p(pos)._1)
+                  r.setDouble(3, p(pos)._2)
+                  rows(slot) = r
+                  slot += 1; pos += 1
+                }
+              }
+              qi += 1
+            }
+            assert(rows(n - 1) != null)
+          }
+          val rows5k = {
+            val bytes = new Array[Byte](n * rowBytes)
+            Array.tabulate[org.apache.spark.sql.catalyst.InternalRow](n) { i =>
+              val r = new org.apache.spark.sql.catalyst.expressions.UnsafeRow(4)
+              r.pointTo(bytes,
+                org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET +
+                  i.toLong * rowBytes, rowBytes)
+              r
+            }
+          }
+          bench("Shim wrap 5120 rows") { () =>
+            val df = org.apache.spark.sql.graftshim.Shim.localRelationDf(
+              spark, LocalScan.resultSchema,
+              scala.collection.immutable.ArraySeq.unsafeWrapArray(rows5k))
+            assert(df != null)
+          }
+          val attrs5k = org.apache.spark.sql.catalyst.types.DataTypeUtils
+            .toAttributes(LocalScan.resultSchema)
+          val seq5k = scala.collection.immutable.ArraySeq.unsafeWrapArray(rows5k)
+          bench("LocalRelation ctor 5120") { () =>
+            val rel = org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+              attrs5k, seq5k)
+            assert(rel != null)
+          }
+          val seq64 = scala.collection.immutable.ArraySeq.unsafeWrapArray(
+            rows5k.take(64))
+          // (r10 finding, measured with a since-removed timed Shim variant:
+          // of the ~300 us wrap at 5120 rows, ~250 us is a row-proportional
+          // lazy forced by the FIRST Dataset init on a relation — a second
+          // Dataset on the same rel costs ~1 us — and LocalRelation.hashCode
+          // adds ~28 ns/row when something asks for it. Both are inside
+          // Spark's Dataset/TreeNode machinery, not our pack loop.)
+          bench("Shim wrap 64 rows 4col") { () =>
+            val df = org.apache.spark.sql.graftshim.Shim.localRelationDf(
+              spark, LocalScan.resultSchema, seq64)
+            assert(df != null)
+          }
+        }
         val schema = org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("qid",
             org.apache.spark.sql.types.LongType, nullable = false)))

@@ -386,7 +386,15 @@ object LocalScan {
     * [[AdcScan.Scorer.scoreChunk]]. */
   def scanCodesIvf(spark: SparkSession, ct: CodeTable, qids: Array[Long],
       k: Int, scorer: AdcScan.Scorer, probes: Array[Array[Int]]): DataFrame = {
-    if (scorer.prefersListMajor)
+    // list-major pays only when lists are big enough that codes traffic
+    // dominates the per-(unit, query) partial-heap machinery: at the
+    // 5 KB-per-list random/glove50 shapes the partials COST ~3× the scan
+    // (r10 bench: glove50 ivf_sq8 1.43× → 0.45× of reference before this
+    // gate), while the 150 KB-per-list msmarco shape gains ~15%
+    val avgListBytes =
+      if (ct.listOffsets == null || ct.listOffsets.length < 2) 0L
+      else ct.codes.length.toLong / (ct.listOffsets.length - 1)
+    if (scorer.prefersListMajor && avgListBytes >= (64 << 10))
       return scanCodesIvfListMajor(spark, ct, qids, k, scorer, probes)
     val byQuery = invertProbes(probes, qids.length)
     val heaps = new Array[BoundedTopK](qids.length)
