@@ -16,13 +16,16 @@ object Sq8StageProfile {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Registry.init()
-    // args: [msmarco] switches to the 100k x 384 / 70 q / nprobe 24 shape
+    // args: [msmarco|glove50] switch shapes (default: random 20k x 64)
     val msmarco = args.headOption.contains("msmarco")
-    val nprobeN = if (msmarco) 24 else 32
+    val glove50 = args.headOption.contains("glove50")
+    val nprobeN = if (msmarco) 24 else if (glove50) 5 else 32
     def vecs(n: Long, seed: Long) = {
       val raw =
         if (msmarco) RandomDataset.clusteredVectors(spark, n, 384, 512, 1.2,
           seed, centerSeed = 7, intrinsicDim = 64, overlap = 0.7)
+        else if (glove50) RandomDataset.clusteredVectors(spark, n, 50, 200,
+          1.1, seed, centerSeed = 7)
         else RandomDataset.vectors(spark, n, 64, seed)
       if (msmarco) raw.withColumn("vector",
         graft.functions.VectorFunctions.vec_normalize(col("vector")))
@@ -101,11 +104,25 @@ object Sq8StageProfile {
         LocalScan.scanCodesIvf(spark, ct, qids, 20, sc, probes).collect()
         System.nanoTime() - t0
       }
-      (1 to 3).foreach { _ => run(fast); run(queryMajor) }
+      // wsum (pre-r10 double-lookup) scorer for the kernel A/B
+      sys.props("graft.sq8.int16") = "false"
+      val wsumScorer = new AdcScan.Sq8FastScorer(AdcScan.LocalLut(qv), lo, hi, 0)
+      sys.props.remove("graft.sq8.int16")
+      wsumScorer.precomputeNorms(ct.codes)
+      val wsumQueryMajor = new AdcScan.Scorer {
+        override def prefersListMajor: Boolean = false
+        def score(qidx: Int, cid: Int, codes: Array[Byte], off: Int, len: Int): Double =
+          wsumScorer.score(qidx, cid, codes, off, len)
+        override def scoreChunk(qidx: Int, cid: Int, codes: Array[Byte],
+            off0: Int, stride: Int, nRows: Int, out: Array[Double]): Unit =
+          wsumScorer.scoreChunk(qidx, cid, codes, off0, stride, nRows, out)
+      }
+      (1 to 3).foreach { _ => run(fast); run(queryMajor); run(wsumQueryMajor) }
       (1 to 3).foreach { _ =>
         val lm = (1 to 5).map(_ => run(fast)).min
         val qm = (1 to 5).map(_ => run(queryMajor)).min
-        println(f"A/B scan: list-major=${lm / 1e6}%6.1fms query-major=${qm / 1e6}%6.1fms")
+        val ws = (1 to 5).map(_ => run(wsumQueryMajor)).min
+        println(f"A/B scan: list-major=${lm / 1e6}%6.1fms query-major-int16=${qm / 1e6}%6.1fms query-major-wsum=${ws / 1e6}%6.1fms")
       }
     }
     spark.stop()

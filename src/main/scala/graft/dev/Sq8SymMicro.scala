@@ -18,7 +18,7 @@ package graft.dev
   */
 object Sq8SymMicro {
   def main(args: Array[String]): Unit = {
-    val dim = 384
+    val dim = args.headOption.map(_.toInt).getOrElse(384)
     val nRows = 96000
     val rnd = new java.util.Random(42)
     val codes = new Array[Byte](nRows * dim)

@@ -675,10 +675,19 @@ object AdcScan {
       (a0 + a1) + (a2 + a3)
     }
 
+    // A/B escape hatch for the int16 path (-Dgraft.sq8.int16=false
+    // restores the double-lookup wsum): read once per scorer — the flag
+    // exists for in-context kernel A/Bs (dev/Sq8StageProfile), default on
+    private val useInt16 =
+      sys.props.get("graft.sq8.int16").forall(v => v != "false" && v != "0")
+
     def score(qidx: Int, cid: Int, codes: Array[Byte], off: Int, len: Int): Double = {
       val c = qState._2(qidx)
-      val (wsq, step, wc) = qIntState
-      val s = (step(qidx) * iwsum(wsq(qidx), codes, off, len) + wc(qidx)) / 255.0
+      val s =
+        if (useInt16) {
+          val (wsq, step, wc) = qIntState
+          (step(qidx) * iwsum(wsq(qidx), codes, off, len) + wc(qidx)) / 255.0
+        } else wsum(qState._1(qidx), codes, off, len)
       if (mode == 1) -(c + s)
       else {
         val rn = normsResolved(codes)(off / math.max(1, len))
@@ -689,6 +698,26 @@ object AdcScan {
     override def scoreChunk(qidx: Int, cid: Int, codes: Array[Byte],
         off0: Int, stride: Int, nRows: Int, out: Array[Double]): Unit = {
       val c = qState._2(qidx)
+      if (!useInt16) {
+        val w = qState._1(qidx)
+        if (mode == 1) {
+          var r = 0
+          while (r < nRows) {
+            out(r) = -(c + wsum(w, codes, off0 + r * stride, stride))
+            r += 1
+          }
+        } else {
+          val rn = normsResolved(codes)
+          val row0 = off0 / math.max(1, stride)
+          var r = 0
+          while (r < nRows) {
+            val s = wsum(w, codes, off0 + r * stride, stride)
+            out(r) = math.sqrt(math.max(0.0, c - 2.0 * s + rn(row0 + r)))
+            r += 1
+          }
+        }
+        return
+      }
       val (wsqAll, stepAll, wcAll) = qIntState
       val w = wsqAll(qidx); val step = stepAll(qidx); val wc = wcAll(qidx)
       if (mode == 1) {

@@ -64,7 +64,9 @@ final case class IvfSq8Searcher(nprobe: Int, metric: String,
     // LocalScan cap, partition-buffered above it
     val cents = IvfModel.centroidsOf(artifact)
     val nlist = cents.map(_._1).max + 1
-    val probeArr = AdcScan.probesAuto(
+    // lazy: the local small-list branch fuses the probe into the scan
+    // (scanCodesIvfFused) and never materializes this
+    lazy val probeArr = AdcScan.probesAuto(
       q, qids, qVecs, cents, nlist, nprobe, artifact.aux("centroids"))
     val localTable = LocalScan.codeTable(artifact.data, ivf = true)
     val mode = Sq8Model.mode(metric)
@@ -89,7 +91,15 @@ final case class IvfSq8Searcher(nprobe: Int, metric: String,
           case f: AdcScan.Sq8FastScorer => f.precomputeNorms(ct.codes)
           case _ => ()
         }
-        LocalScan.scanCodesIvf(spark, ct, qids, k, scorer, probeArr)
+        val dims = if (qVecs.isEmpty) 0 else qVecs(0).length
+        // small lists + in-cap coarse flops → probe fused into the scan
+        // pass (identical probed set/rows, one dispatch); big lists keep
+        // the two-phase path so the list-major scan can share chunks
+        if (!(scorer.prefersListMajor && LocalScan.avgListBytes(ct) >= (64 << 10)) &&
+            AdcScan.coarseProbesFit(qids.length.toLong, nlist.toLong, dims.toLong))
+          LocalScan.scanCodesIvfFused(spark, ct, qids, qVecs, k, scorer,
+            cents, nprobe)
+        else LocalScan.scanCodesIvf(spark, ct, qids, k, scorer, probeArr)
       case None =>
         AdcScan.searchTopKIvf(artifact.data, qids, k, scorer,
           trackLut(spark, local = false, probeArr))

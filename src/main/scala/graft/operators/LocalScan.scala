@@ -384,6 +384,11 @@ object LocalScan {
     * every probing query's state per list thrashes exactly the table
     * the scan needs hot). Rows score through the j-block-tiled
     * [[AdcScan.Scorer.scoreChunk]]. */
+  /** mean inverted-list payload bytes — the list-major routing statistic */
+  def avgListBytes(ct: CodeTable): Long =
+    if (ct.listOffsets == null || ct.listOffsets.length < 2) 0L
+    else ct.codes.length.toLong / (ct.listOffsets.length - 1)
+
   def scanCodesIvf(spark: SparkSession, ct: CodeTable, qids: Array[Long],
       k: Int, scorer: AdcScan.Scorer, probes: Array[Array[Int]]): DataFrame = {
     // list-major pays only when lists are big enough that codes traffic
@@ -391,10 +396,7 @@ object LocalScan {
     // 5 KB-per-list random/glove50 shapes the partials COST ~3× the scan
     // (r10 bench: glove50 ivf_sq8 1.43× → 0.45× of reference before this
     // gate), while the 150 KB-per-list msmarco shape gains ~15%
-    val avgListBytes =
-      if (ct.listOffsets == null || ct.listOffsets.length < 2) 0L
-      else ct.codes.length.toLong / (ct.listOffsets.length - 1)
-    if (scorer.prefersListMajor && avgListBytes >= (64 << 10))
+    if (scorer.prefersListMajor && avgListBytes(ct) >= (64 << 10))
       return scanCodesIvfListMajor(spark, ct, qids, k, scorer, probes)
     val byQuery = invertProbes(probes, qids.length)
     val heaps = new Array[BoundedTopK](qids.length)
@@ -414,6 +416,71 @@ object LocalScan {
             r += n
           }
         }
+      }
+      heaps(qi) = h
+    }
+    resultDf(spark, qids, heaps)
+  }
+
+  /** Coarse probe FUSED into the code scan (the [[scanVecsIvfFused]]
+    * shape for byte-code scorers): one parallel sweep per query computes
+    * the top-`nprobe` centroids with the exact [[AdcScan.coarseProbes]]
+    * arithmetic and immediately scores the probed lists through
+    * scoreChunk. Probed set and emitted rows identical to
+    * probesAuto + [[scanCodesIvf]] — removes the separate probe pass,
+    * its per-centroid staging, and invertProbes (~0.5-1 ms of the
+    * tiny-batch sq8 serve floor). Query-major by construction: callers
+    * wanting the list-major pass keep the two-phase path. */
+  def scanCodesIvfFused(spark: SparkSession, ct: CodeTable, qids: Array[Long],
+      qVecs: Array[Array[Float]], k: Int, scorer: AdcScan.Scorer,
+      centroids: Array[(Int, Array[Float])], nprobe: Int): DataFrame = {
+    val nc = centroids.length
+    val dim = if (nc == 0) 0 else centroids(0)._2.length
+    val ccids = new Array[Int](nc)
+    val cflat = new Array[Float](nc * dim)
+    var c = 0
+    while (c < nc) {
+      ccids(c) = centroids(c)._1
+      System.arraycopy(centroids(c)._2, 0, cflat, c * dim, dim)
+      c += 1
+    }
+    val heaps = new Array[BoundedTopK](qids.length)
+    val nq = qids.length
+    java.util.stream.IntStream.range(0, nq).parallel().forEach { qi =>
+      val q = qVecs(qi)
+      val ph = new BoundedTopK(nprobe)
+      var c = 0
+      while (c < nc) {
+        var acc = 0.0; var i = 0; val off = c * dim
+        while (i < dim) {
+          val d = q(i).toDouble - cflat(off + i).toDouble
+          acc += d * d; i += 1
+        }
+        ph.insert(ccids(c).toLong, math.sqrt(acc))
+        c += 1
+      }
+      val cids = new Array[Int](ph.size)
+      var j = 0
+      while (j < cids.length) { cids(j) = ph.ids(j).toInt; j += 1 }
+      java.util.Arrays.sort(cids) // ascending, like invertProbes
+      var h: BoundedTopK = null
+      val buf = new Array[Double](AdcScan.scoreChunkRows)
+      var ci = 0
+      while (ci < cids.length) {
+        val cid = cids(ci)
+        if (cid + 1 < ct.listOffsets.length) {
+          var r = ct.listOffsets(cid)
+          val end = ct.listOffsets(cid + 1)
+          if (r < end && h == null) h = new BoundedTopK(k)
+          while (r < end) {
+            val n = math.min(end - r, AdcScan.scoreChunkRows)
+            scorer.scoreChunk(qi, cid, ct.codes, r * ct.m, ct.m, n, buf)
+            var i = 0
+            while (i < n) { h.insert(ct.ids(r + i), buf(i)); i += 1 }
+            r += n
+          }
+        }
+        ci += 1
       }
       heaps(qi) = h
     }
