@@ -171,7 +171,7 @@ object Bench {
     // "pt" = raw A/B pass totals (full per-query A/B in the on-disk
     // artifact; README documents the key) — every byte on this line
     // counts against the driver's ~2 KB stdout tail window
-    val notes = s""""gate_reps":$gateReps,"pt":$passTotals,"notes":"gate=min of $gateReps; serve excl fixture build""""
+    val notes = s""""gate_reps":$gateReps,"pt":$passTotals,"notes":"gate=min of $gateReps; serve excl fixture build; adaptive serve warmup (r10)""""
     val artifact =
       s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec",$notes,"queries":$qs,"baseline":$baselineCompact,"sf":"$sfShort"}"""
     val artifactFull =

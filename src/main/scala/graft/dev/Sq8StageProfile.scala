@@ -124,6 +124,51 @@ object Sq8StageProfile {
         val ws = (1 to 5).map(_ => run(wsumQueryMajor)).min
         println(f"A/B scan: list-major=${lm / 1e6}%6.1fms query-major-int16=${qm / 1e6}%6.1fms query-major-wsum=${ws / 1e6}%6.1fms")
       }
+      // fresh-scorer-per-run A/Bs (what production actually does: a new
+      // Sq8FastScorer per serve batch) — isolates per-batch lazy-init
+      // cost and fused-vs-two-phase with the init included
+      def runFresh(int16: Boolean): Long = {
+        if (!int16) sys.props("graft.sq8.int16") = "false"
+        val sc = new AdcScan.Sq8FastScorer(AdcScan.LocalLut(qv), lo, hi, 0)
+        if (!int16) sys.props.remove("graft.sq8.int16")
+        sc.precomputeNorms(ct.codes)
+        val t0 = System.nanoTime()
+        LocalScan.scanCodesIvf(spark, ct, qids, 20, sc, probes).collect()
+        System.nanoTime() - t0
+      }
+      def runFreshFused(): Long = {
+        val sc = new AdcScan.Sq8FastScorer(AdcScan.LocalLut(qv), lo, hi, 0)
+        sc.precomputeNorms(ct.codes)
+        val t0 = System.nanoTime()
+        LocalScan.scanCodesIvfFused(spark, ct, qids, qv, 20, sc, cents,
+          nprobeN).collect()
+        System.nanoTime() - t0
+      }
+      (1 to 3).foreach { _ => runFresh(true); runFresh(false); runFreshFused() }
+      (1 to 3).foreach { _ =>
+        val fi = (1 to 5).map(_ => runFresh(true)).min
+        val fw = (1 to 5).map(_ => runFresh(false)).min
+        val ff = (1 to 5).map(_ => runFreshFused()).min
+        println(f"A/B fresh: two-phase-int16=${fi / 1e6}%6.1fms two-phase-wsum=${fw / 1e6}%6.1fms fused-int16=${ff / 1e6}%6.1fms")
+      }
+      // warm e2e (the searcher path, measured LAST — the opening e2e
+      // number runs JIT-cold and has overstated the serve batch by 2-4x
+      // on this box); int16 off reconstructs the r9 kernel inside the
+      // current dispatch
+      def e2eOnce(int16: Boolean): Long = {
+        if (!int16) sys.props("graft.sq8.int16") = "false"
+        val t0 = System.nanoTime()
+        searcher.search(artifact, test, 20).collect()
+        val dt = System.nanoTime() - t0
+        if (!int16) sys.props.remove("graft.sq8.int16")
+        dt
+      }
+      (1 to 3).foreach { _ => e2eOnce(true); e2eOnce(false) }
+      (1 to 3).foreach { _ =>
+        val a = (1 to 5).map(_ => e2eOnce(true)).min
+        val b = (1 to 5).map(_ => e2eOnce(false)).min
+        println(f"A/B warm e2e: int16=${a / 1e6}%6.2fms (qps=${nq * 1e9 / a}%6.0f) wsum=${b / 1e6}%6.2fms (qps=${nq * 1e9 / b}%6.0f)")
+      }
     }
     spark.stop()
   }

@@ -455,7 +455,29 @@ object BaselineCompare {
       val rows = searcher.search(artifact, test, 20).collect()
       ((System.nanoTime() - t1) / 1e9, rows)
     }
-    timed() // warm: JIT + codegen + broadcast reuse
+    // Warm-up: the pinned policy (comment above prepOne) is that the
+    // reference is AOT-compiled C++, so our numbers must exclude JIT
+    // compilation — the old single warm call under-implemented that:
+    // dev/Sq8WarmCurve shows serve paths taking ~10-25 calls to reach C2
+    // steady state (call-2-4 min 4x the converged time at the glove50
+    // ivf_sq8 shape), so a 1-warm + best-of-3 window was measuring the
+    // compiler, not the code. Adaptive warm-up: keep serving until the
+    // running minimum stops improving by >10% for 4 consecutive calls,
+    // capped at 20 calls / 3 s — slow rows exit after ~5 calls, the
+    // tiny-batch rows get the calls they need. Applied identically to
+    // every row (r10; cross-round QPS comparisons for tiny-batch rows
+    // are r10+ only).
+    locally {
+      var best = Double.MaxValue
+      var stale = 0
+      var calls = 0
+      val w0 = System.nanoTime()
+      while (calls < 20 && stale < 4 && (System.nanoTime() - w0) < 3_000_000_000L) {
+        val t = timed()._1
+        calls += 1
+        if (t < best * 0.9) { best = t; stale = 0 } else stale += 1
+      }
+    }
     // best-of-3: this box shares CPUs with other tenants and single
     // runs swing several-fold under external load; the minimum is the
     // stable estimate of what the code costs

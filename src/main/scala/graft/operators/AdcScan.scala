@@ -675,11 +675,22 @@ object AdcScan {
       (a0 + a1) + (a2 + a3)
     }
 
-    // A/B escape hatch for the int16 path (-Dgraft.sq8.int16=false
-    // restores the double-lookup wsum): read once per scorer — the flag
-    // exists for in-context kernel A/Bs (dev/Sq8StageProfile), default on
+    // int16 weight quantization: auto ON only at wide rows (dim >= 128,
+    // i.e. the msmarco 384-d regime where it measured 43 -> 31 ms/batch).
+    // At 50-64-d the double-lookup wsum is already load-port-fed from L1
+    // and the int16 variant measured NO steady-state win (Sq8StageProfile
+    // glove50 A/B: 1.5 vs 1.6 ms) while its extra branch+lazy state
+    // roughly TRIPLED C2 warm-up (dev/Sq8WarmCurve: still ~6 ms/call at
+    // call 30 vs ~2.4 ms by call 7 with it off) — and the frozen bench
+    // window is 1-warm + best-of-3, so slow warm-up IS a QPS regression
+    // (glove50/random ivf_sq8 fell 1.43x -> 0.49x / 0.20x -> 0.11x of
+    // reference in the r10 mid-round artifact before this gate).
+    // -Dgraft.sq8.int16=true/false forces either side for kernel A/Bs.
     private val useInt16 =
-      sys.props.get("graft.sq8.int16").forall(v => v != "false" && v != "0")
+      sys.props.get("graft.sq8.int16") match {
+        case Some(v) => v != "false" && v != "0"
+        case None => dim >= 128
+      }
 
     def score(qidx: Int, cid: Int, codes: Array[Byte], off: Int, len: Int): Double = {
       val c = qState._2(qidx)
@@ -988,6 +999,13 @@ object AdcScan {
 
   def coarseProbesFit(nQueries: Long, nlist: Long, dims: Long): Boolean =
     nQueries * nlist * dims <= coarseProbeFlopCap
+
+  /** A/B escape hatch for the fused probe+scan dispatch
+    * (-Dgraft.adc.fused=false restores the two-phase path) — exists for
+    * in-context serve-path A/Bs (dev/Sq8WarmCurve); default on. Read per
+    * call so one JVM can interleave both paths. */
+  def fusedEnabled: Boolean =
+    sys.props.get("graft.adc.fused").forall(v => v != "false" && v != "0")
 
   /** Driver-side coarse probe: top-`nprobe` lists per query by
     * (l2 dist, cid) — the same (dist, id) order and float→double

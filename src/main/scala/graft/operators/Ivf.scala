@@ -134,7 +134,8 @@ final case class IvfSearcher(nprobe: Int, metric: String,
     (LocalScan.metricMode(metric),
         LocalScan.vecTable(artifact.data, ivf = true)) match {
       case (Some(mode), Some(vt))
-          if AdcScan.coarseProbesFit(qids.length.toLong, nlist.toLong, dims.toLong) =>
+          if AdcScan.coarseProbesFit(qids.length.toLong, nlist.toLong, dims.toLong) &&
+            AdcScan.fusedEnabled =>
         return LocalScan.scanVecsIvfFused(spark, vt, qids, qVecArr, k, mode,
           cents, nprobe, strided = strided)
       case (Some(mode), Some(vt)) =>

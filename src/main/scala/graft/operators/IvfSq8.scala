@@ -96,7 +96,8 @@ final case class IvfSq8Searcher(nprobe: Int, metric: String,
         // pass (identical probed set/rows, one dispatch); big lists keep
         // the two-phase path so the list-major scan can share chunks
         if (!(scorer.prefersListMajor && LocalScan.avgListBytes(ct) >= (64 << 10)) &&
-            AdcScan.coarseProbesFit(qids.length.toLong, nlist.toLong, dims.toLong))
+            AdcScan.coarseProbesFit(qids.length.toLong, nlist.toLong, dims.toLong) &&
+            AdcScan.fusedEnabled)
           LocalScan.scanCodesIvfFused(spark, ct, qids, qVecs, k, scorer,
             cents, nprobe)
         else LocalScan.scanCodesIvf(spark, ct, qids, k, scorer, probeArr)
