@@ -233,4 +233,32 @@ class AnnSpec extends AnyFunSuite {
       "probe sets must be identical across both selection paths")
     assert(driver.exists(_.nonEmpty))
   }
+
+  test("fused probe+scan ≡ two-phase dispatch (ivf flat + ivf_sq8)") {
+    // the r10 fused path folds the coarse probe into the scan pass (one
+    // driver dispatch instead of two) with the identical probed set,
+    // visit order, and kernel arithmetic — so results must be BIT-equal
+    // to the two-phase path (-Dgraft.adc.fused=false), not just close
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("qid", "rank", "id", "dist").as[(Long, Int, Long, Double)]
+      .collect().sortBy(t => (t._1, t._2))
+    def twoPhase[A](body: => A): A = {
+      System.setProperty("graft.adc.fused", "false")
+      try body finally System.clearProperty("graft.adc.fused")
+    }
+    val ivf = IvfIndexer(nlist = 8, seed = 42).build(trainC)
+    for (m <- Seq("l2", "cosine")) {
+      val s = IvfSearcher(nprobe = 3, metric = m)
+      val fused = rows(s.search(ivf, testQ, 10))
+      assert(fused.nonEmpty)
+      assert(fused.toSeq == twoPhase(rows(s.search(ivf, testQ, 10))).toSeq,
+        s"ivf flat $m: fused dispatch diverged from two-phase")
+    }
+    val sq8 = IvfSq8Indexer(nlist = 8, seed = 42).build(trainC)
+    val s8 = IvfSq8Searcher(nprobe = 3, metric = "l2")
+    val fused8 = rows(s8.search(sq8, testQ, 10))
+    assert(fused8.nonEmpty)
+    assert(fused8.toSeq == twoPhase(rows(s8.search(sq8, testQ, 10))).toSeq,
+      "ivf_sq8: fused dispatch diverged from two-phase")
+  }
 }
