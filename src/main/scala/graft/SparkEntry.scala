@@ -612,19 +612,58 @@ object SparkEntry {
       .filter(col("recall_10") >= floor)
   }
 
-  /** Oracle-checkable wrapper over [[annRecall]] for algorithms whose
-    * model is not SQL-replicable (HNSW graph walks): keep the recall>=floor
-    * self-validation but emit ONLY columns DuckDB can reproduce from the
-    * data — (algorithm, n_queries, recall_floor). Healthy run → exactly
-    * one fully deterministic row (hash-matchable); recall regression →
-    * zero rows → the driver's rows/hash check fails. */
+  /** Oracle-checkable wrapper for algorithms whose model is not
+    * SQL-replicable (HNSW graph walks): emit ONLY columns DuckDB can
+    * reproduce from the data. Healthy run → exactly one fully
+    * deterministic row (hash-matchable); any regression → a changed or
+    * missing row → the driver's rows/hash check fails. Checked beyond the
+    * recall>=floor self-validation (r10 widening — the walk's RESULT is
+    * value-checked even though the walk isn't SQL-expressible):
+    *  - `n_rows` = n_queries×k: every query returned exactly k neighbors
+    *    (a dropped query or short result list breaks the hash, not just
+    *    the recall average);
+    *  - `n_bad_dist` = 0: every returned (qid, id) pair's reported
+    *    distance equals the exact double-chain metric recomputed from the
+    *    base table (rel tol 1e-3 covers the float-accum walk kernel;
+    *    DuckDB-side constant 0), so phantom ids (left-join miss) and
+    *    corrupted distances break the hash. */
   private def annRecallGated(
       name: String, indexerName: String, searcherName: String,
       params: Map[String, String], metric: String, floor: Double)
       : (SparkSession, String) => DataFrame = (s, dir) => {
-    annRecall(name, indexerName, searcherName, params, metric, floor)(s, dir)
+    Registry.init()
+    val q = Tables.embQueries(s, dir)
+    val b = Tables.embBase(s, dir).cache()
+    val alg = Algorithm(name,
+      Registry.indexer(indexerName, params + ("seed" -> "42"), metric),
+      Registry.searcher(searcherName, params, metric))
+    val res = alg.run(b, q, 10)
+    val gt = KnnJoin.knnJoinAgg(q, b, 10, metric)
+      .select(col("qid"), transform(col("nn"), x => x("id")).as("gt"))
+    val pred = res.groupBy("qid")
+      .agg(graft.operators.TopKByDist.topK(col("id"), col("dist"), 10).as("nn"))
+      .select(col("qid"), transform(col("nn"), x => x("id")).as("pred"))
+    val recallRow = gt.join(pred, Seq("qid"), "left")
+      .withColumn("pred", coalesce(col("pred"), array().cast("array<bigint>")))
+      .agg(
+        lit(name).as("algorithm"),
+        count(lit(1)).as("n_queries"),
+        round(avg(Metrics.recallAtK(col("pred"), col("gt"), 10)), 4).as("recall_10"))
+      .filter(col("recall_10") >= floor)
+    val dist = graft.functions.VectorFunctions.distance(metric) _
+    val integrity = res
+      .join(q.select(col("qid"), col("vector").as("_qv")), Seq("qid"), "left")
+      .join(b.select(col("id"), col("vector").as("_bv")), Seq("id"), "left")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("_bv").isNull || col("_qv").isNull ||
+            abs(col("dist") - dist(col("_qv"), col("_bv"))) >
+              lit(1e-3) * greatest(lit(1.0), abs(col("dist"))), 1L)
+          .otherwise(0L)).as("n_bad_dist"))
+    recallRow.crossJoin(integrity)
       .select(col("algorithm"), col("n_queries"),
-        lit(floor).cast("double").as("recall_floor"))
+        lit(floor).cast("double").as("recall_floor"),
+        col("n_rows"), col("n_bad_dist"))
   }
 
   /** Exact-algorithm gate query: exploded (qid, rank, id) rows so the
@@ -3207,9 +3246,14 @@ object SparkEntry {
     // the Spark query only emits the deterministic (algorithm, n_queries,
     // recall_floor) row WHEN recall_10 >= floor — so DuckDB reproduces the
     // expected row from the data and a recall regression breaks the match.
+    // Since r10 the row also value-checks the walk's RESULT: n_rows must
+    // equal n_queries×10 (every query returned exactly k) and n_bad_dist
+    // must be 0 (every returned distance equals the exact recomputed L2
+    // within the float-kernel tolerance) — see annRecallGated.
     "j11_hnsw" ->
       """SELECT 'hnsw' AS algorithm, count(*)::BIGINT AS n_queries,
-        |       0.6::DOUBLE AS recall_floor
+        |       0.6::DOUBLE AS recall_floor,
+        |       (count(*) * 10)::BIGINT AS n_rows, 0::BIGINT AS n_bad_dist
         |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
     // OPQ+PQ ADC replicated in SQL (hash-model since r9): the learned
     // 64x64 rotation R and the subspace codebooks (both deterministic
@@ -4358,7 +4402,8 @@ FROM per
 HAVING round(avg(recall), 4) >= 0.50""").mkString("\n"),
     "j11_hnsw_global" ->
       """SELECT 'hnsw_global' AS algorithm, count(*)::BIGINT AS n_queries,
-        |       0.85::DOUBLE AS recall_floor
+        |       0.85::DOUBLE AS recall_floor,
+        |       (count(*) * 10)::BIGINT AS n_rows, 0::BIGINT AS n_bad_dist
         |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
     // components = min reachable id over the same jaccard pair graph the
     // dedup_jaccard_pairs oracle defines, via a recursive transitive
