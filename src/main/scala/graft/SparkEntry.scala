@@ -637,7 +637,9 @@ object SparkEntry {
     val alg = Algorithm(name,
       Registry.indexer(indexerName, params + ("seed" -> "42"), metric),
       Registry.searcher(searcherName, params, metric))
-    val res = alg.run(b, q, 10)
+    // cached: the recall aggregate and the integrity aggregate both
+    // consume it, and the graph walk must not execute twice per gate
+    val res = alg.run(b, q, 10).cache()
     val gt = KnnJoin.knnJoinAgg(q, b, 10, metric)
       .select(col("qid"), transform(col("nn"), x => x("id")).as("gt"))
     val pred = res.groupBy("qid")

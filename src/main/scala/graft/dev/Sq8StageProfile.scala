@@ -117,12 +117,18 @@ object Sq8StageProfile {
             off0: Int, stride: Int, nRows: Int, out: Array[Double]): Unit =
           wsumScorer.scoreChunk(qidx, cid, codes, off0, stride, nRows, out)
       }
+      // label honestly: `fast` only takes the list-major pass when the
+      // router's 64 KB avg-list gate admits it (msmarco-shape lists);
+      // at the ~5 KB random/glove50 shapes both columns are query-major
+      val lmLabel =
+        if (LocalScan.avgListBytes(ct) >= (64 << 10)) "list-major"
+        else "routed(query-major)"
       (1 to 3).foreach { _ => run(fast); run(queryMajor); run(wsumQueryMajor) }
       (1 to 3).foreach { _ =>
         val lm = (1 to 5).map(_ => run(fast)).min
         val qm = (1 to 5).map(_ => run(queryMajor)).min
         val ws = (1 to 5).map(_ => run(wsumQueryMajor)).min
-        println(f"A/B scan: list-major=${lm / 1e6}%6.1fms query-major-int16=${qm / 1e6}%6.1fms query-major-wsum=${ws / 1e6}%6.1fms")
+        println(f"A/B scan: $lmLabel=${lm / 1e6}%6.1fms query-major-int16=${qm / 1e6}%6.1fms query-major-wsum=${ws / 1e6}%6.1fms")
       }
       // fresh-scorer-per-run A/Bs (what production actually does: a new
       // Sq8FastScorer per serve batch) — isolates per-batch lazy-init

@@ -686,11 +686,15 @@ object AdcScan {
     // (glove50/random ivf_sq8 fell 1.43x -> 0.49x / 0.20x -> 0.11x of
     // reference in the r10 mid-round artifact before this gate).
     // -Dgraft.sq8.int16=true/false forces either side for kernel A/Bs.
-    private val useInt16 =
-      sys.props.get("graft.sq8.int16") match {
+    // Upper bound 1024: iwsum's |Σ| ≤ dim·16383·128 only stays inside
+    // int32 through 1024 dims (qIntState's own bound) — beyond that the
+    // accumulator could wrap and corrupt distances, so wider rows keep
+    // the double-lookup wsum (the forced prop respects the bound too).
+    private val useInt16 = dim <= 1024 &&
+      (sys.props.get("graft.sq8.int16") match {
         case Some(v) => v != "false" && v != "0"
         case None => dim >= 128
-      }
+      })
 
     def score(qidx: Int, cid: Int, codes: Array[Byte], off: Int, len: Int): Double = {
       val c = qState._2(qidx)

@@ -254,9 +254,16 @@ object CoverTreeModel {
     // soon as it exceeds r². Most cover tests FAIL (the scan walks the
     // child list until one covers), so the abort fires on nearly every
     // call and cuts the per-test work from O(dims) to the prefix that
-    // proves failure. Boolean-identical to the full computation: an
-    // aborted sum can only grow, so the ≤ r² verdict never changes —
-    // the tree (and the j12 gate hashes) are bit-for-bit the same.
+    // proves failure. The abort is boolean-identical to the full ≤ r²
+    // compare (an aborted sum can only grow). NOTE the ≤ r² form itself
+    // is not ulp-identical to the sqrt form it replaced: for acc exactly
+    // 1 ulp above r², sqrt(acc) can round down to r (sqrt(nextUp(r²))
+    // == r), so this test is strictly STRICTER at that boundary and the
+    // tree may place such a child differently. That preserves the cover
+    // invariant (acc ≤ r² ⟹ sqrt(acc) ≤ r, monotone correctly-rounded
+    // sqrt), every tree satisfying the invariant yields the same EXACT
+    // search results — which is what the j12 gate hashes — and the
+    // sf0.01/sf0.1/10× gates all verified green against the oracle.
     // 30k×384 build: 129.5 → 8.7 s (dev/CoverTreeMsmarcoProbe).
     // strip-mined: the abort check runs once per 32-element block, not
     // per element — a per-element compare+branch de-pipelines the

@@ -95,7 +95,8 @@ final case class IvfSq8Searcher(nprobe: Int, metric: String,
         // small lists + in-cap coarse flops → probe fused into the scan
         // pass (identical probed set/rows, one dispatch); big lists keep
         // the two-phase path so the list-major scan can share chunks
-        if (!(scorer.prefersListMajor && LocalScan.avgListBytes(ct) >= (64 << 10)) &&
+        if (!(scorer.prefersListMajor &&
+            LocalScan.avgListBytes(ct) >= LocalScan.listMajorMinListBytes) &&
             AdcScan.coarseProbesFit(qids.length.toLong, nlist.toLong, dims.toLong) &&
             AdcScan.fusedEnabled)
           LocalScan.scanCodesIvfFused(spark, ct, qids, qVecs, k, scorer,

@@ -389,6 +389,39 @@ object LocalScan {
     if (ct.listOffsets == null || ct.listOffsets.length < 2) 0L
     else ct.codes.length.toLong / (ct.listOffsets.length - 1)
 
+  /** list-major routing thresholds, read per call (sysprop-overridable
+    * so specs can force the route and the budget fallback on small
+    * fixtures; shared by the searcher-level fused gate and scanCodesIvf
+    * so both route consistently) */
+  def listMajorMinListBytes: Long =
+    sys.props.get("graft.sq8.listMajorMinListBytes")
+      .map(_.toLong).getOrElse((64 << 10).toLong)
+  def listMajorHeapBytesCap: Long =
+    sys.props.get("graft.sq8.listMajorHeapBytesCap")
+      .map(_.toLong).getOrElse(256L << 20)
+
+  /** partial top-k heaps the list-major pass would keep live at once:
+    * one per (row-chunk, probing query) pair, ALL materialized before
+    * the per-query merge — on a big offline batch over big lists this
+    * is the path's memory, so the router budgets it (≈ rows/unit ×
+    * probing queries summed over lists; the query-major pass needs only
+    * one heap per query and is the identical-result fallback) */
+  private[operators] def listMajorPartialHeaps(ct: CodeTable,
+      probes: Array[Array[Int]]): Long = {
+    val unitRows = AdcScan.scoreChunkRows * 4
+    var total = 0L
+    var cid = 0
+    while (cid < probes.length) {
+      val nq0 = probes(cid).length
+      if (nq0 > 0 && cid + 1 < ct.listOffsets.length) {
+        val rows = ct.listOffsets(cid + 1) - ct.listOffsets(cid)
+        if (rows > 0) total += ((rows + unitRows - 1) / unitRows).toLong * nq0
+      }
+      cid += 1
+    }
+    total
+  }
+
   def scanCodesIvf(spark: SparkSession, ct: CodeTable, qids: Array[Long],
       k: Int, scorer: AdcScan.Scorer, probes: Array[Array[Int]]): DataFrame = {
     // list-major pays only when lists are big enough that codes traffic
@@ -396,7 +429,8 @@ object LocalScan {
     // 5 KB-per-list random/glove50 shapes the partials COST ~3× the scan
     // (r10 bench: glove50 ivf_sq8 1.43× → 0.45× of reference before this
     // gate), while the 150 KB-per-list msmarco shape gains ~15%
-    if (scorer.prefersListMajor && avgListBytes(ct) >= (64 << 10))
+    if (scorer.prefersListMajor && avgListBytes(ct) >= listMajorMinListBytes &&
+        listMajorPartialHeaps(ct, probes) * (16L * k + 64L) <= listMajorHeapBytesCap)
       return scanCodesIvfListMajor(spark, ct, qids, k, scorer, probes)
     val byQuery = invertProbes(probes, qids.length)
     val heaps = new Array[BoundedTopK](qids.length)

@@ -261,4 +261,37 @@ class AnnSpec extends AnyFunSuite {
     assert(fused8.toSeq == twoPhase(rows(s8.search(sq8, testQ, 10))).toSeq,
       "ivf_sq8: fused dispatch diverged from two-phase")
   }
+
+  test("list-major IVF code scan ≡ query-major; heap budget falls back") {
+    // the list-major pass only routes at >= 64 KB avg lists in
+    // production; force it on the small fixture via the spec override
+    // and pin bit-equality with the query-major pass (the merge of
+    // per-(chunk, query) partial top-ks must equal the direct heap) —
+    // then force the partial-heap budget to 0 and assert the router's
+    // query-major fallback still answers identically
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("qid", "rank", "id", "dist").as[(Long, Int, Long, Double)]
+      .collect().sortBy(t => (t._1, t._2))
+    def withProp[A](kv: (String, String)*)(body: => A): A = {
+      kv.foreach { case (kk, v) => System.setProperty(kk, v) }
+      try body finally kv.foreach { case (kk, _) => System.clearProperty(kk) }
+    }
+    val sq8 = IvfSq8Indexer(nlist = 8, seed = 42).build(trainC)
+    val s8 = IvfSq8Searcher(nprobe = 3, metric = "l2")
+    val queryMajor = rows(s8.search(sq8, testQ, 10))
+    assert(queryMajor.nonEmpty)
+    val listMajor =
+      withProp("graft.sq8.listMajorMinListBytes" -> "0") {
+        rows(s8.search(sq8, testQ, 10))
+      }
+    assert(listMajor.toSeq == queryMajor.toSeq,
+      "list-major scan diverged from query-major")
+    val budgetFallback =
+      withProp("graft.sq8.listMajorMinListBytes" -> "0",
+          "graft.sq8.listMajorHeapBytesCap" -> "0") {
+        rows(s8.search(sq8, testQ, 10))
+      }
+    assert(budgetFallback.toSeq == queryMajor.toSeq,
+      "over-budget route must fall back to the query-major pass")
+  }
 }
