@@ -66,6 +66,36 @@ object Multimodal {
       }(enc)
   }
 
+  /** Resize: re-scale each payload's decoded raster to `targetBytes` —
+    * the byte-stream analog of image resizing. The Spark-side plumbing
+    * (media schema in/out, per-partition batching, meta propagation) is
+    * real; the resample itself is the codec-stub boundary
+    * ([[MediaCodecStub.resampleBytes]], nearest-neighbor over the byte
+    * stream — a real image codec plugs in there). Output keeps
+    * [[mediaSchema]], so resize composes with [[extractFeatures]] and
+    * [[sampleFrames]]; payloads already at or below `targetBytes` pass
+    * through unchanged (no upsampling surprises on mixed corpora). */
+  def resize(media: DataFrame, targetBytes: Int): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(mediaSchema)
+    media.select("media_id", "kind", "payload", "meta")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]]("payload")
+          val out =
+            if (bytes.length <= targetBytes) bytes
+            else MediaCodecStub.resampleBytes(bytes, targetBytes)
+          val meta = r.getStruct(3)
+          val fmt = Option(meta.getString(1))
+            .map(f => if (bytes.length <= targetBytes) f else s"$f/resized")
+            .orNull
+          Row(r.getLong(0), r.getString(1), out,
+            Row(out.length.toLong, fmt))
+        }
+      }(enc)
+  }
+
   /** Frame sampling: split payload into `frameSize`-byte frames, keep
     * every `stride`-th — the byte-level analog of video frame-sampling,
     * exercising the explode/repartition path a real sampler needs.
@@ -93,6 +123,21 @@ object Multimodal {
   * Features are byte-histogram moments so tests get stable, meaningful
   * values with zero native dependencies. */
 object MediaCodecStub {
+
+  /** nearest-neighbor byte resample to exactly `target` bytes — the
+    * stub standing in for a codec's raster resize (deterministic:
+    * out(i) = in(floor(i·n/target))) */
+  def resampleBytes(payload: Array[Byte], target: Int): Array[Byte] = {
+    val n = payload.length
+    val out = new Array[Byte](target)
+    var i = 0
+    while (i < target) {
+      out(i) = payload(((i.toLong * n) / target).toInt)
+      i += 1
+    }
+    out
+  }
+
   def decodeAndFeaturize(payload: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     if (payload.isEmpty) return out

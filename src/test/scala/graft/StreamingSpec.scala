@@ -184,4 +184,41 @@ class StreamingSpec extends AnyFunSuite {
       .select(col("meta.n_bytes")).as[Long].head()
     assert(n0 == (Math.ceil(bytes0 / 64.0).toLong + 1) / 2)
   }
+
+  test("multimodal resize: schema-preserving, capped, composes downstream") {
+    import spark.implicits._
+    val media = graft.operators.Multimodal.fromDocuments(
+      Tables.load(spark, dir = "/root/testdata/sf0.001", name = "documents"),
+      "doc_id", "text")
+    val target = 32
+    val resized = graft.operators.Multimodal.resize(media, target)
+    assert(resized.schema == graft.operators.Multimodal.mediaSchema)
+    val sizes = resized
+      .select(col("media_id"), length(col("payload")).cast("long").as("n"),
+        col("meta.n_bytes").as("m"), col("meta.declared_format").as("fmt"))
+      .as[(Long, Long, Long, String)].collect()
+    assert(sizes.nonEmpty)
+    sizes.foreach { case (id, n, m, fmt) =>
+      assert(n <= target, s"media $id not capped: $n")
+      assert(n == m, s"media $id meta.n_bytes $m != payload length $n")
+      assert(fmt == "raw/utf8" || fmt == "raw/utf8/resized")
+    }
+    // over-target payloads shrink to exactly target and are re-tagged;
+    // short ones pass through byte-identical
+    val origSizes = media.select(col("media_id"), col("meta.n_bytes"))
+      .as[(Long, Long)].collect().toMap
+    sizes.foreach { case (id, n, _, fmt) =>
+      if (origSizes(id) > target)
+        assert(n == target && fmt.endsWith("/resized"))
+      else assert(n == origSizes(id) && fmt == "raw/utf8")
+    }
+    // deterministic and composable: same features both runs, downstream
+    // extract runs on the resized relation unchanged
+    val fa = graft.operators.Multimodal.extractFeatures(resized)
+      .filter(col("media_id") === 0).select("features").as[Seq[Float]].head()
+    val fb = graft.operators.Multimodal.extractFeatures(
+        graft.operators.Multimodal.resize(media, target))
+      .filter(col("media_id") === 0).select("features").as[Seq[Float]].head()
+    assert(fa == fb && fa.length == graft.operators.Multimodal.featureDim)
+  }
 }
