@@ -245,6 +245,22 @@ object SparkEntry {
       Dedup.jaccardSimilarityJoinPrefix(Tables.load(s, dir, "documents"),
           "doc_id", "text", "lang", threshold = 0.9)
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))),
+    // --- sampled restriction of the SAME full-corpus join: pairs with
+    //     both endpoints in the seeded subset S = {doc_id % 7 == 0}. A
+    //     pair's jaccard depends only on its two texts and the join is
+    //     exact, so restricting the full output to S×S equals the
+    //     all-pairs join over S alone — which DuckDB can afford at
+    //     scales where the full O(n²) oracle cannot. This is the scaled
+    //     pass's value check on the quadratic-oracle join family: the
+    //     SPARK side still runs over the whole corpus (full-corpus token
+    //     statistics, prefix selection, candidate pruning), so a
+    //     scale-only pruning bug shows up here even though the oracle
+    //     only recomputes the S×S slice ---
+    "dedup_jaccard_sampled" -> ((s, dir) =>
+      Dedup.jaccardSimilarityJoinPrefix(Tables.load(s, dir, "documents"),
+          "doc_id", "text", "lang", threshold = 0.9)
+        .filter(col("a") % 7 === 0 && col("b") % 7 === 0)
+        .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))),
     // --- connected components over the jaccard dup-pair graph: the
     //     cluster-aware retention unit (min-reachable-id label per doc;
     //     singletons label themselves). Neighbor-min + pointer-jumping
@@ -4648,6 +4664,20 @@ HAVING round(avg(recall), 4) >= 0.50""").mkString("\n"),
       """WITH t AS (SELECT doc_id, lang,
         |    list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS toks
         |  FROM documents)
+        |SELECT l.doc_id AS a, r.doc_id AS b,
+        |  round(len(list_intersect(l.toks, r.toks))::DOUBLE
+        |    / len(list_distinct(list_concat(l.toks, r.toks))), 6) AS jaccard
+        |FROM t l JOIN t r ON l.lang = r.lang AND l.doc_id < r.doc_id
+        |WHERE len(list_intersect(l.toks, r.toks))::DOUBLE
+        |    / len(list_distinct(list_concat(l.toks, r.toks))) >= 0.9""".stripMargin,
+    // identical computation over the seeded subset only: equals the
+    // restriction of the full-corpus output because the join is exact
+    // (see the queries entry) — near-linear in DuckDB at 10×, so this
+    // one joins the scaled pass where the full oracle cannot
+    "dedup_jaccard_sampled" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS toks
+        |  FROM documents WHERE doc_id % 7 = 0)
         |SELECT l.doc_id AS a, r.doc_id AS b,
         |  round(len(list_intersect(l.toks, r.toks))::DOUBLE
         |    / len(list_distinct(list_concat(l.toks, r.toks))), 6) AS jaccard
