@@ -271,6 +271,20 @@ object SparkEntry {
         "lang", threshold = 0.9)
       Dedup.componentLabels(docs, "doc_id", pairs)
     }),
+    // --- subset-scoped components: unlike the jaccard join, component
+    //     labels are NOT restriction-closed (a path can leave the
+    //     subset), so BOTH engines run on the induced subcorpus
+    //     S = {doc_id % 7 == 0}. This value-checks the full component
+    //     machinery — the prefix-filtered pair join, the neighbor-min +
+    //     pointer-jumping fixed point, and the capped-driver-vs-
+    //     distributed path selection — at ~n/7 of scales where the full
+    //     transitive-closure oracle is out of DuckDB's reach ---
+    "dedup_components_sampled" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents").filter(col("doc_id") % 7 === 0)
+      val pairs = Dedup.jaccardSimilarityJoinPrefix(docs, "doc_id", "text",
+        "lang", threshold = 0.9)
+      Dedup.componentLabels(docs, "doc_id", pairs)
+    }),
     // --- MinHash-LSH near-dup pipeline (splitmix64-seeded → no SQL
     //     oracle); self-validating: the row vanishes unless dup pairs were
     //     found, every verified jaccard clears the threshold, and the
@@ -316,6 +330,27 @@ object SparkEntry {
         .filter(col("id") =!= col("qid"))
         // cosine_dist is symmetric bit-for-bit (commutative dot/norms), so
         // the two directions of a pair carry identical dist values
+        .select(least(col("qid"), col("id")).as("a"),
+          greatest(col("qid"), col("id")).as("b"),
+          (lit(1.0) - col("dist")).as("cosine"))
+        .dropDuplicates("a", "b")
+        .orderBy(col("cosine").desc, col("a"), col("b"))
+        .limit(20)
+        .select(col("a"), col("b"), round(col("cosine"), 6).as("cosine"))
+    }),
+    // --- subset-scoped top-pairs: a global top-20 is not restriction-
+    //     closed (a full-corpus top pair can have one endpoint outside
+    //     the subset), so BOTH engines rank pairs within the induced
+    //     subset S = {vec_id % 7 == 0}. Same self-kNN-join plan as
+    //     dedup_embedding_top (k=21 is lossless for within-S top-20);
+    //     gives the O(n²)-oracle pair-ranking family a value check at
+    //     ~n/7 of scales where the full all-pairs oracle is infeasible ---
+    "dedup_embedding_sampled" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings").filter(col("vec_id") % 7 === 0)
+      KnnJoin.knnJoin(e, e, k = 21, metric = "cosine",
+          queryIdCol = "vec_id", queryVecCol = "embedding",
+          baseIdCol = "vec_id", baseVecCol = "embedding")
+        .filter(col("id") =!= col("qid"))
         .select(least(col("qid"), col("id")).as("a"),
           greatest(col("qid"), col("id")).as("b"),
           (lit(1.0) - col("dist")).as("cosine"))
@@ -4684,6 +4719,37 @@ HAVING round(avg(recall), 4) >= 0.50""").mkString("\n"),
         |FROM t l JOIN t r ON l.lang = r.lang AND l.doc_id < r.doc_id
         |WHERE len(list_intersect(l.toks, r.toks))::DOUBLE
         |    / len(list_distinct(list_concat(l.toks, r.toks))) >= 0.9""".stripMargin,
+    // subset-scoped variants: the oracle runs the SAME all-pairs /
+    // closure replay, but over the induced mod-7 subcorpus only — the
+    // quadratic cost drops ~49x, which keeps DuckDB feasible on the
+    // 10x-scaled pass (COVERAGE.md scaled-subset rule)
+    "dedup_components_sampled" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, lang,
+        |    list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS toks
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |pairs AS (
+        |  SELECT l.doc_id AS a, r.doc_id AS b
+        |  FROM t l JOIN t r ON l.lang = r.lang AND l.doc_id < r.doc_id
+        |  WHERE len(list_intersect(l.toks, r.toks))::DOUBLE
+        |      / len(list_distinct(list_concat(l.toks, r.toks))) >= 0.9),
+        |edges AS (SELECT a AS src, b AS dst FROM pairs
+        |          UNION SELECT b AS src, a AS dst FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT doc_id, doc_id FROM documents WHERE doc_id % 7 = 0
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        |SELECT src::BIGINT AS doc_id, min(dst)::BIGINT AS component
+        |FROM reach GROUP BY src""".stripMargin,
+    "dedup_embedding_sampled" ->
+      """WITH t AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+        |  FROM embeddings WHERE vec_id % 7 = 0),
+        |p AS (SELECT l.id AS a, r.id AS b,
+        |    1.0 - (1.0 - list_sum(list_transform(list_zip(l.v, r.v), x -> x[1]*x[2]))
+        |      / (sqrt(list_sum(list_transform(l.v, x -> x*x)))
+        |         * sqrt(list_sum(list_transform(r.v, x -> x*x))))) AS cosine
+        |  FROM t l JOIN t r ON l.id < r.id)
+        |SELECT a, b, round(cosine, 6) AS cosine FROM p
+        |ORDER BY cosine DESC, a, b LIMIT 20""".stripMargin,
     "dedup_embedding_top" ->
       """WITH t AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
         |p AS (SELECT l.id AS a, r.id AS b,
