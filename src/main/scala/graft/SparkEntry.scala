@@ -4740,25 +4740,32 @@ HAVING round(avg(recall), 4) >= 0.50""").mkString("\n"),
         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
         |SELECT src::BIGINT AS doc_id, min(dst)::BIGINT AS component
         |FROM reach GROUP BY src""".stripMargin,
+    // the pair rank must use the RAW double (the `cosine` output alias
+    // would shadow p's column in ORDER BY, silently ranking by the
+    // 6-decimal rounded value) — Spark's orderBy runs before its
+    // rounding select, and under replica ties at 10x the two orderings
+    // pick different top-20 sets (caught by the first scaled run of
+    // this gate)
     "dedup_embedding_sampled" ->
       """WITH t AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
         |  FROM embeddings WHERE vec_id % 7 = 0),
         |p AS (SELECT l.id AS a, r.id AS b,
         |    1.0 - (1.0 - list_sum(list_transform(list_zip(l.v, r.v), x -> x[1]*x[2]))
         |      / (sqrt(list_sum(list_transform(l.v, x -> x*x)))
-        |         * sqrt(list_sum(list_transform(r.v, x -> x*x))))) AS cosine
+        |         * sqrt(list_sum(list_transform(r.v, x -> x*x))))) AS cos_raw
         |  FROM t l JOIN t r ON l.id < r.id)
-        |SELECT a, b, round(cosine, 6) AS cosine FROM p
-        |ORDER BY cosine DESC, a, b LIMIT 20""".stripMargin,
+        |SELECT a, b, round(cos_raw, 6) AS cosine FROM p
+        |ORDER BY cos_raw DESC, a, b LIMIT 20""".stripMargin,
+    // raw-double rank, same reason as dedup_embedding_sampled above
     "dedup_embedding_top" ->
       """WITH t AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
         |p AS (SELECT l.id AS a, r.id AS b,
         |    1.0 - (1.0 - list_sum(list_transform(list_zip(l.v, r.v), x -> x[1]*x[2]))
         |      / (sqrt(list_sum(list_transform(l.v, x -> x*x)))
-        |         * sqrt(list_sum(list_transform(r.v, x -> x*x))))) AS cosine
+        |         * sqrt(list_sum(list_transform(r.v, x -> x*x))))) AS cos_raw
         |  FROM t l JOIN t r ON l.id < r.id)
-        |SELECT a, b, round(cosine, 6) AS cosine FROM p
-        |ORDER BY cosine DESC, a, b LIMIT 20""".stripMargin,
+        |SELECT a, b, round(cos_raw, 6) AS cosine FROM p
+        |ORDER BY cos_raw DESC, a, b LIMIT 20""".stripMargin,
     "text_quality" ->
       """WITH b AS (
         |  SELECT doc_id, text,
