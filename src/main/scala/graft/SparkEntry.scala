@@ -489,6 +489,59 @@ object SparkEntry {
           "qid", "qtext", k = 5)
         .select("query_id", "doc_id", "rank")
     }),
+    // --- hybrid retrieval (the RAG-standard shape): BM25 lexical arm +
+    //     dense cosine-kNN arm fused by reciprocal-rank fusion (k0=60,
+    //     Cormack et al. 2009). Both arms ARE the already-gated operators
+    //     (text_bm25_topk / j1_knn_cosine machinery) at k=10; fusion
+    //     shuffles only n_queries·k·2 rows — corpus-size-independent —
+    //     and sums fixed-point contributions (associative). The corpus is
+    //     documents+embeddings zipped by id (doc_id ≡ vec_id, TESTDATA) ---
+    "hybrid_rrf" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val emb = Tables.load(s, dir, "embeddings")
+      val lex = Bm25.searchTopK(docs,
+          docs.filter(col("doc_id") % 53 === 0)
+            .select(col("doc_id").as("qid"),
+              substring(col("text"), 1, 200).as("qtext")),
+          "doc_id", "text", "qid", "qtext", k = 10)
+        .select(col("query_id").as("qid"), col("doc_id").as("id"), col("rank"))
+      val den = KnnJoin.knnJoin(
+          emb.filter(col("vec_id") % 53 === 0)
+            .select(col("vec_id").as("qid"), col("embedding").as("vector")),
+          emb.select(col("vec_id").as("id"), col("embedding").as("vector")),
+          k = 10, metric = "cosine")
+        .select(col("qid"), col("id"), col("rank"))
+      graft.operators.Hybrid.rrfFuse(Seq(lex, den), k = 10)
+        .select(col("qid").as("query_id"), col("rank"),
+          col("id").as("doc_id"), col("rrf"))
+    }),
+    // --- hard-negative mining (metric-learning / dense-retriever
+    //     training): for each anchor, the 10 nearest embeddings under
+    //     cosine whose label differs from the anchor's. Anchors broadcast,
+    //     corpus scanned once with the label predicate inside the codegen
+    //     span, bounded-heap top-k — KnnJoin's 100 TB shape ---
+    "mine_hard_negatives" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      graft.operators.Mining.hardNegatives(
+          emb.filter(col("vec_id") % 50 === 0)
+            .select(col("vec_id").as("qid"), col("embedding").as("vector"),
+              col("label")),
+          emb.select(col("vec_id").as("id"), col("embedding").as("vector"),
+            col("label")),
+          k = 10, metric = "cosine")
+        .select(col("qid"), col("rank"), col("id"))
+    }),
+    // --- coreset / diversity selection: greedy k-center (Gonzalez 1985 /
+    //     Sener & Savarese 2018) over the embeddings — k shuffle-free
+    //     corpus passes with an incrementally-min'd distance column +
+    //     TakeOrdered argmax; the full selection trajectory (order and
+    //     coverage radii) is value-checked by a recursive-CTE replay ---
+    "corpus_kcenter" -> ((s, dir) =>
+      graft.operators.Coreset.kCenterGreedy(
+          Tables.load(s, dir, "embeddings")
+            .select(col("vec_id").as("id"), col("embedding").as("vector")),
+          k = 12, metric = "l2")
+        .select(col("step"), col("id"), round(col("radius"), 6).as("radius"))),
     // --- CCNet-style LM perplexity scoring: add-0.5 bigram model
     //     trained relationally on the corpus scores every document;
     //     NLL accumulates as fixed-point longs (associative — engine/
@@ -5389,6 +5442,119 @@ HAVING round(avg(recall), 4) >= 0.50""").mkString("\n"),
         |      ORDER BY score_fixed DESC, doc_id) AS rank
         |  FROM agg)
         |SELECT query_id, doc_id, rank FROM r WHERE rank <= 5""".stripMargin,
+    // Hybrid RRF replay: the text_bm25_topk replay at k=10 (lexical arm)
+    // + the j1_knn_cosine replay over the %53 query subset (dense arm),
+    // fused with fixed-point 1e12-scaled reciprocal-rank contributions
+    // (associative BIGINT sum, like the BM25 scoring itself); final rank
+    // on the RAW fixed sum with doc_id tiebreak, rrf rounded for output
+    "hybrid_rrf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |d AS (SELECT doc_id, len(toks) AS dl, toks FROM tok),
+        |post AS (
+        |  SELECT doc_id, dl, term, count(*) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+        |  GROUP BY doc_id, dl, term),
+        |stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM d),
+        |df AS (SELECT term, count(*)::DOUBLE AS df FROM post GROUP BY term),
+        |q AS (
+        |  SELECT doc_id AS query_id, unnest(list_distinct(
+        |    string_split_regex(lower(trim(substr(text, 1, 200))), '\s+'))) AS term
+        |  FROM documents WHERE doc_id % 53 = 0),
+        |qdf AS (
+        |  SELECT q.query_id, q.term,
+        |    ln(1.0::DOUBLE + (stats.n_docs - df.df + 0.5::DOUBLE)
+        |      / (df.df + 0.5::DOUBLE)) AS idf,
+        |    stats.avgdl AS avgdl
+        |  FROM q JOIN df USING (term), stats),
+        |scored AS (
+        |  SELECT qdf.query_id, post.doc_id, post.term,
+        |    qdf.idf * (post.tf * (1.2::DOUBLE + 1.0::DOUBLE))
+        |      / (post.tf + 1.2::DOUBLE *
+        |         (0.25::DOUBLE + 0.75::DOUBLE * post.dl / qdf.avgdl)) AS s
+        |  FROM post JOIN qdf USING (term)),
+        |agg AS (
+        |  SELECT query_id, doc_id,
+        |    SUM(CAST(round(s * 1000000.0::DOUBLE, 0) AS BIGINT)) AS score_fixed
+        |  FROM scored GROUP BY query_id, doc_id),
+        |lex AS (
+        |  SELECT query_id, doc_id, rank FROM (
+        |    SELECT query_id, doc_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY score_fixed DESC, doc_id) AS rank
+        |    FROM agg) t WHERE rank <= 10),
+        |qv AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |       FROM embeddings WHERE vec_id % 53 = 0),
+        |bv AS (SELECT vec_id AS id, embedding::DOUBLE[] AS bv FROM embeddings),
+        |dd AS (SELECT qid, id,
+        |        1 - list_sum(list_transform(list_zip(qv, bv), p -> p[1]*p[2]))
+        |          / (sqrt(list_sum(list_transform(qv, x -> x*x)))
+        |             * sqrt(list_sum(list_transform(bv, x -> x*x)))) AS dist
+        |      FROM qv, bv),
+        |den AS (
+        |  SELECT qid AS query_id, id AS doc_id, rank FROM (
+        |    SELECT qid, id,
+        |      row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank
+        |    FROM dd) t WHERE rank <= 10),
+        |contrib AS (
+        |  SELECT query_id, doc_id, CAST(round(
+        |    1000000000000.0::DOUBLE / (60.0::DOUBLE + rank), 0) AS BIGINT) AS c
+        |  FROM lex
+        |  UNION ALL
+        |  SELECT query_id, doc_id, CAST(round(
+        |    1000000000000.0::DOUBLE / (60.0::DOUBLE + rank), 0) AS BIGINT) AS c
+        |  FROM den),
+        |fused AS (
+        |  SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS f
+        |  FROM contrib GROUP BY query_id, doc_id),
+        |fr AS (
+        |  SELECT query_id, doc_id, f,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY f DESC, doc_id) AS rank
+        |  FROM fused)
+        |SELECT query_id, rank::INT AS rank, doc_id,
+        |  round(f / 1000000000000.0::DOUBLE, 6) AS rrf
+        |FROM fr WHERE rank <= 10""".stripMargin,
+    // Hard-negative replay: the j1_knn_cosine all-pairs shape with the
+    // label-inequality predicate (which also removes the anchor itself)
+    "mine_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS qid, label AS ql, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id % 50 = 0),
+        |b AS (SELECT vec_id AS id, label AS bl, embedding::DOUBLE[] AS bv
+        |      FROM embeddings),
+        |d AS (SELECT qid, id,
+        |        1 - list_sum(list_transform(list_zip(qv, bv), p -> p[1]*p[2]))
+        |          / (sqrt(list_sum(list_transform(qv, x -> x*x)))
+        |             * sqrt(list_sum(list_transform(bv, x -> x*x)))) AS dist
+        |      FROM q, b WHERE b.bl <> q.ql),
+        |r AS (SELECT qid, id,
+        |        row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank
+        |      FROM d)
+        |SELECT qid, rank::INT AS rank, id FROM r WHERE rank <= 10""".stripMargin,
+    // Greedy k-center replay: a recursive CTE carries the selected-id
+    // list; each iteration recomputes every point's min distance to the
+    // set (equals Spark's incremental min exactly — min is order-free)
+    // and picks argmax with the id tiebreak. Radius of step s is the
+    // max-min distance BEFORE adding step s's center (step 1 → 0.0)
+    "corpus_kcenter" ->
+      """WITH RECURSIVE b AS (
+        |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        |sel(step, id, radius, ids) AS (
+        |  SELECT 1, s.id, 0.0::DOUBLE, [s.id] FROM (SELECT min(id) AS id FROM b) s
+        |  UNION ALL
+        |  SELECT step + 1, id, mind, list_append(ids, id) FROM (
+        |    SELECT t.step, t.ids, t.id, t.mind,
+        |      row_number() OVER (ORDER BY t.mind DESC, t.id) AS rn
+        |    FROM (
+        |      SELECT sel.step, sel.ids, x.id,
+        |        min(sqrt(list_sum(list_transform(list_zip(x.v, c.v),
+        |          p -> (p[1]-p[2])*(p[1]-p[2]))))) AS mind
+        |      FROM sel, unnest(sel.ids) AS u(cid)
+        |        JOIN b c ON c.id = u.cid, b x
+        |      GROUP BY sel.step, sel.ids, x.id) t) tt
+        |  WHERE rn = 1 AND step < 12)
+        |SELECT step, id, round(radius, 6) AS radius FROM sel""".stripMargin,
     // Bigram-LM perplexity replay: same tokenizer, add-0.5 smoothing,
     // ::DOUBLE literals, fixed-point BIGINT NLL sums (associative, so
     // no ordering clauses needed); hugeint SUM cast back to BIGINT

@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Coreset
+
+/** Greedy k-center selection semantics. */
+class CoresetSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private def localGreedy(vecs: Array[(Long, Array[Float])], k: Int)
+      : Seq[(Int, Long, Double)] = {
+    def d(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble - b(i).toDouble; acc += x * x; i += 1
+      }
+      math.sqrt(acc)
+    }
+    val sorted = vecs.sortBy(_._1)
+    var sel = Vector((1, sorted.head._1, 0.0))
+    val mind = scala.collection.mutable.Map(
+      sorted.map { case (id, v) => id -> d(v, sorted.head._2) }: _*)
+    val byId = vecs.toMap
+    for (step <- 2 to k) {
+      val (bid, bd) = sorted.map { case (id, _) => (id, mind(id)) }
+        .maxBy { case (id, dd) => (dd, -id) }
+      sel :+= ((step, bid, bd))
+      val bv = byId(bid)
+      sorted.foreach { case (id, v) => mind(id) = math.min(mind(id), d(v, bv)) }
+    }
+    sel
+  }
+
+  test("matches the local greedy trajectory and is repartition-invariant") {
+    val df = graft.sources.RandomDataset.vectors(spark, n = 200, dim = 6, seed = 31)
+    val vecs = df.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val expect = localGreedy(vecs, k = 10)
+
+    for (parts <- Seq(1, 7)) {
+      val got = Coreset.kCenterGreedy(df.repartition(parts), k = 10)
+        .orderBy("step").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(got === expect, s"parts=$parts")
+    }
+    // coverage radii are non-increasing from step 2 on
+    val radii = expect.drop(1).map(_._3)
+    assert(radii.zip(radii.tail).forall { case (a, b) => b <= a })
+    // selected ids are distinct
+    assert(expect.map(_._2).distinct.size === expect.size)
+  }
+}
