@@ -542,6 +542,17 @@ object SparkEntry {
             .select(col("vec_id").as("id"), col("embedding").as("vector")),
           k = 12, metric = "l2")
         .select(col("step"), col("id"), round(col("radius"), 6).as("radius"))),
+    // --- MMR diversified re-ranking (Carbonell & Goldstein 1998, the
+    //     RAG context-selection standard): exact cosine top-15 pool per
+    //     query, then per-query greedy argmax λ·rel − μ·max-sim-to-
+    //     selected down to 8, in one mapGroups over n_queries·15 rows.
+    //     Full trajectory (order + scores) replayed by a recursive CTE ---
+    "corpus_mmr" -> ((s, dir) =>
+      graft.operators.Mmr.diversifiedTopK(
+          Tables.embQueries(s, dir), Tables.embBase(s, dir),
+          m = 15, nSelect = 8)
+        .select(col("qid"), col("step"), col("id"),
+          round(col("score"), 6).as("score"))),
     // --- CCNet-style LM perplexity scoring: add-0.5 bigram model
     //     trained relationally on the corpus scores every document;
     //     NLL accumulates as fixed-point longs (associative — engine/
@@ -5555,6 +5566,59 @@ HAVING round(avg(recall), 4) >= 0.50""").mkString("\n"),
         |      GROUP BY sel.step, sel.ids, x.id) t) tt
         |  WHERE rn = 1 AND step < 12)
         |SELECT step, id, round(radius, 6) AS radius FROM sel""".stripMargin,
+    // MMR replay: candidate pool = the j1 cosine chain top-15 (rel is
+    // the same chain's similarity, dist ≡ 1 − rel bit-exactly per
+    // VecCosineDist), pairwise sims among pool members precomputed
+    // (symmetric — dot order and norm product commute), then a
+    // recursive CTE advances every query one greedy pick per iteration:
+    // score = 0.7·rel − 0.3·max(sim to selected), ties by id; the
+    // first pick's max-sim term is 0 (x − 0.0 ≡ x, so 0.7·rel alone)
+    "corpus_mmr" ->
+      """WITH RECURSIVE
+        |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |      FROM embeddings WHERE vec_id % 50 = 0),
+        |b AS (SELECT vec_id AS id, embedding::DOUBLE[] AS bv FROM embeddings),
+        |dd AS (SELECT qid, id, 1 - s AS dist, s AS rel FROM (
+        |  SELECT qid, id,
+        |    list_sum(list_transform(list_zip(qv, bv), p -> p[1]*p[2]))
+        |      / (sqrt(list_sum(list_transform(qv, x -> x*x)))
+        |         * sqrt(list_sum(list_transform(bv, x -> x*x)))) AS s
+        |  FROM q, b) t),
+        |cand AS (
+        |  SELECT qid, id, rel FROM (
+        |    SELECT qid, id, rel,
+        |      row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn
+        |    FROM dd) t WHERE rn <= 15),
+        |pairsim AS (
+        |  SELECT c1.qid, c1.id AS a, c2.id AS b,
+        |    list_sum(list_transform(list_zip(x.bv, y.bv), p -> p[1]*p[2]))
+        |      / (sqrt(list_sum(list_transform(x.bv, z -> z*z)))
+        |         * sqrt(list_sum(list_transform(y.bv, z -> z*z)))) AS sim
+        |  FROM cand c1 JOIN cand c2 ON c1.qid = c2.qid AND c1.id <> c2.id
+        |  JOIN b x ON x.id = c1.id JOIN b y ON y.id = c2.id),
+        |sel(step, qid, id, score, ids) AS (
+        |  SELECT 1, qid, id, score, [id] FROM (
+        |    SELECT qid, id, 0.7::DOUBLE * rel AS score,
+        |      row_number() OVER (PARTITION BY qid
+        |        ORDER BY 0.7::DOUBLE * rel DESC, id) AS rn
+        |    FROM cand) t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT step + 1, qid, id, score, list_append(ids, id) FROM (
+        |    SELECT t.step, t.qid, t.id, t.score, t.ids,
+        |      row_number() OVER (PARTITION BY t.qid
+        |        ORDER BY t.score DESC, t.id) AS rn
+        |    FROM (
+        |      SELECT sel.step, sel.qid, c.id,
+        |        0.7::DOUBLE * c.rel - 0.3::DOUBLE * max(p.sim) AS score,
+        |        sel.ids
+        |      FROM sel
+        |      JOIN cand c ON c.qid = sel.qid
+        |        AND NOT list_contains(sel.ids, c.id)
+        |      JOIN pairsim p ON p.qid = sel.qid AND p.a = c.id
+        |        AND list_contains(sel.ids, p.b)
+        |      GROUP BY sel.step, sel.qid, c.id, c.rel, sel.ids) t) tt
+        |  WHERE rn = 1 AND step < 8)
+        |SELECT qid, step, id, round(score, 6) AS score FROM sel""".stripMargin,
     // Bigram-LM perplexity replay: same tokenizer, add-0.5 smoothing,
     // ::DOUBLE literals, fixed-point BIGINT NLL sums (associative, so
     // no ordering clauses needed); hugeint SUM cast back to BIGINT
