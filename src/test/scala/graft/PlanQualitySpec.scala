@@ -325,4 +325,42 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(rows(2).getDouble(1) == 0.0) // empty arrays
     assert(rows(3).isNullAt(0) && rows(3).isNullAt(1) && rows(3).isNullAt(2))
   }
+
+  test("hard negatives / RRF fusion / MMR rerank: scale-shaped plans") {
+    // hard negatives: same shape as the kNN join — anchors broadcast, the
+    // corpus never shuffles, label predicate + codegen distance before the
+    // partial bounded heap, one hash exchange
+    val emb = Tables.load(spark, dir, "embeddings")
+    val mine = graft.operators.Mining.hardNegatives(
+      emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("vector"), col("label")),
+      emb.select(col("vec_id").as("id"), col("embedding").as("vector"), col("label")),
+      k = 5, metric = "cosine")
+    val mp = mine.queryExecution.executedPlan.toString
+    assert(mp.contains("BroadcastNestedLoopJoin"), "anchors must broadcast")
+    assert(mp.contains("partial_top_k_by_dist"), "map-side bounded heap required")
+    assert(mp.contains("vec_cosine_dist"), "distance must stay a codegen expression")
+    assert("Exchange hashpartitioning".r.findAllIn(mp).size == 1, mp.linesIterator.take(3).mkString)
+
+    // RRF fusion: no join at all — a union of rank relations, one partial
+    // fixed-point sum, one bounded-heap top-k; nothing corpus-sized
+    val arm1 = Seq((0L, 1L, 1), (0L, 2L, 2)).toDF("qid", "id", "rank")
+    val arm2 = Seq((0L, 2L, 1), (0L, 3L, 2)).toDF("qid", "id", "rank")
+    val fp = graft.operators.Hybrid.rrfFuse(Seq(arm1, arm2), k = 3)
+      .queryExecution.executedPlan.toString
+    assert(!fp.contains("CartesianProduct") && !fp.contains("BroadcastNestedLoopJoin"),
+      "fusion must stay join-free")
+    assert(fp.contains("Union") && fp.contains("partial_top_k_by_dist"))
+
+    // MMR rerank: per-query-local greedy — exactly one shuffle (the group
+    // on qid) and an object MapGroups, no corpus-side operator
+    val pool = Seq(
+      (0L, 1L, Seq(1f, 0f), Seq(1f, 0.1f)),
+      (0L, 2L, Seq(1f, 0f), Seq(0.9f, 0.3f))).toDF("qid", "id", "qvec", "vector")
+    val rp = graft.operators.Mmr.rerank(pool, nSelect = 2)
+      .queryExecution.executedPlan.toString
+    assert(rp.contains("MapGroups"), "rerank must be a per-query object op")
+    assert("Exchange hashpartitioning".r.findAllIn(rp).size == 1,
+      "rerank must shuffle only the pool, once")
+  }
 }
