@@ -177,6 +177,38 @@ object SparkEntry {
     // --- J8: IVF partition-pruned probe ---
     "j8_ivf_probe" -> annRecall("ivf", "ivf", "ivf",
       Map("nlist" -> "16", "nprobe" -> "4"), "l2", floor = 0.55),
+    // --- J8+: incremental IVF ingestion (FAISS IndexIVF.add semantics —
+    //     the coarse model NEVER retrains on add; the 100 TB operational
+    //     path where daily arrivals must not rebuild a corpus-sized
+    //     index): build on the even ids, append the odd ids against the
+    //     frozen centroids, probe the appended index. The oracle replays
+    //     the full pipeline with EVEN-half-trained centroid literals
+    //     assigning ALL rows, so a wrong or missing appended row breaks
+    //     the hash, not just the recall floor ---
+    "j8_ivf_append" -> ((s, dir) => {
+      graft.operators.Registry.init()
+      val q = Tables.embQueries(s, dir)
+      val b = Tables.embBase(s, dir).cache()
+      val art = graft.operators.IvfIndexer(nlist = 16, seed = 42)
+        .build(b.filter(col("id") % 2 === 0))
+      val appended = graft.operators.IvfModel
+        .append(art, b.filter(col("id") % 2 =!= 0))
+      val res = graft.operators.IvfSearcher(nprobe = 4, "l2")
+        .search(appended, q, 10)
+      val gt = KnnJoin.knnJoinAgg(q, b, 10, "l2")
+        .select(col("qid"), transform(col("nn"), x => x("id")).as("gt"))
+      val pred = res.groupBy("qid")
+        .agg(graft.operators.TopKByDist.topK(col("id"), col("dist"), 10).as("nn"))
+        .select(col("qid"), transform(col("nn"), x => x("id")).as("pred"))
+      gt.join(pred, Seq("qid"), "left")
+        .withColumn("pred", coalesce(col("pred"), array().cast("array<bigint>")))
+        .agg(
+          lit("ivf_append").as("algorithm"),
+          count(lit(1)).as("n_queries"),
+          round(avg(Metrics.recallAtK(col("pred"), col("gt"), 10)), 4).as("recall_10"),
+          round(avg(Metrics.rrAtK(col("pred"), col("gt"), 10)), 4).as("mrr_10"))
+        .filter(col("recall_10") >= 0.50)
+    }),
     // --- J8 exact limit: full probe (nprobe = nlist) ≡ brute force —
     //     hash-matched against the same DuckDB kNN oracle as j1_knn_l2 ---
     "j8_ivf_fullprobe" -> annExploded("ivf", "ivf", "ivf",
@@ -883,6 +915,76 @@ object SparkEntry {
         |  round(avg(recall), 4) AS recall_10, round(avg(rr), 4) AS mrr_10
         |FROM per
         |HAVING round(avg(recall), 4) >= 0.95""".stripMargin,
+    // J8+ incremental-ingestion replay: IDENTICAL pipeline SQL to
+    // j8_ivf_probe but with the coarse centroids trained on the EVEN
+    // ids only (dev/DumpCentroids 16 even) — exactly the frozen model
+    // the append path must encode the odd ids with. Assignment still
+    // covers ALL rows, so the appended rows are value-checked.
+    "j8_ivf_append" ->
+      """WITH cents(cid, cv) AS (VALUES
+        |(0, [0.047243487,0.03168703,0.0046586366,0.021329563,0.04923314,0.010532799,-0.052136075,-0.13673481,-0.03967296,-0.07536956,0.05956304,-0.02755583,0.037766375,0.03941305,-0.10136206,0.06333165,0.026972042,0.025640382,0.032257628,-0.02026178,-0.027881604,0.021751609,-0.045905724,-0.05037355,-0.0010225256,0.026286641,-0.04321624,-0.06284313,0.06514525,-0.055722572,0.032188833,-0.0056504393,-0.06798094,-0.0698417,-0.028150424,-0.005775927,0.00874249,-0.07999314,-0.027063092,-0.046748325,0.031060796,0.028969347,0.06157479,-0.0927413,0.0010684826,0.0138002755,0.080204114,0.045054212,-0.0012453366,-0.012260439,-0.03740936,-0.041780982,0.036892176,0.03438983,-0.061887193,-0.0099559575,0.060366746,0.019438213,0.036252253,-0.026554821,0.020253802,-0.013541729,0.08547308,0.0123475315]::REAL[]),
+        |(1, [-0.03654777,-0.040109597,-0.07664098,0.043630425,-0.06373151,0.06094272,0.017729538,-0.009003097,-0.005778983,0.010220492,-0.00883066,0.082401775,-0.020439226,0.023015233,-0.027484545,0.085339524,0.08943278,0.016483368,0.07727453,-0.0063067893,-0.03779546,-0.0507549,-0.013211958,0.13021427,0.008026861,-0.06507927,-0.017462006,0.028705217,-0.025303876,-0.10419606,0.008257705,0.034060188,0.010193484,-0.09964863,0.043326315,0.07041111,-6.6935795E-4,-0.03278987,-0.014999377,-0.019275798,-0.06234532,-6.681577E-4,-0.052458458,0.05277933,-0.0040307078,-0.065096624,0.04472037,0.029482696,-0.0719598,-0.07480089,0.066875905,0.016864711,-0.020800402,-0.013382016,0.010633925,-0.02335834,-0.045656756,-0.048260216,0.04731585,-0.059687532,-0.0024821453,-0.005116592,0.010368248,-0.0071353046]::REAL[]),
+        |(2, [-0.07371825,-0.020481061,-0.041138176,-0.048818603,0.00715654,-0.08818321,-0.007134812,0.022162037,0.008533137,0.049623214,0.058043387,-0.04105661,-0.00998507,-0.03644172,-0.061902836,-0.01074508,0.065222494,0.040542778,-0.04795497,0.044471096,-0.04611471,0.012844939,-0.016042328,-0.083943784,-0.01041607,0.059297275,-0.020905169,0.08826046,0.04740159,-0.036360413,-0.06304894,-0.039940022,-1.7528096E-4,-0.035459794,0.037826393,0.055067994,-0.091399744,-0.07366582,0.017991405,0.023306636,0.061485518,0.030449823,-0.0343291,0.03385505,-0.13807027,0.030748025,0.01459849,0.06670588,-0.016558172,0.051306788,0.04920059,0.039612733,0.01285252,0.0805594,0.078670785,0.013538565,-0.035209585,0.023372928,-0.04882639,-0.03991109,-0.034609456,0.07317262,-0.0030199771,0.031717565]::REAL[]),
+        |(3, [-0.030043893,-0.067966826,0.0116459,-0.017260065,-0.037757512,0.01925995,-0.09822085,-3.4286868E-4,0.013064147,0.028524464,0.033323854,-0.103147596,-0.027895482,0.029738707,-0.009664489,-0.0034104506,-0.02817575,-0.049455296,-0.11181143,0.04023641,0.080822304,0.02044522,0.02426851,-0.012187887,0.020154228,0.047149334,0.064332224,-0.034929693,0.0066870693,-0.017855532,0.03982426,0.005162731,-0.035877448,-0.04656062,0.022725359,0.02148794,-0.00277277,0.05883019,0.001941148,0.020534465,-0.08198562,0.022832792,-0.06008732,0.033820424,0.02935454,0.07633074,0.041019917,0.0019211011,0.030372225,-0.0746681,-0.08257409,0.05209625,0.027856223,0.024032649,-0.0473172,0.07427943,0.013321748,-0.02972748,0.063541934,0.028858962,-0.019204494,0.009580115,0.009333254,-0.06888847]::REAL[]),
+        |(4, [-0.032301083,-0.02174453,-0.059584577,0.049410757,-0.019812344,0.07365081,-0.05717124,0.059963446,-0.013634361,-0.010122948,0.042833406,-0.003934835,0.0061397296,0.0630695,-0.0077383383,0.018701596,0.02242658,0.10045573,0.0038906555,-0.1335042,0.026280517,0.025825305,0.105450965,-0.0340876,-0.057116788,-0.018074324,-0.011585239,-0.031276677,0.009084491,0.022334648,-0.033312455,-0.017805068,0.052727103,0.077334575,-0.012530557,0.061760407,0.06477596,0.064685665,0.07505109,0.022357965,-0.018916516,0.008625322,-0.030765759,-0.04759986,0.0043950346,-0.027867332,0.03079562,0.046457015,0.059510853,-0.049420748,-0.017385611,-0.038146824,-0.005954211,0.004511097,0.011721895,-0.001009144,-0.097530924,0.024992323,-0.019323839,0.045170695,-0.010521808,0.01695697,-0.05810872,-0.0046387557]::REAL[]),
+        |(5, [0.023460237,-0.037462134,0.08776967,-0.037880648,0.03788891,-0.003160625,0.016738525,-0.026104527,-0.02880867,-0.047631927,0.05077984,0.02368556,0.05196752,0.07708492,0.017320193,-0.029978909,0.023108097,-0.010261245,-0.049479526,0.07633378,-0.029950012,-0.02612013,0.043531295,-0.061989505,0.0120374095,-0.0020921002,-0.096416496,0.05530135,-0.034320507,-0.004007946,-0.026491772,-0.12738672,-0.04134068,0.026026232,-0.029784769,-0.037104152,0.016722739,0.051679138,-0.026435355,0.040895376,-0.01688158,0.054064505,-0.021334063,1.00971345E-4,-0.010089997,-0.0802295,-0.056603506,-0.024394678,-0.022772051,0.010305501,0.104584076,0.079784796,0.035977352,0.058123227,0.08693938,0.02738464,0.022283345,0.014609001,0.08150442,0.03473199,0.14908828,-0.06989869,-0.053435285,-0.064057544]::REAL[]),
+        |(6, [0.023079813,-0.049717646,-0.11019233,0.0045074886,-0.0015931957,-0.012178468,-0.00673214,0.0047052996,-0.015959045,-0.008817213,0.013269145,-0.033606376,-0.012872104,-0.073023096,0.034448065,-0.06993078,-0.016693838,-0.044295397,0.061726015,-0.020108776,0.057102233,-0.049225353,-0.025347922,0.02139136,0.07513742,0.08147316,-0.02358045,0.073138945,-0.017966032,0.063848704,-0.036039922,0.013389181,0.11528417,-0.03330215,0.0021125118,-0.07930022,0.027863128,0.014312762,-0.018817866,0.022071337,-0.032258037,-0.070794426,-0.063975304,-0.023865221,0.010265898,0.040135458,0.0031422444,0.03642379,0.01718378,0.08914317,0.026509784,-0.06792567,0.004174117,-0.0010005621,-0.079298176,-0.047807265,0.11943518,0.005355609,0.046842396,-6.299464E-4,0.062184952,0.0063681235,-0.07160171,-0.010771872]::REAL[]),
+        |(7, [-0.05933312,0.04084088,0.018436579,0.042123653,0.06663427,0.032482862,-0.05239606,-0.037599303,-0.058916215,0.012710952,-0.0450866,0.08681229,-0.062610686,-0.027862012,0.043514118,-0.07178237,0.10222789,0.011035447,-0.029100819,-0.0072020893,-0.032473866,0.01179914,-0.04233158,-0.08630274,-0.04389905,-0.007851093,0.02609593,7.488413E-4,-0.009123589,-0.0037328163,0.032356497,-0.05948824,0.0024992812,0.049675237,0.08096966,0.007861059,0.012140332,0.03671756,-0.034704503,-0.012356102,-0.025825702,0.03289045,-0.006120464,-0.03963469,0.016390711,-0.06789749,-0.08325156,-0.020884758,-0.013383719,-0.01052406,-0.018872846,-0.024118893,-0.048036996,-0.026012832,-0.032453306,0.00289013,0.00557043,0.013407584,-0.009986055,-0.021541204,-0.025613762,0.07379254,0.041572295,-0.040911816]::REAL[]),
+        |(8, [0.0746285,0.014680381,0.027885439,-0.044532113,0.004599415,0.020358862,-0.09144383,0.04617133,-0.0074463086,-0.05239026,0.09550797,-0.013740675,0.059587624,-0.06704472,-0.0016362644,0.067220144,-0.0391462,0.039651413,-0.01316944,0.0030234687,-0.023002109,-0.0401653,-0.051857296,-0.02680977,0.06553105,0.048333634,0.06338053,0.10023019,-0.030851122,0.05296636,-0.06524951,0.05819286,6.53027E-4,-0.06706186,0.046812695,0.10464263,-0.053344958,0.03607109,0.108959,-0.051049113,0.009551358,-0.015511213,-0.01518528,-0.04175728,-0.0012441359,0.022868453,-0.027812015,-0.038202997,-0.028678712,-0.047734972,0.04637999,-0.039483238,-0.009713738,-0.013959269,-0.002369344,-0.010167699,0.04776336,0.02873728,-0.09942678,-0.013196233,0.06097727,-0.04704665,-0.0028636502,0.008353863]::REAL[]),
+        |(9, [0.036140136,0.06581378,-0.0114547955,-0.05659761,0.04497651,0.016163545,-0.045321327,0.10406733,-0.053492427,-0.04514366,-0.027544402,-0.054227747,0.009449796,0.010423776,-0.08941942,0.07729393,-0.025224626,0.116087355,0.013445997,0.043522645,-0.009821049,-0.033248894,0.026536234,-0.02543561,-0.070794664,-0.053982284,0.030338807,-0.05728499,0.031272393,0.050026342,0.04960982,-0.08573729,-0.03506367,0.0074407356,-0.009803418,-0.040353436,-0.057178013,0.016964376,-0.017131696,0.051458277,0.01129156,-0.056909855,0.08093444,0.07803262,-0.010419397,0.053159203,-0.03819195,-0.04638558,0.039355204,0.012575954,-0.06820935,-0.029473552,-0.04748716,-0.04930989,0.016439103,-0.010811274,-0.0125275655,-0.020129465,-0.02327316,0.035908468,-0.030344775,-0.07432963,-0.0047208723,0.029011609]::REAL[]),
+        |(10, [0.029102916,0.01615823,0.046583362,-0.10553569,-0.008261683,-0.013731295,-0.044596236,0.002901986,0.06678358,0.014356961,-0.00959008,-0.06497435,0.018641792,-0.060696058,0.048309535,0.026775265,0.020928591,-0.061668,0.0871817,0.10324822,-0.025972052,-0.06656785,-0.10407399,-0.023000654,-0.07481371,-0.11541817,0.005848084,0.07968357,-0.021699075,0.013132175,-5.438924E-7,-0.021431457,0.029907255,0.043849666,0.061867572,-0.047309477,0.06645072,-0.13623615,0.0018850144,-0.029710257,-0.026857454,-0.033341046,0.09270128,0.03236138,-0.057158884,-0.0072910944,0.019619785,-0.04184228,0.0057407576,0.018723847,0.013164024,0.053444676,0.035972644,0.0026481447,0.089182444,-0.021066753,0.064013414,-0.033685498,-0.09825475,-0.04196459,-0.077569745,0.06905603,0.034268603,-0.044367544]::REAL[]),
+        |(11, [0.0031907347,-0.030274188,0.098408744,0.005075095,0.03394455,-0.07569693,0.07028593,0.12926324,-0.039520137,0.12061792,0.022842443,-0.0058228737,0.029234892,-0.068259776,0.08690446,-0.004602686,0.02741628,0.020912798,-0.01372597,-0.041595068,-0.026489323,0.07168481,0.047819935,0.033033237,-0.002141914,0.0083318865,0.06538907,-0.042988703,0.0789352,-0.06832981,0.046519853,0.0590419,0.056421105,-0.03789176,0.027428223,-0.11335821,-0.075062245,-0.03491874,0.029843075,-0.031148646,-1.9625582E-4,-0.022445843,-0.06694904,0.038296893,0.017857924,0.016459871,0.0052426895,0.099110276,-0.07188579,-0.014208687,0.040790454,0.01160974,0.06541641,0.02258272,0.03194109,-0.0445496,0.028525641,-0.035568506,0.016108753,-0.021893907,-0.070273794,0.03378439,-0.028107198,0.004932685]::REAL[]),
+        |(12, [0.012355262,-0.013300216,-0.012601804,-0.025356242,-0.017867729,-0.0023362364,0.050534025,-0.078597985,0.101295255,0.012612018,0.004923501,0.018518653,0.065015696,0.0051343357,0.091268815,-0.052315664,-0.045167368,-0.019207451,-0.03066836,0.039328516,0.05267615,-0.071041875,-0.023816735,-0.07430226,0.082478404,-0.005225602,-0.040617626,-0.015107464,-0.029468423,0.014884831,0.02885353,-0.08510433,0.08185608,0.0022459158,0.034149487,-0.029608047,-0.010501942,-0.04143934,-0.083389364,-0.09578404,0.02712214,-0.048707258,-0.005640299,-0.02005002,0.03443742,0.01998532,-0.00914097,-0.017885318,-0.061016034,-0.051229447,-0.04412989,-0.031765107,0.03803018,-0.09185768,0.030304888,-0.019682964,-0.08504309,-0.015307421,0.008913107,-0.021234766,0.04392257,0.054345645,0.09097284,0.047580417]::REAL[]),
+        |(13, [0.050710358,0.0038783182,0.030158384,-0.06484113,0.036701955,0.0380769,-0.07110763,0.038736712,0.05211025,-0.04062025,-0.01519701,0.011568247,-0.058754306,-0.016753575,-0.06236282,0.07689981,0.0041144514,-0.0017968965,0.13444646,0.039021067,-0.07403297,0.10748823,0.03492157,0.051705837,0.024124753,0.09282585,0.07025854,-0.031676248,-2.0502048E-4,0.025659336,-0.021209672,0.11679853,-0.03855605,0.046578195,0.024488594,-0.0020823982,-0.04315051,0.030418506,0.0021212972,-0.07582485,0.016610693,-0.037376307,-0.049448304,-0.027616076,-0.038165968,0.022610944,0.026911294,-0.05576485,0.024563557,0.025695298,-0.015113293,0.023427617,0.07373726,-0.080164224,0.009983519,-0.003052953,0.017785551,-0.020313038,0.013639144,0.022294953,0.011486899,0.073201574,0.0075452104,-0.03298897]::REAL[]),
+        |(14, [0.005660125,-0.05949416,-0.03391191,0.07440978,0.014144449,0.05926954,0.11085723,0.08265538,-0.017668324,0.026729943,0.008910604,0.01614253,-0.08605926,0.007971847,-0.117413506,0.0365861,-0.04008169,-0.08301636,-0.07609764,0.066499926,0.030339016,-0.032843072,-0.011655086,-0.060129657,0.083542906,-0.018243313,-0.0062067285,0.015143721,0.07359259,0.026162708,0.058766335,0.041876215,0.09863687,0.034629654,0.054689415,0.016249817,0.045565538,-0.045178603,-0.14964052,0.08850065,0.085755415,-7.978727E-5,0.019394834,-0.01932369,-0.030472187,-0.021735206,-0.004159649,-0.012909513,0.04778874,0.081835374,0.0064950376,-0.014833338,-0.008232596,-0.019517556,0.018712224,-0.023939686,0.053673908,0.023528727,0.018198146,0.05115074,-0.062218122,-0.02193312,-0.062099956,-0.0632403]::REAL[]),
+        |(15, [1.5560837E-4,0.07396475,0.05993265,-0.089893825,-0.017522095,0.0018450147,-0.04727003,-0.03380108,0.054164942,0.056821182,-0.092526466,-0.064980544,0.0094704125,-0.07165394,-0.013127269,0.049098756,-0.022068363,-0.0042599496,-0.0040528467,0.015598791,0.025926739,0.071964346,0.12902537,0.10817513,0.031183714,-0.0014795221,-0.084389396,-0.021125067,-0.034143455,-0.016760236,0.0080910465,-0.0059612165,0.0025894467,0.03718725,0.011370745,-0.004748089,0.0015843059,-0.014641978,-0.0026223,-0.06474725,-0.031174216,-0.060210537,0.03291854,0.010026316,-0.087734185,0.057456303,-0.045389432,0.056169145,0.057145953,-0.021821922,-0.0074879103,-0.034259778,-0.046810597,0.044674754,-0.0012147534,-0.0041153203,-0.015679454,0.017297149,0.03402984,-0.03404109,-0.0423181,-0.10893388,0.028834332,0.0038219811]::REAL[])),
+        |b AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+        |assign AS ( -- nearest centroid per row (argmin over 16)
+        |  SELECT id, cid FROM (
+        |    SELECT b.id, c.cid, row_number() OVER (PARTITION BY b.id ORDER BY
+        |      list_sum(list_transform(list_zip(b.v, c.cv),
+        |        x -> (x[1]::DOUBLE - x[2]::DOUBLE) * (x[1]::DOUBLE - x[2]::DOUBLE))), c.cid) AS rn
+        |    FROM b, cents c) t WHERE rn = 1),
+        |qids AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id % 50 = 0),
+        |probes AS ( -- nprobe=4 nearest centroids per query, L2 on doubles
+        |  SELECT qid, cid FROM (
+        |    SELECT q.vec_id AS qid, c.cid, row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      sqrt(list_sum(list_transform(list_zip(q.embedding::DOUBLE[], c.cv::DOUBLE[]),
+        |        p -> (p[1]-p[2])*(p[1]-p[2])))), c.cid) AS rn
+        |    FROM embeddings q JOIN qids ON q.vec_id = qids.qid, cents c) t
+        |  WHERE rn <= 4),
+        |cand AS (
+        |  SELECT p.qid, a.id FROM probes p JOIN assign a ON p.cid = a.cid),
+        |bv AS (SELECT vec_id AS id, embedding::DOUBLE[] AS dv FROM embeddings),
+        |cd AS (
+        |  SELECT c.qid, c.id,
+        |    sqrt(list_sum(list_transform(list_zip(qb.dv, rb.dv),
+        |      p -> (p[1]-p[2])*(p[1]-p[2])))) AS dist
+        |  FROM cand c JOIN bv qb ON c.qid = qb.id JOIN bv rb ON c.id = rb.id),
+        |pred AS (
+        |  SELECT qid, list(id ORDER BY rn) AS pred FROM (
+        |    SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn
+        |    FROM cd) t WHERE rn <= 10 GROUP BY qid),
+        |gtd AS (
+        |  SELECT q.id AS qid, r.id,
+        |    sqrt(list_sum(list_transform(list_zip(q.dv, r.dv),
+        |      p -> (p[1]-p[2])*(p[1]-p[2])))) AS dist
+        |  FROM bv q JOIN qids ON q.id = qids.qid, bv r),
+        |gt AS (
+        |  SELECT qid, list(id ORDER BY rn) AS gt FROM (
+        |    SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn
+        |    FROM gtd) t WHERE rn <= 10 GROUP BY qid),
+        |per AS (
+        |  SELECT g.qid,
+        |    coalesce(len(list_intersect(g.gt, p.pred))::DOUBLE / len(g.gt), 0.0) AS recall,
+        |    coalesce(1.0 / (SELECT min(pos) FROM (
+        |      SELECT unnest(p.pred) AS pid, generate_subscripts(p.pred, 1) AS pos) u
+        |      WHERE list_contains(g.gt, pid)), 0.0) AS rr
+        |  FROM gt g LEFT JOIN pred p ON g.qid = p.qid)
+        |SELECT 'ivf_append' AS algorithm, count(*) AS n_queries,
+        |  round(avg(recall), 4) AS recall_10, round(avg(rr), 4) AS mrr_10
+        |FROM per
+        |HAVING round(avg(recall), 4) >= 0.50""".stripMargin,
     // IVF probe replicated in SQL: the seeded KMeans centroids are
     // deterministic DATA (LocalKMeans, seed 42, built on the sf0.01 gate
     // data - the driver's pinned correctness SF) embedded as literals; nearest-centroid assignment, nprobe=4 routing, exact L2

@@ -3,16 +3,21 @@ package graft.dev
 import org.apache.spark.sql.SparkSession
 
 /** dev aid: print seeded IVF coarse centroids as SQL list literals for
-  * hash-model oracle blocks. args: [nlist=16] — gate configs: 16 for the
-  * j8 probes, 8 for dedup_semantic. */
+  * hash-model oracle blocks. args: [nlist=16] [subset: all|even] — gate
+  * configs: 16/all for the j8 probes, 8/all for dedup_semantic, 16/even
+  * for j8_ivf_append (trained on the even ids, append arrives after). */
 object DumpCentroids {
   def main(args: Array[String]): Unit = {
     val nlist = if (args.length > 0) args(0).toInt else 16
+    val subset = if (args.length > 1) args(1) else "all"
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val b = graft.Tables.embBase(spark, "/root/testdata/sf0.01")
+    val all = graft.Tables.embBase(spark, "/root/testdata/sf0.01")
+    val b = if (subset == "even")
+      all.filter(org.apache.spark.sql.functions.col("id") % 2 === 0)
+    else all
     val art = graft.operators.IvfIndexer(nlist = nlist, seed = 42).build(b)
     val rows = art.aux("centroids")
       .select("centroid_id", "vector").collect()

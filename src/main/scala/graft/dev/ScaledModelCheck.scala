@@ -10,9 +10,10 @@ import graft.operators._
 
 /** Scaled-pass extension for the hash-model gate family.
   *
-  * The six model-literal oracles (j8_ivf_probe, j9_pq_adc, j9_opq_adc,
-  * j10_ivf_pq, j10_ivf_sq8, dedup_semantic) pin seeded KMeans/PQ/OPQ
-  * models trained on the driver's sf0.01 gate data, so they cannot run
+  * The seven model-literal oracles (j8_ivf_probe, j8_ivf_append,
+  * j9_pq_adc, j9_opq_adc, j10_ivf_pq, j10_ivf_sq8, dedup_semantic) pin
+  * seeded KMeans/PQ/OPQ models trained on the driver's sf0.01 gate data
+  * (the append gate's on its even-id half), so they cannot run
   * against other scale factors as-is — the models retrain per scale by
   * design. This tool closes that gap WITHOUT touching the gate contract:
   * in ONE session it (a) retrains each gate-config model on the target
@@ -81,6 +82,10 @@ object ScaledModelCheck {
     // fresh literals per query — configs mirror the SparkEntry gate
     // entries exactly (annRecall adds seed=42 the same way)
     val ivfArt = build("ivf", Map("nlist" -> "16", "nprobe" -> "4"))
+    // the append gate's frozen model trains on the EVEN ids only
+    val ivfAppendArt = Registry
+      .indexer("ivf", Map("nlist" -> "16", "nprobe" -> "4", "seed" -> "42"), "l2")
+      .build(base.filter(col("id") % 2 === 0))
     val ivfSq8Art = build("ivf_sq8", Map("nlist" -> "16", "nprobe" -> "8"))
     val ivfPqArt = build("ivf_pq", Map("nlist" -> "16", "nprobe" -> "8",
       "num_subspaces" -> "16", "num_centroids" -> "64"))
@@ -99,6 +104,9 @@ object ScaledModelCheck {
     val scaledSql: Map[String, String] = Map(
       "j8_ivf_probe" -> replaceValuesBlock(
         SparkEntry.oracleSql("j8_ivf_probe"), cents, centRows(IvfModel.centroidsOf(ivfArt))),
+      "j8_ivf_append" -> replaceValuesBlock(
+        SparkEntry.oracleSql("j8_ivf_append"), cents,
+        centRows(IvfModel.centroidsOf(ivfAppendArt))),
       "j10_ivf_sq8" -> replaceValuesBlock(
         SparkEntry.oracleSql("j10_ivf_sq8"), cents, centRows(IvfModel.centroidsOf(ivfSq8Art))),
       "j10_ivf_pq" -> replaceValuesBlock(replaceValuesBlock(

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental index ingestion — one entry point for the FAISS
+  * `Index.add` contract across the artifact family: arriving rows are
+  * encoded against the artifact's FROZEN models (coarse centroids, SQ8
+  * bounds, LSH hyperplanes — whatever the kind persists in meta/aux) and
+  * unioned into the index relation. No model retrains, no existing row
+  * is rewritten, and every searcher serves the appended artifact
+  * unchanged — the operational requirement at 100 TB, where a daily
+  * arrival batch must never trigger a corpus-sized rebuild.
+  *
+  * Each path is the build's own zero-shuffle encode projection applied
+  * to the new rows only; the union is a plan node, not a rewrite, and a
+  * store round-trip re-partitions by the probe keys as usual
+  * ([[graft.sources.ArtifactStore.partitionKeys]]).
+  */
+object IndexAppend {
+
+  /** `newRows`: (id long, vector array<float>) — ids must be fresh. */
+  def append(artifact: IndexArtifact, newRows: DataFrame): IndexArtifact =
+    artifact.kind match {
+      case "ivf"     => IvfModel.append(artifact, newRows)
+      case "ivf_sq8" => ivfSq8(artifact, newRows)
+      case "lsh"     => lsh(artifact, newRows)
+      case k => throw new IllegalArgumentException(
+        s"append is not supported for index kind '$k' — rebuild, or use " +
+          "a kind with frozen encode models (ivf, ivf_sq8, lsh)")
+    }
+
+  /** frozen coarse centroids + frozen per-dim SQ8 bounds from meta */
+  private def ivfSq8(artifact: IndexArtifact, newRows: DataFrame): IndexArtifact = {
+    val centers = IvfModel.centroidsOf(artifact).sortBy(_._1).map(_._2)
+    val lo = artifact.meta("lo").split(",").map(_.toFloat)
+    val hi = artifact.meta("hi").split(",").map(_.toFloat)
+    val model = Sq8Model(lo, hi)
+    val spark = newRows.sparkSession
+    import spark.implicits._
+    val encoded = newRows
+      .select(col("id").cast("long").as("id"), col("vector"))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (i, v) =>
+        (i, IvfModel.assign(centers, v), model.encode(v))
+      })
+      .toDF("id", "centroid_id", "codes")
+    artifact.copy(data = artifact.data
+      .select("id", "centroid_id", "codes").unionByName(encoded))
+  }
+
+  /** frozen seeded hyperplanes (reconstructed from meta — they are pure
+    * functions of (seed, dims)); the rerank relation grows too */
+  private def lsh(artifact: IndexArtifact, newRows: DataFrame): IndexArtifact = {
+    val m = artifact.meta
+    val model = LshModel(m("num_tables").toInt, m("hash_size").toInt,
+      m("dim").toInt, m("bucket_width").toDouble, m("metric"), m("seed").toLong)
+    val spark = newRows.sparkSession
+    val rows = newRows.select(col("id").cast("long").as("id"), col("vector"))
+    val buckets = rows
+      .withColumn("__keys", model.hashUdf(spark)(col("vector")))
+      .select(col("id"), posexplode(col("__keys")).as(Seq("table", "key")))
+    artifact.copy(
+      data = artifact.data.select("id", "table", "key").unionByName(buckets),
+      aux = artifact.aux + ("vectors" ->
+        artifact.aux("vectors").select(col("id"), col("vector"))
+          .unionByName(rows)))
+  }
+}

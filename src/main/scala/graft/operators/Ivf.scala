@@ -90,6 +90,30 @@ object IvfModel {
   }
 
 
+  /** Incremental ingestion — FAISS `IndexIVF.add` semantics (the coarse
+    * quantizer NEVER retrains on add): encode arriving rows against the
+    * artifact's frozen centroids and union them into the index relation.
+    * This is the 100 TB operational path — daily arrivals must not
+    * trigger a rebuild of a corpus-sized index. The new rows get the
+    * same broadcast-centroid mapPartitions assignment as the build
+    * (zero shuffles, existing rows untouched — the union is a plan node,
+    * not a rewrite), so `append(build(A), B)` produces exactly the
+    * relation `build(A ∪ B)` would under A's centroids, and every
+    * searcher serves the result unchanged. */
+  def append(artifact: IndexArtifact, newRows: DataFrame): IndexArtifact = {
+    require(artifact.kind == "ivf", s"ivf append on kind ${artifact.kind}")
+    val centers = centroidsOf(artifact).sortBy(_._1).map(_._2)
+    val spark = newRows.sparkSession
+    import spark.implicits._
+    val assigned = newRows
+      .select(col("id").cast("long").as("id"), col("vector"))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (i, v) => (i, v, assign(centers, v)) })
+      .toDF("id", "vector", "centroid_id")
+    artifact.copy(data = artifact.data
+      .select("id", "vector", "centroid_id").unionByName(assigned))
+  }
+
   def centroidsDf(spark: org.apache.spark.sql.SparkSession,
       centers: Array[Array[Float]]): DataFrame = {
     import spark.implicits._

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{IvfIndexer, IvfModel, IvfSearcher, KnnJoin}
+
+/** Incremental IVF ingestion (frozen coarse model) semantics. */
+class IvfAppendSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private lazy val base =
+    graft.sources.RandomDataset.vectors(spark, n = 400, dim = 8, seed = 51)
+
+  test("append encodes with the frozen model and touches nothing else") {
+    val old = base.filter($"id" % 2 === 0)
+    val fresh = base.filter($"id" % 2 =!= 0)
+    val art = IvfIndexer(nlist = 8, seed = 42).build(old)
+    val appended = IvfModel.append(art, fresh)
+
+    // original rows ride through unchanged
+    val before = art.data.select("id", "centroid_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val after = appended.data.select("id", "centroid_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(before.forall { case (id, cid) => after(id) == cid })
+    assert(after.size == 400)
+
+    // appended rows carry the frozen model's argmin assignment
+    val centers = IvfModel.centroidsOf(art).sortBy(_._1).map(_._2)
+    val freshVecs = fresh.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    freshVecs.foreach { case (id, v) =>
+      assert(after(id) == IvfModel.assign(centers, v), s"id=$id")
+    }
+    // and the model itself did not retrain
+    assert(IvfModel.centroidsOf(appended).sortBy(_._1).map(_._2.toSeq).toSeq ==
+      centers.map(_.toSeq).toSeq)
+  }
+
+  test("full probe over the appended index equals exact kNN on the union") {
+    val art = IvfIndexer(nlist = 8, seed = 42).build(base.filter($"id" % 2 === 0))
+    val appended = IvfModel.append(art, base.filter($"id" % 2 =!= 0))
+    val q = base.filter($"id" % 100 === 0).select($"id".as("qid"), $"vector")
+    val got = IvfSearcher(nprobe = 8, "l2").search(appended, q, 10)
+      .select("qid", "rank", "id")
+    val exact = KnnJoin.knnJoin(q, base, 10, "l2").select("qid", "rank", "id")
+    assert(got.except(exact).isEmpty && exact.except(got).isEmpty)
+  }
+
+  test("ivf_sq8 append: frozen bounds + centroids, encoding replayed locally") {
+    val old = base.filter($"id" % 2 === 0)
+    val fresh = base.filter($"id" % 2 =!= 0)
+    val art = graft.operators.IvfSq8Indexer(nlist = 8, seed = 42).build(old)
+    val appended = graft.operators.IndexAppend.append(art, fresh)
+
+    val rows = appended.data.collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getAs[Array[Byte]](2).toSeq))).toMap
+    assert(rows.size == 400)
+    // old rows byte-identical
+    art.data.collect().foreach { r =>
+      assert(rows(r.getLong(0)) == ((r.getInt(1), r.getAs[Array[Byte]](2).toSeq)))
+    }
+    // new rows equal a driver-side replay of the FROZEN models
+    val centers = graft.operators.IvfModel.centroidsOf(art).sortBy(_._1).map(_._2)
+    val model = graft.operators.Sq8Model(
+      art.meta("lo").split(",").map(_.toFloat),
+      art.meta("hi").split(",").map(_.toFloat))
+    fresh.collect().foreach { r =>
+      val (id, v) = (r.getLong(0), r.getSeq[Float](1).toArray)
+      assert(rows(id) ==
+        ((graft.operators.IvfModel.assign(centers, v), model.encode(v).toSeq)))
+    }
+    // the searcher serves the appended artifact; full probe reaches both halves
+    val q = base.filter($"id" % 100 === 0).select($"id".as("qid"), $"vector")
+    val ids = graft.operators.IvfSq8Searcher(nprobe = 8, "l2")
+      .search(appended, q, 10).select("id").as[Long].collect().toSet
+    assert(ids.exists(_ % 2 == 0) && ids.exists(_ % 2 == 1))
+  }
+
+  test("lsh append: frozen hyperplanes — appended vectors self-retrieve") {
+    val old = base.filter($"id" % 2 === 0)
+    val fresh = base.filter($"id" % 2 =!= 0)
+    val art = graft.operators.LshIndexer(numTables = 8, hashSize = 6,
+      bucketWidth = 8.0, metric = "l2", seed = 11).build(old)
+    val appended = graft.operators.IndexAppend.append(art, fresh)
+    // old bucket rows untouched
+    assert(appended.data.filter($"id" % 2 === 0).except(art.data).isEmpty)
+    // a freshly appended vector finds itself at distance 0 without fallback
+    val q = fresh.limit(5).select($"id".as("qid"), $"vector")
+    val top1 = graft.operators.LshSearcher(16, None,
+        fallbackToBruteforce = false, "l2")
+      .search(appended, q, 3)
+      .filter($"rank" === 1).select("qid", "id", "dist")
+      .as[(Long, Long, Double)].collect()
+    assert(top1.length == 5)
+    top1.foreach { case (qid, id, d) => assert(qid == id && math.abs(d) < 1e-6) }
+  }
+
+  test("appended artifact round-trips through the store") {
+    val art = IvfIndexer(nlist = 8, seed = 42).build(base.filter($"id" % 2 === 0))
+    val appended = IvfModel.append(art, base.filter($"id" % 2 =!= 0))
+    val dir = java.nio.file.Files.createTempDirectory("ivf-append").toString + "/art"
+    graft.sources.ArtifactStore.save(appended, dir, "l2", 8, 400, "fp", "cfg")
+    val (loaded, _) = graft.sources.ArtifactStore.load(spark, dir)
+    val q = base.filter($"id" % 100 === 0).select($"id".as("qid"), $"vector")
+    val a = IvfSearcher(nprobe = 3, "l2").search(appended, q, 10)
+      .select("qid", "rank", "id")
+    val b = IvfSearcher(nprobe = 3, "l2").search(loaded, q, 10)
+      .select("qid", "rank", "id")
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+  }
+}
