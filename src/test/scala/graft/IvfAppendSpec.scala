@@ -111,4 +111,37 @@ class IvfAppendSpec extends AnyFunSuite {
       .select("qid", "rank", "id")
     assert(a.except(b).isEmpty && b.except(a).isEmpty)
   }
+
+  test("streaming ingestion: two micro-batches fold like one batch append") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val old = base.filter($"id" % 2 === 0)
+    val fresh = base.filter($"id" % 2 =!= 0)
+      .as[(Long, Array[Float])].collect().toSeq
+    val (b1, b2) = fresh.splitAt(fresh.length / 2)
+    val art = IvfIndexer(nlist = 8, seed = 42).build(old)
+    art.data.cache().count()
+
+    var epochs = 0
+    val mem = MemoryStream[(Long, Array[Float])]
+    val ingest = graft.streaming.IngestStream.appendStream(
+      mem.toDF.toDF("id", "vector"), art) { (_, _) => epochs += 1 }
+    try {
+      mem.addData(b1); ingest.query.processAllAvailable()
+      // searches between triggers see the first batch already
+      val mid = ingest.current.data.count()
+      assert(mid == old.count() + b1.size)
+      mem.addData(b2); ingest.query.processAllAvailable()
+    } finally ingest.query.stop()
+    assert(epochs == 2)
+
+    // the folded artifact serves EXACTLY like the one-shot batch append
+    val oneShot = IvfModel.append(art, base.filter($"id" % 2 =!= 0))
+    val q = base.filter($"id" % 100 === 0).select($"id".as("qid"), $"vector")
+    val a = IvfSearcher(nprobe = 8, "l2").search(ingest.current, q, 10)
+      .select("qid", "rank", "id")
+    val b = IvfSearcher(nprobe = 8, "l2").search(oneShot, q, 10)
+      .select("qid", "rank", "id")
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+  }
 }
