@@ -209,6 +209,41 @@ object SparkEntry {
           round(avg(Metrics.rrAtK(col("pred"), col("gt"), 10)), 4).as("mrr_10"))
         .filter(col("recall_10") >= 0.50)
     }),
+    // --- J8+: filtered ANN search (the vector-DB "metadata predicate +
+    //     vector search" shape): the index is built on the FULL corpus
+    //     (same seeded centroids as j8_ivf_probe — the oracle reuses its
+    //     literals), the predicate (label < 5, ~half the rows) restricts
+    //     the index RELATION before the probe join — pre-filtering, so
+    //     pruning and the predicate compose in one plan and top-k is
+    //     never starved by post-filtering. GT is exact kNN over the
+    //     allowed rows ---
+    "j8_ivf_filtered" -> ((s, dir) => {
+      graft.operators.Registry.init()
+      val q = Tables.embQueries(s, dir)
+      val emb = Tables.load(s, dir, "embeddings")
+      val b = Tables.embBase(s, dir).cache()
+      val allowed = emb.filter(col("label") < 5)
+        .select(col("vec_id").as("id"))
+      val art = graft.operators.IvfIndexer(nlist = 16, seed = 42).build(b)
+      val filteredArt = art.copy(data =
+        art.data.join(allowed, Seq("id"), "left_semi"))
+      val res = graft.operators.IvfSearcher(nprobe = 4, "l2")
+        .search(filteredArt, q, 10)
+      val gt = KnnJoin.knnJoinAgg(q,
+          b.join(allowed, Seq("id"), "left_semi"), 10, "l2")
+        .select(col("qid"), transform(col("nn"), x => x("id")).as("gt"))
+      val pred = res.groupBy("qid")
+        .agg(graft.operators.TopKByDist.topK(col("id"), col("dist"), 10).as("nn"))
+        .select(col("qid"), transform(col("nn"), x => x("id")).as("pred"))
+      gt.join(pred, Seq("qid"), "left")
+        .withColumn("pred", coalesce(col("pred"), array().cast("array<bigint>")))
+        .agg(
+          lit("ivf_filtered").as("algorithm"),
+          count(lit(1)).as("n_queries"),
+          round(avg(Metrics.recallAtK(col("pred"), col("gt"), 10)), 4).as("recall_10"),
+          round(avg(Metrics.rrAtK(col("pred"), col("gt"), 10)), 4).as("mrr_10"))
+        .filter(col("recall_10") >= 0.50)
+    }),
     // --- J8 exact limit: full probe (nprobe = nlist) ≡ brute force —
     //     hash-matched against the same DuckDB kNN oracle as j1_knn_l2 ---
     "j8_ivf_fullprobe" -> annExploded("ivf", "ivf", "ivf",
@@ -982,6 +1017,77 @@ object SparkEntry {
         |      WHERE list_contains(g.gt, pid)), 0.0) AS rr
         |  FROM gt g LEFT JOIN pred p ON g.qid = p.qid)
         |SELECT 'ivf_append' AS algorithm, count(*) AS n_queries,
+        |  round(avg(recall), 4) AS recall_10, round(avg(rr), 4) AS mrr_10
+        |FROM per
+        |HAVING round(avg(recall), 4) >= 0.50""".stripMargin,
+    // J8+ filtered-search replay: j8_ivf_probe's pipeline and the SAME
+    // full-corpus centroid literals, with the label predicate applied to
+    // the candidate set and to the exact GT (pre-filtering semantics)
+    "j8_ivf_filtered" ->
+      """WITH cents(cid, cv) AS (VALUES
+        |(0, [3.976001E-4,0.028297238,-0.03635965,0.009380843,-0.009109747,-0.025437439,0.024678871,-0.038039044,0.010667889,-0.060485713,0.033288997,-0.03938557,-0.008634382,0.051888857,-0.070540234,-0.023659004,0.10935156,0.037691243,-0.020817585,-0.024977293,0.03683957,-0.015296038,0.070435435,-0.11328855,-0.0017905023,-0.0020132852,-0.004942073,0.033165585,-0.08863541,-0.012735062,-0.08754079,0.056902893,-0.017311713,-0.04438014,-0.01465772,0.025549749,0.0024049846,-0.03159369,0.0069407746,0.04164316,0.020785682,0.04870036,-0.04820819,-0.0765654,0.008866418,-0.045202,0.02520875,0.0053051356,0.009504603,-0.059140284,-0.022915589,0.058860157,-0.004384404,-0.012590272,0.074882075,-0.057023097,-0.06409937,0.0034846074,-0.011082796,0.019883089,-0.0013891011,0.0034190915,0.060604468,-0.0060799844]::REAL[]),
+        |(1, [0.008359272,0.060080968,0.03184555,-0.0056618187,0.07222243,0.051034335,-0.049216557,-0.007968933,-0.06231409,0.048589528,-0.017324317,0.042530492,0.033902634,0.080413625,-0.0062259533,0.031396985,-0.033318963,-0.025283217,-0.027597263,0.01480435,-0.02891756,-0.03750445,-0.022482494,-0.06621947,0.024813285,0.0544805,-0.028094416,0.015448729,-0.05434001,0.00318308,0.020199137,-0.07716253,0.006087762,0.026632814,-0.020634651,-0.016442956,0.025486456,0.029430877,0.033655047,0.02441111,0.010800855,-0.03607063,-0.0043094563,-0.015938273,7.861068E-5,-0.0481812,0.024680857,-0.029986767,0.047657892,0.058578055,0.03789119,-0.032064136,0.021277333,0.012731777,0.013166181,-0.014346622,0.085697226,-0.03464635,-0.037695866,-0.036775947,0.08361625,-0.08642981,0.0046992037,-0.0057371496]::REAL[]),
+        |(2, [-0.01844507,-0.02256356,-0.06953005,-0.023240875,0.08684007,0.0914795,0.055580284,-0.012617236,-0.029835943,-0.04242027,0.035535593,-0.009868543,-0.015970197,-0.020177249,0.041802835,-0.09409,0.010807619,-0.023519482,0.034826115,0.012929687,0.05966658,-0.067652345,-0.07818938,0.014800565,0.026694568,0.050169367,0.041076835,0.058571495,-0.0015404437,0.007950587,0.024057547,-0.005419116,0.03207465,-0.030794984,0.035395976,0.0029795081,-0.03950219,0.027286049,0.026999077,-0.031908855,-0.08328178,-0.02200855,0.012866052,0.046322495,0.05069378,0.047360986,-0.038416654,-0.10167669,0.03826236,-0.01724514,-0.0017332471,-0.054817125,-0.03995014,0.03127895,0.033283163,0.021733949,0.0831054,-0.017397773,0.016854225,0.028358923,0.04710489,-0.044251915,0.057152633,-0.04708653]::REAL[]),
+        |(3, [0.102064565,-0.0069968533,0.012800971,-0.07167313,0.07444391,0.012768217,-0.0748594,0.012918701,0.016182728,-0.054661307,0.070437886,-0.06160538,0.0069055324,0.017327514,-0.026446221,0.11281004,0.024102954,0.042696424,-0.01729222,0.011779977,-0.050743133,0.0042556375,0.0053622844,0.03157169,-0.019312961,-0.029734448,0.030015398,0.033585694,0.046456087,-0.057676364,0.046169367,0.031931307,0.025283262,-0.028854106,0.04856891,-0.053302057,-0.056079846,-0.05893087,0.005899067,-0.018722115,-0.02061769,-0.033902597,0.038833976,0.016220842,-0.012594262,-0.009879089,0.029897697,-0.0038829353,0.05571742,0.016811289,-0.0023034883,-0.025743501,0.08259702,-0.036126196,0.028515564,0.0029221964,-0.028032525,0.032771844,0.030288298,-0.049233384,-0.044415846,0.015200411,0.035748515,0.0640712]::REAL[]),
+        |(4, [-0.045071274,-0.057621308,0.00470594,-0.028427409,0.010577925,0.0020643366,0.0030443773,0.030271063,0.06781996,0.06693981,-0.010411105,-0.03287793,0.022112258,-0.0920138,0.09686792,-0.03091986,0.04703801,-0.032777086,0.03977684,0.020655159,0.022004057,-0.0057500293,0.002778062,-0.013420849,-0.010384327,0.032439973,0.050919276,-0.045315374,0.0040542553,-0.0535026,-0.0023021316,0.040078286,0.072379954,-0.016619515,0.0212618,-0.095986284,-0.013969665,0.011349328,-0.05222839,-0.019108197,0.0033137945,-0.023999205,-0.040043715,0.017808456,0.0078592105,0.025575822,-0.026065467,0.05833019,0.0010988177,-2.3226398E-4,-0.011959542,-0.014244624,0.074541144,-0.045908608,-0.04256846,-0.011612557,0.041253675,-0.021052716,0.040330485,-0.034828596,-0.040610105,0.048562936,-0.06615247,-0.054079827]::REAL[]),
+        |(5, [-0.036802832,-0.07970984,0.010175653,0.033520576,0.0019681412,0.014898777,-0.04537918,0.07532346,-0.013869546,0.026446076,0.036149327,0.03021399,-0.011724245,0.012907165,-0.045805085,-0.04560446,-0.12365304,-0.03253967,-0.053021926,-0.011837741,-0.0138035165,0.01648638,0.04421658,-0.045227762,-0.03932084,0.02706602,-0.019117707,-0.0045875898,-0.003764507,-0.016906084,0.00908303,0.009660759,0.004637516,0.04342523,0.0761766,0.091382645,-0.04745479,0.023597902,0.029717358,-0.04081729,-0.054080967,-0.083059795,-0.0072128777,-7.131163E-4,0.016583841,-0.03297849,0.01647399,0.07859101,-0.016999898,-0.033240594,0.0042445064,-0.017960563,-0.012879525,0.03842349,-0.0136261415,-0.023117376,-0.055217475,-0.055819217,-0.022269065,-0.0043935515,-0.016654627,0.049902894,-0.048492625,-0.042215925]::REAL[]),
+        |(6, [0.013466209,-0.042904153,0.042477332,-0.010227932,0.06610928,-0.08960638,-0.05824776,0.09722493,-0.052684724,0.12983476,0.024039803,-0.008953316,0.077392586,0.015048835,-0.034597486,-0.04612628,0.06131181,-0.01216272,-0.04209484,0.038224302,0.020744625,-0.019144693,0.034510255,0.029608011,0.08201297,0.025442395,-0.033755377,0.01684503,0.012245171,0.1239683,0.0342624,-0.07191438,0.048022225,0.021343596,0.0043778787,-0.0034581441,-0.027076015,0.014719994,-7.6361075E-6,0.049479246,-0.06339765,0.042955857,-0.018386057,0.004471063,-0.04481163,-0.045706294,-0.0303199,-0.036038432,0.020856244,0.012608098,0.060139712,0.097314045,-0.009156231,0.042162545,-0.010446251,-0.037139542,-0.016165743,-0.019707583,0.010787154,0.02973125,-0.022876702,0.03270833,0.0038668977,-0.005150107]::REAL[]),
+        |(7, [0.0730371,0.013020755,0.024054889,0.031864595,0.088987224,-0.015275471,-0.09232465,0.009167585,-0.029220069,-0.046588387,0.04021698,0.011006755,-0.039308555,-0.03348064,0.024561502,0.061083548,-0.0058210245,0.0059133507,-5.9794646E-4,0.0024032826,0.020402363,-0.023590263,0.016465912,-4.0554924E-6,-0.018109495,0.039838616,-0.03640714,-0.007153099,0.06674157,5.5913307E-4,-0.01615549,0.03513253,-0.029352456,-0.017819941,-0.02422248,-0.03521332,-0.045198675,0.087121405,-0.061626047,-0.03736578,-0.010285021,-0.041728083,0.019712977,0.016591592,-0.104177706,0.025423804,-0.04550773,-0.023338027,-0.010873546,-0.038420208,0.025321431,0.03598216,-0.12894745,-0.005235948,-0.06644037,-0.03709317,0.074448235,0.06327438,0.03255707,0.01056316,0.08486752,0.0016224174,-0.053819567,0.046196803]::REAL[]),
+        |(8, [-0.026988689,0.005676072,0.06782535,0.024456996,-0.046086337,-0.043952443,0.002179633,0.033751138,0.0041119666,-0.018524887,-0.074581414,0.0054647564,0.07055409,-0.02212543,0.072443716,0.05354723,-0.06561099,-0.043461844,-0.011281722,0.02830383,0.022794986,-0.040238257,-0.023748746,-0.016152153,0.08208422,0.049374044,-0.07401946,0.0036870013,0.015724914,0.062043484,0.04140938,-0.008525177,0.04211752,0.06742721,0.052381236,-0.029699845,0.0311374,-0.08147927,-0.11785748,-0.051154714,0.044584382,-0.004362243,0.016509607,0.045911286,-0.08142972,0.004555513,-0.03975339,0.029077321,-0.084855475,-0.022218805,4.4706746E-4,0.06384465,-0.03552817,-0.021320144,0.050283812,-0.0027536019,-0.007825387,-0.031355135,-0.015163805,0.060551215,-0.010323944,-0.051286574,0.059319675,-0.008877228]::REAL[]),
+        |(9, [-0.021388657,-0.03833954,0.010488234,0.012838276,-0.018751947,0.05869963,0.015904548,-0.011526354,0.010039316,0.024103524,0.0012205105,0.067073315,0.0015444893,-0.028763095,-0.03773328,-0.013045459,0.10519724,-0.015350813,-8.191451E-4,-0.023473792,-0.06039969,0.020592323,-0.043630414,-0.050690085,0.03831456,0.041279532,0.06327995,0.02003199,0.0496711,-0.038714822,-0.058313925,0.016609458,0.030466363,-0.007273059,-0.05157916,0.088247605,-0.018129945,-0.021840198,0.05168867,0.018610615,0.06520981,-0.029866936,-0.0044151205,0.013927938,-0.04570822,-1.8431572E-4,-0.052126337,0.050922595,-0.023193838,-0.011714378,-0.032172486,-0.060620833,0.014884973,0.007199496,0.030895568,0.0038718958,-0.02172564,0.11099188,0.019912688,-0.07435928,-0.06544074,0.039071813,-0.03411504,-0.009885601]::REAL[]),
+        |(10, [0.0071370993,0.019658236,-0.0045523485,-0.04833168,0.03178797,-0.010474304,0.015751988,4.9144845E-4,0.07806498,4.827411E-4,-0.08674548,0.026481027,0.0073601203,0.042852074,-0.015990803,0.09308003,-0.05372726,0.12433202,-0.06891425,-0.015001628,-0.04693401,-0.012581487,-0.0028753697,-0.08717856,-0.098547034,-0.05310776,-0.037760016,-0.05615235,-0.038145598,-0.022713123,0.03467133,0.0069574043,0.029949578,-0.07370147,-0.06808703,0.034529377,0.0310526,0.094641134,-0.05431165,0.006605148,-0.011224024,-0.01534252,-0.016549664,0.082232065,0.0036522031,0.06930171,0.05856372,0.05339764,-0.03373602,-0.071795896,0.028143141,0.060672484,0.03122295,0.013714599,0.02202862,0.023138084,0.042314265,-0.02036491,0.095807545,0.05904549,-0.014548051,-0.0870616,0.046183117,0.029742638]::REAL[]),
+        |(11, [0.06343771,0.0058765183,-0.028651988,2.654883E-4,-0.031051632,-0.01450028,0.005515711,0.0057222177,-0.1059591,-0.05844221,-0.03852576,0.032663476,-0.046211176,0.022968149,-8.864697E-4,0.07060882,-0.033635117,0.07475268,0.01337138,-0.06901378,0.022063827,0.016496412,0.057607744,-0.0017655147,-0.038029686,-0.038872182,-0.03292653,-0.026231073,0.021813061,0.06182465,0.044717792,0.0051579736,-0.03991205,-0.027445069,0.016253272,0.008888453,-0.02366046,0.05099601,0.07553414,0.003532158,0.05964545,-0.039314654,0.1224856,-0.047990296,0.0123063335,0.037916467,-0.0035663939,0.0069394717,0.052851878,-0.05293435,0.025940722,-0.0054569067,-0.029766375,-0.05775758,0.023666384,0.037026975,0.0035354535,-0.01651138,-0.07080694,0.05577631,-0.011229619,0.04237323,-0.008191156,-0.011374551]::REAL[]),
+        |(12, [-0.0069709215,-0.06376432,0.014562121,0.023505438,-0.00805442,0.052596692,-0.014337886,-0.03038546,-0.011835048,-0.007921711,0.03023597,0.045921333,0.01896049,0.13845196,0.092908606,0.044408403,0.013001887,-0.047546674,-0.010366498,-0.04815113,-0.029383505,0.03496453,-0.014905675,0.065283194,-0.091739245,0.039443012,-0.0478082,0.014884458,6.0607324E-4,-0.10552086,0.02740691,-0.06743597,-0.06964367,-0.069198124,0.011361684,0.02805329,0.018349884,-0.045934007,-0.032408886,0.03968855,0.023497354,0.011167623,-0.042538986,-0.070952915,0.03441467,-0.0018806596,-0.01955499,0.018161446,-0.03138498,0.015965274,-0.0053890795,0.013872247,0.06384498,0.022938548,-0.0059331437,-0.016028654,-0.05620602,-0.020510383,-0.008129869,-0.04284003,-0.002637135,-0.02845274,-0.02055995,-0.07163953]::REAL[]),
+        |(13, [0.029149706,0.07479124,0.02134813,0.028014105,-0.08236194,0.021487799,-0.007706673,0.016405726,0.028469669,0.039957415,0.0034191187,0.05819961,-0.07168515,-0.015801666,-0.013646735,0.021917038,0.02506544,0.02792193,0.08867792,-0.01688975,-0.04303056,0.060124148,-0.021606322,0.07347927,-0.0047295894,-0.018701103,0.06960208,0.03785714,0.018378649,0.022665616,0.040388443,0.09621229,-0.013634023,0.011724319,-0.04389453,0.03410915,0.004060091,-0.004763079,-0.048742745,0.018772071,-0.06366438,-0.023697907,-0.08098032,0.015608952,-0.056213263,-0.009875079,0.063202366,0.007313751,-0.07463801,-0.00895795,0.04644951,-0.016990328,0.0072292355,0.018895894,-0.008089653,0.05243085,-0.033923563,-0.04807464,-0.062618986,-0.048751228,0.013511869,0.025235739,-0.0141408965,-0.038623083]::REAL[]),
+        |(14, [-0.03636119,0.003918286,-0.042555,0.09140156,-0.0015238351,-0.01602596,0.002480287,-0.038410872,0.02110613,0.0116725145,-0.011186879,-1.6869315E-4,-0.05450557,-0.06097048,-0.03135951,-0.06177706,0.00974351,0.03444543,0.017953884,0.011268695,0.022891112,0.040979657,0.016133415,0.02357896,0.0021563438,-0.061908573,-0.013025675,0.0763776,-0.02048277,0.018044444,0.020787153,-0.10363228,0.0075083696,0.016180787,0.019898504,-0.07827056,0.018831404,-0.06491341,0.030638753,0.0023367947,0.0014614091,0.09365999,0.0067769773,-0.06887613,0.035203613,-0.0037949341,-2.8857165E-5,0.071350105,-0.014972268,-0.022833856,0.045089155,-0.04330946,-0.00906133,-0.024228686,-0.065642595,0.006414458,0.0098045375,0.028569555,-0.009579337,0.0054477938,0.017501716,0.06062958,-0.01548141,-0.025027053]::REAL[]),
+        |(15, [-0.05762221,0.037857857,0.0012920756,-0.12331383,-0.054813787,-0.0015160287,-0.04967951,0.008855162,0.029448103,-0.059238102,0.02390513,-0.089110374,-0.018126799,-0.042175613,-0.040762503,-0.054818302,-0.046489846,0.018617157,0.021426188,0.075262345,0.0013388421,0.037846845,0.023848003,0.014974089,0.020168284,0.027794091,2.1293305E-4,-0.009665448,-0.055297505,0.05218786,-0.057825174,-0.06431495,0.0024881281,-5.6121347E-4,-0.006950022,0.026028318,0.06345275,-0.012733749,0.04198192,-0.011623106,0.023713393,-0.0025560872,0.037455697,0.034733556,-0.016821548,0.065115206,0.029002186,-0.092401855,-0.017456945,0.028403604,-0.01777342,-0.011197019,0.05119401,-0.02116531,0.018101621,-0.0017772928,0.031117678,-0.011913698,-0.049216475,-0.04190238,-0.002785807,0.009239766,0.015038274,-0.014865515]::REAL[])),
+        |b AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+        |allowed AS (SELECT vec_id AS id FROM embeddings WHERE label < 5),
+        |assign AS ( -- nearest centroid per row (argmin over 16)
+        |  SELECT id, cid FROM (
+        |    SELECT b.id, c.cid, row_number() OVER (PARTITION BY b.id ORDER BY
+        |      list_sum(list_transform(list_zip(b.v, c.cv),
+        |        x -> (x[1]::DOUBLE - x[2]::DOUBLE) * (x[1]::DOUBLE - x[2]::DOUBLE))), c.cid) AS rn
+        |    FROM b, cents c) t WHERE rn = 1),
+        |qids AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id % 50 = 0),
+        |probes AS ( -- nprobe=4 nearest centroids per query, L2 on doubles
+        |  SELECT qid, cid FROM (
+        |    SELECT q.vec_id AS qid, c.cid, row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      sqrt(list_sum(list_transform(list_zip(q.embedding::DOUBLE[], c.cv::DOUBLE[]),
+        |        p -> (p[1]-p[2])*(p[1]-p[2])))), c.cid) AS rn
+        |    FROM embeddings q JOIN qids ON q.vec_id = qids.qid, cents c) t
+        |  WHERE rn <= 4),
+        |cand AS (
+        |  SELECT p.qid, a.id FROM probes p JOIN assign a ON p.cid = a.cid
+        |  JOIN allowed al ON al.id = a.id),
+        |bv AS (SELECT vec_id AS id, embedding::DOUBLE[] AS dv FROM embeddings),
+        |cd AS (
+        |  SELECT c.qid, c.id,
+        |    sqrt(list_sum(list_transform(list_zip(qb.dv, rb.dv),
+        |      p -> (p[1]-p[2])*(p[1]-p[2])))) AS dist
+        |  FROM cand c JOIN bv qb ON c.qid = qb.id JOIN bv rb ON c.id = rb.id),
+        |pred AS (
+        |  SELECT qid, list(id ORDER BY rn) AS pred FROM (
+        |    SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn
+        |    FROM cd) t WHERE rn <= 10 GROUP BY qid),
+        |gtd AS (
+        |  SELECT q.id AS qid, r.id,
+        |    sqrt(list_sum(list_transform(list_zip(q.dv, r.dv),
+        |      p -> (p[1]-p[2])*(p[1]-p[2])))) AS dist
+        |  FROM bv q JOIN qids ON q.id = qids.qid,
+        |    bv r JOIN allowed al2 ON al2.id = r.id),
+        |gt AS (
+        |  SELECT qid, list(id ORDER BY rn) AS gt FROM (
+        |    SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn
+        |    FROM gtd) t WHERE rn <= 10 GROUP BY qid),
+        |per AS (
+        |  SELECT g.qid,
+        |    coalesce(len(list_intersect(g.gt, p.pred))::DOUBLE / len(g.gt), 0.0) AS recall,
+        |    coalesce(1.0 / (SELECT min(pos) FROM (
+        |      SELECT unnest(p.pred) AS pid, generate_subscripts(p.pred, 1) AS pos) u
+        |      WHERE list_contains(g.gt, pid)), 0.0) AS rr
+        |  FROM gt g LEFT JOIN pred p ON g.qid = p.qid)
+        |SELECT 'ivf_filtered' AS algorithm, count(*) AS n_queries,
         |  round(avg(recall), 4) AS recall_10, round(avg(rr), 4) AS mrr_10
         |FROM per
         |HAVING round(avg(recall), 4) >= 0.50""".stripMargin,

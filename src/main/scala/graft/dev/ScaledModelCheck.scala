@@ -107,6 +107,10 @@ object ScaledModelCheck {
       "j8_ivf_append" -> replaceValuesBlock(
         SparkEntry.oracleSql("j8_ivf_append"), cents,
         centRows(IvfModel.centroidsOf(ivfAppendArt))),
+      // filtered search probes the SAME full-corpus build as j8_ivf_probe
+      "j8_ivf_filtered" -> replaceValuesBlock(
+        SparkEntry.oracleSql("j8_ivf_filtered"), cents,
+        centRows(IvfModel.centroidsOf(ivfArt))),
       "j10_ivf_sq8" -> replaceValuesBlock(
         SparkEntry.oracleSql("j10_ivf_sq8"), cents, centRows(IvfModel.centroidsOf(ivfSq8Art))),
       "j10_ivf_pq" -> replaceValuesBlock(replaceValuesBlock(

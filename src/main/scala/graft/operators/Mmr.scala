@@ -89,12 +89,17 @@ object Mmr {
   }
 
   /** Retrieval + MMR in one call: exact cosine top-`m` pool via
-    * [[KnnJoin]], vectors joined back, diversified to `nSelect`. */
+    * [[KnnJoin]], vectors joined back, diversified to `nSelect`.
+    * The pool (n_queries·m rows) is BROADCAST against the corpus for the
+    * vector re-attach — without the hint Catalyst's stats on the
+    * aggregate-derived side can pick a sort-merge join that shuffles the
+    * corpus, the one thing this operator must never do. */
   def diversifiedTopK(queries: DataFrame, base: DataFrame, m: Int,
       nSelect: Int, lam: Double = 0.7, mu: Double = 0.3): DataFrame = {
-    val pool = KnnJoin.knnJoin(queries, base, k = m, metric = "cosine")
+    val cand = KnnJoin.knnJoin(queries, base, k = m, metric = "cosine")
       .select(col("qid"), col("id"))
-      .join(base.select(col("id"), col("vector")), Seq("id"))
+    val pool = base.select(col("id"), col("vector"))
+      .join(broadcast(cand), Seq("id"))
       .join(broadcast(queries.select(col("qid"), col("vector").as("qvec"))), Seq("qid"))
     rerank(pool.select(col("qid"), col("id"), col("qvec"), col("vector")),
       nSelect, lam, mu)

@@ -294,4 +294,24 @@ class AnnSpec extends AnyFunSuite {
     assert(budgetFallback.toSeq == queryMajor.toSeq,
       "over-budget route must fall back to the query-major pass")
   }
+
+  test("filtered ANN: restricted index relation + full probe ≡ filtered exact") {
+    import org.apache.spark.sql.functions._
+    // pre-filter semantics: restrict the index RELATION, probe everything
+    val art = IvfIndexer(nlist = 8, seed = 42).build(trainC)
+    val allowed = trainC.filter(col("id") % 3 =!= 0).select("id")
+    val filteredArt = art.copy(data =
+      art.data.join(allowed, Seq("id"), "left_semi"))
+    val q = trainC.filter(col("id") % 40 === 0)
+      .select(col("id").as("qid"), col("vector"))
+    val got = IvfSearcher(nprobe = 8, "l2").search(filteredArt, q, 5)
+      .select("qid", "rank", "id")
+    val exact = graft.operators.KnnJoin.knnJoin(q,
+        trainC.join(allowed, Seq("id"), "left_semi"), 5, "l2")
+      .select("qid", "rank", "id")
+    assert(got.except(exact).isEmpty && exact.except(got).isEmpty)
+    // nothing disallowed can surface at any nprobe
+    val part = IvfSearcher(nprobe = 2, "l2").search(filteredArt, q, 5)
+    assert(part.filter(col("id") % 3 === 0).isEmpty)
+  }
 }

@@ -36,6 +36,7 @@ class EntryContractSpec extends AnyFunSuite {
   private val blockOf = Map(
     "j8_ivf_probe" -> Seq("cents(cid, cv) AS (VALUES"),
     "j8_ivf_append" -> Seq("cents(cid, cv) AS (VALUES"),
+    "j8_ivf_filtered" -> Seq("cents(cid, cv) AS (VALUES"),
     "j10_ivf_sq8" -> Seq("cents(cid, cv) AS (VALUES"),
     "j10_ivf_pq" -> Seq("cents(cid, cv) AS (VALUES", "cbs(sub, cent, cb) AS (VALUES"),
     "j9_pq_adc" -> Seq("cbs(sub, cent, cb) AS (VALUES"),

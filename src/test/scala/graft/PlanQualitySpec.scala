@@ -362,5 +362,15 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(rp.contains("MapGroups"), "rerank must be a per-query object op")
     assert("Exchange hashpartitioning".r.findAllIn(rp).size == 1,
       "rerank must shuffle only the pool, once")
+
+    // end-to-end MMR: the pool's vector re-attach must broadcast the tiny
+    // candidate side — a SortMergeJoin here would shuffle the corpus
+    val dp = graft.operators.Mmr.diversifiedTopK(
+        Tables.embQueries(spark, dir), Tables.embBase(spark, dir),
+        m = 5, nSelect = 3)
+      .queryExecution.executedPlan.toString
+    assert(!dp.contains("SortMergeJoin"),
+      "diversifiedTopK must never shuffle the corpus for the re-attach")
+    assert(dp.contains("BroadcastHashJoin"), "pool re-attach must broadcast")
   }
 }
