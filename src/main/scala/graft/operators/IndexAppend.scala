@@ -30,6 +30,29 @@ object IndexAppend {
           "a kind with frozen encode models (ivf, ivf_sq8, lsh)")
     }
 
+  /** Remove rows by id — FAISS `remove_ids` semantics: an anti-join on
+    * the index relation (and on the LSH rerank relation), models
+    * untouched. The operational complement of [[append]]: contamination
+    * takedowns and right-to-be-forgotten deletes must not rebuild a
+    * corpus-sized index either. Like the filtered-search gate shows,
+    * restricting the index RELATION is all a searcher needs — deletion
+    * is that restriction made permanent. */
+  def delete(artifact: IndexArtifact, ids: DataFrame): IndexArtifact = {
+    val del = ids.select(col("id").cast("long").as("id"))
+    artifact.kind match {
+      case "ivf" | "ivf_sq8" =>
+        artifact.copy(data = artifact.data.join(del, Seq("id"), "left_anti"))
+      case "lsh" =>
+        artifact.copy(
+          data = artifact.data.join(del, Seq("id"), "left_anti"),
+          aux = artifact.aux + ("vectors" ->
+            artifact.aux("vectors").join(del, Seq("id"), "left_anti")))
+      case k => throw new IllegalArgumentException(
+        s"delete is not supported for index kind '$k' — rebuild, or use " +
+          "a kind with a row-keyed index relation (ivf, ivf_sq8, lsh)")
+    }
+  }
+
   /** frozen coarse centroids + frozen per-dim SQ8 bounds from meta */
   private def ivfSq8(artifact: IndexArtifact, newRows: DataFrame): IndexArtifact = {
     val centers = IvfModel.centroidsOf(artifact).sortBy(_._1).map(_._2)

@@ -144,4 +144,28 @@ class IvfAppendSpec extends AnyFunSuite {
       .select("qid", "rank", "id")
     assert(a.except(b).isEmpty && b.except(a).isEmpty)
   }
+
+  test("delete: anti-joined rows vanish from search; append∘delete round-trips") {
+    val art = IvfIndexer(nlist = 8, seed = 42).build(base)
+    val odd = base.filter($"id" % 2 =!= 0)
+    val deleted = graft.operators.IndexAppend.delete(art, odd.select("id"))
+    // full probe over the remainder equals exact kNN on the evens
+    val q = base.filter($"id" % 100 === 0).select($"id".as("qid"), $"vector")
+    val got = IvfSearcher(nprobe = 8, "l2").search(deleted, q, 10)
+      .select("qid", "rank", "id")
+    val exact = KnnJoin.knnJoin(q, base.filter($"id" % 2 === 0), 10, "l2")
+      .select("qid", "rank", "id")
+    assert(got.except(exact).isEmpty && exact.except(got).isEmpty)
+    // deleting what was appended restores the original relation exactly
+    val evenArt = IvfIndexer(nlist = 8, seed = 42).build(base.filter($"id" % 2 === 0))
+    val roundTrip = graft.operators.IndexAppend.delete(
+      IvfModel.append(evenArt, odd), odd.select("id"))
+    assert(roundTrip.data.except(evenArt.data).isEmpty &&
+      evenArt.data.except(roundTrip.data).isEmpty)
+    // lsh delete shrinks the rerank relation too
+    val lshArt = graft.operators.LshIndexer(8, 6, 8.0, "l2", seed = 11).build(base)
+    val lshDel = graft.operators.IndexAppend.delete(lshArt, odd.select("id"))
+    assert(lshDel.aux("vectors").filter($"id" % 2 =!= 0).isEmpty)
+    assert(lshDel.data.filter($"id" % 2 =!= 0).isEmpty)
+  }
 }
