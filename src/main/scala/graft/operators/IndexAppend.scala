@@ -24,10 +24,11 @@ object IndexAppend {
     artifact.kind match {
       case "ivf"     => IvfModel.append(artifact, newRows)
       case "ivf_sq8" => ivfSq8(artifact, newRows)
+      case "ivf_pq"  => ivfPq(artifact, newRows)
       case "lsh"     => lsh(artifact, newRows)
       case k => throw new IllegalArgumentException(
         s"append is not supported for index kind '$k' — rebuild, or use " +
-          "a kind with frozen encode models (ivf, ivf_sq8, lsh)")
+          "a kind with frozen encode models (ivf, ivf_sq8, ivf_pq, lsh)")
     }
 
   /** Remove rows by id — FAISS `remove_ids` semantics: an anti-join on
@@ -40,7 +41,7 @@ object IndexAppend {
   def delete(artifact: IndexArtifact, ids: DataFrame): IndexArtifact = {
     val del = ids.select(col("id").cast("long").as("id"))
     artifact.kind match {
-      case "ivf" | "ivf_sq8" =>
+      case "ivf" | "ivf_sq8" | "ivf_pq" =>
         artifact.copy(data = artifact.data.join(del, Seq("id"), "left_anti"))
       case "lsh" =>
         artifact.copy(
@@ -66,6 +67,35 @@ object IndexAppend {
       .as[(Long, Array[Float])]
       .mapPartitions(_.map { case (i, v) =>
         (i, IvfModel.assign(centers, v), model.encode(v))
+      })
+      .toDF("id", "centroid_id", "codes")
+    artifact.copy(data = artifact.data
+      .select("id", "centroid_id", "codes").unionByName(encoded))
+  }
+
+  /** frozen coarse centroids + frozen PQ codebooks (both reconstructable
+    * from aux on the load-from-store path); honors the artifact's raw vs
+    * residual encoding */
+  private def ivfPq(artifact: IndexArtifact, newRows: DataFrame): IndexArtifact = {
+    val centers = IvfModel.centroidsOf(artifact).sortBy(_._1).map(_._2)
+    val model = PqModel.fromArtifact(artifact)
+    val residual = artifact.meta.getOrElse("residual", "false") == "true"
+    val spark = newRows.sparkSession
+    import spark.implicits._
+    val encoded = newRows
+      .select(col("id").cast("long").as("id"), col("vector"))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (i, v) =>
+        val cid = IvfModel.assign(centers, v)
+        val enc =
+          if (residual) {
+            val c = centers(cid)
+            val r = new Array[Float](c.length)
+            var j = 0
+            while (j < c.length) { r(j) = v(j) - c(j); j += 1 }
+            model.encode(r)
+          } else model.encode(v)
+        (i, cid, enc)
       })
       .toDF("id", "centroid_id", "codes")
     artifact.copy(data = artifact.data

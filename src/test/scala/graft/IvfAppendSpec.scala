@@ -168,4 +168,33 @@ class IvfAppendSpec extends AnyFunSuite {
     assert(lshDel.aux("vectors").filter($"id" % 2 =!= 0).isEmpty)
     assert(lshDel.data.filter($"id" % 2 =!= 0).isEmpty)
   }
+
+  test("ivf_pq residual append: frozen codebooks encode v - centroid(v)") {
+    val old = base.filter($"id" % 2 === 0)
+    val fresh = base.filter($"id" % 2 =!= 0)
+    val art = graft.operators.IvfPqIndexer(nlist = 8, numSubspaces = 4,
+      numCentroids = 16, seed = 42, residual = true).build(old)
+    val appended = graft.operators.IndexAppend.append(art, fresh)
+
+    val rows = appended.data.collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getAs[Array[Byte]](2).toSeq))).toMap
+    assert(rows.size == 400)
+    art.data.collect().foreach { r =>
+      assert(rows(r.getLong(0)) == ((r.getInt(1), r.getAs[Array[Byte]](2).toSeq)))
+    }
+    // new rows equal a driver-side replay of assign + residual-encode
+    val centers = IvfModel.centroidsOf(art).sortBy(_._1).map(_._2)
+    val model = graft.operators.PqModel.fromArtifact(art)
+    fresh.collect().foreach { r =>
+      val (id, v) = (r.getLong(0), r.getSeq[Float](1).toArray)
+      val cid = IvfModel.assign(centers, v)
+      val res = v.zip(centers(cid)).map { case (a, c) => a - c }
+      assert(rows(id) == ((cid, model.encode(res).toSeq)))
+    }
+    // the ADC searcher serves the appended artifact across both halves
+    val q = base.filter($"id" % 100 === 0).select($"id".as("qid"), $"vector")
+    val ids = graft.operators.IvfPqSearcher(nprobe = 8, "l2")
+      .search(appended, q, 10).select("id").as[Long].collect().toSet
+    assert(ids.exists(_ % 2 == 0) && ids.exists(_ % 2 == 1))
+  }
 }
