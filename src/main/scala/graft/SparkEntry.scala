@@ -5772,7 +5772,7 @@ HAVING round(avg(recall), 4) >= 0.50""").mkString("\n"),
         |      FROM sel, unnest(sel.ids) AS u(cid)
         |        JOIN b c ON c.id = u.cid, b x
         |      GROUP BY sel.step, sel.ids, x.id) t) tt
-        |  WHERE rn = 1 AND step < 12)
+        |  WHERE rn = 1 AND step < 12 AND mind > 0)
         |SELECT step, id, round(radius, 6) AS radius FROM sel""".stripMargin,
     // MMR replay: candidate pool = the j1 cosine chain top-15 (rel is
     // the same chain's similarity, dist ≡ 1 − rel bit-exactly per

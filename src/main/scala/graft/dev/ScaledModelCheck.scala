@@ -10,10 +10,11 @@ import graft.operators._
 
 /** Scaled-pass extension for the hash-model gate family.
   *
-  * The seven model-literal oracles (j8_ivf_probe, j8_ivf_append,
-  * j9_pq_adc, j9_opq_adc, j10_ivf_pq, j10_ivf_sq8, dedup_semantic) pin
-  * seeded KMeans/PQ/OPQ models trained on the driver's sf0.01 gate data
-  * (the append gate's on its even-id half), so they cannot run
+  * The eight model-literal oracles (j8_ivf_probe, j8_ivf_append,
+  * j8_ivf_filtered, j9_pq_adc, j9_opq_adc, j10_ivf_pq, j10_ivf_sq8,
+  * dedup_semantic) pin seeded KMeans/PQ/OPQ models trained on the
+  * driver's sf0.01 gate data (the append gate's on its even-id half;
+  * the filtered gate shares the full-corpus build), so they cannot run
   * against other scale factors as-is — the models retrain per scale by
   * design. This tool closes that gap WITHOUT touching the gate contract:
   * in ONE session it (a) retrains each gate-config model on the target

@@ -28,7 +28,10 @@ import graft.functions.VectorFunctions
   * Determinism: `min` accumulation is order-exact (double compares), the
   * argmax tie-breaks by id, and each round's radius is the max-min
   * distance BEFORE adding that round's center (radius of step 1 is 0.0 by
-  * convention). Radii are non-increasing from step 2 on.
+  * convention). Radii are non-increasing from step 2 on. Selection stops
+  * early (fewer than k rows) once the max-min distance reaches 0 — the
+  * corpus is fully covered and continuing would re-select picked ids;
+  * the gate oracle's recursion carries the same `mind > 0` condition.
   */
 object Coreset {
 
@@ -39,7 +42,9 @@ object Coreset {
     val spark = items.sparkSession
     val base = items.select(col("id").cast("long").as("id"), col("vector"))
 
-    val seed = base.orderBy(col("id")).limit(1).collect()(0)
+    val seedRows = base.orderBy(col("id")).limit(1).collect()
+    require(seedRows.nonEmpty, "k-center selection needs a non-empty input")
+    val seed = seedRows(0)
     var picked = Vector((1, seed.getLong(0), 0.0))
     var centerVec: Seq[Float] = seed.getSeq[Float](1)
 
@@ -58,13 +63,20 @@ object Coreset {
       // partition to the driver, materializes `cur`'s cache
       val top = cur.orderBy(col("mind").desc, col("id").asc).limit(1).collect()(0)
       if (prev != null) prev.unpersist(false)
-      picked :+= ((step, top.getLong(0), top.getDouble(2)))
-      centerVec = top.getSeq[Float](1)
-      if (step < k) { // the last round's min-update frame is never read
-        prev = cur
-        cur = withMin(cur, first = false)
+      if (top.getDouble(2) == 0.0) {
+        // max-min distance 0: every point coincides with a selected
+        // center — the corpus is fully covered, and continuing would
+        // re-select already-picked ids. Emit fewer than k rows instead.
+        step = k + 1
+      } else {
+        picked :+= ((step, top.getLong(0), top.getDouble(2)))
+        centerVec = top.getSeq[Float](1)
+        if (step < k) { // the last round's min-update frame is never read
+          prev = cur
+          cur = withMin(cur, first = false)
+        }
+        step += 1
       }
-      step += 1
     }
     cur.unpersist(false)
     if (prev != null) prev.unpersist(false)

@@ -50,32 +50,25 @@ object IndexAppend {
             artifact.aux("vectors").join(del, Seq("id"), "left_anti")))
       case k => throw new IllegalArgumentException(
         s"delete is not supported for index kind '$k' — rebuild, or use " +
-          "a kind with a row-keyed index relation (ivf, ivf_sq8, lsh)")
+          "a kind with a row-keyed index relation (ivf, ivf_sq8, ivf_pq, lsh)")
     }
   }
 
-  /** frozen coarse centroids + frozen per-dim SQ8 bounds from meta */
+  /** frozen coarse centroids + frozen per-dim SQ8 bounds from meta;
+    * encoding IS the build's projection ([[IvfSq8.encodeRelation]]) */
   private def ivfSq8(artifact: IndexArtifact, newRows: DataFrame): IndexArtifact = {
     val centers = IvfModel.centroidsOf(artifact).sortBy(_._1).map(_._2)
-    val lo = artifact.meta("lo").split(",").map(_.toFloat)
-    val hi = artifact.meta("hi").split(",").map(_.toFloat)
-    val model = Sq8Model(lo, hi)
-    val spark = newRows.sparkSession
-    import spark.implicits._
-    val encoded = newRows
-      .select(col("id").cast("long").as("id"), col("vector"))
-      .as[(Long, Array[Float])]
-      .mapPartitions(_.map { case (i, v) =>
-        (i, IvfModel.assign(centers, v), model.encode(v))
-      })
-      .toDF("id", "centroid_id", "codes")
+    val model = Sq8Model(
+      artifact.meta("lo").split(",").map(_.toFloat),
+      artifact.meta("hi").split(",").map(_.toFloat))
     artifact.copy(data = artifact.data
-      .select("id", "centroid_id", "codes").unionByName(encoded))
+      .select("id", "centroid_id", "codes")
+      .unionByName(IvfSq8.encodeRelation(newRows, centers, model)))
   }
 
   /** frozen coarse centroids + frozen PQ codebooks (both reconstructable
-    * from aux on the load-from-store path); honors the artifact's raw vs
-    * residual encoding */
+    * from aux on the load-from-store path); the row encoder IS the
+    * build's ([[IvfPq.encodeRow]]), honoring raw vs residual */
   private def ivfPq(artifact: IndexArtifact, newRows: DataFrame): IndexArtifact = {
     val centers = IvfModel.centroidsOf(artifact).sortBy(_._1).map(_._2)
     val model = PqModel.fromArtifact(artifact)
@@ -86,16 +79,8 @@ object IndexAppend {
       .select(col("id").cast("long").as("id"), col("vector"))
       .as[(Long, Array[Float])]
       .mapPartitions(_.map { case (i, v) =>
-        val cid = IvfModel.assign(centers, v)
-        val enc =
-          if (residual) {
-            val c = centers(cid)
-            val r = new Array[Float](c.length)
-            var j = 0
-            while (j < c.length) { r(j) = v(j) - c(j); j += 1 }
-            model.encode(r)
-          } else model.encode(v)
-        (i, cid, enc)
+        IvfPq.encodeRow(centers, model, residual)(
+          i, IvfModel.assign(centers, v), v)
       })
       .toDF("id", "centroid_id", "codes")
     artifact.copy(data = artifact.data

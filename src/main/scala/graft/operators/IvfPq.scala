@@ -39,22 +39,19 @@ final case class IvfPqIndexer(
     val spark = base.sparkSession
     import spark.implicits._
     val centers = IvfModel.train(base, nlist, seed)
-    def residualOf(cid: Int, v: Array[Float]): Array[Float] = {
-      val c = centers(cid)
-      val out = new Array[Float](c.length)
-      var i = 0
-      while (i < c.length) { out(i) = v(i) - c(i); i += 1 }
-      out
-    }
+    def residualOf(cid: Int, v: Array[Float]): Array[Float] =
+      IvfPq.residualOf(centers(cid), v)
     if (!residual) {
       val cached = base.select(col("id").cast("long").as("id"), col("vector")).cache()
       val model = PqModel.train(cached, numSubspaces, numCentroids, seed,
         iters = trainIters, init = kmeansInit)
-      // boxing-free assign + encode in one pass (see IvfIndexer.build)
+      // boxing-free assign + encode in one pass (see IvfIndexer.build);
+      // the row encoder is shared with IndexAppend by construction
       val data = cached
         .as[(Long, Array[Float])]
         .mapPartitions(_.map { case (i, v) =>
-          (i, IvfModel.assign(centers, v), model.encode(v))
+          IvfPq.encodeRow(centers, model, residual = false)(
+            i, IvfModel.assign(centers, v), v)
         })
         .toDF("id", "centroid_id", "codes")
       artifactOf(spark, centers, model, data)
@@ -77,7 +74,7 @@ final case class IvfPqIndexer(
       val data = cached
         .as[(Long, Int, Array[Float])]
         .mapPartitions(_.map { case (i, cid, v) =>
-          (i, cid, model.encode(residualOf(cid, v)))
+          IvfPq.encodeRow(centers, model, residual = true)(i, cid, v)
         })
         .toDF("id", "centroid_id", "codes")
       artifactOf(spark, centers, model, data)
@@ -94,6 +91,26 @@ final case class IvfPqIndexer(
       aux = Map("centroids" -> IvfModel.centroidsDf(spark, centers),
         "codebooks" -> PqModel.codebooksDf(spark, model)),
       local = Map("centroids_local" -> centers, "pq_model" -> model))
+}
+
+object IvfPq {
+  /** residual vs the assigned coarse centroid (FAISS IVFPQ encoding) */
+  private[operators] def residualOf(c: Array[Float], v: Array[Float]): Array[Float] = {
+    val out = new Array[Float](c.length)
+    var i = 0
+    while (i < c.length) { out(i) = v(i) - c(i); i += 1 }
+    out
+  }
+
+  /** THE per-row encode — shared by build (both branches) and
+    * [[IndexAppend]] so append can never drift from the build's
+    * encoding. */
+  private[operators] def encodeRow(centers: Array[Array[Float]],
+      model: PqModel, residual: Boolean)(
+      id: Long, cid: Int, v: Array[Float]): (Long, Int, Array[Byte]) =
+    (id, cid,
+      if (residual) model.encode(residualOf(centers(cid), v))
+      else model.encode(v))
 }
 
 final case class IvfPqSearcher(nprobe: Int, metric: String,

@@ -25,22 +25,31 @@ final case class IvfSq8Indexer(nlist: Int, seed: Long) extends Indexer {
     val centers = IvfModel.train(base, nlist, seed)
     val (lo, hi) = Sq8Model.fitBounds(base)
     val model = Sq8Model(lo, hi)
-    val spark = base.sparkSession
-    import spark.implicits._
-    // boxing-free assign + encode in one pass (see IvfIndexer.build note)
-    val data = base
-      .select(col("id").cast("long").as("id"), col("vector"))
-      .as[(Long, Array[Float])]
-      .mapPartitions(_.map { case (i, v) =>
-        (i, IvfModel.assign(centers, v), model.encode(v))
-      })
-      .toDF("id", "centroid_id", "codes")
+    val data = IvfSq8.encodeRelation(base, centers, model)
     IndexArtifact(kind, data,
       meta = Map(
         "lo" -> lo.mkString(","), "hi" -> hi.mkString(","),
         "nlist" -> nlist.toString, "seed" -> seed.toString),
       aux = Map("centroids" -> IvfModel.centroidsDf(base.sparkSession, centers)),
       local = Map("centroids_local" -> centers))
+  }
+}
+
+object IvfSq8 {
+  /** THE assign+encode projection — shared by build and
+    * [[IndexAppend]] so the append contract ("encode exactly as the
+    * build did") holds by construction, not by mirrored code. Boxing-free
+    * (see IvfIndexer.build note), zero shuffles. */
+  private[operators] def encodeRelation(rows: DataFrame,
+      centers: Array[Array[Float]], model: Sq8Model): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.select(col("id").cast("long").as("id"), col("vector"))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (i, v) =>
+        (i, IvfModel.assign(centers, v), model.encode(v))
+      })
+      .toDF("id", "centroid_id", "codes")
   }
 }
 

@@ -25,7 +25,10 @@ import org.apache.spark.sql.functions._
   */
 object Mmr {
 
-  /** cosine SIMILARITY with the oracle's exact double chain */
+  /** cosine SIMILARITY with the oracle's exact double chain; zero-norm →
+    * similarity 0.0 ([[graft.functions.VecCosineDist]]'s convention,
+    * dist 1.0 ⇔ sim 0.0) — without the guard a zero vector yields NaN
+    * scores and the greedy argmax can never pick anything */
   private def sim(a: Seq[Float], b: Seq[Float]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     val n = a.length
@@ -33,7 +36,8 @@ object Mmr {
       val x = a(i).toDouble; val y = b(i).toDouble
       dot += x * y; na += x * x; nb += y * y; i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
   }
 
   /** Diversify `candidates` (`qid, id` plus query/item vectors joined in)
@@ -54,12 +58,12 @@ object Mmr {
         val pool = it.toArray.sortBy(_._2)
         val rel = pool.map(c => sim(c._3, c._4))
         val m = pool.length
-        val selected = new Array[Int](math.min(nSelect, m))
+        val nSel = math.min(nSelect, m)
         val maxsim = Array.fill(m)(0.0)
         val taken = new Array[Boolean](m)
         var out = Vector.empty[(Long, Int, Long, Double)]
         var step = 0
-        while (step < selected.length) {
+        while (step < nSel) {
           var best = -1; var bestScore = Double.NegativeInfinity
           var i = 0
           while (i < m) {

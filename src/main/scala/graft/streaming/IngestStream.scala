@@ -55,16 +55,22 @@ object IngestStream {
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
-          val proj = batch.select("id", "vector")
-          val rows = proj.limit(maxBatchRows + 1).collect()
-          require(rows.length <= maxBatchRows,
-            s"ingest micro-batch exceeds maxBatchRows=$maxBatchRows — " +
+          val proj = batch.select("id", "vector").persist()
+          try {
+          // guard by count BEFORE collecting — limit(n+1).collect() would
+          // materialize the whole capped batch (GBs of boxed Rows at real
+          // dims) on the driver just to reject it
+          val n = proj.count()
+          require(n <= maxBatchRows,
+            s"ingest micro-batch of $n rows exceeds maxBatchRows=$maxBatchRows — " +
               "backfill with the batch Indexer.build instead")
+          val rows = proj.collect()
           val frozen = spark.createDataFrame(
             java.util.Arrays.asList(rows: _*), proj.schema)
           val next = IndexAppend.append(ref.get(), frozen)
           ref.set(next)
           onAppend(next, epochId)
+          } finally proj.unpersist(false)
         }
       }
       .start()

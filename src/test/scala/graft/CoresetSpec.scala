@@ -51,4 +51,16 @@ class CoresetSpec extends AnyFunSuite {
     // selected ids are distinct
     assert(expect.map(_._2).distinct.size === expect.size)
   }
+
+  test("full coverage stops selection early; ids stay distinct") {
+    // 3 distinct points duplicated many times: after 3 picks the max-min
+    // distance is 0 and selection must stop rather than re-pick ids
+    val pts = Seq(Seq(0f, 0f), Seq(10f, 0f), Seq(0f, 10f))
+    val df = (0 until 30).map(i => (i.toLong, pts(i % 3))).toDF("id", "vector")
+    val got = Coreset.kCenterGreedy(df, k = 8).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == 3, s"expected early stop at 3, got ${got.length}")
+    assert(got.map(_._2).distinct.length == 3)
+    assert(got.forall { case (step, _, r) => step == 1 || r > 0 })
+  }
 }

@@ -65,4 +65,17 @@ class MmrSpec extends AnyFunSuite {
       .orderBy("step").collect().map(_.getLong(2)).toSeq
     assert(order === Seq(10L, 12L, 11L))
   }
+
+  test("zero-norm vectors score 0 similarity instead of poisoning the greedy") {
+    val qv = Seq(1f, 0f)
+    val pool = Seq(
+      (0L, 1L, qv, Seq(1f, 0.1f)),
+      (0L, 2L, qv, Seq(0f, 0f)), // zero vector: rel 0, sim-to-anything 0
+      (0L, 3L, qv, Seq(0.8f, 0.4f))
+    ).toDF("qid", "id", "qvec", "vector")
+    val got = Mmr.rerank(pool, nSelect = 3).orderBy("step").collect()
+      .map(r => (r.getInt(1), r.getLong(2)))
+    // all three emitted (no crash), the zero vector ranked last
+    assert(got.length == 3 && got.last._2 == 2L)
+  }
 }
