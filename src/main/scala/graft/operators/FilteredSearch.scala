@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Filtered ANN search — the vector-DB "metadata predicate + vector
+  * search" shape (reference anchor: the candidate-filter semantics of
+  * modular.py:484-486 composed with the probe pipeline of
+  * modular.py:277-286), generalized across the index family:
+  *
+  *  - **row-keyed indexes** (ivf, ivf_sq8, ivf_pq, lsh, sq8, pq,
+  *    raw_vectors): the predicate restricts the index RELATION via a
+  *    broadcast-able semi-join BEFORE the probe — pre-filtering, so
+  *    partition pruning and the predicate compose in one plan and the
+  *    top-k is never starved by post-filtering. At cluster scale the
+  *    semi-join pushes below the probe join and the scan only reads
+  *    surviving rows.
+  *  - **graph/tree indexes** (hnsw, hnsw_global, covertree): the walk
+  *    needs the full graph for navigation (restricting the adjacency
+  *    relation would sever connectivity — dangling idx references), so
+  *    the searcher runs with an oversampled k (FAISS's IDSelector-free
+  *    escape hatch) and the predicate applies to the RESULT, followed by
+  *    a re-top-k. Recall degrades with predicate selectivity ~1/sel;
+  *    size `oversample` accordingly (k·oversample candidates per query).
+  */
+object FilteredSearch {
+
+  /** index kinds whose searchers consume a row-keyed index relation —
+    * the predicate composes before the probe with no recall penalty
+    * beyond the shrunken candidate pool itself */
+  val preFilterKinds: Set[String] =
+    Set("ivf", "ivf_sq8", "ivf_pq", "lsh", "sq8", "pq", "raw_vectors")
+
+  /** Restrict a row-keyed artifact to `allowed` (a one-column `id`
+    * relation): the searcher-visible index contains only allowed rows.
+    * The same restriction [[IndexAppend.delete]] makes permanent. */
+  def restrict(artifact: IndexArtifact, allowed: DataFrame): IndexArtifact = {
+    require(preFilterKinds.contains(artifact.kind),
+      s"restrict: kind '${artifact.kind}' is not row-keyed — use " +
+        "search(...) which post-filters graph/tree walks")
+    val al = allowed.select(col("id").cast("long").as("id"))
+    val restricted = artifact.copy(
+      data = artifact.data.join(al, Seq("id"), "left_semi"))
+    // LSH reranks from its aux vector relation — restrict it too so a
+    // disallowed candidate can't resurface at rerank
+    if (artifact.kind == "lsh" && artifact.aux.contains("vectors"))
+      restricted.copy(aux = restricted.aux + ("vectors" ->
+        artifact.aux("vectors").join(al, Seq("id"), "left_semi")))
+    else restricted
+  }
+
+  /** Search `artifact` for the top-k allowed neighbors of each query.
+    * `allowed`: one-column `id` relation (the predicate's satisfying
+    * set). `oversample` only applies to graph/tree kinds. */
+  def search(searcher: Searcher, artifact: IndexArtifact, queries: DataFrame,
+      k: Int, allowed: DataFrame, oversample: Int = 4): DataFrame = {
+    if (preFilterKinds.contains(artifact.kind))
+      searcher.search(restrict(artifact, allowed), queries, k)
+    else {
+      val al = allowed.select(col("id").cast("long").as("id"))
+      val res = searcher.search(artifact, queries, k * math.max(1, oversample))
+      KnnJoin.topKExploded(
+        res.join(al, Seq("id"), "left_semi").select("qid", "id", "dist"),
+        col("id"), col("dist"), k)
+    }
+  }
+}

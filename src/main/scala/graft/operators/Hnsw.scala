@@ -43,67 +43,15 @@ final case class HnswIndexer(
     val centers = LocalKMeans.fit(sample, math.min(nPartitions, sample.length),
       seed, iters = 10)
     val spillN = math.max(1, math.min(spill, centers.length))
-    val eps = spillEps
-    val assign = udf { (v: Seq[Float]) =>
-      val arr = v.toArray
-      // top-`spill` centroids ascending by distance (exact: nPartitions
-      // is small by construction)
-      val top = new BoundedTopK(spillN)
-      var c = 0
-      while (c < centers.length) {
-        var d = 0.0; var i = 0
-        val ce = centers(c)
-        while (i < ce.length) { val df = arr(i) - ce(i); d += df * df; i += 1 }
-        top.insert(c.toLong, d)
-        c += 1
-      }
-      val sorted = top.sorted
-      val d1 = math.sqrt(sorted(0)._2)
-      sorted.iterator.zipWithIndex
-        .filter { case ((_, d), j) => j == 0 || math.sqrt(d) <= (1.0 + eps) * d1 }
-        .map(_._1._1.toInt).toSeq
-    }
     val assigned = cached
-      .withColumn("centroid_id", explode(assign(col("vector"))))
+      .withColumn("centroid_id",
+        explode(Hnsw.assignUdf(centers, spillN, spillEps)(col("vector"))))
       .repartition(centers.length, col("centroid_id"))
     // per-centroid NSW construction, ONCE, inside the build job: each
     // Spark partition holds whole centroid groups (repartition hashes the
     // grouping column), builds one graph per group, and emits the
     // adjacency rows that become the index relation
-    val met = metric
-    val mm = m; val efC = efConstruction
-    val adjSchema = StructType(Seq(
-      StructField("centroid_id", IntegerType, nullable = false),
-      StructField("idx", IntegerType, nullable = false),
-      StructField("id", LongType, nullable = false),
-      StructField("vector", ArrayType(FloatType, containsNull = false), nullable = false),
-      StructField("nbrs", ArrayType(IntegerType, containsNull = false), nullable = false)))
-    val adjEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(adjSchema)
-    val adjacency = assigned.mapPartitions { it =>
-      val groups = new java.util.HashMap[Int,
-        (scala.collection.mutable.ArrayBuffer[Long],
-         scala.collection.mutable.ArrayBuffer[Array[Float]])]()
-      it.foreach { r =>
-        val cid = r.getInt(2)
-        var g = groups.get(cid)
-        if (g == null) {
-          g = (new scala.collection.mutable.ArrayBuffer[Long](),
-            new scala.collection.mutable.ArrayBuffer[Array[Float]]())
-          groups.put(cid, g)
-        }
-        g._1 += r.getLong(0)
-        g._2 += r.getSeq[Float](1).toArray
-      }
-      import scala.jdk.CollectionConverters._
-      groups.entrySet().iterator().asScala.flatMap { e =>
-        val cid = e.getKey
-        val (ids, vecs) = e.getValue
-        val g = NswGraph.build(vecs.toArray, mm, efC, met)
-        (0 until ids.length).iterator.map { i =>
-          Row(cid, i, ids(i), vecs(i).toSeq, g.neighbors(i).toSeq)
-        }
-      }
-    }(adjEnc)
+    val adjacency = Hnsw.buildAdjacency(assigned, m, efConstruction, metric)
       .persist()
     adjacency.count() // materialize: graph construction is a BUILD cost
     val spark = base.sparkSession
@@ -113,8 +61,89 @@ final case class HnswIndexer(
     IndexArtifact(kind, adjacency,
       meta = Map("m" -> m.toString, "ef_construction" -> efConstruction.toString,
         "metric" -> metric, "n_partitions" -> centers.length.toString,
-        "spill" -> spillN.toString),
+        "spill" -> spillN.toString, "spill_eps" -> spillEps.toString),
       aux = Map("centroids" -> centroids))
+  }
+}
+
+/** Shared build machinery, factored so [[IndexAppend]]'s touched-group
+  * rebuild encodes/builds EXACTLY as the one-shot build does (same
+  * contract as IvfSq8.encodeRelation / IvfPq.encodeRow). */
+object Hnsw {
+  import org.apache.spark.sql.expressions.UserDefinedFunction
+
+  /** SPANN-closure assignment against FROZEN centroids: up to `spillN`
+    * nearest centroid ids whose distance is within (1+eps)·d₁. The
+    * build's partitioner and the append path's arrival router are this
+    * one function. */
+  def assignUdf(centers: Array[Array[Float]], spillN: Int,
+      eps: Double): UserDefinedFunction = udf { (v: Seq[Float]) =>
+    val arr = v.toArray
+    // top-`spill` centroids ascending by distance (exact: nPartitions
+    // is small by construction)
+    val top = new BoundedTopK(spillN)
+    var c = 0
+    while (c < centers.length) {
+      var d = 0.0; var i = 0
+      val ce = centers(c)
+      while (i < ce.length) { val df = arr(i) - ce(i); d += df * df; i += 1 }
+      top.insert(c.toLong, d)
+      c += 1
+    }
+    val sorted = top.sorted
+    val d1 = math.sqrt(sorted(0)._2)
+    sorted.iterator.zipWithIndex
+      .filter { case ((_, d), j) => j == 0 || math.sqrt(d) <= (1.0 + eps) * d1 }
+      .map(_._1._1.toInt).toSeq
+  }
+
+  private val adjSchema = StructType(Seq(
+    StructField("centroid_id", IntegerType, nullable = false),
+    StructField("idx", IntegerType, nullable = false),
+    StructField("id", LongType, nullable = false),
+    StructField("vector", ArrayType(FloatType, containsNull = false), nullable = false),
+    StructField("nbrs", ArrayType(IntegerType, containsNull = false), nullable = false)))
+
+  /** Per-centroid NSW construction over an assigned relation with columns
+    * (id, vector, centroid_id). Each group's rows are SORTED BY id before
+    * insertion, so a group's graph is a pure function of its row SET —
+    * shuffle arrival order can't change adjacency, and rebuilding a group
+    * with appended rows (IndexAppend) yields byte-identical output to a
+    * one-shot build over the union. */
+  def buildAdjacency(assigned: DataFrame, m: Int, efC: Int,
+      metric: String): DataFrame = {
+    val met = metric
+    val adjEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(adjSchema)
+    assigned.select(col("id"), col("vector"), col("centroid_id"))
+      .mapPartitions { it =>
+        val groups = new java.util.HashMap[Int,
+          (scala.collection.mutable.ArrayBuffer[Long],
+           scala.collection.mutable.ArrayBuffer[Array[Float]])]()
+        it.foreach { r =>
+          val cid = r.getInt(2)
+          var g = groups.get(cid)
+          if (g == null) {
+            g = (new scala.collection.mutable.ArrayBuffer[Long](),
+              new scala.collection.mutable.ArrayBuffer[Array[Float]]())
+            groups.put(cid, g)
+          }
+          g._1 += r.getLong(0)
+          g._2 += r.getSeq[Float](1).toArray
+        }
+        import scala.jdk.CollectionConverters._
+        groups.entrySet().iterator().asScala.flatMap { e =>
+          val cid = e.getKey
+          val (rawIds, rawVecs) = e.getValue
+          // deterministic insertion order: ascending id
+          val order = rawIds.indices.toArray.sortBy(rawIds(_))
+          val ids = order.map(rawIds(_))
+          val vecs = order.map(rawVecs(_))
+          val g = NswGraph.build(vecs, m, efC, met)
+          (0 until ids.length).iterator.map { i =>
+            Row(cid, i, ids(i), vecs(i).toSeq, g.neighbors(i).toSeq)
+          }
+        }
+      }(adjEnc)
   }
 }
 

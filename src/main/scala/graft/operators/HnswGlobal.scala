@@ -55,9 +55,17 @@ final case class HnswGlobalIndexer(
     if (!fits) {
       val n = stats.map(_._1).getOrElse(0L)
       val nPart = math.max(8L, math.min(4096L, n / 131072L + 1L)).toInt
-      return HnswIndexer(nPartitions = nPart, m = m,
+      val art = HnswIndexer(nPartitions = nPart, m = m,
         efConstruction = math.min(efConstruction, 100), metric = metric,
         seed = seed, spill = 2, spillEps = 0.15).build(base)
+      // pin the delegated searcher's probe count AT ROUTING TIME: the
+      // hnsw_dist operating point (nprobe=12) was tuned at 16 groups
+      // (probe fraction 3/4 under the spill=2 closure); at hundreds of
+      // auto-routed groups a fixed 12 would silently collapse recall far
+      // below the hnsw_global contract the caller asked for. Scale the
+      // fraction, floored at the tuned point.
+      return art.copy(meta = art.meta +
+        ("routed_nprobe" -> math.max(12, nPart * 3 / 4).toString))
     }
     val rows = base.select(col("id").cast("long"), col("vector"))
       .orderBy("id").collect()
@@ -121,9 +129,16 @@ final case class HnswGlobalSearcher(efSearch: Int = 100, metric: String = "l2",
     // over-cap builds auto-route to the distributed per-centroid index
     // (HnswGlobalIndexer.build) — serve it with its own searcher at the
     // measured hnsw_dist operating point (probe 12 of the spill=2 groups)
-    if (artifact.kind == "hnsw")
-      return HnswSearcher(nprobe = 12, efSearch = efSearch, metric = metric)
+    if (artifact.kind == "hnsw") {
+      // probe count pinned at build-routing time (scaled with the routed
+      // partition count); `max(12, 3/4·nPart)` fallback covers artifacts
+      // from stores written before the meta key existed
+      val nprobe = artifact.meta.get("routed_nprobe").map(_.toInt)
+        .getOrElse(math.max(12,
+          artifact.meta.get("n_partitions").map(_.toInt).getOrElse(16) * 3 / 4))
+      return HnswSearcher(nprobe = nprobe, efSearch = efSearch, metric = metric)
         .search(artifact, queries, k)
+    }
     val spark = artifact.data.sparkSession
     val model = artifact.local.get("model") match {
       case Some(mo: HnswGlobalModel) => mo

@@ -19,17 +19,43 @@ import org.apache.spark.sql.functions._
   */
 object IndexAppend {
 
-  /** `newRows`: (id long, vector array<float>) — ids must be fresh. */
+  /** `newRows`: (id long, vector array<float>) — ids must be fresh: this
+    * is FAISS `Index.add`, which never checks id disjointness either; a
+    * re-appended id yields duplicate index rows and therefore duplicate
+    * search results (use [[delete]] first for upsert semantics). Vector
+    * width IS checked against the artifact's model dim — a
+    * wrong-dimension arrival fails here with a clear message instead of
+    * deep inside assign/encode. */
   def append(artifact: IndexArtifact, newRows: DataFrame): IndexArtifact =
     artifact.kind match {
-      case "ivf"     => IvfModel.append(artifact, newRows)
-      case "ivf_sq8" => ivfSq8(artifact, newRows)
-      case "ivf_pq"  => ivfPq(artifact, newRows)
-      case "lsh"     => lsh(artifact, newRows)
+      case "ivf"     => IvfModel.append(artifact, checkedDim(artifact, newRows))
+      case "ivf_sq8" => ivfSq8(artifact, checkedDim(artifact, newRows))
+      case "ivf_pq"  => ivfPq(artifact, checkedDim(artifact, newRows))
+      case "lsh"     => lsh(artifact, checkedDim(artifact, newRows))
+      case "hnsw"    => hnsw(artifact, checkedDim(artifact, newRows))
       case k => throw new IllegalArgumentException(
         s"append is not supported for index kind '$k' — rebuild, or use " +
-          "a kind with frozen encode models (ivf, ivf_sq8, ivf_pq, lsh)")
+          "a kind with frozen encode models (ivf, ivf_sq8, ivf_pq, lsh, hnsw)")
     }
+
+  /** arriving vectors must match the frozen model's dimensionality; a
+    * longer vector would otherwise be silently prefix-scored by the
+    * centroid loops and a shorter one would throw an opaque
+    * ArrayIndexOutOfBounds deep inside assign/encode */
+  private def checkedDim(artifact: IndexArtifact, newRows: DataFrame): DataFrame = {
+    val dim = artifact.kind match {
+      case "lsh" => artifact.meta("dim").toInt
+      case _ => IvfModel.centroidsOf(artifact).head._2.length
+    }
+    val kind = artifact.kind
+    val check = udf { (v: Seq[Float]) =>
+      require(v != null && v.length == dim,
+        s"append($kind): arriving vector has dim " +
+          s"${if (v == null) "null" else v.length.toString}, index dim is $dim")
+      v
+    }
+    newRows.withColumn("vector", check(col("vector")))
+  }
 
   /** Remove rows by id — FAISS `remove_ids` semantics: an anti-join on
     * the index relation (and on the LSH rerank relation), models
@@ -48,9 +74,29 @@ object IndexAppend {
           data = artifact.data.join(del, Seq("id"), "left_anti"),
           aux = artifact.aux + ("vectors" ->
             artifact.aux("vectors").join(del, Seq("id"), "left_anti")))
+      case "hnsw" =>
+        // a plain anti-join would leave dangling `nbrs` edges (they are
+        // positional idx references) — rebuild ONLY the groups that held
+        // a deleted row, exactly like append's touched-group rebuild
+        val touched = artifact.data.join(del, Seq("id"), "left_semi")
+          .select("centroid_id").distinct()
+          .collect().map(_.getInt(0))
+        if (touched.isEmpty) artifact
+        else {
+          val tset = touched.map(Int.box).toSeq
+          val untouched = artifact.data.filter(!col("centroid_id").isin(tset: _*))
+          val kept = artifact.data.filter(col("centroid_id").isin(tset: _*))
+            .join(del, Seq("id"), "left_anti")
+            .select(col("id"), col("vector"), col("centroid_id"))
+            .repartition(math.max(1, touched.length), col("centroid_id"))
+          val rebuilt = Hnsw.buildAdjacency(kept,
+            artifact.meta("m").toInt, artifact.meta("ef_construction").toInt,
+            artifact.meta.getOrElse("metric", "l2"))
+          artifact.copy(data = untouched.unionByName(rebuilt))
+        }
       case k => throw new IllegalArgumentException(
         s"delete is not supported for index kind '$k' — rebuild, or use " +
-          "a kind with a row-keyed index relation (ivf, ivf_sq8, ivf_pq, lsh)")
+          "a kind with a row-keyed index relation (ivf, ivf_sq8, ivf_pq, lsh, hnsw)")
     }
   }
 
@@ -85,6 +131,43 @@ object IndexAppend {
       .toDF("id", "centroid_id", "codes")
     artifact.copy(data = artifact.data
       .select("id", "centroid_id", "codes").unionByName(encoded))
+  }
+
+  /** FAISS `IndexHNSW.add` semantics for the per-centroid graph index
+    * (hnsw.py:76-81 delegates adds to the library; here the graph IS the
+    * index relation, so arrival means graph work): route arrivals through
+    * the FROZEN coarse centroids (+ the build's SPANN spill closure),
+    * then rebuild ONLY the touched per-centroid subgraphs. Untouched
+    * groups' adjacency rows pass through unchanged. Because
+    * [[Hnsw.buildAdjacency]] inserts each group's rows in ascending-id
+    * order, a group's graph is a pure function of its row set — so
+    * append(build(A), B) ≡ build(A ∪ B) under A's centroids, exactly
+    * (IvfAppendSpec asserts the two-batch ≡ one-shot identity). Cost
+    * scales with the touched groups' sizes, not the corpus: a daily
+    * arrival batch rebuilds a bounded set of ~10⁵-row subgraphs, never
+    * the corpus-sized index. */
+  private def hnsw(artifact: IndexArtifact, newRows: DataFrame): IndexArtifact = {
+    val m = artifact.meta("m").toInt
+    val efC = artifact.meta("ef_construction").toInt
+    val met = artifact.meta.getOrElse("metric", "l2")
+    val spillN = artifact.meta.getOrElse("spill", "1").toInt
+    val eps = artifact.meta.getOrElse("spill_eps", "0.15").toDouble
+    val centers = IvfModel.centroidsOf(artifact).sortBy(_._1).map(_._2)
+    val assignedNew = newRows
+      .select(col("id").cast("long").as("id"), col("vector"))
+      .withColumn("centroid_id",
+        explode(Hnsw.assignUdf(centers, math.min(spillN, centers.length), eps)(col("vector"))))
+    val touched = assignedNew.select("centroid_id").distinct()
+      .collect().map(_.getInt(0))
+    if (touched.isEmpty) return artifact
+    val tset = touched.map(Int.box).toSeq
+    val untouched = artifact.data.filter(!col("centroid_id").isin(tset: _*))
+    val rebuildRows = artifact.data.filter(col("centroid_id").isin(tset: _*))
+      .select(col("id"), col("vector"), col("centroid_id"))
+      .unionByName(assignedNew.select("id", "vector", "centroid_id"))
+      .repartition(math.max(1, touched.length), col("centroid_id"))
+    val rebuilt = Hnsw.buildAdjacency(rebuildRows, m, efC, met)
+    artifact.copy(data = untouched.unionByName(rebuilt))
   }
 
   /** frozen seeded hyperplanes (reconstructed from meta — they are pure

@@ -82,12 +82,16 @@ object Multimodal {
     media.select("media_id", "kind", "payload", "meta")
       .mapPartitions { rows =>
         rows.map { r =>
-          val bytes = r.getAs[Array[Byte]]("payload")
+          // null-tolerant like decodeAndFeaturize's empty-payload path: a
+          // null payload or meta struct passes through as an
+          // empty/zero-fill row instead of NPE-failing the whole task
+          val bytes = Option(r.getAs[Array[Byte]]("payload"))
+            .getOrElse(Array.emptyByteArray)
           val out =
             if (bytes.length <= targetBytes) bytes
             else MediaCodecStub.resampleBytes(bytes, targetBytes)
-          val meta = r.getStruct(3)
-          val fmt = Option(meta.getString(1))
+          val fmt = Option(r.getStruct(3))
+            .flatMap(meta => Option(meta.getString(1)))
             .map(f => if (bytes.length <= targetBytes) f else s"$f/resized")
             .orNull
           Row(r.getLong(0), r.getString(1), out,

@@ -40,13 +40,17 @@ object IngestStream {
     * `onAppend` fires after each non-empty micro-batch with the updated
     * artifact and the epoch id (checkpoint/compact/publish hook).
     *
-    * Each micro-batch is snapshotted to a LocalRelation before the
+    * Each micro-batch is snapshotted to LocalRelations before the
     * trigger ends (a streaming source relation is only readable inside
     * its trigger, but the artifact's union plan must stay valid for
-    * later searches). That bounds a trigger to `maxBatchRows` arrivals
-    * on the driver — the operational regime of streaming ingestion; a
-    * corpus-sized backfill belongs to the batch `Indexer.build`, not a
-    * trigger. */
+    * later searches). `maxBatchRows` bounds DRIVER MEMORY per slice, not
+    * the trigger: an oversized (backlog / poison) micro-batch is folded
+    * in maxBatchRows-sized slices rather than failing the query — a
+    * thrown require inside foreachBatch would terminate the
+    * StreamingQuery permanently, and a restart would replay the same
+    * batch into the same failure. The batch streams through
+    * `toLocalIterator` (one partition resident at a time), so no slice
+    * ever materializes more than maxBatchRows rows plus one partition. */
   def appendStream(arrivals: DataFrame, initial: IndexArtifact,
       maxBatchRows: Int = 1 << 20)
       (onAppend: (IndexArtifact, Long) => Unit = (_, _) => ()): IngestStream = {
@@ -57,19 +61,17 @@ object IngestStream {
           val spark = batch.sparkSession
           val proj = batch.select("id", "vector").persist()
           try {
-          // guard by count BEFORE collecting — limit(n+1).collect() would
-          // materialize the whole capped batch (GBs of boxed Rows at real
-          // dims) on the driver just to reject it
-          val n = proj.count()
-          require(n <= maxBatchRows,
-            s"ingest micro-batch of $n rows exceeds maxBatchRows=$maxBatchRows — " +
-              "backfill with the batch Indexer.build instead")
-          val rows = proj.collect()
-          val frozen = spark.createDataFrame(
-            java.util.Arrays.asList(rows: _*), proj.schema)
-          val next = IndexAppend.append(ref.get(), frozen)
-          ref.set(next)
-          onAppend(next, epochId)
+            import scala.jdk.CollectionConverters._
+            var cur = ref.get()
+            proj.toLocalIterator().asScala.grouped(maxBatchRows).foreach { slice =>
+              val frozen = spark.createDataFrame(slice.asJava, proj.schema)
+              cur = IndexAppend.append(cur, frozen)
+              // publish after every slice: searches between triggers see
+              // monotone progress, and slices are append-only so a
+              // mid-batch snapshot is always a consistent index
+              ref.set(cur)
+            }
+            onAppend(cur, epochId)
           } finally proj.unpersist(false)
         }
       }

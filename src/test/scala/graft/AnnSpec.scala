@@ -314,4 +314,61 @@ class AnnSpec extends AnyFunSuite {
     val part = IvfSearcher(nprobe = 2, "l2").search(filteredArt, q, 5)
     assert(part.filter(col("id") % 3 === 0).isEmpty)
   }
+
+  test("FilteredSearch across the family: pre-filter ≡ filtered exact / post-filter") {
+    val allowed = trainC.filter(col("id") % 3 =!= 0).select("id")
+    val q = trainC.filter(col("id") % 40 === 0)
+      .select(col("id").as("qid"), col("vector"))
+
+    // ivf (raw vectors): restricted relation + full probe ≡ exact kNN
+    // over the allowed rows — the strongest per-family identity
+    val ivfArt = IvfIndexer(nlist = 8, seed = 42).build(trainC)
+    val viaApi = FilteredSearch
+      .search(IvfSearcher(nprobe = 8, "l2"), ivfArt, q, 5, allowed)
+      .select("qid", "rank", "id")
+    val exact = KnnJoin.knnJoin(q,
+        trainC.join(allowed, Seq("id"), "left_semi"), 5, "l2")
+      .select("qid", "rank", "id")
+    assert(viaApi.except(exact).isEmpty && exact.except(viaApi).isEmpty)
+
+    // quantized compositions: a row's coded distance is restriction-
+    // independent, so pre-filter at full probe ≡ post-filtering the FULL
+    // ranking (k = n) of the unrestricted index — exact, no sampling slack
+    val n = trainC.count().toInt
+    for ((name, art, searcher) <- Seq(
+        ("ivf_sq8", IvfSq8Indexer(nlist = 8, seed = 42).build(trainC),
+          IvfSq8Searcher(nprobe = 8, "l2"): Searcher),
+        ("ivf_pq", IvfPqIndexer(nlist = 8, numSubspaces = 4, numCentroids = 16,
+            seed = 42).build(trainC),
+          IvfPqSearcher(nprobe = 8, "l2"): Searcher))) {
+      val pre = FilteredSearch.search(searcher, art, q, 5, allowed)
+        .select("qid", "rank", "id")
+      assert(pre.filter(col("id") % 3 === 0).isEmpty, name)
+      val post = KnnJoin.topKExploded(
+        searcher.search(art, q, n)
+          .join(allowed, Seq("id"), "left_semi")
+          .select("qid", "id", "dist"),
+        col("id"), col("dist"), 5)
+        .select("qid", "rank", "id")
+      assert(pre.except(post).isEmpty && post.except(pre).isEmpty, name)
+    }
+
+    // graph family: the walk needs full connectivity, so FilteredSearch
+    // post-filters an oversampled walk — disallowed ids never surface,
+    // and an allowed query still self-retrieves at distance 0
+    val hnswArt = HnswIndexer(nPartitions = 4, m = 6, efConstruction = 24,
+      metric = "l2", seed = 42).build(trainC)
+    intercept[IllegalArgumentException] {
+      FilteredSearch.restrict(hnswArt, allowed)
+    }
+    val qa = q.filter(col("qid") % 3 =!= 0)
+    val fres = FilteredSearch.search(
+      HnswSearcher(nprobe = 4, efSearch = 64, metric = "l2"),
+      hnswArt, qa, 3, allowed, oversample = 4)
+    assert(fres.filter(col("id") % 3 === 0).isEmpty)
+    val top1 = fres.filter(col("rank") === 1).select("qid", "id", "dist")
+      .as[(Long, Long, Double)].collect()
+    assert(top1.nonEmpty)
+    top1.foreach { case (qid, id, d) => assert(qid == id && math.abs(d) < 1e-6) }
+  }
 }

@@ -169,6 +169,78 @@ class IvfAppendSpec extends AnyFunSuite {
     assert(lshDel.data.filter($"id" % 2 =!= 0).isEmpty)
   }
 
+  test("hnsw append: touched-group rebuild, two-batch ≡ one-shot exactly") {
+    val old = base.filter($"id" % 2 === 0)
+    val fresh = base.filter($"id" % 2 =!= 0)
+    val art = graft.operators.HnswIndexer(nPartitions = 4, m = 6,
+      efConstruction = 24, metric = "l2", seed = 42).build(old)
+    val appended = graft.operators.IndexAppend.append(art, fresh)
+    // every row present exactly once (spill=1 → disjoint groups)
+    assert(appended.data.select("id").distinct().count() == 400)
+    assert(appended.data.count() == 400)
+    // the coarse model did NOT retrain
+    assert(IvfModel.centroidsOf(appended).sortBy(_._1).map(_._2.toSeq).toSeq ==
+      IvfModel.centroidsOf(art).sortBy(_._1).map(_._2.toSeq).toSeq)
+    // two-batch ≡ one-shot BYTE-IDENTICAL adjacency: groups build from
+    // rows sorted by id, so a group's graph is a pure function of its
+    // row set — the IvfAppendSpec identity, now for the graph family
+    val b1 = fresh.filter($"id" % 4 === 1)
+    val b2 = fresh.filter($"id" % 4 === 3)
+    val twoStep = graft.operators.IndexAppend.append(
+      graft.operators.IndexAppend.append(art, b1), b2)
+    assert(twoStep.data.except(appended.data).isEmpty &&
+      appended.data.except(twoStep.data).isEmpty)
+    // the searcher serves the appended artifact: appended vectors
+    // self-retrieve at distance 0
+    val q = fresh.limit(5).select($"id".as("qid"), $"vector")
+    val top1 = graft.operators.HnswSearcher(nprobe = 4, efSearch = 64, metric = "l2")
+      .search(appended, q, 3)
+      .filter($"rank" === 1).select("qid", "id", "dist")
+      .as[(Long, Long, Double)].collect()
+    assert(top1.length == 5)
+    top1.foreach { case (qid, id, d) => assert(qid == id && math.abs(d) < 1e-6) }
+  }
+
+  test("hnsw delete: touched groups rebuilt without dangling edges; round-trips") {
+    val art = graft.operators.HnswIndexer(nPartitions = 4, m = 6,
+      efConstruction = 24, metric = "l2", seed = 42).build(base)
+    val odd = base.filter($"id" % 2 =!= 0)
+    val deleted = graft.operators.IndexAppend.delete(art, odd.select("id"))
+    assert(deleted.data.filter($"id" % 2 =!= 0).isEmpty)
+    assert(deleted.data.count() == 200)
+    // no dangling adjacency: every neighbor idx addresses a row of its
+    // own (rebuilt) group
+    val bad = deleted.data
+      .select($"centroid_id", $"idx", explode($"nbrs").as("nb"))
+      .groupBy("centroid_id")
+      .agg(max($"nb").as("maxnb"), count(lit(1)).as("_e"))
+      .join(deleted.data.groupBy("centroid_id").agg(count(lit(1)).as("n")),
+        "centroid_id")
+      .filter($"maxnb" >= $"n")
+    assert(bad.isEmpty)
+    // delete(append(evenArt, odd), odd) ≡ evenArt exactly (sorted-by-id
+    // rebuild makes the graph a pure function of the surviving row set)
+    val evenArt = graft.operators.HnswIndexer(nPartitions = 4, m = 6,
+      efConstruction = 24, metric = "l2", seed = 42)
+      .build(base.filter($"id" % 2 === 0))
+    val roundTrip = graft.operators.IndexAppend.delete(
+      graft.operators.IndexAppend.append(evenArt, odd), odd.select("id"))
+    assert(roundTrip.data.except(evenArt.data).isEmpty &&
+      evenArt.data.except(roundTrip.data).isEmpty)
+  }
+
+  test("append rejects wrong-dimension arrivals with a clear error") {
+    val art = IvfIndexer(nlist = 8, seed = 42).build(base)
+    val badRows = Seq((9001L, Array(1.0f, 2.0f, 3.0f))).toDF("id", "vector")
+    val e = intercept[Exception] {
+      graft.operators.IndexAppend.append(art, badRows).data.count()
+    }
+    def causes(t: Throwable): Iterator[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+    assert(causes(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("index dim is 8"))))
+  }
+
   test("ivf_pq residual append: frozen codebooks encode v - centroid(v)") {
     val old = base.filter($"id" % 2 === 0)
     val fresh = base.filter($"id" % 2 =!= 0)
