@@ -269,6 +269,20 @@ object SparkEntry {
     "j10_ivf_pq" -> annRecall("ivf_pq", "ivf_pq", "ivf_pq",
       Map("nlist" -> "16", "nprobe" -> "8", "num_subspaces" -> "16",
         "num_centroids" -> "64"), "l2", floor = 0.45),
+    // --- J10+: filtered ANN over the quantized compositions — the same
+    //     pre-filtering semantics as j8_ivf_filtered (the predicate
+    //     restricts the index RELATION before the probe, via
+    //     FilteredSearch) composed with j10's frozen models. The oracle
+    //     is DERIVED from the unfiltered gate's oracle by marked
+    //     rewrites (same centroid/codebook literals, same quantized
+    //     arithmetic) so the two can never drift ---
+    "j10_ivf_sq8_filtered" -> annRecallFiltered("ivf_sq8",
+      (s, dir) => graft.operators.IvfSq8Indexer(nlist = 16, seed = 42),
+      graft.operators.IvfSq8Searcher(nprobe = 8, "l2"), floor = 0.75),
+    "j10_ivf_pq_filtered" -> annRecallFiltered("ivf_pq",
+      (s, dir) => graft.operators.IvfPqIndexer(nlist = 16, numSubspaces = 16,
+        numCentroids = 64, seed = 42),
+      graft.operators.IvfPqSearcher(nprobe = 8, "l2"), floor = 0.45),
     // --- J12: CoverTree exact search — recall ≡ 1.0 by construction, so
     //     the exploded rows hash-match the j1_knn_l2 DuckDB oracle ---
     "j12_covertree" -> annExploded("covertree", "covertree", "covertree",
@@ -286,6 +300,101 @@ object SparkEntry {
     "j11_hnsw_global" -> annRecallGated("hnsw_global", "hnsw_global", "hnsw_global",
       Map("m" -> "16", "ef_construction" -> "200", "ef_search" -> "100"),
       "l2", floor = 0.85),
+    // --- J11+: incremental graph ingestion (FAISS IndexHNSW.add,
+    //     hnsw.py:76-81 delegation): build per-centroid graphs on the
+    //     even ids, append the odd ids through the FROZEN coarse router
+    //     (touched subgraphs rebuild; IvfAppendSpec proves the rebuild ≡
+    //     one-shot identity), search the appended index against exact GT
+    //     over ALL rows. Floor tier like j11_hnsw: n_rows = nq×k pins
+    //     every query to a full result, n_bad_dist = 0 pins every
+    //     reported distance to the recomputed exact value ---
+    "j11_append" -> ((s, dir) => {
+      graft.operators.Registry.init()
+      val q = Tables.embQueries(s, dir)
+      val b = Tables.embBase(s, dir).cache()
+      val art = graft.operators.HnswIndexer(nPartitions = 8, m = 8,
+        efConstruction = 32, metric = "l2", seed = 42)
+        .build(b.filter(col("id") % 2 === 0))
+      val appended = graft.operators.IndexAppend
+        .append(art, b.filter(col("id") % 2 =!= 0))
+      val res = graft.operators.HnswSearcher(nprobe = 3, efSearch = 64,
+        metric = "l2").search(appended, q, 10).cache()
+      val floor = 0.60
+      val gt = KnnJoin.knnJoinAgg(q, b, 10, "l2")
+        .select(col("qid"), transform(col("nn"), x => x("id")).as("gt"))
+      val pred = res.groupBy("qid")
+        .agg(graft.operators.TopKByDist.topK(col("id"), col("dist"), 10).as("nn"))
+        .select(col("qid"), transform(col("nn"), x => x("id")).as("pred"))
+      val recallRow = gt.join(pred, Seq("qid"), "left")
+        .withColumn("pred", coalesce(col("pred"), array().cast("array<bigint>")))
+        .agg(
+          lit("hnsw_append").as("algorithm"),
+          count(lit(1)).as("n_queries"),
+          round(avg(Metrics.recallAtK(col("pred"), col("gt"), 10)), 4).as("recall_10"))
+        .filter(col("recall_10") >= floor)
+      val dist = graft.functions.VectorFunctions.distance("l2") _
+      val integrity = res
+        .join(q.select(col("qid"), col("vector").as("_qv")), Seq("qid"), "left")
+        .join(b.select(col("id"), col("vector").as("_bv")), Seq("id"), "left")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("_bv").isNull || col("_qv").isNull ||
+              abs(col("dist") - dist(col("_qv"), col("_bv"))) >
+                lit(1e-3) * greatest(lit(1.0), abs(col("dist"))), 1L)
+            .otherwise(0L)).as("n_bad_dist"))
+      recallRow.crossJoin(integrity)
+        .select(col("algorithm"), col("n_queries"),
+          lit(floor).cast("double").as("recall_floor"),
+          col("n_rows"), col("n_bad_dist"))
+    }),
+    // --- J11+: filtered graph search — the walk needs full
+    //     connectivity, so FilteredSearch post-filters an 8× oversampled
+    //     walk (the documented graph-family path, vs the pre-filtering
+    //     j8/j10 gates). Value checks: n_rows = nq×k (the oversample
+    //     never starves a query), n_bad_dist = 0 (exact recomputed
+    //     distances), n_disallowed = 0 (the predicate actually holds on
+    //     every returned row) ---
+    "j11_hnsw_filtered" -> ((s, dir) => {
+      graft.operators.Registry.init()
+      val q = Tables.embQueries(s, dir)
+      val emb = Tables.load(s, dir, "embeddings")
+      val b = Tables.embBase(s, dir).cache()
+      val allowed = emb.filter(col("label") < 5).select(col("vec_id").as("id"))
+      val art = graft.operators.HnswIndexer(nPartitions = 8, m = 8,
+        efConstruction = 32, metric = "l2", seed = 42).build(b)
+      val res = graft.operators.FilteredSearch.search(
+        graft.operators.HnswSearcher(nprobe = 3, efSearch = 64, metric = "l2"),
+        art, q, 10, allowed, oversample = 8).cache()
+      val floor = 0.60
+      val gt = KnnJoin.knnJoinAgg(q, b.join(allowed, Seq("id"), "left_semi"), 10, "l2")
+        .select(col("qid"), transform(col("nn"), x => x("id")).as("gt"))
+      val pred = res.groupBy("qid")
+        .agg(graft.operators.TopKByDist.topK(col("id"), col("dist"), 10).as("nn"))
+        .select(col("qid"), transform(col("nn"), x => x("id")).as("pred"))
+      val recallRow = gt.join(pred, Seq("qid"), "left")
+        .withColumn("pred", coalesce(col("pred"), array().cast("array<bigint>")))
+        .agg(
+          lit("hnsw_filtered").as("algorithm"),
+          count(lit(1)).as("n_queries"),
+          round(avg(Metrics.recallAtK(col("pred"), col("gt"), 10)), 4).as("recall_10"))
+        .filter(col("recall_10") >= floor)
+      val dist = graft.functions.VectorFunctions.distance("l2") _
+      val integrity = res
+        .join(q.select(col("qid"), col("vector").as("_qv")), Seq("qid"), "left")
+        .join(b.select(col("id"), col("vector").as("_bv")), Seq("id"), "left")
+        .join(allowed.withColumn("_ok", lit(1)), Seq("id"), "left")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("_bv").isNull || col("_qv").isNull ||
+              abs(col("dist") - dist(col("_qv"), col("_bv"))) >
+                lit(1e-3) * greatest(lit(1.0), abs(col("dist"))), 1L)
+            .otherwise(0L)).as("n_bad_dist"),
+          sum(when(col("_ok").isNull, 1L).otherwise(0L)).as("n_disallowed"))
+      recallRow.crossJoin(integrity)
+        .select(col("algorithm"), col("n_queries"),
+          lit(floor).cast("double").as("recall_floor"),
+          col("n_rows"), col("n_bad_dist"), col("n_disallowed"))
+    }),
     // --- P1: row normalization (zero-norm → zero-vector convention) ---
     "p1_normalize" -> ((s, dir) =>
       Tables.load(s, dir, "embeddings").select(
@@ -794,6 +903,37 @@ object SparkEntry {
       .filter(col("recall_10") >= floor)
   }
 
+  /** Filtered-ANN gate body: build on the FULL corpus with the same
+    * seeded models as the unfiltered gate (the derived oracle reuses its
+    * literals), restrict via FilteredSearch (pre-filtering — the
+    * predicate semi-join composes with the probe in one plan), score
+    * against exact kNN over the allowed rows. */
+  private def annRecallFiltered(name: String,
+      indexer: (SparkSession, String) => graft.operators.Indexer,
+      searcher: graft.operators.Searcher, floor: Double)
+      : (SparkSession, String) => DataFrame = (s, dir) => {
+    graft.operators.Registry.init()
+    val q = Tables.embQueries(s, dir)
+    val emb = Tables.load(s, dir, "embeddings")
+    val b = Tables.embBase(s, dir).cache()
+    val allowed = emb.filter(col("label") < 5).select(col("vec_id").as("id"))
+    val art = indexer(s, dir).build(b)
+    val res = graft.operators.FilteredSearch.search(searcher, art, q, 10, allowed)
+    val gt = KnnJoin.knnJoinAgg(q, b.join(allowed, Seq("id"), "left_semi"), 10, "l2")
+      .select(col("qid"), transform(col("nn"), x => x("id")).as("gt"))
+    val pred = res.groupBy("qid")
+      .agg(graft.operators.TopKByDist.topK(col("id"), col("dist"), 10).as("nn"))
+      .select(col("qid"), transform(col("nn"), x => x("id")).as("pred"))
+    gt.join(pred, Seq("qid"), "left")
+      .withColumn("pred", coalesce(col("pred"), array().cast("array<bigint>")))
+      .agg(
+        lit(s"${name}_filtered").as("algorithm"),
+        count(lit(1)).as("n_queries"),
+        round(avg(Metrics.recallAtK(col("pred"), col("gt"), 10)), 4).as("recall_10"),
+        round(avg(Metrics.rrAtK(col("pred"), col("gt"), 10)), 4).as("mrr_10"))
+      .filter(col("recall_10") >= floor)
+  }
+
   /** Oracle-checkable wrapper for algorithms whose model is not
     * SQL-replicable (HNSW graph walks): emit ONLY columns DuckDB can
     * reproduce from the data. Healthy run → exactly one fully
@@ -866,7 +1006,60 @@ object SparkEntry {
     alg.run(b, q, 10).select(col("qid"), col("rank"), col("id"))
   }
 
-  def oracleSql: Map[String, String] = Map(
+  /** The filtered-gate oracles ARE the unfiltered gates' oracles with the
+    * `allowed` restriction applied through marked rewrites — identical
+    * model literals and quantized arithmetic by construction, so the two
+    * can never drift (and ScaledModelCheck's literal splicer keeps
+    * working on the derived SQL unchanged). Every marker is required
+    * unique; a future oracle rewrite that breaks one fails loudly here
+    * (and in EntryContractSpec) instead of silently diverging. */
+  private[graft] def filteredIvfOracle(sql: String, alg: String,
+      floor: String, newFloor: String): String = {
+    def rewrite(s: String, marker: String, replacement: String): String = {
+      val at = s.indexOf(marker)
+      require(at >= 0, s"filtered-oracle marker missing: $marker")
+      require(s.indexOf(marker, at + 1) < 0,
+        s"filtered-oracle marker not unique: $marker")
+      s.substring(0, at) + replacement + s.substring(at + marker.length)
+    }
+    var out = sql
+    // the predicate's satisfying set (same shape as j8_ivf_filtered)
+    out = rewrite(out, "\nassign AS (",
+      "\nallowed AS (SELECT vec_id AS id FROM embeddings WHERE label < 5),\nassign AS (")
+    // pre-filter: candidates restricted before scoring
+    out = rewrite(out, "FROM probes p JOIN assign a ON p.cid = a.cid)",
+      "FROM probes p JOIN assign a ON p.cid = a.cid JOIN allowed al ON al.id = a.id)")
+    // exact GT over the allowed rows only
+    out = rewrite(out, ", bv r)", ", bv r JOIN allowed al2 ON al2.id = r.id)")
+    out = rewrite(out, s"SELECT '$alg' AS algorithm",
+      s"SELECT '${alg}_filtered' AS algorithm")
+    out = rewrite(out, s"HAVING round(avg(recall), 4) >= $floor",
+      s"HAVING round(avg(recall), 4) >= $newFloor")
+    out
+  }
+
+  def oracleSql: Map[String, String] = oracleSqlBase ++ Map(
+    "j10_ivf_sq8_filtered" ->
+      filteredIvfOracle(oracleSqlBase("j10_ivf_sq8"), "ivf_sq8", "0.75", "0.75"),
+    "j10_ivf_pq_filtered" ->
+      filteredIvfOracle(oracleSqlBase("j10_ivf_pq"), "ivf_pq", "0.45", "0.45"),
+    // floor-tier graph gates (see j11_hnsw): the walk isn't
+    // SQL-expressible, but the RESULT is value-checked — row counts,
+    // recomputed distances, and (filtered) the predicate itself
+    "j11_append" ->
+      """SELECT 'hnsw_append' AS algorithm, count(*)::BIGINT AS n_queries,
+        |       0.6::DOUBLE AS recall_floor,
+        |       (count(*) * 10)::BIGINT AS n_rows, 0::BIGINT AS n_bad_dist
+        |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
+    "j11_hnsw_filtered" ->
+      """SELECT 'hnsw_filtered' AS algorithm, count(*)::BIGINT AS n_queries,
+        |       0.6::DOUBLE AS recall_floor,
+        |       (count(*) * 10)::BIGINT AS n_rows, 0::BIGINT AS n_bad_dist,
+        |       0::BIGINT AS n_disallowed
+        |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
+  )
+
+  private def oracleSqlBase: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,

@@ -117,6 +117,14 @@ object ScaledModelCheck {
       "j10_ivf_pq" -> replaceValuesBlock(replaceValuesBlock(
         SparkEntry.oracleSql("j10_ivf_pq"), cbs, cbRows(ivfPqArt)),
         cents, centRows(IvfModel.centroidsOf(ivfPqArt))),
+      // r11 filtered variants probe the SAME full-corpus builds as their
+      // unfiltered twins — same spliced literals
+      "j10_ivf_sq8_filtered" -> replaceValuesBlock(
+        SparkEntry.oracleSql("j10_ivf_sq8_filtered"), cents,
+        centRows(IvfModel.centroidsOf(ivfSq8Art))),
+      "j10_ivf_pq_filtered" -> replaceValuesBlock(replaceValuesBlock(
+        SparkEntry.oracleSql("j10_ivf_pq_filtered"), cbs, cbRows(ivfPqArt)),
+        cents, centRows(IvfModel.centroidsOf(ivfPqArt))),
       "j9_pq_adc" -> replaceValuesBlock(
         SparkEntry.oracleSql("j9_pq_adc"), cbs, cbRows(pqArt)),
       "j9_opq_adc" -> replaceValuesBlock(replaceValuesBlock(

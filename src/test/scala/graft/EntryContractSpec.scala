@@ -39,6 +39,8 @@ class EntryContractSpec extends AnyFunSuite {
     "j8_ivf_filtered" -> Seq("cents(cid, cv) AS (VALUES"),
     "j10_ivf_sq8" -> Seq("cents(cid, cv) AS (VALUES"),
     "j10_ivf_pq" -> Seq("cents(cid, cv) AS (VALUES", "cbs(sub, cent, cb) AS (VALUES"),
+    "j10_ivf_sq8_filtered" -> Seq("cents(cid, cv) AS (VALUES"),
+    "j10_ivf_pq_filtered" -> Seq("cents(cid, cv) AS (VALUES", "cbs(sub, cent, cb) AS (VALUES"),
     "j9_pq_adc" -> Seq("cbs(sub, cent, cb) AS (VALUES"),
     "j9_opq_adc" -> Seq("rot(i, rr) AS (VALUES", "cbs(sub, cent, cb) AS (VALUES"),
     "dedup_semantic" -> Seq("cents(cid, cv) AS (VALUES"))
