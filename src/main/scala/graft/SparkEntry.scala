@@ -1112,9 +1112,9 @@ object SparkEntry {
         |       FROM embeddings WHERE vec_id % 50 = 0),
         |cd AS (
         |  SELECT q.qid, e.id,
-        |    sqrt(sum(power(q.qx::DOUBLE
+        |    sqrt(list_sum(list(power(q.qx::DOUBLE
         |      - (e.lo::DOUBLE + (e.c / 255.0)
-        |         * (((e.hi::DOUBLE - e.lo::DOUBLE)::REAL)::DOUBLE)), 2))) AS dist
+        |         * (((e.hi::DOUBLE - e.lo::DOUBLE)::REAL)::DOUBLE)), 2) ORDER BY pos))) AS dist
         |  FROM qv q JOIN enc e USING (pos)
         |  GROUP BY q.qid, e.id),
         |pred AS (
@@ -2397,7 +2397,7 @@ object SparkEntry {
         |      x -> (x[1]::DOUBLE - x[2]::DOUBLE) * (x[1]::DOUBLE - x[2]::DOUBLE))) AS sd
         |  FROM embeddings q JOIN qids ON q.vec_id = qids.qid, cbs c),
         |cd AS (
-        |  SELECT l.qid, co.id, sqrt(sum(l.sd)) AS dist
+        |  SELECT l.qid, co.id, sqrt(list_sum(list(l.sd ORDER BY l.sub))) AS dist
         |  FROM codes co JOIN lut l ON co.sub = l.sub AND co.code = l.cent
         |  GROUP BY l.qid, co.id),
         |pred AS (
@@ -3498,7 +3498,7 @@ object SparkEntry {
         |  WHERE rn <= 8),
         |cand AS (SELECT p.qid, a.id FROM probes p JOIN assign a ON p.cid = a.cid),
         |cd AS (
-        |  SELECT l.qid, co.id, sqrt(sum(l.sd)) AS dist
+        |  SELECT l.qid, co.id, sqrt(list_sum(list(l.sd ORDER BY l.sub))) AS dist
         |  FROM cand ca JOIN codes co ON ca.id = co.id
         |  JOIN lut l ON ca.qid = l.qid AND co.sub = l.sub AND co.code = l.cent
         |  GROUP BY l.qid, co.id),
@@ -3581,9 +3581,9 @@ object SparkEntry {
         |       FROM embeddings WHERE vec_id % 50 = 0),
         |cd AS (
         |  SELECT q.qid, e.id,
-        |    sqrt(sum(power(q.qx::DOUBLE
+        |    sqrt(list_sum(list(power(q.qx::DOUBLE
         |      - (e.lo::DOUBLE + (e.c / 255.0)
-        |         * (((e.hi::DOUBLE - e.lo::DOUBLE)::REAL)::DOUBLE)), 2))) AS dist
+        |         * (((e.hi::DOUBLE - e.lo::DOUBLE)::REAL)::DOUBLE)), 2) ORDER BY pos))) AS dist
         |  FROM qv q JOIN enc e USING (pos)
         |  JOIN cand ca ON ca.qid = q.qid AND ca.id = e.id
         |  GROUP BY q.qid, e.id),
@@ -4890,7 +4890,7 @@ lut AS (
       x -> (x[1]::DOUBLE - x[2]::DOUBLE) * (x[1]::DOUBLE - x[2]::DOUBLE))) AS sd
   FROM rb JOIN qids ON rb.id = qids.qid, cbs c),
 cd AS (
-  SELECT l.qid, co.id, sqrt(sum(l.sd)) AS dist
+  SELECT l.qid, co.id, sqrt(list_sum(list(l.sd ORDER BY l.sub))) AS dist
   FROM codes co JOIN lut l ON co.sub = l.sub AND co.code = l.cent
   GROUP BY l.qid, co.id),
 pred AS (

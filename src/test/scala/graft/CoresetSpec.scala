@@ -52,6 +52,44 @@ class CoresetSpec extends AnyFunSuite {
     assert(expect.map(_._2).distinct.size === expect.size)
   }
 
+  test("kCenterBatch(b=1) IS the greedy trajectory; b>1 stays sound") {
+    val df = graft.sources.RandomDataset.vectors(spark, n = 200, dim = 6, seed = 31)
+    val greedy = Coreset.kCenterGreedy(df, k = 12).orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    val b1 = Coreset.kCenterBatch(df, k = 12, batch = 1).orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(b1 === greedy)
+
+    for (b <- Seq(3, 4, 12)) {
+      val got = Coreset.kCenterBatch(df, k = 12, batch = b)
+        .orderBy("step").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(got.length == 12, s"b=$b")
+      assert(got.map(_._2).distinct.size == 12, s"b=$b")
+      // radii non-increasing across the WHOLE trajectory: a pass's
+      // survivors all had mind <= that pass's last pick, and updates
+      // only shrink mind
+      val radii = got.drop(1).map(_._3)
+      assert(radii.zip(radii.tail).forall { case (a, r) => r <= a }, s"b=$b")
+      // the first batch-1 pick (step 2) is identical by construction
+      assert(got(1) === greedy(1), s"b=$b")
+      // batching costs bounded coverage slack on this data: final
+      // coverage radius within 2x of exact greedy's (deterministic
+      // seeded data — this is a pinned measurement, not a flaky bound)
+      assert(got.last._3 <= 2.0 * greedy.last._3, s"b=$b")
+    }
+  }
+
+  test("kCenterBatch early-stops on full coverage like greedy") {
+    val pts = Seq(Seq(0f, 0f), Seq(10f, 0f), Seq(0f, 10f), Seq(10f, 10f))
+    val df = (0 until 40).map(i => (i.toLong, pts(i % 4))).toDF("id", "vector")
+    val got = Coreset.kCenterBatch(df, k = 10, batch = 3).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == 4, s"expected early stop at 4, got ${got.length}")
+    assert(got.map(_._2).distinct.length == 4)
+    assert(got.forall { case (step, _, r) => step == 1 || r > 0 })
+  }
+
   test("full coverage stops selection early; ids stay distinct") {
     // 3 distinct points duplicated many times: after 3 picks the max-min
     // distance is 0 and selection must stop rather than re-pick ids
