@@ -691,6 +691,32 @@ object SparkEntry {
         .select(col("qid").as("query_id"), col("rank"),
           col("id").as("doc_id"), col("rrf"))
     }),
+    // --- weighted fusion arm (0.75 lexical / 0.25 dense — binary-exact
+    //     weights so the oracle's literal w·S constants replay the
+    //     fixed-point contributions bit-exactly): same arms as
+    //     hybrid_rrf, the weight folded into each contribution before
+    //     rounding. Oracle DERIVED from hybrid_rrf's by weight-literal
+    //     rewrites ---
+    "hybrid_rrf_weighted" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val emb = Tables.load(s, dir, "embeddings")
+      val lex = Bm25.searchTopK(docs,
+          docs.filter(col("doc_id") % 53 === 0)
+            .select(col("doc_id").as("qid"),
+              substring(col("text"), 1, 200).as("qtext")),
+          "doc_id", "text", "qid", "qtext", k = 10)
+        .select(col("query_id").as("qid"), col("doc_id").as("id"), col("rank"))
+      val den = KnnJoin.knnJoin(
+          emb.filter(col("vec_id") % 53 === 0)
+            .select(col("vec_id").as("qid"), col("embedding").as("vector")),
+          emb.select(col("vec_id").as("id"), col("embedding").as("vector")),
+          k = 10, metric = "cosine")
+        .select(col("qid"), col("id"), col("rank"))
+      graft.operators.Hybrid.rrfFuseWeighted(
+          Seq(lex -> 0.75, den -> 0.25), k = 10)
+        .select(col("qid").as("query_id"), col("rank"),
+          col("id").as("doc_id"), col("rrf"))
+    }),
     // --- hard-negative mining (metric-learning / dense-retriever
     //     training): for each anchor, the 10 nearest embeddings under
     //     cosine whose label differs from the anchor's. Anchors broadcast,
@@ -1038,7 +1064,25 @@ object SparkEntry {
     out
   }
 
+  /** hybrid_rrf's oracle with the gate's (0.75, 0.25) weights folded
+    * into the two contribution literals — both weights binary-exact, so
+    * `w·ScoreScale` is the same double on both engines. */
+  private[graft] def weightedRrfOracle(sql: String): String = {
+    val marker = "1000000000000.0::DOUBLE / (60.0::DOUBLE + rank), 0) AS BIGINT) AS c"
+    val first = sql.indexOf(marker)
+    require(first >= 0, "weighted-rrf oracle: lex contribution marker missing")
+    val second = sql.indexOf(marker, first + marker.length)
+    require(second >= 0 && sql.indexOf(marker, second + marker.length) < 0,
+      "weighted-rrf oracle: expected exactly two contribution markers")
+    val lexW = "750000000000.0::DOUBLE / (60.0::DOUBLE + rank), 0) AS BIGINT) AS c"
+    val denW = "250000000000.0::DOUBLE / (60.0::DOUBLE + rank), 0) AS BIGINT) AS c"
+    sql.substring(0, first) + lexW +
+      sql.substring(first + marker.length, second) + denW +
+      sql.substring(second + marker.length)
+  }
+
   def oracleSql: Map[String, String] = oracleSqlBase ++ Map(
+    "hybrid_rrf_weighted" -> weightedRrfOracle(oracleSqlBase("hybrid_rrf")),
     "j10_ivf_sq8_filtered" ->
       filteredIvfOracle(oracleSqlBase("j10_ivf_sq8"), "ivf_sq8", "0.75", "0.75"),
     "j10_ivf_pq_filtered" ->

@@ -34,13 +34,28 @@ object Hybrid {
     * `(qid, rank, id, rrf)` with `rrf` the fused score rounded to 6
     * decimals (ranked on the raw fixed-point sum, not the rounded alias).
     */
-  def rrfFuse(arms: Seq[DataFrame], k: Int, k0: Int = 60): DataFrame = {
+  def rrfFuse(arms: Seq[DataFrame], k: Int, k0: Int = 60): DataFrame =
+    rrfFuseWeighted(arms.map(_ -> 1.0), k, k0)
+
+  /** Weighted RRF: `rrf(d) = Σ_arms w_a / (k0 + rank_a(d))` — the common
+    * production knob when one arm is known stronger (e.g. 0.75 lexical /
+    * 0.25 dense for keyword-heavy corpora). The weight folds into the
+    * fixed-point contribution BEFORE rounding (`round(w·S/(k0+rank))`),
+    * so the fused score stays an associative integer sum — identical
+    * under any partitioning, and w_a = 1 reproduces [[rrfFuse]]'s
+    * contributions bit-exactly. Prefer binary-exact weights (0.5, 0.75,
+    * 0.25…) when an external replay must reproduce `w·S` exactly.
+    * Same scale shape as unweighted: fusion shuffles
+    * O(n_queries·k·n_arms) rows, corpus-size-independent. */
+  def rrfFuseWeighted(arms: Seq[(DataFrame, Double)], k: Int,
+      k0: Int = 60): DataFrame = {
     require(arms.nonEmpty, "rrfFuse needs at least one arm")
-    val contribs = arms.map { a =>
+    require(arms.forall(_._2 >= 0.0), "rrf arm weights must be >= 0")
+    val contribs = arms.map { case (a, w) =>
       a.select(
         col("qid").cast("long").as("qid"),
         col("id").cast("long").as("id"),
-        round(lit(ScoreScale) / (lit(k0.toDouble) + col("rank").cast("double")), 0)
+        round(lit(w * ScoreScale) / (lit(k0.toDouble) + col("rank").cast("double")), 0)
           .cast("long").as("__c"))
     }.reduce(_ union _)
     val fused = contribs

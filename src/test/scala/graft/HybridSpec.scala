@@ -48,6 +48,35 @@ class HybridSpec extends AnyFunSuite {
     assert(fused.except(arm).isEmpty && arm.except(fused).isEmpty)
   }
 
+  test("rrfFuseWeighted: unit weights reproduce rrfFuse; weights steer the fusion") {
+    val lex = Seq((0L, 1L, 1), (0L, 2L, 2)).toDF("qid", "id", "rank")
+    val den = Seq((0L, 3L, 1), (0L, 1L, 2), (0L, 4L, 3)).toDF("qid", "id", "rank")
+    // w = 1 on every arm → bit-identical to unweighted fusion
+    val plain = Hybrid.rrfFuse(Seq(lex, den), k = 10)
+    val unit = Hybrid.rrfFuseWeighted(Seq(lex -> 1.0, den -> 1.0), k = 10)
+    assert(unit.except(plain).isEmpty && plain.except(unit).isEmpty)
+    // closed form with (0.75, 0.25): contributions round(w·S/(60+rank))
+    val got = Hybrid.rrfFuseWeighted(Seq(lex -> 0.75, den -> 0.25), k = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(2), r.getInt(1), r.getDouble(3)))
+    def c(w: Double, rank: Int): Long = math.round(w * 1e12 / (60.0 + rank))
+    val expect = Seq(
+      (1L, 1, (c(0.75, 1) + c(0.25, 2)) / 1e12),
+      (2L, 2, c(0.75, 2) / 1e12),
+      (3L, 3, c(0.25, 1) / 1e12),
+      (4L, 4, c(0.25, 3) / 1e12))
+      .map { case (id, r, s) =>
+        (id, r, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    // under 0.75 lexical the lex-rank-2 doc overtakes the dense-rank-1 doc
+    assert(got.toSeq === expect)
+    // zero-weight arm: its exclusive docs contribute 0 and sink below
+    // every lexical doc
+    val lexOnly = Hybrid.rrfFuseWeighted(Seq(lex -> 1.0, den -> 0.0), k = 10)
+      .orderBy("rank").collect().map(r => r.getLong(2))
+    assert(lexOnly.take(2).toSeq === Seq(1L, 2L))
+  }
+
   test("hardNegatives: never the anchor's label, and exactly the filtered kNN") {
     val n = 120
     val vecs = graft.sources.RandomDataset.vectors(spark, n, dim = 8, seed = 23)
