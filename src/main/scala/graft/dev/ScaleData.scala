@@ -63,7 +63,41 @@ object ScaleData {
 
     val emb = Tables.load(spark, src, "embeddings")
     val embBase = roundUp(maxOf(emb, "vec_id") + 1, 50)
-    write("embeddings", replicate(emb, Map("vec_id" -> embBase)))
+    // Replica 0 stays byte-identical; replicas > 0 get a deterministic
+    // per-(id, replica, dim) jitter of ±0.02 on the embedding. Without
+    // it every vector arrives with `factor` EXACT zero-distance copies
+    // and scaled ANN recall@k degenerates into a tie-breaking lottery
+    // over duplicates (found at 100×: the hnsw_global / hnsw_filtered
+    // recall-floor rows vanished on data where recall isn't meaningful).
+    // ~0.09 L2 between replicas (unit-norm vectors, ~1.15 NN distance)
+    // keeps the corpus realistic — web-scale corpora are full of
+    // near-duplicate embeddings — while keeping ground truth unique.
+    val jitter = udf { (v: Seq[Float], r: Long, id: Long) =>
+      if (r == 0L) v
+      else {
+        @inline def mix(x0: Long): Long = {
+          var x = x0 + 0x9E3779B97F4A7C15L
+          x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+          x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+          x ^ (x >>> 31)
+        }
+        val base = mix(mix(id * 0x517CC1B727220A95L) ^ r)
+        val out = new Array[Float](v.length)
+        var d = 0
+        while (d < v.length) {
+          val u = ((mix(base ^ d.toLong) >>> 11).toDouble / (1L << 53).toDouble)
+          out(d) = v(d) + ((u - 0.5) * 0.04).toFloat
+          d += 1
+        }
+        out.toSeq
+      }
+    }
+    val embScaled = emb.crossJoin(broadcast(reps))
+      .withColumn("embedding", jitter(col("embedding"), col("__r"), col("vec_id")))
+      .withColumn("vec_id", (col("vec_id").cast("long") + col("__r") * embBase)
+        .cast(emb.schema("vec_id").dataType))
+      .drop("__r")
+    write("embeddings", embScaled)
 
     val docs = Tables.load(spark, src, "documents")
     write("documents", replicate(docs,
