@@ -348,12 +348,15 @@ object SparkEntry {
           col("n_rows"), col("n_bad_dist"))
     }),
     // --- J11+: filtered graph search — the walk needs full
-    //     connectivity, so FilteredSearch post-filters an 8× oversampled
-    //     walk (the documented graph-family path, vs the pre-filtering
-    //     j8/j10 gates). Value checks: n_rows = nq×k (the oversample
-    //     never starves a query), n_bad_dist = 0 (exact recomputed
-    //     distances), n_disallowed = 0 (the predicate actually holds on
-    //     every returned row) ---
+    //     connectivity, so FilteredSearch routes to the IDSelector-style
+    //     selector walk (traverse everything, collect only allowed ids;
+    //     the allowed flags ride co-partitioned with the adjacency — vs
+    //     the pre-filtering j8/j10 gates). Post-filtering an oversampled
+    //     walk was measured BELOW the floor at the 100× pass — the
+    //     selector is what scales. Value checks: n_rows = nq×k (the
+    //     selector never starves a query), n_bad_dist = 0 (exact
+    //     recomputed distances), n_disallowed = 0 (the predicate
+    //     actually holds on every returned row) ---
     "j11_hnsw_filtered" -> ((s, dir) => {
       graft.operators.Registry.init()
       val q = Tables.embQueries(s, dir)

@@ -51,17 +51,27 @@ object FilteredSearch {
 
   /** Search `artifact` for the top-k allowed neighbors of each query.
     * `allowed`: one-column `id` relation (the predicate's satisfying
-    * set). `oversample` only applies to graph/tree kinds. */
+    * set). `oversample` only applies to the post-filter fallback kinds
+    * (hnsw_global, covertree) — per-centroid hnsw uses the selector
+    * walk, which needs no oversampling. */
   def search(searcher: Searcher, artifact: IndexArtifact, queries: DataFrame,
       k: Int, allowed: DataFrame, oversample: Int = 4): DataFrame = {
     if (preFilterKinds.contains(artifact.kind))
       searcher.search(restrict(artifact, allowed), queries, k)
-    else {
-      val al = allowed.select(col("id").cast("long").as("id"))
-      val res = searcher.search(artifact, queries, k * math.max(1, oversample))
-      KnnJoin.topKExploded(
-        res.join(al, Seq("id"), "left_semi").select("qid", "id", "dist"),
-        col("id"), col("dist"), k)
+    else searcher match {
+      // per-centroid graph: IDSelector-style traversal — walk the full
+      // graph, collect only allowed ids; the beam bound comes from the
+      // allowed heap so the walk digs deeper under selective predicates
+      // (post-filtering's recall collapses once the allowed GT sits
+      // beyond the unrestricted walk depth — found at the 100× pass)
+      case h: HnswSearcher if artifact.kind == "hnsw" =>
+        h.searchFiltered(artifact, queries, k, allowed)
+      case _ =>
+        val al = allowed.select(col("id").cast("long").as("id"))
+        val res = searcher.search(artifact, queries, k * math.max(1, oversample))
+        KnnJoin.topKExploded(
+          res.join(al, Seq("id"), "left_semi").select("qid", "id", "dist"),
+          col("id"), col("dist"), k)
     }
   }
 }

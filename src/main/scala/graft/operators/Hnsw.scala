@@ -150,22 +150,61 @@ object Hnsw {
 final case class HnswSearcher(nprobe: Int = 2, efSearch: Int = 48,
     metric: String = "l2") extends Searcher {
 
-  def search(artifact: IndexArtifact, queries: DataFrame, k: Int): DataFrame = {
+  def search(artifact: IndexArtifact, queries: DataFrame, k: Int): DataFrame =
+    searchImpl(artifact, queries, k, None)
+
+  /** Filtered search, FAISS-IDSelector style: the walk traverses the
+    * FULL graph (disallowed nodes still navigate) but only allowed ids
+    * enter the result heap, so the beam bound comes from allowed
+    * candidates and the walk digs deeper under selective predicates —
+    * unlike oversample-then-post-filter, whose recall collapses once
+    * the allowed GT sits beyond the walk's unrestricted depth (found at
+    * the 100× scaled pass). The allowed flags ride co-partitioned with
+    * the adjacency relation (one semi-style join, no corpus-sized
+    * broadcast), so the shape holds at 100 TB. */
+  def searchFiltered(artifact: IndexArtifact, queries: DataFrame, k: Int,
+      allowed: DataFrame): DataFrame =
+    searchImpl(artifact, queries, k, Some(allowed))
+
+  private def searchImpl(artifact: IndexArtifact, queries: DataFrame, k: Int,
+      allowedOpt: Option[DataFrame]): DataFrame = {
     // Adaptive driver-local walk (same discipline as HnswGlobalSearcher /
     // LocalScan): the per-centroid graphs are disjoint-id and walk-ready,
     // so a small serving batch routes + walks driver-parallel with zero
     // Spark jobs beyond the query collect. Capped by the query-row cap
-    // and the payload bytes cap; over-cap inputs keep the distributed
-    // plan below, which HnswDistLocalSpec asserts produces identical
-    // rows.
+    // and the payload bytes cap (and, filtered, by the allowed-id cap);
+    // over-cap inputs keep the distributed plan below, which
+    // HnswDistLocalSpec asserts produces identical rows.
     if (LocalScan.enabled) {
       val collected =
         LocalScan.queryVecsCapped(queries, HnswGlobalSearcher.driverWalkCap)
       val model =
         if (collected.isDefined) HnswSearcher.localModel(artifact) else None
-      if (collected.isDefined && model.isDefined) {
+      // Some(None) = unfiltered local; Some(Some(set)) = filtered local;
+      // None = allowed set over the driver cap → distributed plan only
+      val localAllowed: Option[Option[java.util.HashSet[java.lang.Long]]] =
+        allowedOpt match {
+          case None => Some(None)
+          case Some(al) if collected.isDefined && model.isDefined =>
+            val cap = HnswSearcher.allowedLocalCap
+            val rows = al.select(col("id").cast("long")).limit(cap + 1).collect()
+            if (rows.length > cap) None
+            else {
+              val s = new java.util.HashSet[java.lang.Long](rows.length * 2)
+              rows.foreach(r => s.add(r.getLong(0)))
+              Some(Some(s))
+            }
+          case _ => None
+        }
+      if (collected.isDefined && model.isDefined && localAllowed.isDefined) {
         val (cQids, cVecs) = collected.get
         val mo = model.get
+        // per-group selector bitmaps, built once per search batch
+        val sels: Array[Array[Boolean]] = localAllowed.get match {
+          case None => null
+          case Some(set) =>
+            mo.idsByCid.map(ids => ids.map(id => set.contains(id)))
+        }
         // spill>1 duplicates boundary rows across graphs: a query probing
         // two graphs can see the same (id, dist) twice, so the merge must
         // dedup by id (duplicates carry identical dist — same vector,
@@ -195,7 +234,8 @@ final case class HnswSearcher(nprobe: Int = 2, efSearch: Int = 48,
             val g = mo.graphs(cid)
             if (g != null) {
               val ids = mo.idsByCid(cid)
-              g.search(qv, k, efSearch).foreach { case (i, d) =>
+              val sel = if (sels == null) null else sels(cid)
+              g.search(qv, k, efSearch, sel).foreach { case (i, d) =>
                 if (seen == null || seen.add(ids(i))) h.insert(ids(i), d)
               }
             }
@@ -213,20 +253,36 @@ final case class HnswSearcher(nprobe: Int = 2, efSearch: Int = 48,
       .select(col("qid"), col("id").cast("int").as("centroid_id"))
       .join(broadcast(q), Seq("qid"))
     // co-partition routed queries with the prebuilt adjacency rows; the
-    // walk only LOADS arrays — no graph construction on the search path
+    // walk only LOADS arrays — no graph construction on the search path.
+    // Filtered: the allowed flag joins onto the adjacency rows BEFORE
+    // the repartition, so each group's selector bitmap arrives with its
+    // graph — no driver set, no broadcast.
     val met = metric
     val efS = efSearch
+    val filtered = allowedOpt.isDefined
+    val dataOk = allowedOpt match {
+      case None =>
+        artifact.data.select(col("centroid_id"), col("idx"), col("id"),
+          col("vector"), col("nbrs"), lit(true).as("ok"))
+      case Some(al) =>
+        artifact.data.join(
+            al.select(col("id").cast("long").as("id")).distinct()
+              .withColumn("__ok", lit(true)),
+            Seq("id"), "left")
+          .select(col("centroid_id"), col("idx"), col("id"), col("vector"),
+            col("nbrs"), coalesce(col("__ok"), lit(false)).as("ok"))
+    }
     val outSchema = StructType(Seq(
       StructField("qid", LongType, nullable = false),
       StructField("id", LongType, nullable = false),
       StructField("dist", DoubleType, nullable = false)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
-    val tagged = artifact.data
-      .select(col("centroid_id"), col("idx"), col("id"), col("vector"),
-        col("nbrs"), lit(null).cast("long").as("qid"))
+    val tagged = dataOk
+      .withColumn("qid", lit(null).cast("long"))
       .unionByName(probes
         .select(col("centroid_id"), lit(-1).as("idx"), lit(-1L).as("id"),
-          col("vector"), lit(null).cast("array<int>").as("nbrs"), col("qid")))
+          col("vector"), lit(null).cast("array<int>").as("nbrs"),
+          lit(true).as("ok"), col("qid")))
       .repartition(artifact.meta("n_partitions").toInt, col("centroid_id"))
     val merged = tagged.mapPartitions { it =>
       // bucket rows per centroid group: with spill=1 graphs are disjoint
@@ -234,10 +290,7 @@ final case class HnswSearcher(nprobe: Int = 2, efSearch: Int = 48,
       // spill>1 boundary rows live in several graphs, so the merge below
       // (and the local path) dedup by id — keep that dedup
       final class Group {
-        var ids: Array[Long] = _
-        var vecs: Array[Array[Float]] = _
-        var nbrs: Array[Array[Int]] = _
-        val rows = new scala.collection.mutable.ArrayBuffer[(Int, Long, Array[Float], Array[Int])]()
+        val rows = new scala.collection.mutable.ArrayBuffer[(Int, Long, Array[Float], Array[Int], Boolean)]()
         val qIds = new scala.collection.mutable.ArrayBuffer[Long]()
         val qVecs = new scala.collection.mutable.ArrayBuffer[Array[Float]]()
       }
@@ -246,11 +299,11 @@ final case class HnswSearcher(nprobe: Int = 2, efSearch: Int = 48,
         val cid = r.getInt(0)
         var g = groups.get(cid)
         if (g == null) { g = new Group; groups.put(cid, g) }
-        if (r.isNullAt(5)) {
+        if (r.isNullAt(6)) {
           g.rows += ((r.getInt(1), r.getLong(2), r.getSeq[Float](3).toArray,
-            r.getSeq[Int](4).toArray))
+            r.getSeq[Int](4).toArray, r.getBoolean(5)))
         } else {
-          g.qIds += r.getLong(5)
+          g.qIds += r.getLong(6)
           g.qVecs += r.getSeq[Float](3).toArray
         }
       }
@@ -262,12 +315,14 @@ final case class HnswSearcher(nprobe: Int = 2, efSearch: Int = 48,
           val ids = new Array[Long](n)
           val vecs = new Array[Array[Float]](n)
           val nbrs = new Array[Array[Int]](n)
-          g.rows.foreach { case (idx, id, v, nb) =>
+          val sel = if (filtered) new Array[Boolean](n) else null
+          g.rows.foreach { case (idx, id, v, nb, ok) =>
             ids(idx) = id; vecs(idx) = v; nbrs(idx) = nb
+            if (sel != null) sel(idx) = ok
           }
           val graph = NswGraph.fromAdjacency(vecs, nbrs, met)
           g.qIds.iterator.zip(g.qVecs.iterator).flatMap { case (qid, qv) =>
-            graph.search(qv, k, efS).map { case (i, d) => Row(qid, ids(i), d) }
+            graph.search(qv, k, efS, sel).map { case (i, d) => Row(qid, ids(i), d) }
           }
         }
       }
@@ -285,6 +340,12 @@ final case class HnswSearcher(nprobe: Int = 2, efSearch: Int = 48,
 }
 
 object HnswSearcher {
+  /** max allowed-ids collected for the driver-local filtered walk
+    * (8 B/id → 32 MB at the default); above it the distributed plan
+    * carries the flags co-partitioned with the graph instead */
+  def allowedLocalCap: Int =
+    sys.props.get("graft.hnsw.allowedLocalCap").map(_.toInt).getOrElse(4 << 20)
+
   /** Driver-collected per-centroid graphs: the build's adjacency relation
     * reloaded walk-ready. With spill=1 id spaces are disjoint across
     * centroid groups (each base row lives in exactly one) and the
@@ -388,8 +449,19 @@ final class NswGraph private (
     if (isCosine) SimdDist.kernel.cosineDist(a, b)
     else SimdDist.kernel.l2(a, b)
 
-  /** beam search from node 0; returns (index, dist) ascending, ≤ k */
-  def search(q: Array[Float], k: Int, ef: Int): Array[(Int, Double)] = {
+  /** beam search from node 0; returns (index, dist) ascending, ≤ k.
+    *
+    * `sel` (optional): FAISS-IDSelector-style predicate bitmap — the
+    * walk TRAVERSES every node (disallowed nodes still navigate; cutting
+    * them would sever connectivity, which is why filtered graph search
+    * can't pre-filter the adjacency relation) but only `sel(i)` nodes
+    * enter the result heap. The beam bound comes from the allowed heap,
+    * so under a selective filter the walk automatically digs deeper
+    * before terminating — the fix for post-filtering's recall collapse
+    * (found at the 100× scaled pass: oversample-then-filter fell below
+    * the gate floor at 200k rows / 50% selectivity). */
+  def search(q: Array[Float], k: Int, ef: Int,
+      sel: Array[Boolean] = null): Array[(Int, Double)] = {
     if (vecs.isEmpty) return Array.empty
     val ws = wsTl.get()
     val visited = ws.freshVisited()
@@ -397,7 +469,8 @@ final class NswGraph private (
     ws.clearHeap()
     val best = ws.topkFor(math.max(k, ef))
     val d0 = dist(q, vecs(0))
-    ws.push(d0, 0); visited(0) = stamp; best.insert(0L, d0)
+    ws.push(d0, 0); visited(0) = stamp
+    if (sel == null || sel(0)) best.insert(0L, d0)
     var done = false
     while (!done && ws.heapSize > 0) {
       val d = ws.topDist
@@ -413,7 +486,10 @@ final class NswGraph private (
             visited(nb) = stamp
             val dn = dist(q, vecs(nb))
             val w = if (best.size < best.k) Double.PositiveInfinity else best.dists(0)
-            if (dn < w) { ws.push(dn, nb); best.insert(nb.toLong, dn) }
+            if (dn < w) {
+              ws.push(dn, nb)
+              if (sel == null || sel(nb)) best.insert(nb.toLong, dn)
+            }
           }
           i += 1
         }

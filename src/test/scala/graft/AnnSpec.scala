@@ -354,21 +354,42 @@ class AnnSpec extends AnyFunSuite {
     }
 
     // graph family: the walk needs full connectivity, so FilteredSearch
-    // post-filters an oversampled walk — disallowed ids never surface,
-    // and an allowed query still self-retrieves at distance 0
+    // routes per-centroid hnsw to the IDSelector-style selector walk —
+    // disallowed ids never surface, and an allowed query still
+    // self-retrieves at distance 0
     val hnswArt = HnswIndexer(nPartitions = 4, m = 6, efConstruction = 24,
       metric = "l2", seed = 42).build(trainC)
     intercept[IllegalArgumentException] {
       FilteredSearch.restrict(hnswArt, allowed)
     }
+    val hs = HnswSearcher(nprobe = 4, efSearch = 64, metric = "l2")
     val qa = q.filter(col("qid") % 3 =!= 0)
-    val fres = FilteredSearch.search(
-      HnswSearcher(nprobe = 4, efSearch = 64, metric = "l2"),
-      hnswArt, qa, 3, allowed, oversample = 4)
+    val fres = FilteredSearch.search(hs, hnswArt, qa, 3, allowed)
     assert(fres.filter(col("id") % 3 === 0).isEmpty)
     val top1 = fres.filter(col("rank") === 1).select("qid", "id", "dist")
       .as[(Long, Long, Double)].collect()
     assert(top1.nonEmpty)
     top1.foreach { case (qid, id, d) => assert(qid == id && math.abs(d) < 1e-6) }
+    // an everything-allowed selector is a no-op: identical rows to the
+    // unfiltered walk, on BOTH serve paths (driver-local + distributed)
+    val all = trainC.select("id")
+    val plain = hs.search(hnswArt, q, 5).select("qid", "rank", "id")
+    val allSel = hs.searchFiltered(hnswArt, q, 5, all).select("qid", "rank", "id")
+    assert(allSel.except(plain).isEmpty && plain.except(allSel).isEmpty)
+    val prevLocal = sys.props.put("graft.local.enabled", "false")
+    try {
+      val distSel = hs.searchFiltered(hnswArt, q, 5, all).select("qid", "rank", "id")
+      assert(distSel.except(plain).isEmpty && plain.except(distSel).isEmpty)
+      val distFil = FilteredSearch.search(hs, hnswArt, qa, 3, allowed)
+      assert(distFil.filter(col("id") % 3 === 0).isEmpty)
+      // the two serve paths agree on the FILTERED result too
+      assert(distFil.select("qid", "rank", "id").except(
+        fres.select("qid", "rank", "id")).isEmpty)
+    } finally {
+      prevLocal match {
+        case Some(v) => sys.props.put("graft.local.enabled", v)
+        case None => sys.props.remove("graft.local.enabled")
+      }
+    }
   }
 }
