@@ -287,6 +287,24 @@ object SparkEntry {
     //     the exploded rows hash-match the j1_knn_l2 DuckDB oracle ---
     "j12_covertree" -> annExploded("covertree", "covertree", "covertree",
       Map(), "l2"),
+    // --- J12+: filtered exact kNN — the cover-tree IDSelector walk
+    //     (every node navigates, only allowed ids enter the heap; the
+    //     triangle-inequality bound from the allowed-only heap can only
+    //     loosen) stays EXACT over the allowed subset, so the exploded
+    //     rows hash-match the label-restricted kNN oracle — the filtered
+    //     family's one exact hash-tier gate ---
+    "j12_covertree_filtered" -> ((s, dir) => {
+      graft.operators.Registry.init()
+      val q = Tables.embQueries(s, dir)
+      val emb = Tables.load(s, dir, "embeddings")
+      val b = Tables.embBase(s, dir).cache()
+      val allowed = emb.filter(col("label") < 5)
+        .select(col("vec_id").as("id"))
+      val art = graft.operators.CoverTreeIndexer("l2").build(b)
+      graft.operators.FilteredSearch.search(
+          graft.operators.CoverTreeSearcher("l2"), art, q, 10, allowed)
+        .select(col("qid"), col("rank"), col("id"))
+    }),
     // --- J11: per-partition NSW graph search (the distributed path).
     //     Graph traversal isn't SQL-expressible, so the gate emits only
     //     the deterministic gate row (algorithm, n_queries, recall_floor)
@@ -666,6 +684,25 @@ object SparkEntry {
             .select(col("doc_id").as("qid"),
               substring(col("text"), 1, 200).as("qtext")),
           "qid", "qtext", k = 5)
+        .select("query_id", "doc_id", "rank")
+    }),
+    // --- BM25 with champion lists (MRS §7.1.3) — the at-scale scoring
+    //     path: per-term postings truncated to the top-32 by the query-
+    //     independent impact tf/(tf+k1·(1−b+b·dl/avgdl)) (fixed-point
+    //     1e9-ranked, doc_id tiebreak) BEFORE the scoring join, bounding
+    //     the candidate space to Σ_t qf(t)·min(df(t), 32). Found at the
+    //     100× pass: exact scoring's Σ qf·df candidate join overflowed
+    //     local disk at 9.4k queries × 500k docs; this gate pins the
+    //     truncated semantics with a full DuckDB replay and runs at 100×
+    //     on BOTH engines. df/idf remain exact corpus statistics ---
+    "text_bm25_champion" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Bm25.searchTopK(docs,
+          docs.filter(col("doc_id") % 53 === 0)
+            .select(col("doc_id").as("qid"),
+              substring(col("text"), 1, 200).as("qtext")),
+          "doc_id", "text", "qid", "qtext", k = 5,
+          championListSize = Some(32))
         .select("query_id", "doc_id", "rank")
     }),
     // --- hybrid retrieval (the RAG-standard shape): BM25 lexical arm +
@@ -3794,6 +3831,22 @@ object SparkEntry {
         |        row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank
         |      FROM d)
         |SELECT qid, rank::INT AS rank, id FROM r WHERE rank <= 10""".stripMargin,
+    // filtered cover-tree: the selector walk is exact over the allowed
+    // subset, so the oracle is the same kNN replay with the base
+    // restricted by the predicate — hash tier, no floor needed
+    "j12_covertree_filtered" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id % 50 = 0),
+        |b AS (SELECT vec_id AS id, embedding::DOUBLE[] AS bv
+        |      FROM embeddings WHERE label < 5),
+        |d AS (SELECT qid, id,
+        |        sqrt(list_sum(list_transform(list_zip(qv, bv),
+        |             p -> (p[1]-p[2])*(p[1]-p[2])))) AS dist
+        |      FROM q, b),
+        |r AS (SELECT qid, id,
+        |        row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank
+        |      FROM d)
+        |SELECT qid, rank::INT AS rank, id FROM r WHERE rank <= 10""".stripMargin,
     // full-probe IVF (nprobe = nlist) scans every inverted list → exact
     "j8_ivf_fullprobe" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
@@ -5891,6 +5944,60 @@ HAVING round(avg(recall), 4) >= 0.50""").mkString("\n"),
         |      / (post.tf + 1.2::DOUBLE *
         |         (0.25::DOUBLE + 0.75::DOUBLE * post.dl / qdf.avgdl)) AS s
         |  FROM post JOIN qdf USING (term)),
+        |agg AS (
+        |  SELECT query_id, doc_id,
+        |    SUM(CAST(round(s * 1000000.0::DOUBLE, 0) AS BIGINT)) AS score_fixed
+        |  FROM scored GROUP BY query_id, doc_id),
+        |r AS (
+        |  SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score_fixed DESC, doc_id) AS rank
+        |  FROM agg)
+        |SELECT query_id, doc_id, rank FROM r WHERE rank <= 5""".stripMargin,
+    // Champion-list BM25 replay: the text_bm25_topk replay with one extra
+    // CTE — per-term postings ranked by the query-independent impact
+    // (fixed-point 1e9 before ranking, so an engine ulp in avgdl can't
+    // flip a champion near-tie; doc_id tiebreak) and truncated to 32 —
+    // spliced between post and the scoring join. df/idf/scoring clauses
+    // are byte-identical to the exact oracle.
+    "text_bm25_champion" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |d AS (SELECT doc_id, len(toks) AS dl, toks FROM tok),
+        |post AS (
+        |  SELECT doc_id, dl, term, count(*) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+        |  GROUP BY doc_id, dl, term),
+        |stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM d),
+        |df AS (SELECT term, count(*)::DOUBLE AS df FROM post GROUP BY term),
+        |q AS (
+        |  SELECT doc_id AS query_id, unnest(list_distinct(
+        |    string_split_regex(lower(trim(substr(text, 1, 200))), '\s+'))) AS term
+        |  FROM documents WHERE doc_id % 53 = 0),
+        |champ AS (
+        |  SELECT doc_id, dl, term, tf FROM (
+        |    SELECT post.doc_id, post.dl, post.term, post.tf,
+        |      row_number() OVER (PARTITION BY post.term
+        |        ORDER BY CAST(round(
+        |          (post.tf / (post.tf + 1.2::DOUBLE *
+        |            (0.25::DOUBLE + 0.75::DOUBLE * post.dl / stats.avgdl)))
+        |          * 1000000000.0::DOUBLE, 0) AS BIGINT) DESC,
+        |          post.doc_id) AS crank
+        |    FROM post JOIN (SELECT DISTINCT term FROM q) qv USING (term), stats)
+        |  WHERE crank <= 32),
+        |qdf AS (
+        |  SELECT q.query_id, q.term,
+        |    ln(1.0::DOUBLE + (stats.n_docs - df.df + 0.5::DOUBLE)
+        |      / (df.df + 0.5::DOUBLE)) AS idf,
+        |    stats.avgdl AS avgdl
+        |  FROM q JOIN df USING (term), stats),
+        |scored AS (
+        |  SELECT qdf.query_id, champ.doc_id, champ.term,
+        |    qdf.idf * (champ.tf * (1.2::DOUBLE + 1.0::DOUBLE))
+        |      / (champ.tf + 1.2::DOUBLE *
+        |         (0.25::DOUBLE + 0.75::DOUBLE * champ.dl / qdf.avgdl)) AS s
+        |  FROM champ JOIN qdf USING (term)),
         |agg AS (
         |  SELECT query_id, doc_id,
         |    SUM(CAST(round(s * 1000000.0::DOUBLE, 0) AS BIGINT)) AS score_fixed

@@ -15,6 +15,12 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // events.parquet carries TIMESTAMP(NANOS); read as long (ns since epoch)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the scaled-pass dirs are a handful of LARGE part files (ScaleData
+      // coalesces); at the default 128 MB split a 100×-scale scan gets 1-4
+      // tasks and every downstream stage inherits the skew (observed: 28
+      // cores, 1 running straggler). A real cluster gets its parallelism
+      // from file count; locally, split finer. No effect at sf0.01 sizes.
+      .config("spark.sql.files.maxPartitionBytes", "8m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -73,7 +73,8 @@ object Bm25 {
     * retrieval simplification. */
   def searchTopK(docs: DataFrame, queries: DataFrame,
       idCol: String, textCol: String, qIdCol: String, qTextCol: String,
-      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      championListSize: Option[Int] = None): DataFrame = {
     // one-row corpus stats from the pre-explode scan (no postings shuffle)
     val stats = docLengths(docs, idCol, textCol)
       .agg(count(lit(1)).cast("double").as("n_docs"),
@@ -86,7 +87,8 @@ object Bm25 {
     // postings once as a bucketed table.
     searchTopKOverPostings(
       postings(docs, idCol, textCol).cache(), stats,
-      queries, qIdCol, qTextCol, k, k1, b)
+      queries, qIdCol, qTextCol, k, k1, b,
+      championListSize = championListSize)
   }
 
   /** Scoring over a prebuilt `(doc_id, term, tf, dl)` postings relation
@@ -107,9 +109,10 @@ object Bm25 {
   def searchTopKOverPostings(post: DataFrame, stats: DataFrame,
       queries: DataFrame, qIdCol: String, qTextCol: String,
       k: Int, k1: Double = 1.2, b: Double = 0.75,
-      prebuiltDf: Option[DataFrame] = None): DataFrame =
+      prebuiltDf: Option[DataFrame] = None,
+      championListSize: Option[Int] = None): DataFrame =
     scoreQTerms(post, stats, qtermsOf(queries, qIdCol, qTextCol),
-      k, k1, b, prebuiltDf)
+      k, k1, b, prebuiltDf, championListSize)
 
   /** `(query_id, term)` — the distinct query-term relation scoring joins
     * against. */
@@ -120,7 +123,8 @@ object Bm25 {
 
   private def scoreQTerms(post: DataFrame, stats: DataFrame,
       qterms: DataFrame, k: Int, k1: Double, b: Double,
-      prebuiltDf: Option[DataFrame]): DataFrame = {
+      prebuiltDf: Option[DataFrame],
+      championListSize: Option[Int] = None): DataFrame = {
     // per-term document frequency, restricted to the query vocabulary
     // BEFORE the aggregate: the semi-join keeps only postings of query
     // terms (a broadcast filter — the corpus side never moves), so the
@@ -137,7 +141,39 @@ object Bm25 {
         log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
       .select("query_id", "term", "idf", "avgdl")
 
-    val scored = post.join(broadcast(qdf), "term")
+    // Champion lists (Manning/Raghavan/Schütze §7.1.3): the scoring
+    // join's candidate space is Σ_t qf(t)·df(t) — a stopword term shared
+    // by q queries and n docs alone contributes q·n rows, which is what
+    // overflowed local disk at the 100× pass (9.4k queries × 500k docs).
+    // Truncating each term's postings to its top-N by the QUERY-
+    // INDEPENDENT impact tf/(tf + k1·(1−b+b·dl/avgdl)) — monotone in the
+    // term's BM25 contribution, since idf is constant per term — bounds
+    // the candidate space to Σ_t qf(t)·min(df(t), N). df/idf stay the
+    // EXACT corpus statistics (truncation applies to scoring candidates
+    // only). The rank-filter window compiles to a Partial
+    // WindowGroupLimit, so each map partition forwards ≤ N rows per term
+    // before the exchange. None = exact scoring (the gate path).
+    val postScoring = championListSize match {
+      case None => post
+      case Some(n) =>
+        val qvocab = qterms.select("term").distinct()
+        post.join(broadcast(qvocab), Seq("term"), "left_semi")
+          .crossJoin(broadcast(stats.select("avgdl")))
+          .withColumn("imp",
+            col("tf") / (col("tf") +
+              lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+          // fixed-point BEFORE ranking (same rationale as score_fixed):
+          // an ulp difference in avgdl between engines must not flip a
+          // champion near-tie — 1e-9 resolution absorbs it, ties resolve
+          // by doc_id identically everywhere
+          .withColumn("imp_fixed", round(col("imp") * lit(1e9), 0).cast("long"))
+          .withColumn("crank", row_number().over(Window.partitionBy("term")
+            .orderBy(col("imp_fixed").desc, col("doc_id"))))
+          .filter(col("crank") <= n)
+          .select("doc_id", "term", "tf", "dl")
+    }
+
+    val scored = postScoring.join(broadcast(qdf), "term")
       .withColumn("s",
         col("idf") * (col("tf") * lit(k1 + 1.0)) /
           (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
@@ -211,7 +247,8 @@ object Bm25 {
     * scale reads the whole index to answer a 5-term query. */
   def searchFromIndex(spark: org.apache.spark.sql.SparkSession,
       table: String, queries: DataFrame, qIdCol: String, qTextCol: String,
-      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      championListSize: Option[Int] = None): DataFrame = {
     // The query batch is the broadcast-small side by contract, and it
     // feeds three places (vocab filter, df lookup, scoring join) — so pay
     // ONE job to land it on the driver and serve every consumer from a
@@ -230,7 +267,8 @@ object Bm25 {
       scoreQTerms(
         spark.table(s"${table}_postings"),
         spark.table(s"${table}_stats"), qt, k, k1, b,
-        prebuiltDf = Some(spark.table(s"${table}_df")))
+        prebuiltDf = Some(spark.table(s"${table}_df")),
+        championListSize = championListSize)
     else {
       val qterms = spark.createDataFrame(
         java.util.Arrays.asList(rows: _*), qt.schema)
@@ -239,7 +277,8 @@ object Bm25 {
       scoreQTerms(
         spark.table(s"${table}_postings").filter(termIn),
         spark.table(s"${table}_stats"), qterms, k, k1, b,
-        prebuiltDf = Some(spark.table(s"${table}_df").filter(termIn)))
+        prebuiltDf = Some(spark.table(s"${table}_df").filter(termIn)),
+        championListSize = championListSize)
     }
   }
 

@@ -42,7 +42,21 @@ final case class CoverTreeIndexer(metric: String = "l2") extends Indexer {
 final case class CoverTreeSearcher(metric: String = "l2",
     counter: Option[LongAccumulator] = None) extends Searcher {
 
-  def search(artifact: IndexArtifact, queries: DataFrame, k: Int): DataFrame = {
+  def search(artifact: IndexArtifact, queries: DataFrame, k: Int): DataFrame =
+    searchImpl(artifact, queries, k, None)
+
+  /** Filtered exact kNN: only ids in `allowed` (one-column `id`
+    * relation) enter the result heap; the walk still navigates the full
+    * tree and the triangle-inequality bound derives from the
+    * allowed-only heap, so the result is EXACT over the allowed subset
+    * (see [[CoverTreeModel.knn]]). Over the driver bitmap cap it falls
+    * back to oversample+post-filter — the one approximate path. */
+  def searchFiltered(artifact: IndexArtifact, queries: DataFrame, k: Int,
+      allowed: DataFrame): DataFrame =
+    searchImpl(artifact, queries, k, Some(allowed))
+
+  private def searchImpl(artifact: IndexArtifact, queries: DataFrame, k: Int,
+      allowedOpt: Option[DataFrame]): DataFrame = {
     val spark = artifact.data.sparkSession
     // the model built by CoverTreeIndexer.build rides along in
     // artifact.local — search does NOT touch the base relation again.
@@ -51,6 +65,30 @@ final case class CoverTreeSearcher(metric: String = "l2",
     val tree = artifact.local.get("model") match {
       case Some(m: CoverTreeModel) => m
       case _ => CoverTreeModel.fromData(artifact.data, artifact.meta, metric)
+    }
+    // selector bitmap over tree node indexes (same cap discipline as the
+    // HNSW filtered walks); over-cap allowed sets oversample+post-filter
+    val selOpt: Option[Array[Boolean]] = allowedOpt match {
+      case None => None
+      case Some(al) =>
+        val cap = HnswSearcher.allowedLocalCap
+        val rows = al.select(col("id").cast("long")).limit(cap + 1).collect()
+        if (rows.length > cap) {
+          val alIds = al.select(col("id").cast("long").as("id"))
+          val over = searchImpl(artifact, queries, k * 4, None)
+          return KnnJoin.topKExploded(
+            over.join(alIds, Seq("id"), "left_semi")
+              .select(col("qid"), col("id"), col("dist")),
+            col("id"), col("dist"), k)
+        }
+        val set = new java.util.HashSet[java.lang.Long](rows.length * 2)
+        rows.foreach(r => set.add(r.getLong(0)))
+        val sel = new Array[Boolean](tree.ids.length)
+        var i = 0
+        while (i < tree.ids.length) {
+          sel(i) = set.contains(tree.ids(i)); i += 1
+        }
+        Some(sel)
     }
     val acc = counter
     // adaptive local walk (see HnswGlobalSearcher / LocalScan): the tree
@@ -66,8 +104,9 @@ final case class CoverTreeSearcher(metric: String = "l2",
       // parallel loop: LongAccumulator.add is task-merge-safe on
       // executors but not thread-safe for concurrent driver threads
       val ndisPer = new Array[Long](qids.length)
+      val selArr = selOpt.orNull
       java.util.stream.IntStream.range(0, qids.length).parallel().forEach { i =>
-        val (res, ndis) = tree.knn(qVecs(i), k)
+        val (res, ndis) = tree.knn(qVecs(i), k, selArr)
         ndisPer(i) = ndis
         out(i) = res
       }
@@ -75,6 +114,7 @@ final case class CoverTreeSearcher(metric: String = "l2",
       return LocalScan.pairsResultDf(spark, qids, out)
     }
     val bTree = spark.sparkContext.broadcast(tree)
+    val bSel = selOpt.map(spark.sparkContext.broadcast(_))
     val outSchema = StructType(Seq(
       StructField("qid", LongType, nullable = false),
       StructField("rank", IntegerType, nullable = false),
@@ -84,10 +124,11 @@ final case class CoverTreeSearcher(metric: String = "l2",
     queries.select(col("qid").cast("long"), col("vector"))
       .mapPartitions { it =>
         val t = bTree.value
+        val sel = bSel.map(_.value).orNull
         it.flatMap { r =>
           val qid = r.getLong(0)
           val q = r.getSeq[Float](1).toArray
-          val (res, ndis) = t.knn(q, k)
+          val (res, ndis) = t.knn(q, k, sel)
           acc.foreach(_.add(ndis))
           res.zipWithIndex.map { case ((id, d), i) => Row(qid, i + 1, id, d) }
         }
@@ -131,14 +172,24 @@ final class CoverTreeModel(
   }
 
   /** exact k-NN with covering-radius pruning; returns ((id,dist) asc, ndis) */
-  def knn(q: Array[Float], k: Int): (Array[(Long, Double)], Long) = {
+  def knn(q: Array[Float], k: Int): (Array[(Long, Double)], Long) =
+    knn(q, k, null)
+
+  /** Selector-filtered exact kNN: `sel(node)` gates result-heap entry
+    * only — every node still NAVIGATES (its subtree may hold allowed
+    * points), and the pruning bound comes from the allowed-only heap,
+    * which is always ≥ the unfiltered bound, so no subtree containing a
+    * closer allowed point is ever skipped: the filtered walk stays EXACT
+    * over the allowed subset. null = unfiltered. */
+  def knn(q: Array[Float], k: Int, sel: Array[Boolean])
+      : (Array[(Long, Double)], Long) = {
     var ndis = 0L
     val heap = new BoundedTopK(k)
     // best-first traversal: (lower-bound, node)
     val pq = new java.util.PriorityQueue[(Double, Int)](
       (x: (Double, Int), y: (Double, Int)) => java.lang.Double.compare(x._1, y._1))
     val dRoot = dist(q, vecs(root)); ndis += 1
-    heap.insert(ids(root), dRoot)
+    if (sel == null || sel(root)) heap.insert(ids(root), dRoot)
     pq.add((math.max(0.0, dRoot - coverRadius(level(root))), root))
     while (!pq.isEmpty) {
       val (lb, node) = pq.poll()
@@ -148,7 +199,7 @@ final class CoverTreeModel(
         while (c < childOffsets(node + 1)) {
           val ch = children(c)
           val d = dist(q, vecs(ch)); ndis += 1
-          heap.insert(ids(ch), d)
+          if (sel == null || sel(ch)) heap.insert(ids(ch), d)
           val childLb = math.max(0.0, d - coverRadius(level(ch)))
           val w2 = if (heap.size < k) Double.PositiveInfinity else heap.dists(0)
           if (childLb <= w2 && childOffsets(ch) < childOffsets(ch + 1)) pq.add((childLb, ch))

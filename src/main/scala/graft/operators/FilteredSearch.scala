@@ -18,10 +18,15 @@ import org.apache.spark.sql.functions._
   *  - **graph/tree indexes** (hnsw, hnsw_global, covertree): the walk
   *    needs the full graph for navigation (restricting the adjacency
   *    relation would sever connectivity — dangling idx references), so
-  *    the searcher runs with an oversampled k (FAISS's IDSelector-free
-  *    escape hatch) and the predicate applies to the RESULT, followed by
-  *    a re-top-k. Recall degrades with predicate selectivity ~1/sel;
-  *    size `oversample` accordingly (k·oversample candidates per query).
+  *    each searcher runs an IDSelector-style traversal (FAISS
+  *    `SearchParameters.sel`): every node navigates, only allowed ids
+  *    enter the result heap, and the beam/pruning bound comes from the
+  *    allowed heap — so the walk digs deeper under selective predicates
+  *    instead of collapsing like post-filtering (found at the 100×
+  *    scaled pass). The cover-tree selector walk stays EXACT over the
+  *    allowed subset. Only when the allowed set exceeds the driver
+  *    bitmap cap does the oversample+post-filter fallback apply
+  *    (k·oversample candidates per query; recall ~1/selectivity).
   */
 object FilteredSearch {
 
@@ -66,6 +71,15 @@ object FilteredSearch {
       // beyond the unrestricted walk depth — found at the 100× pass)
       case h: HnswSearcher if artifact.kind == "hnsw" =>
         h.searchFiltered(artifact, queries, k, allowed)
+      // global HNSW: selector walk on the driver-built model (also
+      // covers auto-routed kind="hnsw" artifacts — delegates to the
+      // per-centroid selector walk at the pinned routed_nprobe)
+      case g: HnswGlobalSearcher =>
+        g.searchFiltered(artifact, queries, k, allowed)
+      // cover tree: selector walk stays EXACT over the allowed subset
+      // (pruning bound from the allowed-only heap only ever loosens)
+      case c: CoverTreeSearcher if artifact.kind == "covertree" =>
+        c.searchFiltered(artifact, queries, k, allowed)
       case _ =>
         val al = allowed.select(col("id").cast("long").as("id"))
         val res = searcher.search(artifact, queries, k * math.max(1, oversample))

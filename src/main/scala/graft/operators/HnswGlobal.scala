@@ -125,7 +125,20 @@ final case class HnswGlobalSearcher(efSearch: Int = 100, metric: String = "l2",
       cachedBc
     }
 
-  def search(artifact: IndexArtifact, queries: DataFrame, k: Int): DataFrame = {
+  def search(artifact: IndexArtifact, queries: DataFrame, k: Int): DataFrame =
+    searchImpl(artifact, queries, k, None)
+
+  /** Filtered variant: the walk traverses the FULL graph but only ids in
+    * `allowed` (one-column `id` relation) enter the result heap — the
+    * same IDSelector contract as [[HnswSearcher.searchFiltered]]. Falls
+    * back to oversample+post-filter only when the allowed set exceeds
+    * the driver bitmap cap ([[HnswSearcher.allowedLocalCap]]). */
+  def searchFiltered(artifact: IndexArtifact, queries: DataFrame, k: Int,
+      allowed: DataFrame): DataFrame =
+    searchImpl(artifact, queries, k, Some(allowed))
+
+  private def searchImpl(artifact: IndexArtifact, queries: DataFrame, k: Int,
+      allowedOpt: Option[DataFrame]): DataFrame = {
     // over-cap builds auto-route to the distributed per-centroid index
     // (HnswGlobalIndexer.build) — serve it with its own searcher at the
     // measured hnsw_dist operating point (probe 12 of the spill=2 groups)
@@ -136,8 +149,12 @@ final case class HnswGlobalSearcher(efSearch: Int = 100, metric: String = "l2",
       val nprobe = artifact.meta.get("routed_nprobe").map(_.toInt)
         .getOrElse(math.max(12,
           artifact.meta.get("n_partitions").map(_.toInt).getOrElse(16) * 3 / 4))
-      return HnswSearcher(nprobe = nprobe, efSearch = efSearch, metric = metric)
-        .search(artifact, queries, k)
+      val delegated =
+        HnswSearcher(nprobe = nprobe, efSearch = efSearch, metric = metric)
+      return allowedOpt match {
+        case Some(al) => delegated.searchFiltered(artifact, queries, k, al)
+        case None     => delegated.search(artifact, queries, k)
+      }
     }
     val spark = artifact.data.sparkSession
     val model = artifact.local.get("model") match {
@@ -146,6 +163,33 @@ final case class HnswGlobalSearcher(efSearch: Int = 100, metric: String = "l2",
     }
     val acc = counter
     val efS = efSearch
+    // selector bitmap over model node indexes (None = unfiltered). The
+    // allowed set collects under the same driver cap as the per-centroid
+    // filtered walk; over cap, fall back to oversample+post-filter on
+    // the unfiltered walk (the only filtered path with a recall/
+    // selectivity trade — documented in FilteredSearch).
+    val selOpt: Option[Array[Boolean]] = allowedOpt match {
+      case None => None
+      case Some(al) =>
+        val cap = HnswSearcher.allowedLocalCap
+        val rows = al.select(col("id").cast("long")).limit(cap + 1).collect()
+        if (rows.length > cap) {
+          val alIds = al.select(col("id").cast("long").as("id"))
+          val over = searchImpl(artifact, queries, k * 4, None)
+          return KnnJoin.topKExploded(
+            over.join(alIds, Seq("id"), "left_semi")
+              .select(col("qid"), col("id"), col("dist")),
+            col("id"), col("dist"), k)
+        }
+        val set = new java.util.HashSet[java.lang.Long](rows.length * 2)
+        rows.foreach(r => set.add(r.getLong(0)))
+        val sel = new Array[Boolean](model.ids.length)
+        var i = 0
+        while (i < model.ids.length) {
+          sel(i) = set.contains(model.ids(i)); i += 1
+        }
+        Some(sel)
+    }
     val outSchema = StructType(Seq(
       StructField("qid", LongType, nullable = false),
       StructField("rank", IntegerType, nullable = false),
@@ -175,8 +219,9 @@ final case class HnswGlobalSearcher(efSearch: Int = 100, metric: String = "l2",
       // parallel loop: LongAccumulator.add is task-merge-safe on
       // executors but not thread-safe for concurrent driver threads
       val ndisPer = new Array[Long](cQids.length)
+      val selArr = selOpt.orNull
       java.util.stream.IntStream.range(0, cQids.length).parallel().forEach { i =>
-        val (res, ndis) = model.knn(cVecs(i), k, efS, ws.get())
+        val (res, ndis) = model.knn(cVecs(i), k, efS, ws.get(), selArr)
         ndisPer(i) = ndis
         out(i) = res
       }
@@ -184,17 +229,21 @@ final case class HnswGlobalSearcher(efSearch: Int = 100, metric: String = "l2",
       return LocalScan.pairsResultDf(spark, cQids, out)
     }
     val bModel = broadcastModel(spark, model)
+    // the selector rides its own broadcast (1 byte/node) — rebroadcast
+    // per filtered call is fine; the model broadcast stays shared
+    val bSel = selOpt.map(spark.sparkContext.broadcast(_))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
     qRows
       .mapPartitions { it =>
         val mo = bModel.value
+        val sel = bSel.map(_.value).orNull
         // one workspace per partition: the O(n) stamp-visited array is
         // exactly what HnswWorkspace exists to amortize — per-query
         // allocation+zeroing would be a multi-MB hit on the hot path
         val ws = new HnswWorkspace(mo.vecs.length)
         it.flatMap { r =>
           val qid = r.getLong(0)
-          val (res, ndis) = mo.knn(r.getSeq[Float](1).toArray, k, efS, ws)
+          val (res, ndis) = mo.knn(r.getSeq[Float](1).toArray, k, efS, ws, sel)
           acc.foreach(_.add(ndis))
           res.zipWithIndex.map { case ((id, d), i) => Row(qid, i + 1, id, d) }
         }
@@ -270,13 +319,14 @@ final class HnswGlobalModel(
     * return was the dominant garbage source of the 100k-insert build:
     * amplified by a busy bench-context heap it inflated build 5×.) */
   private[operators] def searchLayer(q: Array[Float], start: Int, ef: Int,
-      layer: Int, ws: HnswWorkspace): NodeDists = {
+      layer: Int, ws: HnswWorkspace, sel: Array[Boolean] = null): NodeDists = {
     val visited = ws.freshVisited()
     val stamp = ws.stamp
     ws.clearHeap()
     val best = ws.topkFor(ef)
     val d0 = dist(q, vecs(start)); ws.ndis += 1
-    ws.push(d0, start); visited(start) = stamp; best.insert(start.toLong, d0)
+    ws.push(d0, start); visited(start) = stamp
+    if (sel == null || sel(start)) best.insert(start.toLong, d0)
     while (ws.heapSize > 0) {
       val d = ws.topDist
       val node = ws.popNode()
@@ -291,7 +341,15 @@ final class HnswGlobalModel(
             visited(nb) = stamp
             val dn = dist(q, vecs(nb)); ws.ndis += 1
             val w = if (best.size < best.k) Double.PositiveInfinity else best.dists(0)
-            if (dn < w) { ws.push(dn, nb); best.insert(nb.toLong, dn) }
+            // IDSelector traversal (same contract as NswGraph.search):
+            // disallowed nodes still NAVIGATE (enter the candidate beam)
+            // but never the result heap, so the termination bound comes
+            // from allowed candidates and the walk digs deeper under
+            // selective predicates instead of collapsing like post-filter
+            if (dn < w) {
+              ws.push(dn, nb)
+              if (sel == null || sel(nb)) best.insert(nb.toLong, dn)
+            }
           }
           i += 1
         }
@@ -314,12 +372,19 @@ final class HnswGlobalModel(
     * hot path pass a reused per-thread/per-partition workspace (the stamp
     * trick makes reuse across calls free); the no-ws overload allocates a
     * fresh one for one-off callers. NOT thread-safe per workspace. */
-  def knn(q: Array[Float], k: Int, ef: Int, ws: HnswWorkspace): (Array[(Long, Double)], Long) = {
+  def knn(q: Array[Float], k: Int, ef: Int, ws: HnswWorkspace): (Array[(Long, Double)], Long) =
+    knn(q, k, ef, ws, null)
+
+  /** selector-filtered kNN: `sel(node)` gates result-heap entry at
+    * layer 0 (upper-layer greedy descent is navigation only and stays
+    * unfiltered); null = unfiltered. */
+  def knn(q: Array[Float], k: Int, ef: Int, ws: HnswWorkspace,
+      sel: Array[Boolean]): (Array[(Long, Double)], Long) = {
     val ndis0 = ws.ndis
     var ep = entry
     var lc = maxLevel
     while (lc > 0) { ep = greedy(q, ep, lc, ws); lc -= 1 }
-    val res = searchLayer(q, ep, math.max(ef, k), 0, ws)
+    val res = searchLayer(q, ep, math.max(ef, k), 0, ws, sel)
     val kk = math.min(k, res.length)
     val out = new Array[(Long, Double)](kk)
     var i = 0

@@ -195,6 +195,13 @@ class AnnSpec extends AnyFunSuite {
       assert(idx.kind == "hnsw", "over-cap build must route distributed")
       assert(idx.meta("spill") == "2", "routed build carries the SPANN closure")
       assert(!idx.local.contains("model"), "no driver-collected global model")
+      // probe count is pinned AT ROUTING TIME and scales with the routed
+      // partition count (ADVICE r10: a fixed nprobe=12 tuned at 16 groups
+      // collapses recall at hundreds of auto-routed groups). At this
+      // fixture's 8 groups the floor applies: max(12, 8*3/4) = 12.
+      val nPart = idx.meta("n_partitions").toInt
+      assert(idx.meta("routed_nprobe").toInt ==
+        math.max(12, nPart * 3 / 4), "routed_nprobe pinned and scaled")
       val res = HnswGlobalSearcher(efSearch = 64, metric = "l2")
         .search(idx, testQ, 10)
       val r = recallOf(res)
@@ -391,5 +398,71 @@ class AnnSpec extends AnyFunSuite {
         case None => sys.props.remove("graft.local.enabled")
       }
     }
+  }
+
+  test("filtered covertree selector walk is EXACT over the allowed subset") {
+    val allowed = trainC.filter(col("id") % 3 =!= 0).select("id")
+    val q = trainC.filter(col("id") % 40 === 0)
+      .select(col("id").as("qid"), col("vector"))
+    val art = CoverTreeIndexer("l2").build(trainC)
+    val cs = CoverTreeSearcher("l2")
+    val exact = KnnJoin.knnJoin(q,
+        trainC.join(allowed, Seq("id"), "left_semi"), 5, "l2")
+      .select("qid", "rank", "id")
+    // driver-local walk: exact ≡ brute force over allowed rows (the
+    // selector gates heap entry only; the pruning bound from the
+    // allowed-only heap can only loosen, so no allowed point is skipped)
+    val local = FilteredSearch.search(cs, art, q, 5, allowed)
+      .select("qid", "rank", "id")
+    assert(local.except(exact).isEmpty && exact.except(local).isEmpty)
+    // distributed (broadcast-tree) walk agrees
+    val prevLocal = sys.props.put("graft.local.enabled", "false")
+    try {
+      val dist = cs.searchFiltered(art, q, 5, allowed)
+        .select("qid", "rank", "id")
+      assert(dist.except(exact).isEmpty && exact.except(dist).isEmpty)
+    } finally {
+      prevLocal match {
+        case Some(v) => sys.props.put("graft.local.enabled", v)
+        case None => sys.props.remove("graft.local.enabled")
+      }
+    }
+  }
+
+  test("filtered global HNSW selector walk: no disallowed ids, no-op on all-allowed") {
+    val allowed = trainC.filter(col("id") % 3 =!= 0).select("id")
+    val art = HnswGlobalIndexer(m = 8, efConstruction = 64, metric = "l2",
+      seed = 42).build(trainC)
+    val gs = HnswGlobalSearcher(efSearch = 64, metric = "l2")
+    // allowed queries self-retrieve at distance 0; disallowed never surface
+    val qa = trainC.filter(col("id") % 40 === 0 && col("id") % 3 =!= 0)
+      .select(col("id").as("qid"), col("vector"))
+    val fres = FilteredSearch.search(gs, art, qa, 3, allowed)
+    assert(fres.filter(col("id") % 3 === 0).isEmpty)
+    val top1 = fres.filter(col("rank") === 1).select("qid", "id", "dist")
+      .as[(Long, Long, Double)].collect()
+    assert(top1.nonEmpty)
+    top1.foreach { case (qid, id, d) => assert(qid == id && math.abs(d) < 1e-6) }
+    // an everything-allowed selector reproduces the unfiltered walk
+    val q = trainC.filter(col("id") % 40 === 0)
+      .select(col("id").as("qid"), col("vector"))
+    val plain = gs.search(art, q, 5).select("qid", "rank", "id")
+    val allSel = gs.searchFiltered(art, q, 5, trainC.select("id"))
+      .select("qid", "rank", "id")
+    assert(allSel.except(plain).isEmpty && plain.except(allSel).isEmpty)
+    // routed (over-cap) artifacts delegate to the per-centroid selector
+    // walk at the pinned routed_nprobe through the same entry point
+    sys.props("graft.hnsw.buildBytesCap") = "1024"
+    try {
+      val routed = HnswGlobalIndexer(m = 8, efConstruction = 64,
+        metric = "l2", seed = 42).build(trainC)
+      assert(routed.kind == "hnsw")
+      val rres = FilteredSearch.search(gs, routed, qa, 3, allowed)
+      assert(rres.filter(col("id") % 3 === 0).isEmpty)
+      val rtop1 = rres.filter(col("rank") === 1).select("qid", "id", "dist")
+        .as[(Long, Long, Double)].collect()
+      assert(rtop1.nonEmpty)
+      rtop1.foreach { case (qid, id, d) => assert(qid == id && math.abs(d) < 1e-6) }
+    } finally sys.props.remove("graft.hnsw.buildBytesCap")
   }
 }

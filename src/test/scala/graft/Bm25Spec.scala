@@ -85,4 +85,33 @@ class Bm25Spec extends AnyFunSuite {
     val b = run(docs.repartition(7, $"source"))
     assert(a.toSeq == b.toSeq)
   }
+
+  test("champion lists: N ≥ corpus ≡ exact; small N bounds candidates, never inflates scores") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val queries = docs.filter($"doc_id" % 23 === 0)
+      .selectExpr("doc_id as qid", "text as qtext")
+    def run(champ: Option[Int]) =
+      Bm25.searchTopK(docs, queries, "doc_id", "text", "qid", "qtext", k = 5,
+        championListSize = champ)
+    // a champion list that holds every posting changes nothing
+    val exact = run(None).select("query_id", "doc_id", "rank", "score")
+      .as[(Long, Long, Int, Double)].collect().sortBy(r => (r._1, r._3))
+    val full = run(Some(docs.count().toInt))
+      .select("query_id", "doc_id", "rank", "score")
+      .as[(Long, Long, Int, Double)].collect().sortBy(r => (r._1, r._3))
+    assert(exact.toSeq == full.toSeq)
+    // small N: every query still answers, ranks contiguous, and a
+    // truncated posting can only REMOVE a term contribution — no
+    // (query, doc) score may exceed its exact score
+    val champ = run(Some(8)).select("query_id", "doc_id", "score")
+      .as[(Long, Long, Double)].collect()
+    assert(champ.map(_._1).distinct.length == queries.count())
+    val exactScores = run(None).select("query_id", "doc_id", "score")
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, d, s) => (q, d) -> s }.toMap
+    champ.foreach { case (q, d, s) =>
+      exactScores.get((q, d)).foreach(es => assert(s <= es + 1e-9,
+        s"champion score $s exceeds exact $es for ($q,$d)"))
+    }
+  }
 }
