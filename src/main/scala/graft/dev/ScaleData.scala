@@ -100,8 +100,46 @@ object ScaleData {
     write("embeddings", embScaled)
 
     val docs = Tables.load(spark, src, "documents")
-    write("documents", replicate(docs,
-      Map("doc_id" -> (maxOf(docs, "doc_id") + 1))))
+    // Same duplicate pathology as embeddings, text-side (found at 100×):
+    // verbatim-replicated text makes every doc arrive with `factor`
+    // byte-identical copies over a ~40-word vocabulary, so simhash
+    // fingerprints / winnow fingerprints / minhash bands collapse into a
+    // few enormous buckets and every pair join concentrates its output
+    // in ONE hot key — dedup_simhash sat 30+ min in a single skewed
+    // task. Replica 0 stays byte-identical; replicas > 0 substitute
+    // ~35% of tokens with hash-derived synthetic vocab ("w0".."w4095"),
+    // deterministic per (doc_id, replica, position). Replicas stop being
+    // near-dups (jaccard ≈ 0.48 « 0.9), bucket entropy scales with the
+    // data, and the corpus looks like 100× MORE data, not 100 copies —
+    // which is the thing a 100× pass exists to simulate. All oracles
+    // recompute from the written parquet, so the comparison stays closed.
+    val textJitter = udf { (t: String, r: Long, id: Long) =>
+      if (r == 0L || t == null) t
+      else {
+        @inline def mix(x0: Long): Long = {
+          var x = x0 + 0x9E3779B97F4A7C15L
+          x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+          x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+          x ^ (x >>> 31)
+        }
+        val base = mix(mix(id * 0xA24BAED4963EE407L) ^ r)
+        val toks = t.split(" ")
+        var i = 0
+        while (i < toks.length) {
+          val h = mix(base ^ i.toLong)
+          if ((h & 0xffL) < 90) toks(i) = "w" + ((h >>> 8) & 0xfffL)
+          i += 1
+        }
+        toks.mkString(" ")
+      }
+    }
+    val docBase = maxOf(docs, "doc_id") + 1
+    val docsScaled = docs.crossJoin(broadcast(reps))
+      .withColumn("text", textJitter(col("text"), col("__r"), col("doc_id")))
+      .withColumn("doc_id", (col("doc_id").cast("long") + col("__r") * docBase)
+        .cast(docs.schema("doc_id").dataType))
+      .drop("__r")
+    write("documents", docsScaled)
 
     val events = Tables.load(spark, src, "events")
     val idCols = events.schema.fieldNames.filter(c =>
