@@ -41,7 +41,12 @@ for name, sql in sorted(oracle.items()):
     timer = None
     if ORACLE_TIMEOUT > 0:
         timer = threading.Timer(ORACLE_TIMEOUT, con.interrupt)
-        timer.start()
+        try:
+            timer.start()
+        except RuntimeError:
+            # transient system thread pressure (seen with concurrent Spark
+            # passes): run this oracle un-timed rather than dying mid-pass
+            timer = None
     try:
         duck_df = con.sql(sql).df()
     except Exception as e:
