@@ -14,6 +14,11 @@ sfdir = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.01'
 outdir = sys.argv[2] if len(sys.argv) > 2 else '/tmp/verify_out'
 
 con = duckdb.connect()
+# optional cap so concurrent scaled passes don't OOM-kill each other;
+# unset = DuckDB default (the driver's single-process behavior)
+_mem = os.environ.get('GRAFT_ORACLE_MEM', '')
+if _mem:
+    con.sql(f"SET memory_limit='{_mem}'")
 for t in ['region','nation','customer','supplier','part','orders','lineitem','events','documents','embeddings']:
     p = f'{sfdir}/{t}.parquet'
     if os.path.isdir(p):  # Spark-written dir (dev/ScaleData output)
