@@ -50,13 +50,24 @@ for name, sql in sorted(oracle.items()):
             timer.start()
         except RuntimeError:
             # transient system thread pressure (seen with concurrent Spark
-            # passes): run this oracle un-timed rather than dying mid-pass
+            # passes): run this oracle un-timed rather than dying mid-pass —
+            # loudly, so an unbounded run is attributable from the log
+            print(f'{name}: WARNING timeout disabled — timer thread start failed')
             timer = None
     try:
         duck_df = con.sql(sql).df()
+        # cancel IMMEDIATELY on success, before any compare work: a timer
+        # firing after this query finished would interrupt the NEXT oracle
+        # and misreport it as FAIL
+        if timer: timer.cancel(); timer = None
     except Exception as e:
-        if timer: timer.cancel()
-        if ORACLE_TIMEOUT > 0 and time.time() - t0 >= ORACLE_TIMEOUT - 1:
+        if timer: timer.cancel(); timer = None
+        # classify SKIP by the exception actually being the timer's
+        # interrupt, NOT by elapsed wall time — a genuine oracle failure
+        # (OOM, IO error, real divergence raised late) must stay a FAIL
+        is_interrupt = isinstance(e, duckdb.InterruptException) \
+            or 'INTERRUPT' in str(e).upper()
+        if ORACLE_TIMEOUT > 0 and is_interrupt:
             print(f'{name}: SKIP (oracle timeout >{ORACLE_TIMEOUT:.0f}s — out of DuckDB reach at this scale)')
             skips.append(name); continue
         print(f'{name}: duckdb FAIL {str(e)[:200]}'); fails += 1; continue

@@ -301,8 +301,13 @@ object SparkEntry {
       val allowed = emb.filter(col("label") < 5)
         .select(col("vec_id").as("id"))
       val art = graft.operators.CoverTreeIndexer("l2").build(b)
+      // strictSelector: this gate's oracle is the EXACT filtered kNN —
+      // if the allowed set ever outgrows the selector-walk cap at a
+      // future scale decade, fail naming the cap instead of surfacing
+      // an unattributable hash mismatch from the approximate fallback
       graft.operators.FilteredSearch.search(
-          graft.operators.CoverTreeSearcher("l2"), art, q, 10, allowed)
+          graft.operators.CoverTreeSearcher("l2"), art, q, 10, allowed,
+          strictSelector = true)
         .select(col("qid"), col("rank"), col("id"))
     }),
     // --- J11: per-partition NSW graph search (the distributed path).
@@ -364,6 +369,54 @@ object SparkEntry {
         .select(col("algorithm"), col("n_queries"),
           lit(floor).cast("double").as("recall_floor"),
           col("n_rows"), col("n_bad_dist"))
+    }),
+    // --- J11+: incremental graph DELETION (FAISS remove_ids on
+    //     IndexHNSW): anti-join the rows out, rebuild ONLY the touched
+    //     per-centroid subgraphs so no dangling positional edges remain
+    //     (IndexAppend.delete) — the takedown/right-to-be-forgotten path
+    //     that must never rebuild a corpus-sized index. Value checks:
+    //     recall ≥ floor against GT computed on the REMAINDER corpus,
+    //     n_rows = nq×k, n_bad_dist = 0, and n_deleted_hits = 0 (a
+    //     deleted id surfacing in any result breaks the hash) ---
+    "j11_delete" -> ((s, dir) => {
+      graft.operators.Registry.init()
+      val q = Tables.embQueries(s, dir)
+      val b = Tables.embBase(s, dir).cache()
+      val art = graft.operators.HnswIndexer(nPartitions = 8, m = 8,
+        efConstruction = 32, metric = "l2", seed = 42).build(b)
+      val afterDelete = graft.operators.IndexAppend.delete(art,
+        b.filter(col("id") % 7 === 0).select("id"))
+      val remainder = b.filter(col("id") % 7 =!= 0)
+      val res = graft.operators.HnswSearcher(nprobe = 3, efSearch = 64,
+        metric = "l2").search(afterDelete, q, 10).cache()
+      val floor = 0.60
+      val gt = KnnJoin.knnJoinAgg(q, remainder, 10, "l2")
+        .select(col("qid"), transform(col("nn"), x => x("id")).as("gt"))
+      val pred = res.groupBy("qid")
+        .agg(graft.operators.TopKByDist.topK(col("id"), col("dist"), 10).as("nn"))
+        .select(col("qid"), transform(col("nn"), x => x("id")).as("pred"))
+      val recallRow = gt.join(pred, Seq("qid"), "left")
+        .withColumn("pred", coalesce(col("pred"), array().cast("array<bigint>")))
+        .agg(
+          lit("hnsw_delete").as("algorithm"),
+          count(lit(1)).as("n_queries"),
+          round(avg(Metrics.recallAtK(col("pred"), col("gt"), 10)), 4).as("recall_10"))
+        .filter(col("recall_10") >= floor)
+      val dist = graft.functions.VectorFunctions.distance("l2") _
+      val integrity = res
+        .join(q.select(col("qid"), col("vector").as("_qv")), Seq("qid"), "left")
+        .join(b.select(col("id"), col("vector").as("_bv")), Seq("id"), "left")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("_bv").isNull || col("_qv").isNull ||
+              abs(col("dist") - dist(col("_qv"), col("_bv"))) >
+                lit(1e-3) * greatest(lit(1.0), abs(col("dist"))), 1L)
+            .otherwise(0L)).as("n_bad_dist"),
+          sum(when(col("id") % 7 === 0, 1L).otherwise(0L)).as("n_deleted_hits"))
+      recallRow.crossJoin(integrity)
+        .select(col("algorithm"), col("n_queries"),
+          lit(floor).cast("double").as("recall_floor"),
+          col("n_rows"), col("n_bad_dist"), col("n_deleted_hits"))
     }),
     // --- J11+: filtered graph search — the walk needs full
     //     connectivity, so FilteredSearch routes to the IDSelector-style
@@ -705,17 +758,38 @@ object SparkEntry {
           championListSize = Some(32))
         .select("query_id", "doc_id", "rank")
     }),
+    // --- EXACT BM25 top-k via distributed block-max WAND (Broder CIKM'03 /
+    //     Ding & Suel SIGIR'11) — the at-scale EXACT path: doc-partitioned
+    //     DAAT cursors with threshold pruning forward ≤ k rows per
+    //     (partition, query); the Σ_t qf(t)·df(t) candidate join that
+    //     overflowed 80 GB of spill at the 100× pass never materializes.
+    //     Results are contracted bit-identical to text_bm25_topk (same
+    //     fixed-point contributions, same tie-break) — same oracle ---
+    "text_bm25_wand" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Bm25.searchTopKWand(docs,
+          docs.filter(col("doc_id") % 53 === 0)
+            .select(col("doc_id").as("qid"),
+              substring(col("text"), 1, 200).as("qtext")),
+          "doc_id", "text", "qid", "qtext", k = 5)
+        .select("query_id", "doc_id", "rank")
+    }),
     // --- hybrid retrieval (the RAG-standard shape): BM25 lexical arm +
     //     dense cosine-kNN arm fused by reciprocal-rank fusion (k0=60,
     //     Cormack et al. 2009). Both arms ARE the already-gated operators
     //     (text_bm25_topk / j1_knn_cosine machinery) at k=10; fusion
     //     shuffles only n_queries·k·2 rows — corpus-size-independent —
     //     and sums fixed-point contributions (associative). The corpus is
-    //     documents+embeddings zipped by id (doc_id ≡ vec_id, TESTDATA) ---
+    //     documents+embeddings zipped by id (doc_id ≡ vec_id, TESTDATA).
+    //     The lexical arm runs the WAND path (r12) — bit-identical to
+    //     searchTopK by contract (text_bm25_wand's gate pins that), and
+    //     it removes the arm's Σ qf·df candidate blow-up, so the hybrid
+    //     gates complete at the 100× scale where the relational exact
+    //     arm overflowed local spill ---
     "hybrid_rrf" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       val emb = Tables.load(s, dir, "embeddings")
-      val lex = Bm25.searchTopK(docs,
+      val lex = Bm25.searchTopKWand(docs,
           docs.filter(col("doc_id") % 53 === 0)
             .select(col("doc_id").as("qid"),
               substring(col("text"), 1, 200).as("qtext")),
@@ -740,7 +814,7 @@ object SparkEntry {
     "hybrid_rrf_weighted" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       val emb = Tables.load(s, dir, "embeddings")
-      val lex = Bm25.searchTopK(docs,
+      val lex = Bm25.searchTopKWand(docs,
           docs.filter(col("doc_id") % 53 === 0)
             .select(col("doc_id").as("qid"),
               substring(col("text"), 1, 200).as("qtext")),
@@ -1135,6 +1209,12 @@ object SparkEntry {
         |       0.6::DOUBLE AS recall_floor,
         |       (count(*) * 10)::BIGINT AS n_rows, 0::BIGINT AS n_bad_dist
         |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
+    "j11_delete" ->
+      """SELECT 'hnsw_delete' AS algorithm, count(*)::BIGINT AS n_queries,
+        |       0.6::DOUBLE AS recall_floor,
+        |       (count(*) * 10)::BIGINT AS n_rows, 0::BIGINT AS n_bad_dist,
+        |       0::BIGINT AS n_deleted_hits
+        |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
     "j11_hnsw_filtered" ->
       """SELECT 'hnsw_filtered' AS algorithm, count(*)::BIGINT AS n_queries,
         |       0.6::DOUBLE AS recall_floor,
@@ -1142,6 +1222,50 @@ object SparkEntry {
         |       0::BIGINT AS n_disallowed
         |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
   )
+
+  /** The exact BM25 top-5 replay (every 53rd doc's first 200 chars as
+    * the query; Lucene idf; fixed-point associative score sums; (score
+    * desc, doc_id) tie-break). Shared byte-for-byte by the three gates
+    * contracted to identical results: `text_bm25_topk` (relational
+    * exact scoring), `text_bm25_serve` (persisted-index serving) and
+    * `text_bm25_wand` (distributed block-max WAND). */
+  private def bm25ExactOracleSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      |  FROM documents),
+      |d AS (SELECT doc_id, len(toks) AS dl, toks FROM tok),
+      |post AS (
+      |  SELECT doc_id, dl, term, count(*) AS tf
+      |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+      |  GROUP BY doc_id, dl, term),
+      |stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM d),
+      |df AS (SELECT term, count(*)::DOUBLE AS df FROM post GROUP BY term),
+      |q AS (
+      |  SELECT doc_id AS query_id, unnest(list_distinct(
+      |    string_split_regex(lower(trim(substr(text, 1, 200))), '\s+'))) AS term
+      |  FROM documents WHERE doc_id % 53 = 0),
+      |qdf AS (
+      |  SELECT q.query_id, q.term,
+      |    ln(1.0::DOUBLE + (stats.n_docs - df.df + 0.5::DOUBLE)
+      |      / (df.df + 0.5::DOUBLE)) AS idf,
+      |    stats.avgdl AS avgdl
+      |  FROM q JOIN df USING (term), stats),
+      |scored AS (
+      |  SELECT qdf.query_id, post.doc_id, post.term,
+      |    qdf.idf * (post.tf * (1.2::DOUBLE + 1.0::DOUBLE))
+      |      / (post.tf + 1.2::DOUBLE *
+      |         (0.25::DOUBLE + 0.75::DOUBLE * post.dl / qdf.avgdl)) AS s
+      |  FROM post JOIN qdf USING (term)),
+      |agg AS (
+      |  SELECT query_id, doc_id,
+      |    SUM(CAST(round(s * 1000000.0::DOUBLE, 0) AS BIGINT)) AS score_fixed
+      |  FROM scored GROUP BY query_id, doc_id),
+      |r AS (
+      |  SELECT query_id, doc_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY score_fixed DESC, doc_id) AS rank
+      |  FROM agg)
+      |SELECT query_id, doc_id, rank FROM r WHERE rank <= 5""".stripMargin
 
   private def oracleSqlBase: Map[String, String] = Map(
     "q1_agg" ->
@@ -5850,43 +5974,11 @@ HAVING round(avg(recall), 4) >= 0.50""").mkString("\n"),
     // per-term contributions round to fixed-point longs before the sum
     // (associative — engine/order-independent) and ranking compares the
     // long totals with doc_id tiebreak. Output is int-only.
-    "text_bm25_topk" ->
-      """WITH tok AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
-        |  FROM documents),
-        |d AS (SELECT doc_id, len(toks) AS dl, toks FROM tok),
-        |post AS (
-        |  SELECT doc_id, dl, term, count(*) AS tf
-        |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
-        |  GROUP BY doc_id, dl, term),
-        |stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM d),
-        |df AS (SELECT term, count(*)::DOUBLE AS df FROM post GROUP BY term),
-        |q AS (
-        |  SELECT doc_id AS query_id, unnest(list_distinct(
-        |    string_split_regex(lower(trim(substr(text, 1, 200))), '\s+'))) AS term
-        |  FROM documents WHERE doc_id % 53 = 0),
-        |qdf AS (
-        |  SELECT q.query_id, q.term,
-        |    ln(1.0::DOUBLE + (stats.n_docs - df.df + 0.5::DOUBLE)
-        |      / (df.df + 0.5::DOUBLE)) AS idf,
-        |    stats.avgdl AS avgdl
-        |  FROM q JOIN df USING (term), stats),
-        |scored AS (
-        |  SELECT qdf.query_id, post.doc_id, post.term,
-        |    qdf.idf * (post.tf * (1.2::DOUBLE + 1.0::DOUBLE))
-        |      / (post.tf + 1.2::DOUBLE *
-        |         (0.25::DOUBLE + 0.75::DOUBLE * post.dl / qdf.avgdl)) AS s
-        |  FROM post JOIN qdf USING (term)),
-        |agg AS (
-        |  SELECT query_id, doc_id,
-        |    SUM(CAST(round(s * 1000000.0::DOUBLE, 0) AS BIGINT)) AS score_fixed
-        |  FROM scored GROUP BY query_id, doc_id),
-        |r AS (
-        |  SELECT query_id, doc_id,
-        |    row_number() OVER (PARTITION BY query_id
-        |      ORDER BY score_fixed DESC, doc_id) AS rank
-        |  FROM agg)
-        |SELECT query_id, doc_id, rank FROM r WHERE rank <= 5""".stripMargin,
+    "text_bm25_topk" -> bm25ExactOracleSql,
+    // WAND path is CONTRACTED bit-identical to the exact relational path
+    // (same fixed-point contributions, strict-θ pruning never drops a
+    // tie) — same oracle
+    "text_bm25_wand" -> bm25ExactOracleSql,
     // semantic dedup replay: seeded k-means centroid literals (k=8,
     // seed=42, sf0.01 — dev/DumpCentroids 8), assignment = argmin
     // squared-L2 with (d, cid) tie-break exactly like IvfModel.assign,
@@ -5917,43 +6009,7 @@ HAVING round(avg(recall), 4) >= 0.50""").mkString("\n"),
         |WHERE cosine >= 0.3""".stripMargin,
     // serve-from-index is CONTRACTED to equal the inline path (same df
     // values for surviving terms, same fixed-point scoring) — same oracle
-    "text_bm25_serve" ->
-      """WITH tok AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
-        |  FROM documents),
-        |d AS (SELECT doc_id, len(toks) AS dl, toks FROM tok),
-        |post AS (
-        |  SELECT doc_id, dl, term, count(*) AS tf
-        |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
-        |  GROUP BY doc_id, dl, term),
-        |stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM d),
-        |df AS (SELECT term, count(*)::DOUBLE AS df FROM post GROUP BY term),
-        |q AS (
-        |  SELECT doc_id AS query_id, unnest(list_distinct(
-        |    string_split_regex(lower(trim(substr(text, 1, 200))), '\s+'))) AS term
-        |  FROM documents WHERE doc_id % 53 = 0),
-        |qdf AS (
-        |  SELECT q.query_id, q.term,
-        |    ln(1.0::DOUBLE + (stats.n_docs - df.df + 0.5::DOUBLE)
-        |      / (df.df + 0.5::DOUBLE)) AS idf,
-        |    stats.avgdl AS avgdl
-        |  FROM q JOIN df USING (term), stats),
-        |scored AS (
-        |  SELECT qdf.query_id, post.doc_id, post.term,
-        |    qdf.idf * (post.tf * (1.2::DOUBLE + 1.0::DOUBLE))
-        |      / (post.tf + 1.2::DOUBLE *
-        |         (0.25::DOUBLE + 0.75::DOUBLE * post.dl / qdf.avgdl)) AS s
-        |  FROM post JOIN qdf USING (term)),
-        |agg AS (
-        |  SELECT query_id, doc_id,
-        |    SUM(CAST(round(s * 1000000.0::DOUBLE, 0) AS BIGINT)) AS score_fixed
-        |  FROM scored GROUP BY query_id, doc_id),
-        |r AS (
-        |  SELECT query_id, doc_id,
-        |    row_number() OVER (PARTITION BY query_id
-        |      ORDER BY score_fixed DESC, doc_id) AS rank
-        |  FROM agg)
-        |SELECT query_id, doc_id, rank FROM r WHERE rank <= 5""".stripMargin,
+    "text_bm25_serve" -> bm25ExactOracleSql,
     // Champion-list BM25 replay: the text_bm25_topk replay with one extra
     // CTE — per-term postings ranked by the query-independent impact
     // (fixed-point 1e9 before ranking, so an engine ulp in avgdl can't

@@ -191,6 +191,183 @@ object Bm25 {
         (col("score_fixed") / lit(1e6)).as("score"))
   }
 
+  // ------------------------------------------------------- block-max WAND
+
+  /** The per-posting fixed-point BM25 contribution, replicating the
+    * relational path's expression tree OPERATION FOR OPERATION so the
+    * WAND path's longs are bit-identical to the exact path's:
+    * Catalyst evaluates
+    * `idf * (tf * (k1+1)) / (tf + k1 * ((1-b) + (b * dl) / avgdl))`
+    * in IEEE double with exactly this association, then
+    * `round(s * 1e6, 0)` via `java.math.BigDecimal.valueOf` HALF_UP
+    * (RoundBase's DoubleType codegen), then a double→long cast. */
+  private[operators] def contribFixed(idf: Double, tf: Long, dl: Int,
+      avgdl: Double, k1: Double, b: Double): Long = {
+    val s = idf * (tf.toDouble * (k1 + 1.0)) /
+      (tf.toDouble + k1 * ((1.0 - b) + (b * dl.toDouble) / avgdl))
+    java.math.BigDecimal.valueOf(s * 1e6)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+  }
+
+  /** EXACT BM25 top-k via distributed block-max WAND ([[WandKernel]]) —
+    * same results as [[searchTopK]] (bit-identical scores, same
+    * (score desc, doc_id asc) tie-break), but the candidate space never
+    * materializes: the exact relational path's scoring join emits
+    * Σ_t qf(t)·df(t) rows before aggregating (the 100× pass's one local
+    * spill overflow), while this path shuffles the query-vocab postings
+    * ONCE (hash-partitioned by doc so every doc's terms are co-located),
+    * then each partition answers every query document-at-a-time with
+    * threshold pruning and forwards at most k rows per (partition,
+    * query) to the global top-k — P·nq·k rows total, df-independent.
+    *
+    * Scale shape: work parallelism is across doc partitions (each task
+    * runs all queries over its local docs, θ-pruned); the query batch is
+    * driver-collected and broadcast (capped at [[serveBatchCap]] —
+    * above it, falls back to the exact relational path, the correct
+    * trade once the query side is itself corpus-sized). doc ids must be
+    * castable to long (the DAAT cursors and the tie-break order compare
+    * longs). */
+  def searchTopKWand(docs: DataFrame, queries: DataFrame,
+      idCol: String, textCol: String, qIdCol: String, qTextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      blockSize: Int = 64): DataFrame = {
+    val stats = docLengths(docs, idCol, textCol)
+      .agg(count(lit(1)).cast("double").as("n_docs"), avg("dl").as("avgdl"))
+    // postings feeds the df aggregate AND the scoring scan (same reuse
+    // rationale as searchTopK's cache)
+    searchWandOverPostings(postings(docs, idCol, textCol).cache(), stats,
+      queries, qIdCol, qTextCol, k, k1, b)
+  }
+
+  /** [[searchTopKWand]] over a prebuilt postings/stats/df layout (the
+    * [[buildIndex]] serving shape). */
+  def searchWandOverPostings(post: DataFrame, stats: DataFrame,
+      queries: DataFrame, qIdCol: String, qTextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      prebuiltDf: Option[DataFrame] = None,
+      blockSize: Int = 64): DataFrame = {
+    val spark = post.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val qt = qtermsOf(queries, qIdCol, qTextCol)
+    val qtRows = qt.limit(serveBatchCap + 1).collect()
+    if (qtRows.length > serveBatchCap)
+      // a "batch" this large is corpus-shaped, not query-shaped: the
+      // relational join is the right plan there (documented fallback,
+      // same discipline as searchFromIndex's over-cap route)
+      return scoreQTerms(post, stats, qt, k, k1, b, prebuiltDf)
+
+    // one job for the corpus stats the contribution arithmetic needs
+    val statsRow = stats.collect()(0)
+    val avgdl = statsRow.getAs[Double]("avgdl")
+
+    // per-term idf over the query vocabulary, computed by the SAME Spark
+    // expressions as the exact path (collected, so the doubles entering
+    // contribFixed are bit-identical to what the relational plan feeds
+    // its scoring expression)
+    val vocab = qtRows.map(_.getString(1)).distinct.toSeq
+    import spark.implicits._
+    val qvocabDf = vocab.toDF("term")
+    val dfRel = prebuiltDf
+      .map(_.join(broadcast(qvocabDf), Seq("term"), "left_semi"))
+      .getOrElse(post.join(broadcast(qvocabDf), Seq("term"), "left_semi")
+        .groupBy("term").agg(count(lit(1)).cast("double").as("df")))
+    val idfMap: Map[String, Double] = dfRel.crossJoin(broadcast(stats))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .select("term", "idf").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+    // dense query index (the DAAT tasks and the local-top-k rows carry an
+    // int, not the caller's id type; the original ids join back at the
+    // end from a broadcast-small map)
+    val qidsBuf = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val qTermsBuf = scala.collection.mutable.ArrayBuffer.empty[scala.collection.mutable.ArrayBuffer[String]]
+    val qIdx = scala.collection.mutable.HashMap.empty[Any, Int]
+    qtRows.foreach { r =>
+      val id = r.get(0)
+      val i = qIdx.getOrElseUpdate(id, {
+        qidsBuf += id
+        qTermsBuf += scala.collection.mutable.ArrayBuffer.empty[String]
+        qidsBuf.length - 1
+      })
+      // only terms that exist in the corpus can contribute
+      if (idfMap.contains(r.getString(1))) qTermsBuf(i) += r.getString(1)
+    }
+    val qTerms: Array[Array[String]] = qTermsBuf.map(_.toArray).toArray
+    val bcTerms = spark.sparkContext.broadcast(qTerms)
+    val bcIdf = spark.sparkContext.broadcast(idfMap)
+    val bsz = blockSize
+
+    // query-vocab postings, ONE shuffle: co-locate each doc's postings,
+    // term-major doc-ascending within the partition so the per-term
+    // arrays build in a single streaming pass
+    val slim = post.join(broadcast(qvocabDf), Seq("term"), "left_semi")
+      .select(col("term"),
+        col("doc_id").cast("long").as("doc_id"),
+        col("tf").cast("long").as("tf"),
+        col("dl").cast("int").as("dl"))
+      .repartition(col("doc_id"))
+      .sortWithinPartitions("term", "doc_id")
+
+    val local = slim.mapPartitions { it =>
+      val idf = bcIdf.value
+      val lists = new java.util.HashMap[String, WandPostings]()
+      var curTerm: String = null
+      var curIdf = 0.0
+      val idsB = scala.collection.mutable.ArrayBuilder.make[Long]
+      val cbB = scala.collection.mutable.ArrayBuilder.make[Long]
+      def flush(): Unit = if (curTerm != null) {
+        lists.put(curTerm, WandPostings(idsB.result(), cbB.result(), bsz))
+        idsB.clear(); cbB.clear()
+      }
+      it.foreach { r =>
+        val t = r.getString(0)
+        if (t != curTerm) { flush(); curTerm = t; curIdf = idf(t) }
+        idsB += r.getLong(1)
+        cbB += contribFixed(curIdf, r.getLong(2), r.getInt(3), avgdl, k1, b)
+      }
+      flush()
+      val qts = bcTerms.value
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+      var qi = 0
+      while (qi < qts.length) {
+        val terms = qts(qi)
+        var present = 0
+        val pls = new Array[WandPostings](terms.length)
+        var ti = 0
+        while (ti < terms.length) {
+          val pl = lists.get(terms(ti))
+          if (pl != null) { pls(present) = pl; present += 1 }
+          ti += 1
+        }
+        if (present > 0) {
+          val q = qi // stable capture for the emit closure
+          WandKernel.run(java.util.Arrays.copyOf(pls, present), k,
+            (docId, sc) => out += ((q, docId, sc)))
+        }
+        qi += 1
+      }
+      out.iterator
+    }.toDF("qidx", "doc_id", "score_fixed")
+
+    // original query ids join back from a broadcast-small local relation
+    val qidField = qt.schema.head
+    val qidRows: java.util.List[Row] = java.util.Arrays.asList(
+      qidsBuf.zipWithIndex.map { case (v, i) => Row(i, v) }.toSeq: _*)
+    val qidDf = spark.createDataFrame(qidRows, StructType(Seq(
+      StructField("qidx", IntegerType, nullable = false),
+      StructField("query_id", qidField.dataType, qidField.nullable))))
+
+    local
+      .withColumn("rank", row_number().over(Window.partitionBy("qidx")
+        .orderBy(col("score_fixed").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+      .join(broadcast(qidDf), "qidx")
+      .select(col("query_id"), col("doc_id"), col("rank"),
+        (col("score_fixed") / lit(1e6)).as("score"))
+  }
+
   /** Persist the inverted index for repeated serving: postings bucketed
     * by `term` (the scoring join's key — co-located, exchange-free
     * reads), `(term, df)` document frequencies, and the one-row

@@ -49,14 +49,21 @@ final case class CoverTreeSearcher(metric: String = "l2",
     * relation) enter the result heap; the walk still navigates the full
     * tree and the triangle-inequality bound derives from the
     * allowed-only heap, so the result is EXACT over the allowed subset
-    * (see [[CoverTreeModel.knn]]). Over the driver bitmap cap it falls
-    * back to oversample+post-filter — the one approximate path. */
+    * (see [[CoverTreeModel.knn]]). Over the driver bitmap cap
+    * ([[HnswSearcher.allowedLocalCap]]) it falls back to
+    * `k·oversample`+post-filter — the one APPROXIMATE path; `strict`
+    * makes that crossover fail loudly instead, for callers whose
+    * contract is exactness (the `j12_covertree_filtered` hash gate —
+    * without it, crossing the cap at a future scale decade would
+    * surface as an opaque hash mismatch with nothing naming the cap). */
   def searchFiltered(artifact: IndexArtifact, queries: DataFrame, k: Int,
-      allowed: DataFrame): DataFrame =
-    searchImpl(artifact, queries, k, Some(allowed))
+      allowed: DataFrame, oversample: Int = 4,
+      strict: Boolean = false): DataFrame =
+    searchImpl(artifact, queries, k, Some(allowed), oversample, strict)
 
   private def searchImpl(artifact: IndexArtifact, queries: DataFrame, k: Int,
-      allowedOpt: Option[DataFrame]): DataFrame = {
+      allowedOpt: Option[DataFrame], oversample: Int = 4,
+      strict: Boolean = false): DataFrame = {
     val spark = artifact.data.sparkSession
     // the model built by CoverTreeIndexer.build rides along in
     // artifact.local — search does NOT touch the base relation again.
@@ -74,8 +81,14 @@ final case class CoverTreeSearcher(metric: String = "l2",
         val cap = HnswSearcher.allowedLocalCap
         val rows = al.select(col("id").cast("long")).limit(cap + 1).collect()
         if (rows.length > cap) {
+          if (strict) throw new IllegalStateException(
+            s"covertree filtered search: allowed set exceeds the exact " +
+              s"selector-walk cap (HnswSearcher.allowedLocalCap=$cap ids); " +
+              "the oversample+post-filter fallback is APPROXIMATE and this " +
+              "caller demanded exactness — raise graft.hnsw.allowedLocalCap " +
+              "or drop strict")
           val alIds = al.select(col("id").cast("long").as("id"))
-          val over = searchImpl(artifact, queries, k * 4, None)
+          val over = searchImpl(artifact, queries, k * math.max(1, oversample), None)
           return KnnJoin.topKExploded(
             over.join(alIds, Seq("id"), "left_semi")
               .select(col("qid"), col("id"), col("dist")),

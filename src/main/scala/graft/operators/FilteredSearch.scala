@@ -56,11 +56,24 @@ object FilteredSearch {
 
   /** Search `artifact` for the top-k allowed neighbors of each query.
     * `allowed`: one-column `id` relation (the predicate's satisfying
-    * set). `oversample` only applies to the post-filter fallback kinds
-    * (hnsw_global, covertree) — per-centroid hnsw uses the selector
-    * walk, which needs no oversampling. */
+    * set). `oversample` applies wherever a post-filter fallback can
+    * run: the generic `case _` searchers, AND the hnsw_global/covertree
+    * selector walks' internal over-cap fallback (threaded through since
+    * r12 — previously that fallback hardcoded 4×, silently ignoring a
+    * caller who sized oversample for a selective predicate whose
+    * allowed set exceeded the driver bitmap cap). Per-centroid hnsw
+    * needs no oversampling: its over-cap route is the distributed
+    * selector plan, not a post-filter.
+    *
+    * `strictSelector`: demand the selector walk — if the allowed set
+    * exceeds [[HnswSearcher.allowedLocalCap]] and the searcher would
+    * cross into the APPROXIMATE oversample fallback, fail loudly
+    * instead. Exactness-contracted callers (the `j12_covertree_filtered`
+    * hash gate) set this so a future scale decade surfaces the cap by
+    * name rather than as an opaque hash mismatch. */
   def search(searcher: Searcher, artifact: IndexArtifact, queries: DataFrame,
-      k: Int, allowed: DataFrame, oversample: Int = 4): DataFrame = {
+      k: Int, allowed: DataFrame, oversample: Int = 4,
+      strictSelector: Boolean = false): DataFrame = {
     if (preFilterKinds.contains(artifact.kind))
       searcher.search(restrict(artifact, allowed), queries, k)
     else searcher match {
@@ -75,11 +88,13 @@ object FilteredSearch {
       // covers auto-routed kind="hnsw" artifacts — delegates to the
       // per-centroid selector walk at the pinned routed_nprobe)
       case g: HnswGlobalSearcher =>
-        g.searchFiltered(artifact, queries, k, allowed)
+        g.searchFiltered(artifact, queries, k, allowed, oversample,
+          strictSelector)
       // cover tree: selector walk stays EXACT over the allowed subset
       // (pruning bound from the allowed-only heap only ever loosens)
       case c: CoverTreeSearcher if artifact.kind == "covertree" =>
-        c.searchFiltered(artifact, queries, k, allowed)
+        c.searchFiltered(artifact, queries, k, allowed, oversample,
+          strictSelector)
       case _ =>
         val al = allowed.select(col("id").cast("long").as("id"))
         val res = searcher.search(artifact, queries, k * math.max(1, oversample))

@@ -131,14 +131,18 @@ final case class HnswGlobalSearcher(efSearch: Int = 100, metric: String = "l2",
   /** Filtered variant: the walk traverses the FULL graph but only ids in
     * `allowed` (one-column `id` relation) enter the result heap — the
     * same IDSelector contract as [[HnswSearcher.searchFiltered]]. Falls
-    * back to oversample+post-filter only when the allowed set exceeds
-    * the driver bitmap cap ([[HnswSearcher.allowedLocalCap]]). */
+    * back to `k·oversample`+post-filter only when the allowed set
+    * exceeds the driver bitmap cap ([[HnswSearcher.allowedLocalCap]]);
+    * `strict` turns that crossover into a loud failure for callers
+    * whose contract excludes the approximate path. */
   def searchFiltered(artifact: IndexArtifact, queries: DataFrame, k: Int,
-      allowed: DataFrame): DataFrame =
-    searchImpl(artifact, queries, k, Some(allowed))
+      allowed: DataFrame, oversample: Int = 4,
+      strict: Boolean = false): DataFrame =
+    searchImpl(artifact, queries, k, Some(allowed), oversample, strict)
 
   private def searchImpl(artifact: IndexArtifact, queries: DataFrame, k: Int,
-      allowedOpt: Option[DataFrame]): DataFrame = {
+      allowedOpt: Option[DataFrame], oversample: Int = 4,
+      strict: Boolean = false): DataFrame = {
     // over-cap builds auto-route to the distributed per-centroid index
     // (HnswGlobalIndexer.build) — serve it with its own searcher at the
     // measured hnsw_dist operating point (probe 12 of the spill=2 groups)
@@ -152,6 +156,9 @@ final case class HnswGlobalSearcher(efSearch: Int = 100, metric: String = "l2",
       val delegated =
         HnswSearcher(nprobe = nprobe, efSearch = efSearch, metric = metric)
       return allowedOpt match {
+        // the per-centroid selector walk has no approximate fallback
+        // (over-cap allowed sets ride the distributed plan), so
+        // oversample/strict don't apply there
         case Some(al) => delegated.searchFiltered(artifact, queries, k, al)
         case None     => delegated.search(artifact, queries, k)
       }
@@ -174,8 +181,14 @@ final case class HnswGlobalSearcher(efSearch: Int = 100, metric: String = "l2",
         val cap = HnswSearcher.allowedLocalCap
         val rows = al.select(col("id").cast("long")).limit(cap + 1).collect()
         if (rows.length > cap) {
+          if (strict) throw new IllegalStateException(
+            s"hnsw_global filtered search: allowed set exceeds the " +
+              s"selector-walk cap (HnswSearcher.allowedLocalCap=$cap ids); " +
+              "the oversample+post-filter fallback trades recall for " +
+              "selectivity and this caller demanded the selector walk — " +
+              "raise graft.hnsw.allowedLocalCap or drop strict")
           val alIds = al.select(col("id").cast("long").as("id"))
-          val over = searchImpl(artifact, queries, k * 4, None)
+          val over = searchImpl(artifact, queries, k * math.max(1, oversample), None)
           return KnnJoin.topKExploded(
             over.join(alIds, Seq("id"), "left_semi")
               .select(col("qid"), col("id"), col("dist")),

@@ -465,4 +465,38 @@ class AnnSpec extends AnyFunSuite {
       rtop1.foreach { case (qid, id, d) => assert(qid == id && math.abs(d) < 1e-6) }
     } finally sys.props.remove("graft.hnsw.buildBytesCap")
   }
+
+  test("over-cap allowed set: strictSelector fails loudly; oversample reaches the fallback") {
+    val allowed = trainC.filter(col("id") % 3 =!= 0).select("id")
+    val q = trainC.filter(col("id") % 40 === 0)
+      .select(col("id").as("qid"), col("vector"))
+    val ctArt = CoverTreeIndexer("l2").build(trainC)
+    val hgArt = HnswGlobalIndexer(m = 8, efConstruction = 64, metric = "l2",
+      seed = 42).build(trainC)
+    // force the over-cap crossover with a 1-id cap
+    sys.props("graft.hnsw.allowedLocalCap") = "1"
+    try {
+      // strict: the exactness-contracted caller (the j12 gate's mode)
+      // gets a failure NAMING the cap, not an approximate result
+      val e1 = intercept[IllegalStateException] {
+        FilteredSearch.search(CoverTreeSearcher("l2"), ctArt, q, 5, allowed,
+          strictSelector = true).collect()
+      }
+      assert(e1.getMessage.contains("allowedLocalCap"))
+      val e2 = intercept[IllegalStateException] {
+        FilteredSearch.search(HnswGlobalSearcher(efSearch = 64, metric = "l2"),
+          hgArt, q, 5, allowed, strictSelector = true).collect()
+      }
+      assert(e2.getMessage.contains("allowedLocalCap"))
+      // non-strict: the caller's oversample reaches the fallback (r11
+      // ADVICE: it was silently pinned at 4×) — results stay well-formed
+      // (≤ k rows per query, only allowed ids)
+      val res = FilteredSearch.search(CoverTreeSearcher("l2"), ctArt, q, 5,
+          allowed, oversample = 8)
+        .select("qid", "rank", "id").as[(Long, Int, Long)].collect()
+      assert(res.nonEmpty)
+      assert(res.forall(_._3 % 3 != 0))
+      res.groupBy(_._1).values.foreach(rs => assert(rs.length <= 5))
+    } finally sys.props.remove("graft.hnsw.allowedLocalCap")
+  }
 }
