@@ -1006,6 +1006,21 @@ object SparkEntry {
         .groupBy("media_id").agg(count(lit(1)).as("n_frames_sampled"))
       feats.join(frames, "media_id")
     }),
+    // --- REAL image decode (r12, closing the codec-stub boundary):
+    //     deterministic PNGs (id-derived dims + per-pixel channel
+    //     formulas) are encoded executor-side with javax.imageio, then
+    //     decodeImageStats decodes the actual bytes back and emits exact
+    //     per-channel pixel sums. The oracle recomputes every raster
+    //     statistic analytically — a hash mismatch means the codec
+    //     round-trip corrupted real bytes. Integer-only output ---
+    "mm_decode" -> ((s, dir) => {
+      val media = Multimodal.syntheticImages(
+        Tables.load(s, dir, "documents"), "doc_id")
+      Multimodal.decodeImageStats(media)
+        .filter(col("decoded"))
+        .select(col("media_id"), col("width"), col("height"),
+          col("channels"), col("sum_r"), col("sum_g"), col("sum_b"))
+    }),
   )
 
   /** ANN pipeline smoke+quality query: run algorithm vs exact GT on the
@@ -5891,6 +5906,22 @@ HAVING round(avg(recall), 4) >= 0.50""").mkString("\n"),
       """SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
         |  ((octet_length(encode(text)) + 63) // 64 + 1) // 2 AS n_frames_sampled
         |FROM documents""".stripMargin,
+    // real-decode replay: every raster statistic of the synthetic PNGs is
+    // analytic in doc_id — the Spark side must round-trip ACTUAL bytes
+    // through javax.imageio to reproduce these sums
+    "mm_decode" ->
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 13 AS w, 8 + doc_id % 7 AS h
+        |           FROM documents),
+        |dx AS (SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM d),
+        |px AS (SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM dx),
+        |s AS (SELECT doc_id, w, h,
+        |        sum((doc_id + x) % 256)::BIGINT AS sum_r,
+        |        sum((7 * doc_id + y) % 256)::BIGINT AS sum_g,
+        |        sum((13 * doc_id + x + y) % 256)::BIGINT AS sum_b
+        |      FROM px GROUP BY doc_id, w, h)
+        |SELECT doc_id AS media_id, w::INT AS width, h::INT AS height,
+        |       3 AS channels, sum_r, sum_g, sum_b
+        |FROM s""".stripMargin,
     // Decontamination: the same tokenizer + 1-based 5-gram window as
     // Dedup.shingles (distinct per doc), then the inverted-index join
     // replayed as a plain gram equi-join with distinct counts

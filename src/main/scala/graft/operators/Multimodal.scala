@@ -10,12 +10,15 @@ import org.apache.spark.sql.types._
   * transforms.
   *
   * The Spark-side plumbing — schema, batching, partition-parallel UDF
-  * shape, deterministic outputs — is real and tested. The actual codec
-  * call is STUBBED (no image/audio libraries in this environment) behind
-  * [[MediaCodecStub]]: a deterministic fake that derives "features" from
-  * the bytes. Swapping in a real decoder is a one-function change with
-  * the same `Iterator[Row] => Iterator[Row]` contract (the Scala analog
-  * of a pandas-batch UDF).
+  * shape, deterministic outputs — is real and tested. Since r12 the
+  * IMAGE decode is real too: [[MediaCodec]] wires `javax.imageio`
+  * (PNG/JPEG/BMP/GIF — JDK built-ins, zero new dependencies) behind the
+  * same boundary, with [[MediaCodecStub]] (a deterministic byte-moment
+  * fake) kept as the fallback for payloads no installed reader
+  * recognizes — audio/video stay stubbed (no codecs in the JDK).
+  * Swapping in further decoders remains a one-function change with the
+  * same `Iterator[Row] => Iterator[Row]` contract (the Scala analog of
+  * a pandas-batch UDF).
   */
 object Multimodal {
 
@@ -45,7 +48,10 @@ object Multimodal {
 
   /** Batched per-partition feature extraction: binary payload →
     * fixed-width float feature vector. Output schema:
-    * (media_id, kind, n_bytes, features array<float>). */
+    * (media_id, kind, n_bytes, features array<float>). Payloads a JDK
+    * image reader recognizes get REAL raster features
+    * ([[MediaCodec.decodeAndFeaturize]]); everything else falls back to
+    * the deterministic byte-moment stub. */
   def extractFeatures(media: DataFrame): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
@@ -60,8 +66,77 @@ object Multimodal {
         // batch shape: decode amortized per-partition, like mapInPandas
         rows.map { r =>
           val bytes = r.getAs[Array[Byte]]("payload")
-          val feats = MediaCodecStub.decodeAndFeaturize(bytes, featureDim)
+          val feats = MediaCodec.decodeAndFeaturize(bytes, featureDim)
           Row(r.getLong(0), r.getString(1), bytes.length.toLong, feats)
+        }
+      }(enc)
+  }
+
+  /** Real image decode, relationally: payload → (media_id, decoded,
+    * width, height, channels, sum_r, sum_g, sum_b). Channel SUMS (exact
+    * longs over the decoded raster), not means — integer outputs hash
+    * identically across engines, the project-wide oracle discipline.
+    * Undecodable payloads survive as `decoded = false` zero rows rather
+    * than failing the task (mixed corpora always carry junk bytes). */
+  def decodeImageStats(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("decoded", BooleanType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("channels", IntegerType, nullable = false),
+      StructField("sum_r", LongType, nullable = false),
+      StructField("sum_g", LongType, nullable = false),
+      StructField("sum_b", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    media.select("media_id", "payload")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          MediaCodec.decode(r.getAs[Array[Byte]]("payload")) match {
+            case Some(img) =>
+              val (sr, sg, sb) = MediaCodec.channelSums(img)
+              Row(id, true, img.getWidth, img.getHeight,
+                img.getColorModel.getNumColorComponents, sr, sg, sb)
+            case None => Row(id, false, 0, 0, 0, 0L, 0L, 0L)
+          }
+        }
+      }(enc)
+  }
+
+  /** Deterministic PNG fixture generator: one real PNG per id with
+    * id-derived dimensions (w = 8 + id%13, h = 8 + id%7) and per-pixel
+    * channels r=(id+x)%256, g=(7·id+y)%256, b=(13·id+x+y)%256 — every
+    * raster statistic is analytically computable, so a DuckDB oracle
+    * can hash-check REAL decoded bytes (the `mm_decode` gate). Encoding
+    * runs executor-side per partition; real pipelines land bytes from
+    * object storage instead. */
+  def syntheticImages(ids: DataFrame, idCol: String): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(mediaSchema)
+    ids.select(col(idCol).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val w = (8 + id % 13).toInt
+          val h = (8 + id % 7).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val cr = ((id + x) % 256).toInt
+              val cg = ((7 * id + y) % 256).toInt
+              val cb = ((13 * id + x + y) % 256).toInt
+              img.setRGB(x, y, (cr << 16) | (cg << 8) | cb)
+              x += 1
+            }
+            y += 1
+          }
+          val bytes = MediaCodec.encodePng(img)
+          Row(id, "image", bytes, Row(bytes.length.toLong, "image/png"))
         }
       }(enc)
   }
@@ -122,10 +197,78 @@ object Multimodal {
   }
 }
 
-/** STUB decoder — deterministic fake standing in for an image/audio codec
-  * (??? in the design sense: the real implementation plugs in here).
-  * Features are byte-histogram moments so tests get stable, meaningful
-  * values with zero native dependencies. */
+/** REAL image codec over `javax.imageio` (JDK built-in readers: PNG,
+  * JPEG, BMP, GIF — zero new dependencies; reference anchor: the decode
+  * step a mapInPandas image pipeline would run per batch). Decode is
+  * null-safe and exception-safe — any unrecognized or corrupt payload
+  * routes to the [[MediaCodecStub]] fallback (features) or a
+  * decoded=false row ([[Multimodal.decodeImageStats]]), never a task
+  * failure. */
+object MediaCodec {
+
+  /** ImageIO.read, total: None on null/empty/unrecognized/corrupt bytes */
+  def decode(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (payload == null || payload.isEmpty) None
+    else
+      try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload)))
+      catch { case _: Exception => None }
+
+  /** lossless PNG encode (fixtures + resize round-trips) */
+  def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** exact per-channel pixel sums over the sRGB raster (longs — the
+    * integer-output oracle discipline; getRGB normalizes every color
+    * model to 8-bit sRGB, so the sums are codec-independent) */
+  def channelSums(img: java.awt.image.BufferedImage): (Long, Long, Long) = {
+    val w = img.getWidth; val h = img.getHeight
+    var sr = 0L; var sg = 0L; var sb = 0L
+    val row = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w)
+      var x = 0
+      while (x < w) {
+        val p = row(x)
+        sr += (p >>> 16) & 0xFF; sg += (p >>> 8) & 0xFF; sb += p & 0xFF
+        x += 1
+      }
+      y += 1
+    }
+    (sr, sg, sb)
+  }
+
+  /** Real decode when a reader recognizes the payload — features are
+    * raster statistics (dims, aspect, per-channel means, luma) scaled
+    * to the stub's [0, ~1] range; otherwise the stub's byte moments.
+    * Deterministic either way. */
+  def decodeAndFeaturize(payload: Array[Byte], dim: Int): Array[Float] =
+    decode(payload) match {
+      case Some(img) =>
+        val w = img.getWidth; val h = img.getHeight
+        val n = w.toLong * h
+        val (sr, sg, sb) = channelSums(img)
+        val mr = sr.toFloat / n / 255f
+        val mg = sg.toFloat / n / 255f
+        val mb = sb.toFloat / n / 255f
+        val full = Array[Float](
+          w / 4096f, h / 4096f, w.toFloat / h, mr, mg, mb,
+          0.299f * mr + 0.587f * mg + 0.114f * mb,
+          img.getColorModel.getNumColorComponents / 4f)
+        java.util.Arrays.copyOf(full, dim)
+      case None => MediaCodecStub.decodeAndFeaturize(payload, dim)
+    }
+}
+
+/** STUB decoder — deterministic fake standing in for the audio/video
+  * codecs this environment lacks, and the fallback when no JDK image
+  * reader recognizes a payload (real image decode lives in
+  * [[MediaCodec]]). Features are byte-histogram moments so tests get
+  * stable, meaningful values with zero native dependencies. */
 object MediaCodecStub {
 
   /** nearest-neighbor byte resample to exactly `target` bytes — the

@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{MediaCodec, MediaCodecStub, Multimodal}
+
+/** Real javax.imageio decode behind the media-column plumbing (r12):
+  * lossless PNG round-trips, analytic channel sums, and the stub
+  * fallback contract for unrecognizable payloads. */
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private def png(w: Int, h: Int)(rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+    MediaCodec.encodePng(img)
+  }
+
+  test("PNG round-trip is lossless: dims and channel sums exact") {
+    val bytes = png(5, 3)((x, y) => (x << 16) | (y << 8) | ((x + y) & 0xFF))
+    val img = MediaCodec.decode(bytes).get
+    assert(img.getWidth == 5 && img.getHeight == 3)
+    val (sr, sg, sb) = MediaCodec.channelSums(img)
+    // Σx over 5×3 = 3·(0+1+2+3+4) = 30; Σy = 5·(0+1+2) = 15; Σ(x+y) = 45
+    assert((sr, sg, sb) == ((30L, 15L, 45L)))
+  }
+
+  test("decode is total: null, empty, garbage, truncated PNG → None") {
+    assert(MediaCodec.decode(null).isEmpty)
+    assert(MediaCodec.decode(Array.emptyByteArray).isEmpty)
+    assert(MediaCodec.decode("not an image at all".getBytes).isEmpty)
+    assert(MediaCodec.decode(png(4, 4)((_, _) => 0).take(20)).isEmpty)
+  }
+
+  test("decodeAndFeaturize: real raster features for images, stub moments otherwise") {
+    // solid mid-gray 8×4 → channel means exactly 128/255
+    val bytes = png(8, 4)((_, _) => 0x808080)
+    val f = MediaCodec.decodeAndFeaturize(bytes, Multimodal.featureDim)
+    assert(f.length == Multimodal.featureDim)
+    assert(math.abs(f(2) - 2.0f) < 1e-6, "aspect w/h = 2")
+    assert(math.abs(f(3) - 128f / 255f) < 1e-6)
+    assert(math.abs(f(4) - 128f / 255f) < 1e-6)
+    assert(math.abs(f(5) - 128f / 255f) < 1e-6)
+    // non-image payload routes to the stub byte moments — bit-identical
+    val junk = "plain text payload".getBytes
+    assert(MediaCodec.decodeAndFeaturize(junk, 8).toSeq ==
+      MediaCodecStub.decodeAndFeaturize(junk, 8).toSeq)
+  }
+
+  test("decodeImageStats: synthetic PNGs match the analytic formulas; junk rows survive") {
+    val ids = Seq(0L, 1L, 17L, 254L, 255L, 256L, 1000L).toDF("doc_id")
+    val media = Multimodal.syntheticImages(ids, "doc_id")
+    val stats = Multimodal.decodeImageStats(media)
+      .select("media_id", "decoded", "width", "height", "channels",
+        "sum_r", "sum_g", "sum_b")
+      .as[(Long, Boolean, Int, Int, Int, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(stats.size == 7 && stats.values.forall(_._2))
+    stats.values.foreach { case (id, _, w, h, ch, sr, sg, sb) =>
+      assert(w == (8 + id % 13).toInt && h == (8 + id % 7).toInt && ch == 3)
+      var er = 0L; var eg = 0L; var eb = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        er += (id + x) % 256; eg += (7 * id + y) % 256
+        eb += (13 * id + x + y) % 256
+      }
+      assert((sr, sg, sb) == ((er, eg, eb)), s"channel sums for id=$id")
+    }
+    // an undecodable payload yields a decoded=false zero row, not a crash
+    val junk = Multimodal.fromDocuments(
+      Seq((9L, "not an image")).toDF("id", "t"), "id", "t")
+    val row = Multimodal.decodeImageStats(junk)
+      .select("media_id", "decoded", "width")
+      .as[(Long, Boolean, Int)].collect()
+    assert(row.toSeq == Seq((9L, false, 0)))
+  }
+}
