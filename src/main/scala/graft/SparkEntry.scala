@@ -847,6 +847,66 @@ object SparkEntry {
           k = 10, metric = "cosine")
         .select(col("qid"), col("rank"), col("id"))
     }),
+    // --- 100×-reach twins of the exact-kNN family (r12): the j1-shape
+    //     oracles are O(nq·n) interpreted list ops in DuckDB — beyond
+    //     10× they exceed the scaled passes' oracle budget, leaving the
+    //     family rows-only at 100×. Exact kNN over a subcorpus is a pure
+    //     function of the subcorpus (restriction-closed), so BOTH
+    //     engines run on the SAME induced S = {vec_id % 11 == 0} — the
+    //     dedup_*_sampled pattern — and the family keeps hash-tier value
+    //     checks at 100× (S ~18k base × ~360 queries there). The Spark
+    //     side exercises the identical operators as the full gates. ---
+    "j1_knn_sampled" -> ((s, dir) => {
+      val sub = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") % 11 === 0)
+      KnnJoin.knnJoin(
+          sub.filter(col("vec_id") % 20 === 0)
+            .select(col("vec_id").as("qid"), col("embedding").as("vector")),
+          sub.select(col("vec_id").as("id"), col("embedding").as("vector")),
+          k = 10, metric = "l2")
+        .select(col("qid"), col("rank"), col("id"))
+    }),
+    "mine_hard_negatives_sampled" -> ((s, dir) => {
+      val sub = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") % 11 === 0)
+      graft.operators.Mining.hardNegatives(
+          sub.filter(col("vec_id") % 20 === 0)
+            .select(col("vec_id").as("qid"), col("embedding").as("vector"),
+              col("label")),
+          sub.select(col("vec_id").as("id"), col("embedding").as("vector"),
+            col("label")),
+          k = 10, metric = "cosine")
+        .select(col("qid"), col("rank"), col("id"))
+    }),
+    "a1_a6_metrics_sampled" -> ((s, dir) => {
+      val sub = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") % 11 === 0)
+      val q = sub.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("vector"))
+      val b = sub.select(col("vec_id").as("id"), col("embedding").as("vector"))
+      import graft.functions.VectorFunctions.{ip_dist, l2_dist}
+      import graft.operators.TopKByDist.topK
+      val qq = q.select(col("qid"), col("vector").as("__qvec"))
+      val bb = b.select(col("id").as("__bid"), col("vector").as("__bvec"))
+      val both = bb.crossJoin(broadcast(qq))
+        .select(col("qid"), col("__bid"),
+          l2_dist(col("__qvec"), col("__bvec")).as("__dl2"),
+          ip_dist(col("__qvec"), col("__bvec")).as("__dip"))
+        .groupBy("qid")
+        .agg(topK(col("__bid"), col("__dl2"), 10).as("nn_gt"),
+          topK(col("__bid"), col("__dip"), 10).as("nn_pred"))
+        .select(col("qid"),
+          transform(col("nn_gt"), x => x("id")).as("gt"),
+          transform(col("nn_pred"), x => x("id")).as("pred"))
+      both.select(
+        col("qid"),
+        Metrics.recallAtK(col("pred"), col("gt"), 10).as("recall_10"),
+        Metrics.precisionAtK(col("pred"), col("gt"), 10).as("precision_10"),
+        round(Metrics.apAtK(col("pred"), col("gt"), 10), 6).as("ap_10"),
+        round(Metrics.ndcgAtK(col("pred"), col("gt"), 10), 6).as("ndcg_10"),
+        Metrics.hitAtK(col("pred"), col("gt"), 10).as("hit_10"),
+        Metrics.rrAtK(col("pred"), col("gt"), 10).as("rr_10"))
+    }),
     // --- coreset / diversity selection: greedy k-center (Gonzalez 1985 /
     //     Sener & Savarese 2018) over the embeddings — k shuffle-free
     //     corpus passes with an incrementally-min'd distance column +
@@ -1210,7 +1270,30 @@ object SparkEntry {
       sql.substring(second + marker.length)
   }
 
+  /** Derive a 100×-reach sampled twin of an embeddings cross-join
+    * oracle: restrict BOTH the query CTE and the base CTE to the
+    * induced subcorpus {vec_id % 11 == 0}. Marked rewrites (same
+    * discipline as [[filteredIvfOracle]]) — every distance/ranking
+    * clause stays byte-identical to the full oracle's. */
+  private def sampledEmbOracle(sql: String): String = {
+    val qMark = "FROM embeddings WHERE vec_id % 50 = 0"
+    val bMark = "FROM embeddings)"
+    require(sql.contains(qMark) && sql.contains(bMark),
+      "oracle lost its sampled-twin substitution markers")
+    // queries densify to %20 within the sample (the full gates' %50
+    // would leave ONE query at sf0.01's 500-row table); at 100× this is
+    // ~909 queries × ~18k base ≈ 16.5M oracle pair distances — inside
+    // the 600 s budget where the full replay's 800M is not
+    sql.replace(qMark,
+        "FROM embeddings WHERE vec_id % 20 = 0 AND vec_id % 11 = 0")
+      .replace(bMark, "FROM embeddings WHERE vec_id % 11 = 0)")
+  }
+
   def oracleSql: Map[String, String] = oracleSqlBase ++ Map(
+    "j1_knn_sampled" -> sampledEmbOracle(oracleSqlBase("j1_knn_l2")),
+    "mine_hard_negatives_sampled" ->
+      sampledEmbOracle(oracleSqlBase("mine_hard_negatives")),
+    "a1_a6_metrics_sampled" -> sampledEmbOracle(oracleSqlBase("a1_a6_metrics")),
     "hybrid_rrf_weighted" -> weightedRrfOracle(oracleSqlBase("hybrid_rrf")),
     "j10_ivf_sq8_filtered" ->
       filteredIvfOracle(oracleSqlBase("j10_ivf_sq8"), "ivf_sq8", "0.75", "0.75"),
