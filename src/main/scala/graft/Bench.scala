@@ -171,7 +171,9 @@ object Bench {
     // "pt" = raw A/B pass totals (full per-query A/B in the on-disk
     // artifact; README documents the key) — every byte on this line
     // counts against the driver's ~2 KB stdout tail window
-    val notes = s""""gate_reps":$gateReps,"pt":$passTotals,"notes":"gate=min of $gateReps; serve excl fixture build; adaptive serve warmup (r10)""""
+    // r12: note trimmed — 77 gates × ~23 B of per-query entries leave
+    // less headroom in the ~2 KB tail window than r11's 71 did
+    val notes = s""""gate_reps":$gateReps,"pt":$passTotals,"notes":"gate=min of $gateReps; serve excl fixtures""""
     val artifact =
       s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec",$notes,"queries":$qs,"baseline":$baselineCompact,"sf":"$sfShort"}"""
     val artifactFull =

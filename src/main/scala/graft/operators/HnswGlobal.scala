@@ -58,14 +58,17 @@ final case class HnswGlobalIndexer(
       val art = HnswIndexer(nPartitions = nPart, m = m,
         efConstruction = math.min(efConstruction, 100), metric = metric,
         seed = seed, spill = 2, spillEps = 0.15).build(base)
-      // pin the delegated searcher's probe count AT ROUTING TIME: the
-      // hnsw_dist operating point (nprobe=12) was tuned at 16 groups
-      // (probe fraction 3/4 under the spill=2 closure); at hundreds of
-      // auto-routed groups a fixed 12 would silently collapse recall far
-      // below the hnsw_global contract the caller asked for. Scale the
-      // fraction, floored at the tuned point.
+      // pin the delegated searcher's probe count AT ROUTING TIME: a
+      // fixed nprobe=12 (the 16-group hnsw_dist tuning) would silently
+      // collapse recall at hundreds of auto-routed groups, so the
+      // FRACTION scales with the group count. 1/2 is the swept
+      // saturation knee (dev/RoutedNprobeSweep, 256 and 1024 groups on
+      // the clustered overlap-0.7 stand-in: recall@10 0.9935/0.9970 at
+      // 1/2 vs 0.9950/0.9985 at full probe — 3/4 buys ≤0.0015 more at
+      // 1.5× the cost; the curve is group-count-invariant-or-better as
+      // groups grow), floored at the tuned 16-group point.
       return art.copy(meta = art.meta +
-        ("routed_nprobe" -> math.max(12, nPart * 3 / 4).toString))
+        ("routed_nprobe" -> math.max(12, nPart / 2).toString))
     }
     val rows = base.select(col("id").cast("long"), col("vector"))
       .orderBy("id").collect()
@@ -148,11 +151,12 @@ final case class HnswGlobalSearcher(efSearch: Int = 100, metric: String = "l2",
     // measured hnsw_dist operating point (probe 12 of the spill=2 groups)
     if (artifact.kind == "hnsw") {
       // probe count pinned at build-routing time (scaled with the routed
-      // partition count); `max(12, 3/4·nPart)` fallback covers artifacts
-      // from stores written before the meta key existed
+      // partition count); the `max(12, nPart/2)` fallback (the swept
+      // fraction — dev/RoutedNprobeSweep) covers artifacts from stores
+      // written before the meta key existed
       val nprobe = artifact.meta.get("routed_nprobe").map(_.toInt)
         .getOrElse(math.max(12,
-          artifact.meta.get("n_partitions").map(_.toInt).getOrElse(16) * 3 / 4))
+          artifact.meta.get("n_partitions").map(_.toInt).getOrElse(16) / 2))
       val delegated =
         HnswSearcher(nprobe = nprobe, efSearch = efSearch, metric = metric)
       return allowedOpt match {

@@ -466,6 +466,34 @@ class AnnSpec extends AnyFunSuite {
     } finally sys.props.remove("graft.hnsw.buildBytesCap")
   }
 
+  test("routed probe fraction nPart/2 holds the recall floor at 256 groups") {
+    // the swept operating point (dev/RoutedNprobeSweep: saturation knee
+    // at 1/2 on 256 AND 1024 groups at 500k rows) re-asserted at suite
+    // scale: the auto-route's exact build shape (spill=2 closure), 256
+    // groups, served at nprobe = max(12, nPart/2) — must clear the
+    // hnsw_global contract floor with margin
+    val nPart = 256
+    val tr = RandomDataset.clusteredVectors(spark, 40000, 16, 64,
+      sigma = 1.1, seed = 42, centerSeed = 7).cache()
+    val q = RandomDataset.clusteredVectors(spark, 40, 16, 64,
+      sigma = 1.1, seed = 43, centerSeed = 7)
+      .withColumnRenamed("id", "qid")
+    val gtQ = KnnJoin.knnJoinAgg(q, tr, 10, "l2")
+      .select(col("qid"), transform(col("nn"), x => x("id")).as("gt_ids"))
+    val art = HnswIndexer(nPartitions = nPart, m = 8, efConstruction = 64,
+      metric = "l2", seed = 42, spill = 2, spillEps = 0.15).build(tr)
+    val res = HnswSearcher(nprobe = math.max(12, nPart / 2), efSearch = 64,
+      metric = "l2").search(art, q, 10)
+    val pred = res.groupBy("qid")
+      .agg(TopKByDist.topK(col("id"), col("dist"), 10).as("nn"))
+      .select(col("qid"), transform(col("nn"), x => x("id")).as("pred"))
+    val recall = pred.join(gtQ, "qid")
+      .select(avg(Metrics.recallAtK(col("pred"), col("gt_ids"), 10)))
+      .as[Double].head()
+    assert(recall >= 0.85, f"routed nPart/2 recall $recall%.4f < 0.85 floor at 256 groups")
+    tr.unpersist()
+  }
+
   test("over-cap allowed set: strictSelector fails loudly; oversample reaches the fallback") {
     val allowed = trainC.filter(col("id") % 3 =!= 0).select("id")
     val q = trainC.filter(col("id") % 40 === 0)
