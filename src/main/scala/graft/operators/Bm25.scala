@@ -223,10 +223,11 @@ object Bm25 {
     * Scale shape: work parallelism is across doc partitions (each task
     * runs all queries over its local docs, θ-pruned); the query batch is
     * driver-collected and broadcast (capped at [[serveBatchCap]] —
-    * above it, falls back to the exact relational path, the correct
-    * trade once the query side is itself corpus-sized). doc ids must be
-    * castable to long (the DAAT cursors and the tie-break order compare
-    * longs). */
+    * above it, the batch is CHUNKED query-disjoint and each chunk runs
+    * WAND, an exact union; only a single degenerate corpus-shaped
+    * "query" wider than the cap itself routes to the relational join).
+    * doc ids must be castable to long (the DAAT cursors and the
+    * tie-break order compare longs). */
   def searchTopKWand(docs: DataFrame, queries: DataFrame,
       idCol: String, textCol: String, qIdCol: String, qTextCol: String,
       k: Int, k1: Double = 1.2, b: Double = 0.75,
@@ -251,11 +252,35 @@ object Bm25 {
     import org.apache.spark.sql.types._
     val qt = qtermsOf(queries, qIdCol, qTextCol)
     val qtRows = qt.limit(serveBatchCap + 1).collect()
-    if (qtRows.length > serveBatchCap)
-      // a "batch" this large is corpus-shaped, not query-shaped: the
-      // relational join is the right plan there (documented fallback,
-      // same discipline as searchFromIndex's over-cap route)
-      return scoreQTerms(post, stats, qt, k, k1, b, prebuiltDf)
+    if (qtRows.length > serveBatchCap) {
+      // Over-cap query batch: CHUNK it, never fall back to the
+      // relational scoring join. WAND is per-query independent, so a
+      // query-disjoint split unions to the exact same result, each
+      // chunk's driver footprint stays under the cap, and the df/idf
+      // values are unchanged (they are per-term corpus statistics —
+      // the chunk only narrows WHICH terms are looked up). The 100×
+      // pass caught the original fallback re-materializing the exact
+      // path's Σ qf·df candidates and overflowing local disk — the
+      // precise failure WAND exists to remove (found r12).
+      val nQueries = queries.select(col(qIdCol)).distinct()
+        .limit(serveBatchCap + 1).count()
+      if (nQueries <= 1)
+        // a SINGLE query wider than the cap cannot chunk further —
+        // corpus-shaped "query" text; the relational join is the
+        // honest plan for that degenerate shape
+        return scoreQTerms(post, stats, qt, k, k1, b, prebuiltDf)
+      val qtCount = qt.count()
+      // fan-out bounded per level (a 1000-chunk flat union nests the
+      // plan past analyzer stack depth); a still-over-cap chunk simply
+      // re-chunks on re-entry, so coverage is unchanged at log depth
+      val nChunks = math.min(32L, math.max(2L,
+        (qtCount + serveBatchCap - 1) / serveBatchCap)).toInt
+      return (0 until nChunks).map { i =>
+        searchWandOverPostings(post, stats,
+          queries.filter(pmod(hash(col(qIdCol)), lit(nChunks)) === i),
+          qIdCol, qTextCol, k, k1, b, prebuiltDf, blockSize)
+      }.reduce(_ unionByName _)
+    }
 
     // one job for the corpus stats the contribution arithmetic needs
     val statsRow = stats.collect()(0)

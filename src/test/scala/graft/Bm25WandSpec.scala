@@ -84,16 +84,30 @@ class Bm25WandSpec extends AnyFunSuite {
       blockSize = 64) == e)
   }
 
-  test("over-cap query batch falls back to the exact relational plan") {
-    val corpus = Seq((1L, "a b c"), (2L, "b c d"), (3L, "c d e"))
-      .toDF("id", "text")
-    val queries = Seq((10L, "b c"), (20L, "d e")).toDF("qid", "qtext")
+  test("over-cap query batch chunks query-disjoint: exact union, never the relational join") {
+    // the 100× pass caught the original over-cap fallback silently
+    // re-materializing the relational Σ qf·df candidates (the precise
+    // spill blow-up WAND exists to remove) — over-cap batches must now
+    // CHUNK and union, bit-identical to the uncapped run
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .selectExpr("doc_id as id", "text")
+    val queries = docs.filter($"id" % 23 === 0)
+      .selectExpr("id as qid", "substring(text, 1, 200) as qtext")
     val key = "graft.bm25.serveBatchCap"
     val old = sys.props.get(key)
+    val uncapped = wand(docs, queries, k = 5, blockSize = 64)
     try {
-      sys.props(key) = "1" // 4 (qid, term) rows > 1 → relational fallback
-      assert(wand(corpus, queries, k = 2, blockSize = 64) ==
-        exact(corpus, queries, k = 2))
+      sys.props(key) = "200" // ~22 queries × ~30 terms → ~4 chunks
+      assert(wand(docs, queries, k = 5, blockSize = 64) == uncapped)
+      // a SINGLE query wider than the cap is the one degenerate shape
+      // that still routes relationally — results must stay exact
+      val wide = Seq((99L, (0 until 60).map(i => s"tok$i").mkString(" ")))
+        .toDF("qid", "qtext")
+      val corpus = Seq((1L, "tok1 tok2 tok3"), (2L, "tok4 tok5"),
+        (3L, "tok1 tok59")).toDF("id", "text")
+      sys.props(key) = "10"
+      assert(wand(corpus, wide, k = 2, blockSize = 64) ==
+        exact(corpus, wide, k = 2))
     } finally old match {
       case Some(v) => sys.props(key) = v
       case None => sys.props -= key

