@@ -1081,6 +1081,21 @@ object SparkEntry {
         .select(col("media_id"), col("width"), col("height"),
           col("channels"), col("sum_r"), col("sum_g"), col("sum_b"))
     }),
+    // --- REAL audio decode (r12, the WAV analog of mm_decode):
+    //     deterministic 16-bit PCM WAVs (id-derived frames/channels/rate
+    //     + per-sample formula) are encoded executor-side with
+    //     javax.sound.sampled, then decodeAudioStats decodes the actual
+    //     RIFF bytes back and emits exact per-channel sample sums. The
+    //     oracle recomputes every statistic analytically — a hash
+    //     mismatch means the codec round-trip corrupted real bytes ---
+    "mm_audio" -> ((s, dir) => {
+      val media = Multimodal.syntheticWavs(
+        Tables.load(s, dir, "documents"), "doc_id")
+      Multimodal.decodeAudioStats(media)
+        .filter(col("decoded"))
+        .select(col("media_id"), col("sample_rate"), col("channels"),
+          col("n_frames"), col("sum_ch0"), col("sum_ch1"))
+    }),
   )
 
   /** ANN pipeline smoke+quality query: run algorithm vs exact GT on the
@@ -6004,6 +6019,27 @@ HAVING round(avg(recall), 4) >= 0.50""").mkString("\n"),
         |      FROM px GROUP BY doc_id, w, h)
         |SELECT doc_id AS media_id, w::INT AS width, h::INT AS height,
         |       3 AS channels, sum_r, sum_g, sum_b
+        |FROM s""".stripMargin,
+    // real-audio-decode replay: every decoded 16-bit sample of the
+    // synthetic WAVs is analytic in (doc_id, frame, channel) — the Spark
+    // side must round-trip ACTUAL RIFF bytes through javax.sound.sampled
+    // to reproduce these sums
+    "mm_audio" ->
+      """WITH d AS (SELECT doc_id, 64 + doc_id % 41 AS nf,
+        |                  1 + doc_id % 2 AS ch,
+        |                  8000 * (1 + doc_id % 3) AS sr
+        |           FROM documents),
+        |fr AS (SELECT doc_id, nf, ch, sr,
+        |              unnest(generate_series(0, nf - 1)) AS i FROM d),
+        |s AS (SELECT doc_id, nf, ch, sr,
+        |        sum((31 * doc_id + 7 * i) % 65536 - 32768)::BIGINT AS sum_ch0,
+        |        sum(CASE WHEN ch = 2
+        |            THEN (31 * doc_id + 7 * i + 13) % 65536 - 32768
+        |            ELSE 0 END)::BIGINT AS sum_ch1
+        |      FROM fr GROUP BY doc_id, nf, ch, sr)
+        |SELECT doc_id AS media_id, sr::INT AS sample_rate,
+        |       ch::INT AS channels, nf::BIGINT AS n_frames,
+        |       sum_ch0, sum_ch1
         |FROM s""".stripMargin,
     // Decontamination: the same tokenizer + 1-based 5-gram window as
     // Dedup.shingles (distinct per doc), then the inverted-index join

@@ -13,12 +13,14 @@ import org.apache.spark.sql.types._
   * shape, deterministic outputs — is real and tested. Since r12 the
   * IMAGE decode is real too: [[MediaCodec]] wires `javax.imageio`
   * (PNG/JPEG/BMP/GIF — JDK built-ins, zero new dependencies) behind the
-  * same boundary, with [[MediaCodecStub]] (a deterministic byte-moment
-  * fake) kept as the fallback for payloads no installed reader
-  * recognizes — audio/video stay stubbed (no codecs in the JDK).
-  * Swapping in further decoders remains a one-function change with the
-  * same `Iterator[Row] => Iterator[Row]` contract (the Scala analog of
-  * a pandas-batch UDF).
+  * same boundary, and AUDIO decode is real for the JDK's built-in
+  * containers (`javax.sound.sampled`: WAV/AIFF/AU 16-bit PCM —
+  * [[MediaCodec.decodeAudio]]). [[MediaCodecStub]] (a deterministic
+  * byte-moment fake) remains the fallback for payloads no installed
+  * reader recognizes — video stays stubbed (the JDK has no video
+  * codec). Swapping in further decoders remains a one-function change
+  * with the same `Iterator[Row] => Iterator[Row]` contract (the Scala
+  * analog of a pandas-batch UDF).
   */
 object Multimodal {
 
@@ -141,6 +143,75 @@ object Multimodal {
       }(enc)
   }
 
+  /** Deterministic WAV fixture generator (the audio analog of
+    * [[syntheticImages]]): one real RIFF/WAVE payload per id —
+    * 16-bit signed PCM, id-derived shape (frames = 64 + id%41,
+    * channels = 1 + id%2, rate = 8000·(1 + id%3)) and per-sample
+    * formula s(id, frame i, channel c) = ((31·id + 7·i + 13·c) mod
+    * 65536) − 32768, so every decoded sample statistic is analytically
+    * computable and a DuckDB oracle can hash-check REAL decoded bytes
+    * (the `mm_audio` gate). Encoding runs executor-side per partition
+    * through `javax.sound.sampled` — the exact writer a real pipeline's
+    * landed bytes would have come from. */
+  def syntheticWavs(ids: DataFrame, idCol: String): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(mediaSchema)
+    ids.select(col(idCol).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val nFrames = (64 + id % 41).toInt
+          val ch = (1 + id % 2).toInt
+          val rate = (8000 * (1 + id % 3)).toInt
+          val samples = new Array[Short](nFrames * ch)
+          var i = 0
+          while (i < nFrames) {
+            var c = 0
+            while (c < ch) {
+              samples(i * ch + c) =
+                (((31L * id + 7L * i + 13L * c) % 65536) - 32768).toShort
+              c += 1
+            }
+            i += 1
+          }
+          val bytes = MediaCodec.encodeWav(samples, ch, rate)
+          Row(id, "audio", bytes, Row(bytes.length.toLong, "audio/wav"))
+        }
+      }(enc)
+  }
+
+  /** Real audio decode, relationally: payload → (media_id, decoded,
+    * sample_rate, channels, n_frames, sum_ch0, sum_ch1). Channel SUMS
+    * over the decoded 16-bit samples (exact longs — the integer-output
+    * oracle discipline); mono payloads report sum_ch1 = 0. Undecodable
+    * payloads survive as `decoded = false` zero rows, mirroring
+    * [[decodeImageStats]]. */
+  def decodeAudioStats(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("decoded", BooleanType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("channels", IntegerType, nullable = false),
+      StructField("n_frames", LongType, nullable = false),
+      StructField("sum_ch0", LongType, nullable = false),
+      StructField("sum_ch1", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    media.select("media_id", "payload")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          MediaCodec.decodeAudio(r.getAs[Array[Byte]]("payload")) match {
+            case Some(st) =>
+              Row(id, true, st.sampleRate, st.channels, st.nFrames,
+                st.channelSums(0),
+                if (st.channels > 1) st.channelSums(1) else 0L)
+            case None => Row(id, false, 0, 0, 0L, 0L, 0L)
+          }
+        }
+      }(enc)
+  }
+
   /** Resize: re-scale each payload's decoded raster to `targetBytes` —
     * the byte-stream analog of image resizing. The Spark-side plumbing
     * (media schema in/out, per-partition batching, meta propagation) is
@@ -241,6 +312,67 @@ object MediaCodec {
     }
     (sr, sg, sb)
   }
+
+  /** decoded-audio summary: format facts + exact per-channel sample sums */
+  final case class AudioStats(sampleRate: Int, channels: Int,
+      nFrames: Long, channelSums: Array[Long])
+
+  /** lossless 16-bit PCM WAV encode via `javax.sound.sampled` (fixtures;
+    * `samples` are frame-interleaved: s(i·ch + c) = frame i, channel c) */
+  def encodeWav(samples: Array[Short], channels: Int,
+      sampleRate: Int): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+      sampleRate.toFloat, 16, channels, channels * 2, sampleRate.toFloat,
+      /*bigEndian=*/ false)
+    val raw = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      raw(2 * i) = (samples(i) & 0xFF).toByte
+      raw(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt,
+      samples.length.toLong / channels)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** AudioSystem decode, total: None on null/empty/unrecognized/corrupt
+    * bytes or non-16-bit/non-PCM encodings (the JDK's own readers cover
+    * WAV, AIFF and AU containers). Handles both endiannesses so AIFF
+    * (big-endian) decodes identically to WAV. */
+  def decodeAudio(payload: Array[Byte]): Option[AudioStats] =
+    if (payload == null || payload.isEmpty) None
+    else
+      try {
+        import javax.sound.sampled._
+        val ais = AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val fmt = ais.getFormat
+          if (fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED ||
+              fmt.getSampleSizeInBits != 16) None
+          else {
+            val bytes = ais.readAllBytes()
+            val ch = fmt.getChannels
+            val be = fmt.isBigEndian
+            val n = bytes.length / 2
+            val sums = new Array[Long](ch)
+            var i = 0
+            while (i < n) {
+              val s =
+                if (be) ((bytes(2 * i) << 8) | (bytes(2 * i + 1) & 0xFF)).toShort
+                else ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xFF)).toShort
+              sums(i % ch) += s
+              i += 1
+            }
+            Some(AudioStats(fmt.getSampleRate.toInt, ch, n.toLong / ch, sums))
+          }
+        } finally ais.close()
+      } catch { case _: Exception => None }
 
   /** Real decode when a reader recognizes the payload — features are
     * raster statistics (dims, aspect, per-channel means, luma) scaled

@@ -1,6 +1,6 @@
 package graft.operators
 
-import jdk.incubator.vector.{FloatVector, VectorOperators, VectorSpecies}
+import jdk.incubator.vector.{FloatVector, VectorOperators}
 
 /** The SIMD side of [[SimdDist]] — only ever class-loaded after
   * [[SimdDist]] confirms `jdk.incubator.vector` is resolvable in this
@@ -11,9 +11,18 @@ import jdk.incubator.vector.{FloatVector, VectorOperators, VectorSpecies}
   * search can observe (spec-asserted against [[SimdDist.ScalarKernel]]).
   */
 final class VectorDistKernel extends SimdDist.Kernel {
-  private val sp: VectorSpecies[java.lang.Float] = FloatVector.SPECIES_PREFERRED
+  // The species MUST be re-read from FloatVector's static final inside
+  // every method (a method-local from a static-final read is
+  // constant-folded by C2, so the lane ops intrinsify). Caching it in an
+  // instance field — the r7 version of this class — silently disables
+  // intrinsification: HotSpot does not trust non-static final fields, so
+  // every lane op took the generic object path and the kernel measured
+  // 60x SLOWER than scalar (the r7 "never intrinsifies on this box"
+  // verdict — it was this access pattern, not the box; see
+  // dev/KernelMicro before/after).
 
   def l2(a: Array[Float], b: Array[Float]): Double = {
+    val sp = FloatVector.SPECIES_PREFERRED
     val n = a.length
     val bound = sp.loopBound(n)
     var acc = FloatVector.zero(sp)
@@ -29,6 +38,7 @@ final class VectorDistKernel extends SimdDist.Kernel {
   }
 
   def cosineDist(a: Array[Float], b: Array[Float]): Double = {
+    val sp = FloatVector.SPECIES_PREFERRED
     val n = a.length
     val bound = sp.loopBound(n)
     var dot = FloatVector.zero(sp)
@@ -56,6 +66,7 @@ final class VectorDistKernel extends SimdDist.Kernel {
   }
 
   def dot(a: Array[Float], b: Array[Float]): Double = {
+    val sp = FloatVector.SPECIES_PREFERRED
     val n = a.length
     val bound = sp.loopBound(n)
     var acc = FloatVector.zero(sp)
@@ -70,6 +81,7 @@ final class VectorDistKernel extends SimdDist.Kernel {
   }
 
   def l2Flat(a: Array[Float], b: Array[Float], bOff: Int): Double = {
+    val sp = FloatVector.SPECIES_PREFERRED
     val n = a.length
     val bound = sp.loopBound(n)
     var acc = FloatVector.zero(sp)
@@ -88,6 +100,7 @@ final class VectorDistKernel extends SimdDist.Kernel {
   }
 
   def dotFlat(a: Array[Float], b: Array[Float], bOff: Int): Double = {
+    val sp = FloatVector.SPECIES_PREFERRED
     val n = a.length
     val bound = sp.loopBound(n)
     var acc = FloatVector.zero(sp)
@@ -103,6 +116,7 @@ final class VectorDistKernel extends SimdDist.Kernel {
   }
 
   def cosineFlat(a: Array[Float], b: Array[Float], bOff: Int): Double = {
+    val sp = FloatVector.SPECIES_PREFERRED
     val n = a.length
     val bound = sp.loopBound(n)
     var dot = FloatVector.zero(sp)

@@ -75,4 +75,59 @@ class MultimodalSpec extends AnyFunSuite {
       .as[(Long, Boolean, Int)].collect()
     assert(row.toSeq == Seq((9L, false, 0)))
   }
+
+  test("WAV round-trip is lossless: format facts and channel sums exact") {
+    val nFrames = 75; val ch = 2; val rate = 16000
+    val samples = Array.tabulate[Short](nFrames * ch) { j =>
+      val i = j / ch; val c = j % ch
+      (((31L * 7 + 7L * i + 13L * c) % 65536) - 32768).toShort
+    }
+    val wav = MediaCodec.encodeWav(samples, ch, rate)
+    // RIFF magic — these are real container bytes, not a raw dump
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    val st = MediaCodec.decodeAudio(wav).get
+    assert(st.sampleRate == rate && st.channels == ch &&
+      st.nFrames == nFrames)
+    val expected = Array.tabulate(ch)(c =>
+      (0 until nFrames).map(i =>
+        ((31L * 7 + 7L * i + 13L * c) % 65536) - 32768).sum)
+    assert(st.channelSums.toSeq == expected.toSeq)
+  }
+
+  test("decodeAudio is total: null, empty, garbage, truncated WAV → None") {
+    assert(MediaCodec.decodeAudio(null).isEmpty)
+    assert(MediaCodec.decodeAudio(Array.emptyByteArray).isEmpty)
+    assert(MediaCodec.decodeAudio("not audio".getBytes).isEmpty)
+    val wav = MediaCodec.encodeWav(Array[Short](1, 2, 3, 4), 1, 8000)
+    assert(MediaCodec.decodeAudio(wav.take(16)).isEmpty)
+    // an image payload is not audio (and vice versa: codecs don't bleed)
+    assert(MediaCodec.decodeAudio(png(4, 4)((_, _) => 0)).isEmpty)
+    assert(MediaCodec.decode(wav).isEmpty)
+  }
+
+  test("decodeAudioStats: synthetic WAVs match the analytic formulas; mono sum_ch1=0") {
+    val ids = Seq(0L, 1L, 2L, 3L, 40L, 41L, 499L).toDF("doc_id")
+    val media = Multimodal.syntheticWavs(ids, "doc_id")
+    val stats = Multimodal.decodeAudioStats(media)
+      .select("media_id", "decoded", "sample_rate", "channels",
+        "n_frames", "sum_ch0", "sum_ch1")
+      .as[(Long, Boolean, Int, Int, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(stats.size == 7 && stats.values.forall(_._2))
+    stats.values.foreach { case (id, _, sr, ch, nf, s0, s1) =>
+      assert(sr == (8000 * (1 + id % 3)).toInt, s"rate for id=$id")
+      assert(ch == (1 + id % 2).toInt && nf == 64 + id % 41)
+      def chanSum(c: Long): Long = (0L until nf).map(i =>
+        ((31L * id + 7L * i + 13L * c) % 65536) - 32768).sum
+      assert(s0 == chanSum(0), s"sum_ch0 for id=$id")
+      assert(s1 == (if (ch == 2) chanSum(1) else 0L), s"sum_ch1 for id=$id")
+    }
+    // an undecodable payload yields a decoded=false zero row, not a crash
+    val junk = Multimodal.fromDocuments(
+      Seq((9L, "not audio")).toDF("id", "t"), "id", "t", kind = "audio")
+    val row = Multimodal.decodeAudioStats(junk)
+      .select("media_id", "decoded", "n_frames")
+      .as[(Long, Boolean, Long)].collect()
+    assert(row.toSeq == Seq((9L, false, 0L)))
+  }
 }
