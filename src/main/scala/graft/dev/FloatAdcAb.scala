@@ -15,9 +15,22 @@ object FloatAdcAb {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Registry.init()
-    val train = RandomDataset.vectors(spark, 20000, 64, 42).cache()
-    val test = RandomDataset.vectors(spark, 256, 64, 43)
-      .withColumnRenamed("id", "qid").cache()
+    // arg "msmarco" switches to the 100k x 384-d / 70-query weak-row
+    // shape (clustered + normalized like the baseline workload)
+    val msmarco = args.headOption.contains("msmarco")
+    val nq = if (msmarco) 70 else 256
+    def vecs(n: Long, seed: Long) = {
+      val raw =
+        if (msmarco) RandomDataset.clusteredVectors(spark, n, 384, 512, 1.2,
+          seed, centerSeed = 7, intrinsicDim = 64, overlap = 0.7)
+        else RandomDataset.vectors(spark, n, 64, seed)
+      if (msmarco) raw.withColumn("vector",
+        graft.functions.VectorFunctions.vec_normalize(
+          org.apache.spark.sql.functions.col("vector")))
+      else raw
+    }
+    val train = vecs(if (msmarco) 100000 else 20000, 42).cache()
+    val test = vecs(nq, 43).withColumnRenamed("id", "qid").cache()
     train.count(); test.count()
     val params = Map("num_subspaces" -> "64", "num_centroids" -> "256",
       "train_iters" -> "25", "seed" -> "42")
@@ -33,10 +46,10 @@ object FloatAdcAb {
     (1 to 3).foreach { _ => t(sD); t(sF) }
     val reps = (1 to 7).map(_ => (t(sD), t(sF)))
     val (d, f) = (reps.map(_._1).min, reps.map(_._2).min)
-    println(f"double=${d * 1e3}%.1fms (qps=${256 / d}%.0f)  float=${f * 1e3}%.1fms (qps=${256 / f}%.0f)")
+    println(f"double=${d * 1e3}%.1fms (qps=${nq / d}%.0f)  float=${f * 1e3}%.1fms (qps=${nq / f}%.0f)")
 
     // ivf_pq residual arm
-    val params2 = Map("nlist" -> "256", "nprobe" -> "32",
+    val params2 = Map("nlist" -> "256", "nprobe" -> (if (msmarco) "8" else "32"),
       "num_subspaces" -> "64", "num_centroids" -> "256",
       "residual" -> "true", "train_iters" -> "25", "seed" -> "42")
     val art2 = Registry.indexer("ivf_pq", params2, "l2").build(train)
@@ -51,7 +64,7 @@ object FloatAdcAb {
     (1 to 3).foreach { _ => t2(sD2); t2(sF2) }
     val reps2 = (1 to 7).map(_ => (t2(sD2), t2(sF2)))
     val (d2, f2) = (reps2.map(_._1).min, reps2.map(_._2).min)
-    println(f"ivfpq double=${d2 * 1e3}%.1fms (qps=${256 / d2}%.0f)  float=${f2 * 1e3}%.1fms (qps=${256 / f2}%.0f)")
+    println(f"ivfpq double=${d2 * 1e3}%.1fms (qps=${nq / d2}%.0f)  float=${f2 * 1e3}%.1fms (qps=${nq / f2}%.0f)")
     spark.stop()
   }
 }

@@ -93,13 +93,16 @@ object BaselineCompare {
           "strided_accum" -> "true")),
       // train_iters=25 mirrors FAISS's kmeans default (niter=25); the
       // gate configs stay at the pinned 15 to keep oracle literals stable
-      // strided_accum (float LUTs) measured PAR with the double ADC
-      // scorers here (dev/FloatAdcAb: 19.0 vs 19.7 ms at the random
-      // shape) — the gathers are latency-bound and the 4-row blocking
-      // already pipelines them, so the rows keep the oracle-exact path
+      // strided_accum since r12: the float-LUT scorers now route through
+      // the hardware-gather kernel (AdcScan.adcGatherKernel, vgatherdps)
+      // and beat the double ADC walk 1.7-1.8× at both weak-row shapes
+      // (dev/FloatAdcAb: random 17.7→10.1 ms, msmarco 28.2→15.6 ms);
+      // through r11 they measured PAR scalar-vs-scalar and the rows kept
+      // the oracle-exact path
       ("pq", "pq", "pq",
         Map("num_subspaces" -> m.toString, "num_centroids" -> "256",
-          "train_iters" -> "25", "kmeans_init" -> pqInit)),
+          "train_iters" -> "25", "kmeans_init" -> pqInit,
+          "strided_accum" -> "true")),
       // residual=true is FAISS's own IVFPQ encoding (codes quantize
       // v - centroid), the faithful comparison config. Its probe depth
       // can differ from ivf_sq8's: PQ distances are approximate, so its
@@ -108,7 +111,10 @@ object BaselineCompare {
         "nprobe" -> (if (ivfPqNprobe > 0) ivfPqNprobe else nprobe).toString,
         "num_subspaces" -> m.toString,
         "num_centroids" -> "256", "residual" -> "true",
-        "train_iters" -> "25")))
+        "train_iters" -> "25",
+        // r12: the gather-kernel float residual scorer measures
+        // 1.05-1.12× the double walk (dev/FloatAdcAb ivfpq arm)
+        "strided_accum" -> "true")))
     val ct: Seq[AlgoRow] = if (!withCoverTree) Nil else Seq(
       ("covertree", "covertree", "covertree", Map.empty[String, String]))
     // ef_search per workload at the reference's recall operating point

@@ -86,6 +86,70 @@ object AdcScan {
     * codes slab ≤ chunk × stride bytes — L2-friendly at every shape) */
   val scoreChunkRows = 256
 
+  /** the int16×int8 weighted-sum contract [[VectorSq8Kernel]] fills —
+    * MUST return exactly Σᵢ w(i)·codes(off+i) as the scalar loop does
+    * (integer addition is associative, so any lane order qualifies) */
+  trait Sq8IwsumKernel {
+    def iwsum(w: Array[Short], codes: Array[Byte], off: Int, len: Int): Int
+  }
+
+  /** Runtime-optional SIMD iwsum (same reflective-load discipline as
+    * [[SimdDist.vectorKernel]]): present whenever `jdk.incubator.vector`
+    * resolves, unless force-disabled with -Dgraft.sq8.simd=false /
+    * GRAFT_SQ8_SIMD=0. ON by default when loadable — unlike the float
+    * kernels there is no numeric divergence to opt into: the integer
+    * sum is bit-identical to the scalar loop (spec-asserted), so even
+    * the hash-model gates could run it; it simply lives behind the same
+    * int16 regime switch as the scalar iwsum. */
+  val sq8SimdKernel: Option[Sq8IwsumKernel] = {
+    val off = sys.props.get("graft.sq8.simd")
+      .orElse(sys.env.get("GRAFT_SQ8_SIMD"))
+      .exists(v => v == "false" || v == "0")
+    if (off) None
+    else
+      try {
+        Class.forName("jdk.incubator.vector.IntVector")
+        Some(Class.forName("graft.operators.VectorSq8Kernel")
+          .getMethod("make").invoke(null).asInstanceOf[Sq8IwsumKernel])
+      } catch { case _: Throwable => None }
+  }
+
+  /** the hardware-gather ADC contract [[VectorSq8Kernel.Gather512]]
+    * fills for the FLOAT LUT scorers (lane-reassociated sums — the
+    * strided_accum regime's contract; double gate scorers never route
+    * here). `accs(r) +=` semantics so j-tiled callers compose. */
+  trait AdcGatherKernel {
+    def adcChunk(lut: Array[Float], nC: Int, codes: Array[Byte],
+        off0: Int, stride: Int, nRows: Int, accs: Array[Float]): Unit
+    def adcChunk2(t: Array[Float], ql: Array[Float], nC: Int,
+        codes: Array[Byte], off0: Int, stride: Int, nRows: Int,
+        accs: Array[Float]): Unit
+  }
+
+  /** runtime-optional gather ADC: present on 512-bit-vector CPUs with
+    * the incubator module (vgatherdps is the whole point — narrower
+    * CPUs keep the scalar 4-row block). -Dgraft.adc.simd=false /
+    * GRAFT_ADC_SIMD=0 forces it off for A/Bs. */
+  val adcGatherKernel: Option[AdcGatherKernel] = {
+    val off = sys.props.get("graft.adc.simd")
+      .orElse(sys.env.get("GRAFT_ADC_SIMD"))
+      .exists(v => v == "false" || v == "0")
+    if (off) None
+    else
+      try {
+        val sp = Class.forName("jdk.incubator.vector.IntVector")
+          .getField("SPECIES_PREFERRED").get(null)
+        // length() must be looked up on the PUBLIC VectorSpecies
+        // interface — the implementation class is not exported, so a
+        // getClass-based lookup throws on invoke
+        val wide = Class.forName("jdk.incubator.vector.VectorSpecies")
+          .getMethod("length").invoke(sp).asInstanceOf[Integer] >= 16
+        if (!wide) None
+        else Some(Class.forName("graft.operators.VectorSq8Kernel")
+          .getMethod("makeGather").invoke(null).asInstanceOf[AdcGatherKernel])
+      } catch { case _: Throwable => None }
+  }
+
   /** JVM-wide [[Sq8FastScorer]] row-norms memo: weak identity keys on
     * the flat codes array, so an unpersisted artifact's entry collects
     * with the array (same lifecycle contract as LocalScan's memo) */
@@ -173,10 +237,26 @@ object AdcScan {
       if (sqrtOut) math.sqrt(acc.toDouble) else acc.toDouble
     }
 
+    /** the hardware-gather chunk kernel when loadable (see
+      * [[adcGatherKernel]]); null → the scalar 4-row block below */
+    @transient private lazy val gather: AdcGatherKernel =
+      adcGatherKernel.orNull
+
     override def scoreChunk(qidx: Int, cid: Int, codes: Array[Byte],
         off0: Int, stride: Int, nRows: Int, out: Array[Double]): Unit = {
       val lut = luts.value(qidx)
       val nC = lut.length / stride
+      val g = gather
+      if (g != null) {
+        val accs = new Array[Float](nRows)
+        g.adcChunk(lut, nC, codes, off0, stride, nRows, accs)
+        var r = 0
+        if (sqrtOut)
+          while (r < nRows) { out(r) = math.sqrt(accs(r).toDouble); r += 1 }
+        else
+          while (r < nRows) { out(r) = accs(r).toDouble; r += 1 }
+        return
+      }
       val jb = math.max(1, (64 << 10) / 4 / nC) // float LUT slice ≈ 64 KB
       val accs = new Array[Float](nRows)
       var j0 = 0
@@ -226,6 +306,10 @@ object AdcScan {
     * the clamp+sqrt. See [[FloatPqLutScorer]] for the regime contract. */
   final class FloatResidualScorer(tables: Lut[(Array[Array[Float]],
       Array[Array[Float]], Array[Array[Double]])]) extends Scorer {
+    /** hardware-gather chunk kernel when loadable; null → scalar block */
+    @transient private lazy val residGather: AdcGatherKernel =
+      adcGatherKernel.orNull
+
     def score(qidx: Int, cid: Int, codes: Array[Byte], off: Int, len: Int): Double = {
       val (qLut, t2, qcNorm) = tables.value
       val ql = qLut(qidx)
@@ -249,6 +333,15 @@ object AdcScan {
       val nC = ql.length / stride
       val base = qcNorm(qidx)(cid)
       val accs = new Array[Float](nRows)
+      val g = residGather
+      if (g != null) {
+        g.adcChunk2(t, ql, nC, codes, off0, stride, nRows, accs)
+        var r = 0
+        while (r < nRows) {
+          out(r) = math.sqrt(math.max(0.0, base + accs(r).toDouble)); r += 1
+        }
+        return
+      }
       val jb = math.max(1, (64 << 10) / 4 / nC)
       var j0 = 0
       while (j0 < stride) {
@@ -658,9 +751,17 @@ object AdcScan {
       (wsq, step, wsumConst)
     }
 
+    /** the SIMD iwsum when the incubator module resolves (bit-identical
+      * integer sum — see [[Sq8IwsumKernel]]); null → scalar loop. Held
+      * in a local field so the hot-loop call is monomorphic. */
+    @transient private lazy val simdIwsum: Sq8IwsumKernel =
+      sq8SimdKernel.orNull
+
     /** S_int = Σᵢ wsq(i)·cᵢ over raw signed code bytes, stride-4 int */
     @inline private def iwsum(w: Array[Short], codes: Array[Byte],
         off: Int, len: Int): Int = {
+      val k = simdIwsum
+      if (k != null) return k.iwsum(w, codes, off, len)
       var a0 = 0; var a1 = 0; var a2 = 0; var a3 = 0
       var i = 0
       val m4 = len - 3
@@ -690,6 +791,13 @@ object AdcScan {
     // int32 through 1024 dims (qIntState's own bound) — beyond that the
     // accumulator could wrap and corrupt distances, so wider rows keep
     // the double-lookup wsum (the forced prop respects the bound too).
+    // r12 note: the SIMD iwsum (4-6× the scalar loop in isolation,
+    // dev/Sq8SimdMicro) does NOT move the dim gate — in-context row A/Bs
+    // measured the int16+SIMD path ~2× WORSE than the double-lookup wsum
+    // at 50-64-d (glove50 99.6k → 51.1k QPS, random 43.0k → 26.8k) while
+    // winning 1.9× at 384-d (msmarco 2.4k → 4.5k): at narrow dims the
+    // scan is bound by per-row overheads the vector kernel adds to
+    // (convert+reduce per 3-4 steps), not by the MAC loop it removes.
     private val useInt16 = dim <= 1024 &&
       (sys.props.get("graft.sq8.int16") match {
         case Some(v) => v != "false" && v != "0"

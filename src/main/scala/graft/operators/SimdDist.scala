@@ -161,30 +161,62 @@ object SimdDist {
         .getDeclaredConstructor().newInstance().asInstanceOf[Kernel])
     } catch { case _: Throwable => None }
 
-  /** opt-in: -Dgraft.simd.enabled=true / GRAFT_SIMD=1 */
-  private def enabled: Boolean =
+  /** SIMD above `minDim`, scalar below: the vector kernel's fixed
+    * per-call cost (lane converts + one reduce over only ⌊d/16⌋ steps,
+    * plus the scalar tail) measured NET-NEGATIVE at 50-d (glove50 hnsw
+    * 102.6k → 91.6k QPS same-session) and net-positive from 64-d up
+    * (random +23%, msmarco +47%, msmarco builds 9.5 → 5.6 s). One
+    * shared instance keeps the local ≡ distributed equality specs. */
+  final class DimGatedKernel(vec: Kernel, scalar: Kernel, minDim: Int)
+      extends Kernel {
+    def l2(a: Array[Float], b: Array[Float]): Double =
+      if (a.length >= minDim) vec.l2(a, b) else scalar.l2(a, b)
+    def cosineDist(a: Array[Float], b: Array[Float]): Double =
+      if (a.length >= minDim) vec.cosineDist(a, b) else scalar.cosineDist(a, b)
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      if (a.length >= minDim) vec.dot(a, b) else scalar.dot(a, b)
+    def l2Flat(a: Array[Float], b: Array[Float], bOff: Int): Double =
+      if (a.length >= minDim) vec.l2Flat(a, b, bOff) else scalar.l2Flat(a, b, bOff)
+    def dotFlat(a: Array[Float], b: Array[Float], bOff: Int): Double =
+      if (a.length >= minDim) vec.dotFlat(a, b, bOff) else scalar.dotFlat(a, b, bOff)
+    def cosineFlat(a: Array[Float], b: Array[Float], bOff: Int): Double =
+      if (a.length >= minDim) vec.cosineFlat(a, b, bOff) else scalar.cosineFlat(a, b, bOff)
+  }
+
+  /** measured crossover (between 50-d and 64-d on this box) */
+  val simdMinDim: Int =
+    sys.props.get("graft.simd.mindim").map(_.toInt).getOrElse(64)
+
+  /** tri-state: -Dgraft.simd.enabled / GRAFT_SIMD forces either side;
+    * unset = ON when the module resolves (the r12 default flip) */
+  private def simdPref: Option[Boolean] =
     sys.props.get("graft.simd.enabled")
       .orElse(sys.env.get("GRAFT_SIMD"))
-      .exists(v => v == "true" || v == "1")
+      .map(v => v == "true" || v == "1")
 
-  /** The process-wide kernel consumed by the HNSW family. Default =
-    * [[FloatScalarKernel]] since r9 (FAISS's own float accumulation,
-    * 1.7–3.5× the double chain on this box — dev/FloatAccumMicro; the
-    * graph walks are floor-tier by design, so reassociation is in
-    * contract). The Vector API stays OPT-IN: on this sandbox's
-    * virtualized Xeon the incubator API never intrinsifies
-    * (dev/KernelMicro: ≤1.4× scalar at 384-d, 0.5× at 64-d) and its
-    * object-per-call fallback path made HNSW builds 45-60% SLOWER when
-    * it briefly became the round-7 default (HnswBuildProfile msmarco
-    * shape: scalar 15.6 s vs vector 23-26 s — the r7 watchdog skip). On
-    * hardware where the API engages, flip it on with GRAFT_SIMD=1.
+  /** The process-wide kernel consumed by the HNSW family. Default since
+    * r12 = [[vectorKernel]] when the incubator module resolves. Through
+    * r11 the Vector API was believed non-intrinsifying on this box
+    * ("dev/KernelMicro: ≤1.4× scalar at 384-d, 0.5× at 64-d", and the
+    * r7 default attempt made HNSW builds 45-60% slower) — that was the
+    * instance-field species anti-pattern in VectorDistKernel (see its
+    * scaladoc), not the hardware: with the species read from the static
+    * final, the same micro measures the SIMD kernel 3.6× (64-d) to 8.9×
+    * (384-d) FASTER than the scalar chain. Reassociation contract is
+    * unchanged from the FloatScalarKernel era (floor-tier graph walks;
+    * one shared kernel instance keeps local ≡ distributed equality).
+    * GRAFT_SIMD=0 restores [[FloatScalarKernel]];
     * GRAFT_EXACT_KERNEL=1 restores the index-order double kernel. */
   val kernel: Kernel =
-    if (enabled) vectorKernel.getOrElse(FloatScalarKernel)
-    else if (sys.props.get("graft.exact.kernel")
+    if (sys.props.get("graft.exact.kernel")
         .orElse(sys.env.get("GRAFT_EXACT_KERNEL"))
         .exists(v => v == "true" || v == "1")) ScalarKernel
+    else if (simdPref.getOrElse(true))
+      vectorKernel
+        .map(v => new DimGatedKernel(v, FloatScalarKernel, simdMinDim): Kernel)
+        .getOrElse(FloatScalarKernel)
     else FloatScalarKernel
 
-  def simdActive: Boolean = vectorKernel.exists(_ eq kernel)
+  def simdActive: Boolean =
+    vectorKernel.isDefined && kernel.isInstanceOf[DimGatedKernel]
 }

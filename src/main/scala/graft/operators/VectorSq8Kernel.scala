@@ -1,0 +1,187 @@
+package graft.operators
+
+import jdk.incubator.vector.{ByteVector, FloatVector, IntVector, ShortVector, VectorOperators}
+
+/** SIMD side of [[AdcScan.Sq8FastScorer]]'s int16×int8 weighted-sum
+  * kernel — only class-loaded after [[AdcScan.sq8SimdKernel]] confirms
+  * `jdk.incubator.vector` resolves in this JVM. Unlike the float/double
+  * kernels, the result is BIT-IDENTICAL to the scalar `iwsum` loop:
+  * int32 addition is associative, so the lane-partial reduction order
+  * cannot change the sum, and the magnitude bound that keeps the scalar
+  * accumulator inside int32 (|Σ| ≤ dim·16383·128 through 1024 dims —
+  * see `qIntState`) bounds every lane partial too. Species are read as
+  * method-locals from the JDK's static finals — the constant-folding
+  * requirement for intrinsification (see VectorDistKernel's note on the
+  * instance-field anti-pattern that silently disabled it for 5 rounds).
+  *
+  * Two shape variants, chosen once at load by the CPU's preferred int
+  * width: 512-bit lanes (AVX-512: 16 int32 per step, bytes load as one
+  * 128-bit vector) and 256-bit lanes (AVX2: 8 int32 per step, bytes as
+  * a 64-bit vector). Both widen with signed B2I/S2I — exactly the
+  * scalar loop's `w(i) * codes(off + i)` sign semantics. */
+object VectorSq8Kernel {
+
+  final class W512 extends AdcScan.Sq8IwsumKernel {
+    def iwsum(w: Array[Short], codes: Array[Byte], off: Int, len: Int): Int = {
+      val si = IntVector.SPECIES_512
+      val ss = ShortVector.SPECIES_256
+      val sb = ByteVector.SPECIES_128
+      val bound = si.loopBound(len)
+      var acc = IntVector.zero(si)
+      var i = 0
+      while (i < bound) {
+        val wv = ShortVector.fromArray(ss, w, i)
+          .convertShape(VectorOperators.S2I, si, 0).asInstanceOf[IntVector]
+        val cv = ByteVector.fromArray(sb, codes, off + i)
+          .convertShape(VectorOperators.B2I, si, 0).asInstanceOf[IntVector]
+        acc = acc.add(wv.mul(cv))
+        i += 16
+      }
+      var tail = 0
+      while (i < len) { tail += w(i) * codes(off + i); i += 1 }
+      acc.reduceLanes(VectorOperators.ADD) + tail
+    }
+  }
+
+  final class W256 extends AdcScan.Sq8IwsumKernel {
+    def iwsum(w: Array[Short], codes: Array[Byte], off: Int, len: Int): Int = {
+      val si = IntVector.SPECIES_256
+      val ss = ShortVector.SPECIES_128
+      val sb = ByteVector.SPECIES_64
+      val bound = si.loopBound(len)
+      var acc = IntVector.zero(si)
+      var i = 0
+      while (i < bound) {
+        val wv = ShortVector.fromArray(ss, w, i)
+          .convertShape(VectorOperators.S2I, si, 0).asInstanceOf[IntVector]
+        val cv = ByteVector.fromArray(sb, codes, off + i)
+          .convertShape(VectorOperators.B2I, si, 0).asInstanceOf[IntVector]
+        acc = acc.add(wv.mul(cv))
+        i += 8
+      }
+      var tail = 0
+      while (i < len) { tail += w(i) * codes(off + i); i += 1 }
+      acc.reduceLanes(VectorOperators.ADD) + tail
+    }
+  }
+
+  /** pick the widest natively-supported shape once at load */
+  def make(): AdcScan.Sq8IwsumKernel =
+    if (IntVector.SPECIES_PREFERRED.length() >= 16) new W512 else new W256
+
+  /** PQ ADC gather kernel (512-bit only — vgatherdps is the point; on
+    * narrower CPUs the scalar 4-row block stays): accumulate
+    * accs(r) += Σ_j lut(j·nC + 128 + codes(off_r + j)) over a whole
+    * ≤256-row chunk, 2 rows in flight (dev/PqSimdGatherMicro: 2-row
+    * gather ≈ 2× the shipped scalar4 at the m=64/nC=256 L2-resident
+    * shape). Lane-reassociated float sums — [[AdcScan.FloatPqLutScorer]]
+    * regime only; the double gate scorers never route here. The j tail
+    * (m % 16) runs scalar, so any m works. */
+  final class Gather512 extends AdcScan.AdcGatherKernel {
+    def adcChunk(lut: Array[Float], nC: Int, codes: Array[Byte],
+        off0: Int, stride: Int, nRows: Int, accs: Array[Float]): Unit = {
+      val si = IntVector.SPECIES_512
+      val sb = ByteVector.SPECIES_128
+      val sf = FloatVector.SPECIES_512
+      val ramp = new Array[Int](16)
+      var l = 0
+      while (l < 16) { ramp(l) = l * nC + 128; l += 1 }
+      val rampV = IntVector.fromArray(si, ramp, 0)
+      val idxA = new Array[Int](16); val idxB = new Array[Int](16)
+      val jb = stride - 15
+      var r = 0
+      while (r + 1 < nRows) {
+        val offA = off0 + r * stride; val offB = offA + stride
+        var aA = FloatVector.zero(sf); var aB = FloatVector.zero(sf)
+        var j = 0
+        while (j < jb) {
+          val cA = ByteVector.fromArray(sb, codes, offA + j)
+            .convertShape(VectorOperators.B2I, si, 0).asInstanceOf[IntVector]
+          val cB = ByteVector.fromArray(sb, codes, offB + j)
+            .convertShape(VectorOperators.B2I, si, 0).asInstanceOf[IntVector]
+          cA.add(rampV).intoArray(idxA, 0)
+          cB.add(rampV).intoArray(idxB, 0)
+          aA = aA.add(FloatVector.fromArray(sf, lut, j * nC, idxA, 0))
+          aB = aB.add(FloatVector.fromArray(sf, lut, j * nC, idxB, 0))
+          j += 16
+        }
+        var sA = aA.reduceLanes(VectorOperators.ADD)
+        var sB = aB.reduceLanes(VectorOperators.ADD)
+        while (j < stride) {
+          val base = j * nC + 128
+          sA += lut(base + codes(offA + j))
+          sB += lut(base + codes(offB + j))
+          j += 1
+        }
+        accs(r) += sA; accs(r + 1) += sB
+        r += 2
+      }
+      while (r < nRows) {
+        val off = off0 + r * stride
+        var acc = 0.0f; var j = 0
+        while (j < stride) { acc += lut(j * nC + (codes(off + j) + 128)); j += 1 }
+        accs(r) += acc
+        r += 1
+      }
+    }
+
+    /** residual variant: two gathers per step (t2 + qLut share idx),
+      * 2 rows in flight like [[adcChunk]] (4 independent gather chains) */
+    def adcChunk2(t: Array[Float], ql: Array[Float], nC: Int,
+        codes: Array[Byte], off0: Int, stride: Int, nRows: Int,
+        accs: Array[Float]): Unit = {
+      val si = IntVector.SPECIES_512
+      val sb = ByteVector.SPECIES_128
+      val sf = FloatVector.SPECIES_512
+      val ramp = new Array[Int](16)
+      var l = 0
+      while (l < 16) { ramp(l) = l * nC + 128; l += 1 }
+      val rampV = IntVector.fromArray(si, ramp, 0)
+      val idxA = new Array[Int](16); val idxB = new Array[Int](16)
+      val jb = stride - 15
+      var r = 0
+      while (r + 1 < nRows) {
+        val offA = off0 + r * stride; val offB = offA + stride
+        var aA = FloatVector.zero(sf); var aB = FloatVector.zero(sf)
+        var j = 0
+        while (j < jb) {
+          val cA = ByteVector.fromArray(sb, codes, offA + j)
+            .convertShape(VectorOperators.B2I, si, 0).asInstanceOf[IntVector]
+          val cB = ByteVector.fromArray(sb, codes, offB + j)
+            .convertShape(VectorOperators.B2I, si, 0).asInstanceOf[IntVector]
+          cA.add(rampV).intoArray(idxA, 0)
+          cB.add(rampV).intoArray(idxB, 0)
+          aA = aA.add(FloatVector.fromArray(sf, t, j * nC, idxA, 0))
+            .add(FloatVector.fromArray(sf, ql, j * nC, idxA, 0))
+          aB = aB.add(FloatVector.fromArray(sf, t, j * nC, idxB, 0))
+            .add(FloatVector.fromArray(sf, ql, j * nC, idxB, 0))
+          j += 16
+        }
+        var sA = aA.reduceLanes(VectorOperators.ADD)
+        var sB = aB.reduceLanes(VectorOperators.ADD)
+        while (j < stride) {
+          val iA = j * nC + (codes(offA + j) + 128)
+          val iB = j * nC + (codes(offB + j) + 128)
+          sA += t(iA) + ql(iA)
+          sB += t(iB) + ql(iB)
+          j += 1
+        }
+        accs(r) += sA; accs(r + 1) += sB
+        r += 2
+      }
+      while (r < nRows) {
+        val off = off0 + r * stride
+        var s = 0.0f; var j = 0
+        while (j < stride) {
+          val idx = j * nC + (codes(off + j) + 128)
+          s += t(idx) + ql(idx)
+          j += 1
+        }
+        accs(r) += s
+        r += 1
+      }
+    }
+  }
+
+  def makeGather(): AdcScan.AdcGatherKernel = new Gather512
+}

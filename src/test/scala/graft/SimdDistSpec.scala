@@ -19,14 +19,18 @@ class SimdDistSpec extends AnyFunSuite {
     assert(SimdDist.vectorKernel.isDefined)
   }
 
-  test("process default kernel is float-scalar (Vector API is opt-in)") {
-    // measured on this box (HnswBuildProfile, dev/KernelMicro): the
-    // non-intrinsified Vector API path made HNSW builds 45-60% slower
-    // when it was briefly the default — the r7 msmarco watchdog skip.
-    // r9: default is the FAISS-regime float-accumulation scalar kernel
-    // (dev/FloatAccumMicro), with GRAFT_EXACT_KERNEL=1 as the escape
-    assert(!SimdDist.simdActive)
-    assert(SimdDist.kernel eq SimdDist.FloatScalarKernel)
+  test("process default kernel is the Vector-API kernel when loadable (r12)") {
+    // r12 default flip: the r7-r11 "never intrinsifies on this box"
+    // measurements were the instance-field species anti-pattern in
+    // VectorDistKernel (see its scaladoc) — with the species read from
+    // the static final, dev/KernelMicro measures the SIMD kernel
+    // 3.6-8.9x FASTER than the float-scalar chain. The module is on in
+    // this forked JVM (previous test), so the default must be SIMD;
+    // GRAFT_SIMD=0 / GRAFT_EXACT_KERNEL=1 remain the escapes.
+    assert(SimdDist.simdActive)
+    // the default is the dim-gated hybrid: SIMD at >= simdMinDim,
+    // float-scalar below (the 50-d net-negative measurement)
+    assert(SimdDist.kernel.isInstanceOf[SimdDist.DimGatedKernel])
   }
 
   test("float-scalar kernel matches the exact kernel within tolerance") {
