@@ -443,8 +443,8 @@ final class NswGraph private (
   @transient private lazy val wsTl: ThreadLocal[HnswWorkspace] =
     ThreadLocal.withInitial(() => new HnswWorkspace(vecs.length))
 
-  // scalar by default; Vector API only via graft.simd.enabled opt-in
-  // (floor-tier tolerance — see SimdDist's scope note)
+  // dim-gated Vector-API kernel by default since r12 (GRAFT_SIMD=0
+  // restores float-scalar; floor-tier tolerance — SimdDist's scope note)
   @inline private def dist(a: Array[Float], b: Array[Float]): Double =
     if (isCosine) SimdDist.kernel.cosineDist(a, b)
     else SimdDist.kernel.l2(a, b)

@@ -298,10 +298,10 @@ final class HnswGlobalModel(
   // compare on the distance path costs measurably at 10⁸ calls per build
   private val isCosine = metric == "cosine"
 
-  // SimdDist.kernel is SCALAR unless graft.simd.enabled is set (the
-  // floor-tier gate tolerates lane-reassociated sums, so the Vector API
-  // is admissible here — but it measured 45-60% slower on this box's
-  // non-intrinsifying JVM; see SimdDist's scope note)
+  // SimdDist.kernel defaults to the dim-gated Vector-API kernel since
+  // r12 (SIMD at >= simdMinDim, float-scalar below; the floor-tier gate
+  // tolerates lane-reassociated sums — see SimdDist's scope note and the
+  // species-access fix that unblocked intrinsification)
   @inline private[operators] def dist(a: Array[Float], b: Array[Float]): Double =
     if (isCosine) SimdDist.kernel.cosineDist(a, b)
     else SimdDist.kernel.l2(a, b)

@@ -87,6 +87,27 @@ object LocalScan {
       .orElse(sys.env.get("GRAFT_SCAN_SIMD"))
       .exists(v => v == "true" || v == "1")
 
+  /** Vector-API dot for the STRIDED (gram/FAISS-regime) scans — already
+    * the reassociated contract, so the SIMD kernel is default-ON there
+    * when the module resolves, dim-gated at [[scanSimdMinDim]].
+    * GRAFT_SCAN_SIMD=0 / -Dgraft.scan.simd=false forces it off; the
+    * NON-strided scans keep the oracle-exact kernels unless the r9
+    * opt-in flag above explicitly enables [[simdDistAt]]. */
+  private val stridedSimdKernel: SimdDist.Kernel =
+    if (sys.props.get("graft.scan.simd")
+        .orElse(sys.env.get("GRAFT_SCAN_SIMD"))
+        .exists(v => v == "false" || v == "0")) null
+    else SimdDist.vectorKernel.orNull
+
+  /** The flat scan's own dim gate — LOWER than the HNSW walk's
+    * [[SimdDist.simdMinDim]]: over contiguous rows the SIMD dot wins
+    * already at 50-d (glove50 exact 29.1k → 36.2k QPS same-session;
+    * ivf_flat par), where the graph walk's scattered per-call pattern
+    * measured net negative. 50 is the narrowest measured shape — below
+    * it the scalar chain stays. */
+  private val scanSimdMinDim: Int =
+    sys.props.get("graft.scan.simd.mindim").map(_.toInt).getOrElse(50)
+
   /** one collected inverted-code relation: row r's code bytes at
     * [r·m, (r+1)·m); rows grouped contiguously by centroid id with
     * `listOffsets(cid) until listOffsets(cid+1)` (null for flat scans) */
@@ -878,6 +899,7 @@ object LocalScan {
     val heaps = new Array[BoundedTopK](qids.length)
     val m = if (mode == 3) 0 else mode // l2_gram ≡ l2 here: gram IS the kernel
     val norms = if (m == 1) null else rowNorms(vt)
+    val vk = if (vt.dim >= scanSimdMinDim) stridedSimdKernel else null
     if (vt.n > 0) {
       val chunkRows = math.max(1, (64 << 10) / math.max(1, vt.dim))
       val qb = blockFor(qids.length)
@@ -901,7 +923,9 @@ object LocalScan {
             val dim = vt.dim
             var r = c0
             while (r < c1) {
-              val dot = dot4(q, vt.flat, r * dim, dim)
+              val dot =
+                if (vk != null) vk.dotFlat(q, vt.flat, r * dim)
+                else dot4(q, vt.flat, r * dim, dim)
               h.insert(vt.ids(r),
                 stridedDist(m, qn, if (norms == null) 0.0 else norms(r), dot))
               r += 1
@@ -924,6 +948,8 @@ object LocalScan {
       norms: Array[Double]): BoundedTopK = {
     var h: BoundedTopK = null
     val qn = if (strided) queryNorm(q) else 0.0
+    val vk = if (strided && vt.dim >= scanSimdMinDim)
+      stridedSimdKernel else null
     var ci = 0
     while (ci < cids.length) {
       val cid = cids(ci)
@@ -934,7 +960,9 @@ object LocalScan {
         if (strided) {
           val dim = vt.dim
           while (r < end) {
-            val dot = dot4(q, vt.flat, r * dim, dim)
+            val dot =
+              if (vk != null) vk.dotFlat(q, vt.flat, r * dim)
+              else dot4(q, vt.flat, r * dim, dim)
             h.insert(vt.ids(r),
               stridedDist(m, qn, if (norms == null) 0.0 else norms(r), dot))
             r += 1
