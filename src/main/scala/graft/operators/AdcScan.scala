@@ -91,6 +91,22 @@ object AdcScan {
     * (integer addition is associative, so any lane order qualifies) */
   trait Sq8IwsumKernel {
     def iwsum(w: Array[Short], codes: Array[Byte], off: Int, len: Int): Int
+
+    /** whole-chunk form, `out(r) = Σᵢ w(i)·codes(off0+r·stride+i)` for
+      * r < nRows — same bit-exact contract per row. The SIMD kernels
+      * override it to hoist the per-row overheads that made the one-row
+      * kernel LOSE at 50-64-d (dev/Sq8ChunkAb): the int weights widen
+      * once per chunk (plain loads replace per-row S2I converts) and two
+      * rows run in flight so the B2I converts and lane reductions
+      * pipeline instead of serializing per call. */
+    def iwsumChunk(w: Array[Short], codes: Array[Byte], off0: Int,
+        stride: Int, nRows: Int, out: Array[Int]): Unit = {
+      var r = 0
+      while (r < nRows) {
+        out(r) = iwsum(w, codes, off0 + r * stride, stride)
+        r += 1
+      }
+    }
   }
 
   /** Runtime-optional SIMD iwsum (same reflective-load discipline as
@@ -791,17 +807,23 @@ object AdcScan {
     // int32 through 1024 dims (qIntState's own bound) — beyond that the
     // accumulator could wrap and corrupt distances, so wider rows keep
     // the double-lookup wsum (the forced prop respects the bound too).
-    // r12 note: the SIMD iwsum (4-6× the scalar loop in isolation,
-    // dev/Sq8SimdMicro) does NOT move the dim gate — in-context row A/Bs
-    // measured the int16+SIMD path ~2× WORSE than the double-lookup wsum
-    // at 50-64-d (glove50 99.6k → 51.1k QPS, random 43.0k → 26.8k) while
-    // winning 1.9× at 384-d (msmarco 2.4k → 4.5k): at narrow dims the
-    // scan is bound by per-row overheads the vector kernel adds to
-    // (convert+reduce per 3-4 steps), not by the MAC loop it removes.
+    // r12 note: the per-ROW SIMD iwsum (4-6× the scalar loop in
+    // isolation, dev/Sq8SimdMicro) did NOT move the dim gate — in-context
+    // row A/Bs measured it ~2× WORSE than the double-lookup wsum at
+    // 50-64-d (glove50 99.6k → 51.1k QPS, random 43.0k → 26.8k): at
+    // narrow dims the scan was bound by per-row overheads the vector
+    // kernel added (convert+reduce per 3-4 steps). The CHUNK kernel
+    // (iwsumChunk: weights widened once per tile, 2 rows in flight)
+    // removes exactly those, and flips the verdict at every baseline
+    // shape (dev/Sq8ChunkAb, min-of-12 interleaved): glove50 93.4k →
+    // 133.6k QPS, random 63.8k → 98.5k, msmarco 2.07k → 3.02k. So with
+    // the SIMD kernel present the int16 regime is ON at every dim
+    // (≤ 1024, the int32 bound); without it (module absent) the scalar
+    // int16 path keeps its measured dim>=128 gate.
     private val useInt16 = dim <= 1024 &&
       (sys.props.get("graft.sq8.int16") match {
         case Some(v) => v != "false" && v != "0"
-        case None => dim >= 128
+        case None => dim >= 128 || sq8SimdKernel.isDefined
       })
 
     def score(qidx: Int, cid: Int, codes: Array[Byte], off: Int, len: Int): Double = {
@@ -843,6 +865,31 @@ object AdcScan {
       }
       val (wsqAll, stepAll, wcAll) = qIntState
       val w = wsqAll(qidx); val step = stepAll(qidx); val wc = wcAll(qidx)
+      val k = simdIwsum
+      if (k != null) {
+        // whole-chunk SIMD: one call per ≤256-row tile, int sums into a
+        // scratch buffer (1 KB — escape-analysis fodder), then the same
+        // double expression per row as the per-row path (bit-identical)
+        val ibuf = new Array[Int](nRows)
+        k.iwsumChunk(w, codes, off0, stride, nRows, ibuf)
+        if (mode == 1) {
+          var r = 0
+          while (r < nRows) {
+            out(r) = -(c + (step * ibuf(r) + wc) / 255.0)
+            r += 1
+          }
+        } else {
+          val rn = normsResolved(codes)
+          val row0 = off0 / math.max(1, stride)
+          var r = 0
+          while (r < nRows) {
+            val s = (step * ibuf(r) + wc) / 255.0
+            out(r) = math.sqrt(math.max(0.0, c - 2.0 * s + rn(row0 + r)))
+            r += 1
+          }
+        }
+        return
+      }
       if (mode == 1) {
         var r = 0
         while (r < nRows) {

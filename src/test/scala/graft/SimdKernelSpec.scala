@@ -31,6 +31,29 @@ class SimdKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("vector iwsumChunk is BIT-identical to per-row iwsum at every dim/offset/nRows") {
+    AdcScan.sq8SimdKernel match {
+      case None => cancel("incubator vector module absent")
+      case Some(k) =>
+        val rnd = new java.util.Random(13)
+        for (dim <- Seq(1, 7, 16, 17, 50, 64, 113, 384);
+             nRows <- Seq(1, 2, 3, 37)) { // odd rows: 2-in-flight tail
+          val pad = 11 // nonzero off0: chunk starts mid-array
+          val codes = new Array[Byte](pad + nRows * dim)
+          rnd.nextBytes(codes)
+          val w = Array.fill(dim)((rnd.nextInt(32767) - 16383).toShort)
+          val out = new Array[Int](nRows)
+          k.iwsumChunk(w, codes, pad, dim, nRows, out)
+          for (r <- 0 until nRows) {
+            var exp = 0
+            var i = 0
+            while (i < dim) { exp += w(i) * codes(pad + r * dim + i); i += 1 }
+            assert(out(r) == exp, s"dim=$dim nRows=$nRows row=$r")
+          }
+        }
+    }
+  }
+
   test("gather adcChunk matches the scalar ADC walk within float reassociation") {
     AdcScan.adcGatherKernel match {
       case None => cancel("gather kernel absent (module or <512-bit CPU)")
