@@ -142,8 +142,8 @@ object Bench {
     // job group on overrun), so a wedged algorithm costs its own entry,
     // not the round's BENCH artifact; partial results still land, and
     // skipped algorithms land as explicit {"skipped": reason} entries.
-    val (baselineCompact, baselineFull) =
-      if (sys.env.getOrElse("SPARK_GRAFT_BASELINE", "1") == "0") ("{}", "{}")
+    val entriesOpt: Option[Seq[graft.harness.BaselineCompare.Entry]] =
+      if (sys.env.getOrElse("SPARK_GRAFT_BASELINE", "1") == "0") None
       else
         try {
           val entries = graft.harness.BaselineCompare.run(spark)
@@ -155,12 +155,17 @@ object Bench {
                 f"[baseline] ${e.dataset}%-8s ${e.algo}%-10s recall=${e.recall}%.4f qps=${e.qps}%.0f " +
                   f"build=${e.buildS}%.2fs (ref ${e.refRecall}%.4f/${e.refQps}%.0f)"
             }))
-          (graft.harness.BaselineCompare.jsonCompact(entries),
-            graft.harness.BaselineCompare.json(entries))
+          Some(entries)
         } catch { case e: Throwable =>
           System.err.println(s"[baseline] skipped: ${e.getMessage}")
-          ("{}", "{}")
+          None
         }
+    val baselineCompact =
+      entriesOpt.map(graft.harness.BaselineCompare.jsonCompact).getOrElse("{}")
+    val baselineTiny =
+      entriesOpt.map(graft.harness.BaselineCompare.jsonTiny).getOrElse("{}")
+    val baselineFull =
+      entriesOpt.map(graft.harness.BaselineCompare.json).getOrElse("{}")
     // methodology markers (judge-facing, ADVICE r7): gate secs are
     // min-of-N interleaved passes since r8; serve-shaped gates time
     // serving with fixtures pre-built untimed since r7
@@ -174,19 +179,37 @@ object Bench {
     // r12: note trimmed — 77 gates × ~23 B of per-query entries leave
     // less headroom in the ~2 KB tail window than r11's 71 did
     val notes = s""""gate_reps":$gateReps,"pt":$passTotals,"notes":"gate=min of $gateReps; serve excl fixtures""""
-    val artifact =
-      s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec",$notes,"queries":$qs,"baseline":$baselineCompact,"sf":"$sfShort"}"""
+    // The printed line MUST parse from the driver's EXACTLY-2000-byte
+    // stdout tail (r12: the 78-gate line hit 2099 bytes — a line longer
+    // than the window gets its FRONT cut and lands as parsed:null, the
+    // r2/r5 failure all over again). Hard 1900-byte budget with graceful
+    // degradation: per-query seconds at 2 decimals (1 for >=10 s) →
+    // 1 decimal everywhere → per-dataset-geomean-only baseline → no
+    // baseline. Full precision + per-algo baseline detail always lands
+    // in target/bench_last.json regardless of which tier printed.
+    def qsAt(fine: Boolean): String = results.map { case (k, v) =>
+      val s = if (fine && v < 10) f"$v%.2f" else f"$v%.1f"
+      "\"" + k + "\":" + s
+    }.mkString("{", ",", "}")
+    val head =
+      s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","pt":$passTotals,"""
+    val candidates = Seq(
+      head + s""""queries":${qsAt(true)},"baseline":$baselineCompact,"sf":"$sfShort"}""",
+      head + s""""queries":${qsAt(true)},"baseline":$baselineTiny,"sf":"$sfShort"}""",
+      head + s""""queries":${qsAt(false)},"baseline":$baselineTiny,"sf":"$sfShort"}""",
+      head + s""""queries":${qsAt(false)},"sf":"$sfShort"}""")
+    val artifact = candidates.find(_.length <= 1900).getOrElse(candidates.last)
     val artifactFull =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",$notes,"queries":$qsFull,"queries_ab":$qsAb,"baseline":$baselineFull,"sf":"$sfDir"}"""
     // Forensic copy on disk (FULL detail), independent of stdout windows.
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench_last.json"), artifactFull + "\n")
     catch { case _: Throwable => () }
-    // 1600-byte self-target: the driver tail window is ~2 KB and r8
-    // shipped (and parsed) 1557; 1600 keeps ~400 B headroom
-    if (artifact.length > 1600)
+    // the degradation ladder above self-enforces 1900; this only fires
+    // if even the last tier overflows (driver window is exactly 2000)
+    if (artifact.length > 1900)
       System.err.println(s"[bench] WARNING printed artifact line is " +
-        s"${artifact.length} bytes (> 1600 target)")
+        s"${artifact.length} bytes (> 1900 budget) — driver tail may clip")
     // Stop BEFORE printing the artifact line: a noisy shutdown (e.g. a
     // blockmgr temp-dir delete failing under /tmp) must never land its
     // stack trace after the JSON line — the driver reads the output TAIL,

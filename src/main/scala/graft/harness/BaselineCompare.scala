@@ -556,6 +556,19 @@ object BaselineCompare {
         f""""ok":${ok.size},"skip":${es.size - ok.size}}"""
     }.mkString("{", ",", "}")
 
+  /** tiniest baseline summary — per-dataset QPS-vs-reference geomean
+    * only ({"glove50":0.95,…}), for when the compact bench line is
+    * squeezed against the driver's 2000-byte stdout tail window */
+  def jsonTiny(entries: Seq[Entry]): String =
+    entries.groupBy(_.dataset).toSeq.sortBy(_._1).map { case (ds, es) =>
+      val ok = es.filter(_.skipped.isEmpty)
+      val qpsXGm =
+        if (ok.isEmpty) 0.0
+        else math.exp(ok.map(e =>
+          math.log(math.max(e.qps / e.refQps, 1e-9))).sum / ok.size)
+      f""""$ds":$qpsXGm%.2f"""
+    }.mkString("{", ",", "}")
+
   def table(entries: Seq[Entry]): String = {
     val header = f"${"dataset"}%-9s ${"algo"}%-10s ${"recall@20"}%10s ${"QPS"}%10s ${"build_s"}%8s   reference(recall/QPS)"
     (header +: entries.map { e =>

@@ -212,6 +212,104 @@ object Multimodal {
       }(enc)
   }
 
+  /** Deterministic uncompressed-AVI fixture generator (the video analog
+    * of [[syntheticImages]]/[[syntheticWavs]]): one real RIFF AVI per id
+    * — 24bpp BI_RGB DIB frames, id-derived shape (w = 8 + id%9,
+    * h = 8 + id%5, frames = 3 + id%4, fps = 10 + id%5) and per-pixel
+    * channel formulas chosen SEPARABLE so the oracle needs no
+    * per-pixel unnest (r depends on (f,x) only, g on (f,y), b on
+    * (f,x)): r = (id + 3f + x) % 256, g = (5·id + f + y) % 256,
+    * b = (11·id + 2f + x) % 256. Every decoded statistic is analytic
+    * in doc_id, so a DuckDB oracle hash-checks REAL container bytes
+    * (the `mm_video` gate). */
+  def syntheticAvis(ids: DataFrame, idCol: String): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(mediaSchema)
+    ids.select(col(idCol).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val w = (8 + id % 9).toInt
+          val h = (8 + id % 5).toInt
+          val nf = (3 + id % 4).toInt
+          val fps = (10 + id % 5).toInt
+          val frames = (0 until nf).map { f =>
+            val px = new Array[Int](w * h)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val cr = ((id + 3 * f + x) % 256).toInt
+                val cg = ((5 * id + f + y) % 256).toInt
+                val cb = ((11 * id + 2 * f + x) % 256).toInt
+                px(y * w + x) = (cr << 16) | (cg << 8) | cb
+                x += 1
+              }
+              y += 1
+            }
+            px
+          }
+          val bytes = MediaCodec.encodeAvi(w, h, fps, frames)
+          Row(id, "video", bytes, Row(bytes.length.toLong, "video/avi"))
+        }
+      }(enc)
+  }
+
+  /** Real video decode, relationally: payload → (media_id, decoded,
+    * width, height, fps, n_frames, sum_r, sum_g, sum_b) with exact
+    * per-channel pixel sums over ALL frames. Undecodable payloads
+    * survive as decoded = false zero rows, mirroring
+    * [[decodeImageStats]]/[[decodeAudioStats]]. */
+  def decodeVideoStats(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("decoded", BooleanType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("fps", IntegerType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false),
+      StructField("sum_r", LongType, nullable = false),
+      StructField("sum_g", LongType, nullable = false),
+      StructField("sum_b", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    media.select("media_id", "payload")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          MediaCodec.decodeVideo(r.getAs[Array[Byte]]("payload")) match {
+            case Some(st) =>
+              Row(id, true, st.width, st.height, st.fps, st.nFrames,
+                st.sumR, st.sumG, st.sumB)
+            case None => Row(id, false, 0, 0, 0, 0, 0L, 0L, 0L)
+          }
+        }
+      }(enc)
+  }
+
+  /** REAL frame sampling: decode each AVI container, keep every
+    * `stride`-th frame, re-encode each kept frame as PNG — output rows
+    * are (media_id, frame_no, payload image/png), directly composable
+    * with [[decodeImageStats]] (the video → keyframe-corpus path of a
+    * multimodal training pipeline). Undecodable payloads yield no
+    * rows. Contrast [[sampleFrames]], the byte-level stub variant. */
+  def sampleVideoFrames(media: DataFrame, stride: Int): DataFrame = {
+    require(stride > 0, s"stride must be positive: $stride")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_no", IntegerType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    media.select("media_id", "payload")
+      .flatMap { r =>
+        val id = r.getLong(0)
+        MediaCodec.decodeVideoFrames(r.getAs[Array[Byte]]("payload"), stride)
+          .getOrElse(IndexedSeq.empty)
+          .map { case (f, img) => Row(id, f, MediaCodec.encodePng(img)) }
+      }(enc)
+  }
+
   /** Resize: re-scale each payload's decoded raster to `targetBytes` —
     * the byte-stream analog of image resizing. The Spark-side plumbing
     * (media schema in/out, per-partition batching, meta propagation) is
@@ -373,6 +471,227 @@ object MediaCodec {
           }
         } finally ais.close()
       } catch { case _: Exception => None }
+
+  // ------------------------------------------------------------------
+  // VIDEO: uncompressed AVI (RIFF 'AVI ', 24bpp BI_RGB DIB frames) —
+  // the one mainstream video container a zero-dependency JVM can
+  // encode AND decode byte-exactly (the DIB payload is raw bottom-up
+  // BGR, so there is no entropy coder to reimplement). This closes the
+  // codec-stub boundary for video the way javax.imageio/javax.sound
+  // did for images/audio: the bytes are a REAL format any media player
+  // or ffmpeg ingests, and the Spark operators decode actual container
+  // bytes, not a fake. Compressed codecs (H.264 etc.) remain out of
+  // scope — the JDK ships no such decoder ([[MediaCodecStub]] stays
+  // the documented fallback for unrecognized payloads).
+  // ------------------------------------------------------------------
+
+  /** decoded-video summary: container facts + exact per-channel pixel
+    * sums over ALL frames (longs — the integer-output oracle
+    * discipline) */
+  final case class VideoStats(width: Int, height: Int, fps: Int,
+      nFrames: Int, sumR: Long, sumG: Long, sumB: Long)
+
+  private def wLE32(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    o.write(v & 0xFF); o.write((v >>> 8) & 0xFF)
+    o.write((v >>> 16) & 0xFF); o.write((v >>> 24) & 0xFF)
+  }
+  private def wLE16(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    o.write(v & 0xFF); o.write((v >>> 8) & 0xFF)
+  }
+  private def wFcc(o: java.io.ByteArrayOutputStream, s: String): Unit =
+    o.write(s.getBytes("US-ASCII"))
+
+  /** Uncompressed-AVI encode: `frames` are w·h packed 0xRRGGBB ints,
+    * row-major top-down; written as 24bpp bottom-up BGR DIB chunks
+    * (rows padded to 4 bytes) with a standard idx1 index. The output
+    * is a spec-complete RIFF AVI. */
+  def encodeAvi(w: Int, h: Int, fps: Int,
+      frames: Seq[Array[Int]]): Array[Byte] = {
+    require(w > 0 && h > 0 && fps > 0 && frames.nonEmpty)
+    require(frames.forall(_.length == w * h), "frame size mismatch")
+    val rowBytes = (w * 3 + 3) & ~3
+    val frameBytes = rowBytes * h
+    val n = frames.length
+
+    def dib(px: Array[Int]): Array[Byte] = {
+      val out = new Array[Byte](frameBytes)
+      var y = 0
+      while (y < h) {
+        val src = (h - 1 - y) * w // bottom-up
+        val dst = y * rowBytes
+        var x = 0
+        while (x < w) {
+          val p = px(src + x)
+          out(dst + 3 * x) = (p & 0xFF).toByte // B
+          out(dst + 3 * x + 1) = ((p >>> 8) & 0xFF).toByte // G
+          out(dst + 3 * x + 2) = ((p >>> 16) & 0xFF).toByte // R
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    val o = new java.io.ByteArrayOutputStream()
+    // sizes: hdrl LIST = 4 + (8+56) + (8 + 4 + (8+56) + (8+40))
+    val strlSize = 4 + 8 + 56 + 8 + 40
+    val hdrlSize = 4 + 8 + 56 + 8 + strlSize
+    val moviSize = 4 + n * (8 + frameBytes)
+    val idx1Size = 16 * n
+    val riffSize = 4 + 8 + hdrlSize + 8 + moviSize + 8 + idx1Size
+    wFcc(o, "RIFF"); wLE32(o, riffSize); wFcc(o, "AVI ")
+    wFcc(o, "LIST"); wLE32(o, hdrlSize); wFcc(o, "hdrl")
+    wFcc(o, "avih"); wLE32(o, 56)
+    wLE32(o, 1000000 / fps) // dwMicroSecPerFrame
+    wLE32(o, frameBytes * fps) // dwMaxBytesPerSec
+    wLE32(o, 0) // dwPaddingGranularity
+    wLE32(o, 0x10) // AVIF_HASINDEX
+    wLE32(o, n); wLE32(o, 0) // totalFrames, initialFrames
+    wLE32(o, 1) // streams
+    wLE32(o, frameBytes) // suggestedBufferSize
+    wLE32(o, w); wLE32(o, h)
+    wLE32(o, 0); wLE32(o, 0); wLE32(o, 0); wLE32(o, 0) // reserved
+    wFcc(o, "LIST"); wLE32(o, strlSize); wFcc(o, "strl")
+    wFcc(o, "strh"); wLE32(o, 56)
+    wFcc(o, "vids"); wFcc(o, "DIB ")
+    wLE32(o, 0); wLE16(o, 0); wLE16(o, 0) // flags, priority, language
+    wLE32(o, 0) // initialFrames
+    wLE32(o, 1); wLE32(o, fps) // scale, rate → fps
+    wLE32(o, 0); wLE32(o, n) // start, length
+    wLE32(o, frameBytes); wLE32(o, -1); wLE32(o, 0) // bufSize, quality, sampleSize
+    wLE16(o, 0); wLE16(o, 0); wLE16(o, w); wLE16(o, h) // rcFrame
+    wFcc(o, "strf"); wLE32(o, 40)
+    wLE32(o, 40); wLE32(o, w); wLE32(o, h)
+    wLE16(o, 1); wLE16(o, 24) // planes, bitCount
+    wLE32(o, 0) // BI_RGB
+    wLE32(o, frameBytes)
+    wLE32(o, 0); wLE32(o, 0); wLE32(o, 0); wLE32(o, 0)
+    wFcc(o, "LIST"); wLE32(o, moviSize); wFcc(o, "movi")
+    frames.foreach { px =>
+      wFcc(o, "00db"); wLE32(o, frameBytes); o.write(dib(px))
+    }
+    wFcc(o, "idx1"); wLE32(o, idx1Size)
+    var f = 0
+    while (f < n) {
+      wFcc(o, "00db"); wLE32(o, 0x10) // AVIIF_KEYFRAME
+      wLE32(o, 4 + f * (8 + frameBytes)); wLE32(o, frameBytes)
+      f += 1
+    }
+    o.toByteArray
+  }
+
+  private def rLE32(b: Array[Byte], p: Int): Int =
+    (b(p) & 0xFF) | ((b(p + 1) & 0xFF) << 8) |
+      ((b(p + 2) & 0xFF) << 16) | ((b(p + 3) & 0xFF) << 24)
+  private def rLE16(b: Array[Byte], p: Int): Int =
+    (b(p) & 0xFF) | ((b(p + 1) & 0xFF) << 8)
+  private def fcc(b: Array[Byte], p: Int): String =
+    new String(b, p, 4, "US-ASCII")
+
+  /** parsed container: dims + fps + (offset, length) of each DIB frame
+    * chunk's data within the payload */
+  private final case class AviLayout(w: Int, h: Int, fps: Int,
+      frames: IndexedSeq[(Int, Int)])
+
+  /** RIFF walk, total: None unless the payload is a well-formed AVI
+    * whose single video stream is uncompressed 24bpp BI_RGB. Frame
+    * chunks are located from the movi LIST directly ('00db'/'00dc'),
+    * so a missing/odd idx1 cannot corrupt the decode. */
+  private def parseAvi(b: Array[Byte]): Option[AviLayout] =
+    try {
+      if (b == null || b.length < 12 || fcc(b, 0) != "RIFF" ||
+        fcc(b, 8) != "AVI ") return None
+      var w = 0; var h = 0; var fps = 0
+      var bitCount = 0; var compression = -1
+      val frames = IndexedSeq.newBuilder[(Int, Int)]
+
+      def walk(from: Int, to: Int, inHdrl: Boolean, inMovi: Boolean): Unit = {
+        var pos = from
+        while (pos + 8 <= to) {
+          val id = fcc(b, pos)
+          val size = rLE32(b, pos + 4)
+          if (size < 0 || pos + 8 + size > to) return
+          id match {
+            case "LIST" if size >= 4 =>
+              val lt = fcc(b, pos + 8)
+              walk(pos + 12, pos + 8 + size,
+                inHdrl || lt == "hdrl" || lt == "strl", inMovi || lt == "movi")
+            case "strh" if inHdrl && size >= 32 &&
+                fcc(b, pos + 8) == "vids" =>
+              val scale = rLE32(b, pos + 8 + 20)
+              val rate = rLE32(b, pos + 8 + 24)
+              if (scale > 0) fps = rate / scale
+            case "strf" if inHdrl && size >= 40 =>
+              w = rLE32(b, pos + 8 + 4)
+              h = rLE32(b, pos + 8 + 8)
+              bitCount = rLE16(b, pos + 8 + 14)
+              compression = rLE32(b, pos + 8 + 16)
+            case c if inMovi && (c.endsWith("db") || c.endsWith("dc")) =>
+              frames += ((pos + 8, size))
+            case _ => ()
+          }
+          pos += 8 + size + (size & 1) // chunks pad to even
+        }
+      }
+      walk(12, math.min(b.length, 8 + rLE32(b, 4)), inHdrl = false,
+        inMovi = false)
+      val fr = frames.result()
+      if (w <= 0 || h <= 0 || fps <= 0 || bitCount != 24 ||
+        compression != 0 || fr.isEmpty) None
+      else Some(AviLayout(w, h, fps, fr))
+    } catch { case _: Exception => None }
+
+  /** decode + exact per-channel pixel sums over every frame */
+  def decodeVideo(payload: Array[Byte]): Option[VideoStats] =
+    parseAvi(payload).map { lay =>
+      val rowBytes = (lay.w * 3 + 3) & ~3
+      var sr = 0L; var sg = 0L; var sb = 0L
+      lay.frames.foreach { case (off, len) =>
+        val rows = math.min(lay.h, len / rowBytes)
+        var y = 0
+        while (y < rows) {
+          val base = off + y * rowBytes
+          var x = 0
+          while (x < lay.w) {
+            sb += payload(base + 3 * x) & 0xFF
+            sg += payload(base + 3 * x + 1) & 0xFF
+            sr += payload(base + 3 * x + 2) & 0xFF
+            x += 1
+          }
+          y += 1
+        }
+      }
+      VideoStats(lay.w, lay.h, lay.fps, lay.frames.length, sr, sg, sb)
+    }
+
+  /** extract every `stride`-th frame as a BufferedImage (index order:
+    * frame 0, stride, 2·stride, …) — bottom-up BGR DIB back to a
+    * top-down RGB raster */
+  def decodeVideoFrames(payload: Array[Byte],
+      stride: Int): Option[IndexedSeq[(Int, java.awt.image.BufferedImage)]] =
+    parseAvi(payload).map { lay =>
+      val rowBytes = (lay.w * 3 + 3) & ~3
+      lay.frames.indices.collect {
+        case f if f % stride == 0 =>
+          val (off, _) = lay.frames(f)
+          val img = new java.awt.image.BufferedImage(
+            lay.w, lay.h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < lay.h) {
+            val base = off + (lay.h - 1 - y) * rowBytes
+            var x = 0
+            while (x < lay.w) {
+              val bch = payload(base + 3 * x) & 0xFF
+              val gch = payload(base + 3 * x + 1) & 0xFF
+              val rch = payload(base + 3 * x + 2) & 0xFF
+              img.setRGB(x, y, (rch << 16) | (gch << 8) | bch)
+              x += 1
+            }
+            y += 1
+          }
+          (f, img)
+      }
+    }
 
   /** Real decode when a reader recognizes the payload — features are
     * raster statistics (dims, aspect, per-channel means, luma) scaled

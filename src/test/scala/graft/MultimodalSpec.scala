@@ -130,4 +130,102 @@ class MultimodalSpec extends AnyFunSuite {
       .as[(Long, Boolean, Long)].collect()
     assert(row.toSeq == Seq((9L, false, 0L)))
   }
+
+  test("AVI round-trip is lossless: container facts and channel sums exact") {
+    val w = 11; val h = 6; val fps = 12; val nf = 4
+    val frames = (0 until nf).map { f =>
+      Array.tabulate(w * h) { i =>
+        val x = i % w; val y = i / w
+        (((f + x) % 256) << 16) | (((2 * f + y) % 256) << 8) | ((x + y) % 256)
+      }
+    }
+    val avi = MediaCodec.encodeAvi(w, h, fps, frames)
+    // RIFF/AVI magic — these are real container bytes, not a raw dump
+    assert(new String(avi.take(4), "US-ASCII") == "RIFF")
+    assert(new String(avi.slice(8, 12), "US-ASCII") == "AVI ")
+    val st = MediaCodec.decodeVideo(avi).get
+    assert(st.width == w && st.height == h && st.fps == fps &&
+      st.nFrames == nf)
+    def total(c: (Int, Int, Int) => Int): Long =
+      (for (f <- 0 until nf; y <- 0 until h; x <- 0 until w)
+        yield c(f, x, y).toLong).sum
+    assert(st.sumR == total((f, x, _) => (f + x) % 256))
+    assert(st.sumG == total((f, _, y) => (2 * f + y) % 256))
+    assert(st.sumB == total((_, x, y) => (x + y) % 256))
+  }
+
+  test("decodeVideo is total: null, empty, garbage, truncated AVI → None; codecs don't bleed") {
+    assert(MediaCodec.decodeVideo(null).isEmpty)
+    assert(MediaCodec.decodeVideo(Array.emptyByteArray).isEmpty)
+    assert(MediaCodec.decodeVideo("not video at all".getBytes).isEmpty)
+    val avi = MediaCodec.encodeAvi(4, 4, 10,
+      Seq(Array.fill(16)(0x010203)))
+    assert(MediaCodec.decodeVideo(avi.take(40)).isEmpty)
+    // image/audio payloads are not video, and video is neither of those
+    assert(MediaCodec.decodeVideo(png(4, 4)((_, _) => 0)).isEmpty)
+    assert(MediaCodec.decodeVideo(
+      MediaCodec.encodeWav(Array[Short](1, 2), 1, 8000)).isEmpty)
+    assert(MediaCodec.decode(avi).isEmpty)
+    assert(MediaCodec.decodeAudio(avi).isEmpty)
+  }
+
+  test("decodeVideoFrames + PNG re-encode preserves every sampled frame's raster") {
+    val w = 7; val h = 5; val nf = 5
+    val frames = (0 until nf).map { f =>
+      Array.tabulate(w * h) { i =>
+        val x = i % w; val y = i / w
+        (((3 * f + x) % 256) << 16) | (((f + y) % 256) << 8) | ((5 * f + x + y) % 256)
+      }
+    }
+    val avi = MediaCodec.encodeAvi(w, h, 10, frames)
+    val sampled = MediaCodec.decodeVideoFrames(avi, stride = 2).get
+    assert(sampled.map(_._1) == IndexedSeq(0, 2, 4))
+    sampled.foreach { case (f, img) =>
+      assert(img.getWidth == w && img.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert((img.getRGB(x, y) & 0xFFFFFF) == frames(f)(y * w + x),
+          s"frame $f pixel ($x,$y)")
+      // PNG round-trip (the sampleVideoFrames output format) is lossless
+      val back = MediaCodec.decode(MediaCodec.encodePng(img)).get
+      assert(MediaCodec.channelSums(back) == MediaCodec.channelSums(img))
+    }
+  }
+
+  test("decodeVideoStats + sampleVideoFrames: synthetic AVIs match the analytic formulas") {
+    val ids = Seq(0L, 1L, 2L, 3L, 8L, 44L, 499L).toDF("doc_id")
+    val media = Multimodal.syntheticAvis(ids, "doc_id")
+    val stats = Multimodal.decodeVideoStats(media)
+      .select("media_id", "decoded", "width", "height", "fps", "n_frames",
+        "sum_r", "sum_g", "sum_b")
+      .as[(Long, Boolean, Int, Int, Int, Int, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(stats.size == 7 && stats.values.forall(_._2))
+    stats.values.foreach { case (id, _, w, h, fps, nf, sr, sg, sb) =>
+      assert(w == (8 + id % 9).toInt && h == (8 + id % 5).toInt)
+      assert(nf == (3 + id % 4).toInt && fps == (10 + id % 5).toInt)
+      def s(c: (Long, Long, Long) => Long): Long =
+        (for (f <- 0L until nf; y <- 0L until h; x <- 0L until w)
+          yield c(f, x, y)).sum
+      assert(sr == s((f, x, _) => (id + 3 * f + x) % 256), s"sum_r id=$id")
+      assert(sg == s((f, _, y) => (5 * id + f + y) % 256), s"sum_g id=$id")
+      assert(sb == s((f, x, _) => (11 * id + 2 * f + x) % 256), s"sum_b id=$id")
+    }
+    // sampled arm: every 2nd frame through PNG → imageio → exact sums
+    val samp = Multimodal
+      .decodeImageStats(Multimodal.sampleVideoFrames(media, stride = 2))
+      .groupBy("media_id")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum("sum_r").as("sr"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(samp.size == 7)
+    samp.values.foreach { case (id, n, sr) =>
+      val w = 8 + id % 9; val h = 8 + id % 5; val nf = 3 + id % 4
+      assert(n == (nf + 1) / 2, s"n_sampled id=$id")
+      val exp = (for (f <- 0L until nf if f % 2 == 0;
+                      y <- 0L until h; x <- 0L until w)
+        yield (id + 3 * f + x) % 256).sum
+      assert(sr == exp, s"samp_sum_r id=$id")
+    }
+  }
 }
