@@ -19,6 +19,14 @@ con = duckdb.connect()
 _mem = os.environ.get('GRAFT_ORACLE_MEM', '')
 if _mem:
     con.sql(f"SET memory_limit='{_mem}'")
+# An in-memory duckdb cannot spill without a temp_directory, so a
+# replay whose working set exceeds the limit hard-OOMs instead of
+# degrading to disk (observed on the j10_ivf_sq8 10x oracle: tiny-block
+# allocation failures at 53 GB RSS). Opt-in spill dir for scaled passes.
+_tmp = os.environ.get('GRAFT_ORACLE_TMP', '')
+if _tmp:
+    os.makedirs(_tmp, exist_ok=True)
+    con.sql(f"SET temp_directory='{_tmp}'")
 for t in ['region','nation','customer','supplier','part','orders','lineitem','events','documents','embeddings']:
     p = f'{sfdir}/{t}.parquet'
     if os.path.isdir(p):  # Spark-written dir (dev/ScaleData output)
