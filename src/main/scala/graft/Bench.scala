@@ -130,8 +130,6 @@ object Bench {
     // queries ≈ 1.15 KB + header/sf ≈ 0.1 KB + compact baseline ≈ 0.2 KB
     // < 1.5 KB. Full 3-decimal + per-algo baseline detail goes to
     // target/bench_last.json instead.
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
-      .mkString("{", ",", "}")
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -191,8 +189,13 @@ object Bench {
       val s = if (fine && v < 10) f"$v%.2f" else f"$v%.1f"
       "\"" + k + "\":" + s
     }.mkString("{", ",", "}")
+    // "gr" = gate_reps — the one methodology marker the stdout-tail
+    // consumer needs (gate secs are min of gr interleaved passes; serve
+    // gates exclude fixture builds). The verbose gate_reps/notes fields
+    // moved to target/bench_last.json when the 78-gate line overflowed
+    // the 2 KB tail window; README §artifact-keys documents both.
     val head =
-      s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","pt":$passTotals,"""
+      s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","gr":$gateReps,"pt":$passTotals,"""
     val candidates = Seq(
       head + s""""queries":${qsAt(true)},"baseline":$baselineCompact,"sf":"$sfShort"}""",
       head + s""""queries":${qsAt(true)},"baseline":$baselineTiny,"sf":"$sfShort"}""",

@@ -831,6 +831,51 @@ object SparkEntry {
         .select(col("qid").as("query_id"), col("rank"),
           col("id").as("doc_id"), col("rrf"))
     }),
+    // --- 100×-reach sampled twins of the BM25/WAND/hybrid family (r13):
+    //     the exact-BM25 oracle's Σ qf·df scoring join exceeds DuckDB's
+    //     disk/budget at 100× (r12: 79 GB temp), leaving the WAND arm
+    //     completion-checked but not value-checked there. BM25 over a
+    //     subcorpus is a pure function of the subcorpus (df/avgdl/N all
+    //     recomputed), so BOTH engines run on the SAME induced
+    //     S = {doc_id % 13 == 0} with queries densified to every 7th
+    //     sampled doc (% 91 overall: 6 queries at sf0.01, ~5.5k at 100×
+    //     where the oracle's join shrinks ~22× vs the full replay). The
+    //     Spark side exercises the identical WAND operator ---
+    "text_bm25_wand_sampled" -> ((s, dir) => {
+      val sub = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") % 13 === 0)
+      Bm25.searchTopKWand(sub,
+          sub.filter(col("doc_id") % 7 === 0)
+            .select(col("doc_id").as("qid"),
+              substring(col("text"), 1, 200).as("qtext")),
+          "doc_id", "text", "qid", "qtext", k = 5)
+        .select("query_id", "doc_id", "rank")
+    }),
+    // --- sampled twin of hybrid_rrf: both arms on the induced mod-13
+    //     subcorpus (documents AND embeddings — doc_id ≡ vec_id), fusion
+    //     unchanged. Gives the fused path a hash-tier value check at the
+    //     scale where the full oracles hit budget/disk ---
+    "hybrid_rrf_sampled" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") % 13 === 0)
+      val emb = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") % 13 === 0)
+      val lex = Bm25.searchTopKWand(docs,
+          docs.filter(col("doc_id") % 7 === 0)
+            .select(col("doc_id").as("qid"),
+              substring(col("text"), 1, 200).as("qtext")),
+          "doc_id", "text", "qid", "qtext", k = 10)
+        .select(col("query_id").as("qid"), col("doc_id").as("id"), col("rank"))
+      val den = KnnJoin.knnJoin(
+          emb.filter(col("vec_id") % 7 === 0)
+            .select(col("vec_id").as("qid"), col("embedding").as("vector")),
+          emb.select(col("vec_id").as("id"), col("embedding").as("vector")),
+          k = 10, metric = "cosine")
+        .select(col("qid"), col("id"), col("rank"))
+      graft.operators.Hybrid.rrfFuse(Seq(lex, den), k = 10)
+        .select(col("qid").as("query_id"), col("rank"),
+          col("id").as("doc_id"), col("rrf"))
+    }),
     // --- hard-negative mining (metric-learning / dense-retriever
     //     training): for each anchor, the 10 nearest embeddings under
     //     cosine whose label differs from the anchor's. Anchors broadcast,
@@ -1329,7 +1374,36 @@ object SparkEntry {
       .replace(bMark, "FROM embeddings WHERE vec_id % 11 = 0)")
   }
 
+  /** Derive a 100×-reach sampled twin of a BM25/hybrid oracle: restrict
+    * the corpus CTEs (documents tok; embeddings bv where present) to the
+    * induced mod-13 subcorpus and densify queries to % 91 (= sampled ∧
+    * every 7th). Marked rewrites — every scoring/ranking clause stays
+    * byte-identical to the full oracle's, so the twin pins the same
+    * fixed-point semantics. */
+  private def sampledBm25Oracle(sql: String): String = {
+    val tokMark = "FROM documents),"
+    val qMark = "FROM documents WHERE doc_id % 53 = 0)"
+    require(sql.contains(tokMark) && sql.contains(qMark),
+      "oracle lost its BM25 sampled-twin substitution markers")
+    var out = sql
+      .replace(tokMark, "FROM documents WHERE doc_id % 13 = 0),")
+      .replace(qMark, "FROM documents WHERE doc_id % 91 = 0)")
+    // hybrid oracles carry the dense arm too: restrict both its CTEs
+    val qvMark = "FROM embeddings WHERE vec_id % 53 = 0)"
+    val bvMark = "FROM embeddings),"
+    if (out.contains(qvMark)) {
+      require(out.contains(bvMark),
+        "hybrid oracle lost its dense-arm base marker")
+      out = out
+        .replace(qvMark, "FROM embeddings WHERE vec_id % 91 = 0)")
+        .replace(bvMark, "FROM embeddings WHERE vec_id % 13 = 0),")
+    }
+    out
+  }
+
   def oracleSql: Map[String, String] = oracleSqlBase ++ Map(
+    "text_bm25_wand_sampled" -> sampledBm25Oracle(bm25ExactOracleSql),
+    "hybrid_rrf_sampled" -> sampledBm25Oracle(oracleSqlBase("hybrid_rrf")),
     "j1_knn_sampled" -> sampledEmbOracle(oracleSqlBase("j1_knn_l2")),
     "mine_hard_negatives_sampled" ->
       sampledEmbOracle(oracleSqlBase("mine_hard_negatives")),

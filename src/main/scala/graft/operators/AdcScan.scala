@@ -92,6 +92,12 @@ object AdcScan {
   trait Sq8IwsumKernel {
     def iwsum(w: Array[Short], codes: Array[Byte], off: Int, len: Int): Int
 
+    /** warm the kernel's lane ops to C2 steady state, once per JVM —
+      * called by the first [[Sq8FastScorer]] whose int16 regime will
+      * route here (NOT at class load; see [[VectorSq8Kernel.primeOnce]]).
+      * Scalar/default kernels have nothing to warm. */
+    def primeOnce(): Unit = ()
+
     /** whole-chunk form, `out(r) = Σᵢ w(i)·codes(off0+r·stride+i)` for
       * r < nRows — same bit-exact contract per row. The SIMD kernels
       * override it to hoist the per-row overheads that made the one-row
@@ -825,6 +831,13 @@ object AdcScan {
         case Some(v) => v != "false" && v != "0"
         case None => dim >= 128 || sq8SimdKernel.isDefined
       })
+
+    // lazy JIT priming (once per JVM): only a scorer that will actually
+    // route the int16 SIMD path pays the ≤250 ms warm-up — previously
+    // this ran at VectorSq8Kernel class load in EVERY JVM touching any
+    // AdcScan member (ADVICE r12). Constructor-time keeps it out of the
+    // bench's timed window (the untimed warm call builds the scorer).
+    if (useInt16) sq8SimdKernel.foreach(_.primeOnce())
 
     def score(qidx: Int, cid: Int, codes: Array[Byte], off: Int, len: Int): Double = {
       val c = qState._2(qidx)

@@ -605,7 +605,14 @@ object MediaCodec {
       var bitCount = 0; var compression = -1
       val frames = IndexedSeq.newBuilder[(Int, Int)]
 
-      def walk(from: Int, to: Int, inHdrl: Boolean, inMovi: Boolean): Unit = {
+      def walk(from: Int, to: Int, inHdrl: Boolean, inMovi: Boolean,
+          depth: Int): Unit = {
+        // depth cap: a corrupt/crafted payload of ~N/12 nested 12-byte
+        // LISTs would otherwise recurse ~N/12 frames deep and throw
+        // StackOverflowError — an Error the `case _: Exception` guard
+        // below does NOT catch, crashing the executor task instead of
+        // returning None. Real AVIs nest ≤4 (RIFF→hdrl→strl / movi→rec)
+        if (depth > 16) return
         var pos = from
         while (pos + 8 <= to) {
           val id = fcc(b, pos)
@@ -615,7 +622,8 @@ object MediaCodec {
             case "LIST" if size >= 4 =>
               val lt = fcc(b, pos + 8)
               walk(pos + 12, pos + 8 + size,
-                inHdrl || lt == "hdrl" || lt == "strl", inMovi || lt == "movi")
+                inHdrl || lt == "hdrl" || lt == "strl", inMovi || lt == "movi",
+                depth + 1)
             case "strh" if inHdrl && size >= 32 &&
                 fcc(b, pos + 8) == "vids" =>
               val scale = rLE32(b, pos + 8 + 20)
@@ -634,7 +642,7 @@ object MediaCodec {
         }
       }
       walk(12, math.min(b.length, 8 + rLE32(b, 4)), inHdrl = false,
-        inMovi = false)
+        inMovi = false, depth = 0)
       val fr = frames.result()
       if (w <= 0 || h <= 0 || fps <= 0 || bitCount != 24 ||
         compression != 0 || fr.isEmpty) None
@@ -671,8 +679,14 @@ object MediaCodec {
       stride: Int): Option[IndexedSeq[(Int, java.awt.image.BufferedImage)]] =
     parseAvi(payload).map { lay =>
       val rowBytes = (lay.w * 3 + 3) & ~3
+      // skip short '00db' chunks (len < h·rowBytes): reading h full rows
+      // from one would pull garbage bytes from the neighboring chunk —
+      // or run off the payload end and fail the Spark task — violating
+      // the "undecodable payloads yield no rows" contract. Mirrors
+      // decodeVideo's rows = min(h, len/rowBytes) guard, stricter: a
+      // partial frame is dropped rather than emitted truncated.
       lay.frames.indices.collect {
-        case f if f % stride == 0 =>
+        case f if f % stride == 0 && lay.frames(f)._2 >= lay.h * rowBytes =>
           val (off, _) = lay.frames(f)
           val img = new java.awt.image.BufferedImage(
             lay.w, lay.h, java.awt.image.BufferedImage.TYPE_INT_RGB)

@@ -228,4 +228,68 @@ class MultimodalSpec extends AnyFunSuite {
       assert(sr == exp, s"samp_sum_r id=$id")
     }
   }
+
+  test("short '00db' chunk: truncated frame is skipped, never read past (ADVICE r12)") {
+    val w = 6; val h = 4; val nf = 3
+    val rowBytes = (w * 3 + 3) & ~3
+    val frameBytes = rowBytes * h
+    // last frame all-0xFF so the walk's next "chunk header" read after
+    // the shrunken chunk sees size=0xFFFFFFFF (<0) and stops cleanly
+    val frames = (0 until nf).map { f =>
+      if (f == nf - 1) Array.fill(w * h)(0xFFFFFF)
+      else Array.tabulate(w * h)(i => ((f + i) % 256) * 0x010101)
+    }
+    val avi = MediaCodec.encodeAvi(w, h, 10, frames)
+    // patch the LAST frame chunk's declared size one row short: a
+    // parseable AVI whose final '00db' data is truncated
+    val db = "00db".getBytes("US-ASCII")
+    def le32At(i: Int): Int = (avi(i) & 0xFF) | ((avi(i + 1) & 0xFF) << 8) |
+      ((avi(i + 2) & 0xFF) << 16) | ((avi(i + 3) & 0xFF) << 24)
+    // match only movi chunk HEADERS (fourcc followed by size=frameBytes)
+    // — idx1 entries also carry the '00db' fourcc, followed by flags
+    val lastDb = avi.indices.reverse.find(i => i + 8 <= avi.length &&
+      avi(i) == db(0) && avi(i + 1) == db(1) &&
+      avi(i + 2) == db(2) && avi(i + 3) == db(3) &&
+      le32At(i + 4) == frameBytes).get
+    val short = frameBytes - rowBytes
+    avi(lastDb + 4) = (short & 0xFF).toByte
+    avi(lastDb + 5) = ((short >> 8) & 0xFF).toByte
+    avi(lastDb + 6) = ((short >> 16) & 0xFF).toByte
+    avi(lastDb + 7) = ((short >> 24) & 0xFF).toByte
+    // frame extraction: full frames 0..nf-2 decode, the short frame is
+    // SKIPPED — not emitted with garbage rows, not an array overrun
+    val sampled = MediaCodec.decodeVideoFrames(avi, stride = 1).get
+    assert(sampled.map(_._1) == (0 until nf - 1))
+    sampled.foreach { case (f, img) =>
+      for (y <- 0 until h; x <- 0 until w)
+        assert((img.getRGB(x, y) & 0xFFFFFF) == frames(f)(y * w + x))
+    }
+    // stats arm keeps its own rows = min(h, len/rowBytes) bound: decodes
+    // without error and counts the container's frame chunks
+    val st = MediaCodec.decodeVideo(avi).get
+    assert(st.nFrames == nf)
+  }
+
+  test("deeply nested LISTs: parseAvi depth cap returns None instead of StackOverflowError") {
+    // ~50k nested 12-byte LISTs — the crafted/corrupt shape that would
+    // recurse past the JVM stack (StackOverflowError is an Error, which
+    // parseAvi's `catch { case _: Exception }` does NOT absorb)
+    val depth = 50000
+    val o = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Unit = {
+      o.write(v & 0xFF); o.write((v >> 8) & 0xFF)
+      o.write((v >> 16) & 0xFF); o.write((v >> 24) & 0xFF)
+    }
+    def fcc(s: String): Unit = o.write(s.getBytes("US-ASCII"))
+    val inner = depth * 12
+    fcc("RIFF"); le32(4 + inner); fcc("AVI ")
+    var remaining = inner
+    while (remaining >= 12) {
+      fcc("LIST"); le32(remaining - 8); fcc("hdrl")
+      remaining -= 12
+    }
+    val b = o.toByteArray
+    assert(MediaCodec.decodeVideo(b).isEmpty)
+    assert(MediaCodec.decodeVideoFrames(b, 1).isEmpty)
+  }
 }
