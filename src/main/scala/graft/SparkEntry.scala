@@ -725,14 +725,18 @@ object SparkEntry {
     //     once, then scoring touches only query-term rows — no corpus
     //     re-tokenization, no postings aggregate at serve time. Results
     //     are defined to equal the inline path, so it replays the same
-    //     oracle ---
+    //     oracle. r13: the scoring pass routes the block-max WAND kernel
+    //     over the same term-pruned index relations (bit-identical by
+    //     the text_bm25_wand contract; equality-asserted at 10× by
+    //     dev/ServeWandAb) — the relational Σ qf·df join it replaces
+    //     measured 290 s vs WAND's 3.6 s at 50k docs × 944 queries ---
     "text_bm25_serve" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       // ensureIndex: built once per (dir-keyed) index name — a bench that
       // pre-warmed fixtures times pure serving here, which is what the
       // gate's name claims; a cold runner (Verify) still self-builds
       Bm25.ensureIndex(docs, "doc_id", "text", bm25GateIndex(dir), buckets = 8)
-      Bm25.searchFromIndex(s, bm25GateIndex(dir),
+      Bm25.searchFromIndexWand(s, bm25GateIndex(dir),
           docs.filter(col("doc_id") % 53 === 0)
             .select(col("doc_id").as("qid"),
               substring(col("text"), 1, 200).as("qtext")),
@@ -747,7 +751,13 @@ object SparkEntry {
     //     100× pass: exact scoring's Σ qf·df candidate join overflowed
     //     local disk at 9.4k queries × 500k docs; this gate pins the
     //     truncated semantics with a full DuckDB replay and runs at 100×
-    //     on BOTH engines. df/idf remain exact corpus statistics ---
+    //     on BOTH engines. df/idf remain exact corpus statistics.
+    //     N=32 is a COST-bound operating point (candidate space
+    //     Σ_t qf·min(df, 32)), not an exactness claim: the r13 Zipf
+    //     sweep (dev/ChampionSweep, flat + Zipf corpora × long + short
+    //     queries) measures top-5 agreement ≤0.62 for ANY champion
+    //     variant at N ≤ 128 on this generator while exact WAND costs
+    //     less — exact serving routes text_bm25_wand ---
     "text_bm25_champion" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       Bm25.searchTopK(docs,

@@ -19,12 +19,26 @@ import graft.Tables
   * so the comparison is closed over whatever data this produces.
   *
   * Run: sbt "runMain graft.dev.ScaleData /root/testdata/sf0.1 /tmp/sfbig 10"
+  *
+  * Optional 4th arg `zipf` (r13, VERDICT r12 item 4): rewrite document
+  * text with a ZIPF-ranked synthetic vocabulary (P(rank) ∝ 1/(1+rank)
+  * over 4096 tokens, inverse-CDF sampled from the same splitmix hashes,
+  * ~90% substitution on EVERY replica including 0). The standard
+  * fixtures keep the flat jittered vocabulary — their dedup-skew and
+  * BM25 oracles are calibrated to it — but a flat-impact corpus makes
+  * champion-list truncation look uniformly terrible (ChampionSweep r12:
+  * top-5 agreement 0.03-0.27 at any affordable N) because every term's
+  * posting impacts are interchangeable. Real retrieval corpora are
+  * Zipfian (term frequencies concentrate), which is the regime champion
+  * lists were designed for — this mode builds that stand-in so the
+  * operating point can be swept where the operator is actually used.
   */
 object ScaleData {
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val dst = args.lift(1).getOrElse("/tmp/sfbig")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val zipfText = args.lift(3).contains("zipf")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -113,6 +127,35 @@ object ScaleData {
     // data, and the corpus looks like 100× MORE data, not 100 copies —
     // which is the thing a 100× pass exists to simulate. All oracles
     // recompute from the written parquet, so the comparison stays closed.
+    // zipf mode: every replica (incl. 0) rewrites ~90% of tokens to a
+    // Zipf-ranked vocab — rank = exp(u·ln(1+V))−1 inverts the s=1 Zipf
+    // CDF ln(1+r)/ln(1+V), so token "z0" dominates and the tail thins
+    // like a real corpus's term histogram
+    val zipfJitter = udf { (t: String, r: Long, id: Long) =>
+      if (t == null) t
+      else {
+        @inline def mix(x0: Long): Long = {
+          var x = x0 + 0x9E3779B97F4A7C15L
+          x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+          x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+          x ^ (x >>> 31)
+        }
+        val base = mix(mix(id * 0xA24BAED4963EE407L) ^ (r + 1))
+        val lnV1 = math.log(4097.0)
+        val toks = t.split(" ")
+        var i = 0
+        while (i < toks.length) {
+          val h = mix(base ^ i.toLong)
+          if ((h & 0xffL) < 230) { // ~90% substitution
+            val u = ((h >>> 11) & ((1L << 30) - 1)).toDouble / (1L << 30)
+            val rank = (math.exp(u * lnV1) - 1.0).toInt.min(4095)
+            toks(i) = "z" + rank
+          }
+          i += 1
+        }
+        toks.mkString(" ")
+      }
+    }
     val textJitter = udf { (t: String, r: Long, id: Long) =>
       if (r == 0L || t == null) t
       else {
@@ -135,7 +178,9 @@ object ScaleData {
     }
     val docBase = maxOf(docs, "doc_id") + 1
     val docsScaled = docs.crossJoin(broadcast(reps))
-      .withColumn("text", textJitter(col("text"), col("__r"), col("doc_id")))
+      .withColumn("text",
+        (if (zipfText) zipfJitter else textJitter)(
+          col("text"), col("__r"), col("doc_id")))
       .withColumn("doc_id", (col("doc_id").cast("long") + col("__r") * docBase)
         .cast(docs.schema("doc_id").dataType))
       .drop("__r")

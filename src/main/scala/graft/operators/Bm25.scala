@@ -74,7 +74,8 @@ object Bm25 {
   def searchTopK(docs: DataFrame, queries: DataFrame,
       idCol: String, textCol: String, qIdCol: String, qTextCol: String,
       k: Int, k1: Double = 1.2, b: Double = 0.75,
-      championListSize: Option[Int] = None): DataFrame = {
+      championListSize: Option[Int] = None,
+      championRescore: Boolean = false): DataFrame = {
     // one-row corpus stats from the pre-explode scan (no postings shuffle)
     val stats = docLengths(docs, idCol, textCol)
       .agg(count(lit(1)).cast("double").as("n_docs"),
@@ -88,7 +89,8 @@ object Bm25 {
     searchTopKOverPostings(
       postings(docs, idCol, textCol).cache(), stats,
       queries, qIdCol, qTextCol, k, k1, b,
-      championListSize = championListSize)
+      championListSize = championListSize,
+      championRescore = championRescore)
   }
 
   /** Scoring over a prebuilt `(doc_id, term, tf, dl)` postings relation
@@ -110,9 +112,10 @@ object Bm25 {
       queries: DataFrame, qIdCol: String, qTextCol: String,
       k: Int, k1: Double = 1.2, b: Double = 0.75,
       prebuiltDf: Option[DataFrame] = None,
-      championListSize: Option[Int] = None): DataFrame =
+      championListSize: Option[Int] = None,
+      championRescore: Boolean = false): DataFrame =
     scoreQTerms(post, stats, qtermsOf(queries, qIdCol, qTextCol),
-      k, k1, b, prebuiltDf, championListSize)
+      k, k1, b, prebuiltDf, championListSize, championRescore)
 
   /** `(query_id, term)` — the distinct query-term relation scoring joins
     * against. */
@@ -124,7 +127,8 @@ object Bm25 {
   private def scoreQTerms(post: DataFrame, stats: DataFrame,
       qterms: DataFrame, k: Int, k1: Double, b: Double,
       prebuiltDf: Option[DataFrame],
-      championListSize: Option[Int] = None): DataFrame = {
+      championListSize: Option[Int] = None,
+      championRescore: Boolean = false): DataFrame = {
     // per-term document frequency, restricted to the query vocabulary
     // BEFORE the aggregate: the semi-join keeps only postings of query
     // terms (a broadcast filter — the corpus side never moves), so the
@@ -153,32 +157,54 @@ object Bm25 {
     // only). The rank-filter window compiles to a Partial
     // WindowGroupLimit, so each map partition forwards ≤ N rows per term
     // before the exchange. None = exact scoring (the gate path).
-    val postScoring = championListSize match {
-      case None => post
-      case Some(n) =>
-        val qvocab = qterms.select("term").distinct()
-        post.join(broadcast(qvocab), Seq("term"), "left_semi")
-          .crossJoin(broadcast(stats.select("avgdl")))
-          .withColumn("imp",
-            col("tf") / (col("tf") +
-              lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
-          // fixed-point BEFORE ranking (same rationale as score_fixed):
-          // an ulp difference in avgdl between engines must not flip a
-          // champion near-tie — 1e-9 resolution absorbs it, ties resolve
-          // by doc_id identically everywhere
-          .withColumn("imp_fixed", round(col("imp") * lit(1e9), 0).cast("long"))
-          .withColumn("crank", row_number().over(Window.partitionBy("term")
-            .orderBy(col("imp_fixed").desc, col("doc_id"))))
-          .filter(col("crank") <= n)
-          .select("doc_id", "term", "tf", "dl")
+    val champPost = championListSize.map { n =>
+      val qvocab = qterms.select("term").distinct()
+      post.join(broadcast(qvocab), Seq("term"), "left_semi")
+        .crossJoin(broadcast(stats.select("avgdl")))
+        .withColumn("imp",
+          col("tf") / (col("tf") +
+            lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+        // fixed-point BEFORE ranking (same rationale as score_fixed):
+        // an ulp difference in avgdl between engines must not flip a
+        // champion near-tie — 1e-9 resolution absorbs it, ties resolve
+        // by doc_id identically everywhere
+        .withColumn("imp_fixed", round(col("imp") * lit(1e9), 0).cast("long"))
+        .withColumn("crank", row_number().over(Window.partitionBy("term")
+          .orderBy(col("imp_fixed").desc, col("doc_id"))))
+        .filter(col("crank") <= n)
+        .select("doc_id", "term", "tf", "dl")
     }
+    val postScoring = champPost.getOrElse(post)
 
-    val scored = postScoring.join(broadcast(qdf), "term")
+    def scoreExpr(df0: DataFrame): DataFrame = df0
       .withColumn("s",
         col("idf") * (col("tf") * lit(k1 + 1.0)) /
           (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
       // fixed-point: associative long sum (see object scaladoc)
       .withColumn("s_fixed", round(col("s") * lit(1e6), 0).cast("long"))
+
+    // Champion lists as CANDIDATE GENERATION (MRS §7.1.3's actual use),
+    // not truncated scoring: the champion traversal proposes (query,
+    // doc) pairs — Σ_t qf(t)·min(df(t), N) of them — and each candidate
+    // is then rescored with its FULL term overlap against the query, so
+    // a candidate's score is its exact BM25 (only docs outside every
+    // query term's champion list can be missed). At scale the rescore
+    // join touches only candidate docs' postings (a semi-join on the
+    // candidate doc set), never Σ qf·df. Truncated scoring (rescore
+    // off) keeps the r11 gate semantics: each term contributes only its
+    // champion entries, so tail contributions are lost and top-5
+    // agreement collapses on heavy-tailed queries (dev/ChampionSweep:
+    // ≤0.22 even on the Zipf corpus).
+    val scored = champPost match {
+      case Some(cp) if championRescore =>
+        val cand = cp.join(broadcast(qterms), Seq("term"))
+          .select("query_id", "doc_id").distinct()
+        val candDocs = cand.select("doc_id").distinct()
+        scoreExpr(post.join(candDocs, Seq("doc_id"), "left_semi")
+            .join(broadcast(qdf), "term"))
+          .join(cand, Seq("query_id", "doc_id"), "left_semi")
+      case _ => scoreExpr(postScoring.join(broadcast(qdf), "term"))
+    }
 
     val agg = scored.groupBy("query_id", "doc_id")
       .agg(sum("s_fixed").as("score_fixed"))
@@ -481,6 +507,44 @@ object Bm25 {
         spark.table(s"${table}_stats"), qterms, k, k1, b,
         prebuiltDf = Some(spark.table(s"${table}_df").filter(termIn)),
         championListSize = championListSize)
+    }
+  }
+
+  /** [[searchFromIndex]] with the scoring pass routed through the
+    * block-max WAND kernel instead of the relational Σ qf·df join —
+    * results are CONTRACTED bit-identical (same fixed-point
+    * contributions, same (score desc, id) tie-break; the
+    * `text_bm25_wand` gate pins that equivalence), so callers serving a
+    * persisted index get WAND's bounded candidates (≤ P·nq·k forwarded
+    * rows) at the same answers. Keeps the serve path's two structural
+    * wins: postings/df scans carry the batch's vocabulary as an `isin`
+    * literal (bucket pruning + parquet pushdown — only query-term
+    * buckets are read), and df/stats are persisted lookups, never a
+    * corpus aggregate. Measured at the 10× serve shape (50k docs, 944
+    * doc-prefix queries, dev/ServeWandAb, equality-asserted then
+    * interleaved min-of-2): WAND 3.6 s vs relational 290 s — the
+    * relational arm's Σ qf·df join materializes ~1.9B candidate rows on
+    * that corpus (every query shares the 40-word head vocabulary),
+    * exactly the blow-up WAND's θ-pruned DAAT never builds. */
+  def searchFromIndexWand(spark: org.apache.spark.sql.SparkSession,
+      table: String, queries: DataFrame, qIdCol: String, qTextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qt = qtermsOf(queries, qIdCol, qTextCol)
+    val rows = qt.limit(serveBatchCap + 1).collect()
+    if (rows.length > serveBatchCap)
+      // over-cap batch: no vocabulary literal (it would be a
+      // million-entry In) — WAND's own chunked over-cap route applies
+      searchWandOverPostings(
+        spark.table(s"${table}_postings"),
+        spark.table(s"${table}_stats"), queries, qIdCol, qTextCol, k, k1, b,
+        prebuiltDf = Some(spark.table(s"${table}_df")))
+    else {
+      val vocab = rows.map(_.getString(1)).distinct.toSeq
+      val termIn = col("term").isin(vocab: _*)
+      searchWandOverPostings(
+        spark.table(s"${table}_postings").filter(termIn),
+        spark.table(s"${table}_stats"), queries, qIdCol, qTextCol, k, k1, b,
+        prebuiltDf = Some(spark.table(s"${table}_df").filter(termIn)))
     }
   }
 

@@ -300,6 +300,16 @@ class PlanQualitySpec extends AnyFunSuite {
         .collect().map(_.toSeq).toSet
       assert(got == inline, "serve-from-index diverges from inline BM25")
       assert(got.nonEmpty)
+      // the WAND serve route (r13, the text_bm25_serve gate path) is
+      // contracted bit-identical to the relational serve — same index,
+      // same answers, candidates bounded by the DAAT kernel instead of
+      // the Σ qf·df join (dev/ServeWandAb: 3.6 s vs 290 s at 10×)
+      val wandServed = graft.operators.Bm25.searchFromIndexWand(
+          spark, "pq_bm25ix", queries, "qid", "qtext", k = 5)
+        .select("query_id", "doc_id", "rank")
+        .collect().map(_.toSeq).toSet
+      assert(wandServed == inline,
+        "WAND serve-from-index diverges from inline BM25")
     } finally {
       Seq("pq_bm25ix_postings", "pq_bm25ix_df", "pq_bm25ix_stats")
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
