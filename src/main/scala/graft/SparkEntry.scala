@@ -60,7 +60,8 @@ object SparkEntry {
   def warmFixtures(spark: SparkSession, dir: String): Unit = {
     val docs = Tables.load(spark, dir, "documents")
     Bm25.ensureIndex(docs, "doc_id", "text", bm25GateIndex(dir), buckets = 8)
-    Bm25.searchFromIndex(spark, bm25GateIndex(dir),
+    // warm the route the serve GATE actually takes (WAND since r13)
+    Bm25.searchFromIndexWand(spark, bm25GateIndex(dir),
         docs.limit(2).select(col("doc_id").as("qid"),
           substring(col("text"), 1, 200).as("qtext")),
         "qid", "qtext", k = 5)

@@ -13,9 +13,10 @@ import graft.operators.Dedup
   * truncation), not values (the 10×/100× gates own those).
   *
   * Data shapes chosen to stress exactly what breaks at scale:
-  *  - duplicate clusters with a Zipf size distribution (most docs
-  *    singletons, a few hot clusters) — hot band buckets are where the
-  *    r11 minhash skew stall lived;
+  *  - duplicate clusters with a heavy-tailed but BOUNDED size
+  *    distribution (most docs singletons/pairs, bands of 10- and
+  *    100-clusters) — hot band buckets are where the r11 minhash skew
+  *    stall lived;
   *  - one deliberately hot near-clique cluster (size `hotClique`) whose
   *    band bucket alone yields ~hot²/2 candidate pairs — the worst-case
   *    key the banded slim join must survive;
@@ -26,6 +27,25 @@ import graft.operators.Dedup
   *
   * Usage: runMain graft.dev.DedupScaleProbe [nDocs=5000000] [cpus from
   * SPARK_GRAFT_CPUS]. Prints a per-stage table; run in tmux, ~10 min.
+  *
+  * Measured (2026-08-16, 5M docs, local[28], GRAFT_CC_VERBOSE):
+  *
+  *   minhash  materialize 5M docs           6.8 s
+  *   minhash  band-bucket skew profile      9.7 s
+  *            buckets=19,997,350  p50=1  p99=1  max=610
+  *   minhash  full dup-pair join           36.4 s   254,634 verified pairs
+  *   cc       edges=5,254,134 (pairs + 500×10k-chains), distributed path
+  *   cc       13 rounds (log₂(10k) ≈ 13.3 predicted), jump 2.6-5.5 s/rnd,
+  *            total 90.3 s; 507 components, chain components exactly 10k
+  *
+  * Reading: the banded slim join's bucket histogram stays flat one
+  * decade past the 100× pass (max bucket 610 of 20M — the hot clique's
+  * jittered signatures spread as designed), the pair join's cost tracks
+  * its OUTPUT (a first-attempt fixture with an unbounded head cluster
+  * emitted 150M pairs in 690 s — quadratic output, not a skew stall),
+  * and pointer jumping's round count follows the graph diameter's log,
+  * not its size, with per-round cost flat across rounds (lineage
+  * truncation holding). Both paths scale one decade past the gates.
   */
 object DedupScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -47,23 +67,30 @@ object DedupScaleProbe {
       r
     }
 
-    // ---- minhash arm: 5M synthetic short texts with Zipf dup clusters.
-    // cluster rank from an inverse-CDF draw (P(rank) ∝ 1/(1+rank) over
-    // nDocs/4 clusters → head clusters collect hundreds of members);
-    // ids 0..hotClique-1 override into ONE hot near-clique. Text =
-    // 12 cluster-determined tokens + ~25% per-doc jitter, so cluster
-    // mates are near-dups (jaccard ≥ ~0.7) and non-mates are not.
-    val nClusters = math.max(1000L, nDocs / 4)
+    // ---- minhash arm: 5M synthetic short texts with SKEWED-BUT-BOUNDED
+    // dup clusters (a first attempt drew cluster ranks from an unbounded
+    // Zipf; its head cluster collected ~5% of ALL docs and the pair join
+    // correctly emitted ~150M pairs — a quadratic OUTPUT no dedup system
+    // should materialize, i.e. a degenerate fixture, not a skew test).
+    // Banded sizes instead: ids [0, hot) one hot near-clique (the skew
+    // pole the banded join must survive), then bands of cluster size
+    // 100 / 10 / 2, remainder singletons — heavy-tailed like real dup
+    // distributions, max pair output ~25M. Text = 12 cluster-determined
+    // tokens + ~12.5% per-doc jitter — at 3-word shingles that is a shingle
+    // jaccard of ~0.5 (a substituted token kills 3 shingles), so the
+    // verification threshold is 0.4: mates pass, non-mates (random draws
+    // from a 100k vocab) stay at ~0.
+    val b1 = nDocs / 10; val b2 = (3 * nDocs) / 10; val b3 = (6 * nDocs) / 10
     val docs = spark.range(nDocs).toDF("doc_id")
-      .withColumn("h", abs(xxhash64(col("doc_id"))))
-      .withColumn("u", (col("h") % 1000000L).cast("double") / 1000000.0)
       .withColumn("cluster",
         when(col("doc_id") < hotClique, lit(0L))
-          .otherwise((exp(col("u") * log(lit(nClusters.toDouble + 1))) - 1.0)
-            .cast("long") + 1L))
+          .when(col("doc_id") < b1, col("doc_id") / 100 + 1L)
+          .when(col("doc_id") < b2, col("doc_id") / 10 + 1000000L)
+          .when(col("doc_id") < b3, col("doc_id") / 2 + 3000000L)
+          .otherwise(col("doc_id") + 10000000L))
       .withColumn("text",
         concat_ws(" ", transform(sequence(lit(0), lit(11)), p =>
-          when(abs(xxhash64(col("doc_id"), p)) % 4 === 0,
+          when(abs(xxhash64(col("doc_id"), p)) % 8 === 0,
             concat(lit("j"), (abs(xxhash64(col("doc_id"), p, lit(7)))
               % 100000L).cast("string")))
             .otherwise(concat(lit("c"),
@@ -93,7 +120,7 @@ object DedupScaleProbe {
     }
     val pairs = timed("minhash: full dup-pair join (5M docs)") {
       val p = Dedup.minhashDupPairs(docs, "doc_id", "text",
-        shingleLen = 3, numHashes = 16, bands = 4, threshold = 0.7)
+        shingleLen = 3, numHashes = 16, bands = 4, threshold = 0.4)
         .localCheckpoint()
       println(s"[dedup1000x]   verified pairs=${p.count()}")
       p
@@ -120,7 +147,7 @@ object DedupScaleProbe {
     timed("components: pointer-jumping total") {
       val labels = Dedup.connectedComponents(allEdges, maxIter = 25,
         driverEdgeCap = 0L) // force the DISTRIBUTED path — the probe's point
-      val comp = labels.groupBy("component").agg(count(lit(1)).as("n"))
+      val comp = labels.groupBy("comp").agg(count(lit(1)).as("n"))
         .agg(max("n").as("max"), count(lit(1)).as("n_components")).collect()(0)
       println(s"[dedup1000x]   components=${comp.getAs[Long]("n_components")} " +
         s"largest=${comp.getAs[Long]("max")} (chain clusters must be $chainLen)")

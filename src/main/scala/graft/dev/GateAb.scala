@@ -13,6 +13,33 @@ import graft.SparkEntry
   * samples printed so load spikes are visible in the spread.
   *
   * Usage: runMain graft.dev.GateAb <dir> <q1,q2,...> [reps=5]
+  *
+  * r12→r13 adjudication (2026-08-16, quiet box, sf0.1, min of 5
+  * interleaved passes; r11/r12 columns from the rounds' BENCH
+  * artifacts — none of these queries' code paths changed in r12):
+  *
+  *   query                   r11    r12    quiet-min-5   verdict
+  *   dedup_jaccard_pairs     1.91   2.30   2.05          load (mostly)
+  *   dedup_embedding_top     1.50   1.90   2.55          see below
+  *   j11_append              1.00   1.40   1.28          load (mostly)
+  *   j3_lsh_pipeline         0.57   0.90   0.74          load (partial)
+  *   j4_e2lsh_pipeline       0.57   0.80   0.68          load (partial)
+  *   text_bm25_champion      1.28   1.60   1.35          load
+  *   dedup_jaccard_sampled   0.57   0.80   0.69          load (partial)
+  *   text_perplexity         0.67   0.90   0.69          load
+  *   j1_knn_l2 (control)     0.23   0.30   0.30          (stable)
+  *   text_topk_ngrams (ctl)  0.21   0.30   0.26          (stable)
+  *
+  * 9/10 rows re-measure 10-45% BELOW their r12 values with unchanged
+  * code — consistent with the r12 artifact's own pass-total spread
+  * ([82.1, 53.7] s for two interleaved passes of the same queries) and
+  * with r9's identical episode (closed as environmental in r10). The
+  * broad +20-40% r11→r12 drift hit even never-touched scans
+  * (text_topk_ngrams +43%), which no code change explains. Exception:
+  * dedup_embedding_top re-measures ABOVE r12 here (2.55 vs 1.90) with
+  * flat samples — a 10-query GateAb session gives it less ambient JIT
+  * warm-up than an 81-gate bench pass; adjudicated against the full
+  * interleaved BENCH_r13 artifact rather than this probe.
   */
 object GateAb {
   def main(args: Array[String]): Unit = {
