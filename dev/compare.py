@@ -123,9 +123,21 @@ for name, sql in sorted(oracle.items()):
             # the leaked interrupt then lands on THIS query. Such a leak
             # is distinguishable from a genuine timeout by elapsed time:
             # this query's own timer cannot have fired before
-            # TIMEOUT/2 s. Retry exactly once in that window.
-            if is_interrupt(e) and time.time() - t0 < max(1.0, ORACLE_TIMEOUT / 2):
+            # TIMEOUT/2 s. Retry exactly once in that window. Strictly
+            # TIMEOUT/2 — no floor: with a sub-second ORACLE_TIMEOUT a
+            # 1.0 s floor would classify a GENUINE own-timer interrupt
+            # (elapsed ≈ TIMEOUT < 1.0) as a leak and retry with the
+            # timer already consumed, i.e. unbounded. Re-arm a fresh
+            # timer around the retry so the leak path stays covered too.
+            if is_interrupt(e) and time.time() - t0 < ORACLE_TIMEOUT / 2:
                 print(f'{name}: leaked interrupt from prior timer — retrying once')
+                if timer: timer.cancel()
+                timer = threading.Timer(ORACLE_TIMEOUT, con.interrupt)
+                try:
+                    timer.start()
+                except RuntimeError:
+                    print(f'{name}: WARNING retry un-timed — timer thread start failed')
+                    timer = None
                 duck_df = con.sql(sql).df()
             else:
                 raise

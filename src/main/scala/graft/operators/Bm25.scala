@@ -272,12 +272,18 @@ object Bm25 {
       queries: DataFrame, qIdCol: String, qTextCol: String,
       k: Int, k1: Double = 1.2, b: Double = 0.75,
       prebuiltDf: Option[DataFrame] = None,
-      blockSize: Int = 64): DataFrame = {
+      blockSize: Int = 64,
+      precollectedQt: Option[Array[org.apache.spark.sql.Row]] = None)
+      : DataFrame = {
     val spark = post.sparkSession
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val qt = qtermsOf(queries, qIdCol, qTextCol)
-    val qtRows = qt.limit(serveBatchCap + 1).collect()
+    // a caller that already collected the (query_id, term) batch for its
+    // own cap/vocab decision (searchFromIndexWand) passes it through —
+    // one driver job and one tokenization pass per serve batch, the same
+    // reuse discipline searchFromIndex documents for the relational path
+    val qtRows = precollectedQt.getOrElse(qt.limit(serveBatchCap + 1).collect())
     if (qtRows.length > serveBatchCap) {
       // Over-cap query batch: CHUNK it, never fall back to the
       // relational scoring join. WAND is per-query independent, so a
@@ -544,7 +550,8 @@ object Bm25 {
       searchWandOverPostings(
         spark.table(s"${table}_postings").filter(termIn),
         spark.table(s"${table}_stats"), queries, qIdCol, qTextCol, k, k1, b,
-        prebuiltDf = Some(spark.table(s"${table}_df").filter(termIn)))
+        prebuiltDf = Some(spark.table(s"${table}_df").filter(termIn)),
+        precollectedQt = Some(rows))
     }
   }
 

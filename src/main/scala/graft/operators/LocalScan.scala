@@ -727,11 +727,29 @@ object LocalScan {
     * `random ivf_sq8` row was the C2 warm-up of scan dispatch, heap
     * inserts, and probe staging, not arithmetic. C2 compiles per
     * METHOD, so warming these cores on a tiny synthetic table warms the
-    * real serve path at every shape. Budgeted (~400 ms), latched, and
-    * skippable via the same -Dgraft.sq8.prime=false escape. */
+    * real serve path at every shape. Budgeted (≤1.5 s loop leg + ≤0.5 s
+    * resultDf leg, so ~2 s worst-case on a cold JVM; in practice the
+    * pass caps land well under the deadlines), latched, and skippable
+    * via the same -Dgraft.sq8.prime=false escape.
+    *
+    * DRIVER-ONLY, including the latch: the loops it warms
+    * (queryMajorHeaps / fusedHeaps / listMajorHeaps) are driver-local
+    * serve loops, and the warm-up runs a parallel IntStream on the
+    * shared FJ common pool — inside an executor task that would steal
+    * the pool and add latched-once-but-real seconds to a production
+    * task (r13 verdict "What's wrong #3"). When the first scorer is
+    * constructed inside a task we return WITHOUT setting the latch, so
+    * a later driver-side construction in the same JVM still primes. */
   private val servePrimed = new java.util.concurrent.atomic.AtomicBoolean(false)
+  /** test hook: whether the once-per-JVM serve prime has run */
+  private[graft] def sq8ServePrimed: Boolean = servePrimed.get()
+  /** test hook: un-latch so a spec can observe who sets the latch.
+    * Test-only — production never resets a once-per-JVM warm-up. */
+  private[graft] def resetSq8ServePrimeForTest(): Unit =
+    servePrimed.set(false)
   def primeSq8ServeOnce(): Unit =
-    if (!sys.props.get("graft.sq8.prime").exists(v => v == "false" || v == "0")
+    if (org.apache.spark.TaskContext.get() == null
+        && !sys.props.get("graft.sq8.prime").exists(v => v == "false" || v == "0")
         && servePrimed.compareAndSet(false, true)) {
       val rnd = new java.util.Random(7)
       // INVOCATION-count-sized, not wall-time-sized: the late cliff in
@@ -781,25 +799,25 @@ object LocalScan {
       // LocalRelation; collect on it is driver-only — no Spark job), the
       // other ~1 ms of early-window tax (dev/PrimeCheck: resultDf 1.6 →
       // 0.7 ms, collect 1.8 → 0.25 ms as the analyzer/pack paths
-      // compile). Driver-only by construction, so skip inside a task.
-      if (org.apache.spark.TaskContext.get() == null)
-        org.apache.spark.sql.SparkSession.getActiveSession
-          .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
-          .foreach { spark =>
-            val scorer =
-              new AdcScan.Sq8FastScorer(AdcScan.LocalLut(qv), lo, hi, 0)
-            scorer.precomputeNorms(ct.codes)
-            val probes = AdcScan.coarseProbes(qv, cents, nlist, 2)
-            val qids = Array.tabulate(qv.length)(_.toLong)
-            val deadline2 = System.nanoTime() + 500_000_000L
-            var i = 0
-            while (System.nanoTime() < deadline2 && i < 400) {
-              // fresh heaps each pass: resultDf's drain is destructive
-              val heaps = queryMajorHeaps(ct, qv.length, 8, scorer, probes)
-              sink += resultDf(spark, qids, heaps).collect().length
-              i += 1
-            }
+      // compile). Driver-only guaranteed by the method-level
+      // TaskContext guard above.
+      org.apache.spark.sql.SparkSession.getActiveSession
+        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+        .foreach { spark =>
+          val scorer =
+            new AdcScan.Sq8FastScorer(AdcScan.LocalLut(qv), lo, hi, 0)
+          scorer.precomputeNorms(ct.codes)
+          val probes = AdcScan.coarseProbes(qv, cents, nlist, 2)
+          val qids = Array.tabulate(qv.length)(_.toLong)
+          val deadline2 = System.nanoTime() + 500_000_000L
+          var i = 0
+          while (System.nanoTime() < deadline2 && i < 400) {
+            // fresh heaps each pass: resultDf's drain is destructive
+            val heaps = queryMajorHeaps(ct, qv.length, 8, scorer, probes)
+            sink += resultDf(spark, qids, heaps).collect().length
+            i += 1
           }
+        }
       if (sink == Int.MinValue) println("") // keep the loops observable
     }
 

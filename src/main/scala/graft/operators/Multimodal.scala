@@ -644,8 +644,16 @@ object MediaCodec {
       walk(12, math.min(b.length, 8 + rLE32(b, 4)), inHdrl = false,
         inMovi = false, depth = 0)
       val fr = frames.result()
-      if (w <= 0 || h <= 0 || fps <= 0 || bitCount != 24 ||
-        compression != 0 || fr.isEmpty) None
+      // dimension plausibility bound: every downstream consumer does Int
+      // arithmetic on w/h (rowBytes = w*3+3, threshold = h*rowBytes,
+      // BufferedImage w*h ints). A crafted strf with w or h near 2^30
+      // overflows those products to negative, re-admitting truncated
+      // chunks past the short-chunk guards and throwing AIOOBE/OOM from
+      // OUTSIDE this try — crashing the task instead of yielding no
+      // rows. 16384 keeps w*3 (≤49k), h*rowBytes (≤8.1e8), and w*h*4
+      // (≤1.1e9) all inside Int range while exceeding 8K video.
+      if (w <= 0 || h <= 0 || w > 16384 || h > 16384 || fps <= 0 ||
+        bitCount != 24 || compression != 0 || fr.isEmpty) None
       else Some(AviLayout(w, h, fps, fr))
     } catch { case _: Exception => None }
 
@@ -684,9 +692,12 @@ object MediaCodec {
       // or run off the payload end and fail the Spark task — violating
       // the "undecodable payloads yield no rows" contract. Mirrors
       // decodeVideo's rows = min(h, len/rowBytes) guard, stricter: a
-      // partial frame is dropped rather than emitted truncated.
+      // partial frame is dropped rather than emitted truncated. Long
+      // threshold: parseAvi bounds w,h ≤ 16384 so h*rowBytes fits Int,
+      // but the comparison must never overflow even if that bound moves.
       lay.frames.indices.collect {
-        case f if f % stride == 0 && lay.frames(f)._2 >= lay.h * rowBytes =>
+        case f if f % stride == 0 &&
+            lay.frames(f)._2.toLong >= lay.h.toLong * rowBytes =>
           val (off, _) = lay.frames(f)
           val img = new java.awt.image.BufferedImage(
             lay.w, lay.h, java.awt.image.BufferedImage.TYPE_INT_RGB)

@@ -264,6 +264,37 @@ class LocalScanSpec extends AnyFunSuite {
     assert(empty.collect().isEmpty && empty.count() == 0)
   }
 
+  test("SQ8 serve prime is driver-only: an executor-side scorer " +
+      "construction does not set the once-per-JVM latch") {
+    // the prime's compute leg runs a parallel IntStream on the shared FJ
+    // common pool — inside an executor task it would steal the pool and
+    // add seconds to a production task (r13 verdict). The guard is the
+    // TaskContext check at the top of primeSq8ServeOnce, INCLUDING the
+    // latch: an executor construction must leave the latch unset so a
+    // later driver-side serve still gets its warm-up.
+    sys.props.remove("graft.sq8.prime") // prime enabled
+    LocalScan.resetSq8ServePrimeForTest()
+    // construct a scorer INSIDE a task (local master still sets a real
+    // TaskContext per task, so this exercises the exact executor path)
+    val constructed = spark.range(0, 2, 1, 2).rdd.mapPartitions { _ =>
+      val dims = 8
+      val lo = Array.fill(dims)(0f); val hi = Array.fill(dims)(1f)
+      val qv = Array(Array.fill(dims)(0.5f))
+      val s = new AdcScan.Sq8FastScorer(AdcScan.LocalLut(qv), lo, hi, 0)
+      Iterator.single(if (s != null) 1 else 0)
+    }.collect().sum
+    assert(constructed == 2)
+    assert(!LocalScan.sq8ServePrimed,
+      "executor-side construction must not latch the serve prime")
+    // the same construction on the DRIVER primes and latches
+    val dims = 8
+    val lo = Array.fill(dims)(0f); val hi = Array.fill(dims)(1f)
+    val qv = Array(Array.fill(dims)(0.5f))
+    new AdcScan.Sq8FastScorer(AdcScan.LocalLut(qv), lo, hi, 0)
+    assert(LocalScan.sq8ServePrimed,
+      "driver-side construction must run the once-per-JVM prime")
+  }
+
   test("bytes cap: table above the cap falls back to the distributed scan") {
     sys.props("graft.local.bytesCap") = "64"
     try {

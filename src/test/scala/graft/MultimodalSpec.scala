@@ -270,6 +270,44 @@ class MultimodalSpec extends AnyFunSuite {
     assert(st.nFrames == nf)
   }
 
+  test("crafted strf with huge w/h: rejected, never Int-overflows into a throw (ADVICE r13)") {
+    // before the parseAvi dimension bound, w or h near 2^30 overflowed
+    // h*rowBytes (short-chunk guard) and w*3 (rowBytes) to negative,
+    // re-admitting truncated chunks — and the decode body sits OUTSIDE
+    // parseAvi's try, so the AIOOBE crashed the task instead of
+    // honoring the "undecodable payloads yield no rows" contract
+    val w = 6; val h = 4
+    val frames = (0 until 2).map(f => Array.fill(w * h)(f * 0x010101))
+    def patched(newW: Int, newH: Int): Array[Byte] = {
+      val avi = MediaCodec.encodeAvi(w, h, 10, frames)
+      val sf = "strf".getBytes("US-ASCII")
+      val at = avi.indices.find(i => i + 16 <= avi.length &&
+        avi(i) == sf(0) && avi(i + 1) == sf(1) &&
+        avi(i + 2) == sf(2) && avi(i + 3) == sf(3)).get
+      // BITMAPINFOHEADER after the 8-byte chunk header: biWidth at +4,
+      // biHeight at +8
+      def putLE32(off: Int, v: Int): Unit = {
+        avi(off) = (v & 0xFF).toByte
+        avi(off + 1) = ((v >> 8) & 0xFF).toByte
+        avi(off + 2) = ((v >> 16) & 0xFF).toByte
+        avi(off + 3) = ((v >> 24) & 0xFF).toByte
+      }
+      putLE32(at + 8 + 4, newW); putLE32(at + 8 + 8, newH)
+      avi
+    }
+    // h*rowBytes overflow shape, w*3 overflow shape, and just-past-bound
+    for ((pw, ph) <- Seq((6, 0x20000000), (0x20000000, 4),
+        (6, 16385), (16385, 4))) {
+      val avi = patched(pw, ph)
+      assert(MediaCodec.decodeVideo(avi).isEmpty)
+      assert(MediaCodec.decodeVideoFrames(avi, stride = 1).isEmpty)
+    }
+    // the unpatched container still decodes (the bound is plausibility,
+    // not a behavior change for real dimensions)
+    assert(MediaCodec.decodeVideo(
+      MediaCodec.encodeAvi(w, h, 10, frames)).get.nFrames == 2)
+  }
+
   test("deeply nested LISTs: parseAvi depth cap returns None instead of StackOverflowError") {
     // ~50k nested 12-byte LISTs — the crafted/corrupt shape that would
     // recurse past the JVM stack (StackOverflowError is an Error, which
