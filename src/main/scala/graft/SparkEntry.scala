@@ -1063,6 +1063,41 @@ object SparkEntry {
       EventsStream.sessionize(Tables.load(s, dir, "events"), "30 minutes")
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))),
+    // --- streaming index serving: a REAL Structured Streaming run (two
+    //     MemoryStream micro-batches through QueryStream.searchStream)
+    //     over a prebuilt exact index — the union of the answered
+    //     batches must equal the one-shot search, so the oracle is the
+    //     same exact-kNN replay as j12_covertree (hash tier). Closes the
+    //     last spec-only capability of the streaming family (r13 #8). ---
+    "st_index_serve" -> ((s, dir) => {
+      Registry.init()
+      import s.implicits._
+      val b = Tables.embBase(s, dir).cache()
+      val art = Registry.indexer("covertree", Map("seed" -> "42"), "l2")
+        .build(b)
+      val searcher = Registry.searcher("covertree", Map.empty, "l2")
+      // deterministic 2-batch split of the gate's query batch (vec_id is
+      // a multiple of 50, so /50 parity halves it)
+      val qRows = Tables.embQueries(s, dir)
+        .as[(Long, Array[Float])].collect().toSeq
+      val (q1, q2) = qRows.partition(r => (r._1 / 50) % 2 == 0)
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      val mem = MemoryStream[(Long, Array[Float])]
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long)]
+      val stream = graft.streaming.QueryStream.searchStream(
+        mem.toDF.toDF("qid", "vector"), art, searcher, k = 10) { (res, _) =>
+        out.synchronized {
+          out ++= res.select("qid", "rank", "id")
+            .as[(Long, Int, Long)].collect()
+        }
+      }
+      try {
+        mem.addData(q1); stream.processAllAvailable()
+        mem.addData(q2); stream.processAllAvailable()
+      } finally stream.stop()
+      out.synchronized(out.toSeq).toDF("qid", "rank", "id")
+    }),
     // --- capstone composition: full corpus-cleaning pipeline (exact
     //     dedup → minhash near-dedup → quality floor → repetition floor
     //     → deterministic sample) with per-stage retention counts — the
@@ -4167,6 +4202,22 @@ object SparkEntry {
     // CoverTree is exact (recall ≡ 1.0, order-equality with brute force
     // asserted in StretchAlgoSpec) → same kNN oracle as j1_knn_l2
     "j12_covertree" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id % 50 = 0),
+        |b AS (SELECT vec_id AS id, embedding::DOUBLE[] AS bv FROM embeddings),
+        |d AS (SELECT qid, id,
+        |        sqrt(list_sum(list_transform(list_zip(qv, bv),
+        |             p -> (p[1]-p[2])*(p[1]-p[2])))) AS dist
+        |      FROM q, b),
+        |r AS (SELECT qid, id,
+        |        row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank
+        |      FROM d)
+        |SELECT qid, rank::INT AS rank, id FROM r WHERE rank <= 10""".stripMargin,
+    // streaming index serve: two micro-batches union to the one-shot
+    // exact search, so the oracle is j12_covertree's exact-kNN replay
+    // verbatim (the cover-tree index is exact; the stream adds no
+    // approximation) — hash tier
+    "st_index_serve" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
         |           FROM embeddings WHERE vec_id % 50 = 0),
         |b AS (SELECT vec_id AS id, embedding::DOUBLE[] AS bv FROM embeddings),

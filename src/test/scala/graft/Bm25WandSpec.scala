@@ -84,6 +84,42 @@ class Bm25WandSpec extends AnyFunSuite {
       blockSize = 64) == e)
   }
 
+  test("searchFromIndexWand over-cap branch: chunked serve over the " +
+      "full index ≡ under-cap vocab-literal serve") {
+    // the over-cap serve branch (no vocab isin literal — it would be a
+    // million-entry In — full postings/df table scans feeding WAND's own
+    // chunked route) was exercised by no gate until r14: every serve
+    // gate stays under the cap. Pin its equivalence by serving the SAME
+    // batch twice, cap high then forced low, and requiring bit-identical
+    // results (ranks AND fixed-point scores).
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .selectExpr("doc_id as id", "text")
+    val queries = docs.filter($"id" % 23 === 0)
+      .selectExpr("id as qid", "substring(text, 1, 200) as qtext")
+    val key = "graft.bm25.serveBatchCap"
+    val old = sys.props.get(key)
+    try {
+      Bm25.buildIndex(docs, "id", "text", "wandix_cap", buckets = 4)
+      def serve() = Bm25.searchFromIndexWand(
+          spark, "wandix_cap", queries, "qid", "qtext", k = 5)
+        .select("query_id", "doc_id", "rank", "score")
+        .as[(Long, Long, Int, Double)].collect()
+        .sortBy(r => (r._1, r._3)).toSeq
+      val underCap = serve()
+      assert(underCap.nonEmpty)
+      sys.props(key) = "200" // ~22 queries × ~30 terms → several chunks
+      assert(serve() == underCap,
+        "over-cap index serve must union to the under-cap answers")
+    } finally {
+      old match {
+        case Some(v) => sys.props(key) = v
+        case None => sys.props -= key
+      }
+      Seq("wandix_cap_postings", "wandix_cap_df", "wandix_cap_stats")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("over-cap query batch chunks query-disjoint: exact union, never the relational join") {
     // the 100× pass caught the original over-cap fallback silently
     // re-materializing the relational Σ qf·df candidates (the precise
