@@ -87,25 +87,52 @@ object Bench {
     // dedup_jaccard_pairs 2.75→3.23 s unattributable). Reverse order so
     // no query occupies the same position in the load pattern twice.
     // SPARK_GRAFT_GATE_REPS=1 restores the single-pass behavior.
-    // clamped to {1, 2}: only two passes are ever run, so a larger env
-    // value would misstate the artifact's methodology note
+    // clamped to {1, 2}: two passes for the standard set (the swing set
+    // below gets two extra), so a larger env value would misstate the
+    // artifact's methodology note
     val gateReps =
       math.min(2, math.max(1, sys.env.getOrElse("SPARK_GRAFT_GATE_REPS", "2").toInt))
     // min over SUCCESSFUL passes; if every pass failed, report the max
     // time-to-failure (never flatter a broken query)
-    def combine(a: (Double, Boolean), b: Option[(Double, Boolean)]): Double =
-      (Seq(a) ++ b.toSeq).filter(_._2).map(_._1) match {
-        case Nil => (Seq(a) ++ b.toSeq).map(_._1).max
+    def combine(a: (Double, Boolean), rest: Seq[(Double, Boolean)]): Double =
+      (a +: rest).filter(_._2).map(_._1) match {
+        case Nil => (a +: rest).map(_._1).max
         case oks => oks.min
       }
+    // Swing set (r13 verdict #6): gates whose cross-round deltas have
+    // repeatedly re-adjudicated as box load, not code (the dev/GateAb
+    // r12→r13 table: 9/10 flagged rows re-measured 10-45% below their
+    // artifact values on a quiet box; bucketed_join swung 1.0→1.4 s in
+    // r13 with untouched code). These get TWO EXTRA interleaved passes
+    // so the committed artifact is self-adjudicating at the 0.1-1 s
+    // scale — a future r→r+1 delta on these rows can be read off the
+    // 4-sample spread in queries_ab instead of demanding a fresh probe.
+    val swingSet: Set[String] = Set(
+      "dedup_jaccard_pairs", "dedup_embedding_top", "dedup_components",
+      "j11_append", "j3_lsh_pipeline", "j4_e2lsh_pipeline",
+      "text_bm25_champion", "dedup_jaccard_sampled", "text_perplexity",
+      "bucketed_join")
     val passA = selected.map { case (name, fn) =>
       name -> timeOnce(name, fn, "A") }
     val passBOpt: Option[Map[String, (Double, Boolean)]] =
       if (gateReps < 2) None
       else Some(selected.reverse.map { case (name, fn) =>
         name -> timeOnce(name, fn, "B") }.toMap)
+    // extra interleaved passes C (name order) + D (reversed) over the
+    // swing set only — ~6 s of extra bench wall for a self-adjudicating
+    // artifact on the queries that need it
+    val passCD: Map[String, Seq[(Double, Boolean)]] =
+      if (gateReps < 2) Map.empty
+      else {
+        val swing = selected.filter(s => swingSet(s._1))
+        val c = swing.map { case (n, fn) => n -> timeOnce(n, fn, "C") }
+        val d = swing.reverse.map { case (n, fn) => n -> timeOnce(n, fn, "D") }
+        (c ++ d).groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2) }
+      }
     val minByName: Map[String, Double] =
-      passA.map { case (n, a) => n -> combine(a, passBOpt.map(_(n))) }.toMap
+      passA.map { case (n, a) =>
+        n -> combine(a, passBOpt.map(_(n)).toSeq ++ passCD.getOrElse(n, Nil))
+      }.toMap
     val results = selected.map { case (n, _) => n -> minByName(n) }
     // Per-pass times (ADVICE r8 #4): the r8 single-shot→min-of-2 switch
     // made r7-vs-r8 gate deltas unattributable. The methodology is now
@@ -121,7 +148,8 @@ object Bench {
     }
     val qsAb = selected.map { case (n, _) =>
       val a = passA.find(_._1 == n).get._2._1
-      val tail = passBOpt.map(b => f",${b(n)._1}%.3f").getOrElse("")
+      val tail = passBOpt.map(b => f",${b(n)._1}%.3f").getOrElse("") +
+        passCD.getOrElse(n, Nil).map(x => f",${x._1}%.3f").mkString
       "\"" + n + "\":[" + f"$a%.3f" + tail + "]"
     }.mkString("{", ",", "}")
     // 2-decimal precision on the PRINTED line: the driver's stdout tail
@@ -176,7 +204,7 @@ object Bench {
     // counts against the driver's ~2 KB stdout tail window
     // r12: note trimmed — 77 gates × ~23 B of per-query entries leave
     // less headroom in the ~2 KB tail window than r11's 71 did
-    val notes = s""""gate_reps":$gateReps,"pt":$passTotals,"notes":"gate=min of $gateReps; serve excl fixtures""""
+    val notes = s""""gate_reps":$gateReps,"pt":$passTotals,"notes":"gate=min of $gateReps; swing gates min of ${if (gateReps < 2) 1 else 4} (queries_ab arrays carry every pass); serve excl fixtures""""
     // The printed line MUST parse from the driver's EXACTLY-2000-byte
     // stdout tail (r12: the 78-gate line hit 2099 bytes — a line longer
     // than the window gets its FRONT cut and lands as parsed:null, the

@@ -1210,7 +1210,15 @@ object AdcScan {
     }
     val nq = queryVecs.length
     val probed = new Array[Array[Long]](nq)
-    val qb = 16 // queries per task: ~nlist·dim·16 flops, dispatch-amortized
+    // queries per task, sized by per-query WORK rather than a constant:
+    // target ~100k flops per task (fork-join dispatch is ~µs — noise at
+    // that grain). The old fixed qb=16 made ceil(70/16)=5 tasks of the
+    // msmarco batch (70 q × 256 lists × 384-d ≈ 98k flops/query) and
+    // left 27 of 32 cores idle — 2.6 ms of the 10 ms steady serve
+    // (dev/Sq8WarmCurve staged curve, r14). Small shapes keep blocks of
+    // several queries, so the dispatch amortization that motivated
+    // qb=16 is preserved where it matters. Arithmetic unchanged.
+    val qb = math.max(1, 100_000 / math.max(1, nc * dim))
     val nBlocks = (nq + qb - 1) / qb
     java.util.stream.IntStream.range(0, nBlocks).parallel().forEach { b =>
       var qi = b * qb

@@ -761,40 +761,62 @@ object LocalScan {
       // ≈ 38k invocations per loop shape, comfortably past the
       // threshold, with per-pass work small enough (32 q × 2 probes ×
       // 16 rows) that the whole prime fits well inside the deadline.
-      val dims = 64; val nlist = 16; val rowsPerList = 16
-      val n = nlist * rowsPerList
-      val codes = new Array[Byte](n * dims)
-      rnd.nextBytes(codes)
-      val ids = Array.tabulate(n)(_.toLong)
-      val listOffsets = Array.tabulate(nlist + 1)(_ * rowsPerList)
-      val ct = new CodeTable(ids, codes, dims, listOffsets)
-      val lo = Array.fill(dims)(0f)
-      val hi = Array.fill(dims)(1f)
-      val qv = Array.fill(32)(Array.fill(dims)(rnd.nextFloat()))
-      val cents = Array.tabulate(nlist)(c =>
-        (c, Array.fill(dims)(rnd.nextFloat())))
-      val deadline = System.nanoTime() + 1_500_000_000L
-      var pass = 0
       var sink = 0
-      while (System.nanoTime() < deadline && pass < 1200) {
-        // FRESH scorer per pass — production serves one scorer per
-        // batch, and the batch's dominant warm-up method turned out to
-        // be the per-scorer lazy query quantization
-        // (Sq8FastScorer::qIntState$lzycompute, -XX:+PrintCompilation:
-        // its tier-4 compile IS the 4.6 → 1.5 ms fusedHeaps cliff at
-        // production call ~29). A single shared prime scorer runs it
-        // once and never accumulates its profile; fresh-per-pass
-        // accumulates 1200 invocations × 2k backedges. The ctor cannot
-        // recurse (latch already set); it still primes the SIMD chunk
-        // kernel on the first pass.
-        val scorer = new AdcScan.Sq8FastScorer(AdcScan.LocalLut(qv), lo, hi, 0)
-        scorer.precomputeNorms(ct.codes)
-        val probes = AdcScan.coarseProbes(qv, cents, nlist, 2)
-        sink += queryMajorHeaps(ct, qv.length, 8, scorer, probes).length
-        sink += fusedHeaps(ct, qv, 8, scorer, cents, 2).length
-        sink += listMajorHeaps(ct, qv.length, 8, scorer, probes).length
-        pass += 1
+      // one prime SHAPE: tiny tiles at the given dim, fresh scorer per
+      // pass (the per-scorer lazy query quantization
+      // Sq8FastScorer::qIntState$lzycompute is the dominant warm-up
+      // method — a shared scorer would run it once and never accumulate
+      // its profile; the ctor cannot recurse, the latch is already set)
+      def primeShape(dims: Int, nQueries: Int, budgetNs: Long,
+          maxPasses: Int, rowsPerList: Int = 16)
+          : (CodeTable, Array[Array[Float]],
+          Array[Float], Array[Float], Array[(Int, Array[Float])]) = {
+        val nlist = 16
+        val n = nlist * rowsPerList
+        val codes = new Array[Byte](n * dims)
+        rnd.nextBytes(codes)
+        val ids = Array.tabulate(n)(_.toLong)
+        val listOffsets = Array.tabulate(nlist + 1)(_ * rowsPerList)
+        val ct = new CodeTable(ids, codes, dims, listOffsets)
+        val lo = Array.fill(dims)(0f)
+        val hi = Array.fill(dims)(1f)
+        val qv = Array.fill(nQueries)(Array.fill(dims)(rnd.nextFloat()))
+        val cents = Array.tabulate(nlist)(c =>
+          (c, Array.fill(dims)(rnd.nextFloat())))
+        val deadline = System.nanoTime() + budgetNs
+        var pass = 0
+        while (System.nanoTime() < deadline && pass < maxPasses) {
+          val scorer =
+            new AdcScan.Sq8FastScorer(AdcScan.LocalLut(qv), lo, hi, 0)
+          scorer.precomputeNorms(ct.codes)
+          val probes = AdcScan.coarseProbes(qv, cents, nlist, 2)
+          sink += queryMajorHeaps(ct, qv.length, 8, scorer, probes).length
+          sink += fusedHeaps(ct, qv, 8, scorer, cents, 2).length
+          sink += listMajorHeaps(ct, qv.length, 8, scorer, probes).length
+          pass += 1
+        }
+        (ct, qv, lo, hi, cents)
       }
+      // TWO shapes, short-vector first then long-vector (r14): the r13
+      // single-shape (64-d) prime left the msmarco-class 384-d serve
+      // curve with its cliff intact — dev/Sq8WarmCurve at 100k × 384-d /
+      // 70 q measured ~19 ms/call through call ~26, then 10.7 ms. C2
+      // profiles loop trip counts per method; a 64-d-only profile
+      // compiles the chunk/heap loops for 4-iteration bodies and the
+      // 384-d serve path pays re-profiling in production. ~19k
+      // invocations per shape keeps both past the ~15k tier-4
+      // threshold. Budgets keep the worst-case total at the documented
+      // ~2 s ceiling.
+      primeShape(64, 32, 700_000_000L, 600)
+      // 384-d pass with 256-row lists (~98 KB of codes per list): above
+      // the 64 KB avg-list gate, so the scan routes LIST-MAJOR — the
+      // production path at the msmarco-class shape. The staged curve
+      // (dev/Sq8WarmCurve … staged) localized the residual descent to
+      // scanCodesIvf at exactly this routing; priming the query-major
+      // pass alone left it cold.
+      val (ct, qv, lo, hi, cents) =
+        primeShape(384, 32, 800_000_000L, 600, rowsPerList = 256)
+      val nlist = 16
       // result-packing + local-collect leg (resultDf drains heaps into a
       // LocalRelation; collect on it is driver-only — no Spark job), the
       // other ~1 ms of early-window tax (dev/PrimeCheck: resultDf 1.6 →
