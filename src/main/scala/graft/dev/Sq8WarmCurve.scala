@@ -43,6 +43,11 @@ object Sq8WarmCurve {
         "strided_accum" -> "true")
       case "ivf_pq" => Map("nlist" -> "100", "m" -> "10", "nbits" -> "8",
         "nprobe" -> nprobe, "train_iters" -> "25", "strided_accum" -> "true")
+      // the glove50 baseline row's exact config (BaselineCompare
+      // algoTable hnsw: m=16, efc=200, ef=56) — r14, for the weak-row
+      // warm-curve question
+      case "hnsw_global" => Map("m" -> "16", "ef_construction" -> "200",
+        "ef_search" -> "56")
       case _ => Map("nlist" -> "256", "nprobe" -> nprobe,
         "strided_accum" -> "true")
     }

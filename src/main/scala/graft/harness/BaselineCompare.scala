@@ -487,7 +487,15 @@ object BaselineCompare {
       var stale = 0
       var calls = 0
       val w0 = System.nanoTime()
-      while (calls < 20 && stale < 4 && (System.nanoTime() - w0) < 3_000_000_000L) {
+      // caps 20→32 calls / 3→4.5 s, patience 4→6 (r14): the measured
+      // serve curves reach their LAST C2 cliff beyond the old window —
+      // msmarco ivf_sq8 drops 14→10 ms at call ~24 and glove50 hnsw
+      // descends 3.5→2.4 ms in sub-10% steps over calls ~12-24
+      // (dev/Sq8WarmCurve e2e curves, committed in its scaladoc), so
+      // the old cap exited with the compiler still in the window. The
+      // policy is unchanged (reference is AOT C++ — exclude JIT);
+      // steady rows still exit after ~5 calls via the patience check.
+      while (calls < 32 && stale < 6 && (System.nanoTime() - w0) < 4_500_000_000L) {
         val t = timed()._1
         calls += 1
         if (t < best * 0.9) { best = t; stale = 0 } else stale += 1
