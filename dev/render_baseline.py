@@ -23,13 +23,24 @@ rows = []
 for ds in ('random', 'glove50', 'msmarco'):
     algos = base.get(ds, {})
     for algo, e in algos.items():
-        if not isinstance(e, dict) or 'qps' not in e:
+        if not isinstance(e, dict):
             continue
+        # skipped entries serialize WITHOUT a qps key (BaselineCompare
+        # jsonCompact) — check skipped FIRST so they land in the table
+        # as explicit SKIPPED rows instead of silently vanishing
         if e.get('skipped'):
             rows.append((ds, algo, None, None, None, None, None,
                          e['skipped']))
             continue
-        ratio = e['qps'] / e['ref_qps'] if e['ref_qps'] else float('nan')
+        if 'qps' not in e:
+            continue
+        # a zero qps or ref_qps is a broken row, not a ratio — surface
+        # it like a skip rather than feeding nan/-inf into the geomean
+        if not e['qps'] or not e['ref_qps']:
+            rows.append((ds, algo, None, None, None, None, None,
+                         f"zero qps ({e['qps']}/{e['ref_qps']})"))
+            continue
+        ratio = e['qps'] / e['ref_qps']
         rows.append((ds, algo, e['recall'], e['ref_recall'], e['qps'],
                      e['ref_qps'], ratio, None))
 
@@ -47,6 +58,9 @@ for ds, algo, rec, refr, qps, refq, ratio, skip in rows:
           f'| {qps:,.0f} / {refq:,.0f} | {fr} |')
 
 ok = [r for r in rows if r[7] is None]
+if not ok:
+    print('\nNo measured rows in the artifact — nothing to summarize.')
+    sys.exit(1)
 geo = math.exp(sum(math.log(r[6]) for r in ok) / len(ok))
 per_ds = {}
 for ds in ('random', 'glove50', 'msmarco'):

@@ -77,6 +77,9 @@ object Sq8WarmCurve {
         f"steady(last10 min)=${times.takeRight(10).min}%.2fms " +
         f"ratio=${times.slice(1, 4).min / times.takeRight(10).min}%.1fx")
     }
+    if (stagedMode && !(msmarco && algo == "ivf_sq8"))
+      println("[staged] unsupported combination — staged mode replicates " +
+        "IvfSq8Searcher's pipeline and needs `ivf_sq8 msmarco staged`")
     if (stagedMode && msmarco && algo == "ivf_sq8") {
       val lo = artifact.meta("lo").split(",").map(_.toFloat)
       val hi = artifact.meta("hi").split(",").map(_.toFloat)

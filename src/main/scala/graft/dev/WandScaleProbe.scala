@@ -96,7 +96,7 @@ object WandScaleProbe {
     // queries: prefixes of every nDocs/nq-th doc — head-dominated the
     // way real query logs over a Zipf corpus are
     def queriesOf(docs: DataFrame, n: Long): DataFrame =
-      docs.filter(col("id") % (n / nq) === 0)
+      docs.filter(col("id") % math.max(1L, n / nq) === 0)
         .select(col("id").as("qid"),
           substring(col("text"), 1, 60).as("qtext"))
         .limit(nq)

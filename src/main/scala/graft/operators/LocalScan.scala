@@ -807,22 +807,25 @@ object LocalScan {
       // invocations per shape keeps both past the ~15k tier-4
       // threshold. Budgets keep the worst-case total at the documented
       // ~2 s ceiling.
-      primeShape(64, 32, 700_000_000L, 600)
+      val (ct, qv, lo, hi, cents) =
+        primeShape(64, 32, 700_000_000L, 600)
       // 384-d pass with 256-row lists (~98 KB of codes per list): above
       // the 64 KB avg-list gate, so the scan routes LIST-MAJOR — the
       // production path at the msmarco-class shape. The staged curve
       // (dev/Sq8WarmCurve … staged) localized the residual descent to
       // scanCodesIvf at exactly this routing; priming the query-major
       // pass alone left it cold.
-      val (ct, qv, lo, hi, cents) =
-        primeShape(384, 32, 800_000_000L, 600, rowsPerList = 256)
+      primeShape(384, 32, 800_000_000L, 600, rowsPerList = 256)
       val nlist = 16
       // result-packing + local-collect leg (resultDf drains heaps into a
       // LocalRelation; collect on it is driver-only — no Spark job), the
       // other ~1 ms of early-window tax (dev/PrimeCheck: resultDf 1.6 →
       // 0.7 ms, collect 1.8 → 0.25 ms as the analyzer/pack paths
-      // compile). Driver-only guaranteed by the method-level
-      // TaskContext guard above.
+      // compile). Runs on the 64-d tile (the FIRST primeShape's
+      // returns), not the heavy 384-d one: this leg's target is
+      // resultDf/analyzer/collect invocation COUNT, and the big tile's
+      // ~25× scan flops per pass would eat the 0.5 s budget in scans.
+      // Driver-only guaranteed by the method-level TaskContext guard.
       org.apache.spark.sql.SparkSession.getActiveSession
         .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
         .foreach { spark =>
