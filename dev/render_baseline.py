@@ -20,7 +20,13 @@ d = json.load(open(path))
 base = d['baseline']
 
 rows = []
-for ds in ('random', 'glove50', 'msmarco'):
+# preferred presentation order first, then any dataset the artifact
+# carries that this script predates — never silently drop a dataset
+# (that would recreate the artifact/README drift this tool prevents)
+_pref = ('random', 'glove50', 'msmarco')
+_order = [ds for ds in _pref if ds in base] + \
+    sorted(ds for ds in base if ds not in _pref)
+for ds in _order:
     algos = base.get(ds, {})
     for algo, e in algos.items():
         if not isinstance(e, dict):

@@ -757,10 +757,10 @@ object LocalScan {
       // 4.3 ms/call through call ~29, then 1.4 ms) is the per-QUERY
       // loop body crossing C2's Tier4InvocationThreshold (~15k). A
       // big-tile prime burns its budget on few invocations and never
-      // crosses; tiny tiles × many passes do: 1200 passes × 32 queries
-      // ≈ 38k invocations per loop shape, comfortably past the
-      // threshold, with per-pass work small enough (32 q × 2 probes ×
-      // 16 rows) that the whole prime fits well inside the deadline.
+      // crosses; tiny tiles × many passes do: up to 600 passes × 32
+      // queries ≈ 19k invocations per loop shape, past the threshold
+      // with ~25% headroom, with per-pass work small enough (32 q × 2
+      // probes × 16 rows) that the whole prime fits inside the deadline.
       var sink = 0
       // one prime SHAPE: tiny tiles at the given dim, fresh scorer per
       // pass (the per-scorer lazy query quantization

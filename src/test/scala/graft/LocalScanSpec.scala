@@ -272,8 +272,13 @@ class LocalScanSpec extends AnyFunSuite {
     // TaskContext check at the top of primeSq8ServeOnce, INCLUDING the
     // latch: an executor construction must leave the latch unset so a
     // later driver-side serve still gets its warm-up.
+    // save/restore the escape-hatch prop (adjacent serveBatchCap test's
+    // discipline): removing it unconditionally would leak prime state
+    // into later tests when a run sets -Dgraft.sq8.prime=false
+    val savedPrime = sys.props.get("graft.sq8.prime")
     sys.props.remove("graft.sq8.prime") // prime enabled
     LocalScan.resetSq8ServePrimeForTest()
+    try {
     // construct a scorer INSIDE a task (local master still sets a real
     // TaskContext per task, so this exercises the exact executor path)
     val constructed = spark.range(0, 2, 1, 2).rdd.mapPartitions { _ =>
@@ -293,6 +298,10 @@ class LocalScanSpec extends AnyFunSuite {
     new AdcScan.Sq8FastScorer(AdcScan.LocalLut(qv), lo, hi, 0)
     assert(LocalScan.sq8ServePrimed,
       "driver-side construction must run the once-per-JVM prime")
+    } finally savedPrime match {
+      case Some(v) => sys.props("graft.sq8.prime") = v
+      case None => sys.props.remove("graft.sq8.prime")
+    }
   }
 
   test("bytes cap: table above the cap falls back to the distributed scan") {
