@@ -27,6 +27,17 @@ object Bench {
       .config("spark.local.dir", localDir)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE coalesces post-shuffle reads by BYTES (minPartitionSize,
+      // default 1m): correct when task cost tracks bytes, wrong for the
+      // engine's CPU-dense small-byte stages (jaccard verify kernels,
+      // BM25 scoring fan-out, codec decode), which coalesce to 1-2 tasks
+      // and serialize on one core (r14 measured: dedup_jaccard_pairs'
+      // verify join 2.05 s on 2 tasks → 0.39 s on 7). 64k keeps those
+      // stages parallel; at real scale partitions are >> 1m so the
+      // setting is a no-op — it is byte-scale-dependent, not
+      // core-count-dependent. Env-tunable for cluster profiles.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PART", "64k"))
       // 55 gate queries × several codegen units each churn well past the
       // default 100-entry codegen cache, so classes compiled in warm-up
       // (and their JIT state) are evicted before late-alphabet gates run;

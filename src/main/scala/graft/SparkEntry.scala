@@ -575,7 +575,11 @@ object SparkEntry {
     //     Dedup.embeddingDupPairs, whose LSH blocking does prune. ---
     "dedup_embedding_top" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
-      KnnJoin.knnJoin(e, e, k = 21, metric = "cosine",
+      // self-kNN scans n·n pairs in the base-side stage: floor its scan
+      // parallelism (r14, Par scaladoc — one small-file split otherwise
+      // runs the whole pair scan on one core; no-op at scale)
+      KnnJoin.knnJoin(e, graft.operators.Par.fan(e, col("vec_id")),
+          k = 21, metric = "cosine",
           queryIdCol = "vec_id", queryVecCol = "embedding",
           baseIdCol = "vec_id", baseVecCol = "embedding")
         .filter(col("id") =!= col("qid"))
@@ -598,7 +602,8 @@ object SparkEntry {
     //     ~n/7 of scales where the full all-pairs oracle is infeasible ---
     "dedup_embedding_sampled" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings").filter(col("vec_id") % 7 === 0)
-      KnnJoin.knnJoin(e, e, k = 21, metric = "cosine",
+      KnnJoin.knnJoin(e, graft.operators.Par.fan(e, col("vec_id")),
+          k = 21, metric = "cosine",
           queryIdCol = "vec_id", queryVecCol = "embedding",
           baseIdCol = "vec_id", baseVecCol = "embedding")
         .filter(col("id") =!= col("qid"))
@@ -1034,13 +1039,22 @@ object SparkEntry {
     //     pure storage-layout rewrite, so the oracle is the plain join ---
     "bucketed_join" -> ((s, dir) => {
       import graft.sources.Bucketing
-      Bucketing.writeBucketed(
-        Tables.load(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
-        "gate_bkt_orders", "o_orderkey", 4)
-      Bucketing.writeBucketed(
-        Tables.load(s, dir, "lineitem")
-          .select(col("l_orderkey").as("o_orderkey"), col("l_quantity")),
-        "gate_bkt_items", "o_orderkey", 4)
+      // the two bucketed writes are independent jobs — overlap them from
+      // driver threads (guide §2.6: the second job's tasks back-fill the
+      // first's straggler tail; identical tables either way)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      val fOrders = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = Bucketing.writeBucketed(
+          Tables.load(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+          "gate_bkt_orders", "o_orderkey", 4)
+      })
+      val fItems = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = Bucketing.writeBucketed(
+          Tables.load(s, dir, "lineitem")
+            .select(col("l_orderkey").as("o_orderkey"), col("l_quantity")),
+          "gate_bkt_items", "o_orderkey", 4)
+      })
+      try { fOrders.get(); fItems.get() } finally pool.shutdown()
       Bucketing
         .bucketedJoin(s, "gate_bkt_orders", "gate_bkt_items", "o_orderkey")
         .groupBy("o_orderkey", "o_orderpriority")

@@ -22,6 +22,8 @@ object GateTimes {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PART", "64k"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.operators.Registry.init()

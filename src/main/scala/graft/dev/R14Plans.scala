@@ -30,6 +30,8 @@ object R14Plans {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PART", "64k"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try SparkEntry.warmFixtures(spark, dir)

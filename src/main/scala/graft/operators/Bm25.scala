@@ -51,16 +51,29 @@ object Bm25 {
     * carried on every posting (denormalized so scoring needs no second
     * join back to a doc-length table). */
   def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docLengths(docs, idCol, textCol)
-      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+    postingsOf(docLengths(docs, idCol, textCol))
+
+  private def postingsOf(dls: DataFrame): DataFrame =
+    dls.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
       .groupBy("doc_id", "term", "dl")
       .agg(count(lit(1)).as("tf"))
 
   /** `(doc_id, dl, toks)` — tokenized docs with token count; the scan
-    * both `postings` and the corpus statistics derive from. */
+    * both `postings` and the corpus statistics derive from. Tokenize is
+    * CPU-bound per row, so the scan parallelism is floored (r14, see
+    * [[Par]]). */
   private def docLengths(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"), Dedup.tokens(col(textCol)).as("toks"))
+    Par.fan(docs, col(idCol))
+      .select(col(idCol).as("doc_id"), Dedup.tokens(col(textCol)).as("toks"))
       .withColumn("dl", size(col("toks")))
+
+  // the tokenized-docs relation feeds BOTH the corpus stats aggregate and
+  // the postings build: cached once per search call (retiring the previous
+  // call's entry, same discipline as Dedup's slots) the corpus text is
+  // tokenized ONCE per call instead of once per consumer (r14; before,
+  // searchTopK* tokenized the corpus twice — stats + postings)
+  private[operators] val dlsCacheSlot = new Dedup.CacheSlot
+  private[operators] val postCacheSlot = new Dedup.CacheSlot
 
   /** BM25 top-k search: `queries (qIdCol, qTextCol)` against
     * `docs (idCol, textCol)`; returns
@@ -76,18 +89,20 @@ object Bm25 {
       k: Int, k1: Double = 1.2, b: Double = 0.75,
       championListSize: Option[Int] = None,
       championRescore: Boolean = false): DataFrame = {
-    // one-row corpus stats from the pre-explode scan (no postings shuffle)
-    val stats = docLengths(docs, idCol, textCol)
+    // one-row corpus stats from the CACHED pre-explode scan (no postings
+    // shuffle, no second tokenize pass — r14)
+    val dls = dlsCacheSlot.track(docLengths(docs, idCol, textCol).cache())
+    val stats = dls
       .agg(count(lit(1)).cast("double").as("n_docs"),
         avg("dl").as("avgdl"))
     // the postings relation feeds TWO consumers (the df aggregate and the
-    // scoring join); without a persist each branch re-runs the tokenize +
-    // explode + groupBy shuffle from scratch. Spill-safe MEMORY_AND_DISK;
+    // scoring join); without a persist each branch re-runs the explode +
+    // groupBy shuffle from scratch. Spill-safe MEMORY_AND_DISK;
     // session cache-clear (or the caller) reclaims it. The repeated-batch
     // path avoids the issue structurally — buildIndex materializes the
     // postings once as a bucketed table.
     searchTopKOverPostings(
-      postings(docs, idCol, textCol).cache(), stats,
+      postCacheSlot.track(postingsOf(dls).cache()), stats,
       queries, qIdCol, qTextCol, k, k1, b,
       championListSize = championListSize,
       championRescore = championRescore)
@@ -139,11 +154,17 @@ object Bm25 {
       post.join(broadcast(qvocab), Seq("term"), "left_semi")
         .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
     }
-    val qdf = broadcast(qterms).join(df, "term")
-      .crossJoin(broadcast(stats))
+    // per-TERM idf/avgdl relation (≤ query vocabulary rows). The scoring
+    // contribution s = f(idf(term), tf, dl, avgdl) does not depend on the
+    // query at all, so it is computed once per matching POSTING below and
+    // the query fan-out joins in afterwards — Σ_t qf(t)·df(t) joined rows
+    // carry a precomputed long instead of each paying the double chain +
+    // BigDecimal HALF_UP round (r14; identical doubles per posting ⇒
+    // identical fixed-point longs ⇒ identical results, oracle-verified)
+    val tdf = df.crossJoin(broadcast(stats))
       .withColumn("idf",
         log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
-      .select("query_id", "term", "idf", "avgdl")
+      .select("term", "idf", "avgdl")
 
     // Champion lists (Manning/Raghavan/Schütze §7.1.3): the scoring
     // join's candidate space is Σ_t qf(t)·df(t) — a stopword term shared
@@ -195,15 +216,19 @@ object Bm25 {
     // champion entries, so tail contributions are lost and top-5
     // agreement collapses on heavy-tailed queries (dev/ChampionSweep:
     // ≤0.22 even on the Zipf corpus).
+    // s_fixed per posting FIRST (tiny broadcast term join), query fan-out
+    // joins the slim (query_id, term) relation after — see tdf note above
     val scored = champPost match {
       case Some(cp) if championRescore =>
         val cand = cp.join(broadcast(qterms), Seq("term"))
           .select("query_id", "doc_id").distinct()
         val candDocs = cand.select("doc_id").distinct()
         scoreExpr(post.join(candDocs, Seq("doc_id"), "left_semi")
-            .join(broadcast(qdf), "term"))
+            .join(broadcast(tdf), "term"))
+          .join(broadcast(qterms), Seq("term"))
           .join(cand, Seq("query_id", "doc_id"), "left_semi")
-      case _ => scoreExpr(postScoring.join(broadcast(qdf), "term"))
+      case _ => scoreExpr(postScoring.join(broadcast(tdf), "term"))
+        .join(broadcast(qterms), Seq("term"))
     }
 
     val agg = scored.groupBy("query_id", "doc_id")
@@ -258,11 +283,13 @@ object Bm25 {
       idCol: String, textCol: String, qIdCol: String, qTextCol: String,
       k: Int, k1: Double = 1.2, b: Double = 0.75,
       blockSize: Int = 64): DataFrame = {
-    val stats = docLengths(docs, idCol, textCol)
+    // tokenize once, cached: stats and postings share the scan (r14)
+    val dls = dlsCacheSlot.track(docLengths(docs, idCol, textCol).cache())
+    val stats = dls
       .agg(count(lit(1)).cast("double").as("n_docs"), avg("dl").as("avgdl"))
     // postings feeds the df aggregate AND the scoring scan (same reuse
     // rationale as searchTopK's cache)
-    searchWandOverPostings(postings(docs, idCol, textCol).cache(), stats,
+    searchWandOverPostings(postCacheSlot.track(postingsOf(dls).cache()), stats,
       queries, qIdCol, qTextCol, k, k1, b)
   }
 
@@ -314,14 +341,13 @@ object Bm25 {
       }.reduce(_ unionByName _)
     }
 
-    // one job for the corpus stats the contribution arithmetic needs
-    val statsRow = stats.collect()(0)
-    val avgdl = statsRow.getAs[Double]("avgdl")
-
     // per-term idf over the query vocabulary, computed by the SAME Spark
     // expressions as the exact path (collected, so the doubles entering
     // contribFixed are bit-identical to what the relational plan feeds
-    // its scoring expression)
+    // its scoring expression). avgdl rides along on every row (it comes
+    // from the same one-row stats crossJoin the idf needs anyway), so the
+    // corpus stats and the idf map land in ONE driver job instead of two
+    // (r14 — per WAND call, and the hybrid gates make three such calls)
     val vocab = qtRows.map(_.getString(1)).distinct.toSeq
     import spark.implicits._
     val qvocabDf = vocab.toDF("term")
@@ -329,11 +355,16 @@ object Bm25 {
       .map(_.join(broadcast(qvocabDf), Seq("term"), "left_semi"))
       .getOrElse(post.join(broadcast(qvocabDf), Seq("term"), "left_semi")
         .groupBy("term").agg(count(lit(1)).cast("double").as("df")))
-    val idfMap: Map[String, Double] = dfRel.crossJoin(broadcast(stats))
+    val idfRows = dfRel.crossJoin(broadcast(stats))
       .withColumn("idf", log(lit(1.0) +
         (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
-      .select("term", "idf").collect()
-      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      .select("term", "idf", "avgdl").collect()
+    val idfMap: Map[String, Double] =
+      idfRows.map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // empty vocab ⇒ no postings match ⇒ avgdl is never read by a kernel
+    val avgdl =
+      if (idfRows.nonEmpty) idfRows(0).getDouble(2)
+      else stats.collect()(0).getAs[Double]("avgdl")
 
     // dense query index (the DAAT tasks and the local-top-k rows carry an
     // int, not the caller's id type; the original ids join back at the

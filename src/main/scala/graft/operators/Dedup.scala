@@ -160,7 +160,9 @@ object Dedup {
       threshold: Double = 0.7, seed: Long = 42): DataFrame = {
     require(numHashes % bands == 0)
     val rowsPerBand = numHashes / bands
-    val withSig = sigCacheSlot.track(df
+    // shingle+sig is CPU-bound per row: floor the scan parallelism before
+    // the UDF projection (r14, Par scaladoc)
+    val withSig = sigCacheSlot.track(Par.fan(df, col(idCol))
       .select(col(idCol).cast("long").as("id"),
         shingleHashes(col(textCol), shingleLen).as("sh"))
       .withColumn("sig", minhashSignatureFromHashes(col("sh"), numHashes, seed))
@@ -243,7 +245,7 @@ object Dedup {
     // the checkpoint makes this count a metadata-cheap scan of pinned rows
     val nEdges = tick("count")(undirected.count())
     if (nEdges <= driverEdgeCap)
-      return tick("unionfind")(driverUnionFind(undirected))
+      return tick("unionfind")(driverUnionFind(undirected, nEdges))
     // self-loops make the per-round join a CLOSED-neighborhood min in one
     // equi-join + groupBy — no in-loop union of `comp` with a plan that
     // already contains `comp` (which trips Catalyst's Union constraint
@@ -305,17 +307,23 @@ object Dedup {
     * member id — exactly the distributed fixed point. Output schema and
     * node set ((id, comp), one row per node appearing in any edge) match
     * the pointer-jumping path row-for-row. */
-  private[operators] def driverUnionFind(undirected: DataFrame): DataFrame = {
+  private[operators] def driverUnionFind(undirected: DataFrame,
+      nEdges: Long = Long.MaxValue): DataFrame = {
     val spark = undirected.sparkSession
     import spark.implicits._
     // stream edges partition-at-a-time as primitive tuples: peak driver
     // heap is one partition of (Long, Long) + the LongMap — not the
     // whole edge set as boxed Row objects (~100 B/edge ⇒ hundreds of MB
-    // at the 4M-edge cap)
+    // at the 4M-edge cap). BELOW 1M edges (~48 MB boxed, trivially
+    // driver-safe) collect in ONE job instead: toLocalIterator launches
+    // one sequential job PER PARTITION, and a 32-partition slim edge
+    // relation was paying ~32 × 30 ms of job overhead for kilobytes of
+    // rows (r14 profile of dedup_components)
     val rows = {
       import scala.jdk.CollectionConverters._
-      undirected.select(col("src"), col("dst")).as[(Long, Long)]
-        .toLocalIterator().asScala
+      val ds = undirected.select(col("src"), col("dst")).as[(Long, Long)]
+      if (nEdges <= 1000000L) ds.collect().iterator
+      else ds.toLocalIterator().asScala
     }
     // dense-index arbitrary long ids (LongMap: no boxing, no null-vs-0
     // ambiguity a java.util.HashMap[Long, Int] would introduce)
@@ -418,8 +426,10 @@ object Dedup {
     // would exhaust the bits early once (nChunks-1)*ceil(64/nChunks) >= 64
     // (maxHamming >= 8), leaving fewer than nChunks real chunks and
     // silently voiding the pigeonhole guarantee.
-    val withFp = df.select(col(idCol).cast("long").as("id"),
-      simhash(col(textCol)).as("fp"))
+    // simhash is CPU-bound per row: floor the scan parallelism (r14)
+    val withFp = Par.fan(df, col(idCol))
+      .select(col(idCol).cast("long").as("id"),
+        simhash(col(textCol)).as("fp"))
     val chunked = withFp.select(col("id"), col("fp"),
       posexplode(array((0 until nChunks).map { c =>
         val lo = c * 64 / nChunks
@@ -557,8 +567,11 @@ object Dedup {
   private def trackPrefixCache(df: DataFrame): DataFrame =
     prefixCacheSlot.track(df)
 
-  def jaccardSimilarityJoinPrefix(df: DataFrame, idCol: String, textCol: String,
+  def jaccardSimilarityJoinPrefix(df0: DataFrame, idCol: String, textCol: String,
       blockCol: String, threshold: Double): DataFrame = {
+    // tokenize is CPU-bound per row: floor the scan parallelism before
+    // the UDF projection (r14, Par scaladoc)
+    val df = Par.fan(df0, col(idCol))
     val t = trackPrefixCache(df.select(col(idCol).cast("long").as("id"),
       col(blockCol).as("block"),
       sortedTokenHashes(col(textCol)).as("toks"))
@@ -615,8 +628,10 @@ object Dedup {
     * SQL engine can replay the computation exactly. */
   def crossDocSpanStats(df: DataFrame, idCol: String, textCol: String,
       n: Int, hashSpans: Boolean = false): DataFrame = {
-    val raw = df.select(col(idCol).cast("long").as("doc_id"),
-      explode_outer(shingles(col(textCol), n)).as("span"))
+    // shingling is CPU-bound per row: floor the scan parallelism (r14)
+    val raw = Par.fan(df, col(idCol))
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode_outer(shingles(col(textCol), n)).as("span"))
     // xxhash64(NULL) yields the seed, not NULL — preserve the null marker
     // rows from explode_outer (docs shorter than n) explicitly, or every
     // span-less doc would share one phantom span

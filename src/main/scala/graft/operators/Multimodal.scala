@@ -36,8 +36,11 @@ object Multimodal {
 
   /** Wrap a text/doc table into the media shape (payload = utf-8 bytes) —
     * used by fixtures; real pipelines land bytes from object storage. */
-  def fromDocuments(docs: DataFrame, idCol: String, textCol: String,
-      kind: String = "image"): DataFrame =
+  def fromDocuments(docs0: DataFrame, idCol: String, textCol: String,
+      kind: String = "image"): DataFrame = {
+    // media consumers are codec-bound (cost ∝ rows, not bytes): floor the
+    // scan parallelism before the payload projection (r14, Par scaladoc)
+    val docs = Par.fan(docs0, col(idCol))
     docs.select(
       col(idCol).cast("long").as("media_id"),
       lit(kind).as("kind"),
@@ -45,6 +48,7 @@ object Multimodal {
       struct(
         length(encode(col(textCol), "UTF-8")).cast("long").as("n_bytes"),
         lit("raw/utf8").as("declared_format")).as("meta"))
+  }
 
   val featureDim = 8
 
@@ -117,7 +121,8 @@ object Multimodal {
   def syntheticImages(ids: DataFrame, idCol: String): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(mediaSchema)
-    ids.select(col(idCol).cast("long").as("media_id"))
+    // encode is codec-bound: floor the parallelism (r14, Par scaladoc)
+    Par.fan(ids.select(col(idCol).cast("long").as("media_id")), col("media_id"))
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
@@ -156,7 +161,8 @@ object Multimodal {
   def syntheticWavs(ids: DataFrame, idCol: String): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(mediaSchema)
-    ids.select(col(idCol).cast("long").as("media_id"))
+    // encode is codec-bound: floor the parallelism (r14, Par scaladoc)
+    Par.fan(ids.select(col(idCol).cast("long").as("media_id")), col("media_id"))
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
@@ -225,7 +231,8 @@ object Multimodal {
   def syntheticAvis(ids: DataFrame, idCol: String): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(mediaSchema)
-    ids.select(col(idCol).cast("long").as("media_id"))
+    // encode is codec-bound: floor the parallelism (r14, Par scaladoc)
+    Par.fan(ids.select(col(idCol).cast("long").as("media_id")), col("media_id"))
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
@@ -375,6 +382,40 @@ object Multimodal {
   * failure. */
 object MediaCodec {
 
+  // ImageIO defaults to DISK-backed stream caching: every read/write
+  // creates (and deletes) a temp file. The payloads here are in-memory
+  // byte arrays — the cache is pure overhead, and at 32 concurrent
+  // decode tasks it adds filesystem churn per image (r14). Memory
+  // caching is semantically identical (same codecs, same bytes).
+  javax.imageio.ImageIO.setUseCache(false)
+
+  // javax.sound's AudioSystem facade re-runs provider discovery on EVERY
+  // getAudioInputStream/write call (JDK13Services.getProviders is
+  // class-synchronized and instantiates a fresh ServiceLoader each
+  // time): at 32 concurrent decode tasks the lock serializes the whole
+  // stage — r14 measured the fanned-out mm_audio SLOWER than its old
+  // single-task run. Providers are process-static, so discover them once
+  // and drive the same SPI directly; AudioSystem stays the fallback if
+  // no cached provider accepts a payload.
+  private lazy val audioReaders: Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .iterator().asScala.toSeq
+  }
+  private lazy val audioWriters: Seq[javax.sound.sampled.spi.AudioFileWriter] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .iterator().asScala.toSeq
+  }
+  // last reader that accepted a payload, tried first on the next one: a
+  // homogeneous corpus (the normal case) then pays ZERO rejected-provider
+  // attempts — each rejection constructs an UnsupportedAudioFileException
+  // whose fillInStackTrace dominated the parallel decode profile (the
+  // MIDI reader sorts before the WAV reader in provider order)
+  @volatile private var hotAudioReader: javax.sound.sampled.spi.AudioFileReader = null
+
   /** ImageIO.read, total: None on null/empty/unrecognized/corrupt bytes */
   def decode(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
     if (payload == null || payload.isEmpty) None
@@ -434,7 +475,12 @@ object MediaCodec {
       new java.io.ByteArrayInputStream(raw), fmt,
       samples.length.toLong / channels)
     val baos = new java.io.ByteArrayOutputStream()
-    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+    // cached-provider write (same SPI AudioSystem would resolve; see
+    // audioWriters note) — identical bytes, no per-call provider scan
+    audioWriters.find(_.isFileTypeSupported(AudioFileFormat.Type.WAVE, ais)) match {
+      case Some(w) => w.write(ais, AudioFileFormat.Type.WAVE, baos)
+      case None => AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+    }
     baos.toByteArray
   }
 
@@ -447,8 +493,33 @@ object MediaCodec {
     else
       try {
         import javax.sound.sampled._
-        val ais = AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(payload))
+        // cached-provider decode: try each discovered AudioFileReader on
+        // a fresh in-memory stream (what AudioSystem does per call, minus
+        // the synchronized re-discovery); fall back to the facade if none
+        // accepts, preserving its exact behavior for exotic setups
+        def viaProviders: Option[AudioInputStream] = {
+          val hot = hotAudioReader
+          if (hot != null) {
+            try return Some(hot.getAudioInputStream(
+              new java.io.ByteArrayInputStream(payload)))
+            catch { case _: UnsupportedAudioFileException => () }
+          }
+          val it = audioReaders.iterator
+          while (it.hasNext) {
+            val r = it.next()
+            if (r ne hot) {
+              try {
+                val s = r.getAudioInputStream(
+                  new java.io.ByteArrayInputStream(payload))
+                hotAudioReader = r
+                return Some(s)
+              } catch { case _: UnsupportedAudioFileException => () }
+            }
+          }
+          None
+        }
+        val ais = viaProviders.getOrElse(AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload)))
         try {
           val fmt = ais.getFormat
           if (fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED ||

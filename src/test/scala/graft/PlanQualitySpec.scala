@@ -332,12 +332,19 @@ class PlanQualitySpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"WAND must never plan a pair join — that is the candidate " +
         s"materialization it exists to avoid:\n$plan")
-    // exactly ONE doc co-location repartition feeds the DAAT kernel,
+    // exactly ONE doc-keyed co-location exchange feeds the DAAT kernel,
     // and exactly ONE per-query exchange ranks the bounded local top-k
     // output (the remaining ENSURE_REQUIREMENTS exchanges are the
-    // postings-build groupBy — the inverted-index shuffle, paid once)
-    assert("REPARTITION_BY_COL".r.findAllIn(plan).size == 1,
-      s"expected exactly 1 doc-co-location repartition:\n$plan")
+    // postings-build groupBy — the inverted-index shuffle, paid once).
+    // The doc exchange is REPARTITION_BY_COL at scale; at gate scale the
+    // r14 Par.fan parallelism floor already hash-partitions the tokenize
+    // scan by doc_id (REPARTITION_BY_NUM) and the optimizer correctly
+    // drops the then-redundant co-location node — assert the PROPERTY
+    // (exactly one doc_id hash exchange), not the node's origin
+    // single-expression doc_id hash only — the postings-build groupBy
+    // exchange (doc_id, term, dl) must not count
+    assert("hashpartitioning\\(doc_id#\\d+L?, \\d+\\)".r.findAllIn(plan).size == 1,
+      s"expected exactly 1 doc-keyed co-location exchange:\n$plan")
     assert("hashpartitioning\\(qidx".r.findAllIn(plan).size == 1,
       s"expected exactly 1 per-query rank exchange over the local top-k rows:\n$plan")
     // the kernel's local output is bounded: ≤ k rows per (partition,
