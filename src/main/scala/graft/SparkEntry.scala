@@ -12,6 +12,10 @@ import graft.streaming.EventsStream
   */
 object SparkEntry {
 
+  // multi-consumer gate relation caches (retire-previous slot discipline,
+  // see Dedup.CacheSlot)
+  private val mmVideoCacheSlot = new graft.operators.Dedup.CacheSlot
+
   /** Flagship query on /root/testdata/sf0.001: exact k-NN join (J1) —
     * the reference's core capability. Driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
@@ -1212,8 +1216,12 @@ object SparkEntry {
     //     The per-pixel formulas are separable in (f,x)/(f,y), so the
     //     oracle scales as nf·(w+h) per doc, not nf·w·h ---
     "mm_video" -> ((s, dir) => {
-      val media = Multimodal.syntheticAvis(
-        Tables.load(s, dir, "documents"), "doc_id")
+      // the stats branch AND the frame-sampling branch both consume the
+      // synthesized containers: cached, the AVI encode runs once per doc
+      // instead of once per branch (r14; slot retires the previous run's
+      // entry, same discipline as the dedup caches)
+      val media = mmVideoCacheSlot.track(Multimodal.syntheticAvis(
+        Tables.load(s, dir, "documents"), "doc_id").cache())
       val stats = Multimodal.decodeVideoStats(media)
         .filter(col("decoded"))
         .select(col("media_id"), col("width"), col("height"), col("fps"),

@@ -63,7 +63,7 @@ object Bm25 {
     * CPU-bound per row, so the scan parallelism is floored (r14, see
     * [[Par]]). */
   private def docLengths(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    Par.fan(docs, col(idCol))
+    Par.fanText(docs, col(idCol))
       .select(col(idCol).as("doc_id"), Dedup.tokens(col(textCol)).as("toks"))
       .withColumn("dl", size(col("toks")))
 

@@ -82,12 +82,6 @@ object Coreset {
     val spark = items.sparkSession
     val base = items.select(col("id").cast("long").as("id"), col("vector"))
 
-    val seedRows = base.orderBy(col("id")).limit(1).collect()
-    require(seedRows.nonEmpty, "k-center selection needs a non-empty input")
-    val seed = seedRows(0)
-    var picked = Vector((1, seed.getLong(0), 0.0))
-    var newCenters: Array[Array[Float]] = Array(seed.getSeq[Float](1).toArray)
-
     // driver-side distance replicating the scan column's EXACT double
     // accumulation (VectorExpressions compute bodies), so intra-pass
     // refined radii share the trajectory's arithmetic
@@ -122,6 +116,65 @@ object Coreset {
       }
       case m => throw new IllegalArgumentException(s"unknown metric: $m")
     }
+
+    // r14 driver-local fast path (batch = 1 only — the gate/greedy
+    // trajectory): below the collect cap, one collect replaces 2 Spark
+    // jobs per selected center (min-update checkpoint + TakeOrdered),
+    // which at small-corpus scale is pure scheduling overhead (k = 12
+    // ⇒ ~24 jobs for ~1.5 MFLOP of actual distance work). Same doubles:
+    // `dfun` replicates the expression path's accumulation order (see
+    // note above), the argmax tie-breaks (mind desc, id asc), and the
+    // head-is-zero early stop matches the distributed pass — identical
+    // trajectory, oracle-checked by the recursive-CTE replay. The cap is
+    // the same statistics-driven adaptive switch as
+    // Dedup.driverUnionFind's edge cap; env-tunable.
+    val localCap = sys.props.get("graft.kcenter.driver.bytes")
+      .orElse(sys.env.get("GRAFT_KCENTER_DRIVER_BYTES"))
+      .map(_.toLong).getOrElse(64L << 20) // sys-prop first: test hook
+    val estBytes = base.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (batch == 1 && estBytes <= BigInt(localCap)) {
+      val rows = base.collect()
+      require(rows.nonEmpty, "k-center selection needs a non-empty input")
+      val n = rows.length
+      val ids = rows.map(_.getLong(0))
+      val vecs = rows.map(_.getSeq[Float](1).toArray)
+      var seedIx = 0
+      var t = 1
+      while (t < n) { if (ids(t) < ids(seedIx)) seedIx = t; t += 1 }
+      val mind = new Array[Double](n)
+      t = 0
+      while (t < n) { mind(t) = dfun(vecs(t), vecs(seedIx)); t += 1 }
+      var pickedL = Vector((1, ids(seedIx), 0.0))
+      var coveredL = false
+      while (pickedL.size < k && !coveredL) {
+        var best = 0
+        t = 1
+        while (t < n) {
+          if (mind(t) > mind(best) ||
+            (mind(t) == mind(best) && ids(t) < ids(best))) best = t
+          t += 1
+        }
+        if (mind(best) == 0.0) coveredL = true
+        else {
+          pickedL :+= ((pickedL.size + 1, ids(best), mind(best)))
+          val bv = vecs(best)
+          t = 0
+          while (t < n) {
+            val d = dfun(vecs(t), bv)
+            if (d < mind(t)) mind(t) = d
+            t += 1
+          }
+        }
+      }
+      import spark.implicits._
+      return pickedL.toDF("step", "id", "radius")
+    }
+
+    val seedRows = base.orderBy(col("id")).limit(1).collect()
+    require(seedRows.nonEmpty, "k-center selection needs a non-empty input")
+    val seed = seedRows(0)
+    var picked = Vector((1, seed.getLong(0), 0.0))
+    var newCenters: Array[Array[Float]] = Array(seed.getSeq[Float](1).toArray)
 
     // Each pass's min-update frame is eagerly localCheckpoint'ed, NOT
     // persist'ed: a persist chain nests one projection per pass and the

@@ -162,7 +162,7 @@ object Dedup {
     val rowsPerBand = numHashes / bands
     // shingle+sig is CPU-bound per row: floor the scan parallelism before
     // the UDF projection (r14, Par scaladoc)
-    val withSig = sigCacheSlot.track(Par.fan(df, col(idCol))
+    val withSig = sigCacheSlot.track(Par.fanText(df, col(idCol))
       .select(col(idCol).cast("long").as("id"),
         shingleHashes(col(textCol), shingleLen).as("sh"))
       .withColumn("sig", minhashSignatureFromHashes(col("sh"), numHashes, seed))
@@ -427,7 +427,7 @@ object Dedup {
     // (maxHamming >= 8), leaving fewer than nChunks real chunks and
     // silently voiding the pigeonhole guarantee.
     // simhash is CPU-bound per row: floor the scan parallelism (r14)
-    val withFp = Par.fan(df, col(idCol))
+    val withFp = Par.fanText(df, col(idCol))
       .select(col(idCol).cast("long").as("id"),
         simhash(col(textCol)).as("fp"))
     val chunked = withFp.select(col("id"), col("fp"),
@@ -564,6 +564,12 @@ object Dedup {
   }
   private[graft] val prefixCacheSlot = new CacheSlot
   private[graft] val sigCacheSlot = new CacheSlot
+  // the rare-first prefix relation feeds BOTH sides of the candidate
+  // self-join; uncached, each side re-runs the posting⋈df join and the
+  // per-doc collect_list/sort shuffle from the cached tokens (the
+  // exchanges don't canonicalize equal, so ReuseExchange can't help) —
+  // r14: cache it, one compute instead of two
+  private[graft] val prefixRelCacheSlot = new CacheSlot
   private def trackPrefixCache(df: DataFrame): DataFrame =
     prefixCacheSlot.track(df)
 
@@ -571,7 +577,7 @@ object Dedup {
       blockCol: String, threshold: Double): DataFrame = {
     // tokenize is CPU-bound per row: floor the scan parallelism before
     // the UDF projection (r14, Par scaladoc)
-    val df = Par.fan(df0, col(idCol))
+    val df = Par.fanText(df0, col(idCol))
     val t = trackPrefixCache(df.select(col(idCol).cast("long").as("id"),
       col(blockCol).as("block"),
       sortedTokenHashes(col(textCol)).as("toks"))
@@ -582,12 +588,13 @@ object Dedup {
     val dfc = posting.groupBy("tok").agg(count(lit(1)).as("df"))
     // rare-first prefix: order each doc's tokens by (global df, token),
     // keep the first n − ceil(t·n) + 1
-    val prefix = posting.join(dfc, "tok")
+    val prefix = prefixRelCacheSlot.track(posting.join(dfc, "tok")
       .groupBy("id", "block", "n")
       .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("ord"))
       .select(col("id"), col("block"), col("n"),
         explode(slice(transform(col("ord"), x => x("tok")), lit(1),
           (col("n") - ceil(col("n") * lit(threshold)) + 1).cast("int"))).as("tok"))
+      .cache())
     // size-ratio filter: J ≥ t ⇒ min(|A|,|B|) ≥ t·max(|A|,|B|) — prunes
     // length-mismatched collisions before they reach the verify join
     val cand = prefix.as("l").join(prefix.as("r"),
@@ -629,7 +636,7 @@ object Dedup {
   def crossDocSpanStats(df: DataFrame, idCol: String, textCol: String,
       n: Int, hashSpans: Boolean = false): DataFrame = {
     // shingling is CPU-bound per row: floor the scan parallelism (r14)
-    val raw = Par.fan(df, col(idCol))
+    val raw = Par.fanText(df, col(idCol))
       .select(col(idCol).cast("long").as("doc_id"),
         explode_outer(shingles(col(textCol), n)).as("span"))
     // xxhash64(NULL) yields the seed, not NULL — preserve the null marker

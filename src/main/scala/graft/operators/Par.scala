@@ -31,13 +31,37 @@ import org.apache.spark.sql.{Column, DataFrame}
   * shape the guide warns about.
   */
 object Par {
-  /** `df` hash-repartitioned on `key` to the default parallelism iff its
-    * estimated size would scan-split below it; identical rows either way. */
-  def fan(df: DataFrame, key: Column): DataFrame = {
+  /** `df` hash-repartitioned on `key` up to the default parallelism iff
+    * its estimated size would scan-split below it; identical rows either
+    * way.
+    *
+    * `minBytesPerTask` scales the floor for moderately CPU-dense work
+    * (tokenize/shingle: ~µs per byte): a kilobytes-sized relation then
+    * fans to a few tasks instead of paying full-width task scheduling
+    * for sub-millisecond work (r14 measured: the mod-7/mod-13 sampled
+    * twins regressed ~0.3-0.5 s under an unconditional 32-way floor).
+    * The default 0 keeps the full floor — right for codec-bound rows
+    * (media encode/decode: ~ms per row) where even a tiny relation is
+    * seconds of CPU. Both variants stay scale-adaptive: the target
+    * derives from the runtime core count and the relation's own size
+    * estimate, and past cores × maxPartitionBytes no exchange is
+    * inserted at all. */
+  def fan(df: DataFrame, key: Column, minBytesPerTask: Long = 0L): DataFrame = {
     val spark = df.sparkSession
-    val target = spark.sparkContext.defaultParallelism
+    val cores = spark.sparkContext.defaultParallelism
     val split = spark.sessionState.conf.filesMaxPartitionBytes
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (est < BigInt(split) * target) df.repartition(target, key) else df
+    if (est >= BigInt(split) * cores) df
+    else {
+      val target =
+        if (minBytesPerTask <= 0L) cores
+        else ((est + minBytesPerTask - 1) / minBytesPerTask)
+          .min(BigInt(cores)).max(BigInt(1)).toInt
+      df.repartition(target, key)
+    }
   }
+
+  /** Scaled-floor variant for tokenize/shingle-grade work (~µs/byte). */
+  def fanText(df: DataFrame, key: Column): DataFrame =
+    fan(df, key, minBytesPerTask = 32 * 1024L)
 }

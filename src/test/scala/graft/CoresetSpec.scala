@@ -52,6 +52,18 @@ class CoresetSpec extends AnyFunSuite {
     assert(expect.map(_._2).distinct.size === expect.size)
   }
 
+  test("r14 driver-local fast path ≡ distributed passes (same trajectory)") {
+    val df = graft.sources.RandomDataset.vectors(spark, n = 300, dim = 6, seed = 47)
+    val local = Coreset.kCenterGreedy(df, k = 15).orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    System.setProperty("graft.kcenter.driver.bytes", "0") // force distributed
+    try {
+      val dist = Coreset.kCenterGreedy(df, k = 15).orderBy("step").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(local === dist)
+    } finally System.clearProperty("graft.kcenter.driver.bytes")
+  }
+
   test("kCenterBatch(b=1) IS the greedy trajectory; b>1 stays sound") {
     val df = graft.sources.RandomDataset.vectors(spark, n = 200, dim = 6, seed = 31)
     val greedy = Coreset.kCenterGreedy(df, k = 12).orderBy("step").collect()

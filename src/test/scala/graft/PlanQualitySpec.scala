@@ -342,9 +342,17 @@ class PlanQualitySpec extends AnyFunSuite {
     // drops the then-redundant co-location node — assert the PROPERTY
     // (exactly one doc_id hash exchange), not the node's origin
     // single-expression doc_id hash only — the postings-build groupBy
-    // exchange (doc_id, term, dl) must not count
-    assert("hashpartitioning\\(doc_id#\\d+L?, \\d+\\)".r.findAllIn(plan).size == 1,
-      s"expected exactly 1 doc-keyed co-location exchange:\n$plan")
+    // exchange (doc_id, term, dl) must not count. 1 = the co-location
+    // repartition (subsuming the scan fan when widths coincide); 2 = the
+    // r14 Par.fan scan-parallelism floor chose a narrower width than the
+    // co-location exchange, so both appear. Anything else (0, or 3+)
+    // means the kernel lost its doc co-location or gained spurious
+    // shuffles.
+    val docExchanges =
+      "hashpartitioning\\(doc_id#\\d+L?, \\d+\\)".r.findAllIn(plan).size
+    assert(docExchanges == 1 || docExchanges == 2,
+      s"expected 1-2 doc-keyed exchanges (co-location [+ scan fan]), " +
+        s"got $docExchanges:\n$plan")
     assert("hashpartitioning\\(qidx".r.findAllIn(plan).size == 1,
       s"expected exactly 1 per-query rank exchange over the local top-k rows:\n$plan")
     // the kernel's local output is bounded: ≤ k rows per (partition,
