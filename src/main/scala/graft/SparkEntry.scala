@@ -582,7 +582,7 @@ object SparkEntry {
       // self-kNN scans n·n pairs in the base-side stage: floor its scan
       // parallelism (r14, Par scaladoc — one small-file split otherwise
       // runs the whole pair scan on one core; no-op at scale)
-      KnnJoin.knnJoin(e, graft.operators.Par.fan(e, col("vec_id")),
+      KnnJoin.knnJoin(e, graft.operators.Par.fan(e, col("vec_id"), 16 * 1024L),
           k = 21, metric = "cosine",
           queryIdCol = "vec_id", queryVecCol = "embedding",
           baseIdCol = "vec_id", baseVecCol = "embedding")
@@ -606,7 +606,7 @@ object SparkEntry {
     //     ~n/7 of scales where the full all-pairs oracle is infeasible ---
     "dedup_embedding_sampled" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings").filter(col("vec_id") % 7 === 0)
-      KnnJoin.knnJoin(e, graft.operators.Par.fan(e, col("vec_id")),
+      KnnJoin.knnJoin(e, graft.operators.Par.fan(e, col("vec_id"), 16 * 1024L),
           k = 21, metric = "cosine",
           queryIdCol = "vec_id", queryVecCol = "embedding",
           baseIdCol = "vec_id", baseVecCol = "embedding")
